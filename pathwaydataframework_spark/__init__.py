@@ -1,0 +1,97 @@
+"""pathwaydataframework_spark — a PySpark-native engine with the query
+surface of bhardwajDeepik21/PathwayDataFramework.
+
+Usage mirrors the reference's ``import pathway as pw``::
+
+    import pathwaydataframework_spark as pw
+
+    spark = pw.get_spark()
+    t = pw.Table.from_parquet(spark, ".../lineitem.parquet")
+    out = (
+        t.filter(pw.this.l_quantity > 0)
+         .groupby(pw.this.l_returnflag)
+         .reduce(n=pw.reducers.count(), qty=pw.reducers.sum(pw.this.l_quantity))
+    )
+    out.df.show()
+
+Design: tables are thin façades over ``pyspark.sql.DataFrame``; expressions
+lower to Catalyst ``Column`` trees; every operator picks the physical plan
+that scales (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pathwaydataframework_spark.internals import reducers
+from pathwaydataframework_spark.internals.expression import (
+    apply,
+    apply_with_type,
+    cast,
+    coalesce,
+    declare_type,
+    fill_error,
+    if_else,
+    left,
+    lift,
+    make_tuple,
+    require,
+    right,
+    this,
+    unwrap,
+)
+from pathwaydataframework_spark.internals.table import Table
+from pathwaydataframework_spark.operators import dedup, ordered, similarity, text
+from pathwaydataframework_spark.operators import temporal
+from pathwaydataframework_spark.operators.temporal import (
+    asof_join,
+    asof_now_join,
+    interval,
+    interval_join,
+    intervals_over,
+    session,
+    sliding,
+    tumbling,
+    window_join,
+    windowby,
+)
+from pathwaydataframework_spark.spark_session import get_spark
+from pathwaydataframework_spark.sql import sql
+from pathwaydataframework_spark import sources as io
+
+__all__ = [
+    "Table",
+    "this",
+    "left",
+    "right",
+    "reducers",
+    "temporal",
+    "io",
+    "sql",
+    "get_spark",
+    "apply",
+    "apply_with_type",
+    "cast",
+    "coalesce",
+    "declare_type",
+    "fill_error",
+    "if_else",
+    "lift",
+    "make_tuple",
+    "require",
+    "unwrap",
+    "tumbling",
+    "sliding",
+    "session",
+    "intervals_over",
+    "interval",
+    "interval_join",
+    "window_join",
+    "asof_join",
+    "asof_now_join",
+    "windowby",
+    "dedup",
+    "text",
+    "similarity",
+    "ordered",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,312 @@
+"""Scalar function namespaces: ``expr.str``, ``expr.dt``, ``expr.num``.
+
+Parity targets (SURVEY.md §2.7):
+- string: reference ``internals/expressions/string.py`` (lower:33 … parse_bool:872)
+- datetime: reference ``internals/expressions/date_time.py`` (nanosecond:41 … weeks:1423)
+- numeric: reference ``internals/expressions/numerical.py`` (abs:30, round:66, fill_na:144)
+
+Everything lowers to JVM-side ``pyspark.sql.functions`` (whole-stage codegen);
+the only non-native op (``swapcase``) uses character-translate built-ins, not a
+Python UDF.
+"""
+
+from __future__ import annotations
+
+import string as _string
+
+import pyspark.sql.functions as F
+
+from pathwaydataframework_spark.internals.expression import (
+    Expr,
+    FuncExpr,
+    UnaryOp,
+    lift,
+)
+
+_ASCII_LOWER = _string.ascii_lowercase
+_ASCII_UPPER = _string.ascii_uppercase
+
+
+class StringNamespace:
+    def __init__(self, expr: Expr):
+        self._e = expr
+
+    def lower(self):
+        return UnaryOp(self._e, F.lower)
+
+    def upper(self):
+        return UnaryOp(self._e, F.upper)
+
+    def reversed(self):
+        return UnaryOp(self._e, F.reverse)
+
+    def len(self):
+        return UnaryOp(self._e, lambda a: F.length(a).cast("long"))
+
+    def replace(self, old, new):
+        return FuncExpr(F.replace, self._e, lift(old), lift(new))
+
+    def startswith(self, prefix):
+        return FuncExpr(lambda a, p: a.startswith(p), self._e, lift(prefix))
+
+    def endswith(self, suffix):
+        return FuncExpr(lambda a, s: a.endswith(s), self._e, lift(suffix))
+
+    def swapcase(self):
+        # translate() is JVM-side; covers ASCII like the reference's tests.
+        return UnaryOp(
+            self._e, lambda a: F.translate(a, _ASCII_LOWER + _ASCII_UPPER, _ASCII_UPPER + _ASCII_LOWER)
+        )
+
+    def strip(self, chars=None):
+        if chars is None:
+            return UnaryOp(self._e, F.trim)
+        return FuncExpr(lambda a, c: F.btrim(a, c), self._e, lift(chars))
+
+    def title(self):
+        return UnaryOp(self._e, F.initcap)
+
+    def count(self, sub):
+        # Non-overlapping occurrence count (Python str.count semantics),
+        # computed JVM-side without regex escaping issues.
+        return FuncExpr(
+            lambda a, s: ((F.length(a) - F.length(F.replace(a, s, F.lit("")))) / F.length(s)).cast(
+                "long"
+            ),
+            self._e,
+            lift(sub),
+        )
+
+    def find(self, sub):
+        # Python semantics: 0-based, -1 if absent (instr is 1-based, 0 if absent).
+        return FuncExpr(lambda a, s: F.instr(a, s).cast("long") - 1, self._e, lift(sub))
+
+    def rfind(self, sub):
+        def _fn(a, s):
+            rev_pos = F.instr(F.reverse(a), F.reverse(s))
+            return F.when(rev_pos == 0, F.lit(-1)).otherwise(
+                F.length(a) - rev_pos - F.length(s) + 1
+            ).cast("long")
+
+        return FuncExpr(_fn, self._e, lift(sub))
+
+    def removeprefix(self, prefix):
+        def _fn(a, p):
+            return F.when(a.startswith(p), F.substring(a, F.length(p) + 1, F.length(a))).otherwise(a)
+
+        return FuncExpr(_fn, self._e, lift(prefix))
+
+    def removesuffix(self, suffix):
+        def _fn(a, s):
+            return F.when(a.endswith(s), F.substring(a, 1, F.length(a) - F.length(s))).otherwise(a)
+
+        return FuncExpr(_fn, self._e, lift(suffix))
+
+    def slice(self, start, stop):
+        # Python-style [start:stop) on 0-based indices.
+        return FuncExpr(
+            lambda a, lo, hi: F.substring(a, lo + 1, hi - lo), self._e, lift(start), lift(stop)
+        )
+
+    def parse_int(self):
+        return UnaryOp(self._e, lambda a: a.cast("long"))
+
+    def parse_float(self):
+        return UnaryOp(self._e, lambda a: a.cast("double"))
+
+    def parse_bool(self):
+        return UnaryOp(self._e, lambda a: F.lower(a).isin("true", "1", "yes", "on"))
+
+    # -- extensions beyond the reference (useful for text pipelines) --------
+    def split(self, pattern):
+        return FuncExpr(lambda a, p: F.split(a, p), self._e, lift(pattern))
+
+    def contains(self, sub):
+        return FuncExpr(lambda a, s: a.contains(s), self._e, lift(sub))
+
+
+class DateTimeNamespace:
+    def __init__(self, expr: Expr):
+        self._e = expr
+
+    def nanosecond(self):
+        # Sub-second component in nanoseconds (reference date_time.py:41).
+        return UnaryOp(
+            self._e,
+            lambda a: ((F.unix_micros(a.cast("timestamp")) % 1_000_000) * 1000).cast("long"),
+        )
+
+    def microsecond(self):
+        return UnaryOp(
+            self._e, lambda a: (F.unix_micros(a.cast("timestamp")) % 1_000_000).cast("long")
+        )
+
+    def millisecond(self):
+        return UnaryOp(
+            self._e, lambda a: ((F.unix_micros(a.cast("timestamp")) % 1_000_000) / 1000).cast("long")
+        )
+
+    def second(self):
+        return UnaryOp(self._e, lambda a: F.second(a).cast("long"))
+
+    def minute(self):
+        return UnaryOp(self._e, lambda a: F.minute(a).cast("long"))
+
+    def hour(self):
+        return UnaryOp(self._e, lambda a: F.hour(a).cast("long"))
+
+    def day(self):
+        return UnaryOp(self._e, lambda a: F.dayofmonth(a).cast("long"))
+
+    def month(self):
+        return UnaryOp(self._e, lambda a: F.month(a).cast("long"))
+
+    def year(self):
+        return UnaryOp(self._e, lambda a: F.year(a).cast("long"))
+
+    def quarter(self):
+        return UnaryOp(self._e, lambda a: F.quarter(a).cast("long"))
+
+    def weekday(self):
+        # Monday=0 like the reference (date_time.py:1567); Spark dayofweek: Sun=1.
+        return UnaryOp(self._e, lambda a: ((F.dayofweek(a) + 5) % 7).cast("long"))
+
+    def timestamp(self, unit: str = "s"):
+        divisors = {"ns": 1e-3, "us": 1, "ms": 1000, "s": 1_000_000}
+        if unit not in divisors:
+            raise ValueError(f"bad unit {unit}")
+        d = divisors[unit]
+        return UnaryOp(
+            self._e, lambda a: (F.unix_micros(a.cast("timestamp")) / F.lit(d)).cast("long")
+        )
+
+    def strftime(self, fmt: str):
+        # Accepts Java SimpleDateFormat-style patterns (documented deviation:
+        # reference uses C strftime patterns).
+        return FuncExpr(lambda a, f: F.date_format(a, f), self._e, lift(fmt))
+
+    def strptime(self, fmt: str):
+        return FuncExpr(lambda a, f: F.to_timestamp(a, f), self._e, lift(fmt))
+
+    def to_utc(self, from_timezone: str):
+        return FuncExpr(
+            lambda a, tz: F.to_utc_timestamp(a, tz), self._e, lift(from_timezone)
+        )
+
+    def to_naive_in_timezone(self, timezone: str):
+        return FuncExpr(
+            lambda a, tz: F.from_utc_timestamp(a, tz), self._e, lift(timezone)
+        )
+
+    def round(self, duration: str):
+        unit = _duration_to_trunc_unit(duration)
+        half = _duration_to_seconds(duration) / 2
+        return UnaryOp(
+            self._e,
+            lambda a: F.timestamp_seconds(
+                ((F.unix_micros(a.cast("timestamp")) / 1e6 + half) / _duration_to_seconds(duration)).cast("long")
+                * int(_duration_to_seconds(duration))
+            )
+            if unit is None
+            else F.date_trunc(unit, F.timestamp_seconds(F.unix_micros(a.cast("timestamp")) / 1e6 + half)),
+        )
+
+    def floor(self, duration: str):
+        secs = _duration_to_seconds(duration)
+        return UnaryOp(
+            self._e,
+            lambda a: F.timestamp_seconds(
+                F.floor(F.unix_micros(a.cast("timestamp")) / 1e6 / secs) * int(secs)
+            ),
+        )
+
+    def from_timestamp(self, unit: str = "s"):
+        mult = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1e-3}[unit]
+        return UnaryOp(
+            self._e, lambda a: F.timestamp_micros((a * mult).cast("long")).cast("timestamp_ntz")
+        )
+
+    def utc_from_timestamp(self, unit: str = "s"):
+        mult = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1e-3}[unit]
+        return UnaryOp(self._e, lambda a: F.timestamp_micros((a * mult).cast("long")))
+
+    # duration accessors (operand is DayTimeInterval or microseconds long)
+    def nanoseconds(self):
+        return UnaryOp(self._e, lambda a: (_interval_micros(a) * 1000).cast("long"))
+
+    def microseconds(self):
+        return UnaryOp(self._e, lambda a: _interval_micros(a).cast("long"))
+
+    def milliseconds(self):
+        return UnaryOp(self._e, lambda a: (_interval_micros(a) / 1000).cast("long"))
+
+    def seconds(self):
+        return UnaryOp(self._e, lambda a: (_interval_micros(a) / 1_000_000).cast("long"))
+
+    def minutes(self):
+        return UnaryOp(self._e, lambda a: (_interval_micros(a) / 60_000_000).cast("long"))
+
+    def hours(self):
+        return UnaryOp(self._e, lambda a: (_interval_micros(a) / 3_600_000_000).cast("long"))
+
+    def days(self):
+        return UnaryOp(self._e, lambda a: (_interval_micros(a) / 86_400_000_000).cast("long"))
+
+    def weeks(self):
+        return UnaryOp(self._e, lambda a: (_interval_micros(a) / 604_800_000_000).cast("long"))
+
+
+def _interval_micros(col):
+    # DayTimeIntervalType casts to long as total microseconds in Spark.
+    return col.cast("long")
+
+
+_TRUNC_UNITS = {
+    "1 day": "day",
+    "1 hour": "hour",
+    "1 minute": "minute",
+    "1 second": "second",
+}
+
+
+def _duration_to_trunc_unit(duration: str):
+    return _TRUNC_UNITS.get(duration)
+
+
+def _duration_to_seconds(duration: str) -> float:
+    import re
+
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(\w+)\s*", duration)
+    if not m:
+        raise ValueError(f"bad duration {duration!r}")
+    n, unit = float(m.group(1)), m.group(2).rstrip("s")
+    mult = {
+        "week": 604800,
+        "day": 86400,
+        "hour": 3600,
+        "minute": 60,
+        "min": 60,
+        "second": 1,
+        "sec": 1,
+        "millisecond": 1e-3,
+        "microsecond": 1e-6,
+    }[unit]
+    return n * mult
+
+
+class NumericalNamespace:
+    def __init__(self, expr: Expr):
+        self._e = expr
+
+    def abs(self):
+        return UnaryOp(self._e, F.abs)
+
+    def round(self, decimals: int = 0):
+        return FuncExpr(lambda a, d: F.round(a, d), self._e, lift(int(decimals)))
+
+    def fill_na(self, default):
+        return FuncExpr(
+            lambda a, d: F.coalesce(F.when(F.isnan(a.cast("double")), None).otherwise(a), d),
+            self._e,
+            lift(default),
+        )

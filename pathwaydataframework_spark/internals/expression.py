@@ -1,0 +1,402 @@
+"""Lazy column-expression AST that lowers to ``pyspark.sql.Column``.
+
+Mirrors the reference's expression surface (reference
+``python/pathway/internals/expression.py``: ColumnReference :566, BinaryOp
+:664, UnaryOp :690, Apply :744, Cast :795, Coalesce :846, Require :874,
+IfElse :891, IsNone :915, Pointer :945, MakeTuple :979, Get :994) but instead
+of lowering to an interpreted row-at-a-time engine IR we emit Catalyst
+``Column`` trees, so whole-stage codegen and predicate pushdown apply for
+free (SURVEY.md §4).
+
+Resolution model: an :class:`Expr` is a closure over a
+:class:`ResolutionContext` that maps column references (possibly qualified by
+a table / join side) to concrete Spark columns.  ``pw.this`` / ``pw.left`` /
+``pw.right`` are sentinel owners resolved by the active context, like the
+reference's ``internals/thisclass.py`` / ``internals/desugaring.py``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Sentinel owners for unqualified / join-side references.
+THIS = object()
+LEFT = object()
+RIGHT = object()
+
+
+class ResolutionContext:
+    """Maps (owner, column-name) to a concrete Spark Column."""
+
+    def resolve_ref(self, ref: "ColumnRef") -> Column:  # pragma: no cover
+        raise NotImplementedError
+
+    def id_column(self, owner: Any = THIS) -> Column:
+        """Row-id column (``_pw_id``) for argmin/argmax-style reducers."""
+        raise NotImplementedError("this context has no row-id column")
+
+
+class Expr:
+    """Base lazy expression; subclasses implement ``_resolve(ctx)``."""
+
+    def _resolve(self, ctx: ResolutionContext) -> Column:
+        raise NotImplementedError
+
+    # -- arithmetic ---------------------------------------------------------
+    def __add__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return BinOp(lift(o), self, lambda a, b: a + b)
+
+    def __sub__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return BinOp(lift(o), self, lambda a, b: a - b)
+
+    def __mul__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return BinOp(lift(o), self, lambda a, b: a * b)
+
+    def __truediv__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return BinOp(lift(o), self, lambda a, b: a / b)
+
+    def __floordiv__(self, o):
+        return BinOp(self, lift(o), lambda a, b: F.floor(a / b))
+
+    def __rfloordiv__(self, o):
+        return BinOp(lift(o), self, lambda a, b: F.floor(a / b))
+
+    def __mod__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a % b)
+
+    def __pow__(self, o):
+        return BinOp(self, lift(o), lambda a, b: F.pow(a, b))
+
+    def __neg__(self):
+        return UnaryOp(self, lambda a: -a)
+
+    def __abs__(self):
+        return UnaryOp(self, F.abs)
+
+    # -- comparison ---------------------------------------------------------
+    def __eq__(self, o):  # type: ignore[override]
+        return BinOp(self, lift(o), lambda a, b: a == b)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return BinOp(self, lift(o), lambda a, b: a != b)
+
+    def __lt__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a < b)
+
+    def __le__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a <= b)
+
+    def __gt__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a >= b)
+
+    # -- boolean / bitwise --------------------------------------------------
+    def __and__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a & b)
+
+    def __rand__(self, o):
+        return BinOp(lift(o), self, lambda a, b: a & b)
+
+    def __or__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a | b)
+
+    def __ror__(self, o):
+        return BinOp(lift(o), self, lambda a, b: a | b)
+
+    def __xor__(self, o):
+        return BinOp(self, lift(o), lambda a, b: a.cast("long").bitwiseXOR(b.cast("long")))
+
+    def __invert__(self):
+        return UnaryOp(self, lambda a: ~a)
+
+    def __lshift__(self, o):
+        return BinOp(self, lift(o), lambda a, b: F.shiftleft(a, b))
+
+    def __rshift__(self, o):
+        return BinOp(self, lift(o), lambda a, b: F.shiftright(a, b))
+
+    # -- container access (reference expression.py:316 Get) ----------------
+    def __getitem__(self, idx):
+        if isinstance(idx, slice):
+            raise TypeError("use .str.slice for string slicing")
+        return BinOp(self, lift(idx), lambda a, b: F.try_element_at(a, b + F.lit(1)))
+
+    def get(self, idx, default=None):
+        idx_e = lift(idx)
+        dflt = lift(default)
+        return FuncExpr(
+            lambda a, b, d: F.coalesce(F.try_element_at(a, b + F.lit(1)), d),
+            self,
+            idx_e,
+            dflt,
+        )
+
+    # -- null handling ------------------------------------------------------
+    def is_none(self):
+        return UnaryOp(self, lambda a: a.isNull())
+
+    def is_not_none(self):
+        return UnaryOp(self, lambda a: a.isNotNull())
+
+    # -- conversions --------------------------------------------------------
+    def to_string(self):
+        return UnaryOp(self, lambda a: a.cast("string"))
+
+    def as_int(self):
+        return UnaryOp(self, lambda a: a.cast("long"))
+
+    def as_float(self):
+        return UnaryOp(self, lambda a: a.cast("double"))
+
+    def as_str(self):
+        return UnaryOp(self, lambda a: a.cast("string"))
+
+    def as_bool(self):
+        return UnaryOp(self, lambda a: a.cast("boolean"))
+
+    # -- namespaces (attached in functions/__init__.py) ---------------------
+    @property
+    def str(self):
+        from pathwaydataframework_spark.functions import StringNamespace
+
+        return StringNamespace(self)
+
+    @property
+    def dt(self):
+        from pathwaydataframework_spark.functions import DateTimeNamespace
+
+        return DateTimeNamespace(self)
+
+    @property
+    def num(self):
+        from pathwaydataframework_spark.functions import NumericalNamespace
+
+        return NumericalNamespace(self)
+
+    # Expr objects are stored in dicts/sets during planning; identity hash is
+    # fine because __eq__ builds an expression instead of comparing.
+    __hash__ = object.__hash__
+
+
+class ColumnRef(Expr):
+    def __init__(self, owner: Any, name: str):
+        self._owner = owner
+        self._name = name
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def owner(self) -> Any:
+        return self._owner
+
+    def _resolve(self, ctx: ResolutionContext) -> Column:
+        return ctx.resolve_ref(self)
+
+    def __repr__(self):
+        return f"ColumnRef({self._name})"
+
+
+class Literal(Expr):
+    def __init__(self, value: Any):
+        self._value = value
+
+    def _resolve(self, ctx: ResolutionContext) -> Column:
+        return F.lit(self._value)
+
+
+class BinOp(Expr):
+    def __init__(self, left: Expr, right: Expr, fn: Callable[[Column, Column], Column]):
+        self._l, self._r, self._fn = left, right, fn
+
+    def _resolve(self, ctx):
+        return self._fn(self._l._resolve(ctx), self._r._resolve(ctx))
+
+
+class UnaryOp(Expr):
+    def __init__(self, operand: Expr, fn: Callable[[Column], Column]):
+        self._o, self._fn = operand, fn
+
+    def _resolve(self, ctx):
+        return self._fn(self._o._resolve(ctx))
+
+
+class FuncExpr(Expr):
+    """Generic n-ary expression: fn(*resolved_children)."""
+
+    def __init__(self, fn: Callable[..., Column], *children: Expr):
+        self._fn = fn
+        self._children = children
+
+    def _resolve(self, ctx):
+        return self._fn(*[c._resolve(ctx) for c in self._children])
+
+
+class RawColumn(Expr):
+    """Escape hatch wrapping a pre-built Spark Column."""
+
+    def __init__(self, col: Column):
+        self._col = col
+
+    def _resolve(self, ctx):
+        return self._col
+
+
+def lift(x: Any) -> Expr:
+    """Coerce a Python value / Column into an Expr."""
+    if isinstance(x, Expr):
+        return x
+    if isinstance(x, Column):
+        return RawColumn(x)
+    if x is None or isinstance(
+        x, (bool, int, float, str, bytes, _dt.datetime, _dt.date, _dt.timedelta)
+    ):
+        return Literal(x)
+    if isinstance(x, (list, tuple)):
+        return FuncExpr(lambda *cs: F.array(*cs), *[lift(v) for v in x])
+    raise TypeError(f"cannot lift {type(x)!r} into an expression")
+
+
+class _ThisLike:
+    """``pw.this`` / ``pw.left`` / ``pw.right`` attribute factories.
+
+    Reference: ``internals/thisclass.py:21`` (ThisMetaclass).
+    """
+
+    def __init__(self, owner):
+        self._owner = owner
+
+    def __getattr__(self, name: str) -> ColumnRef:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return ColumnRef(self._owner, name)
+
+    def __getitem__(self, name: str) -> ColumnRef:
+        return ColumnRef(self._owner, name)
+
+
+this = _ThisLike(THIS)
+left = _ThisLike(LEFT)
+right = _ThisLike(RIGHT)
+
+
+# -- global helper functions (reference internals/common.py) ----------------
+
+
+def if_else(cond, then, otherwise):
+    """Reference ``pw.if_else`` (common.py:328)."""
+    return FuncExpr(
+        lambda c, t, o: F.when(c, t).otherwise(o), lift(cond), lift(then), lift(otherwise)
+    )
+
+
+def coalesce(*args):
+    """Reference ``pw.coalesce`` (common.py:277)."""
+    return FuncExpr(lambda *cs: F.coalesce(*cs), *[lift(a) for a in args])
+
+
+def require(val, *conds):
+    """Null-propagating guard — reference ``pw.require`` (common.py:302)."""
+    val_e = lift(val)
+    cond_es = [lift(c) for c in conds]
+
+    def _fn(v, *cs):
+        pred = cs[0]
+        for c in cs[1:]:
+            pred = pred & c
+        return F.when(pred, v).otherwise(F.lit(None))
+
+    return FuncExpr(_fn, val_e, *cond_es)
+
+
+def cast(dtype, expr):
+    """Reference ``pw.cast`` (common.py:242); dtype is a Spark type string."""
+    spark_type = _dtype_to_spark(dtype)
+    return UnaryOp(lift(expr), lambda a: a.cast(spark_type))
+
+
+def declare_type(dtype, expr):
+    """Type annotation only — no runtime effect (common.py:215)."""
+    return lift(expr)
+
+
+def unwrap(expr):
+    """Assert non-null (common.py:399): nulls raise at execution time."""
+    return UnaryOp(
+        lift(expr),
+        lambda a: F.when(a.isNotNull(), a).otherwise(
+            F.assert_true(a.isNotNull(), F.lit("unwrap() got None")).cast("boolean")
+        ),
+    )
+
+
+def fill_error(expr, default):
+    """Per-cell Error recovery (common.py:438).
+
+    Spark has no Error value; our error channel is null (SURVEY.md §7), so
+    fill_error ≡ coalesce.
+    """
+    return coalesce(expr, default)
+
+
+def make_tuple(*args):
+    """Reference ``pw.make_tuple`` (common.py:361) → Spark array/struct."""
+    return FuncExpr(lambda *cs: F.array(*cs), *[lift(a) for a in args])
+
+
+def apply(fn, *args, result_type: str = "string"):
+    """Row-wise Python function — reference ``pw.apply`` (common.py:96).
+
+    The slow path: use built-in expressions wherever possible.  Lowered to an
+    Arrow-optimized Python UDF.
+    """
+    spark_type = _dtype_to_spark(result_type)
+    udf = F.udf(fn, spark_type, useArrow=True)
+    return FuncExpr(lambda *cs: udf(*cs), *[lift(a) for a in args])
+
+
+def apply_with_type(fn, result_type, *args):
+    """Reference ``pw.apply_with_type`` (common.py:132)."""
+    return apply(fn, *args, result_type=result_type)
+
+
+_PY_TO_SPARK = {
+    int: "long",
+    float: "double",
+    str: "string",
+    bool: "boolean",
+    bytes: "binary",
+    _dt.datetime: "timestamp_ntz",
+    _dt.timedelta: "interval day to second",
+}
+
+
+def _dtype_to_spark(dtype) -> str:
+    """Map reference dtypes (python types / strings) to Spark type strings.
+
+    Mirrors the dtype table in SURVEY.md §1.2 (reference internals/dtype.py).
+    """
+    if isinstance(dtype, str):
+        return dtype
+    if dtype in _PY_TO_SPARK:
+        return _PY_TO_SPARK[dtype]
+    raise TypeError(f"unsupported dtype {dtype!r}")

@@ -1,0 +1,88 @@
+"""GroupedTable.reduce — reference ``internals/groupbys.py:71,158`` /
+engine group_by_table (graph.rs:885).
+
+Lowered to ``df.groupBy(...).agg(...)``: a hash aggregate with map-side
+partial aggregation (the scalable plan — one shuffle keyed on the grouping
+columns, no driver-side state).  Post-aggregate expressions (the reference's
+``_ReducerExpressionSplitter``, groupbys.py:369) are native in Catalyst:
+``reducers.sum(x)/reducers.count()`` resolves to a single Aggregate node.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from pathwaydataframework_spark.internals.expression import (
+    THIS,
+    ColumnRef,
+    Expr,
+    ResolutionContext,
+    lift,
+)
+
+
+class GroupedContext(ResolutionContext):
+    def __init__(self, table):
+        self._table = table
+
+    def resolve_ref(self, ref: ColumnRef) -> Column:
+        owner = ref.owner
+        if owner is THIS or owner is self._table:
+            return self._table._df[ref.name]
+        raise ValueError(f"cannot resolve {ref.name!r} in groupby context")
+
+    def id_column(self, owner: Any = THIS) -> Column:
+        return self._table.id_expr()
+
+
+class GroupedTable:
+    def __init__(self, table, grouping: list, sort_by=None):
+        self._table = table
+        self._sort_by = sort_by
+        # grouping entries: ColumnRef (keeps name) or (name, Expr)
+        self._grouping: list[tuple[str, Expr]] = []
+        for g in grouping:
+            if isinstance(g, ColumnRef):
+                self._grouping.append((g.name, g))
+            elif isinstance(g, str):
+                self._grouping.append((g, ColumnRef(THIS, g)))
+            elif isinstance(g, tuple) and len(g) == 2:
+                self._grouping.append((g[0], lift(g[1])))
+            else:
+                raise TypeError(f"bad grouping key {g!r}")
+
+    def reduce(self, *args, **kwargs):
+        """Reference GroupedTable.reduce (groupbys.py:158).
+
+        Positional args must be grouping columns; kwargs are reducer (or
+        post-reducer) expressions.
+        """
+        from pathwaydataframework_spark.internals.table import Table
+
+        ctx = GroupedContext(self._table)
+        group_cols = [e._resolve(ctx).alias(name) for name, e in self._grouping]
+        group_names = [name for name, _ in self._grouping]
+
+        out_cols: list[Column] = []
+        for a in args:
+            if isinstance(a, ColumnRef) and a.name in group_names:
+                continue  # grouping cols are included automatically
+            raise ValueError("positional reduce args must be grouping columns")
+
+        agg_cols: list[Column] = []
+        for name, e in kwargs.items():
+            agg_cols.append(lift(e)._resolve(ctx).alias(name))
+
+        df = self._table._df
+        if group_cols:
+            out = df.groupBy(*group_cols).agg(*agg_cols) if agg_cols else df.groupBy(
+                *group_cols
+            ).agg(F.count(F.lit(1)).alias("__pw_cnt")).drop("__pw_cnt")
+            # keep only requested columns, grouping first
+            out = out.select(*group_names, *list(kwargs.keys()))
+        else:
+            out = df.agg(*agg_cols)
+        return Table(out)

@@ -1,0 +1,148 @@
+"""Joins — reference ``internals/joins.py`` (Table.join :135, JoinResult
+select/filter/groupby/reduce :643-808) / engine join_tables (graph.rs:932).
+
+The reference supports only equi-joins (validate_join_condition,
+joins.py:1071) and expresses theta predicates as ``join(...).filter(...)``.
+We accept the same surface but lower to ``DataFrame.join`` so Catalyst picks
+broadcast-hash / shuffled-hash / sort-merge per side sizes, and AQE re-plans
+at runtime — strictly better than the reference's always-arrange-both-sides
+strategy (dataflow.rs:2341).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from pathwaydataframework_spark.internals.expression import (
+    LEFT,
+    RIGHT,
+    THIS,
+    BinOp,
+    ColumnRef,
+    Expr,
+    ResolutionContext,
+    lift,
+)
+
+_alias_counter = itertools.count()
+
+_HOW = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "outer": "full_outer",
+    "full": "full_outer",
+}
+
+
+class JoinContext(ResolutionContext):
+    def __init__(self, left_table, right_table, lalias: str, ralias: str):
+        self._lt, self._rt = left_table, right_table
+        self._la, self._ra = lalias, ralias
+
+    def resolve_ref(self, ref: ColumnRef) -> Column:
+        owner = ref.owner
+        if owner is LEFT or owner is self._lt:
+            return F.col(f"{self._la}.{ref.name}")
+        if owner is RIGHT or owner is self._rt:
+            return F.col(f"{self._ra}.{ref.name}")
+        if owner is THIS:
+            # unqualified: prefer unambiguous side
+            in_l = ref.name in self._lt._df.columns
+            in_r = ref.name in self._rt._df.columns
+            if in_l and in_r:
+                raise ValueError(f"ambiguous column {ref.name!r}; use pw.left/pw.right")
+            if in_l:
+                return F.col(f"{self._la}.{ref.name}")
+            if in_r:
+                return F.col(f"{self._ra}.{ref.name}")
+        raise ValueError(f"cannot resolve {ref.name!r} in join")
+
+    def id_column(self, owner: Any = THIS) -> Column:
+        raise NotImplementedError("argmin/argmax over a join: select first, then group")
+
+
+class JoinResult:
+    """Lazy join: materialized on .select()/.reduce() so late projection can
+    prune columns before the shuffle (Catalyst does the pruning)."""
+
+    def __init__(self, left_table, right_table, on: tuple, how: str):
+        self._lt = left_table
+        self._rt = right_table
+        self._on = on
+        self._how = _HOW[how]
+        n = next(_alias_counter)
+        self._la, self._ra = f"__pwl{n}", f"__pwr{n}"
+        self._ctx = JoinContext(left_table, right_table, self._la, self._ra)
+        self._filters: list[Expr] = []
+
+    def _cond(self) -> Column | None:
+        cond = None
+        for e in self._on:
+            c = lift(e)._resolve(self._ctx)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    def _joined(self) -> DataFrame:
+        ldf = self._lt._df.alias(self._la)
+        rdf = self._rt._df.alias(self._ra)
+        cond = self._cond()
+        if cond is None:
+            out = ldf.crossJoin(rdf)
+        else:
+            out = ldf.join(rdf, cond, self._how)
+        for f in self._filters:
+            out = out.filter(lift(f)._resolve(self._ctx))
+        return out
+
+    def filter(self, expr) -> "JoinResult":
+        """Theta predicates post equi-join — reference joins.py:693."""
+        out = JoinResult(self._lt, self._rt, self._on, "inner")
+        out._la, out._ra, out._ctx, out._how = self._la, self._ra, self._ctx, self._how
+        out._filters = self._filters + [expr]
+        return out
+
+    def select(self, *args, **kwargs):
+        """Reference joins.py:643."""
+        from pathwaydataframework_spark.internals.table import Table
+
+        cols: list[Column] = []
+        for a in args:
+            if isinstance(a, ColumnRef):
+                cols.append(lift(a)._resolve(self._ctx).alias(a.name))
+            else:
+                raise TypeError("positional join-select args must be column refs")
+        for name, e in kwargs.items():
+            cols.append(lift(e)._resolve(self._ctx).alias(name))
+        return Table(self._joined().select(*cols))
+
+    def groupby(self, *cols, instance=None):
+        """Reference joins.py:748 — join → groupBy without materializing an
+        intermediate projection."""
+        from pathwaydataframework_spark.internals.table import Table
+        from pathwaydataframework_spark.internals.groupbys import GroupedTable
+
+        named = []
+        for r in cols:
+            if not isinstance(r, ColumnRef):
+                raise TypeError("groupby keys must be column refs")
+            named.append(r)
+        full = Table(self._joined())
+        keys = [(r.name, ColumnRef(THIS, r.name)) for r in named]
+        return GroupedTable(full, keys, sort_by=None)
+
+    def reduce(self, *args, **kwargs):
+        from pathwaydataframework_spark.internals.table import Table
+        from pathwaydataframework_spark.internals.groupbys import GroupedTable
+
+        return GroupedTable(Table(self._joined()), []).reduce(*args, **kwargs)
+
+
+def join(left_table, right_table, *on, how: str = "inner") -> JoinResult:
+    if how not in _HOW:
+        raise ValueError(f"how must be one of {sorted(_HOW)}")
+    return JoinResult(left_table, right_table, on, how)

@@ -1,0 +1,168 @@
+"""Aggregation reducers — reference ``internals/reducers.py`` /
+``src/engine/reduce.rs:22`` (Count, FloatSum, IntSum, ArraySum, Unique, Min,
+ArgMin, Max, ArgMax, SortedTuple, Tuple, Any, Earliest, Latest).
+
+Each reducer is a :class:`ReducerExpr`: an :class:`Expr` whose resolution
+yields an *aggregate* Spark Column, so post-aggregation arithmetic like
+``reducers.sum(x) / reducers.count()`` composes naturally (the reference
+needs an expression splitter for this — ``internals/groupbys.py:369``; in
+Catalyst expressions-over-aggregates are native).
+
+All reducers lower to JVM hash-aggregates with map-side partial aggregation —
+no Python in the hot path — so they scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from pathwaydataframework_spark.internals.expression import (
+    Expr,
+    FuncExpr,
+    ResolutionContext,
+    lift,
+)
+
+
+class ReducerExpr(Expr):
+    """Marker base: resolves to an aggregate Column."""
+
+
+class _Agg(ReducerExpr):
+    def __init__(self, fn, *children: Expr):
+        self._fn = fn
+        self._children = children
+
+    def _resolve(self, ctx: ResolutionContext) -> Column:
+        return self._fn(*[c._resolve(ctx) for c in self._children], ctx=ctx)
+
+
+def _no_ctx(fn):
+    return lambda *cols, ctx: fn(*cols)
+
+
+def count() -> ReducerExpr:
+    """reducers.py:552 → F.count."""
+    return _Agg(lambda ctx: F.count(F.lit(1)))
+
+
+def sum(expr) -> ReducerExpr:
+    """reducers.py:317 (int/float dispatch is implicit in Spark)."""
+    return _Agg(_no_ctx(F.sum), lift(expr))
+
+
+def avg(expr) -> ReducerExpr:
+    """reducers.py:586."""
+    return _Agg(_no_ctx(F.avg), lift(expr))
+
+
+def min(expr) -> ReducerExpr:
+    return _Agg(_no_ctx(F.min), lift(expr))
+
+
+def max(expr) -> ReducerExpr:
+    return _Agg(_no_ctx(F.max), lift(expr))
+
+
+def argmin(expr) -> ReducerExpr:
+    """Row id of the minimum — reference reducers.py:360.
+
+    Lowered to ``F.min_by(_pw_id, value)``; the id column comes from the
+    grouping context (deterministic xxhash64 of the row, see table.py).
+    """
+    return _Agg(lambda c, ctx: F.min_by(ctx.id_column(), c), lift(expr))
+
+
+def argmax(expr) -> ReducerExpr:
+    """reducers.py:393 → F.max_by(_pw_id, value)."""
+    return _Agg(lambda c, ctx: F.max_by(ctx.id_column(), c), lift(expr))
+
+
+def min_by(value, key) -> ReducerExpr:
+    """Extension: value at the minimum key (deterministic argmin projection)."""
+    return _Agg(_no_ctx(F.min_by), lift(value), lift(key))
+
+
+def max_by(value, key) -> ReducerExpr:
+    return _Agg(_no_ctx(F.max_by), lift(value), lift(key))
+
+
+def unique(expr) -> ReducerExpr:
+    """All values equal, else error — reference reducers.py:426.
+
+    Spark has no per-cell Error value (SURVEY.md §7): non-unique groups yield
+    null (detectable via ``remove_errors``-style filtering downstream).
+    """
+    return _Agg(
+        lambda c, ctx: F.when(F.count_distinct(c) == 1, F.min(c)).otherwise(F.lit(None)),
+        lift(expr),
+    )
+
+
+def any(expr) -> ReducerExpr:
+    """Arbitrary value from the group (reducers.py:457). We pick min() so the
+    result is deterministic and oracle-checkable."""
+    return _Agg(_no_ctx(F.min), lift(expr))
+
+
+def sorted_tuple(expr, skip_nones: bool = False) -> ReducerExpr:
+    """reducers.py:485 → sort_array(collect_list)."""
+
+    def _fn(c, ctx):
+        out = F.sort_array(F.collect_list(c))
+        return out
+
+    return _Agg(_fn, lift(expr))
+
+
+def tuple(expr, sort_by=None, skip_nones: bool = False) -> ReducerExpr:
+    """reducers.py:516: values ordered by ``sort_by`` (or unspecified order).
+
+    Implemented as sort_array over (key, value) structs then projecting the
+    value — one JVM aggregate, no UDF.
+    """
+    if sort_by is None:
+        return _Agg(_no_ctx(F.collect_list), lift(expr))
+
+    def _fn(c, k, ctx):
+        pairs = F.sort_array(F.collect_list(F.struct(k.alias("k"), c.alias("v"))))
+        return F.transform(pairs, lambda p: p["v"])
+
+    return _Agg(_fn, lift(expr), lift(sort_by))
+
+
+def ndarray(expr) -> ReducerExpr:
+    """reducers.py:618 → array column."""
+    return _Agg(_no_ctx(F.collect_list), lift(expr))
+
+
+def earliest(expr, time) -> ReducerExpr:
+    """Value at the minimum event time (reducers.py:653) → F.min_by."""
+    return _Agg(_no_ctx(F.min_by), lift(expr), lift(time))
+
+
+def latest(expr, time) -> ReducerExpr:
+    """reducers.py:687 → F.max_by."""
+    return _Agg(_no_ctx(F.max_by), lift(expr), lift(time))
+
+
+def count_distinct(expr) -> ReducerExpr:
+    """Extension (absent in reference; needed for analytics parity)."""
+    return _Agg(_no_ctx(F.count_distinct), lift(expr))
+
+
+def approx_count_distinct(expr, rsd: float = 0.05) -> ReducerExpr:
+    """Extension: HLL sketch — the 100 TB-scale variant of count_distinct."""
+    return _Agg(lambda c, ctx: F.approx_count_distinct(c, rsd), lift(expr))
+
+
+def stddev(expr) -> ReducerExpr:
+    return _Agg(_no_ctx(F.stddev_samp), lift(expr))
+
+
+# deprecated aliases kept for API parity (reducers.py:547,611)
+npsum = sum
+int_sum = sum

@@ -1,0 +1,446 @@
+"""The keyed Table façade over ``pyspark.sql.DataFrame``.
+
+Reference: ``python/pathway/internals/table.py:52`` (pw.Table).  The
+reference's table is a keyed changelog evaluated by differential dataflow;
+ours is a thin wrapper over a Spark DataFrame: the logical plan is built
+declaratively and Catalyst/Tungsten pick the physical strategy (SURVEY.md §1.1
+"Spark mapping").
+
+Row ids: the reference gives every row a 128-bit pointer (table.py:126).  We
+reproduce the *semantics* with a deterministic 64-bit ``xxhash64`` over the
+id-defining columns (``pointer_from``, reference table.py:2371) computed
+lazily — only operators that need identity (ix / difference / intersect /
+update_rows / argmin) materialize it, so ordinary pipelines pay nothing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from pathwaydataframework_spark.internals.expression import (
+    THIS,
+    ColumnRef,
+    Expr,
+    ResolutionContext,
+    lift,
+)
+
+ID_COL = "_pw_id"
+
+
+class TableContext(ResolutionContext):
+    def __init__(self, table: "Table"):
+        self._table = table
+
+    def resolve_ref(self, ref: ColumnRef) -> Column:
+        owner = ref.owner
+        if owner is THIS or owner is self._table:
+            return self._table._df[ref.name]
+        if isinstance(owner, Table):
+            raise ValueError(
+                f"column {ref.name!r} belongs to a different table; join them first"
+            )
+        raise ValueError(f"cannot resolve reference {ref.name!r} here")
+
+    def id_column(self, owner: Any = THIS) -> Column:
+        return self._table.id_expr()
+
+
+class Table:
+    """A typed, keyed table — the engine's only user-facing collection."""
+
+    def __init__(self, df: DataFrame, id_cols: Sequence[str] | None = None):
+        self._df = df
+        self._id_cols = tuple(id_cols) if id_cols else None
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def from_parquet(spark: SparkSession, path: str, id_cols: Sequence[str] | None = None) -> "Table":
+        return Table(spark.read.parquet(path), id_cols=id_cols)
+
+    @staticmethod
+    def from_dataframe(df: DataFrame, id_cols: Sequence[str] | None = None) -> "Table":
+        return Table(df, id_cols=id_cols)
+
+    @staticmethod
+    def from_rows(
+        spark: SparkSession, rows: Iterable[tuple], schema, id_cols: Sequence[str] | None = None
+    ) -> "Table":
+        """Reference ``pw.debug.table_from_rows`` (debug/__init__.py:312)."""
+        return Table(spark.createDataFrame(list(rows), schema), id_cols=id_cols)
+
+    @staticmethod
+    def empty(spark: SparkSession, **dtypes: str) -> "Table":
+        """Reference ``Table.empty`` (table.py:355)."""
+        schema = ", ".join(f"{k} {v}" for k, v in dtypes.items())
+        return Table(spark.createDataFrame([], schema))
+
+    # -- basic accessors ----------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c for c in self._df.columns if c != ID_COL]
+
+    def __getattr__(self, name: str) -> ColumnRef:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in self._df.columns:
+            raise AttributeError(f"no column {name!r}; have {self._df.columns}")
+        return ColumnRef(self, name)
+
+    def __getitem__(self, name) -> Any:
+        if isinstance(name, str):
+            if name not in self._df.columns:
+                raise KeyError(name)
+            return ColumnRef(self, name)
+        if isinstance(name, (list, tuple)):
+            # column-subset slice (reference table.py:209)
+            return Table(self._df.select(*[self._resolve_name(n) for n in name]), self._id_cols)
+        raise TypeError(type(name))
+
+    @staticmethod
+    def _resolve_name(n) -> str:
+        return n.name if isinstance(n, ColumnRef) else n
+
+    @property
+    def id(self) -> Expr:
+        """``table.id`` — the row pointer (reference table.py:126)."""
+        from pathwaydataframework_spark.internals.expression import RawColumn
+
+        return RawColumn(self.id_expr())
+
+    def id_expr(self) -> Column:
+        if ID_COL in self._df.columns:
+            return self._df[ID_COL]
+        cols = self._id_cols or self.column_names
+        return F.xxhash64(*[self._df[c] for c in cols])
+
+    def pointer_from(self, *exprs) -> Expr:
+        """Deterministic key hash — reference ``Table.pointer_from``
+        (table.py:2371) / engine PointerFrom (expression.rs:281)."""
+        from pathwaydataframework_spark.internals.expression import FuncExpr
+
+        return FuncExpr(lambda *cs: F.xxhash64(*cs), *[lift(e) for e in exprs])
+
+    def _ctx(self) -> TableContext:
+        return TableContext(self)
+
+    def _resolve(self, expr) -> Column:
+        return lift(expr)._resolve(self._ctx())
+
+    # -- projections (SURVEY §2.2) -----------------------------------------
+
+    def select(self, *args, **kwargs) -> "Table":
+        """Reference ``Table.select`` (table.py:382)."""
+        cols: list[Column] = []
+        for a in args:
+            if isinstance(a, ColumnRef):
+                cols.append(self._resolve(a).alias(a.name))
+            elif isinstance(a, str):
+                cols.append(self._df[a])
+            else:
+                raise TypeError("positional select args must be column refs")
+        for name, e in kwargs.items():
+            cols.append(self._resolve(e).alias(name))
+        return Table(self._df.select(*cols))
+
+    def with_columns(self, **kwargs) -> "Table":
+        """Reference ``Table.with_columns`` (table.py:1613)."""
+        mapping = {name: self._resolve(e) for name, e in kwargs.items()}
+        return Table(self._df.withColumns(mapping), self._id_cols)
+
+    def filter(self, expr) -> "Table":
+        """Reference ``Table.filter`` (table.py:490) → Catalyst Filter (pushed
+        down to the parquet scan when possible)."""
+        return Table(self._df.filter(self._resolve(expr)), self._id_cols)
+
+    def split(self, expr) -> tuple["Table", "Table"]:
+        """Reference ``Table.split`` (table.py:531): (matching, complement)."""
+        cond = self._resolve(expr)
+        return (
+            Table(self._df.filter(cond), self._id_cols),
+            Table(self._df.filter(~cond | cond.isNull()), self._id_cols),
+        )
+
+    def without(self, *cols) -> "Table":
+        """Reference ``Table.without`` (table.py:1921)."""
+        names = [self._resolve_name(c) for c in cols]
+        return Table(self._df.drop(*names), self._id_cols)
+
+    def rename_columns(self, **kwargs) -> "Table":
+        """new_name=old_ref — reference table.py:1763."""
+        mapping = {self._resolve_name(old): new for new, old in kwargs.items()}
+        return Table(self._df.withColumnsRenamed(mapping), self._id_cols)
+
+    def rename_by_dict(self, mapping: dict) -> "Table":
+        """old→new — reference table.py:1816."""
+        m = {self._resolve_name(k): v for k, v in mapping.items()}
+        return Table(self._df.withColumnsRenamed(m), self._id_cols)
+
+    def rename(self, names_mapping: dict | None = None, **kwargs) -> "Table":
+        if names_mapping:
+            return self.rename_by_dict(names_mapping)
+        return self.rename_columns(**kwargs)
+
+    def with_prefix(self, prefix: str) -> "Table":
+        return self.rename_by_dict({c: prefix + c for c in self.column_names})
+
+    def with_suffix(self, suffix: str) -> "Table":
+        return self.rename_by_dict({c: c + suffix for c in self.column_names})
+
+    def cast_to_types(self, **dtypes: str) -> "Table":
+        """Reference table.py:2011."""
+        mapping = {name: self._df[name].cast(t) for name, t in dtypes.items()}
+        return Table(self._df.withColumns(mapping), self._id_cols)
+
+    update_types = cast_to_types
+
+    def copy(self) -> "Table":
+        """Reference table.py:904.  Returns a *distinct* table object so that
+        self-joins can qualify each side."""
+        return Table(self._df.alias(f"copy_{id(self) & 0xFFFF:x}"), self._id_cols)
+
+    # -- keys / ids ---------------------------------------------------------
+
+    def with_id_from(self, *cols) -> "Table":
+        """Re-key by hash of columns — reference table.py:1690."""
+        names = [self._resolve_name(c) for c in cols]
+        df = self._df.withColumn(ID_COL, F.xxhash64(*[self._df[c] for c in names]))
+        return Table(df, names)
+
+    def with_id(self, expr) -> "Table":
+        """Reference table.py:1647: take ids from a pointer expression."""
+        df = self._df.withColumn(ID_COL, self._resolve(expr))
+        return Table(df)
+
+    def materialize_id(self) -> "Table":
+        if ID_COL in self._df.columns:
+            return self
+        return Table(self._df.withColumn(ID_COL, self.id_expr()), self._id_cols)
+
+    def ix(self, key_expr, *, optional: bool = False, context=None) -> "Table":
+        """Key-lookup: reindex *this* table by a pointer column of another
+        table — reference ``Table.ix`` (table.py:1164) / engine ix_table
+        (graph.rs:923).
+
+        ``context`` is the table owning ``key_expr``; result has context's
+        rows with this table's columns.  Lowered to an equi-join on the id
+        hash — broadcastable when this table is small.
+        """
+        if context is None:
+            if isinstance(key_expr, ColumnRef) and isinstance(key_expr.owner, Table):
+                context = key_expr.owner
+            else:
+                raise ValueError("ix needs `context=` (the probing table)")
+        probe = context._df.withColumn("__pw_probe_key", context._resolve(key_expr))
+        build = self.materialize_id()._df
+        how = "left" if optional else "inner"
+        joined = probe.join(build, probe["__pw_probe_key"] == build[ID_COL], how)
+        out = joined.select(*[build[c] for c in build.columns if c != ID_COL])
+        return Table(out)
+
+    def ix_ref(self, *values, optional: bool = False, context=None):
+        key = F.xxhash64(*[F.lit(v) for v in values])
+        from pathwaydataframework_spark.internals.expression import RawColumn
+
+        return self.ix(RawColumn(key), optional=optional, context=context or self)
+
+    # -- set / multiset ops (SURVEY §2.6) ----------------------------------
+
+    def concat(self, *others: "Table") -> "Table":
+        """Union keeping ids disjoint — reference table.py:1334."""
+        df = self._df
+        for o in others:
+            df = df.unionByName(o._df, allowMissingColumns=False)
+        return Table(df)
+
+    def concat_reindex(self, *others: "Table") -> "Table":
+        """Reference table.py:308 — union + fresh ids."""
+        return self.concat(*others)
+
+    def update_rows(self, other: "Table") -> "Table":
+        """Upsert full rows by id — reference table.py:1524 / engine
+        update_rows_table (graph.rs:869).
+
+        Full-outer join on the id hash + coalesce(right, left) per column.
+        """
+        left = self.materialize_id()._df
+        right = other.materialize_id()._df
+        lid, rid = left[ID_COL], right[ID_COL]
+        joined = left.join(right, left[ID_COL] == right[ID_COL], "full_outer")
+        cols = [
+            F.coalesce(right[c], left[c]).alias(c)
+            for c in self.column_names
+        ]
+        out = joined.select(F.coalesce(rid, lid).alias(ID_COL), *cols)
+        return Table(out)
+
+    def update_cells(self, other: "Table") -> "Table":
+        """Upsert listed columns on matching ids (other ⊆ self) — reference
+        table.py:1439; operator ``t << other``."""
+        left = self.materialize_id()._df
+        right = other.materialize_id()._df
+        joined = left.join(right, left[ID_COL] == right[ID_COL], "left")
+        cols = []
+        for c in self.column_names:
+            if c in other.column_names:
+                cols.append(F.coalesce(right[c], left[c]).alias(c))
+            else:
+                cols.append(left[c].alias(c))
+        return Table(joined.select(left[ID_COL], *cols))
+
+    def __lshift__(self, other: "Table") -> "Table":
+        return self.update_cells(other)
+
+    def difference(self, other: "Table") -> "Table":
+        """Rows whose id is not in other — reference table.py:739 → left_anti
+        join on the id hash (no row payload shuffled for the right side)."""
+        left = self.materialize_id()._df
+        right = other.materialize_id()._df.select(ID_COL)
+        return Table(left.join(right, on=ID_COL, how="left_anti"))
+
+    def intersect(self, *others: "Table") -> "Table":
+        """Rows whose id is in all — reference table.py:776 → left_semi."""
+        df = self.materialize_id()._df
+        for o in others:
+            df = df.join(o.materialize_id()._df.select(ID_COL), on=ID_COL, how="left_semi")
+        return Table(df)
+
+    def restrict(self, other: "Table") -> "Table":
+        """Reference table.py:837 — semantic alias of intersect for our model."""
+        return self.intersect(other)
+
+    def flatten(self, *cols, origin_id: str | None = None) -> "Table":
+        """Explode array column(s) — reference table.py:2089 / flatten_table
+        (graph.rs:847)."""
+        if len(cols) != 1:
+            raise ValueError("flatten takes exactly one column")
+        name = self._resolve_name(cols[0])
+        others = [c for c in self._df.columns if c != name]
+        out = self._df.select(*others, F.explode(self._df[name]).alias(name))
+        if origin_id:
+            out = out.withColumn(origin_id, F.xxhash64(*[out[c] for c in others]))
+        return Table(out)
+
+    def remove_errors(self) -> "Table":
+        """Reference table.py:2491 — our error channel is null (SURVEY §7)."""
+        cond = None
+        for c in self.column_names:
+            nn = self._df[c].isNotNull()
+            cond = nn if cond is None else (cond & nn)
+        return Table(self._df.filter(cond), self._id_cols)
+
+    # -- grouping / joins (implemented in sibling modules) ------------------
+
+    def groupby(self, *cols, sort_by=None, instance=None, id=None) -> "Any":
+        from pathwaydataframework_spark.internals.groupbys import GroupedTable
+
+        grouping = list(cols)
+        if instance is not None:
+            grouping.append(instance)
+        return GroupedTable(self, grouping, sort_by=sort_by)
+
+    def reduce(self, *args, **kwargs) -> "Table":
+        """Global aggregation (no keys) — reference table.py:1025."""
+        from pathwaydataframework_spark.internals.groupbys import GroupedTable
+
+        return GroupedTable(self, []).reduce(*args, **kwargs)
+
+    def join(self, other: "Table", *on, how: str = "inner", id=None):
+        from pathwaydataframework_spark.internals.joins import join as _join
+
+        return _join(self, other, *on, how=how)
+
+    def join_inner(self, other, *on):
+        return self.join(other, *on, how="inner")
+
+    def join_left(self, other, *on):
+        return self.join(other, *on, how="left")
+
+    def join_right(self, other, *on):
+        return self.join(other, *on, how="right")
+
+    def join_outer(self, other, *on):
+        return self.join(other, *on, how="outer")
+
+    # -- ordered / temporal operators (operators/) --------------------------
+
+    def sort(self, key, instance=None) -> "Table":
+        from pathwaydataframework_spark.operators.ordered import sort as _sort
+
+        return _sort(self, key, instance)
+
+    def diff(self, timestamp, *values, instance=None) -> "Table":
+        from pathwaydataframework_spark.operators.ordered import diff as _diff
+
+        return _diff(self, timestamp, *values, instance=instance)
+
+    def interpolate(self, timestamp, *values, mode: str = "linear") -> "Table":
+        from pathwaydataframework_spark.operators.ordered import interpolate as _interp
+
+        return _interp(self, timestamp, *values, mode=mode)
+
+    def topk(self, k: int, order_by, *, instance=None, descending: bool = True) -> "Table":
+        from pathwaydataframework_spark.operators.ordered import topk as _topk
+
+        return _topk(self, k, order_by, instance=instance, descending=descending)
+
+    def windowby(self, time_expr, *, window, instance=None, behavior=None):
+        from pathwaydataframework_spark.operators.temporal import windowby as _windowby
+
+        return _windowby(self, time_expr, window=window, instance=instance, behavior=behavior)
+
+    def asof_join(self, other, self_time, other_time, *on, how="left", direction="backward", defaults=None):
+        from pathwaydataframework_spark.operators.temporal import asof_join as _asof
+
+        return _asof(self, other, self_time, other_time, *on, how=how, direction=direction, defaults=defaults)
+
+    def interval_join(self, other, self_time, other_time, interval, *on, how="inner"):
+        from pathwaydataframework_spark.operators.temporal import interval_join as _ij
+
+        return _ij(self, other, self_time, other_time, interval, *on, how=how)
+
+    def window_join(self, other, self_time, other_time, window, *on, how="inner"):
+        from pathwaydataframework_spark.operators.temporal import window_join as _wj
+
+        return _wj(self, other, self_time, other_time, window, *on, how=how)
+
+    def deduplicate(self, *, value=None, instance=None, acceptor=None) -> "Table":
+        from pathwaydataframework_spark.operators.dedup import deduplicate as _dd
+
+        return _dd(self, value=value, instance=instance, acceptor=acceptor)
+
+    # -- misc ---------------------------------------------------------------
+
+    def __add__(self, other: "Table") -> "Table":
+        """Column-wise zip of same-universe tables (reference table.py:424).
+
+        Our tables have no shared-universe guarantee; implemented as id-join.
+        """
+        left = self.materialize_id()._df
+        right = other.materialize_id()._df
+        dup = [c for c in other.column_names if c in self.column_names]
+        rsel = [c for c in other.column_names if c not in dup]
+        joined = left.join(right.select(ID_COL, *rsel), on=ID_COL, how="inner")
+        return Table(joined)
+
+    def cache(self) -> "Table":
+        self._df.cache()
+        return self
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    def show(self, n: int = 20, truncate: bool = True) -> None:
+        self._df.show(n, truncate)

@@ -1,0 +1,295 @@
+"""Deduplication operators — exact and near-duplicate.
+
+Reference analogue: ``Table.deduplicate`` (reference table.py:1064,
+stdlib/stateful/deduplicate.py:9) keeps the last accepted value per instance;
+plus the LLM-pipeline addendum ops (exact hash-dedup, MinHash+LSH, SimHash,
+n-gram Jaccard) that a 100 TB training-data pipeline needs.
+
+Scale design:
+- exact_dedup: one hash-agg / window on the content hash — a single shuffle.
+- MinHash: shingle explode → per-doc k min-hashes computed as k JVM-side
+  ``min`` aggregates (no Python), → b band hashes → explode bands →
+  self-join per (band, hash) bucket.  Candidate pairs are verified with an
+  exact Jaccard join.  This is the textbook linear-scale LSH plan: no
+  all-pairs comparison ever materializes.
+- SimHash: 64-bit signature via per-bit weighted sums — one explode + one
+  hash-agg; bucket by band for candidate generation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window as W
+
+from pathwaydataframework_spark.internals.expression import lift
+from pathwaydataframework_spark.internals.table import Table
+
+
+def deduplicate(table: Table, *, value=None, instance=None, acceptor=None) -> Table:
+    """Keep one row per instance — batch analogue of reference
+    ``Table.deduplicate`` (table.py:1064).
+
+    Batch semantics: the *last* row per instance ordered by ``value``
+    (the reference keeps the last accepted value as the stream progresses;
+    in a bounded table the acceptor chain reduces to the max accepted
+    value).  Custom ``acceptor`` needs per-group sequential logic →
+    applyInPandasWithState in the streaming round; batch supports the
+    default acceptor (always accept → last value wins).
+    """
+    if acceptor is not None:
+        raise NotImplementedError("custom acceptor lands with the streaming round")
+    if value is None:
+        raise ValueError("deduplicate needs value=")
+    order_col = table._resolve(value)
+    if instance is not None:
+        w = W.partitionBy(table._resolve(instance)).orderBy(order_col.desc())
+    else:
+        w = W.partitionBy().orderBy(order_col.desc())
+    out = (
+        table._df.withColumn("__pw_rn", F.row_number().over(w))
+        .filter(F.col("__pw_rn") == 1)
+        .drop("__pw_rn")
+    )
+    return Table(out)
+
+
+def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
+    """Exact deduplication by content column(s): keeps the first row per key
+    (ordered by ``keep_order_by``, default = first key column).
+
+    One window over the content key — single shuffle, no UDFs.
+    """
+    keys = [table._resolve(c) for c in on]
+    order = table._resolve(keep_order_by) if keep_order_by is not None else keys[0]
+    w = W.partitionBy(*keys).orderBy(order.asc())
+    out = (
+        table._df.withColumn("__pw_rn", F.row_number().over(w))
+        .filter(F.col("__pw_rn") == 1)
+        .drop("__pw_rn")
+    )
+    return Table(out)
+
+
+# -- shingling helpers ------------------------------------------------------
+
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """n-gram word shingles as an array<string> — all JVM-side."""
+    toks = F.split(F.trim(text), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), num - F.lit(1))
+    return F.array_distinct(
+        F.when(
+            num > 0,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def shingle_docs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs — the input to MinHash and Jaccard."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), _word_shingles(F.col(text_col), n).alias("__sh")
+    ).select("doc_id", F.explode("__sh").alias("shingle"))
+
+
+# -- exact n-gram Jaccard similarity join -----------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_by: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingles: pairs (a, b, jaccard) with
+    a < b and jaccard ≥ threshold.
+
+    Plan: shingle-explode → self-join on shingle (optionally pre-blocked by
+    ``block_by`` to bound the candidate space) → count intersections →
+    compute |A∪B| = |A|+|B|−|A∩B|.  Shuffles are keyed on shingles and doc
+    pairs — no quadratic blowup beyond genuinely co-shingled docs.
+    """
+    sh = shingle_docs(df, id_col, text_col, n)
+    if block_by:
+        blocks = df.select(F.col(id_col).alias("doc_id"), F.col(block_by).alias("__blk"))
+        sh = sh.join(blocks, on="doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count_distinct("shingle").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    join_cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if block_by:
+        join_cond = join_cond & (F.col("a.__blk") == F.col("b.__blk"))
+    inter = (
+        a.join(b, join_cond)
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature: k independent min-hashes computed as k
+    JVM ``min`` aggregates over xxhash64(shingle, seed) — one shuffle, no
+    Python, linear in corpus size."""
+    sh = shingle_docs(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, optionally
+    verified with exact Jaccard.
+
+    With num_hashes=64, bands=16 (rows/band=4) the S-curve crosses ~0.5 —
+    tune per threshold.  Returns (id_a, id_b, jaccard) when verify else
+    (id_a, id_b).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: sign of per-bit sums of token hashes.
+
+    One token explode + one hash-agg with ``bits`` conditional sums — stays
+    in whole-stage codegen."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs with Hamming distance ≤ max_hamming, found by
+    banding the signature into (max_hamming+1) blocks (pigeonhole: any pair
+    within distance shares ≥1 exact block) then verifying with bit_count."""
+    sig = simhash_signatures(df, id_col, text_col, bits=bits)
+    nblocks = max_hamming + 1
+    block_bits = bits // nblocks
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk_idx"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("blk"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk_idx", "bb.blk")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return cand

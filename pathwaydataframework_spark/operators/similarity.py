@@ -1,0 +1,250 @@
+"""Similarity search over embedding columns.
+
+Reference analogues: KNNIndex / DataIndex retrievers (reference
+stdlib/ml/index.py:9, stdlib/indexing/nearest_neighbors.py:65 BruteForceKnn,
+:262 LshKnn; engine external_index.rs + usearch integration).  The reference
+maintains an in-RAM index on one node; our versions are distributed joins:
+
+- brute-force cosine top-k: broadcast the (small) query set, compute cosine
+  JVM-side with zip_with/aggregate, take top-k per query with a window.
+  Exact; scales linearly in corpus size — the right baseline when queries
+  are few.
+- LSH (random hyperplane) top-k: sign-bit signatures over fixed random
+  hyperplanes (seeded, deterministic), candidates from shared bands,
+  exact re-rank of candidates only.  The scale path when both sides are
+  large.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    k: int = 10,
+    metric: str = "cosine",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Plan: broadcast(queries) × corpus → JVM-side cosine → window top-k per
+    query.  With Q queries and N corpus rows the work is Q·N fully parallel
+    multiply-adds; no driver-side state, no collect.
+    """
+    query_id_col = query_id_col or id_col
+    query_vec_col = query_vec_col or vec_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    joined = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    if metric == "cosine":
+        score = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    elif metric == "dot":
+        score = _dot(F.col("__qv"), F.col("__cv"))
+    elif metric == "l2":
+        score = -F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+        )
+    else:
+        raise ValueError(metric)
+    scored = joined.withColumn("score", F.round(score, 6))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state leaks —
+    plain LCG so the operator is reproducible everywhere)."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x7FFFFFFF * 2 - 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane signature (sign bits packed into a long)."""
+    planes = _hyperplanes(dim, bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("vec_id"), v.alias("__v"), sig.alias("lsh_sig"))
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 10,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH band, re-ranked exactly.
+
+    Both sides get banded signatures; the candidate join is an equi-join on
+    (band_idx, band_bits) — hash-partitionable, linear-scale.  Recall is
+    tunable via bits/bands.
+    """
+    band_bits = bits // bands
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        sig = lsh_signatures(df, id_col=idc, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
+        return sig.select(
+            F.col("vec_id"),
+            F.col("__v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.shiftright(F.col("lsh_sig"), i * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                            .alias("band_val"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("vec_id", "__v", "bb.band_idx", "bb.band_val")
+
+    qb = banded(queries, id_col)
+    cb = banded(corpus, id_col)
+    cand = (
+        qb.alias("q")
+        .join(cb.alias("c"), on=["band_idx", "band_val"])
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q.__v").alias("__qv"),
+            F.col("c.__v").alias("__cv"),
+        )
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def embedding_cosine_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-blocked.
+
+    The embedding-space analogue of MinHash dedup: candidates from shared
+    LSH bands, exact cosine verification, a < b canonical ordering."""
+    sig = lsh_signatures(df, id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
+    band_bits = bits // bands
+    banded = sig.select(
+        "vec_id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("lsh_sig"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "__v", "bb.band_idx", "bb.band_val")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,591 @@
+"""Temporal operators — windows and time-based joins.
+
+Reference equivalents (SURVEY.md §2.3/2.5):
+- ``windowby`` + tumbling/sliding/session windows (stdlib/temporal/_window.py:
+  tumbling :737, sliding :660, session :595, intervals_over :795)
+- ``interval_join`` (stdlib/temporal/_interval_join.py:577; the double-bucket
+  physical strategy at :317-385)
+- ``asof_join`` (stdlib/temporal/_asof_join.py:479)
+- ``window_join`` (stdlib/temporal/_window_join.py:156)
+
+Physical strategies (designed for 100 TB, tested at sf0.1):
+
+* tumbling/sliding → ``F.window``: the expansion happens JVM-side (Expand
+  operator), aggregation is a plain hash-agg keyed on (window, instance) — one
+  shuffle, fully parallel.
+* session(max_gap) → ``F.session_window``: Spark's native session aggregation
+  (one shuffle on instance, sessionization within partitions).
+* interval_join → the same double-bucketing trick the reference uses
+  (equi-join on ``floor(t/width)`` buckets, candidates from 2 adjacent
+  buckets, then band filter).  This turns an O(n·m) range join into an
+  equi-join Catalyst can hash-partition — the plan that survives scale-up.
+  Each left row probes exactly the two buckets that can contain matches, so
+  no duplicate results and no skew beyond the data's own time skew.
+* asof_join → union + ``last(..., ignorenulls)`` over a time-ordered window
+  partitioned by key: ONE shuffle + per-partition sort, no row explosion at
+  all.  (The pandas ``merge_asof`` route would force an Arrow round-trip;
+  this stays entirely in Tungsten.)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import itertools
+import re
+from dataclasses import dataclass
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, Window as W
+
+from pathwaydataframework_spark.internals.expression import (
+    LEFT,
+    RIGHT,
+    THIS,
+    ColumnRef,
+    Expr,
+    ResolutionContext,
+    lift,
+)
+from pathwaydataframework_spark.internals.groupbys import GroupedTable
+from pathwaydataframework_spark.internals.table import Table
+
+_alias_counter = itertools.count()
+
+
+def duration_to_seconds(duration) -> float:
+    if isinstance(duration, _dt.timedelta):
+        return duration.total_seconds()
+    if isinstance(duration, (int, float)):
+        return float(duration)
+    m = re.fullmatch(r"\s*(-?\d+(?:\.\d+)?)\s*(\w+?)s?\s*", str(duration))
+    if not m:
+        raise ValueError(f"bad duration {duration!r}")
+    n, unit = float(m.group(1)), m.group(2)
+    mult = {
+        "week": 604800,
+        "day": 86400,
+        "hour": 3600,
+        "minute": 60,
+        "min": 60,
+        "second": 1,
+        "sec": 1,
+        "millisecond": 1e-3,
+        "microsecond": 1e-6,
+    }[unit]
+    return n * mult
+
+
+def _duration_str(duration) -> str:
+    if isinstance(duration, str):
+        return duration
+    secs = duration_to_seconds(duration)
+    if secs == int(secs):
+        return f"{int(secs)} seconds"
+    return f"{int(secs * 1_000_000)} microseconds"
+
+
+
+def _epoch_seconds(col: Column) -> Column:
+    """Exact epoch seconds (micro precision) for TIMESTAMP / TIMESTAMP_NTZ.
+
+    NTZ→LTZ cast uses the session timezone; data.py pins it to UTC so the
+    value is the naive wall-clock epoch — matching DuckDB's epoch() on naive
+    timestamps."""
+    return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+
+
+# -- window specs -----------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TumblingWindow:
+    duration: Any
+    origin: Any = None
+
+
+@dataclass(frozen=True)
+class SlidingWindow:
+    hop: Any
+    duration: Any
+    origin: Any = None
+
+
+@dataclass(frozen=True)
+class SessionWindow:
+    max_gap: Any = None
+    predicate: Any = None
+
+
+@dataclass(frozen=True)
+class IntervalsOverWindow:
+    at: Any
+    lower_bound: Any
+    upper_bound: Any
+    is_outer: bool = True
+
+
+def tumbling(duration, origin=None) -> TumblingWindow:
+    """Reference _window.py:737."""
+    return TumblingWindow(duration, origin)
+
+
+def sliding(hop, duration=None, ratio=None, origin=None) -> SlidingWindow:
+    """Reference _window.py:660."""
+    if duration is None:
+        if ratio is None:
+            raise ValueError("need duration or ratio")
+        duration = duration_to_seconds(hop) * ratio
+    return SlidingWindow(hop, duration, origin)
+
+
+def session(max_gap=None, predicate=None) -> SessionWindow:
+    """Reference _window.py:595."""
+    if max_gap is None and predicate is None:
+        raise ValueError("need max_gap or predicate")
+    return SessionWindow(max_gap, predicate)
+
+
+def intervals_over(*, at, lower_bound, upper_bound, is_outer: bool = True) -> IntervalsOverWindow:
+    """Reference _window.py:795."""
+    return IntervalsOverWindow(at, lower_bound, upper_bound, is_outer)
+
+
+@dataclass(frozen=True)
+class interval:
+    """Time band for interval_join — reference pw.temporal.interval."""
+
+    lower_bound: Any
+    upper_bound: Any
+
+
+# -- windowby ---------------------------------------------------------------
+
+
+class WindowedTable:
+    """GroupedTable-alike over time windows; ``reduce`` yields
+    ``_pw_window_start`` / ``_pw_window_end`` (+ instance) columns like the
+    reference (_window.py:865 → key cols)."""
+
+    def __init__(self, table: Table, time_expr, window, instance=None, behavior=None):
+        self._table = table
+        self._time = time_expr
+        self._window = window
+        self._instance = instance
+        self._behavior = behavior  # batch mode: cutoff/delay are no-ops
+
+    def reduce(self, **aggs) -> Table:
+        win = self._window
+        t = self._table
+        tcol = t._resolve(self._time)
+        if isinstance(win, TumblingWindow):
+            wcol = F.window(tcol, _duration_str(win.duration), startTime=_origin_offset(win))
+            return self._agg_by_window(wcol, aggs)
+        if isinstance(win, SlidingWindow):
+            wcol = F.window(
+                tcol,
+                _duration_str(win.duration),
+                _duration_str(win.hop),
+                startTime=_origin_offset(win),
+            )
+            return self._agg_by_window(wcol, aggs)
+        if isinstance(win, SessionWindow):
+            if win.predicate is not None:
+                raise NotImplementedError(
+                    "predicate sessions need applyInPandas (planned; max_gap sessions are native)"
+                )
+            wcol = F.session_window(tcol, _duration_str(win.max_gap))
+            return self._agg_by_window(wcol, aggs, session=True)
+        if isinstance(win, IntervalsOverWindow):
+            return self._intervals_over_reduce(win, aggs)
+        raise TypeError(f"bad window {win!r}")
+
+    def _agg_by_window(self, wcol: Column, aggs, session: bool = False) -> Table:
+        t = self._table
+        from pathwaydataframework_spark.internals.groupbys import GroupedContext
+
+        ctx = GroupedContext(t)
+        group_cols = [wcol.alias("_pw_window")]
+        out_keys = []
+        if self._instance is not None:
+            inst_name = (
+                self._instance.name if isinstance(self._instance, ColumnRef) else "_pw_instance"
+            )
+            group_cols.append(t._resolve(self._instance).alias(inst_name))
+            out_keys.append(inst_name)
+        agg_cols = [lift(e)._resolve(ctx).alias(name) for name, e in aggs.items()]
+        out = t._df.groupBy(*group_cols).agg(*agg_cols)
+        out = out.select(
+            F.col("_pw_window.start").alias("_pw_window_start"),
+            F.col("_pw_window.end").alias("_pw_window_end"),
+            *out_keys,
+            *list(aggs.keys()),
+        )
+        return Table(out)
+
+    def _intervals_over_reduce(self, win: IntervalsOverWindow, aggs) -> Table:
+        """One window per probe time p over [p+lb, p+ub] — implemented as a
+        bucketed range join (same trick as interval_join) + hash-agg per
+        probe.  Scales as an equi-join, not a cross join."""
+        at = win.at
+        probe_table = at.owner if isinstance(at, ColumnRef) and isinstance(at.owner, Table) else None
+        if probe_table is None:
+            raise ValueError("intervals_over(at=...) must reference a table column")
+        lb = duration_to_seconds(win.lower_bound)
+        ub = duration_to_seconds(win.upper_bound)
+        probes = probe_table._df.select(
+            probe_table._resolve(at).alias("_pw_window")
+        ).distinct()
+
+        t = self._table
+        tcol = _epoch_seconds(t._resolve(self._time))
+        data = t._df.withColumn("__pw_t", tcol)
+        width = max(ub - lb, 1e-9)
+        probes = probes.withColumn("__pw_p", _epoch_seconds(F.col("_pw_window")))
+        probes = probes.withColumn(
+            "__pw_bucket",
+            F.explode(
+                F.array(
+                    F.floor((F.col("__pw_p") + F.lit(lb)) / F.lit(width)),
+                    F.floor((F.col("__pw_p") + F.lit(lb)) / F.lit(width)) + 1,
+                )
+            ),
+        )
+        data = data.withColumn("__pw_bucket", F.floor(F.col("__pw_t") / F.lit(width)))
+        joined = probes.join(data, on="__pw_bucket", how="inner").filter(
+            (F.col("__pw_t") >= F.col("__pw_p") + F.lit(lb))
+            & (F.col("__pw_t") <= F.col("__pw_p") + F.lit(ub))
+        )
+        from pathwaydataframework_spark.internals.groupbys import GroupedContext
+
+        jt = Table(joined)
+        ctx = GroupedContext(jt)
+        agg_cols = [lift(e)._resolve(ctx).alias(name) for name, e in aggs.items()]
+        out = joined.groupBy("_pw_window").agg(*agg_cols)
+        if win.is_outer:
+            out = probes.select("_pw_window").distinct().join(out, on="_pw_window", how="left")
+        return Table(out)
+
+
+def _origin_offset(win) -> str:
+    if win.origin is None:
+        return "0 seconds"
+    if isinstance(win.origin, _dt.datetime):
+        secs = win.origin.timestamp() % duration_to_seconds(
+            win.duration if isinstance(win, TumblingWindow) else win.hop
+        )
+        return f"{int(secs)} seconds"
+    return _duration_str(win.origin)
+
+
+def windowby(table: Table, time_expr, *, window, instance=None, behavior=None) -> WindowedTable:
+    """Reference Table.windowby (_window.py:865)."""
+    return WindowedTable(table, time_expr, window, instance, behavior)
+
+
+# -- two-sided results (shared by temporal joins) ---------------------------
+
+
+class _SideContext(ResolutionContext):
+    """Resolves pw.left/pw.right (or the source tables) against the packed
+    ``__l`` / ``__r`` structs of a temporal-join result."""
+
+    def __init__(self, left_table, right_table):
+        self._lt, self._rt = left_table, right_table
+
+    def resolve_ref(self, ref: ColumnRef) -> Column:
+        owner = ref.owner
+        if owner is LEFT or owner is self._lt:
+            return F.col(f"__l.{ref.name}")
+        if owner is RIGHT or owner is self._rt:
+            return F.col(f"__r.{ref.name}")
+        if owner is THIS:
+            in_l = ref.name in self._lt._df.columns
+            in_r = ref.name in self._rt._df.columns
+            if in_l and in_r:
+                raise ValueError(f"ambiguous column {ref.name!r}; use pw.left/pw.right")
+            if in_l:
+                return F.col(f"__l.{ref.name}")
+            if in_r:
+                return F.col(f"__r.{ref.name}")
+        raise ValueError(f"cannot resolve {ref.name!r}")
+
+
+class TemporalJoinResult:
+    """Result of asof/interval/window joins: a DataFrame with ``__l``/``__r``
+    structs; ``.select`` projects through pw.left / pw.right."""
+
+    def __init__(self, df, left_table, right_table):
+        self._df = df
+        self._ctx = _SideContext(left_table, right_table)
+
+    def select(self, *args, **kwargs) -> Table:
+        cols = []
+        for a in args:
+            if not isinstance(a, ColumnRef):
+                raise TypeError("positional args must be column refs")
+            cols.append(lift(a)._resolve(self._ctx).alias(a.name))
+        for name, e in kwargs.items():
+            cols.append(lift(e)._resolve(self._ctx).alias(name))
+        return Table(self._df.select(*cols))
+
+    def filter(self, expr) -> "TemporalJoinResult":
+        out = TemporalJoinResult.__new__(TemporalJoinResult)
+        out._df = self._df.filter(lift(expr)._resolve(self._ctx))
+        out._ctx = self._ctx
+        return out
+
+
+def _pack_sides(ldf, rdf):
+    l_struct = F.struct(*[ldf[c] for c in ldf.columns])
+    r_struct = F.struct(*[rdf[c] for c in rdf.columns])
+    return l_struct, r_struct
+
+
+def _extract_eq_keys(left_table, right_table, on) -> list[tuple[str, str]]:
+    """on conditions must be equality of left/right column refs (the
+    reference enforces the same — joins.py:1071)."""
+    pairs = []
+    for e in on:
+        lcol = rcol = None
+        from pathwaydataframework_spark.internals.expression import BinOp
+
+        if not isinstance(e, BinOp):
+            raise ValueError("join conditions must be left_col == right_col")
+        a, b = e._l, e._r
+        for ref in (a, b):
+            if not isinstance(ref, ColumnRef):
+                raise ValueError("join conditions must be column == column")
+            if ref.owner is LEFT or ref.owner is left_table:
+                lcol = ref.name
+            elif ref.owner is RIGHT or ref.owner is right_table:
+                rcol = ref.name
+            elif ref.owner is THIS:
+                if ref.name in left_table._df.columns and lcol is None:
+                    lcol = ref.name
+                elif ref.name in right_table._df.columns:
+                    rcol = ref.name
+        if lcol is None or rcol is None:
+            raise ValueError("could not attribute join condition to sides")
+        pairs.append((lcol, rcol))
+    return pairs
+
+
+# -- asof join --------------------------------------------------------------
+
+
+def asof_join(
+    left_table: Table,
+    right_table: Table,
+    self_time,
+    other_time,
+    *on,
+    how: str = "left",
+    direction: str = "backward",
+    defaults: dict | None = None,
+) -> TemporalJoinResult:
+    """Match each left row with the nearest earlier/later right row per key.
+
+    Reference: stdlib/temporal/_asof_join.py:479 (Direction enum :34).
+
+    Physical plan: tag both sides, union, one window
+    ``last(right_struct, ignorenulls)`` ordered by (time, side) partitioned
+    by key — a single shuffle+sort, no row multiplication.  DuckDB's ASOF
+    JOIN is the oracle.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(direction)
+    if direction == "nearest":
+        bwd = asof_join(left_table, right_table, self_time, other_time, *on, how=how, direction="backward")
+        fwd = asof_join(left_table, right_table, self_time, other_time, *on, how=how, direction="forward")
+        return _nearest_merge(bwd, fwd, left_table, right_table, self_time, other_time)
+
+    pairs = _extract_eq_keys(left_table, right_table, on)
+    ldf = left_table._df
+    rdf = right_table._df
+    lt = left_table._resolve(self_time)
+    rt = right_table._resolve(other_time)
+
+    from pyspark.sql.types import StructType
+
+    l_struct, r_struct = _pack_sides(ldf, rdf)
+    l_type = StructType(ldf.schema.fields)
+    r_type = StructType(rdf.schema.fields)
+    lkeys = [ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)]
+    rkeys = [rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)]
+
+    lu = ldf.select(
+        *lkeys,
+        lt.cast("timestamp_ntz").alias("__t"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    ru = rdf.select(
+        *rkeys,
+        rt.cast("timestamp_ntz").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    unioned = lu.unionByName(ru)
+
+    keys = [F.col(f"__k{i}") for i in range(len(pairs))]
+    if direction == "backward":
+        w = W.partitionBy(*keys).orderBy(F.col("__t").asc(), F.col("__side").asc())
+    else:  # forward: nearest right row with rt >= lt
+        w = W.partitionBy(*keys).orderBy(F.col("__t").desc(), F.col("__side").asc())
+    w = w.rowsBetween(W.unboundedPreceding, 0)
+    matched = unioned.withColumn("__rm", F.last(F.col("__r"), ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1).select(
+        F.col("__l"), F.col("__rm").alias("__r")
+    )
+    if how == "inner":
+        out = out.filter(F.col("__r").isNotNull())
+    return TemporalJoinResult(out, left_table, right_table)
+
+
+def _nearest_merge(bwd, fwd, left_table, right_table, self_time, other_time):
+    raise NotImplementedError("direction='nearest' lands with the streaming round")
+
+
+# -- interval join ----------------------------------------------------------
+
+
+def interval_join(
+    left_table: Table,
+    right_table: Table,
+    self_time,
+    other_time,
+    band: interval,
+    *on,
+    how: str = "inner",
+) -> TemporalJoinResult:
+    """Time-band join: pairs where other_time − self_time ∈ [lb, ub].
+
+    Reference: _interval_join.py:577; we reproduce its double-bucketing
+    physical strategy (:317-385): equi-join on floor(t/width) buckets with
+    each left row probing 2 adjacent buckets, then exact band filter.  This
+    is the plan that scales — Catalyst sees a plain equi-join and can
+    hash-partition both sides.
+    """
+    lb = duration_to_seconds(band.lower_bound) if not isinstance(band.lower_bound, (int, float)) else float(band.lower_bound)
+    ub = duration_to_seconds(band.upper_bound) if not isinstance(band.upper_bound, (int, float)) else float(band.upper_bound)
+    if ub < lb:
+        raise ValueError("upper_bound < lower_bound")
+    width = max(ub - lb, 1e-9)
+
+    pairs = _extract_eq_keys(left_table, right_table, on)
+    ldf = left_table._df
+    rdf = right_table._df
+    lt = _epoch_seconds(left_table._resolve(self_time))
+    rt = _epoch_seconds(right_table._resolve(other_time))
+
+    l_struct, r_struct = _pack_sides(ldf, rdf)
+    lprep = ldf.select(
+        l_struct.alias("__l"),
+        lt.alias("__lt"),
+        *[ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)],
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor((F.col("__lt") + F.lit(lb)) / F.lit(width)),
+                F.floor((F.col("__lt") + F.lit(lb)) / F.lit(width)) + 1,
+            )
+        ),
+    )
+    rprep = rdf.select(
+        r_struct.alias("__r"),
+        rt.alias("__rt"),
+        *[rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)],
+    ).withColumn("__bucket", F.floor(F.col("__rt") / F.lit(width)))
+
+    join_keys = ["__bucket"] + [f"__k{i}" for i in range(len(pairs))]
+    joined = lprep.join(rprep, on=join_keys, how="inner").filter(
+        (F.col("__rt") >= F.col("__lt") + F.lit(lb))
+        & (F.col("__rt") <= F.col("__lt") + F.lit(ub))
+    )
+    out = joined.select("__l", "__r")
+    if how in ("left", "outer", "full"):
+        # pad unmatched left rows (reference outer variants :981-1404)
+        matched_ids = joined.select("__l").distinct()
+        all_left = left_table._df.select(
+            F.struct(*[left_table._df[c] for c in left_table._df.columns]).alias("__l")
+        )
+        unmatched = all_left.join(matched_ids, on="__l", how="left_anti").withColumn(
+            "__r", F.lit(None).cast(out.schema["__r"].dataType)
+        )
+        out = out.unionByName(unmatched)
+    return TemporalJoinResult(out, left_table, right_table)
+
+
+# -- window join ------------------------------------------------------------
+
+
+def window_join(
+    left_table: Table,
+    right_table: Table,
+    self_time,
+    other_time,
+    window,
+    *on,
+    how: str = "inner",
+) -> TemporalJoinResult:
+    """Rows join iff they fall in the same window — reference
+    _window_join.py:156.  Lowered to an equi-join on the window start (plus
+    any key columns); sliding windows explode each row into its
+    duration/hop windows first (JVM-side, no UDF)."""
+    pairs = _extract_eq_keys(left_table, right_table, on)
+
+    def _starts(tcol: Column) -> Column:
+        if isinstance(window, TumblingWindow):
+            w = duration_to_seconds(window.duration)
+            return F.array(F.floor(_epoch_seconds(tcol) / F.lit(w)) * F.lit(w))
+        if isinstance(window, SlidingWindow):
+            dur = duration_to_seconds(window.duration)
+            hop = duration_to_seconds(window.hop)
+            n = int(dur / hop) + (1 if dur % hop else 0)
+            t = _epoch_seconds(tcol)
+            first = (F.floor((t - F.lit(dur)) / F.lit(hop)) + 1) * F.lit(hop)
+            starts = [first + F.lit(i * hop) for i in range(n)]
+            return F.filter(
+                F.array(*starts), lambda s: (s <= t) & (t < s + F.lit(dur))
+            )
+        raise TypeError("window_join supports tumbling/sliding windows")
+
+    ldf = left_table._df
+    rdf = right_table._df
+    l_struct, r_struct = _pack_sides(ldf, rdf)
+    lt = left_table._resolve(self_time)
+    rt = right_table._resolve(other_time)
+
+    lprep = ldf.select(
+        l_struct.alias("__l"),
+        F.explode(_starts(lt)).alias("__w"),
+        *[ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)],
+    )
+    rprep = rdf.select(
+        r_struct.alias("__r"),
+        F.explode(_starts(rt)).alias("__w"),
+        *[rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)],
+    )
+    join_keys = ["__w"] + [f"__k{i}" for i in range(len(pairs))]
+    joined = lprep.join(rprep, on=join_keys, how="inner")
+    out = joined.select(
+        "__l", "__r", F.col("__w").alias("_pw_window_start")
+    )
+    return TemporalJoinResult(out, left_table, right_table)
+
+
+# -- asof-now join (stream-static analogue, batch = plain asof) -------------
+
+
+def asof_now_join(left_table, right_table, *on, how: str = "inner"):
+    """Reference _asof_now_join.py:176: left rows join the *current* right
+    state.  In batch the current state is the whole table → plain equi-join.
+    The streaming variant (stream-static join) lands with the streaming
+    round."""
+    from pathwaydataframework_spark.internals.joins import join as _join
+
+    return _join(left_table, right_table, *on, how=how)
