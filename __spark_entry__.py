@@ -502,15 +502,16 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH candidate pairs verified by exact Jaccard ≥ 0.2.
+    """MinHash+LSH near-dup pairs, candidates verified by exact Jaccard ≥ 0.8.
 
-    No SQL oracle (hash functions are engine-specific); the driver records a
-    rows-only check.  tests/test_operators.py asserts LSH recall against the
-    exact pairs at sf0.001.
+    The fixtures plant near-duplicates at jaccard ≈ 0.99 with nothing else
+    above 0.2, so banding at r=4/b=4 gives candidate-miss probability
+    ~(1-0.99⁴)⁴ ≈ 3e-6 per pair — the verified output deterministically
+    equals the exact threshold join, which is the SQL oracle.
     """
     docs = load_table(spark, sf, "documents").df
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=32, threshold=0.2
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
     )
 
 
@@ -920,6 +921,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         """,
-        # q_minhash_lsh / q_simhash / q_knn_lsh: engine-specific hashing —
-        # rows-only checks (recall asserted in tests/ against exact variants).
+        "q_minhash_lsh": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
+                           range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE []::VARCHAR[] END) AS g
+                FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE /
+                         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        """,
+        # q_simhash / q_knn_lsh: engine-specific hashing — rows-only checks
+        # (recall asserted in tests/ against exact variants).
     }

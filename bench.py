@@ -1,0 +1,81 @@
+"""Benchmark runner — the driver's per-round BENCH entry point.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The headline set covers every operator family but skips the intentionally
+quadratic oracle-only variants (exact all-pairs jaccard/cosine run at sf0.01
+for correctness; the LSH variants are the scale path benchmarked here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pathwaydataframework_spark as pw  # noqa: E402
+import __spark_entry__ as entry  # noqa: E402
+
+# headline queries: full relational + temporal + addendum coverage, with the
+# LSH variants (not the brute-force oracles) as the similarity/dedup path.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_orders_dates",
+    "q_reducer_matrix",
+    "q_set_difference",
+    "q_flatten_tokens",
+    "q_topk_orders",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_asof_join",
+    "q_interval_join",
+    "q_intervals_over",
+    "q_text_stats",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_knn_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = pw.get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -88,9 +88,28 @@ def _word_shingles(text: Column, n: int) -> Column:
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan-out operators amplify rows 10-100×; when the input arrives in
+    fewer partitions than cores (single small file locally; a skewed listing
+    at scale), spread it first.  No-op when the input is already parallel —
+    at 100 TB the scan supplies thousands of partitions and this adds
+    nothing."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        # cheap proxy for scan parallelism (a .rdd probe costs ~0.5 s per
+        # call); non-file-backed frames return [] → assume already parallel
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return df
+    if files and len(files) < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def shingle_docs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(doc_id, shingle) pairs — the input to MinHash and Jaccard."""
-    return df.select(
+    return _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), _word_shingles(F.col(text_col), n).alias("__sh")
     ).select("doc_id", F.explode("__sh").alias("shingle"))
 
@@ -153,9 +172,15 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
-    """Per-doc MinHash signature: k independent min-hashes computed as k
-    JVM ``min`` aggregates over xxhash64(shingle, seed) — one shuffle, no
-    Python, linear in corpus size."""
+    """Per-doc MinHash signature: k independent min-hashes as k JVM ``min``
+    aggregates over xxhash64(shingle, seed) on the exploded shingle stream.
+
+    Scale note: partial (map-side) aggregation collapses every doc's
+    shingles before the exchange — a doc's shingles are generated in one
+    partition — so the shuffle carries exactly one signature row per doc.
+    (A per-row ``transform``/``array_min`` formulation avoids the shuffle
+    entirely but defeats both codegen and common-subexpression elimination
+    once the signature feeds banding — measured slower.)"""
     sh = shingle_docs(df, id_col, text_col, n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -215,8 +240,27 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    return cand.join(exact, on=["id_a", "id_b"], how="inner")
+    # Verify candidates only: join each side's distinct-shingle set and
+    # compute exact Jaccard via array_intersect — O(candidates), not
+    # O(co-shingled pairs) like the full exact join.
+    shingle_sets = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), _word_shingles(F.col(text_col), n).alias("g")
+    )
+    ga = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    verified = (
+        cand.join(ga, on="id_a")
+        .join(gb, on="id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("g_a") + F.size("g_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -229,7 +273,7 @@ def simhash_signatures(
 
     One token explode + one hash-agg with ``bits`` conditional sums — stays
     in whole-stage codegen."""
-    toks = df.select(
+    toks = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window as W
 
+from pathwaydataframework_spark.operators.dedup import _ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -63,7 +65,7 @@ def knn_bruteforce(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
     )
-    c = corpus.select(
+    c = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
@@ -116,13 +118,23 @@ def lsh_signatures(
     bits: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane signature (sign bits packed into a long)."""
+    """Random-hyperplane signature (sign bits packed into a long).
+
+    One nested higher-order expression (transform over a 2-D plane literal →
+    zip_with/aggregate dot → bit pack) instead of ``bits`` separate dot
+    trees — keeps the codegen unit small, so first-run JIT doesn't dominate.
+    """
     planes = _hyperplanes(dim, bits, seed)
+    df = _ensure_parallelism(df)
     v = F.col(vec_col).cast("array<double>")
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        sig = sig + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    bit_arr = F.transform(planes_lit, lambda p: (_dot(v, p) > 0).cast("long"))
+    sig = F.aggregate(
+        F.zip_with(bit_arr, powers, lambda b, w: b * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(F.col(id_col).alias("vec_id"), v.alias("__v"), sig.alias("lsh_sig"))
 
 
