@@ -183,10 +183,10 @@ class DateTimeNamespace:
     def strftime(self, fmt: str):
         # Accepts Java SimpleDateFormat-style patterns (documented deviation:
         # reference uses C strftime patterns).
-        return FuncExpr(lambda a, f: F.date_format(a, f), self._e, lift(fmt))
+        return UnaryOp(self._e, lambda a: F.date_format(a, fmt))
 
     def strptime(self, fmt: str):
-        return FuncExpr(lambda a, f: F.to_timestamp(a, f), self._e, lift(fmt))
+        return UnaryOp(self._e, lambda a: F.to_timestamp(a, fmt))
 
     def to_utc(self, from_timezone: str):
         return FuncExpr(

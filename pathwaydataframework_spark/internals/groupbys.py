@@ -29,8 +29,14 @@ class GroupedContext(ResolutionContext):
         self._table = table
 
     def resolve_ref(self, ref: ColumnRef) -> Column:
+        from pathwaydataframework_spark.internals.expression import LEFT, RIGHT
+
         owner = ref.owner
         if owner is THIS or owner is self._table:
+            return self._table._df[ref.name]
+        # grouping over a flattened join: pw.left/pw.right (or original-table
+        # refs) resolve by name — join output column names are unique
+        if ref.name in self._table._df.columns:
             return self._table._df[ref.name]
         raise ValueError(f"cannot resolve {ref.name!r} in groupby context")
 

@@ -73,12 +73,14 @@ def interpolate(table: Table, timestamp, *values, mode: str = "linear") -> Table
     """
     if mode != "linear":
         raise ValueError("only linear interpolation is supported")
+    from pathwaydataframework_spark.operators.temporal import _epoch_seconds
+
     t = table._resolve(timestamp)
     w_prev = Window.partitionBy().orderBy(t).rowsBetween(Window.unboundedPreceding, 0)
     w_next = (
         Window.partitionBy().orderBy(t).rowsBetween(0, Window.unboundedFollowing)
     )
-    tsec = t.cast("double")
+    tsec = _epoch_seconds(t)
     mapping = {}
     for v in values:
         col = table._resolve(v)

@@ -1,0 +1,145 @@
+"""Dedup / text / similarity operators: semantics + approximate-op recall
+against exact ground truth on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import pathwaydataframework_spark as pw
+from pathwaydataframework_spark.data import load_df
+from pathwaydataframework_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_df(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_df(spark, sf_dir, "embeddings").cache()
+
+
+def test_exact_dedup_keeps_one_per_key(spark):
+    t = pw.Table.from_rows(
+        spark,
+        [(1, "same"), (2, "same"), (3, "other")],
+        "id long, txt string",
+    )
+    out = dedup.exact_dedup(t, pw.this.txt, keep_order_by=pw.this.id)
+    assert sorted(r["id"] for r in out.df.collect()) == [1, 3]
+
+
+def test_minhash_recall_vs_exact(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+        ).collect()
+    }
+    assert exact, "fixtures should contain planted near-duplicates"
+    assert lsh == exact  # at jaccard≈0.99 the banding miss prob is ~3e-6
+
+
+def test_simhash_finds_planted_dups(docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(
+            docs, "doc_id", "text", bits=32, max_hamming=6
+        ).collect()
+    }
+    # simhash is a different similarity; require it to recover most planted dups
+    assert len(exact & sim) >= int(0.8 * len(exact))
+
+
+def test_knn_lsh_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_lsh(emb, queries, dim=64, k=5, bits=16, bands=8).collect()
+    }
+    recall = len(bf & approx) / len(bf)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_knn_bruteforce_self_top1(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.knn_bruteforce(emb, queries, k=1, exclude_self=False)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert all(q == n for q, n in top1.items())  # self-similarity = 1.0
+
+
+def test_embedding_lsh_dedup_pairs(emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos",
+            similarity.cosine_similarity(
+                F.col("a.embedding").cast("array<double>"),
+                F.col("b.embedding").cast("array<double>"),
+            ),
+        )
+        .filter(F.col("cos") >= 0.9)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_cosine_dedup_pairs(
+            emb, dim=64, threshold=0.9, bits=16, bands=8
+        ).collect()
+    }
+    if exact:
+        recall = len(exact & lsh) / len(exact)
+        assert recall >= 0.8, f"embedding LSH recall {recall}"
+    assert lsh <= exact or not exact  # verification removes false positives
+
+
+def test_text_stats_values(spark):
+    t = spark.createDataFrame([("the quick brown fox",), ("",)], "text string")
+    out = t.select(
+        text.token_count(F.col("text")).alias("tc"),
+        text.char_count(F.col("text")).alias("cc"),
+        text.stopword_ratio(F.col("text")).alias("sw"),
+        text.mean_word_length(F.col("text")).alias("mwl"),
+    ).collect()
+    assert (out[0]["tc"], out[0]["cc"]) == (4, 19)
+    assert out[0]["sw"] == 0.25
+    assert out[0]["mwl"] == 4.0
+    assert out[1]["tc"] == 0
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    t = spark.createDataFrame(
+        [("Hello  World",), ("hello world",)], "text string"
+    )
+    fps = [r[0] for r in t.select(text.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_lang_id_deterministic(spark):
+    t = spark.createDataFrame(
+        [("the cat and the dog",), ("der hund ist nicht da",), ("xyzzy qwerty",)],
+        "text string",
+    )
+    got = [r[0] for r in t.select(text.lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "und"]

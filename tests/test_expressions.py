@@ -1,0 +1,137 @@
+"""Scalar namespace semantics vs Python ground truth — mirrors the
+reference's tests/expressions/ suite (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+import pathwaydataframework_spark as pw
+
+
+def one(table):
+    return tuple(table.df.collect()[0])
+
+
+@pytest.fixture
+def strings(spark):
+    return pw.Table.from_rows(
+        spark, [("Hello World",), ("  pad  ",)], "s string"
+    )
+
+
+def test_str_namespace(spark):
+    t = pw.Table.from_rows(spark, [("Hello World",)], "s string")
+    s = pw.this.s.str
+    out = t.select(
+        lower=s.lower(),
+        upper=s.upper(),
+        rev=s.reversed(),
+        ln=s.len(),
+        rep=s.replace("World", "there"),
+        sw=s.startswith("Hello"),
+        ew=s.endswith("World"),
+        swap=s.swapcase(),
+        title=s.title(),
+        cnt=s.count("l"),
+        fnd=s.find("World"),
+        rfnd=s.rfind("l"),
+        rp=s.removeprefix("Hello "),
+        rs=s.removesuffix(" World"),
+        sl=s.slice(0, 5),
+    )
+    ref = "Hello World"
+    assert one(out) == (
+        ref.lower(),
+        ref.upper(),
+        ref[::-1],
+        len(ref),
+        ref.replace("World", "there"),
+        True,
+        True,
+        ref.swapcase(),
+        "Hello World".title(),
+        ref.count("l"),
+        ref.find("World"),
+        ref.rfind("l"),
+        ref.removeprefix("Hello "),
+        ref.removesuffix(" World"),
+        ref[0:5],
+    )
+
+
+def test_str_parse(spark):
+    t = pw.Table.from_rows(spark, [("42", "2.5", "true")], "i string, f string, b string")
+    out = t.select(
+        i=pw.this.i.str.parse_int(),
+        f=pw.this.f.str.parse_float(),
+        b=pw.this.b.str.parse_bool(),
+    )
+    assert one(out) == (42, 2.5, True)
+
+
+def test_dt_namespace(spark):
+    ts = dt.datetime(2024, 3, 15, 14, 30, 45, 123456)
+    t = pw.Table.from_rows(spark, [(ts,)], "ts timestamp_ntz")
+    d = pw.this.ts.dt
+    out = t.select(
+        y=d.year(),
+        mo=d.month(),
+        dd=d.day(),
+        h=d.hour(),
+        mi=d.minute(),
+        s=d.second(),
+        us=d.microsecond(),
+        wd=d.weekday(),
+        q=d.quarter(),
+        epoch=d.timestamp(),
+    )
+    assert one(out) == (
+        2024,
+        3,
+        15,
+        14,
+        30,
+        45,
+        123456,
+        ts.weekday(),
+        1,
+        int(ts.replace(tzinfo=dt.timezone.utc).timestamp()),
+    )
+
+
+def test_dt_floor_strftime(spark):
+    ts = dt.datetime(2024, 3, 15, 14, 37, 45)
+    t = pw.Table.from_rows(spark, [(ts,)], "ts timestamp_ntz")
+    out = t.select(
+        fl=pw.this.ts.dt.floor("15 minutes"),
+        s=pw.this.ts.dt.strftime("yyyy-MM-dd HH:mm"),
+    )
+    got = one(out)
+    assert got[0] == dt.datetime(2024, 3, 15, 14, 30)
+    assert got[1] == "2024-03-15 14:37"
+
+
+def test_num_namespace(spark):
+    t = pw.Table.from_rows(spark, [(-2.567,), (3.141,)], "x double")
+    out = t.select(
+        a=pw.this.x.num.abs(),
+        r=pw.this.x.num.round(1),
+    )
+    vals = sorted(tuple(r) for r in out.df.collect())
+    assert vals == [(2.567, -2.6), (3.141, 3.1)]
+
+
+def test_arithmetic_and_container(spark):
+    t = pw.Table.from_rows(spark, [(7, 2)], "a long, b long")
+    out = t.select(
+        add=pw.this.a + pw.this.b,
+        fdiv=pw.this.a // pw.this.b,
+        mod=pw.this.a % pw.this.b,
+        powr=pw.this.a ** pw.this.b,
+        tup=pw.make_tuple(pw.this.a, pw.this.b),
+        first=pw.make_tuple(pw.this.a, pw.this.b)[0],
+        oob=pw.make_tuple(pw.this.a, pw.this.b).get(9, -1),
+    )
+    assert one(out) == (9, 3, 1, 49.0, [7, 2], 7, -1)

@@ -1,0 +1,170 @@
+"""Golden tests for the relational core, mirroring the reference's
+literal-frame style (reference tests/test_common.py; SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import pathwaydataframework_spark as pw
+from pathwaydataframework_spark.internals import reducers as R
+
+
+def rows(table):
+    return sorted(
+        (tuple(r) for r in table.df.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+
+
+@pytest.fixture
+def people(spark):
+    return pw.Table.from_rows(
+        spark,
+        [(1, "alice", 30, 10.0), (2, "bob", 25, 20.0), (3, "carol", 35, 30.0)],
+        "id long, name string, age long, score double",
+    )
+
+
+def test_select_exprs(people):
+    out = people.select(pw.this.name, double_age=pw.this.age * 2, is_old=pw.this.age >= 30)
+    assert rows(out) == [("alice", 60, True), ("bob", 50, False), ("carol", 70, True)]
+
+
+def test_filter_and_split(people):
+    young, old = people.split(pw.this.age < 30)
+    assert [r[0] for r in rows(young)] == [2]
+    assert sorted(r[0] for r in rows(old)) == [1, 3]
+
+
+def test_with_columns_rename_without(people):
+    out = (
+        people.with_columns(age2=pw.this.age + 1)
+        .rename_by_dict({"age2": "age_next"})
+        .without("score")
+    )
+    assert out.column_names == ["id", "name", "age", "age_next"]
+    assert rows(out)[0] == (1, "alice", 30, 31)
+
+
+def test_if_else_coalesce_require(spark):
+    t = pw.Table.from_rows(
+        spark, [(1, None), (2, 5)], "id long, v long"
+    )
+    out = t.select(
+        pw.this.id,
+        v=pw.coalesce(pw.this.v, 0),
+        tag=pw.if_else(pw.this.id == 1, "one", "other"),
+        guarded=pw.require(pw.this.id, pw.this.v.is_not_none()),
+    )
+    assert rows(out) == [(1, 0, "one", None), (2, 5, "other", 2)]
+
+
+def test_concat_difference_intersect(spark):
+    a = pw.Table.from_rows(spark, [(1, "x"), (2, "y")], "k long, v string").with_id_from("k")
+    b = pw.Table.from_rows(spark, [(2, "y"), (3, "z")], "k long, v string").with_id_from("k")
+    assert len(rows(a.concat(b))) == 4
+    diff = a.difference(b).select(pw.this.k)
+    assert rows(diff) == [(1,)]
+    inter = a.intersect(b).select(pw.this.k)
+    assert rows(inter) == [(2,)]
+
+
+def test_update_rows_and_cells(spark):
+    base = pw.Table.from_rows(
+        spark, [(1, "a", 10), (2, "b", 20)], "k long, name string, v long"
+    ).with_id_from("k")
+    upd = pw.Table.from_rows(
+        spark, [(2, "B", 99), (3, "c", 30)], "k long, name string, v long"
+    ).with_id_from("k")
+    merged = base.update_rows(upd).select(pw.this.k, pw.this.name, pw.this.v)
+    assert rows(merged) == [(1, "a", 10), (2, "B", 99), (3, "c", 30)]
+
+    cells = pw.Table.from_rows(spark, [(2, 77)], "k long, v long").with_id_from("k")
+    patched = base.update_cells(cells).select(pw.this.k, pw.this.name, pw.this.v)
+    assert rows(patched) == [(1, "a", 10), (2, "b", 77)]
+
+
+def test_flatten(spark):
+    t = pw.Table.from_rows(
+        spark, [(1, ["a", "b"]), (2, ["c"])], "k long, xs array<string>"
+    )
+    out = t.flatten(pw.this.xs)
+    assert rows(out) == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_ix_lookup(spark):
+    dim = pw.Table.from_rows(
+        spark, [(1, "one"), (2, "two")], "k long, label string"
+    ).with_id_from("k")
+    fact = pw.Table.from_rows(spark, [(10, 1), (11, 2), (12, 1)], "fid long, fk long")
+    looked = dim.ix(fact.pointer_from(pw.this.fk), context=fact)
+    assert sorted(r[1] for r in rows(looked)) == ["one", "one", "two"]
+
+
+def test_groupby_reduce(people):
+    out = people.groupby(pw.this.age >= 30 and pw.this.age).reduce(n=R.count())
+    assert len(rows(out)) == 3
+    total = people.reduce(n=R.count(), s=R.sum(pw.this.score))
+    assert rows(total) == [(3, 60.0)]
+
+
+def test_reducers_composition(spark):
+    t = pw.Table.from_rows(
+        spark,
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0)],
+        "g string, i long, x double",
+    )
+    out = t.groupby(pw.this.g).reduce(
+        mean=R.sum(pw.this.x) / R.count(),
+        args=R.sorted_tuple(pw.this.i),
+        uniq_g_count=R.count_distinct(pw.this.i),
+        latest_x=R.max_by(pw.this.x, pw.this.i),
+    )
+    got = {r[0]: r[1:] for r in rows(out)}
+    assert got["a"] == (15.0, [1, 2], 2, 20.0)
+    assert got["b"] == (30.0, [3], 1, 30.0)
+
+
+def test_unique_reducer_nulls_on_conflict(spark):
+    t = pw.Table.from_rows(
+        spark, [("a", 1), ("a", 1), ("b", 1), ("b", 2)], "g string, v long"
+    )
+    out = t.groupby(pw.this.g).reduce(u=R.unique(pw.this.v))
+    got = dict(rows(out))
+    assert got["a"] == 1
+    assert got["b"] is None
+
+
+def test_joins_all_modes(spark):
+    left = pw.Table.from_rows(spark, [(1, "l1"), (2, "l2")], "k long, lv string")
+    right = pw.Table.from_rows(spark, [(2, "r2"), (3, "r3")], "k long, rv string")
+    on = pw.left.k == pw.right.k
+    inner = left.join(right, on).select(k=pw.left.k, lv=pw.left.lv, rv=pw.right.rv)
+    assert rows(inner) == [(2, "l2", "r2")]
+    lj = left.join(right, on, how="left").select(k=pw.left.k, rv=pw.right.rv)
+    assert rows(lj) == [(1, None), (2, "r2")]
+    oj = left.join(right, on, how="outer").select(
+        lk=pw.left.k, rk=pw.right.k
+    )
+    assert len(rows(oj)) == 3
+
+
+def test_join_filter_and_groupby(spark):
+    left = pw.Table.from_rows(spark, [(1, 5), (1, 15), (2, 25)], "k long, x long")
+    right = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, tag string")
+    jr = left.join(right, pw.left.k == pw.right.k).filter(pw.left.x > 10)
+    out = jr.groupby(pw.right.tag).reduce(n=R.count(), sx=R.sum(pw.left.x))
+    assert rows(out) == [("a", 1, 15), ("b", 1, 25)]
+
+
+def test_sql(spark):
+    t = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, v string")
+    out = pw.sql("SELECT count(*) AS n FROM tt WHERE k > 1", tt=t)
+    assert rows(out) == [(1,)]
+
+
+def test_apply_udf(spark):
+    t = pw.Table.from_rows(spark, [(1,), (2,)], "k long")
+    out = t.select(doubled=pw.apply(lambda x: x * 2, pw.this.k, result_type="long"))
+    assert rows(out) == [(2,), (4,)]

@@ -1,0 +1,195 @@
+"""Temporal operator semantics on small literal frames — mirrors the
+reference's tests/temporal/ suites (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+import pathwaydataframework_spark as pw
+from pathwaydataframework_spark.internals import reducers as R
+
+
+def ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture
+def events(spark):
+    return pw.Table.from_rows(
+        spark,
+        [
+            (1, "u1", ts(0), 1.0),
+            (2, "u1", ts(10), 2.0),
+            (3, "u1", ts(50), 3.0),
+            (4, "u2", ts(5), 4.0),
+        ],
+        "eid long, user string, t timestamp_ntz, v double",
+    )
+
+
+def test_tumbling(events):
+    out = events.windowby(
+        pw.this.t, window=pw.tumbling("30 minutes"), instance=pw.this.user
+    ).reduce(n=R.count(), sv=R.sum(pw.this.v))
+    got = {
+        (r["user"], r["_pw_window_start"].minute): (r["n"], r["sv"])
+        for r in out.df.collect()
+    }
+    assert got == {("u1", 0): (2, 3.0), ("u1", 30): (1, 3.0), ("u2", 0): (1, 4.0)}
+
+
+def test_sliding_counts(events):
+    out = events.windowby(
+        pw.this.t, window=pw.sliding("15 minutes", "30 minutes")
+    ).reduce(n=R.count())
+    # event at 10:00 belongs to windows starting 09:45 and 10:00
+    starts = {
+        (r["_pw_window_start"].hour, r["_pw_window_start"].minute): r["n"]
+        for r in out.df.collect()
+    }
+    assert starts[(9, 45)] == 3  # 10:00, 10:10, 10:05
+    assert starts[(10, 0)] == 3
+    assert starts[(10, 45)] == 1  # 10:50
+
+
+def test_session(events):
+    out = events.windowby(
+        pw.this.t, window=pw.session(max_gap="20 minutes"), instance=pw.this.user
+    ).reduce(n=R.count())
+    got = sorted((r["user"], r["n"]) for r in out.df.collect())
+    # u1: events at 0,10 together; 50 alone.  u2: single session.
+    assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
+
+
+def test_asof_backward_and_forward(spark):
+    quotes = pw.Table.from_rows(
+        spark,
+        [("A", ts(0), 100.0), ("A", ts(20), 110.0), ("B", ts(0), 50.0)],
+        "sym string, qt timestamp_ntz, px double",
+    )
+    trades = pw.Table.from_rows(
+        spark,
+        [("A", ts(10)), ("A", ts(25)), ("B", ts(0)), ("C", ts(5))],
+        "sym string, tt timestamp_ntz",
+    )
+    bwd = trades.asof_join(
+        quotes, pw.this.tt, pw.this.qt, pw.left.sym == pw.right.sym, how="left"
+    ).select(sym=pw.left.sym, tt=pw.left.tt, px=pw.right.px)
+    got = {(r["sym"], r["tt"].minute): r["px"] for r in bwd.df.collect()}
+    assert got == {("A", 10): 100.0, ("A", 25): 110.0, ("B", 0): 50.0, ("C", 5): None}
+
+    fwd = trades.asof_join(
+        quotes,
+        pw.this.tt,
+        pw.this.qt,
+        pw.left.sym == pw.right.sym,
+        how="inner",
+        direction="forward",
+    ).select(sym=pw.left.sym, tt=pw.left.tt, px=pw.right.px)
+    got = {(r["sym"], r["tt"].minute): r["px"] for r in fwd.df.collect()}
+    # A@10 → next quote at 20 (110); A@25 → none; B@0 → 50 (inclusive)
+    assert got == {("A", 10): 110.0, ("B", 0): 50.0}
+
+
+def test_interval_join_matches_naive(spark, events):
+    right = pw.Table.from_rows(
+        spark,
+        [("u1", ts(7)), ("u1", ts(45)), ("u2", ts(5))],
+        "user string, rt timestamp_ntz",
+    )
+    j = events.interval_join(
+        right,
+        pw.this.t,
+        pw.this.rt,
+        pw.interval("-5 minutes", "5 minutes"),
+        pw.left.user == pw.right.user,
+    ).select(eid=pw.left.eid, rt=pw.right.rt)
+    got = sorted((r["eid"], r["rt"].minute) for r in j.df.collect())
+    # naive: |rt - t| <= 5min per user
+    # eid1 t=0: rt7? diff 7 no. eid2 t=10: rt7 diff -3 yes; rt45 no.
+    # eid3 t=50: rt45 yes. eid4 u2 t=5: rt5 yes.
+    assert got == [(2, 7), (3, 45), (4, 5)]
+
+
+def test_interval_join_outer_pads(spark, events):
+    right = pw.Table.from_rows(
+        spark, [("u1", ts(7))], "user string, rt timestamp_ntz"
+    )
+    j = events.interval_join(
+        right,
+        pw.this.t,
+        pw.this.rt,
+        pw.interval("-5 minutes", "5 minutes"),
+        pw.left.user == pw.right.user,
+        how="left",
+    ).select(eid=pw.left.eid, rt=pw.right.rt)
+    got = sorted(
+        (r["eid"], r["rt"].minute if r["rt"] else None) for r in j.df.collect()
+    )
+    assert got == [(1, None), (2, 7), (3, None), (4, None)]
+
+
+def test_window_join(spark, events):
+    other = pw.Table.from_rows(
+        spark,
+        [("u1", ts(12)), ("u1", ts(40)), ("u2", ts(29))],
+        "user string, t2 timestamp_ntz",
+    )
+    j = events.window_join(
+        other,
+        pw.this.t,
+        pw.this.t2,
+        pw.tumbling("30 minutes"),
+        pw.left.user == pw.right.user,
+    ).select(eid=pw.left.eid, m=pw.right.t2)
+    got = sorted((r["eid"], r["m"].minute) for r in j.df.collect())
+    # 30-min windows: [10:00,10:30): eids 1,2 (u1) join t2=12; eid4 (u2) joins 29.
+    # [10:30,11:00): eid3 (u1, t=50) joins t2=40.
+    assert got == [(1, 12), (2, 12), (3, 40), (4, 29)]
+
+
+def test_intervals_over(spark, events):
+    probes = pw.Table.from_rows(
+        spark, [(ts(10),), (ts(55),)], "p timestamp_ntz"
+    )
+    out = events.windowby(
+        pw.this.t,
+        window=pw.intervals_over(
+            at=probes.p, lower_bound="-15 minutes", upper_bound="0 minutes", is_outer=False
+        ),
+    ).reduce(n=R.count(), sv=R.sum(pw.this.v))
+    got = {r["_pw_window"].minute: (r["n"], r["sv"]) for r in out.df.collect()}
+    # probe 10:10 ← events at 10:00,10:10,10:05 → n=3, sum=7; probe 10:55 ← 10:50
+    assert got == {10: (3, 7.0), 55: (1, 3.0)}
+
+
+def test_sort_diff_topk(spark, events):
+    s = events.sort(pw.this.t, instance=pw.this.user)
+    cols = s.df.columns
+    assert "prev" in cols and "next" in cols
+
+    d = events.diff(pw.this.t, pw.this.v, instance=pw.this.user)
+    got = {r["eid"]: r["diff_v"] for r in d.df.collect()}
+    assert got[1] is None and got[2] == 1.0 and got[3] == 1.0 and got[4] is None
+
+    tk = events.topk(1, pw.this.v, instance=pw.this.user)
+    assert sorted(r["eid"] for r in tk.df.collect()) == [3, 4]
+
+
+def test_interpolate(spark):
+    t = pw.Table.from_rows(
+        spark,
+        [(ts(0), 0.0), (ts(10), None), (ts(20), 10.0), (ts(30), None)],
+        "t timestamp_ntz, v double",
+    )
+    out = t.interpolate(pw.this.t, pw.this.v)
+    got = {r["t"].minute: r["v"] for r in out.df.collect()}
+    assert got == {0: 0.0, 10: 5.0, 20: 10.0, 30: 10.0}
+
+
+def test_deduplicate(spark, events):
+    out = events.deduplicate(value=pw.this.eid, instance=pw.this.user)
+    got = sorted(r["eid"] for r in out.df.collect())
+    assert got == [3, 4]
