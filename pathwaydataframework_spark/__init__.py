@@ -38,9 +38,18 @@ from pathwaydataframework_spark.internals.expression import (
     this,
     unwrap,
 )
+from pathwaydataframework_spark.internals.schema import Schema, column_definition
 from pathwaydataframework_spark.internals.table import Table
-from pathwaydataframework_spark.operators import dedup, ordered, similarity, text
+from pathwaydataframework_spark.internals.udfs import (
+    UDF,
+    ExponentialBackoffRetryStrategy,
+    FixedDelayRetryStrategy,
+    InMemoryCache,
+    udf,
+)
+from pathwaydataframework_spark.operators import dedup, graphs, ordered, ranking, similarity, text
 from pathwaydataframework_spark.operators import temporal
+from pathwaydataframework_spark.operators.iterate import iterate
 from pathwaydataframework_spark.operators.temporal import (
     asof_join,
     asof_now_join,
@@ -92,6 +101,16 @@ __all__ = [
     "text",
     "similarity",
     "ordered",
+    "graphs",
+    "ranking",
+    "iterate",
+    "udf",
+    "UDF",
+    "Schema",
+    "column_definition",
+    "FixedDelayRetryStrategy",
+    "ExponentialBackoffRetryStrategy",
+    "InMemoryCache",
 ]
 
 __version__ = "0.1.0"

@@ -390,13 +390,26 @@ _PY_TO_SPARK = {
 }
 
 
+_PY_NAME_TO_SPARK = {
+    "int": "long",
+    "float": "double",
+    "str": "string",
+    "bool": "boolean",
+    "bytes": "binary",
+    "datetime": "timestamp_ntz",
+    "datetime.datetime": "timestamp_ntz",
+}
+
+
 def _dtype_to_spark(dtype) -> str:
     """Map reference dtypes (python types / strings) to Spark type strings.
 
     Mirrors the dtype table in SURVEY.md §1.2 (reference internals/dtype.py).
+    Accepts python type objects, python type NAMES (stringized annotations
+    under ``from __future__ import annotations``), and Spark DDL strings.
     """
     if isinstance(dtype, str):
-        return dtype
+        return _PY_NAME_TO_SPARK.get(dtype, dtype)
     if dtype in _PY_TO_SPARK:
         return _PY_TO_SPARK[dtype]
     raise TypeError(f"unsupported dtype {dtype!r}")

@@ -1,0 +1,156 @@
+"""UDF surface — reference ``@pw.udf`` / ``pw.UDF`` (internals/udfs/
+__init__.py:290,68), caching (udfs/caches.py), retries (udfs/retries.py).
+
+UDFs are the slow path: everything expressible with built-in functions
+should use them (SURVEY.md §2.8).  When unavoidable:
+
+- scalar ``@udf`` → Arrow-optimized Python UDF (batched transfer)
+- ``@pandas_udf`` passthrough → vectorized over Arrow batches
+- retries wrap the Python callable (reference retries.py semantics)
+- ``InMemoryCache`` memoizes per-executor (reference caches.py:120); the
+  disk-cache strategy is deferred to a Delta memo-join in a later round.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import pyspark.sql.functions as F
+
+from pathwaydataframework_spark.internals.expression import (
+    Expr,
+    FuncExpr,
+    _dtype_to_spark,
+    lift,
+)
+
+
+class FixedDelayRetryStrategy:
+    """Reference retries.py:107."""
+
+    def __init__(self, max_retries: int = 3, delay_ms: int = 100):
+        self.max_retries = max_retries
+        self.delay_s = delay_ms / 1000
+
+    def wrap(self, fn: Callable) -> Callable:
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            last = None
+            for _ in range(self.max_retries):
+                try:
+                    return fn(*args, **kwargs)
+                except Exception as e:  # noqa: BLE001
+                    last = e
+                    time.sleep(self.delay_s)
+            raise last
+
+        return inner
+
+
+class ExponentialBackoffRetryStrategy(FixedDelayRetryStrategy):
+    """Reference retries.py:58."""
+
+    def __init__(self, max_retries: int = 3, initial_delay_ms: int = 100, backoff_factor: float = 2.0):
+        super().__init__(max_retries, initial_delay_ms)
+        self.backoff_factor = backoff_factor
+
+    def wrap(self, fn: Callable) -> Callable:
+        @functools.wraps(fn)
+        def inner(*args, **kwargs):
+            last = None
+            delay = self.delay_s
+            for _ in range(self.max_retries):
+                try:
+                    return fn(*args, **kwargs)
+                except Exception as e:  # noqa: BLE001
+                    last = e
+                    time.sleep(delay)
+                    delay *= self.backoff_factor
+            raise last
+
+        return inner
+
+
+class InMemoryCache:
+    """Per-executor memoization — reference caches.py:120."""
+
+    def wrap(self, fn: Callable) -> Callable:
+        cache: dict[tuple, Any] = {}
+
+        @functools.wraps(fn)
+        def inner(*args):
+            key = args
+            if key not in cache:
+                cache[key] = fn(*args)
+            return cache[key]
+
+        return inner
+
+
+class UDF:
+    """Callable wrapper: ``my_udf(pw.this.x)`` builds an expression.
+
+    Reference ``UDF`` class (udfs/__init__.py:68).
+    """
+
+    def __init__(
+        self,
+        fn: Callable,
+        return_type: Any = "string",
+        *,
+        deterministic: bool = True,
+        cache_strategy=None,
+        retry_strategy=None,
+    ):
+        wrapped = fn
+        if retry_strategy is not None:
+            wrapped = retry_strategy.wrap(wrapped)
+        if cache_strategy is not None:
+            wrapped = cache_strategy.wrap(wrapped)
+        self._fn = wrapped
+        self._spark_type = _dtype_to_spark(return_type)
+        self._deterministic = deterministic
+        functools.update_wrapper(self, fn)
+
+    def __call__(self, *args) -> Expr:
+        sudf = F.udf(self._fn, self._spark_type, useArrow=True)
+        if not self._deterministic:
+            sudf = sudf.asNondeterministic()
+        return FuncExpr(lambda *cs: sudf(*cs), *[lift(a) for a in args])
+
+
+def udf(
+    fn: Callable | None = None,
+    *,
+    return_type: Any = "string",
+    deterministic: bool = True,
+    cache_strategy=None,
+    retry_strategy=None,
+):
+    """``@pw.udf`` decorator — reference udfs/__init__.py:290.
+
+    Infers the return type from the annotation when present::
+
+        @pw.udf
+        def double(x: int) -> int:
+            return x * 2
+    """
+
+    def build(f: Callable) -> UDF:
+        rt = return_type
+        ann = getattr(f, "__annotations__", {})
+        if "return" in ann and return_type == "string":
+            rt = ann["return"]
+        return UDF(
+            f,
+            rt,
+            deterministic=deterministic,
+            cache_strategy=cache_strategy,
+            retry_strategy=retry_strategy,
+        )
+
+    if fn is not None:
+        return build(fn)
+    return build

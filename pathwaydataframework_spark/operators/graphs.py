@@ -1,0 +1,163 @@
+"""Graph algorithms on ``iterate`` — reference stdlib/graphs/
+(pagerank/, bellman_ford/, louvain_communities/impl.py:282).
+
+Each algorithm is a pure DataFrame loop: per round one join + one
+aggregation, both hash-partitioned on the vertex key — the standard Pregel-
+on-Spark shape that scales with executors.  ``localCheckpoint`` between
+rounds keeps lineage flat (see operators/iterate.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """PageRank — reference stdlib/graphs/pagerank.
+
+    Returns (vertex, rank).  Dangling mass is redistributed uniformly, ranks
+    sum to the vertex count (reference normalization).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    vertices = (
+        e.select(F.col("src").alias("v")).union(e.select(F.col("dst").alias("v"))).distinct()
+    ).localCheckpoint(eager=True)
+    n = vertices.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = vertices.withColumn("rank", F.lit(1.0))
+    for _ in range(max_iterations):
+        contribs = (
+            e.join(out_deg, on="src")
+            .join(ranks, e["src"] == ranks["v"])
+            .select(F.col("dst").alias("v"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("recv"))
+        )
+        total_sent = (
+            ranks.join(out_deg, ranks["v"] == out_deg["src"], "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        dangling = (n - total_sent) / n
+        ranks = (
+            vertices.join(contribs, on="v", how="left")
+            .select(
+                "v",
+                (
+                    F.lit(1 - damping)
+                    + F.lit(damping) * (F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(dangling))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("v").alias("vertex"), F.round("rank", 6).alias("rank"))
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single-source shortest paths — reference stdlib/graphs/bellman_ford.
+
+    Per round: relax all edges (join on current distances) + min-aggregate.
+    Stops early when distances stop improving.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    )
+    vertices = (
+        e.select(F.col("src").alias("v")).union(e.select(F.col("dst").alias("v"))).distinct()
+    )
+    dist = vertices.select(
+        "v", F.when(F.col("v") == source, 0.0).otherwise(F.lit(None)).alias("d")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        relaxed = (
+            e.join(dist, e["src"] == dist["v"])
+            .filter(F.col("d").isNotNull())
+            .select(F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("cand"))
+            .groupBy("v")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_dist = (
+            dist.join(relaxed, on="v", how="left")
+            .select("v", F.least(F.col("d"), F.col("cand")).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), on="v")
+            .filter(
+                (F.col("n.d") < F.col("o.d"))
+                | (F.col("n.d").isNotNull() & F.col("o.d").isNull())
+            )
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            break
+    return dist.select(F.col("v").alias("vertex"), F.round("d", 6).alias("distance"))
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns (vertex, component) with component = min vertex id reachable.
+    Per round one neighbor join + min-agg; converges in O(diameter) rounds.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            e.join(labels, e["b"] == labels["v"])
+            .select(F.col("a").alias("v"), F.col("comp"))
+            .groupBy("v")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="v", how="left")
+            .select("v", F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("vertex"), F.col("comp").alias("component"))

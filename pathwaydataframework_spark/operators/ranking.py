@@ -1,0 +1,139 @@
+"""Full-text ranking (BM25) and fuzzy text matching.
+
+Reference analogues: TantivyBM25 (reference stdlib/indexing/bm25.py:41 backed
+by a single-node tantivy index) and fuzzy_match_tables
+(stdlib/ml/smart_table_ops/_fuzzy_join.py:106).  Both become score joins over
+inverted-index tables here — no external index service, fully distributed:
+
+- BM25: term-frequency table (one row per doc×term) ⋈ idf table ⋈ query
+  terms → per-(query, doc) score sum → window top-k.  Every stage is a
+  hash-partitioned join/agg keyed on the term or the doc.
+- fuzzy match: shared-token inverted index join with idf-weighted scores,
+  best match per left row via max_by.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window as W
+
+from pathwaydataframework_spark.operators.dedup import _ensure_parallelism
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def doc_term_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, float, int]:
+    """(term_freqs, doc_lens) tables for BM25: tf per (doc, term), |d| per doc."""
+    base = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    doc_lens = base.select("doc_id", F.size("__toks").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf, doc_lens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 docs per query: (query_id, doc_id, score, rank).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ_t idf·tf·(k1+1) /
+    (tf + k1·(1 - b + b·dl/avgdl)).  Deterministic tie-break on doc_id.
+    """
+    tf, doc_lens = doc_term_stats(docs, id_col=id_col, text_col=text_col)
+    n_docs = docs.count()
+    avgdl = doc_lens.agg(F.avg("dl")).collect()[0][0]
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_tbl.select(
+        "term",
+        F.log(
+            1.0
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(_tokens(F.col(query_text_col)))).alias("term"),
+    )
+    scored = (
+        qterms.join(idf, on="term")
+        .join(tf, on="term")
+        .join(doc_lens, on="doc_id")
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def fuzzy_match_tables(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "id",
+    left_text: str = "text",
+    right_id: str = "id",
+    right_text: str = "text",
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Best fuzzy match per left row — reference fuzzy_match_tables
+    (_fuzzy_join.py:106): idf-weighted shared-token scoring.
+
+    Returns (left_id, right_id, score): for each left row the right row with
+    the highest Σ 1/(#left-occurrences × #right-occurrences)-weighted token
+    overlap (rarer tokens count more), ties broken by right_id.
+    """
+    lt = _ensure_parallelism(left).select(
+        F.col(left_id).alias("lid"), F.explode(F.array_distinct(_tokens(F.col(left_text)))).alias("term")
+    )
+    rt = _ensure_parallelism(right).select(
+        F.col(right_id).alias("rid"), F.explode(F.array_distinct(_tokens(F.col(right_text)))).alias("term")
+    )
+    lweight = lt.groupBy("term").agg(F.count(F.lit(1)).alias("lc"))
+    rweight = rt.groupBy("term").agg(F.count(F.lit(1)).alias("rc"))
+    pair_scores = (
+        lt.join(rt, on="term")
+        .join(lweight, on="term")
+        .join(rweight, on="term")
+        .withColumn("w", 1.0 / (F.col("lc") * F.col("rc")))
+        .groupBy("lid", "rid")
+        .agg(F.round(F.sum("w"), 6).alias("score"))
+        .filter(F.col("score") > min_score)
+    )
+    best = pair_scores.groupBy("lid").agg(
+        F.max_by(F.struct(F.col("rid"), F.col("score")), F.struct(F.col("score"), -F.col("rid"))).alias(
+            "m"
+        )
+    )
+    return best.select(
+        F.col("lid").alias("left_id"),
+        F.col("m.rid").alias("right_id"),
+        F.col("m.score").alias("score"),
+    )

@@ -23,8 +23,16 @@ from pathwaydataframework_spark.internals.table import Table
 
 def with_watermark(table: Table, time_col: str, delay: str) -> Table:
     """Late-data cutoff — the analogue of the reference's
-    ``common_behavior(cutoff=...)`` (temporal_behavior.py:29)."""
-    return Table(table.df.withWatermark(time_col, delay))
+    ``common_behavior(cutoff=...)`` (temporal_behavior.py:29).
+
+    Event-time columns must be TIMESTAMP (LTZ); NTZ inputs are cast, which
+    is value-preserving under the engine's pinned UTC session timezone."""
+    df = table.df
+    if dict(df.dtypes).get(time_col) == "timestamp_ntz":
+        import pyspark.sql.functions as F
+
+        df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    return Table(df.withWatermark(time_col, delay))
 
 
 def write_console(table: Table, **options: Any):

@@ -1,0 +1,127 @@
+"""iterate / graph algorithms / BM25 / fuzzy match / UDF / Schema."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+import pathwaydataframework_spark as pw
+from pathwaydataframework_spark.internals import reducers as R
+from pathwaydataframework_spark.operators import graphs, ranking
+
+
+def test_iterate_collatz_style(spark):
+    # halve even numbers until all odd — classic iterate fixpoint
+    t = pw.Table.from_rows(spark, [(8,), (12,), (5,)], "x long")
+
+    def step(t):
+        return t.select(
+            x=pw.if_else(pw.this.x % 2 == 0, pw.this.x / 2, pw.this.x).as_int()
+        )
+
+    out = pw.iterate(step, t=t)
+    assert sorted(r[0] for r in out.df.collect()) == [1, 3, 5]
+
+
+def test_iterate_limit(spark):
+    t = pw.Table.from_rows(spark, [(0,)], "x long")
+    out = pw.iterate(lambda t: t.select(x=pw.this.x + 1), iteration_limit=5, t=t)
+    assert out.df.collect()[0][0] == 5
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "src long, dst long"
+    )
+    out = graphs.connected_components(edges)
+    comp = {r["vertex"]: r["component"] for r in out.collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[7] == 7
+
+
+def test_bellman_ford(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 10.0), (3, 4, 1.0)],
+        "src long, dst long, weight double",
+    )
+    out = graphs.bellman_ford(edges, 1)
+    d = {r["vertex"]: r["distance"] for r in out.collect()}
+    assert d == {1: 0.0, 2: 1.0, 3: 3.0, 4: 4.0}
+
+
+def test_pagerank_star(spark):
+    # hub-and-spoke: 2,3,4 all point at 1 → vertex 1 has the highest rank
+    edges = spark.createDataFrame([(2, 1), (3, 1), (4, 1)], "src long, dst long")
+    out = graphs.pagerank(edges, max_iterations=10)
+    ranks = {r["vertex"]: r["rank"] for r in out.collect()}
+    assert ranks[1] > ranks[2] == ranks[3] == ranks[4]
+    assert abs(sum(ranks.values()) - 4.0) < 1e-3  # mass conserved
+
+
+def test_bm25_ranks_relevant_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark runs distributed queries"),
+            (2, "cats and dogs"),
+            (3, "spark spark spark tuning"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(1, "spark queries")], "query_id long, query string")
+    out = ranking.bm25_scores(docs, queries, k=3)
+    got = [(r["doc_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got[0][0] == 1  # matches both terms
+    assert {d for d, _ in got} == {1, 3}  # doc 2 matches nothing
+
+
+def test_fuzzy_match(spark):
+    left = spark.createDataFrame(
+        [(1, "john smith"), (2, "mary jones")], "id long, text string"
+    )
+    right = spark.createDataFrame(
+        [(10, "jon smith"), (11, "mary m jones"), (12, "bob brown")],
+        "id long, text string",
+    )
+    out = ranking.fuzzy_match_tables(left, right)
+    got = {r["left_id"]: r["right_id"] for r in out.collect()}
+    assert got == {1: 10, 2: 11}
+
+
+def test_udf_decorator_and_retries(spark):
+    @pw.udf
+    def shout(s: str) -> str:
+        return s.upper() + "!"
+
+    t = pw.Table.from_rows(spark, [("hey",)], "s string")
+    assert t.select(v=shout(pw.this.s)).df.collect()[0][0] == "HEY!"
+
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("boom")
+        return x
+
+    wrapped = pw.FixedDelayRetryStrategy(max_retries=5, delay_ms=1).wrap(flaky)
+    assert wrapped(7) == 7
+    assert calls["n"] == 3
+
+
+def test_schema_declaration(spark):
+    from typing import Optional
+
+    class Order(pw.Schema):
+        order_id: int = pw.column_definition(primary_key=True)
+        amount: float
+        note: Optional[str]
+
+    st = Order.to_spark()
+    assert [f.name for f in st.fields] == ["order_id", "amount", "note"]
+    assert Order.primary_key_columns() == ["order_id"]
+    df = spark.createDataFrame([(1, 2.5, None)], st)
+    t = pw.Table(df).with_id_from(*Order.primary_key_columns())
+    assert "_pw_id" in t.df.columns
