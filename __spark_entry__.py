@@ -552,6 +552,69 @@ def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+
+
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """distributed BM25 top-5 per query (SURVEY §2.10 TantivyBM25 analogue)."""
+    from pathwaydataframework_spark.operators import ranking
+
+    docs = load_table(spark, sf, "documents").df
+    queries = spark.createDataFrame(
+        [(1, "spark query window"), (2, "batch data table")],
+        "query_id long, query string",
+    )
+    return ranking.bm25_scores(docs, queries, k=5)
+
+
+def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """near-dup clusters: iterate/connected-components over jaccard>=0.8
+    pairs (SURVEY §2.8 pw.iterate; graph algos on iterate)."""
+    from pathwaydataframework_spark.operators import graphs
+
+    docs = load_table(spark, sf, "documents").df
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return graphs.connected_components(pairs, src="id_a", dst="id_b")
+
+
+def q_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """linear interpolation of nulled values over time (SURVEY §2.5)."""
+    ev = load_table(spark, sf, "events")
+    nulled = ev.select(
+        pw.this.event_id,
+        pw.this.ts,
+        v=pw.if_else(pw.this.event_type == "error", pw.lift(F.lit(None).cast("double")), pw.this.value),
+    )
+    out = nulled.interpolate(pw.this.ts, pw.this.v)
+    return out.df.select("event_id", F.round(F.col("v"), 6).alias("value"))
+
+
+def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    """idf-weighted fuzzy best-match join (SURVEY §2.3 fuzzy_match_tables)."""
+    from pathwaydataframework_spark.operators import ranking
+
+    docs = load_table(spark, sf, "documents").df
+    left = docs.filter(F.col("doc_id") < 50)
+    right = docs.filter(F.col("doc_id") >= 50)
+    return ranking.fuzzy_match_tables(
+        left, right, left_id="doc_id", left_text="text", right_id="doc_id", right_text="text"
+    )
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """pagerank over the customer->supplier order graph (SURVEY §2.8).
+    Rows-only check: iterative float convergence is engine-specific."""
+    from pathwaydataframework_spark.operators import graphs
+
+    li = load_table(spark, sf, "lineitem").df
+    orders = load_table(spark, sf, "orders").df
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    return graphs.pagerank(edges, max_iterations=5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -593,6 +656,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_bruteforce": q_knn_bruteforce,
         "q_knn_lsh": q_knn_lsh,
         "q_embedding_pairs": q_embedding_pairs,
+        "q_bm25": q_bm25,
+        "q_connected_components": q_connected_components,
+        "q_interpolate": q_interpolate,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_pagerank": q_pagerank,
     }
 
 
@@ -941,6 +1009,126 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.g, b.g))::DOUBLE /
                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
         """,
-        # q_simhash / q_knn_lsh: engine-specific hashing — rows-only checks
+
+        "q_bm25": """
+            WITH q(query_id, query) AS (
+                VALUES (1, 'spark query window'), (2, 'batch data table')
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, len(t) AS dl FROM toks
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                GROUP BY 1, 2
+            ), stats AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                       (SELECT avg(dl) FROM dl) AS avgdl
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), idf AS (
+                SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+                FROM dfreq, stats
+            ), qt AS (
+                SELECT query_id,
+                       unnest(list_distinct(regexp_split_to_array(lower(trim(query)), '\\s+'))) AS term
+                FROM q
+            ), sc AS (
+                SELECT query_id, tf.doc_id,
+                       round(sum(idf * (tf * 2.2) /
+                             (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+                FROM qt
+                JOIN idf USING (term)
+                JOIN tf USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats
+                GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                FROM sc
+            ) WHERE rank <= 5
+        """,
+        "q_connected_components": """
+            WITH RECURSIVE pairs AS (
+                SELECT id_a AS a, id_b AS b FROM (
+                    WITH toks AS (
+                        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                        FROM documents
+                    ), sh AS (
+                        SELECT doc_id,
+                               list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
+                                   range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                               ELSE []::VARCHAR[] END) AS g
+                        FROM toks
+                    )
+                    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+                    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                    WHERE len(list_intersect(x.g, y.g))::DOUBLE /
+                          (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8
+                )
+            ), edges AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(v, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+            )
+            SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """,
+        "q_interpolate": """
+            WITH base AS (
+                SELECT event_id, ts,
+                       CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+                FROM events
+            ), w AS (
+                SELECT event_id, ts, v,
+                       last_value(v IGNORE NULLS) OVER pw AS pv,
+                       first_value(v IGNORE NULLS) OVER nw AS nv,
+                       last_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+                           OVER pw AS pt,
+                       first_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END IGNORE NULLS)
+                           OVER nw AS nt
+                FROM base
+                WINDOW pw AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       nw AS (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              WHEN nt = pt THEN pv
+                              ELSE pv + (nv - pv) * (epoch(ts) - pt) / (nt - pt)
+                         END, 6) AS value
+            FROM w
+        """,
+        "q_fuzzy_match": """
+            WITH lt AS (
+                SELECT doc_id AS lid,
+                       unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS term
+                FROM documents WHERE doc_id < 50
+            ), rt AS (
+                SELECT doc_id AS rid,
+                       unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS term
+                FROM documents WHERE doc_id >= 50
+            ), lw AS (
+                SELECT term, count(*) AS lc FROM lt GROUP BY 1
+            ), rw AS (
+                SELECT term, count(*) AS rc FROM rt GROUP BY 1
+            ), pair_scores AS (
+                SELECT lid, rid, round(sum(1.0 / (lc * rc)), 6) AS score
+                FROM lt JOIN rt USING (term) JOIN lw USING (term) JOIN rw USING (term)
+                GROUP BY lid, rid
+                HAVING round(sum(1.0 / (lc * rc)), 6) > 0.0
+            )
+            SELECT lid AS left_id, rid AS right_id, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lid ORDER BY score DESC, rid ASC) AS rn
+                FROM pair_scores
+            ) WHERE rn = 1
+        """,
+        # q_simhash / q_knn_lsh / q_pagerank: engine-specific — rows-only checks
         # (recall asserted in tests/ against exact variants).
     }
