@@ -43,6 +43,8 @@ HEADLINE = [
     "q_dedup_exact",
     "q_minhash_lsh",
     "q_knn_lsh",
+    "q_bm25",
+    "q_connected_components",
 ]
 
 

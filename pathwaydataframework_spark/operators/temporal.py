@@ -396,9 +396,9 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     if direction == "nearest":
-        bwd = asof_join(left_table, right_table, self_time, other_time, *on, how=how, direction="backward")
-        fwd = asof_join(left_table, right_table, self_time, other_time, *on, how=how, direction="forward")
-        return _nearest_merge(bwd, fwd, left_table, right_table, self_time, other_time)
+        return _asof_nearest(
+            left_table, right_table, self_time, other_time, *on, how=how
+        )
 
     pairs = _extract_eq_keys(left_table, right_table, on)
     ldf = left_table._df
@@ -445,8 +445,83 @@ def asof_join(
     return TemporalJoinResult(out, left_table, right_table)
 
 
-def _nearest_merge(bwd, fwd, left_table, right_table, self_time, other_time):
-    raise NotImplementedError("direction='nearest' lands with the streaming round")
+def _asof_nearest(
+    left_table: Table,
+    right_table: Table,
+    self_time,
+    other_time,
+    *on,
+    how: str = "left",
+) -> TemporalJoinResult:
+    """direction='nearest': pick the closer of the backward/forward matches
+    (ties → backward, matching the reference's Direction.NEAREST).
+
+    Both matches come from two window frames over ONE union+shuffle — no
+    extra pass over the data.
+    """
+    from pyspark.sql.types import StructType
+
+    if not isinstance(other_time, ColumnRef):
+        raise ValueError("nearest asof needs other_time as a plain column")
+    rt_name = other_time.name
+
+    pairs = _extract_eq_keys(left_table, right_table, on)
+    ldf = left_table._df
+    rdf = right_table._df
+    lt = left_table._resolve(self_time)
+    rt = right_table._resolve(other_time)
+
+    l_struct, r_struct = _pack_sides(ldf, rdf)
+    l_type = StructType(ldf.schema.fields)
+    r_type = StructType(rdf.schema.fields)
+    lkeys = [ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)]
+    rkeys = [rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)]
+
+    lu = ldf.select(
+        *lkeys,
+        lt.cast("timestamp_ntz").alias("__t"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    ru = rdf.select(
+        *rkeys,
+        rt.cast("timestamp_ntz").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    unioned = lu.unionByName(ru)
+    keys = [F.col(f"__k{i}") for i in range(len(pairs))]
+    w_b = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_f = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").desc())
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    matched = unioned.withColumns(
+        {
+            "__rb": F.last(F.col("__r"), ignorenulls=True).over(w_b),
+            "__rf": F.first(F.col("__r"), ignorenulls=True).over(w_f),
+        }
+    ).filter(F.col("__side") == 1)
+    t_sec = _epoch_seconds(F.col("__t"))
+    db = F.abs(t_sec - _epoch_seconds(F.col("__rb")[rt_name]))
+    df_ = F.abs(_epoch_seconds(F.col("__rf")[rt_name]) - t_sec)
+    pick = (
+        F.when(F.col("__rb").isNull(), F.col("__rf"))
+        .when(F.col("__rf").isNull(), F.col("__rb"))
+        .when(df_ < db, F.col("__rf"))
+        .otherwise(F.col("__rb"))
+    )
+    out = matched.select(F.col("__l"), pick.alias("__r"))
+    if how == "inner":
+        out = out.filter(F.col("__r").isNotNull())
+    return TemporalJoinResult(out, left_table, right_table)
 
 
 # -- interval join ----------------------------------------------------------
