@@ -615,6 +615,20 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return graphs.pagerank(edges, max_iterations=5)
 
 
+
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field access on the events.props column (SURVEY §2.7 Json get/
+    conversions)."""
+    ev = load_table(spark, sf, "events")
+    t = pw.this
+    out = (
+        ev.with_columns(k_bucket=t.props.json_get("k").as_int() % 10)
+        .groupby(pw.this.k_bucket)
+        .reduce(n=R.count(), avg_value=R.avg(t.value).num.round(6))
+    )
+    return out.df
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -661,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate": q_interpolate,
         "q_fuzzy_match": q_fuzzy_match,
         "q_pagerank": q_pagerank,
+        "q_json_props": q_json_props,
     }
 
 
@@ -1128,6 +1143,13 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lid ORDER BY score DESC, rid ASC) AS rn
                 FROM pair_scores
             ) WHERE rn = 1
+        """,
+        "q_json_props": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                   count(*) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1
         """,
         # q_simhash / q_knn_lsh / q_pagerank: engine-specific — rows-only checks
         # (recall asserted in tests/ against exact variants).

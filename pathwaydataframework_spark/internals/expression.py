@@ -149,6 +149,14 @@ class Expr:
             dflt,
         )
 
+    # -- JSON access (reference Json dtype: expression.py:316 Get /
+    #    JsonGetItem expression.rs:114; conversions expression.py:451-511) --
+    def json_get(self, path: str):
+        """Extract a JSON field as string (``expr["k"]`` on Json columns in
+        the reference); chain ``.as_int()/.as_float()/.as_bool()`` to
+        convert like the reference's ``JsonToOptional``."""
+        return UnaryOp(self, lambda a: F.get_json_object(a, f"$.{path}"))
+
     # -- null handling ------------------------------------------------------
     def is_none(self):
         return UnaryOp(self, lambda a: a.isNull())

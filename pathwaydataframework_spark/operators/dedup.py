@@ -37,7 +37,13 @@ def deduplicate(table: Table, *, value=None, instance=None, acceptor=None) -> Ta
     default acceptor (always accept → last value wins).
     """
     if acceptor is not None:
-        raise NotImplementedError("custom acceptor lands with the streaming round")
+        from pathwaydataframework_spark.operators.stateful import (
+            deduplicate_with_acceptor,
+        )
+
+        return deduplicate_with_acceptor(
+            table, value=value, instance=instance, acceptor=acceptor
+        )
     if value is None:
         raise ValueError("deduplicate needs value=")
     order_col = table._resolve(value)

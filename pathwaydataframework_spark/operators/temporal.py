@@ -192,7 +192,8 @@ class WindowedTable:
         if isinstance(win, SessionWindow):
             if win.predicate is not None:
                 raise NotImplementedError(
-                    "predicate sessions need applyInPandas (planned; max_gap sessions are native)"
+                    "predicate sessions don't fit reduce(**reducer_exprs); "
+                    "use operators.stateful.session_windows_by_predicate"
                 )
             wcol = F.session_window(tcol, _duration_str(win.max_gap))
             return self._agg_by_window(wcol, aggs, session=True)
