@@ -47,7 +47,26 @@ from pathwaydataframework_spark.internals.udfs import (
     InMemoryCache,
     udf,
 )
-from pathwaydataframework_spark.operators import dedup, graphs, ordered, ranking, similarity, text
+from pathwaydataframework_spark.internals import custom_reducers
+from pathwaydataframework_spark.internals.custom_reducers import BaseCustomAccumulator
+from pathwaydataframework_spark.operators import (
+    behaviors,
+    col_utils,
+    dedup,
+    graphs,
+    ml_index,
+    multimodal,
+    ordered,
+    ranking,
+    similarity,
+    stateful,
+    text,
+)
+from pathwaydataframework_spark.operators.behaviors import (
+    common_behavior,
+    exactly_once_behavior,
+    inactivity_detection,
+)
 from pathwaydataframework_spark.operators import temporal
 from pathwaydataframework_spark.operators.iterate import iterate
 from pathwaydataframework_spark.operators.temporal import (
@@ -111,6 +130,16 @@ __all__ = [
     "FixedDelayRetryStrategy",
     "ExponentialBackoffRetryStrategy",
     "InMemoryCache",
+    "behaviors",
+    "col_utils",
+    "ml_index",
+    "multimodal",
+    "stateful",
+    "custom_reducers",
+    "BaseCustomAccumulator",
+    "common_behavior",
+    "exactly_once_behavior",
+    "inactivity_detection",
 ]
 
 __version__ = "0.1.0"

@@ -241,3 +241,59 @@ class debug:
     @staticmethod
     def compute_and_print(table: Table, n: int = 100) -> None:
         table.df.show(n, truncate=False)
+
+
+class debezium:
+    """CDC ingestion — reference io/debezium/__init__.py:20.
+
+    ``read`` consumes the Debezium topic via the Kafka source;
+    ``parse_envelope`` unwraps the Debezium JSON envelope (op/before/after)
+    into typed change rows with pure column expressions — usable on any
+    DataFrame that has a JSON ``value`` column (tested without a broker).
+    """
+
+    @staticmethod
+    def parse_envelope(df: DataFrame, after_schema: str) -> Table:
+        import pyspark.sql.functions as F
+
+        payload = F.get_json_object(F.col("value").cast("string"), "$.payload")
+        parsed = df.select(
+            F.get_json_object(payload, "$.op").alias("op"),
+            F.from_json(F.get_json_object(payload, "$.before"), after_schema).alias("before"),
+            F.from_json(F.get_json_object(payload, "$.after"), after_schema).alias("after"),
+            F.get_json_object(payload, "$.source.ts_ms").cast("long").alias("source_ts_ms"),
+        )
+        return Table(parsed)
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        brokers: str,
+        topic: str,
+        *,
+        after_schema: str,
+        mode: str = "streaming",
+        **options: Any,
+    ) -> Table:
+        raw = kafka.read(spark, brokers, topic, mode=mode, **options)
+        return debezium.parse_envelope(raw.df, after_schema)
+
+
+class http:
+    """REST egress — reference io/http/__init__.py:158.
+
+    ``write`` posts each micro-batch/partition via a Python callable (the
+    requests library is not in this container; inject ``sender=``).  The
+    streaming REST *ingress* (reference :28) needs a socket server and is
+    deferred to the streaming round.
+    """
+
+    @staticmethod
+    def write(table: Table, url: str, *, sender=None, format: str = "json") -> None:
+        if sender is None:
+            raise NotImplementedError(
+                "inject sender=callable(url, payload) — no HTTP client is "
+                "baked into this container"
+            )
+        for row in table.df.toJSON().toLocalIterator():
+            sender(url, row)

@@ -1,0 +1,138 @@
+"""Custom reducers (UDAF), index façades, behaviors, debezium envelope."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+import pathwaydataframework_spark as pw
+from pathwaydataframework_spark.internals.custom_reducers import (
+    stateful_many,
+    stateful_single,
+    udaf_reduce,
+)
+from pathwaydataframework_spark.operators import ml_index
+from pathwaydataframework_spark.data import load_df
+
+
+def test_udaf_reduce(spark):
+    class SumSquares(pw.BaseCustomAccumulator):
+        def __init__(self, v):
+            self.v = v
+
+        @classmethod
+        def from_row(cls, row):
+            return cls(row[0] ** 2)
+
+        def update(self, other):
+            self.v += other.v
+
+        def compute_result(self):
+            return float(self.v)
+
+    t = pw.Table.from_rows(spark, [("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, x double")
+    out = udaf_reduce(
+        t, instance="k", accumulator=SumSquares, value_cols=["x"], result_name="ssq"
+    )
+    got = {r["k"]: r["ssq"] for r in out.df.collect()}
+    assert got == {"a": 5.0, "b": 9.0}
+
+
+def test_stateful_many_single(spark):
+    t = pw.Table.from_rows(spark, [("a", 1.0), ("a", 2.0)], "k string, x double")
+    m = stateful_many(
+        t,
+        instance="k",
+        combine=lambda state, rows: sum(r[0] for r in rows),
+        value_cols=["x"],
+    )
+    assert m.df.collect()[0]["result"] == 3.0
+    s = stateful_single(
+        t,
+        instance="k",
+        combine=lambda state, row: (state or 0.0) + row[0] * 2,
+        value_cols=["x"],
+    )
+    assert s.df.collect()[0]["result"] == 6.0
+
+
+def test_knn_index_facades(spark, sf_dir):
+    emb = load_df(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = ml_index.BruteForceKnnFactory(dim=64).build_index(emb)
+    out = bf.get_nearest_items(queries, k=3)
+    assert out.count() == 9
+    top1 = {
+        r["query_id"]: r["neighbor_id"] for r in out.filter(F.col("rank") == 1).collect()
+    }
+    assert all(q == n for q, n in top1.items())  # self is nearest
+
+
+def test_hybrid_index_rrf(spark, sf_dir):
+    docs = load_df(spark, sf_dir, "documents")
+    bm = ml_index.BM25Index(docs)
+    hybrid = ml_index.HybridIndex([bm])
+    q = spark.createDataFrame([(1, "spark window data")], "query_id long, query string")
+    out = hybrid.query(q, k=3).collect()
+    assert len(out) == 3 and out[0]["rank"] == 1
+
+
+def test_inactivity_detection(spark):
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    t = pw.Table.from_rows(
+        spark,
+        [("u1", ts(0)), ("u1", ts(2)), ("u1", ts(40)), ("u2", ts(0))],
+        "user string, t timestamp_ntz",
+    )
+    out = pw.inactivity_detection(t, "t", instance="user", max_gap="10 minutes")
+    got = [(r["user"], r["inactive_since"].minute, r["resumed_at"].minute) for r in out.df.collect()]
+    assert got == [("u1", 2, 40)]
+
+
+def test_debezium_envelope(spark):
+    payload = (
+        '{"payload": {"op": "u", "before": {"id": 1, "v": "old"}, '
+        '"after": {"id": 1, "v": "new"}, "source": {"ts_ms": 1700000000000}}}'
+    )
+    df = spark.createDataFrame([(payload,)], "value string")
+    out = pw.io.debezium.parse_envelope(df, "id long, v string")
+    row = out.df.collect()[0]
+    assert row["op"] == "u"
+    assert row["before"]["v"] == "old" and row["after"]["v"] == "new"
+    assert row["source_ts_ms"] == 1700000000000
+
+
+def test_io_roundtrip_csv_jsonlines(spark, tmp_path):
+    t = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, v string")
+    csv_path = str(tmp_path / "t_csv")
+    pw.io.csv.write(t, csv_path)
+    back = pw.io.csv.read(spark, csv_path)
+    assert sorted((r["k"], r["v"]) for r in back.df.collect()) == [(1, "a"), (2, "b")]
+
+    jl_path = str(tmp_path / "t_jl")
+    pw.io.jsonlines.write(t, jl_path)
+    back2 = pw.io.jsonlines.read(spark, jl_path)
+    assert back2.df.count() == 2
+
+
+def test_subscribe_batch(spark):
+    t = pw.Table.from_rows(spark, [(1,), (2,)], "x long")
+    seen = []
+    pw.io.subscribe(t, lambda key, row, time, is_addition: seen.append(row["x"]))
+    assert sorted(seen) == [1, 2]
+
+
+def test_table_from_markdown(spark):
+    t = pw.io.debug.table_from_markdown(
+        spark,
+        """
+        | a | b |
+        |---|---|
+        | 1 | x |
+        | 2 | y |
+        """,
+    )
+    assert sorted((r["a"], r["b"]) for r in t.df.collect()) == [(1, "x"), (2, "y")]
