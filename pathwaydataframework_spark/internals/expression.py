@@ -127,6 +127,19 @@ class Expr:
     def __invert__(self):
         return UnaryOp(self, lambda a: ~a)
 
+    def __matmul__(self, o):
+        # vector dot product over array columns (reference supports ndarray
+        # @ via src/mat_mul.rs; 1-D case is the common one)
+        return BinOp(
+            self,
+            lift(o),
+            lambda a, b: F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
     def __lshift__(self, o):
         return BinOp(self, lift(o), lambda a, b: F.shiftleft(a, b))
 

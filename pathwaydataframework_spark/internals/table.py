@@ -435,6 +435,15 @@ class Table:
         joined = left.join(right.select(ID_COL, *rsel), on=ID_COL, how="inner")
         return Table(joined)
 
+    # -- universe-compat no-ops (reference universe algebra, SURVEY §1.1) --
+
+    def with_universe_of(self, other: "Table") -> "Table":
+        """Reference table.py:2037.  The reference needs key-set algebra to
+        zip same-universe tables without a join; Catalyst resolves columns
+        relationally, so this is an id-preserving no-op kept for API
+        compatibility (zipping is ``__add__`` → id join)."""
+        return self
+
     def cache(self) -> "Table":
         self._df.cache()
         return self

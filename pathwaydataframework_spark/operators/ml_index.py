@@ -152,7 +152,7 @@ class HybridIndex:
         )
         w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("item_id").asc())
         return (
-            scored.withColumn("rank", F.row_number().over(w))
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", "item_id", "score", "rank")
         )

@@ -87,7 +87,7 @@ def bm25_scores(
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )

@@ -89,7 +89,7 @@ def knn_bruteforce(
     scored = joined.withColumn("score", F.round(score, 6))
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
@@ -199,7 +199,7 @@ def knn_lsh(
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )

@@ -47,3 +47,50 @@ def write_memory(table: Table, query_name: str, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+def write_foreach_batch(table: Table, batch_fn, *, checkpoint: str | None = None,
+                        output_mode: str = "update", trigger_available_now: bool = True):
+    """Changelog-style output — the reference's update-stream sinks map to
+    ``foreachBatch`` (SURVEY.md §7: upsert outputs reproduce Pathway's
+    retraction-bearing streams as per-batch MERGEs)."""
+    writer = table.df.writeStream.foreachBatch(batch_fn).outputMode(output_mode)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def write_upsert_parquet(table: Table, path: str, key_cols: list[str], *,
+                         checkpoint: str | None = None):
+    """Keyed upsert sink: per micro-batch, merge the batch into the parquet
+    target by key (read-modify-write; production deployments use Delta MERGE
+    — same call shape, transactional).  Reproduces the reference's
+    ``update_rows``-style output table semantics on a stream."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    def merge(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        dedup_batch = batch_df.dropDuplicates(key_cols)
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+            keep = current.join(dedup_batch.select(*key_cols), on=key_cols, how="left_anti")
+            merged = keep.unionByName(dedup_batch)
+        else:
+            merged = dedup_batch
+        merged.write.mode("overwrite").parquet(path + "__tmp")
+        out = spark.read.parquet(path + "__tmp")
+        out.write.mode("overwrite").parquet(path)
+
+    return write_foreach_batch(table, merge, checkpoint=checkpoint)
+
+
+def deduplicate_stream(table: Table, *, keys: list[str], time_col: str, watermark: str):
+    """Streaming exact dedup: ``dropDuplicates`` within the watermark window
+    — the scalable analogue of the reference's streaming deduplicate with
+    the default acceptor (state is bounded by the watermark)."""
+    wm = with_watermark(table, time_col, watermark)
+    return Table(wm.df.dropDuplicates(keys))

@@ -1,0 +1,67 @@
+"""Streaming sinks: upsert-by-key (foreachBatch merge), streaming dedup,
+stream-static join (asof_now semantics), matmul expression."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import pathwaydataframework_spark as pw
+from pathwaydataframework_spark import streaming
+
+
+def test_upsert_sink(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a1"), (2, "b1")], "k long, v string").coalesce(
+        1
+    ).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_path = str(tmp_path / "target")
+    q = streaming.write_upsert_parquet(
+        pw.Table(stream), out_path, ["k"], checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out_path).collect()}
+    assert got == {(1, "a1"), (2, "b1")}
+
+    # second run with an update for k=2 and a new key
+    spark.createDataFrame([(2, "b2"), (3, "c1")], "k long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(src_dir)
+    q2 = streaming.write_upsert_parquet(
+        pw.Table(stream), out_path, ["k"], checkpoint=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out_path).collect()}
+    assert got == {(1, "a1"), (2, "b2"), (3, "c1")}
+
+
+def test_stream_static_join_asof_now(spark, tmp_path):
+    """Stream-static equi-join = the reference's asof_now_join: stream rows
+    join the static table's current state (SURVEY §2.3)."""
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, label string")
+    src_dir = str(tmp_path / "facts")
+    spark.createDataFrame([(10, 1), (11, 2), (12, 9)], "fid long, k long").write.parquet(src_dir)
+    stream = spark.readStream.schema("fid long, k long").parquet(src_dir)
+    joined = stream.join(dim, on="k", how="left")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("asof_now")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["fid"], r["label"]) for r in spark.sql("SELECT * FROM asof_now").collect()}
+    assert got == {(10, "one"), (11, "two"), (12, None)}
+
+
+def test_matmul_dot(spark):
+    t = pw.Table.from_rows(
+        spark, [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    out = t.select(d=pw.this.a @ pw.this.b)
+    assert out.df.collect()[0]["d"] == 32.0
