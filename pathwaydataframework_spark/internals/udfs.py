@@ -92,7 +92,11 @@ class InMemoryCache:
 class UDF:
     """Callable wrapper: ``my_udf(pw.this.x)`` builds an expression.
 
-    Reference ``UDF`` class (udfs/__init__.py:68).
+    Reference ``UDF`` class (udfs/__init__.py:68).  Async callables
+    (``async def``) are bridged with a per-call event loop inside the
+    worker — the semantic equivalent of ``pw.apply_async``
+    (common.py:170); for high-fanout async I/O prefer
+    ``operators.stateful.AsyncTransformer`` (batched concurrency).
     """
 
     def __init__(
@@ -104,6 +108,18 @@ class UDF:
         cache_strategy=None,
         retry_strategy=None,
     ):
+        import asyncio
+        import inspect
+
+        if inspect.iscoroutinefunction(fn):
+            coro_fn = fn
+
+            def fn(*args, _coro_fn=coro_fn, **kwargs):  # noqa: F811
+                return asyncio.run(_coro_fn(*args, **kwargs))
+
+            import functools as _ft
+
+            _ft.update_wrapper(fn, coro_fn)
         wrapped = fn
         if retry_strategy is not None:
             wrapped = retry_strategy.wrap(wrapped)

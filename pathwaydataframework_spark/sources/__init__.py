@@ -242,6 +242,24 @@ class debug:
     def compute_and_print(table: Table, n: int = 100) -> None:
         table.df.show(n, truncate=False)
 
+    @staticmethod
+    def compute_and_print_update_stream(table: Table, n: int = 100) -> None:
+        """Reference debug/__init__.py:235 — expose the changelog view.
+
+        A batch table is a changelog with a single timestamp and diff=+1
+        (SURVEY.md §1.1); the streaming update-stream view arrives with the
+        foreachBatch sinks."""
+        import pyspark.sql.functions as F
+
+        table.df.withColumns(
+            {"__time__": F.lit(0).cast("long"), "__diff__": F.lit(1)}
+        ).show(n, truncate=False)
+
+    @staticmethod
+    def table_from_parquet(spark: SparkSession, path: str) -> Table:
+        """Reference debug/__init__.py:464."""
+        return Table(spark.read.parquet(path))
+
 
 class debezium:
     """CDC ingestion — reference io/debezium/__init__.py:20.
