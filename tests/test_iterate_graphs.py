@@ -125,3 +125,16 @@ def test_schema_declaration(spark):
     df = spark.createDataFrame([(1, 2.5, None)], st)
     t = pw.Table(df).with_id_from(*Order.primary_key_columns())
     assert "_pw_id" in t.df.columns
+
+
+def test_louvain_two_cliques(spark):
+    # two triangles joined by a single bridge edge → two communities
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = graphs.louvain_communities(edges)
+    comm = {r["vertex"]: r["community"] for r in out.collect()}
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]
+    assert comm[1] != comm[4]
