@@ -196,16 +196,28 @@ class null:
         table.df.write.format("noop").mode("overwrite").save()
 
 
-def subscribe(table: Table, on_change, mode: str = "batch") -> None:
+def subscribe(table: Table, on_change, mode: str = "batch"):
     """Per-row callback sink — reference io/_subscribe.py:13.
 
-    Batch: foreach over the final rows (diff=+1, single time).  Streaming
-    variant lands with the streaming round (writeStream.foreach).
+    Batch: foreach over the final rows (diff=+1, single time).  Streaming:
+    ``writeStream.foreach`` — ``on_change`` runs ON THE EXECUTORS (it must
+    be picklable and side-effect through shared storage or a service, not
+    driver memory), which is what keeps the sink distributed at scale.
+    Returns the StreamingQuery in streaming mode.
     """
-    if mode != "batch":
-        raise NotImplementedError("streaming subscribe lands with the streaming round")
-    for row in table.df.toLocalIterator():
+    if mode == "batch":
+        for row in table.df.toLocalIterator():
+            on_change(key=None, row=row.asDict(), time=0, is_addition=True)
+        return None
+
+    def _fn(row):
         on_change(key=None, row=row.asDict(), time=0, is_addition=True)
+
+    return (
+        table.df.writeStream.foreach(_fn)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 class debug:
@@ -298,13 +310,29 @@ class debezium:
 
 
 class http:
-    """REST egress — reference io/http/__init__.py:158.
+    """REST ingress/egress — reference io/http/__init__.py:28,158.
 
-    ``write`` posts each micro-batch/partition via a Python callable (the
-    requests library is not in this container; inject ``sender=``).  The
-    streaming REST *ingress* (reference :28) needs a socket server and is
-    deferred to the streaming round.
+    ``read`` starts a spooling HTTP server (see ``sources.http_ingress``)
+    and returns (streaming Table, server handle — call ``.stop()``).
+    ``write`` posts each row via a Python callable (the requests library is
+    not in this container; inject ``sender=``).
     """
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        *,
+        schema: str,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        from pathwaydataframework_spark.sources.http_ingress import HttpIngressServer
+
+        srv = HttpIngressServer(
+            spark, schema=schema, spool_dir=spool_dir, host=host, port=port
+        )
+        return srv.table(), srv
 
     @staticmethod
     def write(table: Table, url: str, *, sender=None, format: str = "json") -> None:

@@ -1,0 +1,69 @@
+"""HTTP ingress source and streaming subscribe sink."""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+from pathwaydataframework_spark import sources
+from pathwaydataframework_spark.internals.table import Table
+
+
+def _post(url: str, payload: str) -> int:
+    req = urllib.request.Request(
+        url, data=payload.encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status
+
+
+def test_http_read_ingests_posted_rows(spark, tmp_path):
+    table, srv = sources.http.read(
+        spark, schema="k string, v long", spool_dir=str(tmp_path / "spool")
+    )
+    try:
+        assert _post(srv.url, '{"k": "a", "v": 1}') == 202
+        assert _post(srv.url, '{"k": "b", "v": 2}\n{"k": "c", "v": 3}') == 202
+        # malformed payloads must be rejected, not spooled
+        try:
+            _post(srv.url, "not json")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        q = (
+            table.df.writeStream.format("memory")
+            .queryName("http_rows")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {(r["k"], r["v"]) for r in spark.sql("SELECT * FROM http_rows").collect()}
+        assert got == {("a", 1), ("b", 2), ("c", 3)}
+    finally:
+        srv.stop()
+
+
+def test_subscribe_streaming_foreach(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long").write.parquet(src_dir)
+    stream = spark.readStream.schema("k string, v long").parquet(src_dir)
+
+    # on_change runs on executors: side-effect through the filesystem
+    def on_change(key, row, time, is_addition):
+        import uuid
+
+        path = os.path.join(out_dir, uuid.uuid4().hex + ".json")
+        with open(path, "w") as f:
+            json.dump(row, f)
+
+    q = sources.subscribe(Table(stream), on_change, mode="streaming")
+    q.awaitTermination(120)
+    rows = []
+    for name in os.listdir(out_dir):
+        with open(os.path.join(out_dir, name)) as f:
+            rows.append(json.load(f))
+    assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1), ("b", 2)]
