@@ -44,7 +44,9 @@ from pathwaydataframework_spark.internals.udfs import (
     UDF,
     ExponentialBackoffRetryStrategy,
     FixedDelayRetryStrategy,
+    DiskCache,
     InMemoryCache,
+    apply_with_disk_cache,
     udf,
 )
 from pathwaydataframework_spark.internals import custom_reducers
@@ -130,6 +132,8 @@ __all__ = [
     "FixedDelayRetryStrategy",
     "ExponentialBackoffRetryStrategy",
     "InMemoryCache",
+    "DiskCache",
+    "apply_with_disk_cache",
     "behaviors",
     "col_utils",
     "ml_index",

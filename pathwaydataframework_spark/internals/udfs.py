@@ -89,6 +89,91 @@ class InMemoryCache:
         return inner
 
 
+class DiskCache:
+    """Persistent per-executor memoization — reference caches.py:35
+    ``DiskCache``: results survive across runs in ``cache_dir`` (one pickle
+    file per distinct argument tuple, content-addressed, atomic rename).
+
+    This is the drop-in per-call strategy; for expensive UDFs over data
+    with heavy argument repetition, prefer ``apply_with_disk_cache`` below
+    — a distributed memo-JOIN that computes each distinct argument tuple
+    once per cluster (not once per executor) and never touches Python for
+    cache hits.
+    """
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+
+    def wrap(self, fn: Callable) -> Callable:
+        import hashlib
+        import os
+        import pickle
+
+        cache_dir = self.cache_dir
+
+        @functools.wraps(fn)
+        def inner(*args):
+            os.makedirs(cache_dir, exist_ok=True)
+            key = hashlib.sha256(repr(args).encode()).hexdigest()
+            path = os.path.join(cache_dir, key + ".pkl")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    return pickle.load(f)
+            result = fn(*args)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(result, f)
+            os.replace(tmp, path)
+            return result
+
+        return inner
+
+
+def apply_with_disk_cache(
+    table,
+    fn: Callable,
+    args: list[str],
+    *,
+    out_name: str,
+    out_type: Any,
+    cache_path: str,
+):
+    """Memo-join UDF application — the 100 TB shape of a disk cache.
+
+    1. distinct argument tuples are extracted (one shuffle, tiny output),
+    2. previously-computed results are joined in from the parquet memo
+       table at ``cache_path`` (cache hits never invoke Python),
+    3. only MISSES run the UDF, once per distinct tuple cluster-wide,
+    4. misses are appended to the memo table (idempotent: re-appends are
+       deduplicated on read),
+    5. results join back to the input on the argument columns.
+
+    Everything is DataFrame ops — no driver collect, no per-row disk IO.
+    """
+    import os
+
+    from pathwaydataframework_spark.internals.table import Table
+
+    df = table.df
+    spark = df.sparkSession
+    spark_type = _dtype_to_spark(out_type)
+    sudf = F.udf(fn, spark_type, useArrow=True)
+
+    distinct = df.select(*args).distinct()
+    if os.path.exists(cache_path):
+        memo = spark.read.parquet(cache_path).dropDuplicates(args)
+        hits = distinct.join(memo, on=args, how="inner")
+        misses = distinct.join(memo, on=args, how="left_anti")
+    else:
+        memo = None
+        hits = None
+        misses = distinct
+    computed = misses.withColumn(out_name, sudf(*[F.col(c) for c in args]))
+    computed.write.mode("append").parquet(cache_path)
+    results = spark.read.parquet(cache_path).dropDuplicates(args)
+    return Table(df.join(results, on=args, how="left"))
+
+
 class UDF:
     """Callable wrapper: ``my_udf(pw.this.x)`` builds an expression.
 
