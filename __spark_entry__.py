@@ -516,9 +516,10 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 6 of 32 bits).  Rows-only check."""
+    """SimHash near-dup pairs — canonical 64-bit / Hamming ≤ 3 setting
+    (16-bit LSH blocks, pigeonhole-exact).  Rows-only check."""
     docs = load_table(spark, sf, "documents").df
-    return dedup.simhash_near_dups(docs, "doc_id", "text", bits=32, max_hamming=6)
+    return dedup.simhash_near_dups(docs, "doc_id", "text", bits=64, max_hamming=3)
 
 
 def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:

@@ -80,18 +80,23 @@ def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
 
 
 def _word_shingles(text: Column, n: int) -> Column:
-    """n-gram word shingles as an array<string> — all JVM-side."""
+    """n-gram word shingles as an array<string> — all JVM-side.
+
+    Built by zip_with-folding n SHIFTED slices of the token array
+    (t[0:m] ⊕ t[1:m+1] ⊕ …), which is O(n·m) per doc.  The obvious
+    ``transform(sequence(...), i -> slice(toks, i+1, n))`` is O(m²) —
+    non-literal slice starts defeat codegen — and measured 4× slower on
+    the documents fixture.
+    """
     toks = F.split(F.trim(text), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
     num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), num - F.lit(1))
-    return F.array_distinct(
-        F.when(
-            num > 0,
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    parts = [F.slice(toks, k, num) for k in range(1, n + 1)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(acc)
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -292,7 +297,11 @@ def simhash_signatures(
     sums = toks.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # shiftleft keeps bit 63 in long range (two's complement); summing
+        # distinct powers of two equals the bitwise OR, with no ANSI overflow
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return sums.select("doc_id", sig.alias("simhash"))
 
 

@@ -139,25 +139,35 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
+        # one pass: min over self + neighbor labels ...
         neighbor_min = (
             e.join(labels, e["b"] == labels["v"])
             .select(F.col("a").alias("v"), F.col("comp"))
             .groupBy("v")
             .agg(F.min("comp").alias("ncomp"))
         )
+        stepped = labels.join(neighbor_min, on="v", how="left").select(
+            "v",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+        )
+        # ... then pointer-doubling (comp := comp[comp]) — label chains halve
+        # every round, so convergence is O(log diameter), not O(diameter)
+        parents = stepped.select(
+            F.col("v").alias("p_v"), F.col("comp").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, on="v", how="left")
-            .select("v", F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"))
-            .localCheckpoint(eager=True)
+            stepped.join(parents, stepped["comp"] == parents["p_v"], how="left")
+            .select(
+                "v",
+                "old_comp",
+                F.least(F.col("comp"), F.coalesce("p_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # single job materializes the round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="v")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # change detection reads the checkpoint — no extra join, no shuffle
+        changed = new_labels.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
+        labels = new_labels.select("v", "comp")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("vertex"), F.col("comp").alias("component"))
