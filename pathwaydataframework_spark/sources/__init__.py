@@ -14,6 +14,7 @@ io/deltalake :38/:170, io/postgres :18.
 
 from __future__ import annotations
 
+import json
 from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -343,3 +344,301 @@ class http:
             )
         for row in table.df.toJSON().toLocalIterator():
             sender(url, row)
+
+
+class python:
+    """Programmatic source — reference io/python/__init__.py:349.
+
+    ``ConnectorSubject.run()`` executes on a daemon thread; emitted rows
+    spool to a watch directory read by a file-stream source (see
+    ``sources.python_connector`` for the scale rationale).
+    """
+
+    from pathwaydataframework_spark.sources import python_connector as _mod
+
+    ConnectorSubject = _mod.ConnectorSubject
+    read = staticmethod(_mod.read)
+
+
+class s3:
+    """Object-store reads — reference io/s3/__init__.py:94 (+ DigitalOcean
+    :304 / Wasabi :435 / io/minio/__init__.py:59 variants).
+
+    Spark-first: set the hadoop ``fs.s3a.*`` credentials/endpoint on the
+    session, rewrite ``s3://`` to ``s3a://``, then it is a plain
+    ``fs.read`` — so predicate pushdown, partition pruning and streaming
+    file listing all work identically on object storage.  Needs the
+    hadoop-aws jar on a real cluster (not in this container).
+    """
+
+    @staticmethod
+    def _apply_conf(
+        spark: SparkSession,
+        *,
+        access_key: str | None = None,
+        secret_access_key: str | None = None,
+        endpoint: str | None = None,
+        region: str | None = None,
+        path_style: bool | None = None,
+    ) -> None:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        if access_key:
+            conf.set("fs.s3a.access.key", access_key)
+        if secret_access_key:
+            conf.set("fs.s3a.secret.key", secret_access_key)
+        if endpoint:
+            conf.set("fs.s3a.endpoint", endpoint)
+        if region:
+            conf.set("fs.s3a.endpoint.region", region)
+        if path_style is not None:
+            conf.set("fs.s3a.path.style.access", "true" if path_style else "false")
+
+    @staticmethod
+    def _s3a(path: str, bucket: str | None = None) -> str:
+        if path.startswith("s3://"):
+            path = "s3a://" + path[len("s3://"):]
+        if not path.startswith("s3a://"):
+            path = f"s3a://{bucket}/{path.lstrip('/')}" if bucket else "s3a://" + path
+        return path
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        path: str,
+        *,
+        format: str = "csv",
+        bucket: str | None = None,
+        mode: str = "static",
+        access_key: str | None = None,
+        secret_access_key: str | None = None,
+        endpoint: str | None = None,
+        region: str | None = None,
+        **options: Any,
+    ) -> Table:
+        s3._apply_conf(
+            spark,
+            access_key=access_key,
+            secret_access_key=secret_access_key,
+            endpoint=endpoint,
+            region=region,
+        )
+        return fs.read(spark, s3._s3a(path, bucket), format=format, mode=mode, **options)
+
+
+class minio:
+    """Reference io/minio/__init__.py:59 — S3 API with a custom endpoint
+    and path-style addressing."""
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        path: str,
+        *,
+        endpoint: str,
+        access_key: str,
+        secret_access_key: str,
+        bucket: str | None = None,
+        format: str = "csv",
+        mode: str = "static",
+        **options: Any,
+    ) -> Table:
+        s3._apply_conf(
+            spark,
+            access_key=access_key,
+            secret_access_key=secret_access_key,
+            endpoint=endpoint,
+            path_style=True,
+        )
+        return fs.read(spark, s3._s3a(path, bucket), format=format, mode=mode, **options)
+
+
+class wasabi:
+    """Reference io/s3/__init__.py:435 — Wasabi regional endpoint."""
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        path: str,
+        *,
+        access_key: str,
+        secret_access_key: str,
+        region: str = "us-east-1",
+        bucket: str | None = None,
+        format: str = "csv",
+        mode: str = "static",
+        **options: Any,
+    ) -> Table:
+        s3._apply_conf(
+            spark,
+            access_key=access_key,
+            secret_access_key=secret_access_key,
+            endpoint=f"s3.{region}.wasabisys.com",
+            region=region,
+        )
+        return fs.read(spark, s3._s3a(path, bucket), format=format, mode=mode, **options)
+
+
+class nats:
+    """Reference io/nats/__init__.py:23/:154.  Spark has no NATS source,
+    so ingress reuses the spool pattern: a subscriber thread appends
+    messages to the watch directory and the table is a file stream.  The
+    NATS client library is not in this container — inject either a
+    ``messages_iter`` (any iterable of JSON strings; consumed on a daemon
+    thread) or a ``subscriber(emit)`` callable that wires ``emit`` into a
+    real ``nats.aio`` subscription callback on a cluster.
+    """
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        uri: str,
+        topic: str,
+        *,
+        schema: str,
+        spool_dir: str,
+        messages_iter=None,
+        subscriber=None,
+    ) -> Table:
+        from pathwaydataframework_spark.sources.python_connector import (
+            ConnectorSubject,
+            read as _py_read,
+        )
+
+        if messages_iter is None and subscriber is None:
+            raise NotImplementedError(
+                "no NATS client in this container — inject messages_iter= "
+                "or subscriber=; on a cluster wrap nats.aio's subscription "
+                f"callback (uri={uri!r}, topic={topic!r})"
+            )
+
+        class _Subject(ConnectorSubject):
+            def run(self) -> None:
+                if subscriber is not None:
+                    def emit(payload: str) -> None:
+                        self.next_json(json.loads(payload))
+                        self.commit()
+
+                    subscriber(emit)
+                else:
+                    for payload in messages_iter:
+                        self.next_json(json.loads(payload))
+                        self.commit()
+
+        return _py_read(spark, _Subject(), schema=schema, spool_dir=spool_dir)
+
+    @staticmethod
+    def write(table: Table, uri: str, topic: str, *, publisher=None) -> None:
+        if publisher is None:
+            raise NotImplementedError(
+                "no NATS client in this container — inject "
+                "publisher=callable(topic, payload)"
+            )
+        for row in table.df.toJSON().toLocalIterator():
+            publisher(topic, row)
+
+
+class mongodb:
+    """Reference io/mongodb/__init__.py:14 → mongo-spark connector
+    (``format('mongodb')``; needs the connector jar on the cluster)."""
+
+    @staticmethod
+    def write(
+        table: Table,
+        *,
+        connection_string: str,
+        database: str,
+        collection: str,
+        mode: str = "append",
+        **options: Any,
+    ) -> None:
+        w = (
+            table.df.write.format("mongodb")
+            .mode(mode)
+            .option("connection.uri", connection_string)
+            .option("database", database)
+            .option("collection", collection)
+        )
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save()
+
+
+class bigquery:
+    """Reference io/bigquery/__init__.py:55 → spark-bigquery connector."""
+
+    @staticmethod
+    def write(
+        table: Table,
+        *,
+        dataset: str,
+        table_name: str,
+        mode: str = "append",
+        **options: Any,
+    ) -> None:
+        w = table.df.write.format("bigquery").mode(mode).option(
+            "table", f"{dataset}.{table_name}"
+        )
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save()
+
+
+class elasticsearch:
+    """Reference io/elasticsearch/__init__.py:52 → es-hadoop connector."""
+
+    @staticmethod
+    def write(
+        table: Table,
+        *,
+        hosts: str | Sequence[str],
+        index: str,
+        mode: str = "append",
+        **options: Any,
+    ) -> None:
+        if not isinstance(hosts, str):
+            hosts = ",".join(hosts)
+        w = (
+            table.df.write.format("org.elasticsearch.spark.sql")
+            .mode(mode)
+            .option("es.nodes", hosts)
+            .option("es.resource", index)
+        )
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save()
+
+
+class pubsub:
+    """Reference io/pubsub/__init__.py:49 — per-row publish via an
+    injectable publisher (the google-cloud client is not in this
+    container; on a cluster pass ``publisher.publish``)."""
+
+    @staticmethod
+    def write(table: Table, *, publisher, topic: str) -> None:
+        for row in table.df.toJSON().toLocalIterator():
+            publisher(topic, row.encode("utf-8"))
+
+
+class slack:
+    """Reference io/slack/__init__.py — alert sink.  ``messages_col``
+    selects the text column; posting goes through an injectable sender
+    (``callable(channel, text)``)."""
+
+    @staticmethod
+    def send_alerts(table: Table, *, channel: str, messages_col: str = "message", sender=None) -> None:
+        if sender is None:
+            raise NotImplementedError(
+                "no HTTP client in this container — inject "
+                "sender=callable(channel, text)"
+            )
+        for row in table.df.select(messages_col).toLocalIterator():
+            sender(channel, row[0])
+
+
+class logstash:
+    """Reference io/logstash/__init__.py:14 — HTTP egress to a logstash
+    endpoint; delegates to the injectable-sender http sink."""
+
+    @staticmethod
+    def write(table: Table, url: str, *, sender=None) -> None:
+        http.write(table, url, sender=sender)

@@ -1,0 +1,88 @@
+"""Programmatic source (ConnectorSubject), NATS spool ingress, object-store
+path/conf plumbing, and injectable-sender sinks."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pathwaydataframework_spark import sources
+from pathwaydataframework_spark.internals.table import Table
+
+
+def _drain(spark, df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_python_connector_subject(spark, tmp_path):
+    class Subject(sources.python.ConnectorSubject):
+        def run(self):
+            for i in range(5):
+                self.next(k=f"r{i}", v=i)
+                if i % 2 == 1:
+                    self.commit()  # two rows per spool file
+
+    table = sources.python.read(
+        spark, Subject(), schema="k string, v long", spool_dir=str(tmp_path / "spool")
+    )
+    # producer thread is fast but asynchronous; close() flushes the tail
+    time.sleep(1.0)
+    rows = _drain(spark, table.df, "pyconn_rows")
+    assert {(r["k"], r["v"]) for r in rows} == {(f"r{i}", i) for i in range(5)}
+
+
+def test_nats_read_with_injected_messages(spark, tmp_path):
+    msgs = [json.dumps({"sensor": s, "val": v}) for s, v in [("a", 1), ("b", 2), ("a", 3)]]
+    table = sources.nats.read(
+        spark,
+        "nats://localhost:4222",
+        "telemetry",
+        schema="sensor string, val long",
+        spool_dir=str(tmp_path / "spool"),
+        messages_iter=msgs,
+    )
+    time.sleep(1.0)
+    rows = _drain(spark, table.df, "nats_rows")
+    assert {(r["sensor"], r["val"]) for r in rows} == {("a", 1), ("b", 2), ("a", 3)}
+
+
+def test_s3_path_rewrite_and_conf(spark):
+    assert sources.s3._s3a("s3://bucket/key.parquet") == "s3a://bucket/key.parquet"
+    assert sources.s3._s3a("key.parquet", bucket="b") == "s3a://b/key.parquet"
+    assert sources.s3._s3a("s3a://b/k") == "s3a://b/k"
+    sources.s3._apply_conf(
+        spark,
+        access_key="AK",
+        secret_access_key="SK",
+        endpoint="minio.local:9000",
+        path_style=True,
+    )
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.access.key") == "AK"
+    assert conf.get("fs.s3a.endpoint") == "minio.local:9000"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_injectable_sinks_batch(spark):
+    t = Table(spark.createDataFrame([("hi", 1), ("yo", 2)], "message string, n long"))
+
+    published = []
+    sources.pubsub.write(t, publisher=lambda topic, b: published.append((topic, b)), topic="tp")
+    assert len(published) == 2 and all(topic == "tp" for topic, _ in published)
+    assert {json.loads(b.decode())["message"] for _, b in published} == {"hi", "yo"}
+
+    alerts = []
+    sources.slack.send_alerts(t, channel="#ops", sender=lambda ch, txt: alerts.append((ch, txt)))
+    assert sorted(a[1] for a in alerts) == ["hi", "yo"]
+
+    sent = []
+    sources.logstash.write(t, "http://ls:9600", sender=lambda url, row: sent.append((url, row)))
+    assert len(sent) == 2 and sent[0][0] == "http://ls:9600"
