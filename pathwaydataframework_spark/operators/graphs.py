@@ -138,18 +138,16 @@ def connected_components(
         .withColumn("comp", F.col("v"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iterations):
-        # one pass: min over self + neighbor labels ...
-        neighbor_min = (
-            e.join(labels, e["b"] == labels["v"])
-            .select(F.col("a").alias("v"), F.col("comp"))
-            .groupBy("v")
-            .agg(F.min("comp").alias("ncomp"))
+        # one pass: min over self + neighbor labels — expressed as
+        # union→groupBy.min, ONE shuffle with map-side partial aggregation,
+        # instead of join + groupBy + left join back (three shuffles) ...
+        contrib = e.join(labels, e["b"] == labels["v"]).select(
+            F.col("a").alias("v"), F.col("comp")
         )
-        stepped = labels.join(neighbor_min, on="v", how="left").select(
-            "v",
-            F.col("comp").alias("old_comp"),
-            F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+        stepped = (
+            labels.unionByName(contrib).groupBy("v").agg(F.min("comp").alias("comp"))
         )
         # ... then pointer-doubling (comp := comp[comp]) — label chains halve
         # every round, so convergence is O(log diameter), not O(diameter)
@@ -158,18 +156,17 @@ def connected_components(
         )
         new_labels = (
             stepped.join(parents, stepped["comp"] == parents["p_v"], how="left")
-            .select(
-                "v",
-                "old_comp",
-                F.least(F.col("comp"), F.coalesce("p_comp", "comp")).alias("comp"),
-            )
+            .select("v", F.least(F.col("comp"), F.coalesce("p_comp", "comp")).alias("comp"))
             .localCheckpoint(eager=True)  # single job materializes the round
         )
-        # change detection reads the checkpoint — no extra join, no shuffle
-        changed = new_labels.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
-        labels = new_labels.select("v", "comp")
-        if changed == 0:
+        # convergence: labels only ever decrease, so the label sum is a
+        # monotone potential — unchanged sum ⟺ fixpoint.  One cheap scan of
+        # the checkpoint, no comparison join carrying old labels around.
+        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+        labels = new_labels
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("v").alias("vertex"), F.col("comp").alias("component"))
 
 

@@ -58,6 +58,10 @@ def bm25_scores(
     (tf + k1·(1 - b + b·dl/avgdl)).  Deterministic tie-break on doc_id.
     """
     tf, doc_lens = doc_term_stats(docs, id_col=id_col, text_col=text_col)
+    # two driver-side scalars: N is a parquet-metadata count (near-free) and
+    # avgdl is one tokenize+agg job.  (Folding them into a broadcast 1-row
+    # frame was measured SLOWER — the broadcast exchange still runs the agg
+    # subtree as its own job and adds a nested-loop join to every row.)
     n_docs = docs.count()
     avgdl = doc_lens.agg(F.avg("dl")).collect()[0][0]
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

