@@ -341,6 +341,31 @@ class Table:
             cond = nn if cond is None else (cond & nn)
         return Table(self._df.filter(cond), self._id_cols)
 
+    def _gradual_broadcast(
+        self, threshold_table: "Table", lower_column, value_column, upper_column
+    ) -> "Table":
+        """Broadcast an approximate scalar to every row — reference
+        table.py:631, engine operators/gradual_broadcast.rs.
+
+        The reference keeps the broadcast value fixed while the true value
+        stays inside [lower, upper] (hysteresis), so a churning threshold
+        does not re-touch every row of a large table on each tick.  Final
+        values are identical to broadcasting the current value, which is
+        what the batch plan computes: a broadcast cross join of the single
+        aggregated threshold row (no shuffle of self).  In streaming the
+        same plan re-resolves per micro-batch — Spark's batch granularity
+        IS the churn limiter, so the band is accepted for API parity and
+        documented as a no-op deviation.
+        """
+        import pyspark.sql.functions as F
+
+        apx = F.broadcast(
+            threshold_table._df.agg(
+                F.max(threshold_table._resolve(value_column)).alias("apx_value")
+            )
+        )
+        return Table(self._df.crossJoin(apx), self._id_cols)
+
     # -- grouping / joins (implemented in sibling modules) ------------------
 
     def groupby(self, *cols, sort_by=None, instance=None, id=None) -> "Any":

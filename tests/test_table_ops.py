@@ -168,3 +168,18 @@ def test_apply_udf(spark):
     t = pw.Table.from_rows(spark, [(1,), (2,)], "k long")
     out = t.select(doubled=pw.apply(lambda x: x * 2, pw.this.k, result_type="long"))
     assert rows(out) == [(2,), (4,)]
+
+
+def test_gradual_broadcast(spark):
+    t = pw.Table.from_rows(spark, [(1,), (2,), (3,)], "k long")
+    thresholds = pw.Table.from_rows(
+        spark, [(0.1, 0.25, 0.4)], "lower double, value double, upper double"
+    )
+    out = t._gradual_broadcast(
+        thresholds, pw.this.lower, pw.this.value, pw.this.upper
+    )
+    assert out.column_names == ["k", "apx_value"]
+    assert rows(out) == [(1, 0.25), (2, 0.25), (3, 0.25)]
+    # the broadcast side must not shuffle self
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
