@@ -239,6 +239,78 @@ def q_update_cells(spark: SparkSession, sf: str) -> DataFrame:
     return out.df
 
 
+def q_update_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """update_rows full-row upsert (SURVEY §2.6): replace rows for small
+    custkeys AND insert brand-new rows — exercises both sides of the
+    full-outer coalesce."""
+    cust = load_table(spark, sf, "customer")
+    base = cust.select(pw.this.c_custkey, pw.this.c_name, pw.this.c_acctbal).with_id_from(
+        "c_custkey"
+    )
+    updated = (
+        cust.filter(pw.this.c_custkey <= 100)
+        .select(
+            pw.this.c_custkey,
+            c_name=pw.lift(F.lit("UPDATED")),
+            c_acctbal=pw.lift(F.lit(0.0)),
+        )
+        .with_id_from("c_custkey")
+    )
+    inserted = (
+        cust.filter(pw.this.c_custkey <= 10)
+        .select(
+            c_custkey=pw.this.c_custkey + 10_000_000,
+            c_name=pw.lift(F.lit("NEW")),
+            c_acctbal=pw.lift(F.lit(1.0)),
+        )
+        .with_id_from("c_custkey")
+    )
+    out = base.update_rows(updated.concat(inserted)).select(
+        pw.this.c_custkey, pw.this.c_name, acctbal=pw.this.c_acctbal.num.round(2)
+    )
+    return out.df
+
+
+def q_concat_reindex(spark: SparkSession, sf: str) -> DataFrame:
+    """concat_reindex (SURVEY §2.6): union of two OVERLAPPING order slices
+    with fresh ids — plain concat would reject the shared keys."""
+    orders = load_table(spark, sf, "orders")
+    urgent = orders.filter(pw.this.o_orderpriority == "1-URGENT").select(
+        pw.this.o_orderkey, pw.this.o_totalprice
+    )
+    big = orders.filter(pw.this.o_totalprice > 150000).select(
+        pw.this.o_orderkey, pw.this.o_totalprice
+    )
+    out = urgent.concat_reindex(big).select(
+        pw.this.o_orderkey, price=pw.this.o_totalprice.num.round(2)
+    )
+    return out.df
+
+
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """asof_join direction='nearest' (SURVEY §2.3): closer of the
+    backward/forward order per event, ties backward."""
+    ev = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders")
+    latest = orders.groupby(pw.this.o_custkey, pw.this.o_orderdate).reduce(
+        o_orderkey=R.max(pw.this.o_orderkey)
+    )
+    j = ev.asof_join(
+        latest,
+        pw.this.ts,
+        pw.this.o_orderdate,
+        pw.left.user_id == pw.right.o_custkey,
+        how="left",
+        direction="nearest",
+    )
+    return j.select(
+        pw.left.event_id,
+        pw.left.user_id,
+        matched_order=pw.right.o_orderkey,
+        matched_date=pw.right.o_orderdate,
+    ).df
+
+
 def q_concat_split(spark: SparkSession, sf: str) -> DataFrame:
     """split + concat round-trip (SURVEY §2.2/§2.6)."""
     cust = load_table(spark, sf, "customer")
@@ -668,6 +740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_difference": q_set_difference,
         "q_intersect": q_intersect,
         "q_update_cells": q_update_cells,
+        "q_update_rows": q_update_rows,
+        "q_concat_reindex": q_concat_reindex,
+        "q_asof_nearest": q_asof_nearest,
         "q_concat_split": q_concat_split,
         "q_flatten_tokens": q_flatten_tokens,
         "q_ix_lookup": q_ix_lookup,
@@ -809,6 +884,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name,
                    round(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END, 2) AS acctbal
             FROM customer
+        """,
+        "q_update_rows": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey <= 100 THEN 'UPDATED' ELSE c_name END AS c_name,
+                   round(CASE WHEN c_custkey <= 100 THEN 0.0 ELSE c_acctbal END, 2) AS acctbal
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + 10000000 AS c_custkey, 'NEW' AS c_name, round(1.0, 2) AS acctbal
+            FROM customer WHERE c_custkey <= 10
+        """,
+        "q_concat_reindex": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS price
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, round(o_totalprice, 2) AS price
+            FROM orders WHERE o_totalprice > 150000
+        """,
+        "q_asof_nearest": """
+            WITH latest AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            ),
+            b AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       o.o_orderkey AS bk, o.o_orderdate AS bd
+                FROM events e
+                ASOF LEFT JOIN latest o
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ),
+            f AS (
+                SELECT e.event_id, o.o_orderkey AS fk, o.o_orderdate AS fd
+                FROM events e
+                ASOF LEFT JOIN latest o
+                  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+            )
+            SELECT b.event_id, b.user_id,
+                   CASE WHEN fd IS NULL THEN bk
+                        WHEN bd IS NULL THEN fk
+                        WHEN b.ts - CAST(bd AS TIMESTAMP) <= CAST(fd AS TIMESTAMP) - b.ts THEN bk
+                        ELSE fk END AS matched_order,
+                   CASE WHEN fd IS NULL THEN bd
+                        WHEN bd IS NULL THEN fd
+                        WHEN b.ts - CAST(bd AS TIMESTAMP) <= CAST(fd AS TIMESTAMP) - b.ts THEN bd
+                        ELSE fd END AS matched_date
+            FROM b JOIN f USING (event_id)
         """,
         "q_concat_split": """
             SELECT CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bucket,
