@@ -88,6 +88,48 @@ def write_upsert_parquet(table: Table, path: str, key_cols: list[str], *,
     return write_foreach_batch(table, merge, checkpoint=checkpoint)
 
 
+def interval_join_stream(
+    left: Table,
+    right: Table,
+    *,
+    left_time: str,
+    right_time: str,
+    lower_bound: float,
+    upper_bound: float,
+    on: list[str] | None = None,
+    watermark: str = "10 seconds",
+) -> Table:
+    """Stream-stream time-band join — the streaming form of
+    ``pw.temporal.interval_join`` (reference _interval_join.py:577).
+
+    Batch mode uses the double-bucketing equi-join (operators/temporal.py);
+    on two streams Spark's native stream-stream join already maintains
+    watermark-bounded state per side and prunes it with the time-range
+    condition, so the declarative range join IS the scale path here: state
+    size = watermark window × input rate, independent of stream length.
+
+    ``on`` lists equality key columns present on both sides (they keep the
+    join hash-partitionable); the band is
+    right_time − left_time ∈ [lower_bound, upper_bound] seconds.
+    """
+    import pyspark.sql.functions as F
+
+    lw = with_watermark(left, left_time, watermark).df
+    rw = with_watermark(right, right_time, watermark).df
+    # unambiguous output columns: prefix the right side
+    rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
+    cond = (
+        F.col(f"r_{right_time}")
+        >= F.col(left_time) + F.expr(f"INTERVAL {lower_bound} SECONDS")
+    ) & (
+        F.col(f"r_{right_time}")
+        <= F.col(left_time) + F.expr(f"INTERVAL {upper_bound} SECONDS")
+    )
+    for k in on or []:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    return Table(lw.join(rw, cond))
+
+
 def deduplicate_stream(table: Table, *, keys: list[str], time_col: str, watermark: str):
     """Streaming exact dedup: ``dropDuplicates`` within the watermark window
     — the scalable analogue of the reference's streaming deduplicate with

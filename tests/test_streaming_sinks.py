@@ -65,3 +65,47 @@ def test_matmul_dot(spark):
     )
     out = t.select(d=pw.this.a @ pw.this.b)
     assert out.df.collect()[0]["d"] == 32.0
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream time-band join with watermarks produces exactly the
+    rows the batch range join produces on the same data (SURVEY §2.3
+    interval_join, streaming form)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    lrows = [(i, t0 + dt.timedelta(seconds=10 * i), i % 2) for i in range(8)]
+    rrows = [(100 + j, t0 + dt.timedelta(seconds=10 * j + 4), j % 2) for j in range(8)]
+    lschema = "lid long, lt timestamp, k long"
+    rschema = "rid long, rt timestamp, k long"
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(lrows, lschema).write.parquet(ldir)
+    spark.createDataFrame(rrows, rschema).write.parquet(rdir)
+
+    lstream = pw.Table(spark.readStream.schema(lschema).parquet(ldir))
+    rstream = pw.Table(spark.readStream.schema(rschema).parquet(rdir))
+    joined = streaming.interval_join_stream(
+        lstream, rstream,
+        left_time="lt", right_time="rt",
+        lower_bound=0, upper_bound=15, on=["k"], watermark="30 seconds",
+    )
+    q = (
+        joined.df.select("lid", "r_rid")
+        .writeStream.format("memory").queryName("ivj")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["lid"], r["r_rid"]) for r in spark.sql("SELECT * FROM ivj").collect()}
+
+    lb = spark.read.parquet(ldir)
+    rb = spark.read.parquet(rdir)
+    expected = {
+        (r["lid"], r["rid"])
+        for r in lb.join(
+            rb,
+            (lb["k"] == rb["k"])
+            & (rb["rt"] >= lb["lt"])
+            & (rb["rt"] <= lb["lt"] + F.expr("INTERVAL 15 SECONDS")),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
