@@ -130,6 +130,41 @@ def interval_join_stream(
     return Table(lw.join(rw, cond))
 
 
+def window_join_stream(
+    left: Table,
+    right: Table,
+    *,
+    left_time: str,
+    right_time: str,
+    duration: str,
+    on: list[str] | None = None,
+    watermark: str = "10 seconds",
+) -> Table:
+    """Stream-stream window join — rows pair when their event times fall in
+    the same tumbling window (reference _window_join.py:156, streaming
+    form).  Window assignment happens per side BEFORE the join, so the join
+    is a plain watermark-bounded equi-join on (window, keys) — state prunes
+    as watermarks advance, identical to the batch operator's plan shape.
+    """
+    import pyspark.sql.functions as F
+
+    lw = with_watermark(left, left_time, watermark).df.withColumn(
+        "__w", F.window(F.col(left_time), duration)
+    )
+    rw = with_watermark(right, right_time, watermark).df.withColumn(
+        "__w", F.window(F.col(right_time), duration)
+    )
+    rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
+    cond = F.col("__w") == F.col("r___w")
+    for k in on or []:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    return Table(
+        lw.join(rw, cond)
+        .withColumn("window_start", F.col("__w.start"))
+        .drop("__w", "r___w")
+    )
+
+
 def deduplicate_stream(table: Table, *, keys: list[str], time_col: str, watermark: str):
     """Streaming exact dedup: ``dropDuplicates`` within the watermark window
     — the scalable analogue of the reference's streaming deduplicate with

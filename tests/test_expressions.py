@@ -135,3 +135,39 @@ def test_arithmetic_and_container(spark):
         oob=pw.make_tuple(pw.this.a, pw.this.b).get(9, -1),
     )
     assert one(out) == (9, 3, 1, 49.0, [7, 2], 7, -1)
+
+
+@pytest.mark.parametrize(
+    "timezone, last_existing",
+    [
+        ("Europe/Warsaw", "2023-03-26 01:59:59"),
+        ("America/New_York", "2023-03-12 01:59:59"),
+        ("Australia/Lord_Howe", "2022-10-02 01:59:59"),  # 30-minute DST gap
+        ("Pacific/Apia", "2010-09-25 23:59:59"),
+    ],
+)
+def test_non_existing_local_time_to_utc(spark, timezone, last_existing):
+    """Mirror of the reference's DST-gap suite
+    (tests/expressions/test_non_existing_date_time_conversion.py): converting
+    a non-existent local time (1 s into the spring-forward gap) to UTC must
+    equal converting the last existing second and adding 1 s — java.time's
+    gap-forward adjustment gives the reference semantics natively."""
+    t = pw.Table.from_rows(spark, [(last_existing,)], "s string")
+    naive = t.select(ts=pw.this.s.dt.strptime("yyyy-MM-dd HH:mm:ss"))
+    a = naive.select(
+        u=(pw.this.ts + dt.timedelta(seconds=1)).dt.to_utc(timezone)
+    ).df.collect()[0][0]
+    b = naive.select(u=pw.this.ts.dt.to_utc(timezone)).df.collect()[0][0]
+    assert a == b + dt.timedelta(seconds=1)
+
+
+def test_fall_back_ambiguous_local_time_to_utc(spark):
+    """Fall-back overlap: java.time (and hence to_utc) resolves ambiguous
+    local times to the EARLIER (pre-transition) offset — documented
+    determinism, matching chrono-tz's default the reference relies on."""
+    t = pw.Table.from_rows(spark, [("2023-11-05 01:30:00",)], "s string")
+    out = t.select(
+        u=pw.this.s.dt.strptime("yyyy-MM-dd HH:mm:ss").dt.to_utc("America/New_York")
+    )
+    # earlier offset is EDT (UTC-4): 01:30 EDT == 05:30 UTC
+    assert out.df.collect()[0][0] == dt.datetime(2023, 11, 5, 5, 30, 0)

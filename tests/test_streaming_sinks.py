@@ -109,3 +109,40 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_window_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream tumbling-window join == batch window_join rows
+    (SURVEY §2.3 window_join, streaming form)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    lrows = [(i, t0 + dt.timedelta(seconds=7 * i), i % 2) for i in range(10)]
+    rrows = [(100 + j, t0 + dt.timedelta(seconds=11 * j), j % 2) for j in range(10)]
+    lschema = "lid long, lt timestamp, k long"
+    rschema = "rid long, rt timestamp, k long"
+    ldir, rdir = str(tmp_path / "wl"), str(tmp_path / "wr")
+    spark.createDataFrame(lrows, lschema).write.parquet(ldir)
+    spark.createDataFrame(rrows, rschema).write.parquet(rdir)
+
+    joined = streaming.window_join_stream(
+        pw.Table(spark.readStream.schema(lschema).parquet(ldir)),
+        pw.Table(spark.readStream.schema(rschema).parquet(rdir)),
+        left_time="lt", right_time="rt",
+        duration="30 seconds", on=["k"], watermark="60 seconds",
+    )
+    q = (
+        joined.df.select("lid", "r_rid")
+        .writeStream.format("memory").queryName("wjs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["lid"], r["r_rid"]) for r in spark.sql("SELECT * FROM wjs").collect()}
+
+    lb = spark.read.parquet(ldir).withColumn("w", F.window("lt", "30 seconds"))
+    rb = spark.read.parquet(rdir).withColumn("w", F.window("rt", "30 seconds"))
+    expected = {
+        (r["lid"], r["rid"])
+        for r in lb.join(rb, (lb["w"] == rb["w"]) & (lb["k"] == rb["k"])).collect()
+    }
+    assert got == expected and len(expected) > 0
