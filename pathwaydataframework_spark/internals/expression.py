@@ -39,6 +39,24 @@ class ResolutionContext:
         """Row-id column (``_pw_id``) for argmin/argmax-style reducers."""
         raise NotImplementedError("this context has no row-id column")
 
+    def probe_df(self):
+        """DataFrame against which expressions can be type-probed (None when
+        the context has no single frame)."""
+        return None
+
+    def probe_dtype(self, col: Column) -> str | None:
+        """simpleString dtype of ``col`` in this context — analysis only, no
+        job.  Lets overloaded operators dispatch on operand type the way the
+        reference's type_interpreter does (``&``/``|`` logical vs bitwise,
+        ``+`` numeric vs string concat)."""
+        df = self.probe_df()
+        if df is None:
+            return None
+        try:
+            return df.select(col).schema[0].dataType.simpleString()
+        except Exception:  # noqa: BLE001 — unprobeable → caller falls back
+            return None
+
 
 class Expr:
     """Base lazy expression; subclasses implement ``_resolve(ctx)``."""
@@ -48,10 +66,10 @@ class Expr:
 
     # -- arithmetic ---------------------------------------------------------
     def __add__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a + b)
+        return DispatchBinOp(self, lift(o), _add_dispatch)
 
     def __radd__(self, o):
-        return BinOp(lift(o), self, lambda a, b: a + b)
+        return DispatchBinOp(lift(o), self, _add_dispatch)
 
     def __sub__(self, o):
         return BinOp(self, lift(o), lambda a, b: a - b)
@@ -78,7 +96,9 @@ class Expr:
         return BinOp(lift(o), self, lambda a, b: F.floor(a / b))
 
     def __mod__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a % b)
+        # floor-mod (sign of divisor), matching Python and the reference's
+        # Integer::mod_floor (expression.rs:851); Spark's native % truncates
+        return BinOp(self, lift(o), lambda a, b: ((a % b) + b) % b)
 
     def __pow__(self, o):
         return BinOp(self, lift(o), lambda a, b: F.pow(a, b))
@@ -110,16 +130,16 @@ class Expr:
 
     # -- boolean / bitwise --------------------------------------------------
     def __and__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a & b)
+        return DispatchBinOp(self, lift(o), _and_dispatch)
 
     def __rand__(self, o):
-        return BinOp(lift(o), self, lambda a, b: a & b)
+        return DispatchBinOp(lift(o), self, _and_dispatch)
 
     def __or__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a | b)
+        return DispatchBinOp(self, lift(o), _or_dispatch)
 
     def __ror__(self, o):
-        return BinOp(lift(o), self, lambda a, b: a | b)
+        return DispatchBinOp(lift(o), self, _or_dispatch)
 
     def __xor__(self, o):
         return BinOp(self, lift(o), lambda a, b: a.cast("long").bitwiseXOR(b.cast("long")))
@@ -141,10 +161,12 @@ class Expr:
         )
 
     def __lshift__(self, o):
-        return BinOp(self, lift(o), lambda a, b: F.shiftleft(a, b))
+        # call_function passes a Column shift amount through to Catalyst's
+        # ShiftLeft (the F.shiftleft wrapper accepts only a literal int)
+        return BinOp(self, lift(o), lambda a, b: F.call_function("shiftleft", a, b))
 
     def __rshift__(self, o):
-        return BinOp(self, lift(o), lambda a, b: F.shiftright(a, b))
+        return BinOp(self, lift(o), lambda a, b: F.call_function("shiftright", a, b))
 
     # -- container access (reference expression.py:316 Get) ----------------
     def __getitem__(self, idx):
@@ -251,6 +273,39 @@ class BinOp(Expr):
 
     def _resolve(self, ctx):
         return self._fn(self._l._resolve(ctx), self._r._resolve(ctx))
+
+
+class DispatchBinOp(Expr):
+    """Binary op whose Spark form depends on the operand dtype — the
+    analogue of the reference's typing table (operator_mapping.py:76):
+    ``&``/``|`` are logical on BOOL but bitwise on INT; ``+`` is concat on
+    STR.  The dtype comes from an analysis-only context probe; unprobeable
+    contexts fall back to the boolean/numeric form."""
+
+    def __init__(self, left: Expr, right: Expr, fn):
+        self._l, self._r, self._fn = left, right, fn
+
+    def _resolve(self, ctx):
+        a, b = self._l._resolve(ctx), self._r._resolve(ctx)
+        return self._fn(ctx.probe_dtype(a), a, b)
+
+
+def _add_dispatch(dtype, a, b):
+    if dtype == "string":
+        return F.concat(a, b)
+    return a + b
+
+
+def _and_dispatch(dtype, a, b):
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        return a.bitwiseAND(b)
+    return a & b
+
+
+def _or_dispatch(dtype, a, b):
+    if dtype in ("bigint", "int", "smallint", "tinyint"):
+        return a.bitwiseOR(b)
+    return a | b
 
 
 class UnaryOp(Expr):

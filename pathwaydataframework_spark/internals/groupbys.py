@@ -43,6 +43,9 @@ class GroupedContext(ResolutionContext):
     def id_column(self, owner: Any = THIS) -> Column:
         return self._table.id_expr()
 
+    def probe_df(self):
+        return self._table._df
+
 
 class GroupedTable:
     def __init__(self, table, grouping: list, sort_by=None):

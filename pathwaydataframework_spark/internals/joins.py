@@ -65,6 +65,10 @@ class JoinContext(ResolutionContext):
     def id_column(self, owner: Any = THIS) -> Column:
         raise NotImplementedError("argmin/argmax over a join: select first, then group")
 
+    def probe_df(self):
+        # analysis-only frame with both aliases visible; never executed
+        return self._lt._df.alias(self._la).crossJoin(self._rt._df.alias(self._ra))
+
 
 class JoinResult:
     """Lazy join: materialized on .select()/.reduce() so late projection can

@@ -48,6 +48,9 @@ class TableContext(ResolutionContext):
     def id_column(self, owner: Any = THIS) -> Column:
         return self._table.id_expr()
 
+    def probe_df(self):
+        return self._table._df
+
 
 class Table:
     """A typed, keyed table — the engine's only user-facing collection."""

@@ -67,3 +67,43 @@ def test_q01_column_pruning(spark, sf_dir):
     assert read_schema.count(":") <= 8, read_schema
     assert "l_orderkey" not in read_schema
     assert "partial_sum" in plan, "map-side partial aggregation expected"
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    # the LSH banding join must be a hash-partitionable equi-join; the
+    # quadratic all-pairs shape would show up as a cartesian product
+    df = entry.q_minhash_lsh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan, "map-side partial min expected for signatures"
+
+
+def test_knn_lsh_no_cartesian_and_narrow_dedup(spark, sf_dir):
+    df = entry.q_knn_lsh(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # candidate dedup must shuffle (query_id, neighbor_id) only — the
+    # vectors re-attach by id after the distinct
+    import re
+
+    dedup_exchanges = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning(query_id" in ln and "neighbor_id" in ln
+    ]
+    assert not any("__v" in ln or "__qv" in ln or "__cv" in ln for ln in dedup_exchanges)
+
+
+def test_bm25_no_cartesian(spark, sf_dir):
+    df = entry.q_bm25(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_single_union_window(spark, sf_dir):
+    # nearest = two window frames over ONE union — no join of the two
+    # directional results
+    df = entry.q_asof_nearest(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan.replace("BroadcastHashJoin", "")
+    assert "Union" in plan and "Window" in plan
