@@ -78,22 +78,22 @@ class Expr:
         return BinOp(lift(o), self, lambda a, b: a - b)
 
     def __mul__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a * b)
+        return DispatchBinOp(self, lift(o), _mul_dispatch)
 
     def __rmul__(self, o):
-        return BinOp(lift(o), self, lambda a, b: a * b)
+        return DispatchBinOp(lift(o), self, _mul_dispatch)
 
     def __truediv__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a / b)
+        return DispatchBinOp(self, lift(o), _div_dispatch)
 
     def __rtruediv__(self, o):
-        return BinOp(lift(o), self, lambda a, b: a / b)
+        return DispatchBinOp(lift(o), self, _div_dispatch)
 
     def __floordiv__(self, o):
-        return BinOp(self, lift(o), lambda a, b: F.floor(a / b))
+        return DispatchBinOp(self, lift(o), _floordiv_dispatch)
 
     def __rfloordiv__(self, o):
-        return BinOp(lift(o), self, lambda a, b: F.floor(a / b))
+        return DispatchBinOp(lift(o), self, _floordiv_dispatch)
 
     def __mod__(self, o):
         # floor-mod (sign of divisor), matching Python and the reference's
@@ -142,7 +142,7 @@ class Expr:
         return DispatchBinOp(lift(o), self, _or_dispatch)
 
     def __xor__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a.cast("long").bitwiseXOR(b.cast("long")))
+        return DispatchBinOp(self, lift(o), _xor_dispatch)
 
     def __invert__(self):
         return UnaryOp(self, lambda a: ~a)
@@ -287,25 +287,61 @@ class DispatchBinOp(Expr):
 
     def _resolve(self, ctx):
         a, b = self._l._resolve(ctx), self._r._resolve(ctx)
-        return self._fn(ctx.probe_dtype(a), a, b)
+        return self._fn(ctx.probe_dtype(a), ctx.probe_dtype(b), a, b)
 
 
-def _add_dispatch(dtype, a, b):
-    if dtype == "string":
+_INTISH = ("bigint", "int", "smallint", "tinyint")
+
+
+def _add_dispatch(lt, rt, a, b):
+    if lt == "string":
         return F.concat(a, b)
     return a + b
 
 
-def _and_dispatch(dtype, a, b):
-    if dtype in ("bigint", "int", "smallint", "tinyint"):
+def _and_dispatch(lt, rt, a, b):
+    if lt in _INTISH:
         return a.bitwiseAND(b)
     return a & b
 
 
-def _or_dispatch(dtype, a, b):
-    if dtype in ("bigint", "int", "smallint", "tinyint"):
+def _or_dispatch(lt, rt, a, b):
+    if lt in _INTISH:
         return a.bitwiseOR(b)
     return a | b
+
+
+def _xor_dispatch(lt, rt, a, b):
+    if lt == "boolean":
+        return a != b
+    return a.bitwiseXOR(b)
+
+
+def _mul_dispatch(lt, rt, a, b):
+    # STR*INT / INT*STR → repetition (reference operator_mapping.py:125)
+    if lt == "string":
+        return F.call_function("repeat", a, b)
+    if rt == "string":
+        return F.call_function("repeat", b, a)
+    return a * b
+
+
+def _div_dispatch(lt, rt, a, b):
+    # DURATION / DURATION → FLOAT ratio (reference DurationTrueDiv); Spark
+    # has no interval division, so divide the micros
+    if lt and rt and lt.startswith("interval") and rt.startswith("interval"):
+        return _dur_micros(a) / _dur_micros(b)
+    return a / b
+
+
+def _floordiv_dispatch(lt, rt, a, b):
+    if lt and rt and lt.startswith("interval") and rt.startswith("interval"):
+        return F.floor(_dur_micros(a) / _dur_micros(b))
+    return F.floor(a / b)
+
+
+def _dur_micros(c: Column) -> Column:
+    return c.cast("interval day to second").cast("bigint")
 
 
 class UnaryOp(Expr):

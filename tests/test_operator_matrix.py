@@ -90,6 +90,8 @@ STR_CASES = [
     ("eq", lambda T: T.s == T.u, False),
     ("lt", lambda T: T.s < T.u, True),
     ("ge", lambda T: T.u >= T.s, True),
+    ("mul_int", lambda T: T.s * T.j, "ab" * 2),
+    ("int_mul", lambda T: T.j * T.s, 2 * "ab"),
 ]
 
 DT_CASES = [
@@ -106,6 +108,13 @@ DUR_CASES = [
     ("dur_neg", lambda T: -(T.d1 - T.d2), -(D1 - D2)),
     ("dur_mul_int", lambda T: (T.d1 - T.d2) * T.j, (D1 - D2) * 2),
     ("dur_cmp", lambda T: (T.d1 - T.d2) > TD, True),
+    ("dur_truediv_dur", lambda T: (T.d1 - T.d2) / TD, (D1 - D2) / TD),
+    ("dur_floordiv_dur", lambda T: (T.d1 - T.d2) // TD, (D1 - D2) // TD),
+]
+
+XOR_CASES = [
+    ("bool_xor", lambda T: T.p ^ T.q, True),
+    ("bool_xor_same", lambda T: T.p ^ T.p, False),
 ]
 
 
@@ -117,7 +126,8 @@ def _param(cases, prefix):
     "fn,expected",
     _param(INT_CASES, "int") + _param(FLOAT_CASES, "float")
     + _param(BOOL_CASES, "bool") + _param(STR_CASES, "str")
-    + _param(DT_CASES, "dt") + _param(DUR_CASES, "dur"),
+    + _param(DT_CASES, "dt") + _param(DUR_CASES, "dur")
+    + _param(XOR_CASES, "xor"),
 )
 def test_operator_matrix(t, fn, expected):
     got = ev(t, fn(t))
