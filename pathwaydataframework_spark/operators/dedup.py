@@ -64,6 +64,13 @@ def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
     (ordered by ``keep_order_by``, default = first key column).
 
     One window over the content key — single shuffle, no UDFs.
+
+    >>> import pathwaydataframework_spark as pw
+    >>> t = pw.Table.from_rows(
+    ...     spark, [(1, "x"), (2, "x"), (3, "y")], "id long, body string")
+    >>> out = exact_dedup(t, pw.this.body, keep_order_by=pw.this.id)
+    >>> sorted((r["id"], r["body"]) for r in out.df.collect())
+    [(1, 'x'), (3, 'y')]
     """
     keys = [table._resolve(c) for c in on]
     order = table._resolve(keep_order_by) if keep_order_by is not None else keys[0]

@@ -125,6 +125,10 @@ def connected_components(
 
     Returns (vertex, component) with component = min vertex id reachable.
     Per round one neighbor join + min-agg; converges in O(diameter) rounds.
+
+    >>> e = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    >>> sorted(tuple(r) for r in connected_components(e).collect())
+    [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -113,6 +113,12 @@ def fuzzy_match_tables(
     Returns (left_id, right_id, score): for each left row the right row with
     the highest Σ 1/(#left-occurrences × #right-occurrences)-weighted token
     overlap (rarer tokens count more), ties broken by right_id.
+
+    >>> l = spark.createDataFrame([(1, "apache spark engine")], "id long, text string")
+    >>> r = spark.createDataFrame(
+    ...     [(7, "spark engine"), (8, "postgres db")], "id long, text string")
+    >>> [(x["left_id"], x["right_id"]) for x in fuzzy_match_tables(l, r).collect()]
+    [(1, 7)]
     """
     lt = _ensure_parallelism(left).select(
         F.col(left_id).alias("lid"), F.explode(F.array_distinct(_tokens(F.col(left_text)))).alias("term")

@@ -58,6 +58,14 @@ def knn_bruteforce(
     Plan: broadcast(queries) × corpus → JVM-side cosine → window top-k per
     query.  With Q queries and N corpus rows the work is Q·N fully parallel
     multiply-adds; no driver-side state, no collect.
+
+    >>> c = spark.createDataFrame(
+    ...     [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+    ...     "vec_id long, embedding array<double>")
+    >>> q = c.filter("vec_id = 1")
+    >>> out = knn_bruteforce(c, q, k=1).collect()
+    >>> (out[0]["query_id"], out[0]["neighbor_id"])
+    (1, 3)
     """
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col

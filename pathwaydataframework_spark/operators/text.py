@@ -32,7 +32,13 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count (reference TokenCountSplitter analogue)."""
+    """Whitespace token count (reference TokenCountSplitter analogue).
+
+    >>> import pyspark.sql.functions as F
+    >>> t = spark.createDataFrame([("the quick fox",), ("",)], "body string")
+    >>> [r[0] for r in t.select(token_count(F.col("body"))).collect()]
+    [3, 0]
+    """
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
         F.size(tokens(text))
     ).cast("long")
