@@ -145,7 +145,14 @@ class Table:
     # -- projections (SURVEY §2.2) -----------------------------------------
 
     def select(self, *args, **kwargs) -> "Table":
-        """Reference ``Table.select`` (table.py:382)."""
+        """Reference ``Table.select`` (table.py:382).
+
+        >>> import pathwaydataframework_spark as pw
+        >>> t = pw.Table.from_rows(spark, [(1, 4), (2, 5)], "a long, b long")
+        >>> out = t.select(pw.this.a, total=pw.this.a + pw.this.b)
+        >>> sorted(tuple(r) for r in out.df.collect())
+        [(1, 5), (2, 7)]
+        """
         cols: list[Column] = []
         for a in args:
             if isinstance(a, ColumnRef):
@@ -165,7 +172,13 @@ class Table:
 
     def filter(self, expr) -> "Table":
         """Reference ``Table.filter`` (table.py:490) → Catalyst Filter (pushed
-        down to the parquet scan when possible)."""
+        down to the parquet scan when possible).
+
+        >>> import pathwaydataframework_spark as pw
+        >>> t = pw.Table.from_rows(spark, [(1,), (2,), (3,)], "a long")
+        >>> [r["a"] for r in t.filter(pw.this.a >= 2).df.collect()]
+        [2, 3]
+        """
         return Table(self._df.filter(self._resolve(expr)), self._id_cols)
 
     def split(self, expr) -> tuple["Table", "Table"]:
@@ -308,7 +321,14 @@ class Table:
 
     def difference(self, other: "Table") -> "Table":
         """Rows whose id is not in other — reference table.py:739 → left_anti
-        join on the id hash (no row payload shuffled for the right side)."""
+        join on the id hash (no row payload shuffled for the right side).
+
+        >>> import pathwaydataframework_spark as pw
+        >>> a = pw.Table.from_rows(spark, [(1,), (2,), (3,)], "k long").with_id_from("k")
+        >>> b = pw.Table.from_rows(spark, [(2,)], "k long").with_id_from("k")
+        >>> sorted(r["k"] for r in a.difference(b).df.collect())
+        [1, 3]
+        """
         left = self.materialize_id()._df
         right = other.materialize_id()._df.select(ID_COL)
         return Table(left.join(right, on=ID_COL, how="left_anti"))
@@ -325,6 +345,14 @@ class Table:
         return self.intersect(other)
 
     def flatten(self, *cols, origin_id: str | None = None) -> "Table":
+        """Explode iterable column(s) — reference table.py:2089.
+
+        >>> import pathwaydataframework_spark as pw
+        >>> t = pw.Table.from_rows(
+        ...     spark, [(1, ["x", "y"])], "k long, vs array<string>")
+        >>> sorted(tuple(r) for r in t.flatten(pw.this.vs).df.collect())
+        [(1, 'x'), (1, 'y')]
+        """
         """Explode array column(s) — reference table.py:2089 / flatten_table
         (graph.rs:847)."""
         if len(cols) != 1:
