@@ -683,7 +683,9 @@ def q_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """pagerank over the customer->supplier order graph (SURVEY §2.8).
-    Rows-only check: iterative float convergence is engine-specific."""
+    Oracle-checked: the DuckDB side unrolls the same fixed 5-step power
+    iteration (see _pagerank_oracle_sql), and round(6) absorbs float
+    summation-order differences."""
     from pathwaydataframework_spark.operators import graphs
 
     li = load_table(spark, sf, "lineitem").df
@@ -777,6 +779,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iteration (our pagerank runs a FIXED iteration count,
+    so the oracle chains one CTE per step — recursive CTEs cannot aggregate
+    over the recursive term).  Mirrors graphs.pagerank exactly: uniform
+    init 1.0, dangling mass redistributed uniformly, ranks sum to n."""
+    steps = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        steps.append(f"""
+            s{k} AS (
+                SELECT coalesce(sum(rank), 0) AS sent FROM r{p}
+                WHERE v IN (SELECT src FROM deg)
+            ),
+            c{k} AS (
+                SELECT e.dst AS v, sum(r.rank / d.deg) AS recv
+                FROM e JOIN deg d ON e.src = d.src JOIN r{p} r ON e.src = r.v
+                GROUP BY e.dst
+            ),
+            r{k} AS (
+                SELECT verts.v,
+                       {1 - damping} + {damping} * (coalesce(c.recv, 0)
+                           + (p.n - s.sent) / p.n) AS rank
+                FROM verts LEFT JOIN c{k} c ON verts.v = c.v, params p, s{k} s
+            )""")
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+        {",".join(steps)}
+        SELECT v AS vertex, round(rank, 6) AS rank FROM r{iterations}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     sw = {
         "en": "'the','a','of','and','to','in','is','that','it','for'",
@@ -785,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "es": "'el','la','los','las','y','es','un','una','por','para'",
     }
     return {
+        "q_pagerank": _pagerank_oracle_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
