@@ -699,6 +699,32 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def q_bellman_ford(spark: SparkSession, sf: str) -> DataFrame:
+    """bellman_ford shortest paths over the nation adjacency built from
+    supplier↔customer order flows (SURVEY §2.8 graph algos on iterate).
+    Rows-only check: cyclic shortest paths are not safely SQL-expressible
+    (a recursive-CTE path enumeration diverges on cycles)."""
+    from pathwaydataframework_spark.operators import graphs
+
+    li = load_table(spark, sf, "lineitem").df
+    orders = load_table(spark, sf, "orders").df
+    cust = load_table(spark, sf, "customer").df
+    sup = load_table(spark, sf, "supplier").df
+    # nation-level flow graph: edge weight = 1 / #orderlines between nations
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(
+            cust["c_nationkey"].alias("src"), sup["s_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("src", "dst", (F.lit(1.0) / F.col("n")).alias("weight"))
+    )
+    out = graphs.bellman_ford(flows, 0, max_iterations=30)
+    return out.select("vertex", F.round("distance", 6).alias("distance"))
+
+
 def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
     """JSON field access on the events.props column (SURVEY §2.7 Json get/
     conversions)."""
@@ -776,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_json_props": q_json_props,
         "q_louvain": q_louvain,
+        "q_bellman_ford": q_bellman_ford,
     }
 
 
