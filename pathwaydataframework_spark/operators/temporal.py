@@ -268,14 +268,24 @@ class WindowedTable:
         return Table(out)
 
 
+# The reference's default window origin for datetimes is 1973-01-01 — a
+# MONDAY — so week-multiple windows start on Monday (temporal/utils.py:20).
+# Spark's F.window aligns to the 1970 epoch (a Thursday); the startTime
+# offset reproduces the reference alignment.  Identical whenever the window
+# size divides 1973-01-01's epoch seconds (all hour/minute/second sizes that
+# divide a day), divergent exactly where the reference intended (weeks).
+_REF_ORIGIN_EPOCH = 94694400  # 1973-01-01 00:00:00 UTC
+
+
 def _origin_offset(win) -> str:
+    step = duration_to_seconds(
+        win.duration if isinstance(win, TumblingWindow) else win.hop
+    )
     if win.origin is None:
-        return "0 seconds"
+        return f"{int(_REF_ORIGIN_EPOCH % step)} seconds"
     if isinstance(win.origin, _dt.datetime):
-        secs = win.origin.timestamp() % duration_to_seconds(
-            win.duration if isinstance(win, TumblingWindow) else win.hop
-        )
-        return f"{int(secs)} seconds"
+        origin_epoch = win.origin.replace(tzinfo=_dt.timezone.utc).timestamp()
+        return f"{int(origin_epoch % step)} seconds"
     return _duration_str(win.origin)
 
 

@@ -87,3 +87,53 @@ def test_interval_join_matches_bruteforce(spark, l, r, lb, width):
         if lk == rk and lb <= rs - ls <= ub
     }
     assert out == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events, gap=st.integers(1, 8))
+def test_session_window_matches_bruteforce(spark, rows, gap):
+    """session(max_gap): counts per (key, session) == Python sessionization."""
+    t = _mk(spark, rows, "e")
+    out = sorted(
+        (r["k"], r["n"])
+        for r in t.windowby(
+            pw.this.et, window=pw.session(max_gap=f"{gap} seconds"),
+            instance=pw.this.k,
+        ).reduce(n=pw.reducers.count()).df.collect()
+    )
+
+    by_key = {}
+    for k, s in rows:
+        by_key.setdefault(k, []).append(s)
+    expected = []
+    for k, times in by_key.items():
+        times.sort()
+        count = 1
+        for prev, cur in zip(times, times[1:]):
+            if cur - prev > gap:
+                expected.append((k, count))
+                count = 1
+            else:
+                count += 1
+        expected.append((k, count))
+    assert out == sorted(expected)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events, size=st.integers(2, 10))
+def test_tumbling_window_matches_bruteforce(spark, rows, size):
+    t = _mk(spark, rows, "e")
+    out = sorted(
+        (r["k"], r["_pw_window_start"], r["n"])
+        for r in t.windowby(
+            pw.this.et, window=pw.tumbling(f"{size} seconds"), instance=pw.this.k
+        ).reduce(n=pw.reducers.count()).df.collect()
+    )
+    # windows align to the REFERENCE origin 1973-01-01 (temporal/utils.py:20)
+    origin = dt.datetime(1973, 1, 1)
+    expected = {}
+    for k, s in rows:
+        abs_s = int((T0 + dt.timedelta(seconds=s) - origin).total_seconds())
+        start = origin + dt.timedelta(seconds=(abs_s // size) * size)
+        expected[(k, start)] = expected.get((k, start), 0) + 1
+    assert out == sorted((k, w, n) for (k, w), n in expected.items())
