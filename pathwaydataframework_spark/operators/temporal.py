@@ -195,7 +195,13 @@ class WindowedTable:
                     "predicate sessions don't fit reduce(**reducer_exprs); "
                     "use operators.stateful.session_windows_by_predicate"
                 )
-            wcol = F.session_window(tcol, _duration_str(win.max_gap))
+            # reference merge is STRICT: next - cur < max_gap splits exactly-
+            # gap-apart events (_window.py:80); Spark's session_window merges
+            # on <= (closed interval).  Shrinking the gap by 1 µs (timestamp
+            # resolution) reproduces strict semantics; the µs is added back
+            # to the reported window end.
+            gap_us = int(duration_to_seconds(win.max_gap) * 1_000_000) - 1
+            wcol = F.session_window(tcol, f"{gap_us} microseconds")
             return self._agg_by_window(wcol, aggs, session=True)
         if isinstance(win, IntervalsOverWindow):
             return self._intervals_over_reduce(win, aggs)
@@ -216,9 +222,12 @@ class WindowedTable:
             out_keys.append(inst_name)
         agg_cols = [lift(e)._resolve(ctx).alias(name) for name, e in aggs.items()]
         out = t._df.groupBy(*group_cols).agg(*agg_cols)
+        end_col = F.col("_pw_window.end")
+        if session:
+            end_col = end_col + F.expr("INTERVAL 1 MICROSECOND")
         out = out.select(
             F.col("_pw_window.start").alias("_pw_window_start"),
-            F.col("_pw_window.end").alias("_pw_window_end"),
+            end_col.alias("_pw_window_end"),
             *out_keys,
             *list(aggs.keys()),
         )

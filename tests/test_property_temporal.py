@@ -110,7 +110,9 @@ def test_session_window_matches_bruteforce(spark, rows, gap):
         times.sort()
         count = 1
         for prev, cur in zip(times, times[1:]):
-            if cur - prev > gap:
+            # reference merge is STRICT (next - cur < max_gap): exactly-gap
+            # events split (_window.py:80)
+            if cur - prev >= gap:
                 expected.append((k, count))
                 count = 1
             else:
