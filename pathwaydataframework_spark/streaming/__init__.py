@@ -165,6 +165,71 @@ def window_join_stream(
     )
 
 
+def write_changelog_parquet(
+    table: Table,
+    path: str,
+    key_cols: list[str],
+    *,
+    checkpoint: str | None = None,
+):
+    """Changelog sink: reproduce the reference's update-stream outputs
+    (``(row, __time__, __diff__)`` with retractions — SURVEY §1.1, debug
+    ``compute_and_print_update_stream``).
+
+    Per micro-batch, the batch's rows are diffed against the keyed snapshot:
+    a replaced row emits ``__diff__ = -1`` for its old values and ``+1`` for
+    the new; a fresh key emits only ``+1``.  ``__time__`` is the batch id —
+    the processing-time analogue of the reference's minibatch timestamps.
+    Appends to ``<path>__log`` and maintains the snapshot at ``<path>``
+    (production: one Delta MERGE with CDF instead of the read-modify-write).
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    def merge(batch_df, batch_id):
+        from functools import reduce as _reduce
+
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(key_cols)
+        val_cols = [c for c in batch.columns if c not in key_cols]
+        stamp = {"__time__": F.lit(batch_id).cast("long")}
+
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+            # a no-op redelivery (same key, same values) must emit NOTHING —
+            # the reference's changelog carries actual changes only
+            joined = current.alias("cur").join(batch.alias("new"), on=key_cols)
+            diff_cond = _reduce(
+                lambda a, b: a | b,
+                [~F.col(f"cur.{c}").eqNullSafe(F.col(f"new.{c}")) for c in val_cols],
+                F.lit(False),
+            )
+            changed_keys = joined.filter(diff_cond).select(*key_cols)
+            fresh = batch.join(current.select(*key_cols), on=key_cols, how="left_anti")
+            retractions = (
+                current.join(changed_keys, on=key_cols, how="left_semi")
+                .withColumns({**stamp, "__diff__": F.lit(-1)})
+            )
+            additions = (
+                fresh.unionByName(batch.join(changed_keys, on=key_cols, how="left_semi"))
+                .withColumns({**stamp, "__diff__": F.lit(1)})
+            )
+            log_delta = retractions.unionByName(additions)
+            merged = current.join(
+                batch.select(*key_cols), on=key_cols, how="left_anti"
+            ).unionByName(batch)
+        else:
+            log_delta = batch.withColumns({**stamp, "__diff__": F.lit(1)})
+            merged = batch
+        log_delta.write.mode("append").parquet(path + "__log")
+        merged.write.mode("overwrite").parquet(path + "__tmp")
+        out = spark.read.parquet(path + "__tmp")
+        out.write.mode("overwrite").parquet(path)
+
+    return write_foreach_batch(table, merge, checkpoint=checkpoint)
+
+
 def deduplicate_stream(table: Table, *, keys: list[str], time_col: str, watermark: str):
     """Streaming exact dedup: ``dropDuplicates`` within the watermark window
     — the scalable analogue of the reference's streaming deduplicate with

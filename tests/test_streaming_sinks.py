@@ -146,3 +146,38 @@ def test_window_join_stream_matches_batch(spark, tmp_path):
         for r in lb.join(rb, (lb["w"] == rb["w"]) & (lb["k"] == rb["k"])).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_changelog_sink_emits_retractions(spark, tmp_path):
+    """Update-stream parity: a replaced key emits -1 (old values) then +1
+    (new values); fresh keys emit only +1 (reference __time__/__diff__
+    changelog semantics, SURVEY §1.1)."""
+    src_dir = str(tmp_path / "cl_src")
+    target = str(tmp_path / "cl_target")
+    ckpt = str(tmp_path / "cl_ckpt")
+    stream = lambda: pw.Table(  # noqa: E731
+        spark.readStream.schema("k long, v string").parquet(src_dir)
+    )
+
+    spark.createDataFrame([(1, "a1"), (2, "b1")], "k long, v string").coalesce(1).write.parquet(src_dir)
+    q = streaming.write_changelog_parquet(stream(), target, ["k"], checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    # batch 1: change k=2, redeliver k=1 unchanged (must emit NOTHING),
+    # insert k=3
+    spark.createDataFrame(
+        [(1, "a1"), (2, "b2"), (3, "c1")], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = streaming.write_changelog_parquet(stream(), target, ["k"], checkpoint=ckpt)
+    q2.awaitTermination(120)
+
+    log = [
+        (r["k"], r["v"], r["__diff__"])
+        for r in spark.read.parquet(target + "__log").collect()
+    ]
+    # batch 0: +a1 +b1; batch 1: -b1 +b2 +c1
+    assert (2, "b1", -1) in log and (2, "b2", 1) in log and (3, "c1", 1) in log
+    assert (1, "a1", 1) in log and (1, "a1", -1) not in log
+    # snapshot reflects the final state
+    snap = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert snap == {(1, "a1"), (2, "b2"), (3, "c1")}
