@@ -86,8 +86,31 @@ from pathwaydataframework_spark.operators.temporal import (
 from pathwaydataframework_spark.spark_session import get_spark
 from pathwaydataframework_spark.sql import sql
 from pathwaydataframework_spark import sources as io
+from pathwaydataframework_spark.sources import debug
+from pathwaydataframework_spark.sources import demo
+
+
+def run(spark=None, timeout: float | None = None) -> None:
+    """Reference ``pw.run()`` (internals/run.py:12) — the execution trigger.
+
+    On Spark, batch plans execute at each action (Catalyst is the lazy
+    graph), so for batch pipelines this is a documented no-op.  For
+    streaming pipelines it blocks on every active StreamingQuery — the
+    direct analogue of the reference's blocking dataflow run.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return
+    for q in spark.streams.active:
+        q.awaitTermination(timeout)
+
 
 __all__ = [
+    "run",
+    "debug",
+    "demo",
     "Table",
     "this",
     "left",
