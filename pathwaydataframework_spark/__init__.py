@@ -88,6 +88,8 @@ from pathwaydataframework_spark.sql import sql
 from pathwaydataframework_spark import sources as io
 from pathwaydataframework_spark.sources import debug
 from pathwaydataframework_spark.sources import demo
+from pathwaydataframework_spark import persistence
+from pathwaydataframework_spark import universes
 
 
 def run(spark=None, timeout: float | None = None) -> None:
@@ -111,6 +113,8 @@ __all__ = [
     "run",
     "debug",
     "demo",
+    "persistence",
+    "universes",
     "Table",
     "this",
     "left",

@@ -86,3 +86,35 @@ def test_injectable_sinks_batch(spark):
     sent = []
     sources.logstash.write(t, "http://ls:9600", sender=lambda url, row: sent.append((url, row)))
     assert len(sent) == 2 and sent[0][0] == "http://ls:9600"
+
+
+def test_persistence_config_resumes_checkpoint(spark, tmp_path):
+    """pw.persistence.Config → checkpointLocation: a restarted stream with
+    the same config resumes offsets (no reprocessing of old files)."""
+    import pathwaydataframework_spark as pw
+    from pathwaydataframework_spark import streaming
+
+    cfg = pw.persistence.Config.simple_config(
+        pw.persistence.Backend.filesystem(tmp_path / "ckpt")
+    )
+    src = str(tmp_path / "p_src")
+    target = str(tmp_path / "p_target")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(src)
+    stream = lambda: pw.Table(  # noqa: E731
+        spark.readStream.schema("k long, v string").parquet(src)
+    )
+    q = streaming.write_upsert_parquet(
+        stream(), target, ["k"], checkpoint=cfg.checkpoint_location
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame([(2, "b")], "k long, v string").write.mode("append").parquet(src)
+    q2 = streaming.write_upsert_parquet(
+        stream(), target, ["k"], checkpoint=cfg.checkpoint_location
+    )
+    q2.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # universe promises are accepted no-ops (Catalyst resolves relationally)
+    t = pw.Table.from_rows(spark, [(1,)], "k long")
+    assert pw.universes.promise_are_equal(t, t) is None
