@@ -38,7 +38,20 @@ from pathwaydataframework_spark.internals.expression import (
     this,
     unwrap,
 )
-from pathwaydataframework_spark.internals.schema import Schema, column_definition
+from pathwaydataframework_spark.internals.schema import (
+    DateTimeNaive,
+    DateTimeUtc,
+    Duration,
+    Json,
+    Pointer,
+    PyObjectWrapper,
+    Schema,
+    assert_table_has_schema,
+    column_definition,
+    schema_builder,
+    schema_from_dict,
+    schema_from_types,
+)
 from pathwaydataframework_spark.internals.table import Table
 from pathwaydataframework_spark.internals.udfs import (
     UDF,
@@ -92,6 +105,32 @@ from pathwaydataframework_spark import persistence
 from pathwaydataframework_spark import universes
 
 
+# reference free-function forms of the Table methods (pathway/__init__.py
+# exports join/groupby at module level; they desugar to method calls)
+def join(left, right, *on, how: str = "inner", id=None):
+    return left.join(right, *on, how=how, id=id)
+
+
+def join_inner(left, right, *on):
+    return left.join(right, *on, how="inner")
+
+
+def join_left(left, right, *on):
+    return left.join(right, *on, how="left")
+
+
+def join_right(left, right, *on):
+    return left.join(right, *on, how="right")
+
+
+def join_outer(left, right, *on):
+    return left.join(right, *on, how="outer")
+
+
+def groupby(table, *cols, **kwargs):
+    return table.groupby(*cols, **kwargs)
+
+
 def run(spark=None, timeout: float | None = None) -> None:
     """Reference ``pw.run()`` (internals/run.py:12) — the execution trigger.
 
@@ -109,12 +148,41 @@ def run(spark=None, timeout: float | None = None) -> None:
         q.awaitTermination(timeout)
 
 
+run_all = run  # reference alias
+
+# reference submodule aliases (pathway exposes ml/indexing/utils/udfs)
+from pathwaydataframework_spark.operators import ml_index as indexing  # noqa: E402
+from pathwaydataframework_spark.operators import ml_index as ml  # noqa: E402
+from pathwaydataframework_spark.operators import col_utils as utils  # noqa: E402
+from pathwaydataframework_spark.internals import udfs  # noqa: E402
+
 __all__ = [
     "run",
+    "run_all",
     "debug",
     "demo",
     "persistence",
     "universes",
+    "join",
+    "join_inner",
+    "join_left",
+    "join_right",
+    "join_outer",
+    "groupby",
+    "DateTimeNaive",
+    "DateTimeUtc",
+    "Duration",
+    "Json",
+    "Pointer",
+    "PyObjectWrapper",
+    "schema_from_types",
+    "schema_from_dict",
+    "schema_builder",
+    "assert_table_has_schema",
+    "indexing",
+    "ml",
+    "utils",
+    "udfs",
     "Table",
     "this",
     "left",

@@ -30,6 +30,33 @@ def column_definition(
     return ColumnDefinition(primary_key, default_value, dtype)
 
 
+# Reference dtype aliases for schema annotations (internals/dtype.py;
+# SURVEY §1.2 mapping table).  Marker classes: users annotate with them,
+# only the Spark mapping matters.
+class DateTimeNaive:
+    """Reference DATE_TIME_NAIVE (dtype.py:484) → TimestampNTZ."""
+
+
+class DateTimeUtc:
+    """Reference DATE_TIME_UTC (dtype.py:511) → Timestamp (UTC session tz)."""
+
+
+class Duration:
+    """Reference DURATION (dtype.py:538) → DayTimeInterval."""
+
+
+class Json:
+    """Reference Json (dtype.py:405) → StringType + json functions."""
+
+
+class Pointer:
+    """Reference Pointer row id (dtype.py:285) → LongType (xxhash64)."""
+
+
+class PyObjectWrapper:
+    """Reference PyObjectWrapper (dtype.py:541) → BinaryType (pickle)."""
+
+
 _PY_TO_SPARK_TYPE = {
     int: T.LongType(),
     float: T.DoubleType(),
@@ -37,6 +64,13 @@ _PY_TO_SPARK_TYPE = {
     bool: T.BooleanType(),
     bytes: T.BinaryType(),
     _dt.datetime: T.TimestampNTZType(),
+    _dt.timedelta: T.DayTimeIntervalType(),
+    DateTimeNaive: T.TimestampNTZType(),
+    DateTimeUtc: T.TimestampType(),
+    Duration: T.DayTimeIntervalType(),
+    Json: T.StringType(),
+    Pointer: T.LongType(),
+    PyObjectWrapper: T.BinaryType(),
 }
 
 
@@ -50,14 +84,24 @@ _ANNOTATION_NAMESPACE: dict[str, Any] = {
     "Optional": Optional,
     "list": list,
     "tuple": tuple,
+    "DateTimeNaive": DateTimeNaive,
+    "DateTimeUtc": DateTimeUtc,
+    "Duration": Duration,
+    "Json": Json,
+    "Pointer": Pointer,
+    "PyObjectWrapper": PyObjectWrapper,
 }
 
 
-def _annotation_to_spark(ann: Any) -> tuple[T.DataType, bool]:
+def _annotation_to_spark(ann: Any, globalns: dict | None = None) -> tuple[T.DataType, bool]:
     """(spark type, nullable) from a Python annotation."""
     if isinstance(ann, str):
-        # stringized annotations (from __future__ import annotations)
-        ann = eval(ann, _ANNOTATION_NAMESPACE)  # noqa: S307 — controlled namespace
+        # stringized annotations (from __future__ import annotations) —
+        # resolve against the DEFINING module's globals (so `pw.Json` etc.
+        # work), falling back to the builtin names
+        ns = dict(_ANNOTATION_NAMESPACE)
+        ns.update(globalns or {})
+        ann = eval(ann, ns)  # noqa: S307 — annotation namespace
     origin = get_origin(ann)
     if origin is None:
         if ann in _PY_TO_SPARK_TYPE:
@@ -82,19 +126,23 @@ def _annotation_to_spark(ann: Any) -> tuple[T.DataType, bool]:
 
 class SchemaMeta(type):
     def __new__(mcls, name, bases, ns):
+        import sys
+
         cls = super().__new__(mcls, name, bases, ns)
+        mod = sys.modules.get(ns.get("__module__", ""), None)
+        globalns = vars(mod) if mod is not None else {}
         columns: dict[str, tuple[T.DataType, bool, ColumnDefinition]] = {}
         for base in reversed(bases):
             columns.update(getattr(base, "_columns", {}))
         for attr, ann in ns.get("__annotations__", {}).items():
             if attr.startswith("_"):
                 continue
-            spark_type, nullable = _annotation_to_spark(ann)
+            spark_type, nullable = _annotation_to_spark(ann, globalns)
             cd = ns.get(attr)
             if not isinstance(cd, ColumnDefinition):
                 cd = ColumnDefinition()
             if cd.dtype is not None:
-                spark_type, nullable = _annotation_to_spark(cd.dtype)
+                spark_type, nullable = _annotation_to_spark(cd.dtype, globalns)
             columns[attr] = (spark_type, nullable, cd)
         cls._columns = columns
         return cls
@@ -127,3 +175,46 @@ class Schema(metaclass=SchemaMeta):
     @classmethod
     def column_names(cls) -> list[str]:
         return list(cls._columns)
+
+
+def schema_from_types(**kwargs) -> type[Schema]:
+    """Reference ``pw.schema_from_types(a=int, b=str)`` (schema.py)."""
+    ns = {"__annotations__": dict(kwargs)}
+    return SchemaMeta("AdHocSchema", (Schema,), ns)
+
+
+def schema_from_dict(types: dict) -> type[Schema]:
+    """Reference ``pw.schema_from_dict``; values are annotations or
+    (annotation, ColumnDefinition) pairs."""
+    anns, ns = {}, {}
+    for name, spec in types.items():
+        if isinstance(spec, tuple):
+            anns[name] = spec[0]
+            ns[name] = spec[1]
+        else:
+            anns[name] = spec
+    ns["__annotations__"] = anns
+    return SchemaMeta("AdHocSchema", (Schema,), ns)
+
+
+def schema_builder(columns: dict) -> type[Schema]:
+    """Reference ``pw.schema_builder({name: pw.column_definition(...)})`` —
+    dtypes come from each ColumnDefinition."""
+    anns = {
+        name: (cd.dtype if isinstance(cd, ColumnDefinition) and cd.dtype is not None else Any)
+        for name, cd in columns.items()
+    }
+    for name, ann in anns.items():
+        if ann is Any:
+            raise TypeError(f"column {name!r} needs dtype= in column_definition")
+    ns = dict(columns)
+    ns["__annotations__"] = anns
+    return SchemaMeta("AdHocSchema", (Schema,), ns)
+
+
+def assert_table_has_schema(table, schema: type[Schema]) -> None:
+    """Reference ``pw.assert_table_has_schema`` — name + Spark-type check."""
+    actual = {f.name: f.dataType for f in table.df.schema.fields if f.name != "_pw_id"}
+    expected = {name: dtype for name, (dtype, _, _) in schema._columns.items()}
+    if actual != expected:
+        raise AssertionError(f"schema mismatch: {actual} != {expected}")

@@ -183,3 +183,32 @@ def test_gradual_broadcast(spark):
     # the broadcast side must not shuffle self
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_reference_namespace_compat(spark):
+    """Drop-in access paths a reference user relies on."""
+    t = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, v string")
+    u = pw.Table.from_rows(spark, [(1, "x")], "k long, w string")
+    out = pw.join_inner(t, u, pw.left.k == pw.right.k).select(pw.left.v, pw.right.w)
+    assert rows(out) == [("a", "x")]
+    g = pw.groupby(t, pw.this.k).reduce(n=R.count())
+    assert len(g.df.collect()) == 2
+
+    S = pw.schema_from_types(ts=pw.DateTimeNaive, amount=float, tag=pw.Json)
+    assert [f.dataType.simpleString() for f in S.to_spark().fields] == [
+        "timestamp_ntz", "double", "string",
+    ]
+    made = pw.Table.from_rows(
+        spark, [], "ts timestamp_ntz, amount double, tag string"
+    )
+    pw.assert_table_has_schema(made, S)
+
+    class Declared(pw.Schema):
+        order_id: int = pw.column_definition(primary_key=True)
+        when: pw.DateTimeUtc
+
+    assert Declared.primary_key_columns() == ["order_id"]
+    assert Declared.to_spark()["when"].dataType.simpleString() == "timestamp"
+
+    assert pw.run_all is pw.run
+    assert hasattr(pw.utils, "unpack_col") or hasattr(pw.utils, "flatten_column")
