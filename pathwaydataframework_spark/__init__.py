@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pathwaydataframework_spark.internals import reducers
 from pathwaydataframework_spark.internals.expression import (
+    ColumnRef,
+    Expr,
     apply,
     apply_with_type,
     cast,
@@ -154,7 +156,23 @@ run_all = run  # reference alias
 from pathwaydataframework_spark.operators import ml_index as indexing  # noqa: E402
 from pathwaydataframework_spark.operators import ml_index as ml  # noqa: E402
 from pathwaydataframework_spark.operators import col_utils as utils  # noqa: E402
+from pathwaydataframework_spark.operators import ordered as statistical  # noqa: E402
 from pathwaydataframework_spark.internals import udfs  # noqa: E402
+from pathwaydataframework_spark.operators.stateful import AsyncTransformer  # noqa: E402
+
+# reference class/function aliases kept for drop-in imports
+ColumnExpression = Expr
+ColumnReference = ColumnRef
+UDFSync = UDF  # deprecated reference names
+UDFAsync = UDF
+udf_async = udf
+
+
+def apply_async(fn, *args, result_type: str = "string"):
+    """Reference ``pw.apply_async`` (common.py:170) — coroutine fns are
+    bridged by the UDF layer's per-call event loop; for high-fanout async
+    I/O use ``AsyncTransformer``."""
+    return apply(fn, *args, result_type=result_type)
 
 __all__ = [
     "run",
