@@ -51,8 +51,11 @@ from pathwaydataframework_spark.internals.schema import (
     assert_table_has_schema,
     column_definition,
     schema_builder,
+    schema_from_csv,
     schema_from_dict,
     schema_from_types,
+    unwrap_py_object,
+    wrap_py_object,
 )
 from pathwaydataframework_spark.internals.table import Table
 from pathwaydataframework_spark.internals.udfs import (

@@ -212,6 +212,67 @@ def schema_builder(columns: dict) -> type[Schema]:
     return SchemaMeta("AdHocSchema", (Schema,), ns)
 
 
+def schema_from_csv(
+    path: str,
+    *,
+    name: str | None = None,
+    delimiter: str = ",",
+    quote: str = '"',
+    comment_character: str | None = None,
+    num_parsed_rows: int | None = None,
+) -> type[Schema]:
+    """Generate a Schema from a CSV header + value inference — reference
+    ``pw.schema_from_csv`` (internals/schema.py:832).  Like the reference,
+    only str/int/float are inferred (num_parsed_rows=0 → all str)."""
+    import csv as _csv
+
+    def parses(vals, cast) -> bool:
+        for v in vals:
+            try:
+                cast(v)
+            except ValueError:
+                return False
+        return True
+
+    with open(path, newline="") as f:
+        lines = (
+            ln for ln in f
+            if comment_character is None or not ln.lstrip().startswith(comment_character)
+        )
+        reader = _csv.reader(lines, delimiter=delimiter, quotechar=quote)
+        header = next(reader)
+        rows = []
+        for i, row in enumerate(reader):
+            if num_parsed_rows is not None and i >= num_parsed_rows:
+                break
+            rows.append(row)
+    anns: dict[str, Any] = {}
+    for idx, col in enumerate(header):
+        vals = [r[idx] for r in rows if idx < len(r)]
+        if vals and parses(vals, int):
+            anns[col] = int
+        elif vals and parses(vals, float):
+            anns[col] = float
+        else:
+            anns[col] = str
+    return SchemaMeta(name or "CsvSchema", (Schema,), {"__annotations__": anns})
+
+
+def wrap_py_object(obj: Any, *, serializer=None) -> bytes:
+    """Reference ``pw.wrap_py_object`` (internals/api.py:256): make an
+    arbitrary python object storable in a ``PyObjectWrapper`` (BinaryType)
+    column.  Default serializer is pickle."""
+    import pickle
+
+    return serializer.dumps(obj) if serializer is not None else pickle.dumps(obj)
+
+
+def unwrap_py_object(data: bytes, *, serializer=None) -> Any:
+    import pickle
+
+    return serializer.loads(data) if serializer is not None else pickle.loads(data)
+
+
 def assert_table_has_schema(table, schema: type[Schema]) -> None:
     """Reference ``pw.assert_table_has_schema`` — name + Spark-type check."""
     actual = {f.name: f.dataType for f in table.df.schema.fields if f.name != "_pw_id"}

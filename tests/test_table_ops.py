@@ -212,3 +212,19 @@ def test_reference_namespace_compat(spark):
 
     assert pw.run_all is pw.run
     assert hasattr(pw.utils, "unpack_col") or hasattr(pw.utils, "flatten_column")
+
+
+def test_schema_from_csv_and_py_object(spark, tmp_path):
+    p = tmp_path / "s.csv"
+    p.write_text("id,score,label\n1,0.5,a\n2,1.5,b\n# note\n3,2,c\n")
+    S = pw.schema_from_csv(str(p), comment_character="#")
+    assert [f.dataType.simpleString() for f in S.to_spark().fields] == [
+        "bigint", "double", "string",
+    ]
+    S2 = pw.schema_from_csv(str(p), comment_character="#", num_parsed_rows=0)
+    assert {f.dataType.simpleString() for f in S2.to_spark().fields} == {"string"}
+
+    blob = pw.wrap_py_object({"x": [1, 2]})
+    t = pw.Table.from_rows(spark, [(1, blob)], "k long, payload binary")
+    got = t.df.collect()[0]["payload"]
+    assert pw.unwrap_py_object(bytes(got)) == {"x": [1, 2]}
