@@ -82,6 +82,52 @@ def replay_csv(
     return Table(reader.load(path))
 
 
+def replay_csv_with_time(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str,
+    time_column: str,
+    unit: str = "s",
+    speedup: float = 1.0,
+    spool_dir: str | None = None,
+) -> Table:
+    """Replay a CSV respecting inter-row timestamp gaps — reference
+    demo/__init__.py:258.  A producer thread (ConnectorSubject) sleeps
+    ``gap/speedup`` between rows and spools committed batches; the table is
+    a file-stream source, so downstream event-time processing (watermarks,
+    windows) sees realistic arrival pacing."""
+    import csv as _csv
+    import tempfile
+    import time as _time
+
+    from pathwaydataframework_spark.sources.python_connector import (
+        ConnectorSubject,
+        read as _py_read,
+    )
+
+    mult = {"s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}[unit]
+
+    class _Replay(ConnectorSubject):
+        def run(self) -> None:
+            with open(path, newline="") as f:
+                prev_t = None
+                for row in _csv.DictReader(f):
+                    t = float(row[time_column])
+                    if prev_t is not None and t > prev_t:
+                        _time.sleep((t - prev_t) * mult / speedup)
+                    prev_t = t
+                    self.next(**row)
+                    self.commit()
+
+    return _py_read(
+        spark,
+        _Replay(),
+        schema=schema,
+        spool_dir=spool_dir or tempfile.mkdtemp(prefix="pw_replay_"),
+    )
+
+
 def utc_now(spark: SparkSession, refresh_rate_ms: int = 1000) -> Table:
     """Clock-tick stream — reference stdlib/temporal/time_utils.py:31.
 

@@ -118,3 +118,17 @@ def test_persistence_config_resumes_checkpoint(spark, tmp_path):
     # universe promises are accepted no-ops (Catalyst resolves relationally)
     t = pw.Table.from_rows(spark, [(1,)], "k long")
     assert pw.universes.promise_are_equal(t, t) is None
+
+
+def test_replay_csv_with_time(spark, tmp_path):
+    p = tmp_path / "r.csv"
+    p.write_text("t,v\n0,a\n1,b\n2,c\n")
+    from pathwaydataframework_spark.sources import demo
+
+    table = demo.replay_csv_with_time(
+        spark, str(p), schema="t string, v string", time_column="t",
+        unit="ms", speedup=10.0, spool_dir=str(tmp_path / "spool"),
+    )
+    time.sleep(1.5)
+    rows = _drain(spark, table.df, "replay_rows")
+    assert {r["v"] for r in rows} == {"a", "b", "c"}
