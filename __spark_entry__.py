@@ -1086,7 +1086,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged
             )
             SELECT min(ts) AS session_start,
-                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   max(ts) AS session_end,
                    user_id,
                    count(*) AS n,
                    round(sum(value), 6) AS sum_value

@@ -172,13 +172,27 @@ class Expr:
     def __getitem__(self, idx):
         if isinstance(idx, slice):
             raise TypeError("use .str.slice for string slicing")
-        return BinOp(self, lift(idx), lambda a, b: F.try_element_at(a, b + F.lit(1)))
+        # Python semantics: 0-based from the front, negative from the back.
+        # element_at is 1-based positive / -1-based negative, so only shift
+        # non-negative indices.
+        return BinOp(
+            self,
+            lift(idx),
+            lambda a, b: F.when(
+                b >= 0, F.try_element_at(a, b + F.lit(1))
+            ).otherwise(F.try_element_at(a, b)),
+        )
 
     def get(self, idx, default=None):
         idx_e = lift(idx)
         dflt = lift(default)
         return FuncExpr(
-            lambda a, b, d: F.coalesce(F.try_element_at(a, b + F.lit(1)), d),
+            lambda a, b, d: F.coalesce(
+                F.when(b >= 0, F.try_element_at(a, b + F.lit(1))).otherwise(
+                    F.try_element_at(a, b)
+                ),
+                d,
+            ),
             self,
             idx_e,
             dflt,
@@ -452,11 +466,17 @@ def declare_type(dtype, expr):
 
 
 def unwrap(expr):
-    """Assert non-null (common.py:399): nulls raise at execution time."""
+    """Assert non-null (common.py:399): nulls raise at execution time.
+
+    ``raise_error`` has NullType, which coerces to the operand's own type in
+    the casewhen — works for any column type (the earlier ``assert_true``
+    variant cast the sentinel to boolean and failed analysis on non-boolean
+    operands).
+    """
     return UnaryOp(
         lift(expr),
         lambda a: F.when(a.isNotNull(), a).otherwise(
-            F.assert_true(a.isNotNull(), F.lit("unwrap() got None")).cast("boolean")
+            F.raise_error(F.lit("unwrap() got None"))
         ),
     )
 

@@ -289,14 +289,17 @@ class Table:
         """Upsert full rows by id — reference table.py:1524 / engine
         update_rows_table (graph.rs:869).
 
-        Full-outer join on the id hash + coalesce(right, left) per column.
+        Full-outer join on the id hash; a matching row in ``other`` replaces
+        the WHOLE row (reference semantics), so a legitimate NULL cell on the
+        right wins — sides are picked by match presence (rid non-null), not
+        per-cell coalesce.
         """
         left = self.materialize_id()._df
         right = other.materialize_id()._df
         lid, rid = left[ID_COL], right[ID_COL]
         joined = left.join(right, left[ID_COL] == right[ID_COL], "full_outer")
         cols = [
-            F.coalesce(right[c], left[c]).alias(c)
+            F.when(rid.isNotNull(), right[c]).otherwise(left[c]).alias(c)
             for c in self.column_names
         ]
         out = joined.select(F.coalesce(rid, lid).alias(ID_COL), *cols)
@@ -307,11 +310,17 @@ class Table:
         table.py:1439; operator ``t << other``."""
         left = self.materialize_id()._df
         right = other.materialize_id()._df
-        joined = left.join(right, left[ID_COL] == right[ID_COL], "left")
+        rid = right[ID_COL]
+        joined = left.join(right, left[ID_COL] == rid, "left")
         cols = []
         for c in self.column_names:
             if c in other.column_names:
-                cols.append(F.coalesce(right[c], left[c]).alias(c))
+                # gate on the right ROW's existence, not the cell's nullness:
+                # an explicit NULL cell in `other` must overwrite (reference
+                # table.py:1439 replaces the cell unconditionally on match)
+                cols.append(
+                    F.when(rid.isNotNull(), right[c]).otherwise(left[c]).alias(c)
+                )
             else:
                 cols.append(left[c].alias(c))
         return Table(joined.select(left[ID_COL], *cols))

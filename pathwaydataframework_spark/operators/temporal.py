@@ -202,12 +202,14 @@ class WindowedTable:
             # to the reported window end.
             gap_us = int(duration_to_seconds(win.max_gap) * 1_000_000) - 1
             wcol = F.session_window(tcol, f"{gap_us} microseconds")
-            return self._agg_by_window(wcol, aggs, session=True)
+            return self._agg_by_window(wcol, aggs, session=True, tcol=tcol)
         if isinstance(win, IntervalsOverWindow):
             return self._intervals_over_reduce(win, aggs)
         raise TypeError(f"bad window {win!r}")
 
-    def _agg_by_window(self, wcol: Column, aggs, session: bool = False) -> Table:
+    def _agg_by_window(
+        self, wcol: Column, aggs, session: bool = False, tcol: Column | None = None
+    ) -> Table:
         t = self._table
         from pathwaydataframework_spark.internals.groupbys import GroupedContext
 
@@ -221,10 +223,16 @@ class WindowedTable:
             group_cols.append(t._resolve(self._instance).alias(inst_name))
             out_keys.append(inst_name)
         agg_cols = [lift(e)._resolve(ctx).alias(name) for name, e in aggs.items()]
-        out = t._df.groupBy(*group_cols).agg(*agg_cols)
-        end_col = F.col("_pw_window.end")
         if session:
-            end_col = end_col + F.expr("INTERVAL 1 MICROSECOND")
+            # reference reports _pw_window_end = max(key), the LAST EVENT
+            # TIME in the session (_window.py:129 reducers.max(key)), not
+            # last event + gap; Spark's session_window.end is the latter, so
+            # track max(t) as an extra agg.
+            agg_cols.append(F.max(tcol).alias("_pw_session_last"))
+        out = t._df.groupBy(*group_cols).agg(*agg_cols)
+        end_col = (
+            F.col("_pw_session_last") if session else F.col("_pw_window.end")
+        )
         out = out.select(
             F.col("_pw_window.start").alias("_pw_window_start"),
             end_col.alias("_pw_window_end"),

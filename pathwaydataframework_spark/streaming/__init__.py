@@ -231,8 +231,20 @@ def write_changelog_parquet(
 
 
 def deduplicate_stream(table: Table, *, keys: list[str], time_col: str, watermark: str):
-    """Streaming exact dedup: ``dropDuplicates`` within the watermark window
-    — the scalable analogue of the reference's streaming deduplicate with
-    the default acceptor (state is bounded by the watermark)."""
+    """Streaming exact dedup — the scalable analogue of the reference's
+    streaming deduplicate with the default acceptor.
+
+    Uses ``dropDuplicatesWithinWatermark`` so dedup state is actually evicted
+    once keys age past the watermark; plain ``dropDuplicates(keys)`` without
+    the event-time column in the subset never purges state and grows without
+    bound on long-running streams.  Falls back to including the event-time
+    column in the subset on Spark < 3.5 (state then keyed by (keys, t) —
+    evictable, slightly weaker dedup).
+    """
     wm = with_watermark(table, time_col, watermark)
-    return Table(wm.df.dropDuplicates(keys))
+    df = wm.df
+    if hasattr(df, "dropDuplicatesWithinWatermark") and df.isStreaming:
+        return Table(df.dropDuplicatesWithinWatermark(keys))
+    if df.isStreaming:
+        return Table(df.dropDuplicates([*keys, time_col]))
+    return Table(df.dropDuplicates(keys))

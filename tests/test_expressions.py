@@ -137,6 +137,28 @@ def test_arithmetic_and_container(spark):
     assert one(out) == (9, 3, 1, 49.0, [7, 2], 7, -1)
 
 
+def test_negative_indexing(spark):
+    """Python-style negative indices on tuples (reference expression.py Get)."""
+    t = pw.Table.from_rows(spark, [(7, 2)], "a long, b long")
+    tup = pw.make_tuple(pw.this.a, pw.this.b)
+    out = t.select(last=tup[-1], first=tup[-2], oob=tup.get(-9, -1))
+    assert one(out) == (2, 7, -1)
+
+
+def test_unwrap_non_boolean(spark):
+    """unwrap() must work on any optional type, not just boolean (ADVICE r1:
+    the assert_true sentinel used to break analysis with a boolean cast)."""
+    t = pw.Table.from_rows(spark, [(1, "x"), (2, "y")], "k long, s string")
+    out = t.select(k=pw.unwrap(pw.this.k), s=pw.unwrap(pw.this.s))
+    assert sorted(tuple(r) for r in out.df.collect()) == [(1, "x"), (2, "y")]
+
+    import pyspark.errors
+
+    bad = pw.Table.from_rows(spark, [(1, None)], "k long, s string")
+    with pytest.raises(pyspark.errors.PySparkException):
+        bad.select(s=pw.unwrap(pw.this.s)).df.collect()
+
+
 @pytest.mark.parametrize(
     "timezone, last_existing",
     [

@@ -85,6 +85,22 @@ def test_update_rows_and_cells(spark):
     assert rows(patched) == [(1, "a", 10), (2, "b", 77)]
 
 
+def test_update_rows_null_cells_win(spark):
+    """Reference update_rows replaces the WHOLE row by id (table.py:1524):
+    a matching row whose cell is a legitimate NULL must overwrite, not be
+    coalesced away."""
+    base = pw.Table.from_rows(
+        spark, [(1, "old"), (2, "keep")], "k long, name string"
+    ).with_id_from("k")
+    upd = pw.Table.from_rows(spark, [(1, None)], "k long, name string").with_id_from("k")
+    merged = base.update_rows(upd).select(pw.this.k, pw.this.name)
+    assert rows(merged) == [(1, None), (2, "keep")]
+
+    cells = pw.Table.from_rows(spark, [(2, None)], "k long, name string").with_id_from("k")
+    patched = base.update_cells(cells).select(pw.this.k, pw.this.name)
+    assert rows(patched) == [(1, "old"), (2, None)]
+
+
 def test_flatten(spark):
     t = pw.Table.from_rows(
         spark, [(1, ["a", "b"]), (2, ["c"])], "k long, xs array<string>"

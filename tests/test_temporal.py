@@ -63,6 +63,23 @@ def test_session(events):
     assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
 
 
+def test_session_bounds_are_min_max_event_time(events):
+    """Reference parity (_window.py:128-129): _pw_window_start = min(key),
+    _pw_window_end = max(key) — the LAST EVENT time, not last + gap."""
+    out = events.windowby(
+        pw.this.t, window=pw.session(max_gap="20 minutes"), instance=pw.this.user
+    ).reduce(n=R.count())
+    bounds = sorted(
+        (r["user"], r["_pw_window_start"], r["_pw_window_end"])
+        for r in out.df.collect()
+    )
+    assert bounds == [
+        ("u1", ts(0), ts(10)),
+        ("u1", ts(50), ts(50)),
+        ("u2", ts(5), ts(5)),
+    ]
+
+
 def test_asof_backward_and_forward(spark):
     quotes = pw.Table.from_rows(
         spark,
