@@ -182,11 +182,15 @@ def q_reducer_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """min/max/avg/unique/any/earliest/latest reducers on events (SURVEY §2.4)."""
     ev = load_table(spark, sf, "events")
     t = pw.this
+    # v_avg: sum in decimal(18,9) (exact, order-independent) then ONE double
+    # division — double-sum partial aggregation is summation-order-dependent
+    # and flips the 6th decimal on half-ulp boundaries vs the oracle.
+    exact_avg = pw.cast("double", R.sum(pw.cast("decimal(18,9)", t.value))) / R.count()
     out = ev.groupby(t.user_id).reduce(
         n=R.count(),
         v_min=R.min(t.value).num.round(6),
         v_max=R.max(t.value).num.round(6),
-        v_avg=R.avg(t.value).num.round(6),
+        v_avg=exact_avg.num.round(6),
         first_event=R.min_by(t.event_id, t.event_id),
         last_value=R.max_by(t.value, t.event_id).num.round(6),
         n_types=R.count_distinct(t.event_type),
@@ -930,7 +934,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(min(value), 6) AS v_min,
                    round(max(value), 6) AS v_max,
-                   round(avg(value), 6) AS v_avg,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS v_avg,
                    min(event_id) AS first_event,
                    round(arg_max(value, event_id), 6) AS last_value,
                    count(DISTINCT event_type) AS n_types
