@@ -49,13 +49,21 @@ def deduplicate(table: Table, *, value=None, instance=None, acceptor=None) -> Ta
     order_col = table._resolve(value)
     if instance is not None:
         w = W.partitionBy(table._resolve(instance)).orderBy(order_col.desc())
+        out = (
+            table._df.withColumn("__pw_rn", F.row_number().over(w))
+            .filter(F.col("__pw_rn") == 1)
+            .drop("__pw_rn")
+        )
     else:
-        w = W.partitionBy().orderBy(order_col.desc())
-    out = (
-        table._df.withColumn("__pw_rn", F.row_number().over(w))
-        .filter(F.col("__pw_rn") == 1)
-        .drop("__pw_rn")
-    )
+        # "last value overall" is a single global max_by aggregate — a
+        # Window.partitionBy() (no keys) would funnel every row through ONE
+        # task; the agg gets map-side partials and stays parallel (same
+        # hazard documented for interpolate in ordered.py).
+        cols = table._df.columns
+        row = F.struct(*[F.col(c) for c in cols])
+        out = table._df.select(F.max_by(row, order_col).alias("__r")).select(
+            *[F.col(f"__r.{c}").alias(c) for c in cols]
+        )
     return Table(out)
 
 
@@ -258,15 +266,29 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # Verify candidates only: join each side's distinct-shingle set and
-    # compute exact Jaccard via array_intersect — O(candidates), not
-    # O(co-shingled pairs) like the full exact join.
+    return _verify_jaccard_pairs(cand, df, id_col, text_col, n=n, threshold=threshold)
+
+
+def _verify_jaccard_pairs(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs.
+
+    Joins each side's distinct-shingle set and computes Jaccard via
+    array_intersect — O(candidates), not O(co-shingled pairs) like the
+    full exact join.  Shared by the MinHash and SimHash blocking paths."""
     shingle_sets = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), _word_shingles(F.col(text_col), n).alias("g")
     )
     ga = shingle_sets.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
     gb = shingle_sets.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
-    verified = (
+    return (
         cand.join(ga, on="id_a")
         .join(gb, on="id_b")
         .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")))
@@ -278,7 +300,6 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -359,3 +380,57 @@ def simhash_near_dups(
         .select("id_a", "id_b", "hamming")
     )
     return cand
+
+
+def simhash_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 64,
+    blocks: int = 8,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SimHash-blocked near-dup pairs verified with exact Jaccard.
+
+    Same blocking as :func:`simhash_near_dups` (pairs sharing ≥1 exact
+    signature block are candidates — pigeonhole-complete for Hamming
+    distance < ``blocks``) but the verification step is exact n-gram
+    Jaccard instead of Hamming distance, so the output is a property of
+    the *text* alone: the set of pairs with Jaccard ≥ threshold that the
+    blocking surfaces.  With blocks=8 over 64 bits, candidates cover all
+    pairs within Hamming 7 — near-dups at Jaccard ≥ 0.8 sit well inside
+    that, making the output equal to the exact threshold join (which is
+    what the SQL oracle computes).  Returns (id_a, id_b, jaccard)."""
+    sig = simhash_signatures(df, id_col, text_col, bits=bits)
+    block_bits = bits // blocks
+    mask = F.lit((1 << block_bits) - 1) if block_bits < 64 else F.lit(-1)
+    blocked = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk_idx"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(mask)
+                        .alias("blk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.blk_idx", "bb.blk")
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard_pairs(cand, df, id_col, text_col, n=n, threshold=threshold)

