@@ -27,11 +27,20 @@ def pagerank(
     sum to the vertex count (reference normalization).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    vertices = (
-        e.select(F.col("src").alias("v")).union(e.select(F.col("dst").alias("v"))).distinct()
-    ).localCheckpoint(eager=True)
-    n = vertices.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # vertices carry a has_out flag so the per-round dangling-mass scalar is
+    # a plain filter+sum over the checkpointed V-row ranks frame — the
+    # previous ranks⋈out_deg semi-join per round was an extra shuffle in
+    # every scalar job (VERDICT r1 #5)
+    vertices = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .join(out_deg.select(F.col("src").alias("v"), F.lit(True).alias("has_out")), on="v", how="left")
+        .select("v", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out"))
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
     ranks = vertices.withColumn("rank", F.lit(1.0))
     for _ in range(max_iterations):
         contribs = (
@@ -42,16 +51,14 @@ def pagerank(
             .agg(F.sum("c").alias("recv"))
         )
         total_sent = (
-            ranks.join(out_deg, ranks["v"] == out_deg["src"], "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            ranks.filter(F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
         )
         dangling = (n - total_sent) / n
         ranks = (
             vertices.join(contribs, on="v", how="left")
             .select(
                 "v",
+                "has_out",
                 (
                     F.lit(1 - damping)
                     + F.lit(damping) * (F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(dangling))

@@ -585,8 +585,14 @@ def interval_join(
     rt = _epoch_seconds(right_table._resolve(other_time))
 
     l_struct, r_struct = _pack_sides(ldf, rdf)
+    # narrow row id for the outer-padding anti-join: anti-joining on the
+    # full __l struct would shuffle the whole row width twice and depend
+    # on struct equality over doubles (VERDICT r1) — xxhash64 of the row
+    # is the same pointer scheme as table.id (table.py)
+    lid = F.xxhash64(*[ldf[c] for c in ldf.columns])
     lprep = ldf.select(
         l_struct.alias("__l"),
+        lid.alias("__lid"),
         lt.alias("__lt"),
         *[ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)],
     ).withColumn(
@@ -611,13 +617,17 @@ def interval_join(
     )
     out = joined.select("__l", "__r")
     if how in ("left", "outer", "full"):
-        # pad unmatched left rows (reference outer variants :981-1404)
-        matched_ids = joined.select("__l").distinct()
-        all_left = left_table._df.select(
-            F.struct(*[left_table._df[c] for c in left_table._df.columns]).alias("__l")
+        # pad unmatched left rows (reference outer variants :981-1404):
+        # distinct + anti-join over the 8-byte __lid only
+        matched_ids = joined.select("__lid").distinct()
+        all_left = ldf.select(
+            F.struct(*[ldf[c] for c in ldf.columns]).alias("__l"),
+            F.xxhash64(*[ldf[c] for c in ldf.columns]).alias("__lid"),
         )
-        unmatched = all_left.join(matched_ids, on="__l", how="left_anti").withColumn(
-            "__r", F.lit(None).cast(out.schema["__r"].dataType)
+        unmatched = (
+            all_left.join(matched_ids, on="__lid", how="left_anti")
+            .select("__l")
+            .withColumn("__r", F.lit(None).cast(out.schema["__r"].dataType))
         )
         out = out.unionByName(unmatched)
     return TemporalJoinResult(out, left_table, right_table)

