@@ -24,7 +24,13 @@ import pyspark.sql.functions as F
 import pathwaydataframework_spark as pw
 from pathwaydataframework_spark.data import load_table
 from pathwaydataframework_spark.internals import reducers as R
-from pathwaydataframework_spark.operators import dedup, ordered, similarity, text
+from pathwaydataframework_spark.operators import (
+    dedup,
+    ordered,
+    similarity,
+    splitters,
+    text,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -560,6 +566,17 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_token_splitter(spark: SparkSession, sf: str) -> DataFrame:
+    """TokenCountSplitter-style chunking over documents (reference
+    xpacks/llm/splitters.py:34) — greedy 32-token chunks, tails under 8
+    tokens merged into the previous chunk.  Pure column expressions, so
+    chunk text/counts are exactly oracle-checkable in SQL."""
+    docs = load_table(spark, sf, "documents").df
+    return splitters.token_count_split(
+        docs, "doc_id", "text", min_tokens=8, max_tokens=32
+    )
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """heuristic language-ID confusion counts."""
     docs = load_table(spark, sf, "documents").df
@@ -804,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
+        "q_token_splitter": q_token_splitter,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -1304,6 +1322,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         """,
         "q_minhash_lsh": jaccard_08_pairs_sql,
+        "q_token_splitter": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), p AS (
+                SELECT doc_id, t, len(t) AS n,
+                       CAST(ceil(len(t) / 32.0) AS BIGINT) AS k_raw
+                FROM toks
+            ), p2 AS (
+                SELECT doc_id, t, n,
+                       CASE WHEN k_raw > 1 AND n - (k_raw - 1) * 32 < 8
+                            THEN k_raw - 1 ELSE k_raw END AS k
+                FROM p
+            ), ch AS (
+                SELECT doc_id, t, n, k, unnest(range(0, k)) AS chunk_idx FROM p2
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(t[chunk_idx * 32 + 1 :
+                       CASE WHEN chunk_idx < k - 1 THEN (chunk_idx + 1) * 32
+                            ELSE n END], ' ') AS chunk,
+                   CASE WHEN chunk_idx < k - 1 THEN 32
+                        ELSE n - chunk_idx * 32 END AS n_tokens
+            FROM ch
+        """,
 
         "q_bm25": """
             WITH q(query_id, query) AS (

@@ -10,9 +10,16 @@ import doctest
 import pytest
 
 from pathwaydataframework_spark.internals import table as table_mod
-from pathwaydataframework_spark.operators import dedup, graphs, ranking, similarity, text
+from pathwaydataframework_spark.operators import (
+    dedup,
+    graphs,
+    ranking,
+    similarity,
+    splitters,
+    text,
+)
 
-MODULES = [table_mod, dedup, graphs, ranking, similarity, text]
+MODULES = [table_mod, dedup, graphs, ranking, similarity, splitters, text]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=[m.__name__.split(".")[-1] for m in MODULES])
