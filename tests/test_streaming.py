@@ -50,6 +50,87 @@ def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def _run_cutoff_pipeline(spark, src_dir, schema, watermarks, query_name):
+    """File-replay: one watermarked tumbling agg in update mode; returns the
+    max observed count for the earliest window."""
+    from pathwaydataframework_spark.internals.table import Table
+    from pathwaydataframework_spark.streaming import with_watermark
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    t = Table(stream)
+    for delay in watermarks:
+        t = with_watermark(t, "ts", delay)
+    agg = (
+        t.df.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.sql(
+        f"SELECT max(n) AS n FROM {query_name} WHERE ws = (SELECT min(ws) FROM {query_name})"
+    ).first()
+    return row["n"]
+
+
+def test_behavior_cutoff_watermark_deviation(spark, tmp_path):
+    """Executable pin of the documented behavior deviation (VERDICT r1 #9).
+
+    Matches the reference: ``common_behavior(cutoff=c)`` drops events that
+    arrive after the stream frontier passes window_end + c — lowered to
+    ``withWatermark`` this is exactly what happens (the late event below is
+    dropped with a 10-minute cutoff, kept with a 3-hour one).
+
+    Differs from the reference: cutoff there is PER WINDOW OPERATOR
+    (temporal_behavior.py:29 attaches to one windowby); a Spark watermark is
+    per STREAMING INPUT — every stateful op downstream of the input shares
+    one frontier, and stacking a second cutoff on the same lineage is a
+    RUNTIME ERROR ("Redefining watermark is disallowed", asserted below).
+    Two genuinely different cutoffs need two streaming queries."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [(1, t0 + dt.timedelta(seconds=30))]
+    frontier = [(2, t0 + dt.timedelta(hours=2))]
+    frontier2 = [(4, t0 + dt.timedelta(hours=2, minutes=1))]
+    late = [(3, t0 + dt.timedelta(seconds=60))]  # into the first window, late
+
+    # the watermark filter engages one batch after the frontier commits
+    # (batch N filters with the frontier of batch N-1), so the late row
+    # rides in the THIRD micro-batch; file source orders batches by mtime
+    src_dir = str(tmp_path / "cutoff_stream")
+    schema = "event_id long, ts timestamp"
+    spark.createDataFrame(early + frontier, schema).coalesce(1).write.parquet(src_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(frontier2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # cutoff 10 min: frontier (t0+2h) − 10 min passes the first window's end
+    # → the late event is dropped, first-window count stays 1
+    assert _run_cutoff_pipeline(spark, src_dir, schema, ["10 minutes"], "cutoff_small") == 1
+    # cutoff 3 h: frontier − 3 h is before the first window → late event kept
+    assert _run_cutoff_pipeline(spark, src_dir, schema, ["3 hours"], "cutoff_large") == 2
+    # per-input granularity: a second, different cutoff on the same lineage
+    # is rejected by the engine — the reference's per-operator behaviors
+    # have no one-query equivalent
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="[Rr]edefining watermark"):
+        _run_cutoff_pipeline(
+            spark, src_dir, schema, ["10 minutes", "3 hours"], "cutoff_chained"
+        )
+
+
 def test_deduplicate_stream_state_is_watermark_bounded(spark, sf_dir, tmp_path):
     """deduplicate_stream must use dropDuplicatesWithinWatermark so dedup
     state is evicted as keys age past the watermark (ADVICE r1: plain
