@@ -26,8 +26,15 @@ def pagerank(
     Returns (vertex, rank).  Dangling mass is redistributed uniformly, ranks
     sum to the vertex count (reference normalization).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # checkpoint the edge list once: it is referenced every round (and the
+    # upstream plan may be an expensive join/LSH pipeline that must not be
+    # recomputed per round)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     # vertices carry a has_out flag so the per-round dangling-mass scalar is
     # a plain filter+sum over the checkpointed V-row ranks frame — the
     # previous ranks⋈out_deg semi-join per round was an extra shuffle in
@@ -83,9 +90,12 @@ def bellman_ford(
     Per round: relax all edges (join on current distances) + min-aggregate.
     Stops early when distances stop improving.
     """
+    # one materialization: vertices reference e twice and every relaxation
+    # round joins against it — without the checkpoint the upstream plan
+    # (often a multi-join aggregation) recomputes each round
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    )
+    ).localCheckpoint(eager=True)
     vertices = (
         e.select(F.col("src").alias("v")).union(e.select(F.col("dst").alias("v"))).distinct()
     )
@@ -137,9 +147,14 @@ def connected_components(
     >>> sorted(tuple(r) for r in connected_components(e).collect())
     [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
     """
+    # materialize the input once BEFORE the two-direction union — edges is
+    # referenced twice, and when it is an LSH near-dup pair pipeline the
+    # un-checkpointed union recomputes that whole pipeline both times
+    edges_c = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges_c.union(edges_c.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -204,9 +219,13 @@ def louvain_communities(
     Returns (vertex, community).
     """
     w = F.col(weight) if weight else F.lit(1.0)
+    edges_c = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    ).localCheckpoint(eager=True)  # referenced twice below — materialize once
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"), w.alias("w")))
+        edges_c.union(
+            edges_c.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
+        )
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))

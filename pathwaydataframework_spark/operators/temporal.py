@@ -588,11 +588,15 @@ def interval_join(
     # narrow row id for the outer-padding anti-join: anti-joining on the
     # full __l struct would shuffle the whole row width twice and depend
     # on struct equality over doubles (VERDICT r1) — xxhash64 of the row
-    # is the same pointer scheme as table.id (table.py)
-    lid = F.xxhash64(*[ldf[c] for c in ldf.columns])
+    # is the same pointer scheme as table.id (table.py).  Inner joins
+    # never anti-join, so they skip the id column entirely.
+    outer = how in ("left", "outer", "full")
+    lid_cols = (
+        [F.xxhash64(*[ldf[c] for c in ldf.columns]).alias("__lid")] if outer else []
+    )
     lprep = ldf.select(
         l_struct.alias("__l"),
-        lid.alias("__lid"),
+        *lid_cols,
         lt.alias("__lt"),
         *[ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)],
     ).withColumn(
@@ -616,7 +620,7 @@ def interval_join(
         & (F.col("__rt") <= F.col("__lt") + F.lit(ub))
     )
     out = joined.select("__l", "__r")
-    if how in ("left", "outer", "full"):
+    if outer:
         # pad unmatched left rows (reference outer variants :981-1404):
         # distinct + anti-join over the 8-byte __lid only
         matched_ids = joined.select("__lid").distinct()
