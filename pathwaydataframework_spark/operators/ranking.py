@@ -58,10 +58,17 @@ def bm25_scores(
     (tf + k1·(1 - b + b·dl/avgdl)).  Deterministic tie-break on doc_id.
     """
     tf, doc_lens = doc_term_stats(docs, id_col=id_col, text_col=text_col)
+    # materialize the inverted index once: tf feeds BOTH the idf aggregation
+    # and the score join, doc_lens feeds BOTH the avgdl scalar and the score
+    # join — without the checkpoint the tokenize+explode pipeline recomputes
+    # per reference (measured 3-5x slower at sf0.1)
+    tf = tf.localCheckpoint(eager=True)
+    doc_lens = doc_lens.localCheckpoint(eager=True)
     # two driver-side scalars: N is a parquet-metadata count (near-free) and
-    # avgdl is one tokenize+agg job.  (Folding them into a broadcast 1-row
-    # frame was measured SLOWER — the broadcast exchange still runs the agg
-    # subtree as its own job and adds a nested-loop join to every row.)
+    # avgdl is one agg over the checkpointed doc_lens.  (Folding them into a
+    # broadcast 1-row frame was measured SLOWER — the broadcast exchange
+    # still runs the agg subtree as its own job and adds a nested-loop join
+    # to every row.)
     n_docs = docs.count()
     avgdl = doc_lens.agg(F.avg("dl")).collect()[0][0]
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -120,12 +127,14 @@ def fuzzy_match_tables(
     >>> [(x["left_id"], x["right_id"]) for x in fuzzy_match_tables(l, r).collect()]
     [(1, 7)]
     """
+    # each token table feeds BOTH its weight aggregation and the pair join —
+    # checkpoint so tokenization runs once per side
     lt = _ensure_parallelism(left).select(
         F.col(left_id).alias("lid"), F.explode(F.array_distinct(_tokens(F.col(left_text)))).alias("term")
-    )
+    ).localCheckpoint(eager=True)
     rt = _ensure_parallelism(right).select(
         F.col(right_id).alias("rid"), F.explode(F.array_distinct(_tokens(F.col(right_text)))).alias("term")
-    )
+    ).localCheckpoint(eager=True)
     lweight = lt.groupBy("term").agg(F.count(F.lit(1)).alias("lc"))
     rweight = rt.groupBy("term").agg(F.count(F.lit(1)).alias("rc"))
     pair_scores = (

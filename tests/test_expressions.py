@@ -159,6 +159,35 @@ def test_unwrap_non_boolean(spark):
         bad.select(s=pw.unwrap(pw.this.s)).df.collect()
 
 
+def test_error_channel_is_null_channel_deviation(spark):
+    """Executable pin of the documented per-cell Error deviation (VERDICT r1
+    What's-missing #4; reference src/engine/value.rs:226, common.py:438).
+
+    The reference carries a per-cell Error value distinct from None:
+    ``fill_error`` replaces only Errors (legit nulls survive), and
+    ``fill_error(unwrap(x), d)`` recovers rows where unwrap errored.
+
+    Spark has no cell-level error value; our error channel IS null
+    (SURVEY.md §7).  Consequences, pinned here:
+    - fill_error ≡ coalesce: a legitimate null is indistinguishable from
+      an error and gets the default too.
+    - unwrap raises AT EXECUTION (raise_error), aborting the query rather
+      than yielding a recoverable Error cell — fill_error cannot catch it.
+    """
+    t = pw.Table.from_rows(spark, [(1, 10), (2, None)], "k long, x long")
+    # deviation 1: the legit null on row 2 is "recovered" as if it were an
+    # error (the reference would keep None here)
+    out = t.select(pw.this.k, x=pw.fill_error(pw.this.x, -1))
+    assert sorted(tuple(r) for r in out.df.collect()) == [(1, 10), (2, -1)]
+
+    # deviation 2: fill_error cannot recover an unwrap failure — the whole
+    # query raises (the reference yields -1 for the error row)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        t.select(x=pw.fill_error(pw.unwrap(pw.this.x), -1)).df.collect()
+
+
 @pytest.mark.parametrize(
     "timezone, last_existing",
     [
