@@ -143,3 +143,37 @@ def test_lang_id_deterministic(spark):
     )
     got = [r[0] for r in t.select(text.lang_id(F.col("text"))).collect()]
     assert got == ["en", "de", "und"]
+
+
+def test_split_embed_index_retrieve_pipeline(spark):
+    """End-to-end LLM-data-pipeline plumbing (COVERAGE.md §2.10 claim made
+    executable): chunk documents (TokenCountSplitter analogue) → embed each
+    chunk (deterministic hashing embedder, pure column expr) → brute-force
+    cosine retrieve.  The whole pipeline is JVM-side: no UDF, no collect."""
+    from pathwaydataframework_spark.operators import embedders, similarity, splitters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark runs distributed queries " * 8),
+            (2, "cats purr on warm windowsills " * 8),
+            (3, "bread needs flour water salt yeast " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = splitters.token_count_split(
+        docs, "doc_id", "text", min_tokens=4, max_tokens=16
+    )
+    assert chunks.count() > 3  # 40-token docs actually split
+    corpus = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("vec_id"),
+        F.col("doc_id"),
+        embedders.hashing_embedding(F.col("chunk"), dim=32).alias("embedding"),
+    )
+    query = spark.createDataFrame(
+        [(0, "distributed spark queries")], "vec_id long, q string"
+    ).select("vec_id", embedders.hashing_embedding(F.col("q"), dim=32).alias("embedding"))
+    hits = similarity.knn_bruteforce(
+        corpus.drop("doc_id"), query, k=2, exclude_self=False
+    )
+    top_docs = {r["neighbor_id"] // 1000 for r in hits.collect()}
+    assert top_docs == {1}  # both top-2 hits are chunks of the spark doc

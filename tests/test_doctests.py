@@ -12,6 +12,7 @@ import pytest
 from pathwaydataframework_spark.internals import table as table_mod
 from pathwaydataframework_spark.operators import (
     dedup,
+    embedders,
     graphs,
     ranking,
     similarity,
@@ -19,7 +20,7 @@ from pathwaydataframework_spark.operators import (
     text,
 )
 
-MODULES = [table_mod, dedup, graphs, ranking, similarity, splitters, text]
+MODULES = [table_mod, dedup, embedders, graphs, ranking, similarity, splitters, text]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=[m.__name__.split(".")[-1] for m in MODULES])
