@@ -673,6 +673,21 @@ def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return ranking.bm25_scores(docs, queries, k=5)
 
 
+def q_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieve-then-rerank (reference xpacks/llm/rerankers.py:58 analogue):
+    BM25 top-5 candidates per query, reranked by lexical query coverage.
+    The rerank stage touches candidates only — never rescans the corpus."""
+    from pathwaydataframework_spark.operators import ranking, rerankers
+
+    docs = load_table(spark, sf, "documents").df
+    queries = spark.createDataFrame(
+        [(1, "spark query window"), (2, "batch data table")],
+        "query_id long, query string",
+    )
+    cand = ranking.bm25_scores(docs, queries, k=5)
+    return rerankers.rerank_token_overlap(cand, docs, queries)
+
+
 def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     """near-dup clusters: iterate/connected-components over jaccard>=0.8
     pairs (SURVEY §2.8 pw.iterate; graph algos on iterate)."""
@@ -836,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": q_json_props,
         "q_louvain": q_louvain,
         "q_bellman_ford": q_bellman_ford,
+        "q_rerank": q_rerank,
     }
 
 
@@ -917,6 +933,48 @@ def _bellman_ford_oracle_sql(rounds: int = 25) -> str:
         {",".join(steps)}
         SELECT v AS vertex, round(d, 6) AS distance FROM d{rounds}
     """
+
+
+_BM25_SQL = """
+            WITH q(query_id, query) AS (
+                VALUES (1, 'spark query window'), (2, 'batch data table')
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, len(t) AS dl FROM toks
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                GROUP BY 1, 2
+            ), stats AS (
+                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                       (SELECT avg(dl) FROM dl) AS avgdl
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), idf AS (
+                SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+                FROM dfreq, stats
+            ), qt AS (
+                SELECT query_id,
+                       unnest(list_distinct(regexp_split_to_array(lower(trim(query)), '\\s+'))) AS term
+                FROM q
+            ), sc AS (
+                SELECT query_id, tf.doc_id,
+                       round(sum(idf * (tf * 2.2) /
+                             (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+                FROM qt
+                JOIN idf USING (term)
+                JOIN tf USING (term)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats
+                GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                FROM sc
+            ) WHERE rank <= 5
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1347,45 +1405,29 @@ def oracle_sql() -> dict[str, str]:
             FROM ch
         """,
 
-        "q_bm25": """
-            WITH q(query_id, query) AS (
+        "q_bm25": _BM25_SQL,
+        "q_rerank": f"""
+            WITH bm AS ({_BM25_SQL}),
+            qv(query_id, query) AS (
                 VALUES (1, 'spark query window'), (2, 'batch data table')
-            ), toks AS (
-                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-                FROM documents
-            ), dl AS (
-                SELECT doc_id, len(t) AS dl FROM toks
-            ), tf AS (
-                SELECT doc_id, term, count(*) AS tf
-                FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-                GROUP BY 1, 2
-            ), stats AS (
-                SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                       (SELECT avg(dl) FROM dl) AS avgdl
-            ), dfreq AS (
-                SELECT term, count(*) AS df FROM tf GROUP BY 1
-            ), idf AS (
-                SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
-                FROM dfreq, stats
-            ), qt AS (
-                SELECT query_id,
-                       unnest(list_distinct(regexp_split_to_array(lower(trim(query)), '\\s+'))) AS term
-                FROM q
-            ), sc AS (
-                SELECT query_id, tf.doc_id,
-                       round(sum(idf * (tf * 2.2) /
-                             (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
-                FROM qt
-                JOIN idf USING (term)
-                JOIN tf USING (term)
-                JOIN dl ON tf.doc_id = dl.doc_id, stats
-                GROUP BY 1, 2
+            ),
+            cov AS (
+                SELECT c.query_id, c.doc_id,
+                       round(len(list_intersect(
+                           list_distinct(regexp_split_to_array(lower(trim(d.text)), '\\s+')),
+                           list_distinct(regexp_split_to_array(lower(trim(q.query)), '\\s+'))
+                       ))::DOUBLE /
+                       len(list_distinct(regexp_split_to_array(lower(trim(q.query)), '\\s+'))),
+                       6) AS rerank_score
+                FROM bm c
+                JOIN documents d USING (doc_id)
+                JOIN qv q USING (query_id)
             )
-            SELECT query_id, doc_id, score, rank FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
-                FROM sc
-            ) WHERE rank <= 5
+            SELECT query_id, doc_id, rerank_score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rerank_score DESC, doc_id ASC) AS rerank
+            FROM cov
         """,
         "q_connected_components": """
             WITH RECURSIVE pairs AS (

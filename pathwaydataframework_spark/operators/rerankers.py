@@ -1,0 +1,71 @@
+"""Rerankers — the final stage of a retrieve-then-rerank pipeline.
+
+Reference analogue: ``xpacks/llm/rerankers.py:58-319`` (LLMReranker /
+CrossEncoderReranker / EncoderReranker — all external-model UDFs, out of
+engine scope).  The in-engine analogue reranks candidate (query, doc)
+pairs by lexical query coverage: |query_tokens ∩ doc_tokens| / |query_tokens|.
+Deterministic, exactly SQL-expressible (oracle-checkable), and the right
+call shape to swap in a cross-encoder Pandas UDF on a real cluster.
+
+Scale design: the rerank stage touches CANDIDATE pairs only (top-k per
+query from the retriever), never the corpus — a broadcast-size join with
+one window, no matter how large the corpus is.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window as W
+
+
+def _distinct_tokens(col: Column) -> Column:
+    return F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
+
+
+def coverage_score(doc_text: Column, query_text: Column) -> Column:
+    """Fraction of the query's distinct tokens present in the doc.
+
+    >>> d = spark.createDataFrame([("big data engine", "data engine")], "t string, q string")
+    >>> d.select(coverage_score(F.col("t"), F.col("q")).alias("s")).first()["s"]
+    1.0
+    """
+    qt = _distinct_tokens(query_text)
+    return F.size(F.array_intersect(_distinct_tokens(doc_text), qt)) / F.size(qt)
+
+
+def rerank_token_overlap(
+    candidates: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k: int | None = None,
+) -> DataFrame:
+    """Re-rank retriever candidates (query_id, doc_id, …) by lexical query
+    coverage.  Returns (query_id, doc_id, rerank_score, rerank) with
+    deterministic (score DESC, doc_id ASC) ordering; ``k`` truncates.
+
+    The candidate set is small (top-k per query), so both text joins
+    broadcast; the corpus is never rescanned.
+    """
+    cand = candidates.select(query_id_col, id_col)
+    joined = (
+        cand.join(docs.select(id_col, text_col), on=id_col)
+        .join(queries.select(query_id_col, query_text_col), on=query_id_col)
+        .withColumn(
+            "rerank_score",
+            F.round(coverage_score(F.col(text_col), F.col(query_text_col)), 6),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("rerank_score").desc(), F.col(id_col).asc()
+    )
+    out = joined.withColumn("rerank", F.row_number().over(w).cast("long")).select(
+        query_id_col, id_col, "rerank_score", "rerank"
+    )
+    if k is not None:
+        out = out.filter(F.col("rerank") <= k)
+    return out

@@ -15,12 +15,23 @@ from pathwaydataframework_spark.operators import (
     embedders,
     graphs,
     ranking,
+    rerankers,
     similarity,
     splitters,
     text,
 )
 
-MODULES = [table_mod, dedup, embedders, graphs, ranking, similarity, splitters, text]
+MODULES = [
+    table_mod,
+    dedup,
+    embedders,
+    graphs,
+    ranking,
+    rerankers,
+    similarity,
+    splitters,
+    text,
+]
 
 
 @pytest.mark.parametrize("mod", MODULES, ids=[m.__name__.split(".")[-1] for m in MODULES])

@@ -100,6 +100,25 @@ def test_bm25_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_splitter_and_embedder_add_no_exchange(spark, sf_dir):
+    # chunking and hash-embedding are per-row column expressions — the
+    # whole split→embed stage must compile to a single scan stage with
+    # ZERO exchanges (the 100 TB property COVERAGE.md claims)
+    import pyspark.sql.functions as F
+
+    from pathwaydataframework_spark.data import load_table
+    from pathwaydataframework_spark.operators import embedders, splitters
+
+    docs = load_table(spark, sf_dir, "documents").df
+    chunks = splitters.token_count_split(docs, "doc_id", "text", min_tokens=8, max_tokens=32)
+    embedded = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        embedders.hashing_embedding(F.col("chunk"), dim=16).alias("v"),
+    )
+    assert count_shuffles(embedded) == 0, formatted_plan(embedded)
+
+
 def test_interval_join_outer_anti_joins_on_narrow_id(spark):
     # VERDICT r1: the outer-padding anti-join must key on the 8-byte __lid
     # hash, not the full-row __l struct (which would shuffle the whole row
