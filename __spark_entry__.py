@@ -788,7 +788,9 @@ def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_louvain(spark: SparkSession, sf: str) -> DataFrame:
     """louvain communities over the near-dup graph (SURVEY §2.8).
-    Rows-only: modularity optimization is heuristic/engine-specific."""
+    Oracle-checkable: the fixture's components are disjoint near-cliques,
+    where phase-1 Louvain provably keeps each component whole, so the
+    min-label CC oracle is exact (see _neardup_cc_sql)."""
     from pathwaydataframework_spark.operators import graphs
 
     docs = load_table(spark, sf, "documents").df
@@ -933,6 +935,42 @@ def _bellman_ford_oracle_sql(rounds: int = 25) -> str:
         {",".join(steps)}
         SELECT v AS vertex, round(d, 6) AS distance FROM d{rounds}
     """
+
+
+def _neardup_cc_sql(label: str) -> str:
+    """Min-label over the jaccard>=0.8 near-dup graph.  Exact oracle for
+    BOTH q_connected_components and q_louvain: the fixture's components are
+    disjoint near-cliques, where phase-1 Louvain provably assigns each
+    component one community, and both queries canonicalize the label to the
+    minimum member id (verified identical at sf0.001 and sf0.01)."""
+    return f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id_a AS a, id_b AS b FROM (
+                    WITH toks AS (
+                        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                        FROM documents
+                    ), sh AS (
+                        SELECT doc_id,
+                               list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
+                                   range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                               ELSE []::VARCHAR[] END) AS g
+                        FROM toks
+                    )
+                    SELECT x.doc_id AS id_a, y.doc_id AS id_b
+                    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+                    WHERE len(list_intersect(x.g, y.g))::DOUBLE /
+                          (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8
+                )
+            ), edges AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(v, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+            )
+            SELECT v AS vertex, min(r) AS {label} FROM reach GROUP BY v
+        """
 
 
 _BM25_SQL = """
@@ -1429,34 +1467,8 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY rerank_score DESC, doc_id ASC) AS rerank
             FROM cov
         """,
-        "q_connected_components": """
-            WITH RECURSIVE pairs AS (
-                SELECT id_a AS a, id_b AS b FROM (
-                    WITH toks AS (
-                        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-                        FROM documents
-                    ), sh AS (
-                        SELECT doc_id,
-                               list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
-                                   range(1, len(t) - 1),
-                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                               ELSE []::VARCHAR[] END) AS g
-                        FROM toks
-                    )
-                    SELECT x.doc_id AS id_a, y.doc_id AS id_b
-                    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-                    WHERE len(list_intersect(x.g, y.g))::DOUBLE /
-                          (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8
-                )
-            ), edges AS (
-                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
-            ), reach(v, r) AS (
-                SELECT a, a FROM edges
-                UNION
-                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
-            )
-            SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
-        """,
+        "q_connected_components": _neardup_cc_sql("component"),
+        "q_louvain": _neardup_cc_sql("community"),
         "q_interpolate": """
             WITH base AS (
                 SELECT event_id, ts,

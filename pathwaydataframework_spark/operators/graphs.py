@@ -248,12 +248,17 @@ def louvain_communities(
             .groupBy(F.col("a").alias("v"), F.col("comm"))
             .agg(F.sum("w").alias("w_ic"))
         )
-        # synchronous moves oscillate on symmetric graphs (Louvain is
-        # sequential by construction); alternate parity classes so only
-        # half the vertices move per round — the standard distributed fix
-        nbr = nbr.filter(F.pmod(F.xxhash64(F.col("v")) + F.lit(it), F.lit(2)) == 0)
+        # the current community is always a candidate (the "stay" option,
+        # w_ic = 0 when no neighbor shares it) so a vertex moves only on a
+        # STRICT improvement over staying put
+        stay = labels.select("v", "comm", F.lit(0.0).alias("w_ic"))
+        cand = (
+            nbr.unionByName(stay)
+            .groupBy("v", "comm")
+            .agg(F.max("w_ic").alias("w_ic"))
+        )
         gains = (
-            nbr.join(comm_tot, on="comm")
+            cand.join(comm_tot, on="comm")
             .join(degrees, on="v")
             .join(labels.withColumnRenamed("comm", "cur"), on="v")
             .withColumn(
@@ -266,12 +271,27 @@ def louvain_communities(
         )
         best = gains.groupBy("v").agg(
             F.max_by(F.col("comm"), F.struct(F.col("gain"), -F.col("comm"))).alias("new_comm"),
+            F.max_by(F.col("gain"), F.struct(F.col("gain"), -F.col("comm"))).alias("best_gain"),
+            F.max(F.when(F.col("comm") == F.col("cur"), F.col("gain"))).alias("stay_gain"),
+            F.max("cur").alias("cur"),
         )
-        new_labels = (
-            labels.join(best, on="v", how="left")
-            .select("v", F.coalesce(F.col("new_comm"), F.col("comm")).alias("comm"))
-            .localCheckpoint(eager=True)
-        )
+        # synchronous symmetric moves oscillate (two singletons that pick
+        # each other swap labels forever — Louvain is sequential by
+        # construction); alternate the allowed move DIRECTION per round:
+        # even rounds move only to higher-labelled communities, odd rounds
+        # only to lower.  Any profitable move is admissible within two
+        # rounds, and a simultaneous swap needs both directions at once.
+        up = F.col("new_comm") > F.col("cur")
+        new_labels = best.select(
+            "v",
+            F.when(
+                (F.col("best_gain") > F.col("stay_gain"))
+                & (up if it % 2 == 0 else ~up),
+                F.col("new_comm"),
+            )
+            .otherwise(F.col("cur"))
+            .alias("comm"),
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="v")
