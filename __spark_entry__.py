@@ -577,6 +577,93 @@ def q_token_splitter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """deterministic per-language rebalancing sample (north-star sampling
+    surface; membership is md5(key:seed)-thresholded, so the exact row
+    set is cross-engine reproducible — no RNG)."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    return sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "de": 0.5, "fr": 1.0}, default=0.25, seed=3
+    ).select("doc_id", "lang")
+
+
+def q_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """deterministic disjoint train/val/test split, emitted as one tagged
+    table (sampling.split returns the three frames; the union is the
+    oracle-checkable view of the whole partition)."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    parts = sampling.split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = None
+    for name, part in parts.items():
+        tagged = part.select("doc_id", F.lit(name).alias("part"))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """sequence packing: concatenate-and-cut layout at 512 tokens over 4
+    deterministic shards (operators/packing.py)."""
+    from pathwaydataframework_spark.operators import packing, text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    with_counts = docs.select(
+        "doc_id", text_ops.token_count(F.col("text")).alias("n_tok")
+    )
+    return packing.pack_by_offset(
+        with_counts, "doc_id", "n_tok", max_tokens=512, shards=4
+    )
+
+
+def q_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """corpus vocabulary top-100 by frequency, alphabetical tie-break."""
+    from pathwaydataframework_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    return text_ops.vocabulary(docs, "text", k=100)
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over documents with deterministically injected
+    emails/IPs/phones (the fixture corpus is synthetic word salad, so the
+    query plants PII on every 7th doc, then scrubs — exercising the real
+    regexp chain end-to-end)."""
+    from pathwaydataframework_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com from 10.1.2.3 call +1 (555) 123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return planted.select(
+        "doc_id", text_ops.scrub_pii(F.col("text")).alias("scrubbed")
+    )
+
+
+def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """distributed Lloyd's k-means over the embeddings table, k=10, 3
+    iterations, deterministic init — the oracle replays the identical
+    trajectory (rounded centroids/distances), so assignments are exactly
+    checkable even though the fixture's labels aren't L2-separable."""
+    from pathwaydataframework_spark.operators import clustering
+
+    emb = load_table(spark, sf, "embeddings").df
+    return clustering.kmeans(emb, "vec_id", "embedding", k=10, iterations=3)
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """heuristic language-ID confusion counts."""
     docs = load_table(spark, sf, "documents").df
@@ -854,6 +941,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain": q_louvain,
         "q_bellman_ford": q_bellman_ford,
         "q_rerank": q_rerank,
+        "q_stratified_sample": q_stratified_sample,
+        "q_train_split": q_train_split,
+        "q_pack_sequences": q_pack_sequences,
+        "q_vocab": q_vocab,
+        "q_pii_scrub": q_pii_scrub,
+        "q_kmeans": q_kmeans,
     }
 
 
@@ -971,6 +1064,56 @@ def _neardup_cc_sql(label: str) -> str:
             )
             SELECT v AS vertex, min(r) AS {label} FROM reach GROUP BY v
         """
+
+
+def _bucket_sql(key: str, seed: int) -> str:
+    """DuckDB replica of sampling.hash_bucket: uniform 32-bit bucket from
+    the first 8 hex chars of md5(key:seed)."""
+    return f"('0x' || substr(md5({key}::VARCHAR || ':{seed}'), 1, 8))::BIGINT"
+
+
+def _frac_threshold(fraction: float) -> int:
+    return int(fraction * (1 << 32))
+
+
+def _kmeans_oracle_sql(k: int = 10, iterations: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd's replay of clustering.kmeans: identical init (k
+    smallest ids), identical 6dp-rounded centroids and distances, identical
+    (distance, cluster) tie-break — so assignments match exactly.  Every
+    CTE is MATERIALIZED (DuckDB inlines twice-referenced CTEs, which goes
+    exponential over an iteration chain)."""
+    steps = []
+    for it in range(1, iterations + 1):
+        steps.append(f"""
+            a{it} AS MATERIALIZED (
+                SELECT vec_id, cidx FROM (
+                    SELECT e.vec_id, c.cidx,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_distance(e.v, c.c), 6), c.cidx
+                           ) AS rn
+                    FROM e, c{it - 1} c
+                ) WHERE rn = 1
+            ),
+            c{it} AS MATERIALIZED (
+                SELECT cidx, list(m ORDER BY i) AS c FROM (
+                    SELECT a.cidx, t.i, round(avg(e.v[t.i + 1]), 6) AS m
+                    FROM a{it} a JOIN e USING (vec_id), range({dim}) t(i)
+                    GROUP BY a.cidx, t.i
+                ) GROUP BY cidx
+            )""")
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY m) - 1 AS cidx,
+                   list_transform(v, x -> round(x, 6)) AS c
+            FROM (SELECT v, min(vec_id) AS m FROM e GROUP BY v ORDER BY m LIMIT {k})
+        ),
+        {",".join(steps)}
+        SELECT vec_id, cidx AS cluster FROM a{iterations}
+    """
 
 
 _BM25_SQL = """
@@ -1469,6 +1612,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_connected_components": _neardup_cc_sql("component"),
         "q_louvain": _neardup_cc_sql("community"),
+        "q_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_bucket_sql("doc_id", 3)} <
+                  CASE lang
+                      WHEN 'en' THEN {_frac_threshold(0.1)}
+                      WHEN 'de' THEN {_frac_threshold(0.5)}
+                      WHEN 'fr' THEN {_frac_threshold(1.0)}
+                      ELSE {_frac_threshold(0.25)}
+                  END
+        """,
+        "q_train_split": f"""
+            SELECT doc_id,
+                   CASE WHEN b < {_frac_threshold(0.8)} THEN 'train'
+                        WHEN b < {_frac_threshold(min(0.8 + 0.1, 1.0))} THEN 'val'
+                        WHEN b < {_frac_threshold(min(0.8 + 0.1 + 0.1, 1.0))} THEN 'test'
+                   END AS part
+            FROM (SELECT doc_id, {_bucket_sql("doc_id", 0)} AS b FROM documents)
+            WHERE b < {_frac_threshold(min(0.8 + 0.1 + 0.1, 1.0))}
+        """,
+        "q_pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tok,
+                       {_bucket_sql("doc_id", 0)} % 4 AS shard
+                FROM documents
+            ), offs AS (
+                SELECT doc_id, shard, n_tok,
+                       coalesce(sum(n_tok) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start_offset
+                FROM toks
+            )
+            SELECT doc_id, shard, (start_offset // 512)::BIGINT AS seq_id,
+                   start_offset::BIGINT AS start_offset, n_tok
+            FROM offs
+        """,
+        "q_vocab": """
+            SELECT term, count, rank FROM (
+                SELECT term, count(*) AS count,
+                       row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rank
+                FROM (
+                    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                    FROM documents
+                )
+                WHERE len(term) > 0
+                GROUP BY term
+            ) WHERE rank <= 100
+        """,
+        "q_pii_scrub": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               CASE WHEN doc_id % 7 = 0
+                                    THEN text || ' contact user' || doc_id::VARCHAR ||
+                                         '@example.com from 10.1.2.3 call +1 (555) 123-4567'
+                                    ELSE text END,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'
+                   ) AS scrubbed
+            FROM documents
+        """,
+        "q_kmeans": _kmeans_oracle_sql(k=10, iterations=3, dim=64),
         "q_interpolate": """
             WITH base AS (
                 SELECT event_id, ts,

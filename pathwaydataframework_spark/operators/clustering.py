@@ -1,0 +1,103 @@
+"""Distributed k-means over an embedding column — semantic clustering for
+training-data curation (topic balancing, semantic dedup at cluster
+granularity, IVF coarse quantizers for ANN).
+
+The reference engine has no clustering operator; this is north-star
+addendum surface.  Design is Spark-first Lloyd's:
+
+- **Deterministic init**: centroids are the k DISTINCT vectors with the
+  smallest ids — reproducible and exactly replicable by an external
+  oracle (no RNG, which cannot be replicated cross-engine; distinct so
+  duplicate rows can't collapse two seeds onto one point).
+- **Assignment** is a join, not a literal storm: documents × broadcast
+  centroid table (k rows), distance via ``zip_with``/``aggregate`` on two
+  array columns, then ``min_by`` per document.  Zero py4j literals, zero
+  driver round-trips per iteration, linear scale-out.
+- **Update** is posexplode → per-(cluster, dim) avg → re-assembled array:
+  two small shuffles keyed by cluster, map-side partial aggs collapse each
+  partition first.
+- **Parity**: centroid components and distances are rounded to 6 decimals
+  every iteration, and distance ties break on the lower cluster index, so
+  an independent SQL engine replays the exact trajectory (the DuckDB
+  oracle unrolls the same iterations).
+
+>>> from pathwaydataframework_spark.operators import clustering
+>>> import pyspark.sql.functions as F
+>>> pts = spark.createDataFrame(
+...     [(i, [float(i // 3 * 10), 0.0]) for i in range(6)], "id long, v array<double>")
+>>> out = clustering.kmeans(pts, "id", "v", k=2, iterations=3)
+>>> sorted((r["id"], r["cluster"]) for r in out.collect())
+[(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)]
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window as W
+
+_ROUND = 6  # cross-engine stability: centroids + distances live at 6dp
+
+
+def _l2(a, b) -> F.Column:
+    """round(sqrt(Σ (aᵢ-bᵢ)²), 6) — index-order fold, deterministic."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(F.sqrt(sq), _ROUND)
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    iterations: int = 5,
+) -> DataFrame:
+    """Lloyd's k-means, fixed iteration count.  Returns (id, cluster) with
+    cluster ∈ [0, k) indexed by init order (ascending minimal id of each
+    distinct seed vector).
+    """
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    # seed from the k DISTINCT vectors with the smallest ids — duplicate
+    # seeds would collapse clusters on ties (init-only cost: one distinct
+    # shuffle over the vector column)
+    centroids = (
+        pts.groupBy("_v")
+        .agg(F.min("_id").alias("_m"))
+        .orderBy("_m")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("_m")) - 1).cast("long").alias("cluster"),
+            F.transform("_v", lambda x: F.round(x, _ROUND)).alias("_c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(iterations):
+        assigned = (
+            pts.crossJoin(F.broadcast(centroids))
+            .withColumn("_d", _l2(F.col("_v"), F.col("_c")))
+            .groupBy("_id")
+            .agg(
+                F.min_by(F.col("cluster"), F.struct(F.col("_d"), F.col("cluster"))).alias(
+                    "cluster"
+                )
+            )
+        )
+        centroids = (
+            assigned.join(pts, on="_id")
+            .select("cluster", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("cluster", "_i")
+            .agg(F.round(F.avg("_x"), _ROUND).alias("_m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_im"))
+            .select("cluster", F.transform("_im", lambda s: s["_m"]).alias("_c"))
+            .localCheckpoint(eager=True)  # tiny (k rows); flattens loop lineage
+        )
+    return assigned.select(F.col("_id").alias(id_col), "cluster")

@@ -1,0 +1,129 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference engine has no sampling operators; a 100 TB curation
+pipeline cannot live without them (held-out splits, per-language
+rebalancing, source mixing).  Everything here is *hash-deterministic*:
+membership depends only on (key, seed), never on partitioning, executor
+count, or row order — so a sample is reproducible across runs, resumable
+after failure, and exactly verifiable by an external SQL oracle.
+
+Mechanism: the first 8 hex chars of ``md5(key || ':' || seed)`` are a
+uniform 32-bit bucket; a row is kept when ``bucket < fraction · 2³²``.
+md5 is bit-identical across engines (Spark, DuckDB, Python), unlike
+xxhash64/murmur whose seeds differ — that cross-engine parity is the
+whole point of choosing it here.  The filter is a pure column predicate:
+no shuffle, no sort, pushed to the scan, linear at any scale.
+
+>>> from pathwaydataframework_spark.operators import sampling
+>>> docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+>>> s = sampling.hash_sample(docs, "doc_id", 0.25, seed=7)
+>>> 180 < s.count() < 320            # ~250 expected, binomial spread
+True
+>>> s2 = sampling.hash_sample(docs, "doc_id", 0.25, seed=7)
+>>> s.exceptAll(s2).count()          # deterministic: same sample again
+0
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_BUCKETS = 1 << 32  # 8 hex chars
+
+
+def hash_bucket(key: Column, seed: int = 0) -> Column:
+    """Uniform [0, 2³²) bucket from md5(key:seed) — the cross-engine
+    deterministic randomness primitive (DuckDB:
+    ``('0x' || substr(md5(key || ':seed'), 1, 8))::BIGINT``)."""
+    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed))))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * _BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, *, seed: int = 0
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, selected by key hash."""
+    if fraction >= 1.0:
+        return df
+    return df.filter(hash_bucket(F.col(key), seed) < F.lit(_threshold(fraction)))
+
+
+def split(
+    df: DataFrame, key: str, fractions: Mapping[str, float], *, seed: int = 0
+) -> dict[str, DataFrame]:
+    """Disjoint deterministic splits (e.g. train/val/test).  Fractions must
+    sum to ≤ 1; each row lands in at most one split, by hash range."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    b = hash_bucket(F.col(key), seed)
+    for name, frac in fractions.items():
+        hi = lo + frac
+        # float accumulation can overshoot 1.0 by an ulp — clamp, don't raise
+        out[name] = df.filter(
+            (b >= F.lit(_threshold(min(lo, 1.0))))
+            & (b < F.lit(_threshold(min(hi, 1.0))))
+        )
+        lo = hi
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    *,
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages:
+    ``{"en": 0.1, "de": 0.5, "fr": 1.0}``).  The per-stratum threshold is
+    a CASE expression — still a pure scan-side predicate, no join."""
+    thr = F.lit(_threshold(default))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(strata_col) == F.lit(value), F.lit(_threshold(frac))).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key), seed) < thr)
+
+
+def mix_datasets(
+    sources: Mapping[str, DataFrame],
+    rates: Mapping[str, float],
+    key: str,
+    *,
+    seed: int = 0,
+    tag_col: str = "_pw_source",
+) -> DataFrame:
+    """Weighted dataset mixing: sample each source at its rate and union,
+    tagging provenance.  The deterministic-hash property makes the mix
+    reproducible epoch to epoch; upsampling (rate > 1) keeps whole copies
+    plus a fractional deterministic remainder."""
+    parts = []
+    for name, src in sources.items():
+        rate = rates.get(name, 1.0)
+        whole, frac = int(rate), rate - int(rate)
+        for i in range(whole):
+            parts.append(src.withColumn(tag_col, F.lit(name)))
+        if frac > 0:
+            parts.append(
+                hash_sample(src, key, frac, seed=seed + 1000 * (whole + 1)).withColumn(
+                    tag_col, F.lit(name)
+                )
+            )
+    if not parts:
+        raise ValueError("no sources")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

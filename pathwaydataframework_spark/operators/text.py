@@ -152,3 +152,62 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+# Conservative patterns chosen to behave identically under Java regex
+# (Spark) and RE2 (DuckDB/the oracle): no backrefs, no lookaround.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, phone-number-like digit runs, and IPv4 literals.
+
+    A deterministic regexp_replace chain — pure codegen, no UDF, and the
+    patterns are dialect-portable so the scrub is SQL-oracle-checkable.
+
+    >>> import pyspark.sql.functions as F
+    >>> t = spark.createDataFrame([("mail a@b.co or 192.168.0.1",)], "body string")
+    >>> t.select(scrub_pii(F.col("body")).alias("s")).first()["s"]
+    'mail <EMAIL> or <IP>'
+    """
+    out = text
+    for pattern, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+# -- vocabulary -------------------------------------------------------------
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", *, min_count: int = 1, k: int | None = None
+) -> DataFrame:
+    """Corpus vocabulary: (term, count, rank) by descending frequency.
+
+    One explode + one groupBy (map-side partial agg collapses each
+    partition's counts before the single shuffle).  With ``k`` the top-k
+    is taken with orderBy+limit (TakeOrdered — per-partition heaps, no
+    global sort) and only the k survivors see the rank window; without
+    ``k`` the rank is a global total order (fine for test corpora, not
+    for a billion-term vocab — pass k at scale).  Ties rank
+    alphabetically so output is deterministic and oracle-checkable.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.lower(F.trim(F.col(text_col))))).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= F.lit(min_count))
+    )
+    if k is not None:
+        counts = counts.orderBy(F.col("count").desc(), F.col("term").asc()).limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("count").desc(), F.col("term").asc())
+    return counts.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -11,11 +11,14 @@ import pytest
 
 from pathwaydataframework_spark.internals import table as table_mod
 from pathwaydataframework_spark.operators import (
+    clustering,
     dedup,
     embedders,
     graphs,
+    packing,
     ranking,
     rerankers,
+    sampling,
     similarity,
     splitters,
     text,
@@ -23,11 +26,14 @@ from pathwaydataframework_spark.operators import (
 
 MODULES = [
     table_mod,
+    clustering,
     dedup,
     embedders,
     graphs,
+    packing,
     ranking,
     rerankers,
+    sampling,
     similarity,
     splitters,
     text,

@@ -1,0 +1,126 @@
+"""Training-data pipeline operators: sampling, packing, clustering,
+vocabulary, PII scrubbing (north-star addendum surface)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pathwaydataframework_spark.operators import clustering, packing, sampling, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from pathwaydataframework_spark.data import load_table
+
+    return load_table(spark, sf_dir, "documents").df
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = sampling.hash_sample(df, "k", 0.3, seed=1)
+    b = sampling.hash_sample(df, "k", 0.3, seed=1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    n = a.count()
+    assert 2700 < n < 3300  # ±6σ of Binomial(10000, 0.3)
+    # different seed ⇒ a different (near-independent) subset
+    c = sampling.hash_sample(df, "k", 0.3, seed=2)
+    overlap = a.join(c, on="k").count()
+    assert 700 < overlap < 1100  # ≈ 0.09·10000
+
+
+def test_split_disjoint_and_exhaustive(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    parts = sampling.split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {name: p.count() for name, p in parts.items()}
+    assert sum(counts.values()) == 5_000  # fractions sum to 1 ⇒ exhaustive
+    assert parts["train"].join(parts["val"], on="k").count() == 0
+    assert parts["val"].join(parts["test"], on="k").count() == 0
+    assert 3_800 < counts["train"] < 4_200
+
+
+def test_stratified_sample_rates(docs):
+    out = sampling.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.0, "de": 1.0}, default=0.5
+    )
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "en" not in by_lang
+    assert by_lang["de"] == totals["de"]
+
+
+def test_mix_datasets_upsamples_and_tags(spark):
+    a = spark.range(1_000).withColumnRenamed("id", "k")
+    b = spark.range(1_000, 2_000).withColumnRenamed("id", "k")
+    mixed = sampling.mix_datasets({"a": a, "b": b}, {"a": 2.5, "b": 0.5}, "k")
+    counts = {r["_pw_source"]: r["n"] for r in
+              mixed.groupBy("_pw_source").agg(F.count("*").alias("n")).collect()}
+    assert counts["a"] >= 2_000 and 2_300 < counts["a"] < 2_700
+    assert 400 < counts["b"] < 600
+
+
+def test_pack_by_offset_layout_invariants(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("n_tok")
+    )
+    out = packing.pack_by_offset(docs, "doc_id", "n_tok", max_tokens=64, shards=8)
+    assert out.count() == 500  # every doc placed exactly once
+    # within a shard, offsets are the exclusive prefix sum in id order
+    rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    run = {}
+    for r in rows:
+        assert r["start_offset"] == run.get(r["shard"], 0)
+        assert r["seq_id"] == r["start_offset"] // 64
+        run[r["shard"]] = run.get(r["shard"], 0) + r["n_tok"]
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    # 3 tight clusters far apart; k-means must recover them exactly
+    import itertools
+
+    centers = [[0.0, 0.0], [100.0, 0.0], [0.0, 100.0]]
+    pts = [
+        (i, [c[0] + (i % 5) * 0.1, c[1] + (i % 7) * 0.1])
+        for i, c in zip(range(60), itertools.cycle(centers))
+    ]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    out = clustering.kmeans(df, "id", "v", k=3, iterations=4)
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    # all points planted from the same center share a cluster, distinct across
+    for base in range(3):
+        members = {got[i] for i in range(base, 60, 3)}
+        assert len(members) == 1, f"center {base} split: {members}"
+    assert len({got[0], got[1], got[2]}) == 3
+
+
+def test_vocabulary_ranks_and_min_count(spark):
+    df = spark.createDataFrame(
+        [("b b b a a c",), ("a b",)], "text string"
+    )
+    out = text.vocabulary(df, "text")
+    rows = {r["term"]: (r["count"], r["rank"]) for r in out.collect()}
+    assert rows == {"b": (4, 1), "a": (3, 2), "c": (1, 3)}
+    assert text.vocabulary(df, "text", min_count=2).count() == 2
+
+
+def test_scrub_pii_patterns(spark):
+    cases = [
+        ("reach me at jo.doe+x@sub.example.org thanks", "reach me at <EMAIL> thanks"),
+        ("call +1 (555) 123-4567 now", "call <PHONE> now"),
+        ("host 192.168.10.1 up", "host <IP> up"),
+        ("clean text stays clean", "clean text stays clean"),
+    ]
+    df = spark.createDataFrame(cases, "body string, want string")
+    bad = df.filter(text.scrub_pii(F.col("body")) != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_sampling_is_scan_side_filter(spark, sf_dir):
+    # the 100 TB property: sampling adds ZERO exchanges — pure filter
+    from tests.test_plans import count_shuffles
+
+    from pathwaydataframework_spark.data import load_table
+
+    docs = load_table(spark, sf_dir, "documents").df
+    out = sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default=0.1)
+    assert count_shuffles(out) == 0
