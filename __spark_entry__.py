@@ -717,6 +717,19 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_bruteforce(emb, queries, k=5)
 
 
+def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate knn (coarse k-means quantizer + probed lists,
+    similarity.knn_ivf).  Run with nprobe == n_clusters, where IVF
+    provably equals brute force (same rounding/tie rules) — so the
+    brute-force SQL oracle checks it exactly; pruned-probe recall is
+    covered in tests/test_pipeline_ops.py."""
+    emb = load_table(spark, sf, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_ivf(
+        emb, queries, k=5, n_clusters=8, nprobe=8, iterations=2
+    )
+
+
 def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate knn, parameterized so it is exactly
     verifiable: with 16 2-bit bands the OR-construction's candidate sets
@@ -930,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_knn_bruteforce": q_knn_bruteforce,
+        "q_knn_ivf": q_knn_ivf,
         "q_knn_lsh": q_knn_lsh,
         "q_embedding_pairs": q_embedding_pairs,
         "q_bm25": q_bm25,
@@ -1553,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
                   (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.2
         """,
         "q_knn_bruteforce": knn_top5_sql,
+        "q_knn_ivf": knn_top5_sql,
         "q_embedding_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(

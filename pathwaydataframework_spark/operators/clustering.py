@@ -60,6 +60,20 @@ def kmeans(
     cluster ∈ [0, k) indexed by init order (ascending minimal id of each
     distinct seed vector).
     """
+    assigned, _ = kmeans_fit(df, id_col, vec_col, k, iterations=iterations)
+    return assigned
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    iterations: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`kmeans` but also returns the final centroid table
+    (cluster, centroid) — the coarse quantizer an IVF index probes."""
     pts = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
@@ -79,7 +93,7 @@ def kmeans(
         .localCheckpoint(eager=True)
     )
     assigned = None
-    for _ in range(iterations):
+    for it in range(iterations):
         assigned = (
             pts.crossJoin(F.broadcast(centroids))
             .withColumn("_d", _l2(F.col("_v"), F.col("_c")))
@@ -90,6 +104,11 @@ def kmeans(
                 )
             )
         )
+        if it == iterations - 1:
+            # the returned centroids are the ones this assignment used —
+            # and the post-final update would be an eagerly-checkpointed
+            # wasted job
+            break
         centroids = (
             assigned.join(pts, on="_id")
             .select("cluster", F.posexplode("_v").alias("_i", "_x"))
@@ -100,4 +119,7 @@ def kmeans(
             .select("cluster", F.transform("_im", lambda s: s["_m"]).alias("_c"))
             .localCheckpoint(eager=True)  # tiny (k rows); flattens loop lineage
         )
-    return assigned.select(F.col("_id").alias(id_col), "cluster")
+    return (
+        assigned.select(F.col("_id").alias(id_col), "cluster"),
+        centroids.select("cluster", F.col("_c").alias("centroid")),
+    )

@@ -124,3 +124,30 @@ def test_sampling_is_scan_side_filter(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").df
     out = sampling.stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default=0.1)
     assert count_shuffles(out) == 0
+
+
+def test_knn_ivf_exact_when_probing_all(spark, sf_dir):
+    from pathwaydataframework_spark.data import load_table
+    from pathwaydataframework_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.knn_bruteforce(emb, q, k=5)
+    ivf = similarity.knn_ivf(emb, q, k=5, n_clusters=8, nprobe=8, iterations=2)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_knn_ivf_recall_with_pruned_probes(spark, sf_dir):
+    from pathwaydataframework_spark.data import load_table
+    from pathwaydataframework_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.knn_bruteforce(emb, q, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in similarity.knn_ivf(
+               emb, q, k=5, n_clusters=8, nprobe=4, iterations=2).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, recall  # fixture embeddings are near-uniform; half
+    # the probes must still find at least half the true neighbors
