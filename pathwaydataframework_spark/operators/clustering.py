@@ -74,10 +74,12 @@ def kmeans_fit(
 ) -> tuple[DataFrame, DataFrame]:
     """Like :func:`kmeans` but also returns the final centroid table
     (cluster, centroid) — the coarse quantizer an IVF index probes."""
+    # referenced 2× per iteration (assignment join + centroid update) —
+    # materialize once instead of re-deriving from the source every pass
     pts = df.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).localCheckpoint(eager=True)
     # seed from the k DISTINCT vectors with the smallest ids — duplicate
     # seeds would collapse clusters on ties (init-only cost: one distinct
     # shuffle over the vector column)

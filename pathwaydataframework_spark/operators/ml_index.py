@@ -33,6 +33,8 @@ class KNNIndex:
         method: str = "brute_force",
         bits: int = 16,
         bands: int = 8,
+        n_clusters: int = 16,
+        nprobe: int = 4,
     ):
         self._data = data
         self._id_col = id_col
@@ -41,6 +43,8 @@ class KNNIndex:
         self._method = method
         self._bits = bits
         self._bands = bands
+        self._n_clusters = n_clusters
+        self._nprobe = nprobe
 
     def get_nearest_items(
         self, queries: DataFrame, k: int = 10, *, query_id_col: str | None = None,
@@ -69,6 +73,19 @@ class KNNIndex:
                 bands=self._bands,
                 exclude_self=False,
             )
+        if self._method == "ivf":
+            return similarity.knn_ivf(
+                self._data,
+                queries,
+                id_col=self._id_col,
+                vec_col=self._vec_col,
+                query_id_col=query_id_col or self._id_col,
+                query_vec_col=query_vec_col or self._vec_col,
+                k=k,
+                n_clusters=self._n_clusters,
+                nprobe=self._nprobe,
+                exclude_self=False,
+            )
         raise ValueError(f"unknown method {self._method}")
 
     # reference naming: asof_now == answer with current state; in batch the
@@ -95,6 +112,25 @@ class LshKnnFactory:
     ):
         self.kwargs = dict(
             dim=dim, id_col=id_col, vec_col=vec_col, method="lsh", bits=bits, bands=bands
+        )
+
+    def build_index(self, data: DataFrame) -> KNNIndex:
+        return KNNIndex(data, **self.kwargs)
+
+
+class UsearchKnnFactory:
+    """Reference nearest_neighbors.py:170 (USearchKnn — an HNSW service).
+    The distributed analogue is the IVF retriever: same approximate-top-k
+    contract, coarse-quantized instead of graph-walked (an in-process HNSW
+    cannot shard across executors; inverted lists can)."""
+
+    def __init__(
+        self, *, dim: int, id_col: str = "vec_id", vec_col: str = "embedding",
+        n_clusters: int = 16, nprobe: int = 4,
+    ):
+        self.kwargs = dict(
+            dim=dim, id_col=id_col, vec_col=vec_col, method="ivf",
+            n_clusters=n_clusters, nprobe=nprobe,
         )
 
     def build_index(self, data: DataFrame) -> KNNIndex:

@@ -67,6 +67,10 @@ def test_knn_index_facades(spark, sf_dir):
         r["query_id"]: r["neighbor_id"] for r in out.filter(F.col("rank") == 1).collect()
     }
     assert all(q == n for q, n in top1.items())  # self is nearest
+    # IVF facade (USearchKnn analogue): probing every list == brute force
+    ivf = ml_index.UsearchKnnFactory(dim=64, n_clusters=4, nprobe=4).build_index(emb)
+    got = ivf.get_nearest_items(queries, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, out.collect()))
 
 
 def test_hybrid_index_rrf(spark, sf_dir):
