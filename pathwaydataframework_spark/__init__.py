@@ -71,14 +71,20 @@ from pathwaydataframework_spark.internals import custom_reducers
 from pathwaydataframework_spark.internals.custom_reducers import BaseCustomAccumulator
 from pathwaydataframework_spark.operators import (
     behaviors,
+    clustering,
     col_utils,
     dedup,
+    embedders,
     graphs,
     ml_index,
     multimodal,
     ordered,
+    packing,
     ranking,
+    rerankers,
+    sampling,
     similarity,
+    splitters,
     stateful,
     text,
 )

@@ -151,3 +151,37 @@ def test_knn_ivf_recall_with_pruned_probes(spark, sf_dir):
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, recall  # fixture embeddings are near-uniform; half
     # the probes must still find at least half the true neighbors
+
+
+def test_sampling_and_scrub_compose_with_streams(spark, sf_dir, tmp_path):
+    # the curation ops are stateless column transforms, so the same plan
+    # runs unchanged under Structured Streaming — batch and stream results
+    # are identical row sets
+    from pathwaydataframework_spark.data import load_df
+
+    batch_src = load_df(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    src_dir = str(tmp_path / "docs_stream")
+    batch_src.repartition(4).write.parquet(src_dir)
+
+    def curate(df):
+        kept = sampling.stratified_sample(
+            df, "doc_id", "lang", {"en": 1.0}, default=0.3, seed=5
+        )
+        return kept.select("doc_id", text.scrub_pii(F.col("text")).alias("clean"))
+
+    batch = {tuple(r) for r in curate(spark.read.parquet(src_dir)).collect()}
+
+    stream = spark.readStream.schema(batch_src.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM curated_stream").collect()}
+    assert got == batch and len(batch) > 0
