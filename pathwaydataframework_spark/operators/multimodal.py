@@ -1,12 +1,19 @@
 """Multimodal (image/audio/video) column operators — north-star addendum.
 
-Design: media are opaque ``binary`` columns + a typed metadata struct; all
-transforms are Arrow-batched ``mapInPandas`` stages so each batch crosses
-the Python boundary once and the plan stays partition-parallel (no driver
-state, no collect).  The container lacks image/audio codecs, so the *decode*
-kernels are deterministic stubs behind ``decoder=``: the Spark-side plumbing
-(schemas, batch shapes, partitioning) is real and tested, and a production
-deployment swaps in Pillow/torchaudio kernels without touching the plan.
+Design: media are opaque ``binary`` columns + a typed metadata struct.
+
+- **Header parsing stays JVM-side.**  Container sniffing (WAV / PNG /
+  BMP / GIF magic) and dimension extraction are pure column expressions —
+  fixed-offset integer fields read with ``conv(hex(substring(...)))`` —
+  so ``attach_media_meta`` runs inside whole-stage codegen with no Python
+  crossing at all.
+- **Sample/pixel decode crosses to Python once per Arrow batch** via
+  ``mapInPandas``: real kernels for codec-free formats (PCM WAV features
+  through the stdlib ``wave`` module, P6 PPM nearest-neighbor resize
+  through numpy).  Compressed formats (JPEG/MP4) need codecs this
+  container lacks — those kernels raise ``NotImplementedError`` with the
+  same plumbing, so production swaps in Pillow/PyAV without touching the
+  plan.
 """
 
 from __future__ import annotations
@@ -15,38 +22,99 @@ import hashlib
 from typing import Callable, Iterator
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 MEDIA_META_SCHEMA = "media_type string, width int, height int, duration_ms int"
 
 
-def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
-    """Derive the typed metadata struct from raw bytes (container sniffing).
+def _uint(col: Column, pos: int, nbytes: int, *, little_endian: bool) -> Column:
+    """Unsigned integer at 1-based byte offset ``pos``, parsed JVM-side."""
+    byts = [
+        F.conv(F.hex(F.substring(col, pos + i, 1)), 16, 10).cast("long")
+        for i in range(nbytes)
+    ]
+    if little_endian:
+        byts = list(reversed(byts))
+    out = byts[0]
+    for b in byts[1:]:
+        out = out * 256 + b
+    return out
 
-    Stub sniffer: deterministic pseudo-metadata from the content hash —
-    replace with real header parsing in production.  Pure column
-    expressions, no Python.
+
+def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
+    """Derive the typed metadata struct from raw bytes — REAL container
+    sniffing as pure column expressions (no Python, no UDF):
+
+    - WAV (``RIFF....WAVE``): duration from byte-rate and payload length
+      (canonical 16-byte PCM fmt chunk: byte_rate at offset 29).
+    - PNG: big-endian IHDR width/height at offsets 17/21.
+    - BMP: little-endian int32 width/height at offsets 19/23.
+    - GIF (``GIF8``): little-endian uint16 logical-screen size at 7/9.
+
+    Unknown containers get media_type='unknown' and null fields.
     """
-    h = F.xxhash64(F.col(binary_col))
+    d = F.col(binary_col)
+    is_wav = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(d, 9, 4) == F.lit(b"WAVE")
+    )
+    is_png = F.substring(d, 2, 3) == F.lit(b"PNG")
+    is_bmp = F.substring(d, 1, 2) == F.lit(b"BM")
+    is_gif = F.substring(d, 1, 4) == F.lit(b"GIF8")
+    byte_rate = _uint(d, 29, 4, little_endian=True)
+    null_i = F.lit(None).cast("int")
     return df.withColumn(
         "media_meta",
         F.struct(
-            F.element_at(
-                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                (F.pmod(h, F.lit(3)) + 1).cast("int"),
-            ).alias("media_type"),
-            (F.pmod(h, F.lit(1920)) + 1).cast("int").alias("width"),
-            (F.pmod(h, F.lit(1080)) + 1).cast("int").alias("height"),
-            (F.pmod(h, F.lit(60000)) + 1).cast("int").alias("duration_ms"),
+            F.when(is_wav, F.lit("audio"))
+            .when(is_png | is_bmp | is_gif, F.lit("image"))
+            .otherwise(F.lit("unknown"))
+            .alias("media_type"),
+            F.when(is_png, _uint(d, 17, 4, little_endian=False))
+            .when(is_bmp, _uint(d, 19, 4, little_endian=True))
+            .when(is_gif, _uint(d, 7, 2, little_endian=True))
+            .cast("int")
+            .alias("width"),
+            F.when(is_png, _uint(d, 21, 4, little_endian=False))
+            .when(is_bmp, _uint(d, 23, 4, little_endian=True))
+            .when(is_gif, _uint(d, 9, 2, little_endian=True))
+            .cast("int")
+            .alias("height"),
+            F.when(
+                is_wav & (byte_rate > 0),
+                ((F.length(d) - 44) * 1000 / byte_rate),
+            )
+            .otherwise(null_i)
+            .cast("int")
+            .alias("duration_ms"),
         ),
     )
 
 
-def _default_image_decoder(data: bytes) -> list[float]:
-    """STUB decode: deterministic 8-dim feature from content bytes.
+def wav_features(data: bytes) -> list[float]:
+    """REAL audio feature kernel for PCM WAV (stdlib ``wave`` + numpy, no
+    external codec): [duration_s, rms, peak, zero_crossing_rate]."""
+    import io
+    import wave
 
-    Production: ``PIL.Image.open(io.BytesIO(data))`` → resize → tensor.
-    """
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as w:
+        n, sr = w.getnframes(), w.getframerate()
+        raw = w.readframes(n)
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    if x.size == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    return [
+        n / sr,
+        float(np.sqrt(np.mean(x * x))),
+        float(np.max(np.abs(x))),
+        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+    ]
+
+
+def _default_image_decoder(data: bytes) -> list[float]:
+    """STUB decode for codec-bound formats: deterministic 8-dim feature
+    from content bytes (production: Pillow → resize → tensor)."""
     digest = hashlib.sha256(data or b"").digest()
     return [b / 255.0 for b in digest[:8]]
 
@@ -60,7 +128,8 @@ def extract_features(
     feature_dim: int = 8,
 ) -> DataFrame:
     """binary column → fixed-dim feature vector via Arrow-batched
-    mapInPandas (one Python crossing per batch; partition-parallel)."""
+    mapInPandas (one Python crossing per batch; partition-parallel).
+    Pass ``decoder=wav_features`` (feature_dim=4) for real PCM audio."""
     decoder = decoder or _default_image_decoder
     out_schema = f"{id_col} long, features array<double>"
 
@@ -107,6 +176,47 @@ def frame_sample(
     return df.select(id_col, binary_col).mapInPandas(_mapper, out_schema)
 
 
+def _ppm_decode(data: bytes):
+    """P6 PPM → (h, w, 3) uint8 array.  Raises ValueError on other formats."""
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts: list[int] = []
+    pos = 2
+    while len(parts) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment line
+            pos = data.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(data) and not data[end : end + 1].isspace():
+            end += 1
+        parts.append(int(data[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _ppm_encode(arr) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def ppm_resize(data: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for P6 PPM (pure numpy indexing)."""
+    import numpy as np
+
+    img = _ppm_decode(data)
+    h, w, _ = img.shape
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return _ppm_encode(np.ascontiguousarray(img[rows][:, cols]))
+
+
 def resize_images(
     df: DataFrame,
     *,
@@ -115,16 +225,25 @@ def resize_images(
     width: int = 224,
     height: int = 224,
 ) -> DataFrame:
-    """Image resize stage.  STUB kernel (raises on use without a real codec)
-    wired through the same mapInPandas plumbing — swap the kernel, keep the
-    plan."""
+    """Image resize stage: REAL kernel for P6 PPM (numpy nearest-neighbor);
+    codec-bound formats raise NotImplementedError through the same
+    mapInPandas plumbing — swap the kernel, keep the plan."""
     out_schema = f"{id_col} long, resized binary"
 
     def _mapper(batches: Iterator) -> Iterator:
-        raise NotImplementedError(
-            "image codec not available in this container; plug a Pillow "
-            "kernel into resize_images(decoder=...) in production"
-        )
-        yield  # pragma: no cover
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for raw in pdf[binary_col]:
+                data = bytes(raw or b"")
+                try:
+                    out.append(ppm_resize(data, width, height))
+                except ValueError as exc:
+                    raise NotImplementedError(
+                        "only codec-free P6 PPM resize is available in this "
+                        "container; plug a Pillow kernel in production"
+                    ) from exc
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
 
     return df.select(id_col, binary_col).mapInPandas(_mapper, out_schema)

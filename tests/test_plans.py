@@ -187,3 +187,37 @@ def test_asof_nearest_single_union_window(spark, sf_dir):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan.replace("BroadcastHashJoin", "")
     assert "Union" in plan and "Window" in plan
+
+
+def test_vocab_topk_avoids_global_sort(spark, sf_dir):
+    from pathwaydataframework_spark.data import load_table
+    from pathwaydataframework_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents").df
+    # the top-k pre-trim must compile to TakeOrdered (per-partition heaps),
+    # never a full Sort of the term table
+    counts = (
+        docs.selectExpr("explode(split(trim(lower(text)), '\\\\s+')) AS term")
+        .groupBy("term")
+        .count()
+        .orderBy("count", ascending=False)
+        .limit(100)
+    )
+    assert "TakeOrderedAndProject" in formatted_plan(counts)
+    out = text.vocabulary(docs, "text", k=100)
+    assert "TakeOrderedAndProject" in formatted_plan(out)
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from pathwaydataframework_spark.data import load_table
+    from pathwaydataframework_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings").df
+    out = clustering.kmeans(emb, "vec_id", "embedding", k=4, iterations=1)
+    plan = formatted_plan(out)
+    # the corpus×centroids join must be a broadcast nested-loop over the
+    # tiny checkpointed centroid table — never a shuffle of the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

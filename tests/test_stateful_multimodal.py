@@ -69,8 +69,9 @@ def test_multimodal_plumbing(spark):
     )
     with_meta = multimodal.attach_media_meta(media)
     metas = {r["media_id"]: r["media_meta"] for r in with_meta.collect()}
-    assert metas[1]["media_type"] in ("image", "audio", "video")
-    assert metas[1]["width"] >= 1
+    # no recognizable container magic → sniffed as unknown, null fields
+    assert metas[1]["media_type"] == "unknown"
+    assert metas[1]["width"] is None
 
     feats = multimodal.extract_features(media).collect()
     assert all(len(r["features"]) == 8 for r in feats)
@@ -96,3 +97,83 @@ def test_json_get(spark):
     got = [(r["k"], r["tag"]) for r in out.df.collect()]
     assert sorted(r[0] for r in got) == [7, 9]
     assert {r[1] for r in got} == {"x", None}
+
+
+def _make_wav(seconds=0.5, rate=8000, freq=440):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(seconds * rate)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _make_ppm(w, h):
+    # gradient image: pixel (x, y) = (x % 256, y % 256, 7)
+    rows = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rows += bytes([x % 256, y % 256, 7])
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(rows)
+
+
+def test_media_sniffer_parses_real_headers(spark):
+    import struct
+
+    wav = _make_wav()
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06" + b"\x00" * 20)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, 200) + b"\x00" * 30
+    gif = b"GIF89a" + struct.pack("<HH", 101, 55) + b"\x00" * 20
+    media = spark.createDataFrame(
+        [(1, wav), (2, png), (3, bmp), (4, gif)], "media_id long, data binary"
+    )
+    metas = {r["media_id"]: r["media_meta"]
+             for r in multimodal.attach_media_meta(media).collect()}
+    assert metas[1]["media_type"] == "audio"
+    assert abs(metas[1]["duration_ms"] - 500) <= 1  # 0.5 s clip
+    assert (metas[2]["media_type"], metas[2]["width"], metas[2]["height"]) == ("image", 640, 480)
+    assert (metas[3]["width"], metas[3]["height"]) == (320, 200)
+    assert (metas[4]["width"], metas[4]["height"]) == (101, 55)
+
+
+def test_wav_feature_kernel(spark):
+    media = spark.createDataFrame(
+        [(1, _make_wav(seconds=0.25, freq=440)), (2, _make_wav(seconds=0.25, freq=880))],
+        "media_id long, data binary",
+    )
+    out = {r["media_id"]: r["features"]
+           for r in multimodal.extract_features(
+               media, decoder=multimodal.wav_features, feature_dim=4).collect()}
+    for feats in out.values():
+        duration, rms, peak, zcr = feats
+        assert abs(duration - 0.25) < 1e-6
+        assert 0.40 < rms < 0.47        # sine RMS = amplitude/√2 ≈ 0.61/1.414
+        assert 0.58 < peak <= 0.62      # 20000/32768
+    # doubled frequency ⇒ doubled zero-crossing rate
+    assert abs(out[2][3] / out[1][3] - 2.0) < 0.1
+
+
+def test_ppm_resize_kernel(spark):
+    media = spark.createDataFrame(
+        [(1, _make_ppm(8, 4))], "media_id long, data binary"
+    )
+    out = multimodal.resize_images(media, width=4, height=2).collect()
+    resized = bytes(out[0]["resized"])
+    assert resized.startswith(b"P6\n4 2\n255\n")
+    img = multimodal._ppm_decode(resized)
+    assert img.shape == (2, 4, 3)
+    # nearest-neighbor of the gradient: red channel = source x at stride 2
+    assert [img[0, x, 0] for x in range(4)] == [0, 2, 4, 6]
+    assert img[1, 0, 1] == 2  # green channel = source y (row 1 → source row 2)
