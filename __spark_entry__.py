@@ -653,6 +653,51 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML/markdown boilerplate removal (operators/parsers.py — the
+    in-engine analogue of reference xpacks/llm/parsers.py).  The fixture
+    corpus is plain text, so the query wraps every 5th doc in HTML tag
+    soup and the next in markdown markup, then parses back to clean
+    text — exercising the full regexp chain end-to-end."""
+    from pathwaydataframework_spark.operators import parsers
+
+    docs = load_table(spark, sf, "documents").df
+    mod = F.col("doc_id") % 5
+    wrapped = docs.select(
+        "doc_id",
+        mod.alias("kind"),
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit("<html><!-- hdr --><body><h1>Doc "),
+                F.col("doc_id"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit("</p><script>var x = 1;</script></body></html>"),
+            ),
+        )
+        .when(
+            mod == 1,
+            F.concat(
+                F.lit("# Doc "),
+                F.col("doc_id"),
+                F.lit("\n[link](http://example.com) **"),
+                F.col("text"),
+                F.lit("**"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("raw"),
+    )
+    return wrapped.select(
+        "doc_id",
+        F.when(F.col("kind") == 0, parsers.strip_html(F.col("raw")))
+        .when(F.col("kind") == 1, parsers.markdown_to_text(F.col("raw")))
+        .otherwise(F.col("raw"))
+        .alias("clean"),
+    )
+
+
 def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """distributed Lloyd's k-means over the embeddings table, k=10, 3
     iterations, deterministic init — the oracle replays the identical
@@ -960,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_vocab": q_vocab,
         "q_pii_scrub": q_pii_scrub,
+        "q_boilerplate": q_boilerplate,
         "q_kmeans": q_kmeans,
     }
 
@@ -1695,6 +1741,59 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_kmeans": _kmeans_oracle_sql(k=10, iterations=3, dim=64),
+        "q_boilerplate": r"""
+            WITH wrapped AS (
+                SELECT doc_id, doc_id % 5 AS kind,
+                       CASE
+                           WHEN doc_id % 5 = 0 THEN
+                               '<html><!-- hdr --><body><h1>Doc ' || doc_id::VARCHAR ||
+                               '</h1><p>' || text ||
+                               '</p><script>var x = 1;</script></body></html>'
+                           WHEN doc_id % 5 = 1 THEN
+                               '# Doc ' || doc_id::VARCHAR || chr(10) ||
+                               '[link](http://example.com) **' || text || '**'
+                           ELSE text
+                       END AS raw
+                FROM documents
+            ), html AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(raw,
+                           '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                           '&nbsp;', ' ', 'g'),
+                           '&amp;', '&', 'g'),
+                           '&lt;', '<', 'g'),
+                           '&gt;', '>', 'g'),
+                           '&quot;', '"', 'g'),
+                           '&#39;', chr(39), 'g') AS s
+                FROM wrapped WHERE kind = 0
+            ), md AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       raw,
+                           '(?s)```.*?```', ' ', 'g'),
+                           '`([^`]*)`', '\1', 'g'),
+                           '!\[[^\]]*\]\([^)]*\)', ' ', 'g'),
+                           '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                           '(?m)^#{1,6}[ \t]*', '', 'g'),
+                           '(?m)^[-*+][ \t]+', '', 'g'),
+                           '(?m)^>[ \t]?', '', 'g'),
+                           '[*_]{1,3}', '', 'g') AS s
+                FROM wrapped WHERE kind = 1
+            ), cleaned AS (
+                SELECT doc_id, s FROM html
+                UNION ALL SELECT doc_id, s FROM md
+            )
+            SELECT w.doc_id,
+                   CASE WHEN w.kind IN (0, 1)
+                        THEN trim(regexp_replace(c.s, '\s+', ' ', 'g'))
+                        ELSE w.raw END AS clean
+            FROM wrapped w LEFT JOIN cleaned c USING (doc_id)
+        """,
         "q_interpolate": """
             WITH base AS (
                 SELECT event_id, ts,

@@ -80,6 +80,7 @@ from pathwaydataframework_spark.operators import (
     multimodal,
     ordered,
     packing,
+    parsers,
     ranking,
     rerankers,
     sampling,

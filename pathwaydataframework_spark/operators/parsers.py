@@ -1,0 +1,73 @@
+"""Document parsers — boilerplate removal for training-data curation.
+
+Reference analogue: ``xpacks/llm/parsers.py:53-746`` (ParseUnstructured /
+ParseUtf8 — external-service UDFs, out of engine scope).  The in-engine
+analogues handle the codec-free formats a 100 TB text pipeline actually
+meets in bulk: HTML tag soup and markdown markup, reduced to clean text
+with deterministic regexp chains.
+
+All transforms are pure column expressions (regexp_replace → whole-stage
+codegen, no UDF), and every pattern is dialect-portable (RE2-compatible:
+no lookaround, no backrefs in the MATCH; replacement groups use the
+engine's own syntax) so the operators are exactly SQL-oracle-checkable.
+
+>>> import pyspark.sql.functions as F
+>>> t = spark.createDataFrame([("<p>Hi &amp; bye</p><script>x=1</script>",)], "h string")
+>>> t.select(strip_html(F.col("h")).alias("s")).first()["s"]
+'Hi & bye'
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# (pattern, spark_replacement) — ORDER MATTERS and is mirrored by the oracle
+_HTML_RULES: list[tuple[str, str]] = [
+    (r"(?s)<(script|style)[^>]*>.*?</(script|style)>", " "),  # active content
+    (r"(?s)<!--.*?-->", " "),                                  # comments
+    (r"<[^>]+>", " "),                                         # tags
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+]
+
+_MD_RULES: list[tuple[str, str]] = [
+    (r"(?s)```.*?```", " "),            # fenced code blocks
+    (r"`([^`]*)`", "$1"),               # inline code
+    (r"!\[[^\]]*\]\([^)]*\)", " "),     # images
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),   # links → anchor text
+    (r"(?m)^#{1,6}[ \t]*", ""),         # headers
+    (r"(?m)^[-*+][ \t]+", ""),          # list bullets
+    (r"(?m)^>[ \t]?", ""),              # blockquotes
+    (r"[*_]{1,3}", ""),                 # emphasis
+]
+
+
+def _apply_rules(text: Column, rules: list[tuple[str, str]]) -> Column:
+    out = text
+    for pattern, repl in rules:
+        out = F.regexp_replace(out, pattern, repl)
+    # collapse the whitespace the removals leave behind
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_html(text: Column) -> Column:
+    """HTML → clean text: drop script/style/comments, strip tags, unescape
+    the common entities, collapse whitespace."""
+    return _apply_rules(text, _HTML_RULES)
+
+
+def markdown_to_text(text: Column) -> Column:
+    """Markdown → clean text: drop code fences/images, keep link anchor
+    text, strip headers/bullets/quotes/emphasis markers.
+
+    >>> import pyspark.sql.functions as F
+    >>> t = spark.createDataFrame([("# Title\\nsee [docs](http://x) *now*",)], "m string")
+    >>> t.select(markdown_to_text(F.col("m")).alias("s")).first()["s"]
+    'Title see docs now'
+    """
+    return _apply_rules(text, _MD_RULES)

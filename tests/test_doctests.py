@@ -16,6 +16,7 @@ from pathwaydataframework_spark.operators import (
     embedders,
     graphs,
     packing,
+    parsers,
     ranking,
     rerankers,
     sampling,
@@ -31,6 +32,7 @@ MODULES = [
     embedders,
     graphs,
     packing,
+    parsers,
     ranking,
     rerankers,
     sampling,
