@@ -159,3 +159,25 @@ def test_replay_csv_with_time(spark, tmp_path):
     time.sleep(1.5)
     rows = _drain(spark, table.df, "replay_rows")
     assert {r["v"] for r in rows} == {"a", "b", "c"}
+
+
+def test_jdbc_write_read_roundtrip_embedded_derby(spark, tmp_path):
+    # end-to-end exercise of the JDBC sink/source path (io.postgres.write /
+    # io.sqlite.read wrap the identical spark JDBC writer/reader) against
+    # the Derby embedded database that ships in Spark's jars — a real SQL
+    # database round-trip, no external server needed
+    import pathwaydataframework_spark as pw
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    t = pw.Table.from_rows(
+        spark,
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)],
+        "k long, s string, v double",
+    )
+    pw.io.postgres.write(t, url=url, table_name="roundtrip", mode="overwrite", **props)
+    back = pw.io.sqlite.read(spark, url, "roundtrip", **props)
+    assert sorted(map(tuple, back.df.collect())) == sorted(map(tuple, t.df.collect()))
+    # append mode accumulates
+    pw.io.postgres.write(t, url=url, table_name="roundtrip", mode="append", **props)
+    assert pw.io.sqlite.read(spark, url, "roundtrip", **props).df.count() == 6
