@@ -604,6 +604,18 @@ def q_train_split(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_mix_datasets(spark: SparkSession, sf: str) -> DataFrame:
+    """weighted dataset mixing: 'en' docs upsampled 2.5x (two whole
+    copies + a deterministic 0.5 remainder), 'de' downsampled to 0.5 —
+    the epoch-reproducible source-mixing step of a training pipeline."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    de = docs.filter(F.col("lang") == "de").select("doc_id")
+    return sampling.mix_datasets({"en": en, "de": de}, {"en": 2.5, "de": 0.5}, "doc_id")
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """sequence packing: concatenate-and-cut layout at 512 tokens over 4
     deterministic shards (operators/packing.py)."""
@@ -1002,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rerank": q_rerank,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
+        "q_mix_datasets": q_mix_datasets,
         "q_pack_sequences": q_pack_sequences,
         "q_vocab": q_vocab,
         "q_pii_scrub": q_pii_scrub,
@@ -1691,6 +1704,17 @@ def oracle_sql() -> dict[str, str]:
                    END AS part
             FROM (SELECT doc_id, {_bucket_sql("doc_id", 0)} AS b FROM documents)
             WHERE b < {_frac_threshold(min(0.8 + 0.1 + 0.1, 1.0))}
+        """,
+        "q_mix_datasets": f"""
+            SELECT doc_id, 'en' AS _pw_source FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, 'en' FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, 'en' FROM documents
+            WHERE lang = 'en' AND {_bucket_sql("doc_id", 3000)} < {_frac_threshold(0.5)}
+            UNION ALL
+            SELECT doc_id, 'de' FROM documents
+            WHERE lang = 'de' AND {_bucket_sql("doc_id", 1000)} < {_frac_threshold(0.5)}
         """,
         "q_pack_sequences": f"""
             WITH toks AS (
