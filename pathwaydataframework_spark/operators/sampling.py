@@ -52,6 +52,8 @@ def hash_sample(
     df: DataFrame, key: str, fraction: float, *, seed: int = 0
 ) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows, selected by key hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     if fraction >= 1.0:
         return df
     return df.filter(hash_bucket(F.col(key), seed) < F.lit(_threshold(fraction)))

@@ -185,3 +185,65 @@ def test_sampling_and_scrub_compose_with_streams(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM curated_stream").collect()}
     assert got == batch and len(batch) > 0
+
+
+def test_sampling_edge_fractions(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert sampling.hash_sample(df, "k", 0.0).count() == 0
+    assert sampling.hash_sample(df, "k", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        sampling.hash_sample(df, "k", 1.5)
+    # fractions that accumulate past 1.0 by an ulp must not raise
+    parts = sampling.split(df, "k", {"a": 0.8, "b": 0.1, "c": 0.1})
+    assert sum(p.count() for p in parts.values()) == 100
+
+
+def test_split_fractions_property(spark):
+    from hypothesis import given, settings, strategies as st
+
+    df = spark.range(400).withColumnRenamed("id", "k").cache()
+    df.count()
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        fracs=st.lists(st.floats(0.05, 0.5), min_size=1, max_size=3).filter(
+            lambda f: sum(f) <= 1.0
+        ),
+        seed=st.integers(0, 1000),
+    )
+    def check(fracs, seed):
+        parts = sampling.split(
+            df, "k", {f"p{i}": f for i, f in enumerate(fracs)}, seed=seed
+        )
+        counts = [p.count() for p in parts.values()]
+        assert sum(counts) <= 400  # disjoint subsets of the universe
+        # hash ranges are half-open and ordered ⇒ pairwise disjoint
+        ids = [set(r["k"] for r in p.collect()) for p in parts.values()]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert not (ids[i] & ids[j])
+
+    check()
+
+
+def test_packing_property(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        toks=st.lists(st.integers(1, 50), min_size=1, max_size=60),
+        max_tokens=st.integers(8, 128),
+    )
+    def check(toks, max_tokens):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "doc_id long, n long"
+        )
+        out = packing.pack_by_offset(df, "doc_id", "n", max_tokens, shards=2)
+        rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+        run = {}
+        for r in rows:
+            assert r["start_offset"] == run.get(r["shard"], 0)
+            assert r["seq_id"] == r["start_offset"] // max_tokens
+            run[r["shard"]] = run.get(r["shard"], 0) + r["n"]
+
+    check()
