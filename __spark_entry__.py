@@ -1711,10 +1711,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'en' FROM documents WHERE lang = 'en'
             UNION ALL
             SELECT doc_id, 'en' FROM documents
-            WHERE lang = 'en' AND {_bucket_sql("doc_id", 3000)} < {_frac_threshold(0.5)}
+            WHERE lang = 'en'
+              AND {_bucket_sql("('en/' || doc_id::VARCHAR)", 0)} < {_frac_threshold(0.5)}
             UNION ALL
             SELECT doc_id, 'de' FROM documents
-            WHERE lang = 'de' AND {_bucket_sql("doc_id", 1000)} < {_frac_threshold(0.5)}
+            WHERE lang = 'de'
+              AND {_bucket_sql("('de/' || doc_id::VARCHAR)", 0)} < {_frac_threshold(0.5)}
         """,
         "q_pack_sequences": f"""
             WITH toks AS (
@@ -1788,11 +1790,11 @@ def oracle_sql() -> dict[str, str]:
                            '(?s)<!--.*?-->', ' ', 'g'),
                            '<[^>]+>', ' ', 'g'),
                            '&nbsp;', ' ', 'g'),
-                           '&amp;', '&', 'g'),
                            '&lt;', '<', 'g'),
                            '&gt;', '>', 'g'),
                            '&quot;', '"', 'g'),
-                           '&#39;', chr(39), 'g') AS s
+                           '&#39;', chr(39), 'g'),
+                           '&amp;', '&', 'g') AS s
                 FROM wrapped WHERE kind = 0
             ), md AS (
                 SELECT doc_id,

@@ -28,11 +28,11 @@ _HTML_RULES: list[tuple[str, str]] = [
     (r"(?s)<!--.*?-->", " "),                                  # comments
     (r"<[^>]+>", " "),                                         # tags
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", '"'),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),  # LAST: earlier would double-unescape '&amp;lt;' to '<'
 ]
 
 _MD_RULES: list[tuple[str, str]] = [

@@ -110,7 +110,9 @@ def mix_datasets(
     """Weighted dataset mixing: sample each source at its rate and union,
     tagging provenance.  The deterministic-hash property makes the mix
     reproducible epoch to epoch; upsampling (rate > 1) keeps whole copies
-    plus a fractional deterministic remainder."""
+    plus a fractional deterministic remainder.  The sampling key is
+    source-tagged (``name/key``) so sources sharing an id space draw
+    INDEPENDENT subsets instead of the same correlated one."""
     parts = []
     for name, src in sources.items():
         rate = rates.get(name, 1.0)
@@ -118,11 +120,11 @@ def mix_datasets(
         for i in range(whole):
             parts.append(src.withColumn(tag_col, F.lit(name)))
         if frac > 0:
-            parts.append(
-                hash_sample(src, key, frac, seed=seed + 1000 * (whole + 1)).withColumn(
-                    tag_col, F.lit(name)
-                )
+            tagged_key = F.concat_ws("/", F.lit(name), F.col(key).cast("string"))
+            kept = src.filter(
+                hash_bucket(tagged_key, seed) < F.lit(_threshold(frac))
             )
+            parts.append(kept.withColumn(tag_col, F.lit(name)))
     if not parts:
         raise ValueError("no sources")
     out = parts[0]

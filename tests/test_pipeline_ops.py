@@ -247,3 +247,23 @@ def test_packing_property(spark):
             run[r["shard"]] = run.get(r["shard"], 0) + r["n"]
 
     check()
+
+
+def test_mix_same_rate_sources_decorrelated(spark):
+    # two sources sharing an id space and a rate must draw INDEPENDENT
+    # subsets (the mix key is source-tagged), not the same correlated one
+    a = spark.range(2_000).withColumnRenamed("id", "k")
+    mixed = sampling.mix_datasets({"x": a, "y": a}, {"x": 0.5, "y": 0.5}, "k")
+    xs = {r["k"] for r in mixed.filter(F.col("_pw_source") == "x").collect()}
+    ys = {r["k"] for r in mixed.filter(F.col("_pw_source") == "y").collect()}
+    assert xs != ys
+    assert 350 < len(xs & ys) < 650  # independent ⇒ overlap ≈ 0.25·2000
+
+
+def test_html_entities_no_double_unescape(spark):
+    from pathwaydataframework_spark.operators import parsers
+
+    t = spark.createDataFrame([("&amp;lt; stays &amp; goes",)], "h string")
+    assert t.select(parsers.strip_html(F.col("h")).alias("s")).first()["s"] == (
+        "&lt; stays & goes"
+    )
