@@ -1149,6 +1149,25 @@ def _frac_threshold(fraction: float) -> int:
     return int(fraction * (1 << 32))
 
 
+def _train_split_oracle_sql() -> str:
+    """Thresholds come from sampling.cumulative_bounds — the SAME helper
+    split() uses — so snap/clamp semantics can never drift between the
+    Spark query and the oracle."""
+    from pathwaydataframework_spark.operators.sampling import cumulative_bounds
+
+    bounds = cumulative_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    cases = "\n".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'" for name, lo, hi in bounds
+    )
+    lo0 = bounds[0][1]
+    hi_last = bounds[-1][2]
+    return f"""
+        SELECT doc_id, CASE {cases} END AS part
+        FROM (SELECT doc_id, {_bucket_sql("doc_id", 0)} AS b FROM documents)
+        WHERE b >= {lo0} AND b < {hi_last}
+    """
+
+
 def _kmeans_oracle_sql(k: int = 10, iterations: int = 3, dim: int = 64) -> str:
     """Unrolled Lloyd's replay of clustering.kmeans: identical init (k
     smallest ids), identical 6dp-rounded centroids and distances, identical
@@ -1696,15 +1715,7 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {_frac_threshold(0.25)}
                   END
         """,
-        "q_train_split": f"""
-            SELECT doc_id,
-                   CASE WHEN b < {_frac_threshold(0.8)} THEN 'train'
-                        WHEN b < {_frac_threshold(min(0.8 + 0.1, 1.0))} THEN 'val'
-                        WHEN b < {_frac_threshold(min(0.8 + 0.1 + 0.1, 1.0))} THEN 'test'
-                   END AS part
-            FROM (SELECT doc_id, {_bucket_sql("doc_id", 0)} AS b FROM documents)
-            WHERE b < {_frac_threshold(min(0.8 + 0.1 + 0.1, 1.0))}
-        """,
+        "q_train_split": _train_split_oracle_sql(),
         "q_mix_datasets": f"""
             SELECT doc_id, 'en' AS _pw_source FROM documents WHERE lang = 'en'
             UNION ALL
@@ -1878,7 +1889,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1
         """,
-        # q_louvain: the only rows-only check left — phase-1 Louvain's move
-        # order is engine-specific; exact community recovery on planted
-        # disjoint cliques is value-asserted in tests/test_graphs.py.
+        # every queries() entry above has a value oracle — including
+        # q_louvain, whose communities provably equal connected components
+        # on the near-dup fixture (see _neardup_cc_sql); planted-clique
+        # recovery is additionally asserted in tests/test_iterate_graphs.py.
     }

@@ -58,11 +58,15 @@ def deduplicate(table: Table, *, value=None, instance=None, acceptor=None) -> Ta
         # "last value overall" is a single global max_by aggregate — a
         # Window.partitionBy() (no keys) would funnel every row through ONE
         # task; the agg gets map-side partials and stays parallel (same
-        # hazard documented for interpolate in ordered.py).
+        # hazard documented for interpolate in ordered.py).  Grouping on a
+        # constant (instead of a global agg) makes empty input yield ZERO
+        # rows rather than one all-NULL aggregate row.
         cols = table._df.columns
         row = F.struct(*[F.col(c) for c in cols])
-        out = table._df.select(F.max_by(row, order_col).alias("__r")).select(
-            *[F.col(f"__r.{c}").alias(c) for c in cols]
+        out = (
+            table._df.groupBy(F.lit(1).alias("__g"))
+            .agg(F.max_by(row, order_col).alias("__r"))
+            .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
         )
     return Table(out)
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+from pathwaydataframework_spark.operators.text import tokens
+
 
 def hashing_embedding(text: Column, *, dim: int = 64) -> Column:
     """Deterministic lexical embedding: token-hash bucket counts
@@ -30,7 +32,7 @@ def hashing_embedding(text: Column, *, dim: int = 64) -> Column:
     >>> (len(v), sum(v))
     (8, 3.0)
     """
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = tokens(F.lower(text))
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(

@@ -48,7 +48,8 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     - WAV (``RIFF....WAVE``): duration from byte-rate and payload length
       (canonical 16-byte PCM fmt chunk: byte_rate at offset 29).
     - PNG: big-endian IHDR width/height at offsets 17/21.
-    - BMP: little-endian int32 width/height at offsets 19/23.
+    - BMP: little-endian SIGNED int32 width/height at offsets 19/23
+      (top-down BMPs store a negative biHeight; reported as |height|).
     - GIF (``GIF8``): little-endian uint16 logical-screen size at 7/9.
 
     Unknown containers get media_type='unknown' and null fields.
@@ -61,6 +62,12 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     is_bmp = F.substring(d, 1, 2) == F.lit(b"BM")
     is_gif = F.substring(d, 1, 4) == F.lit(b"GIF8")
     byte_rate = _uint(d, 29, 4, little_endian=True)
+
+    def _signed32(u: Column) -> Column:
+        # biWidth/biHeight are SIGNED (negative height = top-down BMP);
+        # reinterpret the unsigned read and report the magnitude
+        return F.abs(F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u))
+
     null_i = F.lit(None).cast("int")
     return df.withColumn(
         "media_meta",
@@ -70,12 +77,12 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
             .otherwise(F.lit("unknown"))
             .alias("media_type"),
             F.when(is_png, _uint(d, 17, 4, little_endian=False))
-            .when(is_bmp, _uint(d, 19, 4, little_endian=True))
+            .when(is_bmp, _signed32(_uint(d, 19, 4, little_endian=True)))
             .when(is_gif, _uint(d, 7, 2, little_endian=True))
             .cast("int")
             .alias("width"),
             F.when(is_png, _uint(d, 21, 4, little_endian=False))
-            .when(is_bmp, _uint(d, 23, 4, little_endian=True))
+            .when(is_bmp, _signed32(_uint(d, 23, 4, little_endian=True)))
             .when(is_gif, _uint(d, 9, 2, little_endian=True))
             .cast("int")
             .alias("height"),

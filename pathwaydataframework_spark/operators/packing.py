@@ -56,8 +56,15 @@ def pack_by_offset(
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     shard = F.pmod(hash_bucket(F.col(id_col), seed), F.lit(shards)).alias("shard")
-    w = W.partitionBy("shard").orderBy(id_col)
-    cum = F.sum(token_count_col).over(w) - F.col(token_count_col)
+    # explicit exclusive ROWS frame: the default RANGE frame treats rows
+    # with equal ids as peers and hands them the SAME cumulative sum —
+    # overlapping offsets if ids ever duplicate
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
     return (
         df.select(id_col, shard, F.col(token_count_col))
         .withColumn("start_offset", cum.cast("long"))

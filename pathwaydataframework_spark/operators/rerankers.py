@@ -17,9 +17,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window as W
 
+from pathwaydataframework_spark.operators.text import tokens
+
 
 def _distinct_tokens(col: Column) -> Column:
-    return F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
+    return F.array_distinct(tokens(F.lower(col)))
 
 
 def coverage_score(doc_text: Column, query_text: Column) -> Column:

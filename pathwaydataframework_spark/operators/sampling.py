@@ -37,8 +37,13 @@ _BUCKETS = 1 << 32  # 8 hex chars
 def hash_bucket(key: Column, seed: int = 0) -> Column:
     """Uniform [0, 2³²) bucket from md5(key:seed) — the cross-engine
     deterministic randomness primitive (DuckDB:
-    ``('0x' || substr(md5(key || ':seed'), 1, 8))::BIGINT``)."""
-    h = F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed))))
+    ``('0x' || substr(md5(key || ':seed'), 1, 8))::BIGINT``).
+
+    NULL keys yield a NULL bucket (``concat``, not ``concat_ws``, so the
+    NULL propagates): a NULL key cannot be deterministically bucketed, so
+    it is EXCLUDED by every sampling predicate — exactly matching the SQL
+    replica, where ``NULL || ':seed'`` is NULL."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
@@ -46,6 +51,26 @@ def _threshold(fraction: float) -> int:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return int(fraction * _BUCKETS)
+
+
+def _snap(x: float) -> float:
+    """Clamp a cumulative fraction to [0, 1], absorbing float-accumulation
+    error near 1.0 (ten 0.1s sum to 0.9999999999999999 — without the snap
+    the top hash bucket would belong to no split)."""
+    x = min(x, 1.0)
+    return 1.0 if abs(x - 1.0) < 1e-9 else x
+
+
+def cumulative_bounds(fractions: Mapping[str, float]) -> list[tuple[str, int, int]]:
+    """(name, lo, hi) integer bucket bounds for :func:`split` — exposed so
+    the SQL oracle derives the IDENTICAL thresholds."""
+    out = []
+    lo = 0.0
+    for name, frac in fractions.items():
+        hi = lo + frac
+        out.append((name, _threshold(_snap(lo)), _threshold(_snap(hi))))
+        lo = hi
+    return out
 
 
 def hash_sample(
@@ -67,18 +92,11 @@ def split(
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")
-    out: dict[str, DataFrame] = {}
-    lo = 0.0
     b = hash_bucket(F.col(key), seed)
-    for name, frac in fractions.items():
-        hi = lo + frac
-        # float accumulation can overshoot 1.0 by an ulp — clamp, don't raise
-        out[name] = df.filter(
-            (b >= F.lit(_threshold(min(lo, 1.0))))
-            & (b < F.lit(_threshold(min(hi, 1.0))))
-        )
-        lo = hi
-    return out
+    return {
+        name: df.filter((b >= F.lit(lo)) & (b < F.lit(hi)))
+        for name, lo, hi in cumulative_bounds(fractions)
+    }
 
 
 def stratified_sample(
@@ -113,6 +131,12 @@ def mix_datasets(
     plus a fractional deterministic remainder.  The sampling key is
     source-tagged (``name/key``) so sources sharing an id space draw
     INDEPENDENT subsets instead of the same correlated one."""
+    if not sources:
+        raise ValueError("no sources")
+    unknown = set(rates) - set(sources)
+    if unknown:
+        # a typo'd rate key would otherwise silently leave its source at 1.0
+        raise ValueError(f"rates for unknown sources: {sorted(unknown)}")
     parts = []
     for name, src in sources.items():
         rate = rates.get(name, 1.0)
@@ -120,13 +144,14 @@ def mix_datasets(
         for i in range(whole):
             parts.append(src.withColumn(tag_col, F.lit(name)))
         if frac > 0:
-            tagged_key = F.concat_ws("/", F.lit(name), F.col(key).cast("string"))
+            tagged_key = F.concat(F.lit(f"{name}/"), F.col(key).cast("string"))
             kept = src.filter(
                 hash_bucket(tagged_key, seed) < F.lit(_threshold(frac))
             )
             parts.append(kept.withColumn(tag_col, F.lit(name)))
-    if not parts:
-        raise ValueError("no sources")
+    if not parts:  # every rate was 0 — a valid (empty) mix
+        first = next(iter(sources.values()))
+        return first.filter(F.lit(False)).withColumn(tag_col, F.lit(None).cast("string"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

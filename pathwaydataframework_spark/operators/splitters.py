@@ -18,6 +18,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from pathwaydataframework_spark.operators.text import token_count, tokens
+
 
 def null_splitter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One chunk per document — reference ``null_splitter`` (splitters.py:13).
@@ -30,7 +32,7 @@ def null_splitter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.lit(0).cast("long").alias("chunk_idx"),
         F.col(text_col).alias("chunk"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+        token_count(F.col(text_col)).alias("n_tokens"),
     )
 
 
@@ -43,21 +45,25 @@ def token_chunks(
     shorter than ``min_tokens``).
 
     Pure column expression (array slice + join) — no UDF, no shuffle.
+    NULL or empty/whitespace-only text yields an EMPTY chunk array (no
+    chunk rows after explode), consistent with ``text.token_count`` = 0.
     """
-    toks = F.split(F.trim(text), r"\s+")
-    n = F.size(toks)
+    toks = tokens(text)
+    n = token_count(text).cast("int")
     k_raw = F.ceil(n / F.lit(max_tokens)).cast("int")
     tail = n - (k_raw - F.lit(1)) * F.lit(max_tokens)
     k = F.when((k_raw > 1) & (tail < min_tokens), k_raw - 1).otherwise(k_raw)
     # chunk i < k-1: exactly max_tokens tokens; last chunk: the rest
-    return F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.array_join(
-            F.when(
-                i < k - 1, F.slice(toks, i * max_tokens + 1, max_tokens)
-            ).otherwise(F.slice(toks, i * max_tokens + 1, n - i * max_tokens)),
-            " ",
-        ),
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(
+                F.when(
+                    i < k - 1, F.slice(toks, i * max_tokens + 1, max_tokens)
+                ).otherwise(F.slice(toks, i * max_tokens + 1, n - i * max_tokens)),
+                " ",
+            ),
+        )
     )
 
 
@@ -86,7 +92,7 @@ def token_count_split(
         F.col(id_col),
         F.col("pos").cast("long").alias("chunk_idx"),
         F.col("col").alias("chunk"),
-        F.size(F.split(F.col("col"), r"\s+")).cast("long").alias("n_tokens"),
+        token_count(F.col("col")).alias("n_tokens"),
     )
 
 

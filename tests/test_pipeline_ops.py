@@ -267,3 +267,59 @@ def test_html_entities_no_double_unescape(spark):
     assert t.select(parsers.strip_html(F.col("h")).alias("s")).first()["s"] == (
         "&lt; stays & goes"
     )
+
+
+def test_review_fixes_regressions(spark):
+    # dedup: empty input yields zero rows, not one all-NULL aggregate row
+    import pathwaydataframework_spark as pw
+    from pathwaydataframework_spark.operators import dedup, splitters
+
+    empty = pw.Table.from_rows(spark, [], "k long, seq long").filter(pw.this.k > 0)
+    assert dedup.deduplicate(empty, value=pw.this.seq).df.count() == 0
+
+    # splitter: NULL and empty text yield zero chunks (token_count parity)
+    d = spark.createDataFrame([(1, None), (2, ""), (3, "a b")], "doc_id long, text string")
+    out = splitters.token_count_split(d, "doc_id", "text", min_tokens=1, max_tokens=2)
+    assert [(r["doc_id"], r["n_tokens"]) for r in out.collect()] == [(3, 2)]
+
+    # split: ten 0.1 fractions are exhaustive (no dropped top bucket)
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    parts = sampling.split(df, "k", {f"p{i}": 0.1 for i in range(10)})
+    assert sum(p.count() for p in parts.values()) == 1_000
+
+    # NULL keys are excluded from samples, not lumped into one bucket
+    dn = spark.createDataFrame([(None,), (1,), (2,)], "k long")
+    assert sampling.hash_sample(dn, "k", 0.9999).count() <= 2
+
+    # packing: duplicate ids get ROWS-frame (distinct) offsets
+    dup = spark.createDataFrame([(1, 5), (1, 7), (2, 3)], "doc_id long, n long")
+    rows = packing.pack_by_offset(dup, "doc_id", "n", max_tokens=100, shards=1)
+    offs = sorted(r["start_offset"] for r in rows.collect())
+    assert offs == [0, 5, 12]
+
+    # mix: unknown rate key raises instead of silently defaulting
+    with pytest.raises(ValueError):
+        sampling.mix_datasets({"a": df}, {"typo": 0.5}, "k")
+    # all-zero rates → empty mix, not an error
+    assert sampling.mix_datasets({"a": df}, {"a": 0.0}, "k").count() == 0
+
+
+def test_interval_join_outer_null_rows_not_collided(spark):
+    # (1, NULL) and (NULL, 1) must get DISTINCT row ids: if only one
+    # matches, the other still appears as an unmatched padded row
+    import pathwaydataframework_spark as pw
+
+    left = pw.Table.from_rows(
+        spark, [(1, None, 10), (None, 1, 500)], "a long, b long, t long"
+    )
+    right = pw.Table.from_rows(spark, [(11,)], "rt long")
+    out = pw.interval_join(
+        left, right, pw.this.t, pw.this.rt, pw.interval(-5, 5), how="left"
+    )
+    res = out.select(
+        a=pw.left.a, b=pw.left.b, rt=pw.right.rt
+    ).df.collect()
+    got = sorted(((r["a"], r["b"], r["rt"]) for r in res), key=str)
+    assert (1, None, 11) in got          # matched
+    assert (None, 1, None) in got        # padded, NOT dropped
+    assert len(got) == 2

@@ -177,3 +177,12 @@ def test_ppm_resize_kernel(spark):
     # nearest-neighbor of the gradient: red channel = source x at stride 2
     assert [img[0, x, 0] for x in range(4)] == [0, 2, 4, 6]
     assert img[1, 0, 1] == 2  # green channel = source y (row 1 → source row 2)
+
+
+def test_bmp_negative_height_topdown(spark):
+    import struct
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 320, -240) + b"\x00" * 30
+    media = spark.createDataFrame([(1, bmp)], "media_id long, data binary")
+    meta = multimodal.attach_media_meta(media).first()["media_meta"]
+    assert (meta["width"], meta["height"]) == (320, 240)  # |biHeight|
