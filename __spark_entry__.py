@@ -204,6 +204,22 @@ def q_reducer_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return out.df
 
 
+def q_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous-interpolation percentile reducer (extension over the
+    reference's reducer set; Spark ``percentile`` ≡ DuckDB quantile_cont).
+    The t-digest ``approx_percentile`` variant is the 100 TB path and is
+    sanity-checked against the exact one in pytest (engines' sketches
+    differ, so it cannot be oracle-hashed)."""
+    ev = load_table(spark, sf, "events")
+    t = pw.this
+    out = ev.groupby(t.event_type).reduce(
+        n=R.count(),
+        p50=R.percentile(t.value, 0.5).num.round(6),
+        p90=R.percentile(t.value, 0.9).num.round(6),
+    )
+    return out.df
+
+
 def q_set_difference(spark: SparkSession, sf: str) -> DataFrame:
     """difference → left_anti on id hash (SURVEY §2.6)."""
     cust = load_table(spark, sf, "customer")
@@ -971,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_argmax_supplier": q_argmax_supplier,
         "q_sorted_names": q_sorted_names,
         "q_reducer_matrix": q_reducer_matrix,
+        "q_percentile": q_percentile,
         "q_set_difference": q_set_difference,
         "q_intersect": q_intersect,
         "q_update_cells": q_update_cells,
@@ -1375,6 +1392,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_percentile": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events
+            GROUP BY event_type
         """,
         "q_reducer_matrix": """
             SELECT user_id,

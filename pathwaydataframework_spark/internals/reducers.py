@@ -163,6 +163,22 @@ def stddev(expr) -> ReducerExpr:
     return _Agg(_no_ctx(F.stddev_samp), lift(expr))
 
 
+def percentile(expr, p: float) -> ReducerExpr:
+    """Extension: exact continuous-interpolation percentile (Spark
+    ``percentile`` ≡ ANSI percentile_cont / DuckDB quantile_cont).  Exact
+    needs the group's values collected per group — fine for grouped aggs,
+    use :func:`approx_percentile` for global quantiles at 100 TB."""
+    return _Agg(lambda c, ctx: F.percentile(c, F.lit(p)), lift(expr))
+
+
+def approx_percentile(expr, p: float, accuracy: int = 10_000) -> ReducerExpr:
+    """Extension: t-digest-style sketch quantile — the scale path
+    (mergeable partial state, map-side combine)."""
+    return _Agg(
+        lambda c, ctx: F.percentile_approx(c, F.lit(p), F.lit(accuracy)), lift(expr)
+    )
+
+
 # deprecated aliases kept for API parity (reducers.py:547,611)
 npsum = sum
 int_sum = sum

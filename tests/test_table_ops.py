@@ -142,6 +142,26 @@ def test_reducers_composition(spark):
     assert got["b"] == (30.0, [3], 1, 30.0)
 
 
+def test_percentile_reducers(spark):
+    t = pw.Table.from_rows(
+        spark,
+        [("a", float(v)) for v in range(1, 11)] + [("b", 5.0), ("b", 15.0)],
+        "g string, x double",
+    )
+    out = t.groupby(pw.this.g).reduce(
+        p50=R.percentile(pw.this.x, 0.5),
+        p90=R.percentile(pw.this.x, 0.9),
+        p50_approx=R.approx_percentile(pw.this.x, 0.5),
+    )
+    got = {r[0]: r[1:] for r in rows(out)}
+    # continuous interpolation: rank = p*(n-1); n=10 → p50 = 5.5, p90 = 9.1
+    assert got["a"][0] == 5.5
+    assert abs(got["a"][1] - 9.1) < 1e-9
+    assert got["b"][:2] == (10.0, 14.0)
+    # the sketch variant lands on an actual sample value near the median
+    assert got["a"][2] in (5.0, 6.0)
+
+
 def test_unique_reducer_nulls_on_conflict(spark):
     t = pw.Table.from_rows(
         spark, [("a", 1), ("a", 1), ("b", 1), ("b", 2)], "g string, v long"
