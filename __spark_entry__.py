@@ -620,6 +620,20 @@ def q_train_split(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """deterministic epoch shuffle with explicit global positions
+    (operators/sampling.py deterministic_shuffle): order = md5(doc_id:7),
+    positions via monotone 256-shard prefix-sum — no global sort, no
+    single-partition window; the oracle replays the exact permutation
+    with one ORDER BY."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    return sampling.deterministic_shuffle(docs, "doc_id", seed=7).select(
+        "doc_id", "position"
+    )
+
+
 def q_mix_datasets(spark: SparkSession, sf: str) -> DataFrame:
     """weighted dataset mixing: 'en' docs upsampled 2.5x (two whole
     copies + a deterministic 0.5 remainder), 'de' downsampled to 0.5 —
@@ -1031,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rerank": q_rerank,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
+        "q_shuffle": q_shuffle,
         "q_mix_datasets": q_mix_datasets,
         "q_pack_sequences": q_pack_sequences,
         "q_vocab": q_vocab,
@@ -1741,6 +1756,14 @@ def oracle_sql() -> dict[str, str]:
                   END
         """,
         "q_train_split": _train_split_oracle_sql(),
+        "q_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id
+                   ) - 1 AS position
+            FROM documents
+            WHERE doc_id IS NOT NULL
+        """,
         "q_mix_datasets": f"""
             SELECT doc_id, 'en' AS _pw_source FROM documents WHERE lang = 'en'
             UNION ALL

@@ -117,6 +117,67 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key), seed) < thr)
 
 
+def deterministic_shuffle(df: DataFrame, key: str, *, seed: int = 0) -> DataFrame:
+    """Global pseudorandom permutation with explicit ``position`` column —
+    the epoch shuffle of a training-data pipeline, reproducible across
+    runs, engines and cluster sizes.
+
+    Order is ``md5(key:seed)`` ascending (tie-break on the key), so a SQL
+    oracle replays it exactly with ``row_number() OVER (ORDER BY md5(...))``.
+    Positions are computed WITHOUT a global sort or single-partition
+    window: the first two hex chars give 256 shards that are MONOTONE in
+    the order (a fixed-width prefix of the hex string preserves
+    lexicographic order), so ``position = shard_offset +
+    rank_within_shard`` where the shard offsets are an exclusive prefix
+    sum over 256 shard counts (tiny frame, broadcast back).  The
+    per-shard rank window runs with 256-way parallelism — the same
+    layout trick as
+    :func:`~pathwaydataframework_spark.operators.packing.pack_by_offset`.
+    At 100 TB, widen to 4 hex chars (65 536 shards) if 1/256th of the
+    data outgrows an executor's sort buffer.
+
+    Rows with a NULL key are excluded (cannot be deterministically
+    placed), like every sampling predicate in this module.
+
+    >>> from pathwaydataframework_spark.operators import sampling
+    >>> docs = spark.range(100).withColumnRenamed("id", "doc_id")
+    >>> s = sampling.deterministic_shuffle(docs, "doc_id", seed=3)
+    >>> sorted(r["position"] for r in s.collect()) == list(range(100))
+    True
+    >>> s.orderBy("position").first()["doc_id"] == \\
+    ...     sampling.deterministic_shuffle(docs, "doc_id", seed=3) \\
+    ...     .orderBy("position").first()["doc_id"]
+    True
+    """
+    from pyspark.sql import Window as W
+
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
+    hashed = (
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__h", h)
+        .withColumn(
+            "__shard", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int")
+        )
+    )
+    counts = hashed.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.withColumn(
+        "__off",
+        F.sum("__n").over(
+            W.orderBy("__shard").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).select("__shard", F.coalesce("__off", F.lit(0)).alias("__off"))
+    rank = F.row_number().over(
+        W.partitionBy("__shard").orderBy(F.col("__h"), F.col(key))
+    )
+    out = (
+        hashed.withColumn("__rank", rank)
+        .join(F.broadcast(offsets), on="__shard")
+        .withColumn("position", (F.col("__off") + F.col("__rank") - 1).cast("long"))
+        .drop("__h", "__shard", "__rank", "__off")
+    )
+    return out
+
+
 def mix_datasets(
     sources: Mapping[str, DataFrame],
     rates: Mapping[str, float],

@@ -59,6 +59,46 @@ def test_mix_datasets_upsamples_and_tags(spark):
     assert 400 < counts["b"] < 600
 
 
+def test_deterministic_shuffle_is_exact_permutation(spark):
+    df = spark.range(3_000).withColumnRenamed("id", "k")
+    s = sampling.deterministic_shuffle(df, "k", seed=11)
+    rows = s.select("k", "position").collect()
+    # a bijection onto [0, n)
+    assert sorted(r["position"] for r in rows) == list(range(3_000))
+    # reproducible: same seed → identical permutation
+    s2 = sampling.deterministic_shuffle(df, "k", seed=11)
+    assert s.exceptAll(s2).count() == 0
+    # different seed → a genuinely different order
+    s3 = dict(
+        sampling.deterministic_shuffle(df, "k", seed=12)
+        .select("k", "position")
+        .collect()
+    )
+    moved = sum(1 for r in rows if s3[r["k"]] != r["position"])
+    assert moved > 2_900
+    # null keys are excluded, not misplaced
+    with_null = df.withColumn(
+        "k", F.when(F.col("k") < 10, None).otherwise(F.col("k"))
+    )
+    sn = sampling.deterministic_shuffle(with_null, "k")
+    assert sn.count() == 2_990
+    assert sn.agg(F.max("position")).first()[0] == 2_989
+
+
+def test_deterministic_shuffle_no_global_sort(spark):
+    """The position computation must not fall back to a global sort or a
+    single-partition window over the full frame (the 100 TB hazard)."""
+    df = spark.range(1_000).withColumnRenamed("id", "k")
+    plan = sampling.deterministic_shuffle(df, "k")._jdf.queryExecution().toString()
+    # per-shard ranks: window partitioned by __shard, never an empty
+    # partitionBy over the full input (the 256-row offsets frame's
+    # prefix-sum window is exempt — it follows an aggregation)
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "partitionBy" not in line or "__shard" in line, line
+            assert "__shard" in line, line
+
+
 def test_pack_by_offset_layout_invariants(spark):
     docs = spark.range(500).select(
         F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("n_tok")
