@@ -31,6 +31,7 @@ from pathwaydataframework_spark.internals.expression import (
     coalesce,
     declare_type,
     fill_error,
+    hll_estimate,
     if_else,
     left,
     lift,
@@ -226,6 +227,7 @@ __all__ = [
     "coalesce",
     "declare_type",
     "fill_error",
+    "hll_estimate",
     "if_else",
     "lift",
     "make_tuple",

@@ -490,6 +490,14 @@ def fill_error(expr, default):
     return coalesce(expr, default)
 
 
+def hll_estimate(expr):
+    """Distinct-count estimate from a BINARY HyperLogLog sketch column
+    (``reducers.hll_sketch`` / ``reducers.hll_union``) — Spark
+    ``hll_sketch_estimate``.  Extension over the reference's reducer set:
+    stored sketches answer rollup distinct-counts without rescanning."""
+    return UnaryOp(lift(expr), F.hll_sketch_estimate)
+
+
 def make_tuple(*args):
     """Reference ``pw.make_tuple`` (common.py:361) → Spark array/struct."""
     return FuncExpr(lambda *cs: F.array(*cs), *[lift(a) for a in args])

@@ -163,6 +163,25 @@ def stddev(expr) -> ReducerExpr:
     return _Agg(_no_ctx(F.stddev_samp), lift(expr))
 
 
+def hll_sketch(expr, lg_k: int = 12) -> ReducerExpr:
+    """Extension: mergeable HyperLogLog sketch (Apache DataSketches HllSketch,
+    Spark ``hll_sketch_agg``) as a BINARY column.  The rollup primitive for
+    distinct counting at 100 TB: build one sketch per fine-grained group
+    (day × source), store it, and answer ANY coarser distinct-count
+    (month, all-sources) by :func:`hll_union` over the stored sketches —
+    no rescan of the raw data.  Estimate with
+    ``pathwaydataframework_spark.hll_estimate``."""
+    return _Agg(lambda c, ctx: F.hll_sketch_agg(c, F.lit(lg_k)), lift(expr))
+
+
+def hll_union(expr, allow_different_lgk: bool = False) -> ReducerExpr:
+    """Extension: merge BINARY sketches produced by :func:`hll_sketch`
+    (Spark ``hll_union_agg``) — the reduce side of the rollup."""
+    return _Agg(
+        lambda c, ctx: F.hll_union_agg(c, F.lit(allow_different_lgk)), lift(expr)
+    )
+
+
 def percentile(expr, p: float) -> ReducerExpr:
     """Extension: exact continuous-interpolation percentile (Spark
     ``percentile`` ≡ ANSI percentile_cont / DuckDB quantile_cont).  Exact

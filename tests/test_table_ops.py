@@ -162,6 +162,45 @@ def test_percentile_reducers(spark):
     assert got["a"][2] in (5.0, 6.0)
 
 
+def test_hll_sketch_rollup(spark, sf_dir):
+    """The sketch rollup contract: per-nation sketches of c_custkey union
+    into per-region and global distinct-count estimates WITHOUT touching
+    the raw rows again, and the estimates track exact counts."""
+    from pathwaydataframework_spark.data import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    # fine-grained build pass: one sketch per nation
+    per_nation = cust.groupby(pw.this.c_nationkey).reduce(
+        sk=R.hll_sketch(pw.this.c_custkey)
+    )
+    # rollup pass reads ONLY the 25 sketch rows
+    per_mod = per_nation.select(
+        region=pw.this.c_nationkey % 5, sk=pw.this.sk
+    ).groupby(pw.this.region).reduce(merged=R.hll_union(pw.this.sk))
+    est = {
+        r["region"]: r["est"]
+        for r in per_mod.select(
+            pw.this.region, est=pw.hll_estimate(pw.this.merged)
+        ).df.collect()
+    }
+    exact = {
+        r["region"]: r["n"]
+        for r in cust.df.groupBy((F.col("c_nationkey") % 5).alias("region"))
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for region, n in exact.items():
+        assert abs(est[region] - n) <= max(2, 0.05 * n), (region, est[region], n)
+    # global rollup from the same 5 merged sketches
+    glob = per_mod.reduce(all_sk=R.hll_union(pw.this.merged)).select(
+        est=pw.hll_estimate(pw.this.all_sk)
+    )
+    total = cust.df.select(F.countDistinct("c_custkey")).first()[0]
+    got = glob.df.first()["est"]
+    assert abs(got - total) <= max(2, 0.05 * total)
+
+
 def test_unique_reducer_nulls_on_conflict(spark):
     t = pw.Table.from_rows(
         spark, [("a", 1), ("a", 1), ("b", 1), ("b", 2)], "g string, v long"
