@@ -219,6 +219,132 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band rows — the PERSISTABLE index
+    format of a corpus.  Write it once (ideally bucketed on band_hash),
+    then check every incoming batch against it with
+    :func:`incremental_neardup_pairs` — the corpus text is never
+    re-shingled.  ``bands × 8 bytes`` per doc, linear build."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    corpus_docs: DataFrame | None = None,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup matches of an incoming batch AGAINST an existing corpus:
+    (new_id, corpus_id[, jaccard]).  The incremental path of a continuously
+    ingesting pipeline — only the new batch is shingled/hashed; the corpus
+    contributes its stored :func:`minhash_band_index` rows.  The band join
+    is hash-partitioned on band_hash, so cost scales with the BATCH, not
+    the corpus.
+
+    With ``corpus_docs`` the candidates are verified by exact Jaccard
+    (band parameters must match the persisted index's, or candidates are
+    garbage — kept explicit rather than guessed from the index).
+    """
+    new_bands = minhash_band_index(
+        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    cand = (
+        new_bands.alias("a")
+        .join(
+            corpus_index.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    if corpus_docs is None:
+        return cand
+    ga = _ensure_parallelism(new_docs).select(
+        F.col(id_col).alias("new_id"),
+        _word_shingles(F.col(text_col), n).alias("g_a"),
+    )
+    gb = _ensure_parallelism(corpus_docs).select(
+        F.col(id_col).alias("corpus_id"),
+        _word_shingles(F.col(text_col), n).alias("g_b"),
+    )
+    return (
+        cand.join(ga, on="new_id")
+        .join(gb, on="corpus_id")
+        .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.size("g_a") + F.size("g_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def incremental_neardup_filter(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    corpus_docs: DataFrame | None = None,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop incoming rows that near-duplicate the corpus; keep the rest.
+    Anti-join on the matched new_id set — new rows that only duplicate
+    EACH OTHER are kept (run :func:`minhash_lsh_pairs` within the batch
+    for intra-batch dedup)."""
+    hits = incremental_neardup_pairs(
+        new_docs,
+        corpus_index,
+        id_col=id_col,
+        text_col=text_col,
+        corpus_docs=corpus_docs,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_docs.join(hits, on=id_col, how="left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -237,25 +363,9 @@ def minhash_lsh_pairs(
     tune per threshold.  Returns (id_a, id_b, jaccard) when verify else
     (id_a, id_b).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+    banded = minhash_band_index(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

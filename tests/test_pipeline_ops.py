@@ -166,6 +166,100 @@ def test_sampling_is_scan_side_filter(spark, sf_dir):
     assert count_shuffles(out) == 0
 
 
+def _toy_corpus_and_batch(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "pack my box with five dozen liquor jugs tonight please thanks"),
+            (3, "sphinx of black quartz judge my vow said the old teacher"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (one word changed)
+            (101, "the quick brown fox jumps over the lazy cat near the river"),
+            # genuinely new
+            (102, "completely different content about distributed query engines"),
+            # exact dup of corpus doc 3
+            (103, "sphinx of black quartz judge my vow said the old teacher"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_incremental_neardup_against_corpus_index(spark):
+    from pathwaydataframework_spark.operators import dedup
+
+    corpus, batch = _toy_corpus_and_batch(spark)
+    index = dedup.minhash_band_index(corpus, "doc_id", "text")
+    pairs = dedup.incremental_neardup_pairs(
+        batch, index, id_col="doc_id", text_col="text",
+        corpus_docs=corpus, threshold=0.5,
+    )
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert got == {(101, 1), (103, 3)}
+    kept = dedup.incremental_neardup_filter(
+        batch, index, id_col="doc_id", text_col="text",
+        corpus_docs=corpus, threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [102]
+
+
+def test_incremental_neardup_survives_index_round_trip(spark, tmp_path):
+    """The index is a plain parquet artifact: write, read back, same hits —
+    the shape of a daily-ingest pipeline (yesterday's index on disk, today's
+    batch checked against it, no corpus rescan)."""
+    from pathwaydataframework_spark.operators import dedup
+
+    corpus, batch = _toy_corpus_and_batch(spark)
+    path = str(tmp_path / "lsh_index")
+    dedup.minhash_band_index(corpus, "doc_id", "text").write.parquet(path)
+    index = spark.read.parquet(path)
+    # band-only (no corpus text available) still surfaces both candidates
+    cand = dedup.incremental_neardup_pairs(
+        batch, index, id_col="doc_id", text_col="text"
+    )
+    got = {(r["new_id"], r["corpus_id"]) for r in cand.collect()}
+    assert {(101, 1), (103, 3)} <= got
+
+
+def test_incremental_neardup_streaming_foreach_batch(spark, tmp_path):
+    """Continuous-ingest shape: micro-batches of new docs arrive on a file
+    stream; foreachBatch filters each against the STATIC persisted corpus
+    index (aggregation-bearing plans can't run inside a streaming query
+    directly — foreachBatch is the sanctioned bridge)."""
+    from pathwaydataframework_spark.operators import dedup
+
+    corpus, batch = _toy_corpus_and_batch(spark)
+    idx_path = str(tmp_path / "lsh_index")
+    dedup.minhash_band_index(corpus, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    src_dir = str(tmp_path / "incoming")
+    batch.repartition(3).write.parquet(src_dir)
+    out: list[int] = []
+
+    def check(bdf, _bid):
+        kept = dedup.incremental_neardup_filter(
+            bdf, index, id_col="doc_id", text_col="text",
+            corpus_docs=corpus, threshold=0.5,
+        )
+        out.extend(r["doc_id"] for r in kept.collect())
+
+    q = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(check)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(out) == [102]
+
+
 def test_knn_ivf_exact_when_probing_all(spark, sf_dir):
     from pathwaydataframework_spark.data import load_table
     from pathwaydataframework_spark.operators import similarity
