@@ -26,7 +26,7 @@ def _tokens(col):
 
 def doc_term_stats(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
-) -> tuple[DataFrame, DataFrame, float, int]:
+) -> tuple[DataFrame, DataFrame]:
     """(term_freqs, doc_lens) tables for BM25: tf per (doc, term), |d| per doc."""
     base = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__toks")
@@ -57,36 +57,52 @@ def bm25_scores(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = Σ_t idf·tf·(k1+1) /
     (tf + k1·(1 - b + b·dl/avgdl)).  Deterministic tie-break on doc_id.
     """
-    tf, doc_lens = doc_term_stats(docs, id_col=id_col, text_col=text_col)
-    # materialize the inverted index once: tf feeds BOTH the idf aggregation
-    # and the score join, doc_lens feeds BOTH the avgdl scalar and the score
-    # join — without the checkpoint the tokenize+explode pipeline recomputes
-    # per reference (measured 3-5x slower at sf0.1)
-    tf = tf.localCheckpoint(eager=True)
-    doc_lens = doc_lens.localCheckpoint(eager=True)
-    # two driver-side scalars: N is a parquet-metadata count (near-free) and
-    # avgdl is one agg over the checkpointed doc_lens.  (Folding them into a
-    # broadcast 1-row frame was measured SLOWER — the broadcast exchange
-    # still runs the agg subtree as its own job and adds a nested-loop join
-    # to every row.)
-    n_docs = docs.count()
-    avgdl = doc_lens.agg(F.avg("dl")).collect()[0][0]
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_tbl.select(
-        "term",
-        F.log(
-            1.0
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(_tokens(F.col(query_text_col)))).alias("term"),
     )
+    qt = qterms.select("term").distinct()
+    base = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__toks")
+    )
+    # Postings restricted to the query's terms BEFORE any shuffle: the
+    # broadcast filter runs map-side on the exploded tokens, so the only
+    # corpus-wide exchange carries matching-term occurrences — not the full
+    # inverted index.  dl rides through the explode as a constant per doc,
+    # which removes the doc_lens join from the score path entirely.
+    tf_q = (
+        base.select(
+            "doc_id", F.size("__toks").alias("dl"), F.explode("__toks").alias("term")
+        )
+        .join(F.broadcast(qt), on="term")
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # feeds BOTH the df aggregation and the score join; tiny after the
+        # term filter, so the materialization is near-free
+        .localCheckpoint(eager=True)
+    )
+    # two driver-side scalars: N is a parquet-metadata count (near-free) and
+    # avgdl is one shuffle-free scan.  (Folding them into a broadcast 1-row
+    # frame was measured SLOWER — the broadcast exchange still runs the agg
+    # subtree as its own job and adds a nested-loop join to every row.)
+    n_docs = docs.count()
+    avgdl = base.agg(F.avg(F.size("__toks"))).collect()[0][0]
+    # df per query term from the filtered postings — identical to the
+    # full-index df for those terms, without the full-index groupBy
+    idf = (
+        tf_q.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
     scored = (
-        qterms.join(idf, on="term")
-        .join(tf, on="term")
-        .join(doc_lens, on="doc_id")
+        tf_q.join(F.broadcast(idf), on="term")
+        .join(F.broadcast(qterms), on="term")
         .withColumn(
             "s",
             F.col("idf")

@@ -209,8 +209,11 @@ def knn_lsh(
     # candidate dedup on (query_id, neighbor_id) ONLY — distinct over rows
     # carrying two dim-wide vectors shuffles ~16x more bytes; vectors are
     # re-attached afterwards by id (the query side is small → AQE broadcast)
+    # query side is tiny by construction (a handful of probe vectors × bands)
+    # — broadcast it explicitly so the corpus-side bands and signatures never
+    # shuffle for the candidate join or the vector re-attach
     cand = (
-        qb.alias("q")
+        F.broadcast(qb.alias("q"))
         .join(cb.alias("c"), on=["band_idx", "band_val"])
         .select(
             F.col("q.vec_id").alias("query_id"),
@@ -226,7 +229,9 @@ def knn_lsh(
             on="neighbor_id",
         )
         .join(
-            qsig.select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")),
+            F.broadcast(
+                qsig.select(F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv"))
+            ),
             on="query_id",
         )
         .withColumn("score", F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6))
