@@ -987,6 +987,69 @@ def q_louvain(spark: SparkSession, sf: str) -> DataFrame:
     return graphs.louvain_communities(pairs, src="id_a", dst="id_b")
 
 
+def q_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """benchmark decontamination: 13-gram overlap of the training split
+    (sources src2+) against the held-out benchmark split (src0/src1) —
+    the GPT-3/PaLM method as a broadcast-probe plan
+    (operators/decontam.py).  Emits the contaminated doc ids with their
+    distinct-matching-gram counts."""
+    from pathwaydataframework_spark.operators import decontam
+
+    docs = load_table(spark, sf, "documents").df
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    return decontam.contamination_matches(train, bench, n=13)
+
+
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 appendix A.1) as one
+    codegen stage (operators/text.py gopher_quality_flags).  The fixture
+    corpus has no lines/ellipses, so every 11th doc gets planted bullet +
+    ellipsis lines to exercise the line-level signals."""
+    docs = load_table(spark, sf, "documents").df
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n- bullet item ...\n- second bullet\nplain tail ..."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return planted.select(
+        "doc_id", text.gopher_quality_flags(F.col("text")).alias("g")
+    ).select("doc_id", "g.*")
+
+
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher repetition metrics — top-n-gram and duplicated-n-gram
+    character fractions (operators/text.py repetition_metrics).  Every 9th
+    doc is planted as text+' '+text so duplicated-gram fractions are
+    exercised end-to-end, not vacuously zero."""
+    docs = load_table(spark, sf, "documents").df
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat_ws(" ", F.col("text"), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.repetition_metrics(planted, top_ns=(2, 3), dup_ns=(5, 10))
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """per-doc mean unigram log-probability under the corpus's own unigram
+    model (CCNet-style LM-proxy quality score; operators/text.py).  The
+    mean is computed as an exact decimal sum of round-6 logps so partial-
+    aggregation order cannot flip the 6th decimal vs the oracle."""
+    docs = load_table(spark, sf, "documents").df
+    return text.unigram_logprob(docs)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1052,7 +1115,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_boilerplate": q_boilerplate,
         "q_kmeans": q_kmeans,
+        "q_decontam": q_decontam,
+        "q_gopher_quality": q_gopher_quality,
+        "q_repetition": q_repetition,
+        "q_unigram_logprob": q_unigram_logprob,
     }
+
+
+def _repetition_oracle_sql(
+    top_ns: tuple[int, ...] = (2, 3), dup_ns: tuple[int, ...] = (5, 10)
+) -> str:
+    """DuckDB twin of text.repetition_metrics over the q_repetition planted
+    corpus: per-n gram streams (multiplicity kept), top gram by
+    (count, length) lexicographic max, duplicated-gram chars summed."""
+    ns = sorted(set(top_ns) | set(dup_ns))
+    gram_selects = [
+        f"""
+            SELECT doc_id, chars, {n} AS n,
+                   unnest(CASE WHEN len(t) >= {n} THEN list_transform(
+                       range(1, len(t) - {n - 2}),
+                       i -> array_to_string(t[i:i+{n - 1}], ' '))
+                   ELSE []::VARCHAR[] END) AS gram
+            FROM toks"""
+        for n in ns
+    ]
+    out_cols = []
+    for n in top_ns:
+        out_cols.append(
+            f"round(coalesce(max(CASE WHEN n = {n} THEN "
+            f"top.cnt * top.glen / chars END), 0), 6) AS top{n}_char_frac"
+        )
+    for n in dup_ns:
+        out_cols.append(
+            f"round(coalesce(max(CASE WHEN n = {n} THEN "
+            f"dupchars / chars END), 0), 6) AS dup{n}_char_frac"
+        )
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text
+                   ELSE text END AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, length(text)::DOUBLE AS chars,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM planted
+        ), grams AS ({" UNION ALL ".join(gram_selects)}
+        ), counted AS (
+            SELECT doc_id, chars, n, gram, count(*) AS cnt
+            FROM grams GROUP BY ALL
+        ), per_n AS (
+            SELECT doc_id, chars, n,
+                   max(struct_pack(cnt := cnt,
+                                   glen := length(gram)::DOUBLE)) AS top,
+                   sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                       ELSE 0 END)::DOUBLE AS dupchars
+            FROM counted GROUP BY ALL
+        ), pivoted AS (
+            SELECT doc_id, {", ".join(out_cols)}
+            FROM per_n GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               {", ".join(f"coalesce(p.top{n}_char_frac, 0.0) AS top{n}_char_frac" for n in top_ns)},
+               {", ".join(f"coalesce(p.dup{n}_char_frac, 0.0) AS dup{n}_char_frac" for n in dup_ns)}
+        FROM documents d LEFT JOIN pivoted p USING (doc_id)
+    """
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
@@ -1936,6 +2063,108 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM events
             GROUP BY 1
+        """,
+        "q_decontam": r"""
+            WITH bt AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE source IN ('src0', 'src1')
+            ), bg AS (
+                SELECT DISTINCT unnest(
+                    CASE WHEN len(t) >= 13 THEN list_transform(
+                        range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' '))
+                    ELSE []::VARCHAR[] END) AS gram
+                FROM bt
+            ), tt AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE source NOT IN ('src0', 'src1')
+            ), tg AS (
+                SELECT doc_id, unnest(list_distinct(
+                    CASE WHEN len(t) >= 13 THEN list_transform(
+                        range(1, len(t) - 11), i -> array_to_string(t[i:i+12], ' '))
+                    ELSE []::VARCHAR[] END)) AS gram
+                FROM tt
+            )
+            SELECT doc_id, count(DISTINCT gram) AS n_matching_grams
+            FROM tg JOIN bg USING (gram)
+            GROUP BY doc_id
+        """,
+        "q_gopher_quality": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN text || chr(10) ||
+                            '- bullet item ...' || chr(10) ||
+                            '- second bullet' || chr(10) || 'plain tail ...'
+                       ELSE text END AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\s+') AS toks,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  l -> trim(l)),
+                                   l -> length(l) > 0) AS ls
+                FROM planted
+            ), sig AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(toks) END AS wc,
+                       round(CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE list_sum(list_transform(toks,
+                                      t -> length(t)))::DOUBLE / len(toks)
+                             END, 6) AS mwl,
+                       len(ls) AS nl,
+                       len(list_filter(ls, l -> l LIKE '%...')) AS ell,
+                       len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
+                                              OR l LIKE '•%')) AS bul,
+                       len(list_filter(toks,
+                           t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+                       len(list_intersect(
+                           list_transform(toks, t -> lower(t)),
+                           ['the','a','of','and','to','in','is','that','it','for']
+                       )) AS sw_hits,
+                       length(regexp_replace(text, '[^#…]', '', 'g'))
+                         + 3 * len(list_filter(ls, l -> l LIKE '%...%')) AS symbols
+                FROM base
+            ), m AS (
+                SELECT doc_id, wc, mwl,
+                       round(CASE WHEN nl = 0 THEN 0.0
+                             ELSE ell::DOUBLE / nl END, 6) AS ellipsis_line_frac,
+                       round(CASE WHEN nl = 0 THEN 0.0
+                             ELSE bul::DOUBLE / nl END, 6) AS bullet_line_frac,
+                       round(CASE WHEN wc = 0 THEN 0.0
+                             ELSE alpha::DOUBLE / wc END, 6) AS alpha_word_frac,
+                       sw_hits,
+                       round(CASE WHEN wc = 0 THEN 0.0
+                             ELSE symbols::DOUBLE / wc END, 6) AS symbol_word_ratio
+                FROM sig
+            )
+            SELECT doc_id, wc AS word_count, mwl AS mean_word_len,
+                   ellipsis_line_frac, bullet_line_frac, alpha_word_frac,
+                   sw_hits AS stopword_hits, symbol_word_ratio,
+                   (wc >= 50 AND wc <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                    AND ellipsis_line_frac <= 0.3 AND bullet_line_frac <= 0.9
+                    AND alpha_word_frac >= 0.8 AND sw_hits >= 2
+                    AND symbol_word_ratio <= 0.1) AS passes
+            FROM m
+        """,
+        "q_repetition": _repetition_oracle_sql(top_ns=(2, 3), dup_ns=(5, 10)),
+        "q_unigram_logprob": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+                FROM documents
+            ), wf AS (
+                SELECT * FROM w WHERE length(term) > 0
+            ), vocab AS (
+                SELECT term, count(*) AS cnt FROM wf GROUP BY 1
+            ), tot AS (
+                SELECT sum(cnt)::DOUBLE AS total FROM vocab
+            ), lp AS (
+                SELECT term, round(ln(cnt / total), 6)::DECIMAL(18,9) AS lp
+                FROM vocab, tot
+            )
+            SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6) AS mean_logp
+            FROM wf JOIN lp USING (term)
+            GROUP BY doc_id
         """,
         # every queries() entry above has a value oracle — including
         # q_louvain, whose communities provably equal connected components

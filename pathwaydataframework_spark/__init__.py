@@ -74,6 +74,7 @@ from pathwaydataframework_spark.operators import (
     behaviors,
     clustering,
     col_utils,
+    decontam,
     dedup,
     embedders,
     graphs,
@@ -244,6 +245,7 @@ __all__ = [
     "asof_now_join",
     "windowby",
     "dedup",
+    "decontam",
     "text",
     "similarity",
     "ordered",

@@ -211,3 +211,262 @@ def vocabulary(
 
     w = W.orderBy(F.col("count").desc(), F.col("term").asc())
     return counts.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# -- Gopher-style repetition & quality filters ------------------------------
+#
+# Rule shapes from the public Gopher paper (Rae et al. 2021, appendix A):
+# duplicate-line fractions, top/duplicated n-gram character fractions, and
+# the document-level quality heuristics (word count bounds, mean word
+# length, bullet/ellipsis line fractions, alphabetic-word fraction).
+# Thresholds are the published ones; every metric is deterministic and
+# oracle-checkable.
+
+
+def _lines(text: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def duplicate_line_metrics(text: Column) -> Column:
+    """struct(dup_line_frac, dup_line_char_frac) — fraction of lines (and of
+    line characters) lost when repeated lines collapse to one occurrence.
+
+    Pure array expressions: no shuffle, no UDF — each doc computes its own
+    metrics inside whole-stage codegen, so this costs one scan at any scale.
+    """
+    ls = _lines(text)
+    ds = F.array_distinct(ls)
+    n = F.size(ls)
+    chars = F.aggregate(ls, F.lit(0).cast("double"), lambda a, l: a + F.length(l))
+    dchars = F.aggregate(ds, F.lit(0).cast("double"), lambda a, l: a + F.length(l))
+    return F.struct(
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise((n - F.size(ds)) / n), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(chars == 0, F.lit(0.0)).otherwise((chars - dchars) / chars), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Per-document n-gram repetition metrics, Gopher appendix-A shapes:
+
+    - ``top{n}_char_frac``: characters of the single most frequent word
+      n-gram (count x gram length) over total characters.  Tie-break:
+      highest count, then longest gram, then lexicographically greatest —
+      fully deterministic.
+    - ``dup{n}_char_frac``: characters covered by all n-grams occurring
+      more than once (count x length summed; overlaps NOT discounted, the
+      standard approximation) over total characters.
+
+    Plan: one explode per n unioned (the n-gram streams are the real work —
+    there is no cheaper exact computation), then a single groupBy on
+    (doc_id, n, gram) with map-side partial aggregation, then a (doc_id, n)
+    rollup pivoted to columns.  All exchanges key on doc_id so per-key
+    state is one document's grams — no skew beyond document length.
+    """
+    from pathwaydataframework_spark.operators.dedup import (
+        _ensure_parallelism,
+        _word_shingles,
+    )
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("double").alias("__chars"),
+    )
+    ns = sorted(set(top_ns) | set(dup_ns))
+    grams = None
+    for n in ns:
+        # _word_shingles distinct-ifies; counts need multiplicity, so build
+        # the shifted-slice fold without the final array_distinct
+        toks = F.split(F.trim(F.col("__t")), r"\s+")
+        num = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+        parts = [F.slice(toks, k, num) for k in range(1, n + 1)]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
+        g = base.select(
+            "doc_id",
+            "__chars",
+            F.lit(n).alias("n"),
+            F.explode(acc).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counted = grams.groupBy("doc_id", "__chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = counted.groupBy("doc_id", "__chars", "n").agg(
+        F.max(
+            F.struct(
+                F.col("cnt"), F.length("gram").alias("glen"), F.col("gram")
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("dupchars"),
+    )
+    metrics = per_n.select(
+        "doc_id",
+        "n",
+        F.round(
+            F.when(F.col("__chars") == 0, F.lit(0.0)).otherwise(
+                F.col("top.cnt") * F.col("top.glen") / F.col("__chars")
+            ),
+            6,
+        ).alias("topfrac"),
+        F.round(
+            F.when(F.col("__chars") == 0, F.lit(0.0)).otherwise(
+                F.col("dupchars") / F.col("__chars")
+            ),
+            6,
+        ).alias("dupfrac"),
+    )
+    pivoted = (
+        metrics.groupBy("doc_id")
+        .pivot("n", [str(n) for n in ns])
+        .agg(F.first("topfrac").alias("top"), F.first("dupfrac").alias("dup"))
+    )
+    cols = [F.col("doc_id")]
+    for n in top_ns:
+        cols.append(F.coalesce(f"{n}_top", F.lit(0.0)).alias(f"top{n}_char_frac"))
+    for n in dup_ns:
+        cols.append(F.coalesce(f"{n}_dup", F.lit(0.0)).alias(f"dup{n}_char_frac"))
+    out = pivoted.select(*cols)
+    # docs with no n-grams at any n never reach the pivot — restore them
+    # with all-zero metrics via a broadcast-able anti pattern: left join
+    # from the id universe (ids only, no text shuffle)
+    ids = base.select("doc_id")
+    zero = [c for c in out.columns if c != "doc_id"]
+    return ids.join(out, on="doc_id", how="left").select(
+        "doc_id", *[F.coalesce(c, F.lit(0.0)).alias(c) for c in zero]
+    )
+
+
+#: Published Gopher quality-rule thresholds (appendix A.1).
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_ellipsis_line_frac": 0.3,
+    "max_bullet_line_frac": 0.9,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+    "max_symbol_word_ratio": 0.1,
+}
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """struct of the Gopher document-quality signals + a ``passes`` flag.
+
+    Pure column expressions (one codegen stage, no shuffle).  Signals:
+    word count, mean word length, ellipsis/bullet line fractions,
+    alphabetic-word fraction, distinct-stopword hits, symbol/word ratio.
+    """
+    toks = tokens(F.trim(text))
+    wc = token_count(text)
+    mwl = mean_word_length(text)
+    ls = _lines(text)
+    nl = F.size(ls)
+    ell = F.size(F.filter(ls, lambda l: l.endswith("...")))
+    bul = F.size(
+        F.filter(
+            ls,
+            lambda l: l.startswith("-") | l.startswith("*") | l.startswith("•"),
+        )
+    )
+    ell_frac = F.round(F.when(nl == 0, F.lit(0.0)).otherwise(ell / nl), 6)
+    bul_frac = F.round(F.when(nl == 0, F.lit(0.0)).otherwise(bul / nl), 6)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = F.round(F.when(wc == 0, F.lit(0.0)).otherwise(alpha / wc), 6)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    sw_hits = F.size(
+        F.array_intersect(F.transform(toks, lambda t: F.lower(t)), sw)
+    )
+    symbols = F.length(F.regexp_replace(text, r"[^#…]", "")) + F.lit(3) * F.size(
+        F.filter(ls, lambda l: l.contains("..."))
+    )
+    sym_ratio = F.round(
+        F.when(wc == 0, F.lit(0.0)).otherwise(symbols / wc), 6
+    )
+    t = GOPHER_THRESHOLDS
+    passes = (
+        (wc >= t["min_words"])
+        & (wc <= t["max_words"])
+        & (mwl >= t["min_mean_word_len"])
+        & (mwl <= t["max_mean_word_len"])
+        & (ell_frac <= t["max_ellipsis_line_frac"])
+        & (bul_frac <= t["max_bullet_line_frac"])
+        & (alpha_frac >= t["min_alpha_word_frac"])
+        & (sw_hits >= t["min_stopword_hits"])
+        & (sym_ratio <= t["max_symbol_word_ratio"])
+    )
+    return F.struct(
+        wc.alias("word_count"),
+        mwl.alias("mean_word_len"),
+        ell_frac.alias("ellipsis_line_frac"),
+        bul_frac.alias("bullet_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        sw_hits.cast("long").alias("stopword_hits"),
+        sym_ratio.alias("symbol_word_ratio"),
+        passes.alias("passes"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap LM-proxy
+    quality score (CCNet-style, fit on the corpus itself).
+
+    p(w) = count(w) / total_tokens over the corpus (lowercased).  Unseen
+    is impossible by construction (the model IS the corpus); ties and
+    rounding are deterministic.
+
+    Plan: one vocabulary aggregation (explode -> groupBy term, map-side
+    partials), total as a driver scalar, then a broadcast join of the
+    (term, logp) table onto the exploded tokens and a mean per doc_id.
+    At 100 TB the vocab table may exceed broadcast size — pass it through
+    a shuffle join by dropping the broadcast hint; the plan is otherwise
+    unchanged.
+    """
+    from pathwaydataframework_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.trim(F.col(text_col)))).alias("__toks"),
+    )
+    words = base.select(
+        "doc_id", F.explode("__toks").alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = vocab.localCheckpoint(eager=True)
+    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
+    logp = vocab.select(
+        "term", F.log(F.col("cnt") / F.lit(float(total))).alias("logp")
+    )
+    # mean as an exact decimal sum of round-6 logps: partial-aggregation
+    # order cannot flip the 6th decimal vs a serial oracle
+    return (
+        words.join(F.broadcast(logp), on="term")
+        .withColumn("__lp", F.round("logp", 6).cast("decimal(18,9)"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logp")
+        )
+    )

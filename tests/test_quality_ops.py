@@ -1,0 +1,130 @@
+"""Decontamination + Gopher quality/repetition + unigram-LM operators
+(operators/decontam.py, operators/text.py additions) on planted fixtures
+with hand-computed expected values."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from pathwaydataframework_spark.operators import decontam, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BENCH_SENT = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+
+
+class TestDecontam:
+    def test_planted_overlap_flagged(self, spark):
+        bench = _docs(spark, [(100, BENCH_SENT)])
+        train = _docs(
+            spark,
+            [
+                (1, "prefix words " + BENCH_SENT + " suffix words"),  # contaminated
+                (2, "completely unrelated text about spark partitions and shuffles"),
+                (3, "the quick brown fox jumps"),  # < 13 shared tokens → clean
+            ],
+        )
+        out = decontam.decontaminate(train, bench, n=13).orderBy("doc_id")
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[1]["contaminated"] and rows[1]["n_matching_grams"] >= 1
+        assert not rows[2]["contaminated"] and rows[2]["n_matching_grams"] == 0
+        assert not rows[3]["contaminated"]
+        # original columns ride through untouched
+        assert set(out.columns) == {"doc_id", "text", "n_matching_grams", "contaminated"}
+
+    def test_min_matches_threshold(self, spark):
+        bench = _docs(spark, [(100, BENCH_SENT)])
+        # exactly one shared 13-gram (the full 14-token sentence has 2 13-grams;
+        # taking its first 13 tokens shares exactly 1)
+        first13 = " ".join(BENCH_SENT.split()[:13])
+        train = _docs(spark, [(1, first13)])
+        strict = decontam.decontaminate(train, bench, n=13, min_matches=2)
+        assert not strict.first()["contaminated"]
+        loose = decontam.decontaminate(train, bench, n=13, min_matches=1)
+        assert loose.first()["contaminated"]
+
+
+class TestRepetition:
+    def test_duplicate_line_metrics(self, spark):
+        df = _docs(spark, [(1, "x\ny\nx"), (2, "a\nb"), (3, "")])
+        out = {
+            r["doc_id"]: r["m"]
+            for r in df.select(
+                "doc_id", text.duplicate_line_metrics(F.col("text")).alias("m")
+            ).collect()
+        }
+        # 3 lines, 2 distinct → 1/3 of lines and 1/3 of line-chars duplicated
+        assert out[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[1]["dup_line_char_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out[2]["dup_line_frac"] == 0.0
+        assert out[3]["dup_line_frac"] == 0.0
+
+    def test_top_and_dup_ngram_fractions(self, spark):
+        # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b"×3,
+        # len 3, chars 11 → top2 = 9/11; dup chars = 3*3 + 2*3 = 15 → 15/11
+        df = _docs(spark, [(1, "a b a b a b"), (2, "all words differ here now")])
+        out = {
+            r["doc_id"]: r
+            for r in text.repetition_metrics(df, top_ns=(2,), dup_ns=(2,)).collect()
+        }
+        assert out[1]["top2_char_frac"] == pytest.approx(9 / 11, abs=1e-6)
+        assert out[1]["dup2_char_frac"] == pytest.approx(15 / 11, abs=1e-6)
+        assert out[2]["dup2_char_frac"] == 0.0
+        assert 0 < out[2]["top2_char_frac"] < 0.5
+
+    def test_short_docs_survive_with_zeros(self, spark):
+        df = _docs(spark, [(1, "one"), (2, ""), (3, "a b c d e f g h i j")])
+        out = text.repetition_metrics(df, top_ns=(2,), dup_ns=(5,))
+        assert out.count() == 3
+        row1 = out.filter("doc_id = 1").first()
+        assert row1["top2_char_frac"] == 0.0 and row1["dup5_char_frac"] == 0.0
+
+
+class TestGopherQuality:
+    def test_pass_and_fail(self, spark):
+        good = " ".join(
+            ["the quick brown fox jumps over a lazy dog in the park"] * 6
+        )  # 72 words, stopword-rich, all alphabetic
+        df = _docs(spark, [(1, good), (2, "tiny doc"), (3, "### ### " + good)])
+        out = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", text.gopher_quality_flags(F.col("text")).alias("g")
+            ).collect()
+        }
+        assert out[1]["passes"]
+        assert out[1]["word_count"] == 72
+        assert out[1]["alpha_word_frac"] == 1.0
+        assert out[1]["stopword_hits"] >= 2
+        assert not out[2]["passes"]  # under 50 words
+        # six '#' symbols over 74 words < 0.1 → still passes; check the ratio
+        assert out[3]["symbol_word_ratio"] == pytest.approx(6 / 74, abs=1e-6)
+
+    def test_line_signals(self, spark):
+        t = "first line ...\n- bullet one\n- bullet two\nplain"
+        df = _docs(spark, [(1, t)])
+        g = df.select(text.gopher_quality_flags(F.col("text")).alias("g")).first()["g"]
+        assert g["ellipsis_line_frac"] == pytest.approx(0.25, abs=1e-6)
+        assert g["bullet_line_frac"] == pytest.approx(0.5, abs=1e-6)
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        # corpus: a a b | b → p(a) = p(b) = 0.5, every doc mean = ln(0.5)
+        df = _docs(spark, [(1, "a a b"), (2, "b")])
+        out = {r["doc_id"]: r["mean_logp"] for r in text.unigram_logprob(df).collect()}
+        assert out[1] == pytest.approx(math.log(0.5), abs=1e-5)
+        assert out[2] == pytest.approx(math.log(0.5), abs=1e-5)
+
+    def test_rare_words_score_lower(self, spark):
+        common = "the the the the the the the the"
+        rare = "zyzzyva qwerty"
+        df = _docs(spark, [(1, common), (2, rare)])
+        out = {r["doc_id"]: r["mean_logp"] for r in text.unigram_logprob(df).collect()}
+        assert out[1] > out[2]
