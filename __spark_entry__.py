@@ -1041,6 +1041,39 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_metrics(planted, top_ns=(2, 3), dup_ns=(5, 10))
 
 
+def q_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as one projection
+    (operators/text.py c4_filter).  The fixture corpus has no punctuation,
+    so structure is planted by doc_id % 4: 0 → three good sentences plus
+    three bad lines (short / javascript / unterminated), 1 → 'lorem
+    ipsum' page poison, 2 → curly-brace page poison, 3 → untouched
+    (cleans to empty, dropped by the 3-sentence rule)."""
+    docs = load_table(spark, sf, "documents").df
+    mod = F.col("doc_id") % 4
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            mod == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    "\nThis is a good sentence one."
+                    "\nThis is a good sentence two!"
+                    "\nIs this a good sentence three?"
+                    "\nshort line."
+                    "\nThis line mentions javascript framework today."
+                    "\nfive words but no punctuation"
+                ),
+            ),
+        )
+        .when(mod == 1, F.concat(F.col("text"), F.lit(" lorem ipsum tail")))
+        .when(mod == 2, F.concat(F.col("text"), F.lit(" brace { tail")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.c4_filter(planted)
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """per-doc mean unigram log-probability under the corpus's own unigram
     model (CCNet-style LM-proxy quality score; operators/text.py).  The
@@ -1116,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_kmeans": q_kmeans,
         "q_decontam": q_decontam,
+        "q_c4_filter": q_c4_filter,
         "q_gopher_quality": q_gopher_quality,
         "q_repetition": q_repetition,
         "q_unigram_logprob": q_unigram_logprob,
@@ -2145,6 +2179,45 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8 AND sw_hits >= 2
                     AND symbol_word_ratio <= 0.1) AS passes
             FROM m
+        """,
+        "q_c4_filter": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                           WHEN 0 THEN text || chr(10) ||
+                               'This is a good sentence one.' || chr(10) ||
+                               'This is a good sentence two!' || chr(10) ||
+                               'Is this a good sentence three?' || chr(10) ||
+                               'short line.' || chr(10) ||
+                               'This line mentions javascript framework today.' || chr(10) ||
+                               'five words but no punctuation'
+                           WHEN 1 THEN text || ' lorem ipsum tail'
+                           WHEN 2 THEN text || ' brace { tail'
+                           ELSE text
+                       END AS text
+                FROM documents
+            ), cleaned AS (
+                SELECT doc_id, text,
+                       coalesce(array_to_string(list_filter(
+                           list_filter(list_transform(
+                               string_split(text, chr(10)), l -> trim(l)),
+                               l -> length(l) > 0),
+                           l -> regexp_matches(l, '[.!?"”]$')
+                                AND len(regexp_split_to_array(l, '\s+')) >= 5
+                                AND NOT contains(lower(l), 'javascript')
+                       ), chr(10)), '') AS clean_text
+                FROM planted
+            ), counted AS (
+                SELECT doc_id, text, clean_text,
+                       len(regexp_extract_all(clean_text,
+                           '[.!?](\s|$)|["”]$')) AS n_sentences
+                FROM cleaned
+            )
+            SELECT doc_id, clean_text, n_sentences,
+                   (n_sentences >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS kept
+            FROM counted
         """,
         "q_repetition": _repetition_oracle_sql(top_ns=(2, 3), dup_ns=(5, 10)),
         "q_unigram_logprob": r"""

@@ -470,3 +470,52 @@ def unigram_logprob(
             ).alias("mean_logp")
         )
     )
+
+
+# -- C4-style cleaning ------------------------------------------------------
+
+
+def c4_clean_lines(text: Column) -> Column:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, public rules): keep
+    only lines that end in terminal punctuation, contain at least 5 words,
+    and do not mention 'javascript' (case-insensitive).  Returns the kept
+    lines re-joined with newlines.  Pure array expressions — no shuffle."""
+    kept = F.filter(
+        _lines(text),
+        lambda l: (
+            l.rlike(r'[.!?"”]$')
+            & (F.size(F.split(l, r"\s+")) >= 5)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_filter(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 document filter: line cleaning + page-level rules.
+
+    A page is kept when its cleaned text has >= 3 sentences (terminal-
+    punctuation count), and the ORIGINAL text contains neither 'lorem
+    ipsum' (case-insensitive) nor a curly brace.  Emits
+    (id, clean_text, n_sentences, kept) — filter ``kept`` for the clean
+    corpus; keeping the flag makes drops auditable.
+
+    One projection, zero exchanges: every rule is a codegen-able column
+    expression, so the filter streams through a 100 TB scan at I/O speed.
+    """
+    t = F.col(text_col)
+    clean = c4_clean_lines(t)
+    n_sent = F.regexp_count(clean, F.lit(r'[.!?](\s|$)|["”]$')).cast("long")
+    lower = F.lower(t)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_sent.alias("n_sentences"),
+        (
+            (n_sent >= 3)
+            & ~lower.contains("lorem ipsum")
+            & ~t.contains("{")
+        ).alias("kept"),
+    )

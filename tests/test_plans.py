@@ -221,3 +221,35 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     # tiny checkpointed centroid table — never a shuffle of the corpus
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontam_broadcasts_benchmark_probe(spark, sf_dir):
+    # the corpus side must meet the benchmark n-grams in a broadcast join
+    # (map-side filter) — a SortMergeJoin would shuffle the whole corpus's
+    # gram stream before any matching
+    df = entry.q_decontam(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c4_and_gopher_are_single_stage(spark, sf_dir):
+    # pure column expressions: no exchange anywhere in either plan
+    assert count_shuffles(entry.q_c4_filter(spark, sf_dir)) == 0
+    assert count_shuffles(entry.q_gopher_quality(spark, sf_dir)) == 0
+
+
+def test_repetition_no_cartesian_and_partial_agg(spark, sf_dir):
+    df = entry.q_repetition(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # gram counting must collapse map-side before the exchange
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    df = entry.q_unigram_logprob(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

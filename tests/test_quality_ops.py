@@ -128,3 +128,39 @@ class TestUnigramLogprob:
         df = _docs(spark, [(1, common), (2, rare)])
         out = {r["doc_id"]: r["mean_logp"] for r in text.unigram_logprob(df).collect()}
         assert out[1] > out[2]
+
+
+class TestC4Filter:
+    def test_line_rules(self, spark):
+        t = (
+            "Word salad prefix line\n"
+            "This is a good sentence one.\n"
+            "short line.\n"
+            "This line mentions JavaScript framework today.\n"
+            "five words but no punctuation"
+        )
+        df = _docs(spark, [(1, t)])
+        row = text.c4_filter(df).first()
+        # only the 6-word terminally-punctuated non-javascript line survives
+        assert row["clean_text"] == "This is a good sentence one."
+        assert row["n_sentences"] == 1
+        assert not row["kept"]  # fewer than 3 sentences
+
+    def test_page_rules(self, spark):
+        good = (
+            "This is a good sentence one.\n"
+            "This is a good sentence two!\n"
+            "Is this a good sentence three?"
+        )
+        df = _docs(
+            spark,
+            [
+                (1, good),
+                (2, good + "\nlorem ipsum appears in this line here."),
+                (3, good + "\ncurly brace appears right here { now."),
+            ],
+        )
+        out = {r["doc_id"]: r for r in text.c4_filter(df).collect()}
+        assert out[1]["kept"] and out[1]["n_sentences"] == 3
+        assert not out[2]["kept"]  # lorem ipsum poisons the page
+        assert not out[3]["kept"]  # curly brace poisons the page
