@@ -271,16 +271,16 @@ def repetition_metrics(
       more than once (count x length summed; overlaps NOT discounted, the
       standard approximation) over total characters.
 
-    Plan: one explode per n unioned (the n-gram streams are the real work —
-    there is no cheaper exact computation), then a single groupBy on
-    (doc_id, n, gram) with map-side partial aggregation, then a (doc_id, n)
-    rollup pivoted to columns.  All exchanges key on doc_id so per-key
-    state is one document's grams — no skew beyond document length.
+    Plan: ALL n-gram streams come out of ONE corpus scan — per n the
+    shifted-slice fold builds its gram array, each array is tagged with its
+    n as struct(n, gram), and one explode over the flattened concatenation
+    emits every (n, gram) occurrence (a per-n union would re-scan the
+    corpus once per n).  Then a single groupBy on (doc_id, n, gram) with
+    map-side partial aggregation, then a (doc_id, n) rollup pivoted to
+    columns.  All exchanges key on doc_id so per-key state is one
+    document's grams — no skew beyond document length.
     """
-    from pathwaydataframework_spark.operators.dedup import (
-        _ensure_parallelism,
-        _word_shingles,
-    )
+    from pathwaydataframework_spark.operators.dedup import _ensure_parallelism
 
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
@@ -288,7 +288,7 @@ def repetition_metrics(
         F.length(text_col).cast("double").alias("__chars"),
     )
     ns = sorted(set(top_ns) | set(dup_ns))
-    grams = None
+    tagged_arrays = []
     for n in ns:
         # _word_shingles distinct-ifies; counts need multiplicity, so build
         # the shifted-slice fold without the final array_distinct
@@ -298,13 +298,20 @@ def repetition_metrics(
         acc = parts[0]
         for p in parts[1:]:
             acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
-        g = base.select(
-            "doc_id",
-            "__chars",
-            F.lit(n).alias("n"),
-            F.explode(acc).alias("gram"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+        # NB: the tag must come from a closure factory — a `lambda g, n=n`
+        # two-parameter lambda is treated by pyspark as (element, index)
+        # and n would silently receive the array position
+        def _tag(n_val):
+            return lambda g: F.struct(
+                F.lit(n_val).alias("n"), g.alias("gram")
+            )
+
+        tagged_arrays.append(F.transform(acc, _tag(n)))
+    grams = base.select(
+        "doc_id",
+        "__chars",
+        F.explode(F.flatten(F.array(*tagged_arrays))).alias("__ng"),
+    ).select("doc_id", "__chars", F.col("__ng.n").alias("n"), F.col("__ng.gram").alias("gram"))
     counted = grams.groupBy("doc_id", "__chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )

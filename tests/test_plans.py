@@ -246,6 +246,10 @@ def test_repetition_no_cartesian_and_partial_agg(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # gram counting must collapse map-side before the exchange
     assert "partial_count" in plan or "Partial" in plan
+    # all n-gram streams must come from ONE text scan (plus one
+    # column-pruned id-only scan for the zero-metrics restore join) —
+    # a per-n union would re-read the corpus once per n
+    assert plan.count("Scan parquet") <= 2
 
 
 def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
