@@ -164,3 +164,136 @@ class TestC4Filter:
         assert out[1]["kept"] and out[1]["n_sentences"] == 3
         assert not out[2]["kept"]  # lorem ipsum poisons the page
         assert not out[3]["kept"]  # curly brace poisons the page
+
+
+class TestStreamingParity:
+    def test_c4_gopher_stateless_stream_equals_batch(self, spark, tmp_path):
+        # c4_filter and gopher_quality_flags are stateless projections, so
+        # the identical plan runs under Structured Streaming with no
+        # watermark/state — batch and stream produce the same row set
+        rows = [
+            (1, "This is a good sentence one.\nThis is a good sentence two!\nIs this a good sentence three?"),
+            (2, "word salad without structure"),
+            (3, "lorem ipsum poisoned page. With sentences here too. And a third one."),
+        ]
+        src = str(tmp_path / "qdocs")
+        spark.createDataFrame(rows, "doc_id long, text string").repartition(2).write.parquet(src)
+
+        def curate(df):
+            flagged = text.c4_filter(df)
+            g = df.select(
+                "doc_id", text.gopher_quality_flags(F.col("text")).alias("g")
+            ).select("doc_id", F.col("g.word_count").alias("wc"))
+            return flagged.join(g, on="doc_id")
+
+        batch = {tuple(r) for r in curate(spark.read.parquet(src)).collect()}
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        q = (
+            curate(stream)
+            .writeStream.format("memory")
+            .queryName("c4_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql("SELECT * FROM c4_stream").collect()}
+        assert got == batch and len(batch) == 3
+
+    def test_decontam_foreach_batch_equals_batch(self, spark, tmp_path):
+        # decontamination against a STATIC benchmark is per-document, so
+        # running it per micro-batch over the arriving corpus (foreachBatch,
+        # same pattern as incremental_neardup) is exactly the batch result
+        bench = _docs(spark, [(100, BENCH_SENT)])
+        rows = [
+            (1, "prefix words " + BENCH_SENT + " suffix words"),
+            (2, "completely unrelated text about spark partitions"),
+            (3, "yet another clean document with different words"),
+        ]
+        src = str(tmp_path / "train_stream")
+        _docs(spark, rows).repartition(3).write.parquet(src)
+
+        expect = {
+            (r["doc_id"], r["contaminated"])
+            for r in decontam.decontaminate(
+                spark.read.parquet(src), bench, n=13
+            ).collect()
+        }
+
+        got = set()
+
+        def sink(batch_df, _bid):
+            for r in decontam.decontaminate(batch_df, bench, n=13).collect():
+                got.add((r["doc_id"], r["contaminated"]))
+
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        assert got == expect
+        assert (1, True) in got and (2, False) in got
+
+
+def test_full_curation_pipeline(spark):
+    """End-to-end training-data curation user story over one synthetic
+    corpus: C4 clean → Gopher quality gate → benchmark decontamination →
+    exact dedup → sequence packing.  Asserts each stage's effect and that
+    the final packing covers exactly the surviving docs."""
+    from pathwaydataframework_spark import Table
+    from pathwaydataframework_spark.operators import dedup as dedup_ops
+    from pathwaydataframework_spark.operators import packing
+    import pathwaydataframework_spark as pw
+
+    good = (
+        "The quick brown fox jumps over the lazy dog today.\n"
+        "It is a fine day for writing some tests here!\n"
+        "Is that not the best of all possible worlds?"
+    )
+    corpus = _docs(
+        spark,
+        [
+            (1, good),                               # survives everything
+            (2, good),                               # exact dup of 1 → deduped
+            (3, "word salad no punctuation"),        # C4 drops (0 sentences)
+            (4, good + "\n" + BENCH_SENT + " and it continues onward properly."),  # contaminated
+            (5, good.replace("quick", "clever")),    # survives (distinct content)
+        ],
+    )
+    bench = _docs(spark, [(100, BENCH_SENT)])
+
+    # 1. C4 clean + keep gate
+    cleaned = text.c4_filter(corpus).filter("kept").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    kept_after_c4 = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert kept_after_c4 == {1, 2, 4, 5}
+
+    # 2. Gopher gate (relaxed word-count floor for the tiny fixture —
+    #    thresholds are module constants, monkeypatch-free via filter)
+    gated = cleaned.filter(
+        text.gopher_quality_flags(F.col("text"))["alpha_word_frac"] >= 0.8
+    )
+    assert gated.count() == 4
+
+    # 3. decontamination vs the benchmark
+    decon = decontam.decontaminate(gated, bench, n=13)
+    survivors = decon.filter(~F.col("contaminated")).select("doc_id", "text")
+    assert {r["doc_id"] for r in survivors.select("doc_id").collect()} == {1, 2, 5}
+
+    # 4. exact dedup on content
+    unique = dedup_ops.exact_dedup(
+        Table(survivors), pw.this.text, keep_order_by=pw.this.doc_id
+    ).df
+    assert {r["doc_id"] for r in unique.select("doc_id").collect()} == {1, 5}
+
+    # 5. pack the survivors into fixed-token sequences
+    with_counts = unique.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = packing.pack_by_offset(with_counts, "doc_id", "n_tokens", 16, shards=2)
+    rows = packed.collect()
+    assert {r["doc_id"] for r in rows} == {1, 5}
+    assert all(r["start_offset"] >= 0 and r["seq_id"] >= 0 for r in rows)
