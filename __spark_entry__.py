@@ -1041,6 +1041,17 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text.repetition_metrics(planted, top_ns=(2, 3), dup_ns=(5, 10))
 
 
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """exact-substring span deduplication (Lee et al. 2021) at k=13 over
+    documents — the corpus's planted near-dups share long word spans, so
+    every duplicated 13-token span is cut, keeping its globally-first copy
+    (operators/dedup.py remove_duplicate_spans).  The oracle groups by the
+    gram string where Spark groups by xxhash64(gram) — identical modulo
+    64-bit collisions."""
+    docs = load_table(spark, sf, "documents").df
+    return dedup.remove_duplicate_spans(docs, "doc_id", "text", k=13)
+
+
 def q_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020 §2.2) as one projection
     (operators/text.py c4_filter).  The fixture corpus has no punctuation,
@@ -1149,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_kmeans": q_kmeans,
         "q_decontam": q_decontam,
+        "q_span_dedup": q_span_dedup,
         "q_c4_filter": q_c4_filter,
         "q_gopher_quality": q_gopher_quality,
         "q_repetition": q_repetition,
@@ -2179,6 +2191,43 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8 AND sw_hits >= 2
                     AND symbol_word_ratio <= 0.1) AS passes
             FROM m
+        """,
+        "q_span_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            ), occ AS (
+                SELECT doc_id, s.pos AS pos, s.gram AS gram
+                FROM (
+                    SELECT doc_id, unnest(
+                        CASE WHEN len(t) >= 13 THEN list_transform(
+                            range(1, len(t) - 11),
+                            i -> {'pos': i - 1,
+                                  'gram': array_to_string(t[i:i+12], ' ')})
+                        ELSE []::STRUCT(pos BIGINT, gram VARCHAR)[] END) AS s
+                    FROM toks
+                )
+            ), rep AS (
+                SELECT gram FROM occ GROUP BY gram HAVING count(*) > 1
+            ), rem AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos, row_number() OVER (
+                        PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                    FROM occ JOIN rep USING (gram)
+                ) WHERE rn >= 2
+            ), starts AS (
+                SELECT doc_id, list_sort(list(pos)) AS sts FROM rem GROUP BY doc_id
+            ), rebuilt AS (
+                SELECT t.doc_id, t.t,
+                       list_filter(t.t, (x, i) -> len(list_filter(
+                           coalesce(s.sts, []),
+                           st -> st <= i - 1 AND i - 1 < st + 13)) = 0) AS kept
+                FROM toks t LEFT JOIN starts s USING (doc_id)
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                   (len(t) - len(kept))::BIGINT AS n_removed_tokens
+            FROM rebuilt
         """,
         "q_c4_filter": r"""
             WITH planted AS (

@@ -548,3 +548,88 @@ def simhash_jaccard_pairs(
         .distinct()
     )
     return _verify_jaccard_pairs(cand, df, id_col, text_col, n=n, threshold=threshold)
+
+
+# -- exact-substring (span) deduplication -----------------------------------
+
+
+def duplicate_span_starts(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 50
+) -> DataFrame:
+    """(doc_id, pos) of every duplicated k-token span occurrence EXCEPT its
+    globally-first copy (kept occurrence = smallest (doc_id, pos)).
+
+    The exact-substring method of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"), re-expressed relationally: instead
+    of a suffix array, every k-gram occurrence keyed by the gram, ranked by
+    (doc_id, pos), rank >= 2 marked for removal.
+
+    Scale design: a pre-aggregated gram->count table filters the occurrence
+    stream to grams that actually repeat BEFORE the rank window, so the
+    expensive per-gram ordering only ever sees duplicated grams (tiny for a
+    mostly-clean corpus) — the corpus-wide exchange is one map-side-combined
+    groupBy plus one join keyed on the gram hash.
+    """
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    num = F.greatest(F.size("__toks") - F.lit(k - 1), F.lit(0))
+    parts = [F.slice("__toks", i, num) for i in range(1, k + 1)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
+    # gram occurrences with their 0-based start positions; hash the gram
+    # immediately so the exchanges carry an 8-byte key, not a k-token string
+    occ = base.select(
+        "doc_id", F.posexplode(acc).alias("pos", "__gram")
+    ).select("doc_id", "pos", F.xxhash64("__gram").alias("gh"))
+    repeated = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gh")
+    )
+    dup_occ = occ.join(repeated, on="gh")
+    w = W.partitionBy("gh").orderBy("doc_id", "pos")
+    return (
+        dup_occ.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") >= 2)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 50
+) -> DataFrame:
+    """Cut every duplicated k-token span (keeping its globally-first copy)
+    out of each document: (id, clean_text, n_removed_tokens).
+
+    A token is removed when ANY removal-start s covers it (s <= pos < s+k);
+    overlapping spans merge naturally.  The rebuild is pure array
+    expressions over a per-doc sorted start list — the only exchanges are
+    the span detection above plus one left join of the (small) start lists
+    back onto the corpus by id.
+    """
+    starts = (
+        duplicate_span_starts(df, id_col, text_col, k=k)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    joined = base.join(starts, on="doc_id", how="left")
+    sts = F.coalesce(F.col("__starts"), F.array().cast("array<long>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            sts, lambda s: (s <= i) & (i < s + F.lit(k))
+        ),
+    )
+    return joined.select(
+        F.col("doc_id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

@@ -297,3 +297,51 @@ def test_full_curation_pipeline(spark):
     rows = packed.collect()
     assert {r["doc_id"] for r in rows} == {1, 5}
     assert all(r["start_offset"] >= 0 and r["seq_id"] >= 0 for r in rows)
+
+
+class TestSpanDedup:
+    SPAN = "one two three four five six seven eight nine ten eleven twelve thirteen"
+
+    def test_first_copy_kept_later_copies_cut(self, spark):
+        from pathwaydataframework_spark.operators import dedup
+
+        rows = [
+            (1, "intro words then " + self.SPAN + " tail one"),
+            (2, "different prefix " + self.SPAN + " other tail"),
+            (3, "totally unrelated clean document text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_spans(df, "doc_id", "text", k=13).collect()
+        }
+        assert out[1]["n_removed_tokens"] == 0  # first occurrence survives
+        assert self.SPAN in out[1]["clean_text"]
+        assert out[2]["n_removed_tokens"] == 13
+        assert out[2]["clean_text"] == "different prefix other tail"
+        assert out[3]["n_removed_tokens"] == 0
+
+    def test_overlapping_spans_merge(self, spark):
+        from pathwaydataframework_spark.operators import dedup
+
+        # doc 2 repeats a 14-token window → two overlapping dup 13-grams;
+        # the covered region is the union, not double-removed
+        span14 = self.SPAN + " fourteen"
+        rows = [(1, span14 + " first home"), (2, "x y " + span14 + " z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_spans(df, "doc_id", "text", k=13).collect()
+        }
+        assert out[1]["n_removed_tokens"] == 0
+        assert out[2]["n_removed_tokens"] == 14
+        assert out[2]["clean_text"] == "x y z"
+
+    def test_repeat_within_one_doc(self, spark):
+        from pathwaydataframework_spark.operators import dedup
+
+        text_ = self.SPAN + " middle filler words " + self.SPAN
+        df = spark.createDataFrame([(1, text_)], "doc_id long, text string")
+        row = dedup.remove_duplicate_spans(df, "doc_id", "text", k=13).first()
+        assert row["n_removed_tokens"] == 13  # second in-doc copy removed
+        assert row["clean_text"] == self.SPAN + " middle filler words"
