@@ -111,6 +111,32 @@ from pathwaydataframework_spark.operators.temporal import (
     windowby,
 )
 from pathwaydataframework_spark.spark_session import get_spark
+from pathwaydataframework_spark import asynchronous
+from pathwaydataframework_spark.compat import (
+    AsofJoinResult,
+    SchemaProperties,
+    GroupedJoinResult,
+    GroupedTable,
+    IntervalJoinResult,
+    JoinMode,
+    JoinResult,
+    Joinable,
+    MonitoringLevel,
+    OuterJoinResult,
+    PersistenceMode,
+    TableLike,
+    TableSlice,
+    Type,
+    WindowJoinResult,
+    global_error_log,
+    iterate_universe,
+    load_yaml,
+    local_error_log,
+    pandas_transformer,
+    set_monitoring_config,
+    table_transformer,
+)
+from pathwaydataframework_spark.operators import temporal as window  # pw.window alias
 from pathwaydataframework_spark.sql import sql
 from pathwaydataframework_spark import sources as io
 from pathwaydataframework_spark.sources import debug
@@ -213,6 +239,31 @@ __all__ = [
     "ml",
     "utils",
     "udfs",
+    "asynchronous",
+    "window",
+    "compat",
+    "AsofJoinResult",
+    "GroupedJoinResult",
+    "GroupedTable",
+    "IntervalJoinResult",
+    "JoinMode",
+    "JoinResult",
+    "Joinable",
+    "MonitoringLevel",
+    "OuterJoinResult",
+    "PersistenceMode",
+    "TableLike",
+    "TableSlice",
+    "Type",
+    "WindowJoinResult",
+    "SchemaProperties",
+    "global_error_log",
+    "iterate_universe",
+    "load_yaml",
+    "local_error_log",
+    "pandas_transformer",
+    "set_monitoring_config",
+    "table_transformer",
     "Table",
     "this",
     "left",

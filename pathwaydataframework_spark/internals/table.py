@@ -215,9 +215,13 @@ class Table:
     def with_suffix(self, suffix: str) -> "Table":
         return self.rename_by_dict({c: c + suffix for c in self.column_names})
 
-    def cast_to_types(self, **dtypes: str) -> "Table":
-        """Reference table.py:2011."""
-        mapping = {name: self._df[name].cast(t) for name, t in dtypes.items()}
+    def cast_to_types(self, **dtypes) -> "Table":
+        """Reference table.py:2011.  Accepts Spark SQL type strings or
+        ``pw.Type`` (compat.Type) members."""
+        mapping = {
+            name: self._df[name].cast(getattr(t, "value", t))
+            for name, t in dtypes.items()
+        }
         return Table(self._df.withColumns(mapping), self._id_cols)
 
     update_types = cast_to_types
@@ -425,6 +429,8 @@ class Table:
     def join(self, other: "Table", *on, how: str = "inner", id=None):
         from pathwaydataframework_spark.internals.joins import join as _join
 
+        # accept pw.JoinMode members anywhere a how= string is expected
+        how = getattr(how, "value", how)
         return _join(self, other, *on, how=how)
 
     def join_inner(self, other, *on):
