@@ -255,3 +255,165 @@ def udf(
     if fn is not None:
         return build(fn)
     return build
+
+
+# -- reference-namespace parity (pathway.udfs __all__) ----------------------
+# One parameterized UDF implementation serves every reference flavor; the
+# names below are the reference's per-flavor entry points
+# (reference internals/udfs/__init__.py:52 __all__, executors.py, caches.py,
+# utils.py:18) expressed as aliases / thin wrappers over it.
+
+import abc as _abc
+import dataclasses as _dc
+
+
+class CacheStrategy(_abc.ABC):
+    """Reference udfs/caches.py:23 — base for cache strategies; both
+    concrete caches subclass it so isinstance checks work."""
+
+    @_abc.abstractmethod
+    def wrap(self, fn):  # pragma: no cover - interface
+        ...
+
+
+# retrofit the concrete classes under the reference bases
+CacheStrategy.register(InMemoryCache)
+CacheStrategy.register(DiskCache)
+
+
+class DefaultCache(DiskCache):
+    """Reference udfs/caches.py:108 — DefaultCache IS DiskCache there too."""
+
+
+class AsyncRetryStrategy(_abc.ABC):
+    """Reference udfs/retries.py base class."""
+
+    @_abc.abstractmethod
+    def wrap(self, fn):  # pragma: no cover - interface
+        ...
+
+
+AsyncRetryStrategy.register(FixedDelayRetryStrategy)
+AsyncRetryStrategy.register(ExponentialBackoffRetryStrategy)
+
+
+class NoRetryStrategy:
+    """Reference udfs/retries.py — the do-nothing strategy."""
+
+    def wrap(self, fn):
+        return fn
+
+
+UDFSync = UDF  # reference udfs/__init__.py:214 — sync flavor
+UDFAsync = UDF  # reference udfs/__init__.py:405 — async handled by UDF itself
+
+
+def udf_async(fn=None, **kwargs):
+    """Reference udfs/__init__.py:449 (deprecated there in favor of ``udf``
+    with an async callable — same here: ``udf`` detects coroutines)."""
+    return udf(fn, **kwargs)
+
+
+def coerce_async(fn):
+    """Reference udfs/utils.py:18 — return an async-callable version of fn
+    (already-async functions pass through)."""
+    import asyncio
+    import functools as _ft
+    import inspect
+
+    if inspect.iscoroutinefunction(fn):
+        return fn
+
+    @_ft.wraps(fn)
+    async def wrapper(*args, **kwargs):
+        return await asyncio.to_thread(fn, *args, **kwargs)
+
+    return wrapper
+
+
+@_dc.dataclass(frozen=True)
+class _ExecutorSpec:
+    """Executor factories (reference udfs/executors.py:45,101,149).  The
+    Spark engine always executes UDFs inside Arrow-batched workers; the
+    spec records capacity/timeout/retry so ``udf``-level wrappers apply
+    them (timeout/retry wrap the callable; capacity bounds the async
+    semaphore in AsyncTransformer)."""
+
+    kind: str
+    capacity: int | None = None
+    timeout: float | None = None
+    retry_strategy: object | None = None
+
+
+def auto_executor() -> _ExecutorSpec:
+    return _ExecutorSpec("auto")
+
+
+def sync_executor() -> _ExecutorSpec:
+    return _ExecutorSpec("sync")
+
+
+def async_executor(
+    *, capacity: int | None = None, timeout: float | None = None,
+    retry_strategy=None,
+) -> _ExecutorSpec:
+    return _ExecutorSpec("async", capacity, timeout, retry_strategy)
+
+
+def with_cache_strategy(fn, cache_strategy):
+    """Reference udfs/caches.py:141 — wrap a callable with a cache."""
+    return cache_strategy.wrap(fn)
+
+
+def with_retry_strategy(fn, retry_strategy):
+    """Reference udfs/executors.py — wrap a callable with retries."""
+    return retry_strategy.wrap(fn)
+
+
+def with_capacity(fn, capacity: int):
+    """Reference udfs/executors.py:227 — bound concurrent executions of an
+    async callable with a semaphore."""
+    import asyncio
+    import functools as _ft
+
+    sem = asyncio.Semaphore(capacity)
+    afn = coerce_async(fn)
+
+    @_ft.wraps(fn)
+    async def wrapper(*args, **kwargs):
+        async with sem:
+            return await afn(*args, **kwargs)
+
+    return wrapper
+
+
+def with_timeout(fn, timeout: float):
+    """Reference udfs/executors.py:253 — fail the call after ``timeout``
+    seconds."""
+    import asyncio
+    import functools as _ft
+
+    afn = coerce_async(fn)
+
+    @_ft.wraps(fn)
+    async def wrapper(*args, **kwargs):
+        return await asyncio.wait_for(afn(*args, **kwargs), timeout)
+
+    return wrapper
+
+
+def async_options(**kwargs):
+    """Reference udfs/executors.py:286 — decorator attaching async executor
+    options (capacity/timeout/retry_strategy) to a callable."""
+
+    def deco(fn):
+        wrapped = fn
+        if "retry_strategy" in kwargs and kwargs["retry_strategy"] is not None:
+            wrapped = kwargs["retry_strategy"].wrap(wrapped)
+        if "timeout" in kwargs and kwargs["timeout"] is not None:
+            wrapped = with_timeout(wrapped, kwargs["timeout"])
+        if "capacity" in kwargs and kwargs["capacity"] is not None:
+            wrapped = with_capacity(wrapped, kwargs["capacity"])
+        return wrapped
+
+    return deco

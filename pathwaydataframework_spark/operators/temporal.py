@@ -98,27 +98,32 @@ def _epoch_seconds(col: Column) -> Column:
 # -- window specs -----------------------------------------------------------
 
 
+class Window:
+    """Abstract window-spec base — reference _window.py:42.  All four spec
+    dataclasses subclass it so ``isinstance(w, temporal.Window)`` works."""
+
+
 @dataclass(frozen=True)
-class TumblingWindow:
+class TumblingWindow(Window):
     duration: Any
     origin: Any = None
 
 
 @dataclass(frozen=True)
-class SlidingWindow:
+class SlidingWindow(Window):
     hop: Any
     duration: Any
     origin: Any = None
 
 
 @dataclass(frozen=True)
-class SessionWindow:
+class SessionWindow(Window):
     max_gap: Any = None
     predicate: Any = None
 
 
 @dataclass(frozen=True)
-class IntervalsOverWindow:
+class IntervalsOverWindow(Window):
     at: Any
     lower_bound: Any
     upper_bound: Any
@@ -421,6 +426,7 @@ def asof_join(
     by key — a single shuffle+sort, no row multiplication.  DuckDB's ASOF
     JOIN is the oracle.
     """
+    direction = getattr(direction, "value", direction)  # accept Direction
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     if direction == "nearest":
@@ -714,3 +720,92 @@ def asof_now_join(left_table, right_table, *on, how: str = "inner"):
     from pathwaydataframework_spark.internals.joins import join as _join
 
     return _join(left_table, right_table, *on, how=how)
+
+
+# -- reference-namespace parity ---------------------------------------------
+# The reference's pathway.stdlib.temporal exports directional variants of
+# every temporal join (one def per how/direction, _asof_join.py:658+,
+# _interval_join.py:700+, _window_join.py:360+) plus the behavior/time
+# utilities and per-flavor result classes.  The Spark engine keeps ONE
+# parameterized implementation per join; the variants below are thin
+# partial applications, and the result classes all alias TemporalJoinResult.
+
+import enum as _enum
+
+
+class Direction(_enum.Enum):
+    """Reference _asof_join.py:34 — accepted wherever ``direction=`` is."""
+
+    BACKWARD = "backward"
+    FORWARD = "forward"
+    NEAREST = "nearest"
+
+
+Interval = interval  # reference _interval_join.py:35 class name
+AsofJoinResult = TemporalJoinResult
+AsofNowJoinResult = TemporalJoinResult
+IntervalJoinResult = TemporalJoinResult
+WindowJoinResult = TemporalJoinResult
+
+
+def asof_join_left(left_table, right_table, self_time, other_time, *on, **kw):
+    return asof_join(left_table, right_table, self_time, other_time, *on, how="left", **kw)
+
+
+def asof_join_right(left_table, right_table, self_time, other_time, *on, **kw):
+    return asof_join(left_table, right_table, self_time, other_time, *on, how="right", **kw)
+
+
+def asof_join_outer(left_table, right_table, self_time, other_time, *on, **kw):
+    return asof_join(left_table, right_table, self_time, other_time, *on, how="outer", **kw)
+
+
+def asof_now_join_inner(left_table, right_table, *on, **kw):
+    return asof_now_join(left_table, right_table, *on, how="inner", **kw)
+
+
+def asof_now_join_left(left_table, right_table, *on, **kw):
+    return asof_now_join(left_table, right_table, *on, how="left", **kw)
+
+
+def interval_join_inner(left_table, right_table, self_time, other_time, band, *on):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="inner")
+
+
+def interval_join_left(left_table, right_table, self_time, other_time, band, *on):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="left")
+
+
+def interval_join_right(left_table, right_table, self_time, other_time, band, *on):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="right")
+
+
+def interval_join_outer(left_table, right_table, self_time, other_time, band, *on):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="outer")
+
+
+def window_join_inner(left_table, right_table, self_time, other_time, window, *on):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="inner")
+
+
+def window_join_left(left_table, right_table, self_time, other_time, window, *on):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="left")
+
+
+def window_join_right(left_table, right_table, self_time, other_time, window, *on):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="right")
+
+
+def window_join_outer(left_table, right_table, self_time, other_time, window, *on):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="outer")
+
+
+# behavior + time utilities live in the temporal namespace in the reference
+from pathwaydataframework_spark.operators.behaviors import (  # noqa: E402
+    CommonBehavior,
+    ExactlyOnceBehavior,
+    common_behavior,
+    exactly_once_behavior,
+    inactivity_detection,
+)
+from pathwaydataframework_spark.sources.demo import utc_now  # noqa: E402

@@ -78,7 +78,9 @@ class csv:
     """Reference io/csv/__init__.py:18/:186."""
 
     @staticmethod
-    def read(spark: SparkSession, path: str, *, schema: str | None = None, mode: str = "static", **opts) -> Table:
+    def read(spark: SparkSession, path: str, *, schema: str | None = None, mode: str = "static", parser_settings=None, **opts) -> Table:
+        if parser_settings is not None:
+            opts.update(parser_settings.spark_options())
         return fs.read(spark, path, format="csv", schema=schema, mode=mode, **opts)
 
     @staticmethod
@@ -272,6 +274,43 @@ class debug:
     def table_from_parquet(spark: SparkSession, path: str) -> Table:
         """Reference debug/__init__.py:464."""
         return Table(spark.read.parquet(path))
+
+    @staticmethod
+    def table_from_rows(spark: SparkSession, rows, schema) -> Table:
+        """Reference debug/__init__.py:312 — build a table from row tuples.
+        ``schema`` is a Spark DDL string or a Schema class with
+        ``spark_schema``/``ddl``."""
+        ddl = getattr(schema, "ddl", None) or getattr(schema, "spark_schema", None) or schema
+        return Table(spark.createDataFrame(rows, ddl))
+
+    @staticmethod
+    def table_to_pandas(table: Table, *, include_id: bool = False):
+        """Reference debug/__init__.py:270."""
+        df = table.df
+        if include_id:
+            df = df.select(table.id_expr().alias("id"), *df.columns)
+        return df.toPandas()
+
+    @staticmethod
+    def table_to_dicts(table: Table):
+        """Reference debug/__init__.py:61 — (keys, {col: {key: value}})."""
+        withid = table.df.withColumn("__id", table.id_expr())
+        pdf = withid.toPandas()
+        keys = list(pdf["__id"])
+        columns = {
+            c: dict(zip(keys, pdf[c])) for c in table.df.columns
+        }
+        return keys, columns
+
+    @staticmethod
+    def table_to_parquet(table: Table, filename: str) -> None:
+        """Reference debug/__init__.py:481 — single-file parquet dump via
+        pandas (the reference writes one local file too; use
+        ``Table.df.write.parquet`` for distributed output)."""
+        table.df.toPandas().to_parquet(filename)
+
+    # reference debug/__init__.py:453 — parse_to_table is the legacy name
+    parse_to_table = table_from_markdown
 
 
 class debezium:
@@ -642,3 +681,111 @@ class logstash:
     @staticmethod
     def write(table: Table, url: str, *, sender=None) -> None:
         http.write(table, url, sender=sender)
+
+
+class StreamGenerator:
+    """Reference debug/__init__.py:496 — build a STREAMING table from
+    explicit batches for tests.
+
+    Each batch becomes one spooled json file; the returned table reads the
+    spool with ``maxFilesPerTrigger=1``, so micro-batch N contains exactly
+    batch N — the same arrival-order guarantee the reference's snapshot
+    events give.  Worker ids are irrelevant here (Spark owns the
+    parallelism), so the by-workers variant flattens them.
+    """
+
+    def __init__(self):
+        import itertools as _it
+
+        self._counter = _it.count()
+
+    def table_from_list_of_batches(
+        self, spark: SparkSession, batches: list[list[dict]], schema: str
+    ) -> Table:
+        import json
+        import os
+        import tempfile
+
+        spool = tempfile.mkdtemp(prefix=f"pw_streamgen_{next(self._counter)}_")
+        for i, batch in enumerate(batches):
+            tmp = os.path.join(spool, f".batch_{i:06d}.json.tmp")
+            with open(tmp, "w") as f:
+                for row in batch:
+                    f.write(json.dumps(row) + "\n")
+            os.rename(tmp, os.path.join(spool, f"batch_{i:06d}.json"))
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(spool)
+        )
+        return Table(reader)
+
+    def table_from_list_of_batches_by_workers(
+        self, spark: SparkSession, batches_by_worker: list[dict[int, list[dict]]],
+        schema: str,
+    ) -> Table:
+        flattened = [
+            [row for rows in batch.values() for row in rows]
+            for batch in batches_by_worker
+        ]
+        return self.table_from_list_of_batches(spark, flattened, schema)
+
+
+# -- reference io namespace parity ------------------------------------------
+
+#: Reference io/redpanda/__init__.py — Redpanda speaks the Kafka protocol;
+#: the reference's module is a re-export of the kafka connector, same here.
+redpanda = kafka
+
+
+class CsvParserSettings:
+    """Reference io/_utils.py:125 — CSV parser options, translated to the
+    Spark csv reader's option set by ``csv.read(parser_settings=...)``."""
+
+    def __init__(
+        self,
+        delimiter=",",
+        quote='"',
+        escape=None,
+        enable_double_quote_escapes=True,
+        enable_quoting=True,
+        comment_character=None,
+    ):
+        self.delimiter = delimiter
+        self.quote = quote
+        self.escape = escape
+        self.enable_double_quote_escapes = enable_double_quote_escapes
+        self.enable_quoting = enable_quoting
+        self.comment_character = comment_character
+
+    def spark_options(self) -> dict[str, str]:
+        opts = {"sep": str(self.delimiter)}
+        if self.enable_quoting:
+            opts["quote"] = str(self.quote)
+        else:
+            opts["quote"] = ""  # Spark: empty string disables quoting
+        if self.escape is not None:
+            opts["escape"] = str(self.escape)
+        elif self.enable_double_quote_escapes:
+            opts["escape"] = '"'
+        if self.comment_character:
+            opts["comment"] = str(self.comment_character)
+        return opts
+
+
+class s3_csv:
+    """Reference io/s3_csv/__init__.py — CSV-over-S3 convenience wrapper."""
+
+    @staticmethod
+    def read(spark: SparkSession, path: str, *, parser_settings=None, **kwargs) -> Table:
+        if parser_settings is not None:
+            kwargs.update(parser_settings.spark_options())
+        return s3.read(spark, path, format="csv", **kwargs)
+
+
+#: Reference io/_subscribe.py callback type names — plain callables here.
+OnChangeCallback = Any
+OnFinishCallback = Any
+
+
+debug.StreamGenerator = StreamGenerator

@@ -99,3 +99,96 @@ def test_asynchronous_forwards_with_deprecation():
         strat = pw.asynchronous.FixedDelayRetryStrategy
     assert strat is pw.udfs.FixedDelayRetryStrategy
     assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+def test_temporal_directional_variants(spark):
+    import datetime as dt
+
+    left = pw.Table.from_rows(
+        spark,
+        [("u", dt.datetime(2024, 1, 1, 0, 0), 1.0)],
+        "k string, t timestamp_ntz, v double",
+    )
+    right = pw.Table.from_rows(
+        spark,
+        [("u", dt.datetime(2024, 1, 1, 0, 1), 9.0)],
+        "k string, rt timestamp_ntz, w double",
+    )
+    out = pw.temporal.asof_join_left(
+        left, right, pw.this.t, pw.this.rt, pw.left.k == pw.right.k,
+        direction=pw.temporal.Direction.FORWARD,
+    ).select(v=pw.left.v, w=pw.right.w)
+    assert [(r["v"], r["w"]) for r in out.df.collect()] == [(1.0, 9.0)]
+
+
+def test_temporal_window_isinstance(spark):
+    assert isinstance(pw.temporal.tumbling("1 hour"), pw.temporal.Window)
+    assert isinstance(pw.temporal.session(max_gap="5 minutes"), pw.temporal.Window)
+    assert pw.temporal.Interval is pw.temporal.interval
+    assert pw.temporal.common_behavior(cutoff="1 hour") is not None
+
+
+def test_udfs_namespace_helpers(spark):
+    import asyncio
+
+    assert isinstance(pw.udfs.InMemoryCache(), pw.udfs.CacheStrategy)
+    assert isinstance(
+        pw.udfs.FixedDelayRetryStrategy(max_retries=2), pw.udfs.AsyncRetryStrategy
+    )
+    assert pw.udfs.NoRetryStrategy().wrap(len) is len
+    assert issubclass(pw.udfs.DefaultCache, pw.udfs.DiskCache)
+
+    calls = []
+
+    async def boom(x):
+        calls.append(x)
+        return x * 2
+
+    limited = pw.udfs.with_capacity(boom, 2)
+    assert asyncio.run(limited(5)) == 10
+    quick = pw.udfs.with_timeout(lambda x: x, 5.0)
+    assert asyncio.run(quick(3)) == 3
+    spec = pw.udfs.async_executor(capacity=4, timeout=1.0)
+    assert spec.capacity == 4 and spec.kind == "async"
+
+
+def test_debug_helpers(spark, tmp_path):
+    t = pw.debug.table_from_rows(spark, [(1, "a"), (2, "b")], "k long, v string")
+    assert isinstance(t, pw.Table)
+    pdf = pw.debug.table_to_pandas(t)
+    assert sorted(pdf["k"]) == [1, 2]
+    keys, cols = pw.debug.table_to_dicts(t)
+    assert len(keys) == 2 and set(cols) == {"k", "v"}
+    out = str(tmp_path / "t.parquet")
+    pw.debug.table_to_parquet(t, out)
+    assert spark.read.parquet(out).count() == 2
+    assert pw.debug.parse_to_table is not None
+
+
+def test_stream_generator_batches_arrive_in_order(spark):
+    gen = pw.debug.StreamGenerator()
+    t = gen.table_from_list_of_batches(
+        spark,
+        [[{"x": 1}, {"x": 2}], [{"x": 3}]],
+        "x long",
+    )
+    assert t.df.isStreaming
+    q = (
+        t.df.writeStream.format("memory")
+        .queryName("sg_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(r["x"] for r in spark.sql("SELECT * FROM sg_out").collect()) == [1, 2, 3]
+
+
+def test_io_csv_parser_settings(spark, tmp_path):
+    p = str(tmp_path / "data.csv")
+    with open(p, "w") as f:
+        f.write("a;b\n1;x\n#comment;line\n2;y\n")
+    settings = pw.io.CsvParserSettings(delimiter=";", comment_character="#")
+    t = pw.io.csv.read(spark, p, schema="a long, b string", parser_settings=settings)
+    rows = sorted((r["a"], r["b"]) for r in t.df.collect())
+    assert rows == [(1, "x"), (2, "y")]
+    assert pw.io.redpanda is pw.io.kafka
