@@ -192,8 +192,8 @@ run_all = run  # reference alias
 
 # reference submodule aliases (pathway exposes ml/indexing/utils/udfs)
 from pathwaydataframework_spark.operators import ml_index as indexing  # noqa: E402
-from pathwaydataframework_spark.operators import ml_index as ml  # noqa: E402
-from pathwaydataframework_spark.operators import col_utils as utils  # noqa: E402
+from pathwaydataframework_spark import ml  # noqa: E402
+from pathwaydataframework_spark import utils  # noqa: E402
 from pathwaydataframework_spark.operators import ordered as statistical  # noqa: E402
 from pathwaydataframework_spark.internals import udfs  # noqa: E402
 from pathwaydataframework_spark.operators.stateful import AsyncTransformer  # noqa: E402

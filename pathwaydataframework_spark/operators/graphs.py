@@ -12,6 +12,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from pathwaydataframework_spark.internals.schema import Schema
+
 
 def pagerank(
     edges: DataFrame,
@@ -311,3 +313,75 @@ def louvain_communities(
         labels.join(canon, on="comm")
         .select(F.col("v").alias("vertex"), F.col("canon").alias("community"))
     )
+
+
+# -- reference stdlib.graphs namespace parity --------------------------------
+# Reference stdlib/graphs/common.py (Vertex/Edge/Weight schemas) and
+# graph.py:77 (Graph / WeightedGraph with cluster contraction).
+
+
+class Vertex(Schema):
+    """Reference graphs/common.py Vertex — marker schema."""
+
+
+class Edge(Schema):
+    """Reference graphs/common.py Edge — (u, v) endpoint ids."""
+
+    u: int
+    v: int
+
+
+class Graph:
+    """Reference graphs/graph.py:77 — undirected (multi)graph as a pair of
+    tables.  ``contracted_to_unweighted_simple_graph`` maps each endpoint
+    through a clustering and collapses parallel/self edges — one broadcast-
+    able join per endpoint plus a distinct, all hash-partitionable."""
+
+    def __init__(self, V: DataFrame, E: DataFrame):
+        self.V = V
+        self.E = E
+
+    def contracted_to_unweighted_simple_graph(
+        self, clustering: DataFrame, *, vertex_col: str = "u", cluster_col: str = "c"
+    ) -> "Graph":
+        cl = clustering.select(
+            F.col(vertex_col).alias("__v"), F.col(cluster_col).alias("__c")
+        )
+        e = (
+            self.E.join(cl.withColumnsRenamed({"__v": "u", "__c": "__cu"}), on="u")
+            .join(cl.withColumnsRenamed({"__v": "v", "__c": "__cv"}), on="v")
+            .select(F.col("__cu").alias("u"), F.col("__cv").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        v = cl.select(F.col("__c").alias("id")).distinct()
+        return Graph(v, e)
+
+
+class WeightedGraph(Graph):
+    """Reference graphs/graph.py:121 — adds weighted edges WE; contraction
+    sums weights over the contracted cluster pairs."""
+
+    def __init__(self, V: DataFrame, E: DataFrame, WE: DataFrame | None = None):
+        super().__init__(V, E)
+        self.WE = WE if WE is not None else E
+
+    @staticmethod
+    def from_vertices_and_weighted_edges(V: DataFrame, WE: DataFrame) -> "WeightedGraph":
+        return WeightedGraph(V, WE, WE)
+
+    def contracted_to_weighted_simple_graph(
+        self, clustering: DataFrame, *, vertex_col: str = "u", cluster_col: str = "c"
+    ) -> "WeightedGraph":
+        cl = clustering.select(
+            F.col(vertex_col).alias("__v"), F.col(cluster_col).alias("__c")
+        )
+        we = (
+            self.WE.join(cl.withColumnsRenamed({"__v": "u", "__c": "__cu"}), on="u")
+            .join(cl.withColumnsRenamed({"__v": "v", "__c": "__cv"}), on="v")
+            .filter(F.col("__cu") != F.col("__cv"))
+            .groupBy(F.col("__cu").alias("u"), F.col("__cv").alias("v"))
+            .agg(F.sum("weight").alias("weight"))
+        )
+        v = cl.select(F.col("__c").alias("id")).distinct()
+        return WeightedGraph(v, we.select("u", "v"), we)

@@ -192,3 +192,171 @@ class HybridIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "item_id", "score", "rank")
         )
+
+
+# -- reference stdlib.indexing namespace parity ------------------------------
+# Reference stdlib/indexing/__init__.py exports.  One distributed retriever
+# implementation serves every reference flavor; the names below bind the
+# reference's exact class/function names to it.
+
+import enum as _enum
+
+from pathwaydataframework_spark.internals.table import Table as _Table
+
+
+class BruteForceKnnMetricKind(_enum.Enum):
+    """Reference engine BruteForceKnnMetricKind (engine.pyi)."""
+
+    L2SQ = "l2sq"
+    COS = "cos"
+
+
+class USearchMetricKind(_enum.Enum):
+    """Reference engine USearchMetricKind (engine.pyi) — the IVF analogue
+    scores cosine; other metrics reduce to it after normalization."""
+
+    IP = "ip"
+    COS = "cos"
+    L2SQ = "l2sq"
+
+
+class AbstractRetrieverFactory:
+    """Reference stdlib/indexing/retrievers.py — factory base; all concrete
+    factories implement ``build_index(data)``."""
+
+
+AbstractRetrieverFactory.register = classmethod(lambda cls, c: c)  # ABC-lite
+for _f in (BruteForceKnnFactory, LshKnnFactory, UsearchKnnFactory):
+    AbstractRetrieverFactory.register(_f)
+
+# reference retriever class names — the query interface is KNNIndex/BM25Index
+InnerIndex = KNNIndex
+BruteForceKnn = KNNIndex
+LshKnn = KNNIndex
+USearchKnn = KNNIndex
+TantivyBM25 = BM25Index
+HybridIndexFactory = HybridIndex
+
+
+class TantivyBM25Factory:
+    """Reference stdlib/indexing/bm25.py TantivyBM25Factory."""
+
+    def __init__(self, *, id_col: str = "doc_id", text_col: str = "text"):
+        self.kwargs = dict(id_col=id_col, text_col=text_col)
+
+    def build_index(self, docs: DataFrame) -> BM25Index:
+        return BM25Index(docs, **self.kwargs)
+
+
+class DataIndex:
+    """Reference stdlib/indexing/data_index.py:278 — an index plus the data
+    table, so query results come back augmented with the data's columns.
+
+    ``query`` / ``query_as_of_now`` share one implementation: in batch the
+    current state IS the whole table (same reasoning as asof_now_join).
+    """
+
+    def __init__(self, data: DataFrame, inner_index, *, id_col: str = "vec_id"):
+        self._data = data.df if isinstance(data, _Table) else data
+        self._inner = inner_index
+        self._id_col = id_col
+
+    def query(self, queries: DataFrame, number_of_matches: int = 3, **kwargs) -> DataFrame:
+        queries = queries.df if isinstance(queries, _Table) else queries
+        if isinstance(self._inner, BM25Index):
+            hits = self._inner.query(queries, k=number_of_matches, **kwargs)
+            join_col = "doc_id"
+        else:
+            hits = self._inner.get_nearest_items(queries, k=number_of_matches, **kwargs)
+            hits = hits.withColumnRenamed("neighbor_id", "__hit_id")
+            join_col = "__hit_id"
+        data = self._data.withColumnRenamed(self._id_col, "__data_id")
+        out = hits.join(data, on=F.col(join_col) == F.col("__data_id"), how="left")
+        return out.drop("__data_id")
+
+    query_as_of_now = query
+
+
+def default_vector_document_index(
+    data: DataFrame, *, dim: int, id_col: str = "doc_id", vec_col: str = "embedding",
+) -> DataIndex:
+    """Reference vector_document_index.py — brute-force cosine default."""
+    idx = BruteForceKnnFactory(dim=dim, id_col=id_col, vec_col=vec_col).build_index(data)
+    return DataIndex(data, idx, id_col=id_col)
+
+
+default_brute_force_knn_document_index = default_vector_document_index
+
+
+def default_lsh_knn_document_index(
+    data: DataFrame, *, dim: int, id_col: str = "doc_id", vec_col: str = "embedding",
+) -> DataIndex:
+    idx = LshKnnFactory(dim=dim, id_col=id_col, vec_col=vec_col).build_index(data)
+    return DataIndex(data, idx, id_col=id_col)
+
+
+def default_usearch_knn_document_index(
+    data: DataFrame, *, dim: int, id_col: str = "doc_id", vec_col: str = "embedding",
+) -> DataIndex:
+    idx = UsearchKnnFactory(dim=dim, id_col=id_col, vec_col=vec_col).build_index(data)
+    return DataIndex(data, idx, id_col=id_col)
+
+
+def default_full_text_document_index(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+) -> DataIndex:
+    idx = TantivyBM25Factory(id_col=id_col, text_col=text_col).build_index(docs)
+    return DataIndex(docs, idx, id_col=id_col)
+
+
+# -- sorted index (reference stdlib/indexing/sorting.py) ---------------------
+# The reference builds a distributed treap (sorting.py:92) because its
+# engine has no native sort; Spark sorts natively, so the index is the rank
+# layout itself — same navigation contract (prev/next/root), one window.
+
+
+def build_sorted_index(nodes, *, key_col: str = "key", instance_col: str | None = None):
+    """Reference sorting.py:92 — returns {'index': ..., 'oracle': ...}.
+
+    index: key, instance, rank, prev, next (rank-window layout — the
+    treap's in-order traversal, materialized directly).  oracle: per
+    instance the root = the minimum-rank node (the reference's oracle
+    holds the treap root per instance; any entry point works for
+    navigation, the minimum is deterministic).
+    """
+    import pyspark.sql.functions as _F
+    from pyspark.sql import Window as _W
+
+    df = nodes.df if isinstance(nodes, _Table) else nodes
+    inst = instance_col or _F.lit(0).alias("__inst")
+    if instance_col is None:
+        df = df.withColumn("instance", _F.lit(0))
+        instance_col = "instance"
+    w = _W.partitionBy(instance_col).orderBy(key_col)
+    index = (
+        df.withColumn("rank", _F.row_number().over(w).cast("long"))
+        .withColumn("prev", _F.lag(key_col).over(w))
+        .withColumn("next", _F.lead(key_col).over(w))
+    )
+    oracle = index.filter(_F.col("rank") == 1).select(
+        instance_col, _F.col(key_col).alias("root")
+    )
+    return {"index": index, "oracle": oracle}
+
+
+class SortedIndex(dict):
+    """Reference sorting.py:85 — a TypedDict {'index', 'oracle'}; plain
+    dict subclass here so isinstance checks and key access both work."""
+
+
+def sort_from_index(index: DataFrame, oracle=None) -> DataFrame:
+    """Reference sorting.py:137 — derive prev/next pointers from the index;
+    ours already carries them (the rank layout IS the sorted order)."""
+    df = index.df if isinstance(index, _Table) else index
+    return df.select("prev", "next", *[c for c in df.columns if c in ("key", "instance", "rank")])
+
+
+# reference exports retrieve_prev_next_values from indexing too
+from pathwaydataframework_spark.operators.ordered import (  # noqa: E402
+    retrieve_prev_next_values,
+)

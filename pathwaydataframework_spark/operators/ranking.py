@@ -129,6 +129,7 @@ def fuzzy_match_tables(
     right_id: str = "id",
     right_text: str = "text",
     min_score: float = 0.0,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Best fuzzy match per left row — reference fuzzy_match_tables
     (_fuzzy_join.py:106): idf-weighted shared-token scoring.
@@ -162,6 +163,10 @@ def fuzzy_match_tables(
         .agg(F.round(F.sum("w"), 6).alias("score"))
         .filter(F.col("score") > min_score)
     )
+    if exclude_same_id:
+        # self-match: drop identity pairs BEFORE best-per-left selection,
+        # otherwise every row's best match is itself
+        pair_scores = pair_scores.filter(F.col("lid") != F.col("rid"))
     best = pair_scores.groupBy("lid").agg(
         F.max_by(F.struct(F.col("rid"), F.col("score")), F.struct(F.col("score"), -F.col("rid"))).alias(
             "m"

@@ -172,3 +172,7 @@ class AsyncTransformer:
                 *[c for c in ok.columns if c != "__pw_result"], "__pw_parsed.*"
             )
         return Table(result), Table(failed)
+
+
+# reference stdlib/stateful/__init__.py exports deduplicate from here too
+from pathwaydataframework_spark.operators.dedup import deduplicate  # noqa: F401,E402

@@ -248,8 +248,12 @@ def test_repetition_no_cartesian_and_partial_agg(spark, sf_dir):
     assert "partial_count" in plan or "Partial" in plan
     # all n-gram streams must come from ONE text scan (plus one
     # column-pruned id-only scan for the zero-metrics restore join) —
-    # a per-n union would re-read the corpus once per n
-    assert plan.count("Scan parquet") <= 2
+    # a per-n union would re-read the corpus once per n.  Count the
+    # details-section headers "(N) Scan parquet" so each physical scan is
+    # counted once (the formatted plan also lists scans in the tree part).
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
 
 
 def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
