@@ -137,6 +137,12 @@ from pathwaydataframework_spark.compat import (
     table_transformer,
 )
 from pathwaydataframework_spark.operators import temporal as window  # pw.window alias
+
+# bind the reference's Table-level temporal method variants (reference
+# __init__.py:252-265 does the same monkey-binding)
+from pathwaydataframework_spark.internals.table import _bind_temporal_methods as _btm
+_btm()
+del _btm
 from pathwaydataframework_spark.sql import sql
 from pathwaydataframework_spark import sources as io
 from pathwaydataframework_spark.sources import debug

@@ -524,3 +524,117 @@ class Table:
 
     def show(self, n: int = 20, truncate: bool = True) -> None:
         self._df.show(n, truncate)
+
+
+# -- reference Table-method parity -------------------------------------------
+# The reference attaches the temporal directional variants as Table methods
+# (reference __init__.py:252-265) and has a handful of introspection
+# helpers; bind them here so `t.interval_join_left(...)`-style user code
+# ports unchanged.  Late imports avoid a circular module load.
+
+
+def _bind_temporal_methods() -> None:
+    from pathwaydataframework_spark.operators import temporal as _t
+
+    for name in (
+        "asof_join", "asof_join_left", "asof_join_right", "asof_join_outer",
+        "asof_now_join", "asof_now_join_inner", "asof_now_join_left",
+        "interval_join", "interval_join_inner", "interval_join_left",
+        "interval_join_right", "interval_join_outer",
+        "window_join", "window_join_inner", "window_join_left",
+        "window_join_right", "window_join_outer", "windowby",
+    ):
+        if not hasattr(Table, name):
+            setattr(Table, name, getattr(_t, name))
+
+
+def _table_schema(self) -> dict:
+    """Reference table.py:171 — the table's schema.  Returned as a plain
+    {column: spark_dtype} mapping (the engine's schema currency); use
+    ``typehints`` for Python-type hints."""
+    return dict(self._df.dtypes)
+
+
+def _table_keys(self):
+    """Reference table.py:154 — column-name view."""
+    return dict(self._df.dtypes).keys()
+
+
+def _table_typehints(self) -> dict:
+    """Reference table.py:2530 — python type hints per column."""
+    _MAP = {
+        "bigint": int, "int": int, "smallint": int, "tinyint": int,
+        "double": float, "float": float, "string": str, "boolean": bool,
+        "binary": bytes,
+    }
+    return {c: _MAP.get(t, object) for c, t in self._df.dtypes}
+
+
+def _table_eval_type(self, expression):
+    """Reference table.py:2549 — the Spark dtype an expression evaluates
+    to on this table (resolved by probing the plan, not executing it)."""
+    from pathwaydataframework_spark.internals.expression import lift
+
+    probe = self._df.select(self._resolve(expression).alias("__t"))
+    return dict(probe.dtypes)["__t"]
+
+
+def _table_slice(self):
+    """Reference table.py:468 — the slice view; slicing here returns
+    Tables, so the slice IS the table."""
+    return self
+
+
+def _table_update_id_type(self, id_type, *, id_append_only=None):
+    """Reference table.py:2003 — ids are always xxhash64 longs here; the
+    declared id type has no runtime effect, so this is the identity."""
+    return self
+
+
+def _table_debug(self, name: str):
+    """Reference table.py:2346 — print the table under a debug label."""
+    print(f"-- debug {name} --")
+    self._df.show(20, truncate=False)
+    return self
+
+
+def _table_to(self, sink, **kwargs) -> None:
+    """Reference table.py:2353 — route the table into a sink object: any
+    object with a ``write(table, ...)`` (our pw.io classes) or a callable."""
+    if hasattr(sink, "write"):
+        return sink.write(self, **kwargs)
+    return sink(self, **kwargs)
+
+
+Table.schema = property(_table_schema)
+Table.keys = _table_keys
+Table.typehints = _table_typehints
+Table.eval_type = _table_eval_type
+Table.slice = property(_table_slice)
+Table.update_id_type = _table_update_id_type
+Table.debug = _table_debug
+Table.to = _table_to
+def _table_from_columns(*args, **kwargs) -> "Table":
+    """Reference table.py from_columns — assemble a table from column
+    references sharing a universe.  Columns from the SAME source table
+    select directly; mixing tables requires a prior join here (the Spark
+    engine has no cross-table universe registry — documented deviation,
+    same row-count contract when sources share an id)."""
+    if not args and not kwargs:
+        raise ValueError("from_columns needs at least one column")
+    first = args[0] if args else next(iter(kwargs.values()))
+    owner = first.owner
+    cols = []
+    for a in args:
+        cols.append(owner._resolve(a).alias(a.name))
+    for name, r in kwargs.items():
+        if r.owner is not owner and getattr(r.owner, "_df", None) is not getattr(owner, "_df", None):
+            raise ValueError(
+                "from_columns across different tables: join them first "
+                "(no universe registry in the Spark engine)"
+            )
+        cols.append(owner._resolve(r).alias(name))
+    return Table(owner._df.select(*cols))
+
+
+Table.from_columns = staticmethod(_table_from_columns)

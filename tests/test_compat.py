@@ -192,3 +192,26 @@ def test_io_csv_parser_settings(spark, tmp_path):
     rows = sorted((r["a"], r["b"]) for r in t.df.collect())
     assert rows == [(1, "x"), (2, "y")]
     assert pw.io.redpanda is pw.io.kafka
+
+
+def test_table_method_parity(spark):
+    t = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, v string")
+    assert t.schema == {"k": "bigint", "v": "string"}
+    assert list(t.keys()) == ["k", "v"]
+    assert t.typehints() == {"k": int, "v": str}
+    assert t.eval_type(pw.this.k + 1) == "bigint"
+    assert t.eval_type(pw.this.v) == "string"
+    assert t.slice is t and t.update_id_type(int) is t
+    t2 = pw.Table.from_columns(t.k, renamed=t.v)
+    assert t2.df.columns == ["k", "renamed"]
+    # directional temporal joins bound as methods
+    for m in ("asof_join_left", "interval_join_outer", "window_join_inner",
+              "asof_now_join_left", "windowby"):
+        assert callable(getattr(t, m))
+
+
+def test_table_to_routes_into_sink(spark, tmp_path):
+    t = pw.Table.from_rows(spark, [(1, "a")], "k long, v string")
+    out = str(tmp_path / "sink_parquet")
+    t.to(pw.io.parquet, path=out)
+    assert spark.read.parquet(out).count() == 1
