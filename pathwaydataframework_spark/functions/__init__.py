@@ -198,6 +198,58 @@ class DateTimeNamespace:
             lambda a, tz: F.from_utc_timestamp(a, tz), self._e, lift(timezone)
         )
 
+    @staticmethod
+    def _as_interval(duration):
+        """timedelta / 'N unit' string / column → DayTimeInterval column."""
+        import datetime as _dt
+
+        if isinstance(duration, _dt.timedelta):
+            return F.lit(duration)
+        if isinstance(duration, str):
+            return F.expr(f"INTERVAL {duration}")
+        return lift(duration)._resolve  # resolved via FuncExpr below
+
+    def add_duration_in_timezone(self, duration, timezone: str):
+        """Reference date_time.py add_duration_in_timezone — DST-aware
+        wall-clock arithmetic: interpret the naive timestamp in ``timezone``,
+        add the duration in absolute time, come back to naive."""
+        iv = self._as_interval(duration)
+        if callable(iv):  # a column expression: resolve alongside
+            return FuncExpr(
+                lambda a, d, tz: F.from_utc_timestamp(
+                    F.to_utc_timestamp(a, tz) + d, tz
+                ),
+                self._e, lift(duration), lift(timezone),
+            )
+        return FuncExpr(
+            lambda a, tz: F.from_utc_timestamp(F.to_utc_timestamp(a, tz) + iv, tz),
+            self._e, lift(timezone),
+        )
+
+    def subtract_duration_in_timezone(self, duration, timezone: str):
+        """Reference date_time.py subtract_duration_in_timezone."""
+        iv = self._as_interval(duration)
+        if callable(iv):
+            return FuncExpr(
+                lambda a, d, tz: F.from_utc_timestamp(
+                    F.to_utc_timestamp(a, tz) - d, tz
+                ),
+                self._e, lift(duration), lift(timezone),
+            )
+        return FuncExpr(
+            lambda a, tz: F.from_utc_timestamp(F.to_utc_timestamp(a, tz) - iv, tz),
+            self._e, lift(timezone),
+        )
+
+    def subtract_date_time_in_timezone(self, other, timezone: str):
+        """Reference date_time.py subtract_date_time_in_timezone — the
+        absolute-time difference between two naive timestamps interpreted
+        in ``timezone`` (DST transitions included)."""
+        return FuncExpr(
+            lambda a, b, tz: F.to_utc_timestamp(a, tz) - F.to_utc_timestamp(b, tz),
+            self._e, lift(other), lift(timezone),
+        )
+
     def round(self, duration: str):
         unit = _duration_to_trunc_unit(duration)
         half = _duration_to_seconds(duration) / 2

@@ -215,3 +215,40 @@ def test_table_to_routes_into_sink(spark, tmp_path):
     out = str(tmp_path / "sink_parquet")
     t.to(pw.io.parquet, path=out)
     assert spark.read.parquet(out).count() == 1
+
+
+def test_dt_timezone_arithmetic_is_dst_aware(spark):
+    import datetime as dt
+
+    t = pw.Table.from_rows(
+        spark,
+        [(1, dt.datetime(2023, 3, 26, 1, 23)), (2, dt.datetime(2023, 3, 27, 1, 23))],
+        "k long, date timestamp_ntz",
+    )
+    out = {
+        r["k"]: r["new_date"]
+        for r in t.select(
+            pw.this.k,
+            new_date=pw.this.date.dt.add_duration_in_timezone(
+                dt.timedelta(hours=2), "Europe/Warsaw"
+            ),
+        ).df.collect()
+    }
+    # spring-forward day: 2h of absolute time skips the missing wall hour
+    assert out[1] == dt.datetime(2023, 3, 26, 4, 23)
+    assert out[2] == dt.datetime(2023, 3, 27, 3, 23)
+
+    back = t.select(
+        d=pw.this.date.dt.add_duration_in_timezone(
+            dt.timedelta(hours=2), "Europe/Warsaw"
+        ).dt.subtract_duration_in_timezone(dt.timedelta(hours=2), "Europe/Warsaw")
+    )
+    assert [r["d"] for r in back.df.collect()] == [
+        dt.datetime(2023, 3, 26, 1, 23),
+        dt.datetime(2023, 3, 27, 1, 23),
+    ]
+
+    diff = t.select(
+        z=pw.this.date.dt.subtract_date_time_in_timezone(pw.this.date, "Europe/Warsaw")
+    )
+    assert all(r["z"] == dt.timedelta(0) for r in diff.df.collect())
