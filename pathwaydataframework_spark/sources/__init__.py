@@ -789,3 +789,39 @@ OnFinishCallback = Any
 
 
 debug.StreamGenerator = StreamGenerator
+
+
+class bucketed:
+    """Bucketed-table storage — the co-located-join scale path.
+
+    No reference analogue (the reference's single-node engine has no
+    shuffle to avoid); on a Spark cluster, pre-bucketing both sides of a
+    recurring big join on the join key eliminates the exchange AND the
+    sort from every subsequent SortMergeJoin — the canonical 100 TB
+    optimization for fact-to-fact joins that AQE cannot broadcast.
+
+    ``write`` persists through the session catalog (``saveAsTable`` —
+    bucket metadata lives in the metastore; a plain ``.save(path)`` writes
+    files but loses bucketing info).  ``read`` returns the catalog table.
+    """
+
+    @staticmethod
+    def write(
+        table: Table,
+        name: str,
+        *,
+        bucket_cols: Sequence[str],
+        num_buckets: int = 32,
+        sort_cols: Sequence[str] | None = None,
+        mode: str = "overwrite",
+        format: str = "parquet",
+    ) -> None:
+        w = table.df.write.format(format).mode(mode).bucketBy(
+            num_buckets, *bucket_cols
+        )
+        w = w.sortBy(*(sort_cols or bucket_cols))
+        w.saveAsTable(name)
+
+    @staticmethod
+    def read(spark: SparkSession, name: str) -> Table:
+        return Table(spark.table(name))

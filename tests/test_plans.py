@@ -274,3 +274,26 @@ def test_span_dedup_ranks_only_repeated_grams(spark, sf_dir):
     assert "partial_count" in plan or "Partial" in plan
     # window partitions by the gram hash — never a global (empty) partition
     assert "Window" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    # pre-bucketing both sides on the join key must eliminate the shuffle
+    # AND the sort from the SortMergeJoin — the co-located-join scale path
+    import pathwaydataframework_spark as pw
+
+    a = pw.Table.from_rows(spark, [(i, i * 2) for i in range(100)], "k long, v long")
+    b = pw.Table.from_rows(spark, [(i, i * 3) for i in range(100)], "k long, w long")
+    pw.io.bucketed.write(a, "bk_plan_a", bucket_cols=["k"], num_buckets=4)
+    pw.io.bucketed.write(b, "bk_plan_b", bucket_cols=["k"], num_buckets=4)
+    ta = pw.io.bucketed.read(spark, "bk_plan_a")
+    tb = pw.io.bucketed.read(spark, "bk_plan_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ta.df.join(tb.df, on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_plan_a")
+        spark.sql("DROP TABLE IF EXISTS bk_plan_b")
