@@ -1085,6 +1085,18 @@ def q_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     return text.c4_filter(planted)
 
 
+def q_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """curriculum sampling: bin documents by n_chars and keep each quality
+    bin at its own deterministic rate (operators/sampling.py
+    quality_binned_sample) — upsample long docs, keep a tail trickle."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    return sampling.quality_binned_sample(
+        docs, "doc_id", "n_chars", edges=[200.0, 400.0], rates=[0.1, 0.5, 1.0], seed=11
+    ).select("doc_id", "quality_bin")
+
+
 def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """per-doc mean unigram log-probability under the corpus's own unigram
     model (CCNet-style LM-proxy quality score; operators/text.py).  The
@@ -1164,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": q_c4_filter,
         "q_gopher_quality": q_gopher_quality,
         "q_repetition": q_repetition,
+        "q_quality_sample": q_quality_sample,
         "q_unigram_logprob": q_unigram_logprob,
     }
 
@@ -1927,6 +1940,17 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'fr' THEN {_frac_threshold(1.0)}
                       ELSE {_frac_threshold(0.25)}
                   END
+        """,
+        "q_quality_sample": f"""
+            SELECT doc_id,
+                   CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 400 THEN 1
+                        ELSE 2 END AS quality_bin
+            FROM documents
+            WHERE {_bucket_sql("doc_id", 11)} <
+                  CASE WHEN n_chars < 200 THEN {_frac_threshold(0.1)}
+                       WHEN n_chars < 400 THEN {_frac_threshold(0.5)}
+                       ELSE {_frac_threshold(1.0)} END
         """,
         "q_train_split": _train_split_oracle_sql(),
         "q_shuffle": """

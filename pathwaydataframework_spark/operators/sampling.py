@@ -26,7 +26,7 @@ True
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -217,3 +217,45 @@ def mix_datasets(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def quality_binned_sample(
+    df: DataFrame,
+    key: str,
+    score_col: str,
+    *,
+    edges: Sequence[float],
+    rates: Sequence[float],
+    seed: int = 0,
+) -> DataFrame:
+    """Curriculum / quality-weighted sampling: bin rows by a score column
+    against explicit ``edges`` thresholds, keep each bin at its own rate.
+
+    ``edges`` of length B-1 split scores into B ordered bins
+    (bin i = scores in [edges[i-1], edges[i]));  ``rates`` has one keep
+    fraction per bin.  The standard move for upsampling high-quality text
+    while keeping a trickle of the tail.
+
+    Pure scan-side predicate like every sampler here: bin assignment is a
+    CASE chain, membership is the md5-hash threshold — zero exchanges, so
+    at 100 TB the sample IS the scan.  Adds a ``quality_bin`` column.
+    """
+    if len(rates) != len(edges) + 1:
+        raise ValueError(
+            f"need len(edges)+1 rates, got {len(rates)} rates / {len(edges)} edges"
+        )
+    for r in rates:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rates must be in [0, 1], got {r}")
+    if list(edges) != sorted(edges):
+        raise ValueError("edges must be ascending")
+    s = F.col(score_col)
+    bin_expr = F.lit(len(edges))
+    for i in range(len(edges) - 1, -1, -1):
+        bin_expr = F.when(s < F.lit(float(edges[i])), F.lit(i)).otherwise(bin_expr)
+    thr = F.lit(_threshold(rates[-1]))
+    for i in range(len(edges) - 1, -1, -1):
+        thr = F.when(s < F.lit(float(edges[i])), F.lit(_threshold(rates[i]))).otherwise(thr)
+    return df.withColumn("quality_bin", bin_expr.cast("long")).filter(
+        hash_bucket(F.col(key), seed) < thr
+    )

@@ -457,3 +457,37 @@ def test_interval_join_outer_null_rows_not_collided(spark):
     assert (1, None, 11) in got          # matched
     assert (None, 1, None) in got        # padded, NOT dropped
     assert len(got) == 2
+
+
+def test_quality_binned_sample_rates_and_bins(spark):
+    rows = [(i, 100 + i * 10) for i in range(200)]  # scores 100..2090
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    out = sampling.quality_binned_sample(
+        df, "doc_id", "score", edges=[500.0, 1500.0], rates=[0.0, 0.5, 1.0], seed=1
+    )
+    got = {r["doc_id"]: r["quality_bin"] for r in out.collect()}
+    # bin 0 (score<500, ids 0..39) rate 0 → none survive
+    assert not any(i < 40 for i in got)
+    # bin 2 (score>=1500, ids 140..199) rate 1.0 → all survive with bin 2
+    assert all(got[i] == 2 for i in range(140, 200))
+    # bin 1 keeps roughly half
+    bin1 = [i for i in got if 40 <= i < 140]
+    assert 25 <= len(bin1) <= 75
+    # deterministic across reruns
+    again = {
+        r["doc_id"]
+        for r in sampling.quality_binned_sample(
+            df, "doc_id", "score", edges=[500.0, 1500.0], rates=[0.0, 0.5, 1.0], seed=1
+        ).collect()
+    }
+    assert again == set(got)
+
+
+def test_quality_binned_sample_validation(spark):
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="rates"):
+        sampling.quality_binned_sample(df, "doc_id", "score", edges=[1.0], rates=[0.5])
+    with pytest.raises(ValueError, match="ascending"):
+        sampling.quality_binned_sample(
+            df, "doc_id", "score", edges=[2.0, 1.0], rates=[0.1, 0.2, 0.3]
+        )
