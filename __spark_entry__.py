@@ -1085,6 +1085,15 @@ def q_c4_filter(spark: SparkSession, sf: str) -> DataFrame:
     return text.c4_filter(planted)
 
 
+def q_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """text → ordered token-id arrays against the corpus vocabulary
+    (min_count=3; rarer terms map to unk=0) — the tokenization step that
+    feeds sequence packing (operators/text.py tokenize_to_ids)."""
+    docs = load_table(spark, sf, "documents").df
+    vocab = text.vocabulary(docs, min_count=3)
+    return text.tokenize_to_ids(docs, vocab)
+
+
 def q_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
     """curriculum sampling: bin documents by n_chars and keep each quality
     bin at its own deterministic rate (operators/sampling.py
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": q_c4_filter,
         "q_gopher_quality": q_gopher_quality,
         "q_repetition": q_repetition,
+        "q_tokenize": q_tokenize,
         "q_quality_sample": q_quality_sample,
         "q_unigram_logprob": q_unigram_logprob,
     }
@@ -1940,6 +1950,34 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'fr' THEN {_frac_threshold(1.0)}
                       ELSE {_frac_threshold(0.25)}
                   END
+        """,
+        "q_tokenize": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                   t -> length(t) > 0) AS t
+                FROM documents
+            ), vocab AS (
+                SELECT term, count(*) AS cnt
+                FROM (SELECT unnest(t) AS term FROM toks)
+                GROUP BY term HAVING count(*) >= 3
+            ), ranked AS (
+                SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS tid
+                FROM vocab
+            ), occ AS (
+                SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+                FROM toks
+            ), mapped AS (
+                SELECT o.doc_id, o.pos, coalesce(r.tid, 0) AS tid
+                FROM occ o LEFT JOIN ranked r USING (term)
+            ), arr AS (
+                SELECT doc_id, list(tid ORDER BY pos) AS token_ids
+                FROM mapped GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.token_ids, []::BIGINT[]) AS token_ids,
+                   coalesce(len(a.token_ids), 0)::BIGINT AS n_tokens
+            FROM documents d LEFT JOIN arr a USING (doc_id)
         """,
         "q_quality_sample": f"""
             SELECT doc_id,

@@ -526,3 +526,56 @@ def c4_filter(
             & ~t.contains("{")
         ).alias("kept"),
     )
+
+
+# -- tokenization to ids ----------------------------------------------------
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Map each document to its ordered token-id array against ``vocab``
+    (a (term, rank) frame from :func:`vocabulary`) — the text → ids step
+    that feeds sequence packing.  Unknown terms get ``unk_id``.
+
+    Plan: posexplode keeps each token's position, the vocab joins as a
+    broadcast (a real tokenizer vocab is ~100k rows), and one groupBy on
+    the doc id re-assembles the ordered array via sort_array over
+    (pos, id) structs — the only exchange is doc-keyed, so per-task state
+    is one document's tokens.
+    """
+    from pathwaydataframework_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.lower(F.trim(F.col(text_col)))).alias("__toks"),
+    )
+    occ = base.select("doc_id", F.posexplode("__toks").alias("pos", "term")).filter(
+        F.length("term") > 0
+    )
+    v = vocab.select(F.col("term"), F.col("rank").alias("__tid"))
+    mapped = occ.join(F.broadcast(v), on="term", how="left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("__tid"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    assembled = mapped.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("token_ids")
+    )
+    # docs with no tokens never reach the groupBy — restore with empty
+    # arrays via an id-only left join (no text shuffle)
+    ids = base.select("doc_id")
+    filled = F.coalesce(F.col("token_ids"), F.array().cast("array<long>"))
+    return ids.join(assembled, on="doc_id", how="left").select(
+        "doc_id",
+        filled.alias("token_ids"),
+        F.size(filled).cast("long").alias("n_tokens"),
+    )

@@ -345,3 +345,30 @@ class TestSpanDedup:
         row = dedup.remove_duplicate_spans(df, "doc_id", "text", k=13).first()
         assert row["n_removed_tokens"] == 13  # second in-doc copy removed
         assert row["clean_text"] == self.SPAN + " middle filler words"
+
+
+class TestTokenizeToIds:
+    def test_order_unknowns_and_empty_docs(self, spark):
+        docs = _docs(
+            spark,
+            [(1, "the cat sat"), (2, "the zyzzyva sat"), (3, "")],
+        )
+        vocab = text.vocabulary(docs, min_count=2)
+        out = {
+            r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+            for r in text.tokenize_to_ids(docs, vocab).collect()
+        }
+        # vocab: sat=1, the=2 (count ties, alphabetical)
+        assert out[1] == ([2, 0, 1], 3)  # cat unknown → 0
+        assert out[2] == ([2, 0, 1], 3)
+        assert out[3] == ([], 0)  # empty doc survives
+
+    def test_feeds_packing(self, spark):
+        from pathwaydataframework_spark.operators import packing
+
+        docs = _docs(spark, [(i, "w" + " w" * i) for i in range(1, 6)])
+        vocab = text.vocabulary(docs)
+        ids = text.tokenize_to_ids(docs, vocab)
+        packed = packing.pack_by_offset(ids, "doc_id", "n_tokens", 8, shards=2)
+        assert packed.count() == 5
+        assert all(r["start_offset"] >= 0 for r in packed.collect())
