@@ -199,6 +199,7 @@ run_all = run  # reference alias
 # reference submodule aliases (pathway exposes ml/indexing/utils/udfs)
 from pathwaydataframework_spark.operators import ml_index as indexing  # noqa: E402
 from pathwaydataframework_spark import ml  # noqa: E402
+from pathwaydataframework_spark import xpacks  # noqa: E402
 from pathwaydataframework_spark import utils  # noqa: E402
 from pathwaydataframework_spark.operators import ordered as statistical  # noqa: E402
 from pathwaydataframework_spark.internals import udfs  # noqa: E402
@@ -242,6 +243,7 @@ __all__ = [
     "schema_builder",
     "assert_table_has_schema",
     "indexing",
+    "xpacks",
     "ml",
     "utils",
     "udfs",

@@ -1,0 +1,25 @@
+"""Reference xpacks/llm — operator analogues (reference xpacks/llm/*.py).
+
+splitters / embedders / parsers / rerankers are the in-engine modules;
+``vector_document_index`` / ``DataIndex`` come from the indexing layer.
+"""
+
+from pathwaydataframework_spark.operators import (  # noqa: F401
+    embedders,
+    parsers,
+    rerankers,
+    splitters,
+)
+from pathwaydataframework_spark.operators.ml_index import (  # noqa: F401
+    DataIndex,
+    default_vector_document_index,
+)
+
+__all__ = [
+    "splitters",
+    "embedders",
+    "parsers",
+    "rerankers",
+    "DataIndex",
+    "default_vector_document_index",
+]

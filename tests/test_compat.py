@@ -252,3 +252,13 @@ def test_dt_timezone_arithmetic_is_dst_aware(spark):
         z=pw.this.date.dt.subtract_date_time_in_timezone(pw.this.date, "Europe/Warsaw")
     )
     assert all(r["z"] == dt.timedelta(0) for r in diff.df.collect())
+
+
+def test_xpacks_llm_namespace(spark):
+    # `from pathway.xpacks.llm import splitters` ports by renaming the root
+    from pathwaydataframework_spark.xpacks.llm import splitters as xs
+
+    from pathwaydataframework_spark.operators import splitters as os_
+
+    assert xs is os_
+    assert callable(pw.xpacks.llm.default_vector_document_index)
