@@ -825,3 +825,33 @@ class bucketed:
     @staticmethod
     def read(spark: SparkSession, name: str) -> Table:
         return Table(spark.table(name))
+
+
+class orc:
+    """ORC read/write — Spark-native columnar format (no extra jars), with
+    the same pushdown/pruning contract as parquet.  No reference analogue
+    (the reference's lake formats are delta/parquet); provided because ORC
+    is the other first-class columnar format on Spark clusters."""
+
+    @staticmethod
+    def read(spark: SparkSession, path: str, *, mode: str = "static", **opts) -> Table:
+        return fs.read(spark, path, format="orc", mode=mode, **opts)
+
+    @staticmethod
+    def write(table: Table, path: str, **opts) -> None:
+        fs.write(table, path, format="orc", **opts)
+
+
+class avro:
+    """Avro read/write — requires the external spark-avro module
+    (``org.apache.spark:spark-avro``), which is not bundled with pyspark.
+    The call shape matches a cluster deployment; locally it surfaces
+    Spark's standard guidance error."""
+
+    @staticmethod
+    def read(spark: SparkSession, path: str, *, mode: str = "static", **opts) -> Table:
+        return fs.read(spark, path, format="avro", mode=mode, **opts)
+
+    @staticmethod
+    def write(table: Table, path: str, **opts) -> None:
+        fs.write(table, path, format="avro", **opts)

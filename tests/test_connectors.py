@@ -181,3 +181,22 @@ def test_jdbc_write_read_roundtrip_embedded_derby(spark, tmp_path):
     # append mode accumulates
     pw.io.postgres.write(t, url=url, table_name="roundtrip", mode="append", **props)
     assert pw.io.sqlite.read(spark, url, "roundtrip", **props).df.count() == 6
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    import pathwaydataframework_spark as pw
+
+    t = pw.Table.from_rows(
+        spark, [(i, f"v{i}") for i in range(100)], "k long, v string"
+    )
+    path = str(tmp_path / "orc_tbl")
+    pw.io.orc.write(t, path)
+    back = pw.io.orc.read(spark, path)
+    assert back.df.count() == 100
+    # filter pushdown reaches the ORC scan
+    filtered = back.df.filter(F.col("k") > 90)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:60]
+    assert filtered.count() == 9
