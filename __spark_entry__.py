@@ -751,6 +751,19 @@ def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return clustering.kmeans(emb, "vec_id", "embedding", k=10, iterations=3)
 
 
+def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """embedding-space outlier curation: k-means fit (identical trajectory
+    to q_kmeans), then flag points farther than mean + 2·std from their
+    centroid (clustering.embedding_outliers).  Stats from exact decimal
+    sums of 6dp distances, so the flag is cross-engine exact."""
+    from pathwaydataframework_spark.operators import clustering
+
+    emb = load_table(spark, sf, "embeddings").df
+    return clustering.embedding_outliers(
+        emb, "vec_id", "embedding", k=10, iterations=3, z_threshold=2.0
+    )
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """heuristic language-ID confusion counts."""
     docs = load_table(spark, sf, "documents").df
@@ -1180,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_boilerplate": q_boilerplate,
         "q_kmeans": q_kmeans,
+        "q_embedding_outliers": q_embedding_outliers,
         "q_decontam": q_decontam,
         "q_span_dedup": q_span_dedup,
         "q_c4_filter": q_c4_filter,
@@ -1433,6 +1447,36 @@ def _kmeans_oracle_sql(k: int = 10, iterations: int = 3, dim: int = 64) -> str:
         ),
         {",".join(steps)}
         SELECT vec_id, cidx AS cluster FROM a{iterations}
+    """
+
+
+def _embedding_outliers_oracle_sql(
+    k: int = 10, iterations: int = 3, dim: int = 64, z: float = 2.0
+) -> str:
+    """q_embedding_outliers oracle: the q_kmeans trajectory replay, then
+    per-cluster distance stats from exact decimal sums (the 6dp distances
+    square to <= 12 dp, so DECIMAL(28,12) sums are lossless) and the
+    mean + z*std flag — bit-identical arithmetic to the Spark side."""
+    base = _kmeans_oracle_sql(k=k, iterations=iterations, dim=dim)
+    trajectory = base[: base.rindex("SELECT vec_id")]
+    return f"""
+        {trajectory}
+        , dist AS MATERIALIZED (
+            SELECT a.vec_id, a.cidx AS cluster,
+                   round(list_distance(e.v, c.c), 6) AS dist
+            FROM a{iterations} a
+            JOIN e USING (vec_id)
+            JOIN c{iterations - 1} c ON a.cidx = c.cidx
+        ), stats AS (
+            SELECT cluster,
+                   sum(dist::DECIMAL(28,12))::DOUBLE / count(*) AS mean,
+                   sum((dist::DECIMAL(28,12) * dist::DECIMAL(28,12))::DECIMAL(28,12))::DOUBLE
+                       / count(*) AS m2
+            FROM dist GROUP BY cluster
+        )
+        SELECT vec_id, cluster, dist,
+               dist > mean + {z} * sqrt(greatest(m2 - mean * mean, 0)) AS is_outlier
+        FROM dist JOIN stats USING (cluster)
     """
 
 
@@ -2061,6 +2105,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_kmeans": _kmeans_oracle_sql(k=10, iterations=3, dim=64),
+        "q_embedding_outliers": _embedding_outliers_oracle_sql(
+            k=10, iterations=3, dim=64, z=2.0
+        ),
         "q_boilerplate": r"""
             WITH wrapped AS (
                 SELECT doc_id, doc_id % 5 AS kind,

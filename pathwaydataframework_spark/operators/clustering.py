@@ -125,3 +125,61 @@ def kmeans_fit(
         assigned.select(F.col("_id").alias(id_col), "cluster"),
         centroids.select("cluster", F.col("_c").alias("centroid")),
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    iterations: int = 3,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outlier detection: fit k-means, then flag points
+    whose distance to their centroid exceeds mean + z_threshold x std of
+    their cluster — the standard curation move for dropping mis-embedded /
+    off-distribution vectors before training.
+
+    Returns (id, cluster, dist, is_outlier).  All statistics are computed
+    from exact decimal sums of the 6dp-rounded distances, so the flag is
+    bit-reproducible across engines (same technique as the reducer-matrix
+    averages).  Cost beyond the k-means fit: one broadcast re-join of the
+    centroids plus one cluster-keyed aggregation.
+    """
+    assigned, centroids = kmeans_fit(df, id_col, vec_col, k, iterations=iterations)
+    pts = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    d = (
+        pts.join(assigned, on=id_col)
+        .join(F.broadcast(centroids), on="cluster")
+        .select(
+            F.col(id_col).alias("_id"),
+            "cluster",
+            _l2(F.col("_v"), F.col("centroid")).alias("dist"),
+        )
+    )
+    dd = d.withColumn("_dd", F.col("dist").cast("decimal(28,12)"))
+    stats = dd.groupBy("cluster").agg(
+        (F.sum("_dd").cast("double") / F.count(F.lit(1))).alias("_mean"),
+        (
+            F.sum((F.col("_dd") * F.col("_dd")).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m2"),
+    )
+    return (
+        d.join(F.broadcast(stats), on="cluster")
+        .withColumn(
+            "_std", F.sqrt(F.greatest(F.col("_m2") - F.col("_mean") * F.col("_mean"), F.lit(0.0)))
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "dist",
+            (F.col("dist") > F.col("_mean") + F.lit(z_threshold) * F.col("_std")).alias(
+                "is_outlier"
+            ),
+        )
+    )

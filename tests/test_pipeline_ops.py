@@ -491,3 +491,21 @@ def test_quality_binned_sample_validation(spark):
         sampling.quality_binned_sample(
             df, "doc_id", "score", edges=[2.0, 1.0], rates=[0.1, 0.2, 0.3]
         )
+
+
+def test_embedding_outliers_flags_planted_point(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.randn(4) * 0.01 + 1.0).tolist()) for i in range(30)]
+    rows.append((99, [50.0, 50.0, 50.0, 50.0]))  # far outlier, same cluster set
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = clustering.embedding_outliers(
+        df, "vec_id", "embedding", k=2, iterations=3, z_threshold=2.0
+    )
+    flags = {r["vec_id"]: r["is_outlier"] for r in out.collect()}
+    assert len(flags) == 31
+    # the planted point either seeds its own singleton cluster (not an
+    # outlier of itself) or is flagged; the tight cluster is never flagged
+    tight = [flags[i] for i in range(30)]
+    assert sum(tight) <= 2  # at most the stat tail of the tight cluster
