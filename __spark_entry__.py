@@ -1107,6 +1107,25 @@ def q_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return text.tokenize_to_ids(docs, vocab)
 
 
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """the full Gopher repetition gate (all 11 published thresholds over
+    line + n-gram metrics; text.gopher_repetition_filter).  Planted
+    structure: every 7th doc gains a duplicated line, every 9th is doubled
+    (docs divisible by 63 get both) so both metric families fire."""
+    docs = load_table(spark, sf, "documents").df
+    base = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit("\nsame dup line here\nsame dup line here")),
+    ).otherwise(F.col("text"))
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.concat_ws(" ", base, base))
+        .otherwise(base)
+        .alias("text"),
+    )
+    return text.gopher_repetition_filter(planted)
+
+
 def q_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
     """curriculum sampling: bin documents by n_chars and keep each quality
     bin at its own deterministic rate (operators/sampling.py
@@ -1199,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": q_c4_filter,
         "q_gopher_quality": q_gopher_quality,
         "q_repetition": q_repetition,
+        "q_gopher_repetition": q_gopher_repetition,
         "q_tokenize": q_tokenize,
         "q_quality_sample": q_quality_sample,
         "q_unigram_logprob": q_unigram_logprob,
@@ -1262,6 +1282,100 @@ def _repetition_oracle_sql(
                {", ".join(f"coalesce(p.top{n}_char_frac, 0.0) AS top{n}_char_frac" for n in top_ns)},
                {", ".join(f"coalesce(p.dup{n}_char_frac, 0.0) AS dup{n}_char_frac" for n in dup_ns)}
         FROM documents d LEFT JOIN pivoted p USING (doc_id)
+    """
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    """q_gopher_repetition oracle: the planted corpus (line dups at %7,
+    doc doubling at %9), full Gopher n-gram metric set, line metrics, and
+    the 11-threshold verdict — mirrors text.gopher_repetition_filter."""
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    ns = sorted(set(top_ns) | set(dup_ns))
+    gram_selects = [
+        f"""
+            SELECT doc_id, chars, {n} AS n,
+                   unnest(CASE WHEN len(t) >= {n} THEN list_transform(
+                       range(1, len(t) - {n - 2}),
+                       i -> array_to_string(t[i:i+{n - 1}], ' '))
+                   ELSE []::VARCHAR[] END) AS gram
+            FROM toks"""
+        for n in ns
+    ]
+    out_cols = [
+        f"round(coalesce(max(CASE WHEN n = {n} THEN "
+        f"top.cnt * top.glen / chars END), 0), 6) AS top{n}_char_frac"
+        for n in top_ns
+    ] + [
+        f"round(coalesce(max(CASE WHEN n = {n} THEN "
+        f"dupchars / chars END), 0), 6) AS dup{n}_char_frac"
+        for n in dup_ns
+    ]
+    thresholds = {
+        "dup_line_frac": 0.30, "dup_line_char_frac": 0.20,
+        "top2_char_frac": 0.20, "top3_char_frac": 0.18, "top4_char_frac": 0.16,
+        "dup5_char_frac": 0.15, "dup6_char_frac": 0.14, "dup7_char_frac": 0.13,
+        "dup8_char_frac": 0.12, "dup9_char_frac": 0.11, "dup10_char_frac": 0.10,
+    }
+    rep_cols = [f"top{n}_char_frac" for n in top_ns] + [
+        f"dup{n}_char_frac" for n in dup_ns
+    ]
+    passes = " AND ".join(f"{c} <= {t}" for c, t in thresholds.items())
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN text || chr(10) ||
+                        'same dup line here' || chr(10) || 'same dup line here'
+                   ELSE text END AS t0
+            FROM documents
+        ), planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0 THEN t0 || ' ' || t0 ELSE t0 END AS text
+            FROM base
+        ), toks AS (
+            SELECT doc_id, length(text)::DOUBLE AS chars,
+                   regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM planted
+        ), grams AS ({" UNION ALL ".join(gram_selects)}
+        ), counted AS (
+            SELECT doc_id, chars, n, gram, count(*) AS cnt
+            FROM grams GROUP BY ALL
+        ), per_n AS (
+            SELECT doc_id, chars, n,
+                   max(struct_pack(cnt := cnt,
+                                   glen := length(gram)::DOUBLE)) AS top,
+                   sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                       ELSE 0 END)::DOUBLE AS dupchars
+            FROM counted GROUP BY ALL
+        ), pivoted AS (
+            SELECT doc_id, {", ".join(out_cols)}
+            FROM per_n GROUP BY doc_id
+        ), lines AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(text, chr(10)),
+                                              l -> trim(l)),
+                               l -> length(l) > 0) AS ls
+            FROM planted
+        ), lm AS (
+            SELECT doc_id,
+                   round(CASE WHEN len(ls) = 0 THEN 0.0
+                         ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+                         END, 6) AS dup_line_frac,
+                   round(CASE WHEN coalesce(list_sum(list_transform(ls,
+                                       l -> length(l))), 0) = 0 THEN 0.0
+                         ELSE (list_sum(list_transform(ls, l -> length(l)))
+                               - list_sum(list_transform(list_distinct(ls),
+                                          l -> length(l))))::DOUBLE
+                              / list_sum(list_transform(ls, l -> length(l)))
+                         END, 6) AS dup_line_char_frac
+            FROM lines
+        ), rep AS (
+            SELECT d.doc_id,
+                   {", ".join(f"coalesce(p.{c}, 0.0) AS {c}" for c in rep_cols)}
+            FROM documents d LEFT JOIN pivoted p USING (doc_id)
+        )
+        SELECT rep.*, lm.dup_line_frac, lm.dup_line_char_frac,
+               ({passes}) AS passes_repetition
+        FROM rep JOIN lm USING (doc_id)
     """
 
 
@@ -1995,6 +2109,7 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {_frac_threshold(0.25)}
                   END
         """,
+        "q_gopher_repetition": _gopher_repetition_oracle_sql(),
         "q_tokenize": r"""
             WITH toks AS (
                 SELECT doc_id,

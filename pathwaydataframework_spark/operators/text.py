@@ -579,3 +579,50 @@ def tokenize_to_ids(
         filled.alias("token_ids"),
         F.size(filled).cast("long").alias("n_tokens"),
     )
+
+
+#: Published Gopher repetition thresholds (Rae et al. 2021 appendix A.1.1).
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup6_char_frac": 0.14,
+    "dup7_char_frac": 0.13,
+    "dup8_char_frac": 0.12,
+    "dup9_char_frac": 0.11,
+    "dup10_char_frac": 0.10,
+}
+
+
+def gopher_repetition_filter(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The full Gopher repetition gate: every published threshold over the
+    line and n-gram metrics, one ``passes_repetition`` verdict per doc.
+
+    Composes :func:`duplicate_line_metrics` (in-row array expressions)
+    with :func:`repetition_metrics` (single-scan gram streams); the line
+    metrics ride along on the id-restore join, so the whole gate adds no
+    exchange beyond the metric computation itself.
+    """
+    t = GOPHER_REPETITION_THRESHOLDS
+    rep = repetition_metrics(
+        df, id_col=id_col, text_col=text_col,
+        top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10),
+    )
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        duplicate_line_metrics(F.col(text_col)).alias("__lm"),
+    ).select(
+        "doc_id",
+        F.col("__lm.dup_line_frac").alias("dup_line_frac"),
+        F.col("__lm.dup_line_char_frac").alias("dup_line_char_frac"),
+    )
+    joined = rep.join(lines, on="doc_id")
+    passes = F.lit(True)
+    for col, thr in t.items():
+        passes = passes & (F.col(col) <= F.lit(thr))
+    return joined.withColumn("passes_repetition", passes)

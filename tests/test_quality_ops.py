@@ -372,3 +372,15 @@ class TestTokenizeToIds:
         packed = packing.pack_by_offset(ids, "doc_id", "n_tokens", 8, shards=2)
         assert packed.count() == 5
         assert all(r["start_offset"] >= 0 for r in packed.collect())
+
+
+def test_gopher_repetition_filter_verdicts(spark):
+    clean = " ".join(f"w{i}" for i in range(40))
+    spammy = "spam ham " * 30
+    liney = "good unique line\nsame line\nsame line\nsame line\nsame line"
+    df = _docs(spark, [(1, clean), (2, spammy), (3, liney)])
+    out = {r["doc_id"]: r for r in text.gopher_repetition_filter(df).collect()}
+    assert out[1]["passes_repetition"]
+    assert not out[2]["passes_repetition"]  # top-2-gram dominance
+    assert not out[3]["passes_repetition"]  # duplicate lines
+    assert out[3]["dup_line_frac"] == pytest.approx(0.6, abs=1e-6)
