@@ -1107,6 +1107,28 @@ def q_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return text.tokenize_to_ids(docs, vocab)
 
 
+def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 domain-blocklist page filter (text.filter_blocked_domains over
+    parse_url HOST).  URLs are planted from doc_id (the fixture corpus has
+    no url column): every 5th doc on blocked.test, the next on a
+    subdomain of it — both must drop, exact and subdomain."""
+    docs = load_table(spark, sf, "documents").df
+    mod = F.col("doc_id") % 5
+    with_urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(mod == 0, F.lit("blocked.test"))
+            .when(mod == 1, F.lit("sub.blocked.test"))
+            .otherwise(F.concat(F.lit("site"), F.col("doc_id") % 20, F.lit(".org"))),
+            F.lit("/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    kept = text.filter_blocked_domains(with_urls, blocklist=["blocked.test"])
+    return kept.select("doc_id", text.url_host(F.col("url")).alias("host"))
+
+
 def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """the full Gopher repetition gate (all 11 published thresholds over
     line + n-gram metrics; text.gopher_repetition_filter).  Planted
@@ -1218,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": q_c4_filter,
         "q_gopher_quality": q_gopher_quality,
         "q_repetition": q_repetition,
+        "q_domain_filter": q_domain_filter,
         "q_gopher_repetition": q_gopher_repetition,
         "q_tokenize": q_tokenize,
         "q_quality_sample": q_quality_sample,
@@ -2108,6 +2131,23 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'fr' THEN {_frac_threshold(1.0)}
                       ELSE {_frac_threshold(0.25)}
                   END
+        """,
+        "q_domain_filter": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       'https://' ||
+                       CASE doc_id % 5
+                           WHEN 0 THEN 'blocked.test'
+                           WHEN 1 THEN 'sub.blocked.test'
+                           ELSE 'site' || (doc_id % 20)::VARCHAR || '.org'
+                       END || '/doc/' || doc_id::VARCHAR AS url
+                FROM documents
+            ), hosts AS (
+                SELECT doc_id, lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS host
+                FROM u
+            )
+            SELECT doc_id, host FROM hosts
+            WHERE host <> 'blocked.test' AND NOT ends_with(host, '.blocked.test')
         """,
         "q_gopher_repetition": _gopher_repetition_oracle_sql(),
         "q_tokenize": r"""

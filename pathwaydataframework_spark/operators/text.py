@@ -626,3 +626,37 @@ def gopher_repetition_filter(
     for col, thr in t.items():
         passes = passes & (F.col(col) <= F.lit(thr))
     return joined.withColumn("passes_repetition", passes)
+
+
+# -- URL / domain filtering -------------------------------------------------
+
+
+def url_host(url: Column) -> Column:
+    """Registrable host of a URL, lowercased (C4 filters pages by domain
+    blocklist).  Spark's built-in parse_url runs JVM-side; bare
+    'example.com/x' inputs (no scheme) are handled by prefixing '//'."""
+    fixed = F.when(url.contains("://"), url).otherwise(F.concat(F.lit("http://"), url))
+    return F.lower(F.parse_url(fixed, F.lit("HOST")))
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    blocklist: list[str],
+    keep_subdomains_blocked: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL host is on (or under, with
+    ``keep_subdomains_blocked``) a blocked domain — the C4 page-level
+    domain rule.  The blocklist is a literal array (real blocklists are
+    ~100k entries: swap the array_contains for a broadcast anti-join on a
+    blocklist frame, same semantics); evaluation is one scan-side
+    predicate, zero exchanges."""
+    host = url_host(F.col(url_col))
+    blocked = F.lit(False)
+    arr = F.array(*[F.lit(d.lower()) for d in blocklist])
+    blocked = F.array_contains(arr, host)
+    if keep_subdomains_blocked:
+        sub = F.exists(arr, lambda d: host.endswith(F.concat(F.lit("."), d)))
+        blocked = blocked | sub
+    return df.withColumn("__host", host).filter(~blocked).drop("__host")

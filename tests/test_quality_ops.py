@@ -384,3 +384,27 @@ def test_gopher_repetition_filter_verdicts(spark):
     assert not out[2]["passes_repetition"]  # top-2-gram dominance
     assert not out[3]["passes_repetition"]  # duplicate lines
     assert out[3]["dup_line_frac"] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_filter_blocked_domains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://good.org/page"),
+            (2, "http://spam.example.com/x"),
+            (3, "example.com/y"),  # no scheme
+            (4, "https://notexample.com/z"),  # NOT a subdomain
+        ],
+        "id long, url string",
+    )
+    kept = sorted(
+        r["id"]
+        for r in text.filter_blocked_domains(df, blocklist=["example.com"]).collect()
+    )
+    assert kept == [1, 4]
+    exact_only = sorted(
+        r["id"]
+        for r in text.filter_blocked_domains(
+            df, blocklist=["example.com"], keep_subdomains_blocked=False
+        ).collect()
+    )
+    assert exact_only == [1, 2, 4]
