@@ -1107,6 +1107,14 @@ def q_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return text.tokenize_to_ids(docs, vocab)
 
 
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """per-doc mean log-prob under an interpolated bigram LM fit on the
+    corpus (text.bigram_logprob) — the distributed analogue of the CCNet
+    perplexity filter; decimal-stable mean of round-6 logps."""
+    docs = load_table(spark, sf, "documents").df
+    return text.bigram_logprob(docs, lam=0.7)
+
+
 def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
     """C4 domain-blocklist page filter (text.filter_blocked_domains over
     parse_url HOST).  URLs are planted from doc_id (the fixture corpus has
@@ -1240,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": q_c4_filter,
         "q_gopher_quality": q_gopher_quality,
         "q_repetition": q_repetition,
+        "q_bigram_logprob": q_bigram_logprob,
         "q_domain_filter": q_domain_filter,
         "q_gopher_repetition": q_gopher_repetition,
         "q_tokenize": q_tokenize,
@@ -1305,6 +1314,56 @@ def _repetition_oracle_sql(
                {", ".join(f"coalesce(p.top{n}_char_frac, 0.0) AS top{n}_char_frac" for n in top_ns)},
                {", ".join(f"coalesce(p.dup{n}_char_frac, 0.0) AS dup{n}_char_frac" for n in dup_ns)}
         FROM documents d LEFT JOIN pivoted p USING (doc_id)
+    """
+
+
+def _bigram_logprob_oracle_sql(lam: float = 0.7) -> str:
+    """q_bigram_logprob oracle.  The interpolation weights are emitted
+    with full float repr ((1.0 - 0.7) != 0.3 in binary) so both engines
+    compute bit-identical probabilities before the round-6."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                               t -> length(t) > 0) AS t
+            FROM documents
+        ), uni AS (
+            SELECT term, count(*) AS uc
+            FROM (SELECT unnest(t) AS term FROM toks) GROUP BY 1
+        ), tot AS (
+            SELECT sum(uc)::DOUBLE AS total FROM uni
+        ), bg_stream AS (
+            SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(t) >= 2 THEN list_transform(
+                        range(1, len(t)), i -> {{'w1': t[i], 'w2': t[i+1]}})
+                    ELSE []::STRUCT(w1 VARCHAR, w2 VARCHAR)[] END) AS s
+                FROM toks
+            )
+        ), bg AS (
+            SELECT w1, w2, count(*) AS bc FROM bg_stream GROUP BY 1, 2
+        ), scored_bg AS (
+            SELECT doc_id,
+                   round(ln({lam!r} * bc / c1.uc
+                            + {(1.0 - lam)!r} * c2.uc / total),
+                         6)::DECIMAL(18,9) AS lp
+            FROM bg_stream
+            JOIN bg USING (w1, w2)
+            JOIN uni c1 ON bg_stream.w1 = c1.term
+            JOIN uni c2 ON bg_stream.w2 = c2.term, tot
+        ), firsts AS (
+            SELECT doc_id, t[1] AS term FROM toks WHERE len(t) > 0
+        ), scored_first AS (
+            SELECT doc_id, round(ln(uc / total), 6)::DECIMAL(18,9) AS lp
+            FROM firsts JOIN uni USING (term), tot
+        ), s AS (
+            SELECT * FROM scored_bg UNION ALL SELECT * FROM scored_first
+        ), m AS (
+            SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6) AS mean_logp
+            FROM s GROUP BY doc_id
+        )
+        SELECT d.doc_id, m.mean_logp
+        FROM documents d LEFT JOIN m USING (doc_id)
     """
 
 
@@ -2132,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
                       ELSE {_frac_threshold(0.25)}
                   END
         """,
+        "q_bigram_logprob": _bigram_logprob_oracle_sql(lam=0.7),
         "q_domain_filter": r"""
             WITH u AS (
                 SELECT doc_id,

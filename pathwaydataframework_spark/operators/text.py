@@ -660,3 +660,90 @@ def filter_blocked_domains(
         sub = F.exists(arr, lambda d: host.endswith(F.concat(F.lit("."), d)))
         blocked = blocked | sub
     return df.withColumn("__host", host).filter(~blocked).drop("__host")
+
+
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    fit on the corpus itself — the distributed approximation of the
+    CCNet/KenLM perplexity filter (a 5-gram KenLM is a single-node
+    artifact; an interpolated bigram is the same signal, exactly
+    computable in-engine).
+
+    p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N; the first token
+    scores unigram.  Mean over a doc's tokens, decimal-stable like
+    :func:`unigram_logprob`.
+
+    Plan: ONE corpus scan yields both the unigram stream and the bigram
+    stream (zip_with of shifted slices); counts aggregate with map-side
+    partials; the unigram table broadcasts, the bigram join is the one
+    corpus-scale exchange (keyed on the pair).  Docs with no tokens
+    survive with NULL.
+    """
+    from pathwaydataframework_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            tokens(F.lower(F.trim(F.col(text_col)))), lambda t: F.length(t) > 0
+        ).alias("__toks"),
+    )
+    uni_stream = base.select("doc_id", F.explode("__toks").alias("term"))
+    uni = uni_stream.groupBy("term").agg(F.count(F.lit(1)).alias("uc"))
+    uni = uni.localCheckpoint(eager=True)
+    total = uni.agg(F.sum("uc")).collect()[0][0] or 1
+
+    n1 = F.greatest(F.size("__toks") - F.lit(1), F.lit(0))
+    pairs = F.zip_with(
+        F.slice("__toks", 1, n1),
+        F.slice("__toks", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg_stream = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bg = bg_stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+
+    u1 = F.broadcast(uni.select(F.col("term").alias("w1"), F.col("uc").alias("c1")))
+    u2 = F.broadcast(uni.select(F.col("term").alias("w2"), F.col("uc").alias("c2")))
+    scored_bg = (
+        bg_stream.join(bg, on=["w1", "w2"])
+        .join(u1, on="w1")
+        .join(u2, on="w2")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(lam) * F.col("bc") / F.col("c1")
+                    + F.lit(1.0 - lam) * F.col("c2") / F.lit(float(total))
+                ),
+                6,
+            ).alias("lp"),
+        )
+    )
+    first_tok = base.filter(F.size("__toks") > 0).select(
+        "doc_id", F.element_at("__toks", 1).alias("term")
+    )
+    scored_first = first_tok.join(
+        F.broadcast(uni), on="term"
+    ).select(
+        "doc_id",
+        F.round(F.log(F.col("uc") / F.lit(float(total))), 6).alias("lp"),
+    )
+    scored = scored_bg.unionByName(scored_first)
+    means = (
+        scored.withColumn("__lp", F.col("lp").cast("decimal(18,9)"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("__lp").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_logp"
+            )
+        )
+    )
+    ids = base.select("doc_id")
+    return ids.join(means, on="doc_id", how="left")

@@ -408,3 +408,24 @@ def test_filter_blocked_domains(spark):
         ).collect()
     )
     assert exact_only == [1, 2, 4]
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        # corpus 'a b' + 'a c': c(a)=2 c(b)=c(c)=1 N=4; bigram (a,b)=(a,c)=1
+        df = _docs(spark, [(1, "a b"), (2, "a c"), (3, "")])
+        out = {r["doc_id"]: r["mean_logp"] for r in text.bigram_logprob(df, lam=0.5).collect()}
+        exp = round(
+            (round(math.log(0.5), 6) + round(math.log(0.5 * 0.5 + 0.5 * 0.25), 6)) / 2, 6
+        )
+        assert out[1] == pytest.approx(exp, abs=1e-6)
+        assert out[3] is None  # empty doc survives with NULL
+
+    def test_predictable_text_scores_higher(self, spark):
+        predictable = "the cat sat . " * 10
+        shuffled = "cat the . sat sat . the cat . the " * 4
+        df = _docs(spark, [(1, predictable), (2, shuffled)])
+        out = {r["doc_id"]: r["mean_logp"] for r in text.bigram_logprob(df).collect()}
+        assert out[1] > out[2]
