@@ -1665,8 +1665,8 @@ def _embedding_outliers_oracle_sql(
             JOIN c{iterations - 1} c ON a.cidx = c.cidx
         ), stats AS (
             SELECT cluster,
-                   sum(dist::DECIMAL(28,12))::DOUBLE / count(*) AS mean,
-                   sum((dist::DECIMAL(28,12) * dist::DECIMAL(28,12))::DECIMAL(28,12))::DOUBLE
+                   sum(dist::DECIMAL(18,6))::DOUBLE / count(*) AS mean,
+                   sum(dist::DECIMAL(18,6) * dist::DECIMAL(18,6))::DOUBLE
                        / count(*) AS m2
             FROM dist GROUP BY cluster
         )
@@ -2482,7 +2482,8 @@ def oracle_sql() -> dict[str, str]:
                                       t -> length(t)))::DOUBLE / len(toks)
                              END, 6) AS mwl,
                        len(ls) AS nl,
-                       len(list_filter(ls, l -> l LIKE '%...')) AS ell,
+                       len(list_filter(ls, l -> l LIKE '%...'
+                                              OR l LIKE '%…')) AS ell,
                        len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
                                               OR l LIKE '•%')) AS bul,
                        len(list_filter(toks,
@@ -2583,7 +2584,7 @@ def oracle_sql() -> dict[str, str]:
             ), counted AS (
                 SELECT doc_id, text, clean_text,
                        len(regexp_extract_all(clean_text,
-                           '[.!?](\s|$)|["”]$')) AS n_sentences
+                           '[.!?]["”]?(\s|$)|["”](\s|$)')) AS n_sentences
                 FROM cleaned
             )
             SELECT doc_id, clean_text, n_sentences,
@@ -2608,9 +2609,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT term, round(ln(cnt / total), 6)::DECIMAL(18,9) AS lp
                 FROM vocab, tot
             )
-            SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6) AS mean_logp
-            FROM wf JOIN lp USING (term)
-            GROUP BY doc_id
+            SELECT d.doc_id, m.mean_logp
+            FROM documents d LEFT JOIN (
+                SELECT doc_id, round(sum(lp)::DOUBLE / count(*), 6) AS mean_logp
+                FROM wf JOIN lp USING (term)
+                GROUP BY doc_id
+            ) m USING (doc_id)
         """,
         # every queries() entry above has a value oracle — including
         # q_louvain, whose communities provably equal connected components

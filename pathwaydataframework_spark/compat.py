@@ -49,40 +49,65 @@ class JoinMode(Enum):
     OUTER = "outer"
 
 
-class Type(Enum):
-    """Reference ``PathwayType`` (engine.pyi:PathwayType) mapped onto Spark
-    SQL type strings; members are accepted by ``cast_to_types`` /
-    ``update_types`` alongside plain strings."""
+#: Spark SQL type per reference PathwayType member.  Kept OUTSIDE the enum
+#: values: several reference types share a Spark representation (POINTER
+#: and DURATION are both longs), and equal enum values would make Python
+#: collapse the members into aliases — Type.POINTER would literally BE
+#: Type.INT, breaking identity dispatch and serialization of .name.
+_TYPE_TO_SPARK = {
+    "ANY": "string",
+    "STRING": "string",
+    "INT": "bigint",
+    "BOOL": "boolean",
+    "FLOAT": "double",
+    "POINTER": "bigint",  # row ids are xxhash64 longs here
+    "DATE_TIME_NAIVE": "timestamp_ntz",
+    "DATE_TIME_UTC": "timestamp",
+    "DURATION": "bigint",  # durations are microsecond longs here
+    "JSON": "string",
+    "BYTES": "binary",
+    "PY_OBJECT_WRAPPER": "binary",
+}
 
-    ANY = "string"
-    STRING = "string"
-    INT = "bigint"
-    BOOL = "boolean"
-    FLOAT = "double"
-    POINTER = "bigint"  # row ids are xxhash64 longs here
-    DATE_TIME_NAIVE = "timestamp_ntz"
-    DATE_TIME_UTC = "timestamp"
-    DURATION = "bigint"  # durations are microsecond longs here
-    JSON = "string"
-    BYTES = "binary"
-    PY_OBJECT_WRAPPER = "binary"
+
+class Type(Enum):
+    """Reference ``PathwayType`` (engine.pyi:PathwayType); members are
+    accepted by ``cast_to_types`` / ``update_types`` alongside plain
+    strings (the Spark type lives on ``.spark``)."""
+
+    ANY = "ANY"
+    STRING = "STRING"
+    INT = "INT"
+    BOOL = "BOOL"
+    FLOAT = "FLOAT"
+    POINTER = "POINTER"
+    DATE_TIME_NAIVE = "DATE_TIME_NAIVE"
+    DATE_TIME_UTC = "DATE_TIME_UTC"
+    DURATION = "DURATION"
+    JSON = "JSON"
+    BYTES = "BYTES"
+    PY_OBJECT_WRAPPER = "PY_OBJECT_WRAPPER"
+
+    @property
+    def spark(self) -> str:
+        return _TYPE_TO_SPARK[self.name]
 
     @staticmethod
     def array(dim: int | None, wrapped: "Type") -> str:
-        return f"array<{wrapped.value}>"
+        return f"array<{wrapped.spark}>"
 
     @staticmethod
     def list(arg: "Type") -> str:
-        return f"array<{arg.value}>"
+        return f"array<{arg.spark}>"
 
     @staticmethod
     def tuple(*args: "Type") -> str:
-        fields = ", ".join(f"_{i}: {a.value}" for i, a in enumerate(args))
+        fields = ", ".join(f"_{i}: {a.spark}" for i, a in enumerate(args))
         return f"struct<{fields}>"
 
     @staticmethod
     def optional(arg: "Type") -> str:
-        return arg.value  # every Spark type is nullable
+        return arg.spark  # every Spark type is nullable
 
 
 class PersistenceMode(Enum):

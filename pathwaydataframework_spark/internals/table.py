@@ -219,7 +219,7 @@ class Table:
         """Reference table.py:2011.  Accepts Spark SQL type strings or
         ``pw.Type`` (compat.Type) members."""
         mapping = {
-            name: self._df[name].cast(getattr(t, "value", t))
+            name: self._df[name].cast(getattr(t, "spark", None) or getattr(t, "value", t))
             for name, t in dtypes.items()
         }
         return Table(self._df.withColumns(mapping), self._id_cols)

@@ -74,6 +74,10 @@ def kmeans_fit(
 ) -> tuple[DataFrame, DataFrame]:
     """Like :func:`kmeans` but also returns the final centroid table
     (cluster, centroid) — the coarse quantizer an IVF index probes."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     # referenced 2× per iteration (assignment join + centroid update) —
     # materialize once instead of re-deriving from the source every pass
     pts = df.select(
@@ -161,11 +165,14 @@ def embedding_outliers(
             _l2(F.col("_v"), F.col("centroid")).alias("dist"),
         )
     )
-    dd = d.withColumn("_dd", F.col("dist").cast("decimal(28,12)"))
+    # dist carries 6 decimals, so decimal(18,6) is lossless and the product
+    # type is decimal(37,12) — exact.  (A (28,12)x(28,12) product would be
+    # TRUNCATED by Spark to (38,6), silently losing the square's low half.)
+    dd = d.withColumn("_dd", F.col("dist").cast("decimal(18,6)"))
     stats = dd.groupBy("cluster").agg(
         (F.sum("_dd").cast("double") / F.count(F.lit(1))).alias("_mean"),
         (
-            F.sum((F.col("_dd") * F.col("_dd")).cast("decimal(28,12)")).cast("double")
+            F.sum(F.col("_dd") * F.col("_dd")).cast("double")
             / F.count(F.lit(1))
         ).alias("_m2"),
     )

@@ -198,6 +198,11 @@ def mix_datasets(
     if unknown:
         # a typo'd rate key would otherwise silently leave its source at 1.0
         raise ValueError(f"rates for unknown sources: {sorted(unknown)}")
+    for name, r in rates.items():
+        # a negative rate would silently drop its source (0 copies + a
+        # never-true fractional test); NaN likewise slips every branch
+        if not (r == r) or r < 0:
+            raise ValueError(f"rate for {name!r} must be >= 0, got {r}")
     parts = []
     for name, src in sources.items():
         rate = rates.get(name, 1.0)
@@ -250,6 +255,12 @@ def quality_binned_sample(
     if list(edges) != sorted(edges):
         raise ValueError("edges must be ascending")
     s = F.col(score_col)
+    # NULL (and NaN) scores cannot be binned — exclude them, matching the
+    # NULL-key exclusion of every other sampler here (otherwise every
+    # 's < edge' WHEN falls through and NULLs land in the TOP bin)
+    df = df.filter(s.isNotNull())
+    if dict(df.dtypes).get(score_col) in ("double", "float"):
+        df = df.filter(~F.isnan(s))
     bin_expr = F.lit(len(edges))
     for i in range(len(edges) - 1, -1, -1):
         bin_expr = F.when(s < F.lit(float(edges[i])), F.lit(i)).otherwise(bin_expr)

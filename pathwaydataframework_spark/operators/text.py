@@ -388,7 +388,7 @@ def gopher_quality_flags(text: Column) -> Column:
     mwl = mean_word_length(text)
     ls = _lines(text)
     nl = F.size(ls)
-    ell = F.size(F.filter(ls, lambda l: l.endswith("...")))
+    ell = F.size(F.filter(ls, lambda l: l.endswith("...") | l.endswith("…")))
     bul = F.size(
         F.filter(
             ls,
@@ -467,7 +467,7 @@ def unigram_logprob(
     )
     # mean as an exact decimal sum of round-6 logps: partial-aggregation
     # order cannot flip the 6th decimal vs a serial oracle
-    return (
+    means = (
         words.join(F.broadcast(logp), on="term")
         .withColumn("__lp", F.round("logp", 6).cast("decimal(18,9)"))
         .groupBy("doc_id")
@@ -477,6 +477,9 @@ def unigram_logprob(
             ).alias("mean_logp")
         )
     )
+    # token-less docs never reach the groupBy — restore them with NULL so
+    # the output row universe matches the input (same as bigram_logprob)
+    return base.select("doc_id").join(means, on="doc_id", how="left")
 
 
 # -- C4-style cleaning ------------------------------------------------------
@@ -514,7 +517,12 @@ def c4_filter(
     """
     t = F.col(text_col)
     clean = c4_clean_lines(t)
-    n_sent = F.regexp_count(clean, F.lit(r'[.!?](\s|$)|["”]$')).cast("long")
+    # a sentence ends at [.!?] (optionally inside a closing quote) or a
+    # bare closing quote, followed by whitespace OR end — $ alone misses
+    # quote-terminated lines mid-document (clean joins lines with \n)
+    n_sent = F.regexp_count(
+        clean, F.lit(r'[.!?]["”]?(\s|$)|["”](\s|$)')
+    ).cast("long")
     lower = F.lower(t)
     return df.select(
         F.col(id_col),
@@ -636,7 +644,9 @@ def url_host(url: Column) -> Column:
     blocklist).  Spark's built-in parse_url runs JVM-side; bare
     'example.com/x' inputs (no scheme) are handled by prefixing '//'."""
     fixed = F.when(url.contains("://"), url).otherwise(F.concat(F.lit("http://"), url))
-    return F.lower(F.parse_url(fixed, F.lit("HOST")))
+    # try_parse_url: a malformed URL yields NULL instead of aborting the
+    # job with INVALID_URL (web-crawl url columns routinely contain garbage)
+    return F.lower(F.try_parse_url(fixed, F.lit("HOST")))
 
 
 def filter_blocked_domains(
@@ -653,13 +663,14 @@ def filter_blocked_domains(
     blocklist frame, same semantics); evaluation is one scan-side
     predicate, zero exchanges."""
     host = url_host(F.col(url_col))
-    blocked = F.lit(False)
     arr = F.array(*[F.lit(d.lower()) for d in blocklist])
     blocked = F.array_contains(arr, host)
     if keep_subdomains_blocked:
         sub = F.exists(arr, lambda d: host.endswith(F.concat(F.lit("."), d)))
         blocked = blocked | sub
-    return df.withColumn("__host", host).filter(~blocked).drop("__host")
+    # NULL/unparseable hosts cannot be on the blocklist — keep them
+    # (coalesce, else the NULL predicate silently deletes those rows)
+    return df.filter(~F.coalesce(blocked, F.lit(False)))
 
 
 def bigram_logprob(

@@ -24,6 +24,12 @@ def test_cast_to_types_accepts_type_enum(spark):
     assert dict(out.df.dtypes) == {"a": "bigint", "b": "double"}
     assert pw.Type.array(None, pw.Type.FLOAT) == "array<double>"
     assert pw.Type.optional(pw.Type.INT) == "bigint"
+    # distinct members must NOT collapse into enum aliases even when they
+    # share a Spark representation
+    assert pw.Type.POINTER is not pw.Type.INT
+    assert pw.Type.STRING is not pw.Type.ANY
+    assert len(list(pw.Type)) == 12
+    assert pw.Type.POINTER.name == "POINTER" and pw.Type.POINTER.spark == "bigint"
 
 
 def test_result_type_aliases_are_real_classes(spark):

@@ -509,3 +509,30 @@ def test_embedding_outliers_flags_planted_point(spark):
     # outlier of itself) or is flagged; the tight cluster is never flagged
     tight = [flags[i] for i in range(30)]
     assert sum(tight) <= 2  # at most the stat tail of the tight cluster
+
+
+def test_quality_binned_sample_excludes_null_and_nan_scores(spark):
+    rows = [(1, 0.1), (2, None), (3, float("nan")), (4, 0.9)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = sampling.quality_binned_sample(
+        df, "doc_id", "score", edges=[0.5], rates=[0.0, 1.0], seed=1
+    )
+    # NULL/NaN scores cannot be binned → excluded (NOT upsampled into the
+    # top bin); score 0.1 is in the rate-0 bin, 0.9 survives in bin 1
+    assert {r["doc_id"] for r in out.collect()} == {4}
+
+
+def test_mix_datasets_rejects_negative_and_nan_rates(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match=">= 0"):
+        sampling.mix_datasets({"a": df}, {"a": -0.5}, "doc_id")
+    with pytest.raises(ValueError, match=">= 0"):
+        sampling.mix_datasets({"a": df}, {"a": float("nan")}, "doc_id")
+
+
+def test_kmeans_validates_arguments(spark):
+    df = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    with pytest.raises(ValueError, match="iterations"):
+        clustering.kmeans(df, "id", "v", k=1, iterations=0)
+    with pytest.raises(ValueError, match="k must"):
+        clustering.kmeans(df, "id", "v", k=0)

@@ -429,3 +429,44 @@ class TestBigramLogprob:
         df = _docs(spark, [(1, predictable), (2, shuffled)])
         out = {r["doc_id"]: r["mean_logp"] for r in text.bigram_logprob(df).collect()}
         assert out[1] > out[2]
+
+
+class TestReviewRegressions:
+    """Pins for the r2 code-review findings (malformed URLs, NULL scores,
+    quote sentences, unicode ellipsis, empty-doc restore, validations)."""
+
+    def test_malformed_and_null_urls_survive_domain_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://ok.org/x"), (2, ":::not a url:::"), (3, None),
+             (4, "http://blocked.test/y")],
+            "id long, url string",
+        )
+        kept = sorted(
+            r["id"]
+            for r in text.filter_blocked_domains(df, blocklist=["blocked.test"]).collect()
+        )
+        # garbage and NULL urls are not on the blocklist → kept, not crashed
+        assert kept == [1, 2, 3]
+
+    def test_c4_counts_quote_terminated_sentences(self, spark):
+        t = (
+            'He said clearly "this is sentence one."\n'
+            'She replied kindly "this is sentence two."\n'
+            'They agreed together "this is sentence three."'
+        )
+        row = text.c4_filter(_docs(spark, [(1, t)])).first()
+        assert row["n_sentences"] == 3
+        assert row["kept"]
+
+    def test_gopher_unicode_ellipsis_lines(self, spark):
+        t = "line one ends …\nline two ends …\nline three ends …\nplain"
+        g = _docs(spark, [(1, t)]).select(
+            text.gopher_quality_flags(F.col("text")).alias("g")
+        ).first()["g"]
+        assert g["ellipsis_line_frac"] == pytest.approx(0.75, abs=1e-6)
+
+    def test_unigram_logprob_restores_empty_docs(self, spark):
+        df = _docs(spark, [(1, "a b a"), (2, "   ")])
+        out = {r["doc_id"]: r["mean_logp"] for r in text.unigram_logprob(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[2] is None
