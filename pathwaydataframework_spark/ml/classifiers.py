@@ -45,9 +45,16 @@ def knn_lsh_classifier_train(
         query_id_col: str = "vec_id",
         query_vec_col: str = "embedding",
     ) -> DataFrame:
+        # knn_lsh resolves the query frame against the CORPUS column names;
+        # rename so the query-side overrides actually take effect
+        q = queries
+        if query_id_col != id_col:
+            q = q.withColumnRenamed(query_id_col, id_col)
+        if query_vec_col != vec_col:
+            q = q.withColumnRenamed(query_vec_col, vec_col)
         hits = similarity.knn_lsh(
             data,
-            queries,
+            q,
             id_col=id_col,
             vec_col=vec_col,
             dim=dim,

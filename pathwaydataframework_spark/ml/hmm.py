@@ -66,8 +66,15 @@ def _viterbi(graph: HmmGraph, observations: list, beam_size: int | None = None) 
                 cand = logp + tp + graph.emission[succ](obs)
                 if succ not in nxt or cand > nxt[succ][0]:
                     nxt[succ] = (cand, path + (succ,))
-        if not nxt:  # dead end: restart from emissions alone
-            nxt = {s: (graph.emission[s](obs), (s,)) for s in graph.emission}
+        if not nxt:  # dead end (absorbing state): restart from emissions,
+            # EXTENDING the best prior path so the state sequence keeps one
+            # entry per observation (a reset-to-length-1 path would make
+            # the decode shorter than the input and crash the reassembly)
+            best_prev = max(scores.values(), key=lambda v: v[0])[1]
+            nxt = {
+                s: (graph.emission[s](obs), best_prev + (s,))
+                for s in graph.emission
+            }
         if beam_size is not None and len(nxt) > beam_size:
             nxt = dict(sorted(nxt.items(), key=lambda kv: -kv[1][0])[:beam_size])
         scores = nxt
@@ -120,7 +127,15 @@ def create_hmm_reducer(graph, beam_size: int | None = None,
     g = _as_hmm_graph(graph)
 
     def combine(state, rows):
-        obs = list(state) if state else []
+        if state is not None:
+            # the fold's result is the decoded label, which cannot be
+            # re-folded as observations (it would explode into characters)
+            raise ValueError(
+                "create_hmm_reducer supports single-shot batch folding "
+                "only; for incremental / per-chunk decoding use "
+                "viterbi_decode, which re-decodes the sorted sequence"
+            )
+        obs = []
         obs.extend(r[0] for r in rows)
         path = _viterbi(g, obs, beam_size)
         if num_results_kept is not None:

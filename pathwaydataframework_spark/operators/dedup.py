@@ -73,7 +73,8 @@ def deduplicate(table: Table, *, value=None, instance=None, acceptor=None) -> Ta
 
 def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
     """Exact deduplication by content column(s): keeps the first row per key
-    (ordered by ``keep_order_by``, default = first key column).
+    (ordered by ``keep_order_by``; default = the deterministic row-id hash,
+    so the survivor is stable across runs and partitionings).
 
     One window over the content key — single shuffle, no UDFs.
 
@@ -85,7 +86,12 @@ def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
     [(1, 'x'), (3, 'y')]
     """
     keys = [table._resolve(c) for c in on]
-    order = table._resolve(keep_order_by) if keep_order_by is not None else keys[0]
+    # default order must NOT be the partition key (constant within each
+    # partition → nondeterministic survivor); the row-id hash is a total
+    # order, so the kept row is stable across runs and partitionings
+    order = (
+        table._resolve(keep_order_by) if keep_order_by is not None else table.id_expr()
+    )
     w = W.partitionBy(*keys).orderBy(order.asc())
     out = (
         table._df.withColumn("__pw_rn", F.row_number().over(w))

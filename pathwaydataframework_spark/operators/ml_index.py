@@ -62,6 +62,12 @@ class KNNIndex:
                 exclude_self=False,
             )
         if self._method == "lsh":
+            # knn_lsh resolves queries against the index's column names —
+            # apply the query-side overrides by renaming first
+            if query_id_col and query_id_col != self._id_col:
+                queries = queries.withColumnRenamed(query_id_col, self._id_col)
+            if query_vec_col and query_vec_col != self._vec_col:
+                queries = queries.withColumnRenamed(query_vec_col, self._vec_col)
             return similarity.knn_lsh(
                 self._data,
                 queries,
@@ -175,7 +181,12 @@ class HybridIndex:
                 r = idx.query(queries, k=k, **kwargs)
                 r = r.select("query_id", F.col("doc_id").alias("item_id"), "rank")
             else:
-                r = idx.get_nearest_items(queries, k=k)
+                r = idx.get_nearest_items(
+                    queries,
+                    k=k,
+                    query_id_col=kwargs.get("query_id_col"),
+                    query_vec_col=kwargs.get("query_vec_col"),
+                )
                 r = r.select(
                     F.col("query_id"), F.col("neighbor_id").alias("item_id"), "rank"
                 )
@@ -351,9 +362,10 @@ class SortedIndex(dict):
 
 def sort_from_index(index: DataFrame, oracle=None) -> DataFrame:
     """Reference sorting.py:137 — derive prev/next pointers from the index;
-    ours already carries them (the rank layout IS the sorted order)."""
-    df = index.df if isinstance(index, _Table) else index
-    return df.select("prev", "next", *[c for c in df.columns if c in ("key", "instance", "rank")])
+    ours already carries them (the rank layout IS the sorted order), so
+    every column rides through regardless of the key/instance names the
+    index was built with."""
+    return index.df if isinstance(index, _Table) else index
 
 
 # reference exports retrieve_prev_next_values from indexing too

@@ -64,8 +64,28 @@ class fs:
         return Table(df)
 
     @staticmethod
-    def write(table: Table, path: str, *, format: str = "csv", mode: str = "overwrite", **options: Any) -> None:
+    def write(table: Table, path: str, *, format: str = "csv", mode: str = "overwrite", **options: Any):
+        """Batch tables save with ``df.write``; STREAMING tables lower to
+        ``writeStream`` (append mode, checkpoint under <path>/_checkpoints
+        unless ``checkpointLocation`` is passed) and return the
+        StreamingQuery.  ``mode`` is the batch save-mode and is ignored for
+        streams (append is the only file-sink mode)."""
         fmt = _FORMAT_BY_KIND.get(format, format)
+        if table.df.isStreaming:
+            w = (
+                table.df.writeStream.format(fmt)
+                .outputMode("append")
+                .option("path", path)
+                .option(
+                    "checkpointLocation",
+                    options.pop("checkpointLocation", path.rstrip("/") + "/_checkpoints"),
+                )
+            )
+            if fmt == "csv":
+                w = w.option("header", "true")
+            for k, v in options.items():
+                w = w.option(k, v)
+            return w.start()
         w = table.df.write.format(fmt).mode(mode)
         if fmt == "csv":
             w = w.option("header", "true")
@@ -84,8 +104,8 @@ class csv:
         return fs.read(spark, path, format="csv", schema=schema, mode=mode, **opts)
 
     @staticmethod
-    def write(table: Table, path: str, **opts) -> None:
-        fs.write(table, path, format="csv", **opts)
+    def write(table: Table, path: str, **opts):
+        return fs.write(table, path, format="csv", **opts)
 
 
 class jsonlines:
@@ -96,8 +116,8 @@ class jsonlines:
         return fs.read(spark, path, format="jsonlines", schema=schema, mode=mode, **opts)
 
     @staticmethod
-    def write(table: Table, path: str, **opts) -> None:
-        fs.write(table, path, format="jsonlines", **opts)
+    def write(table: Table, path: str, **opts):
+        return fs.write(table, path, format="jsonlines", **opts)
 
 
 class plaintext:
@@ -114,8 +134,8 @@ class parquet:
         return fs.read(spark, path, format="parquet", mode=mode, **opts)
 
     @staticmethod
-    def write(table: Table, path: str, **opts) -> None:
-        fs.write(table, path, format="parquet", **opts)
+    def write(table: Table, path: str, **opts):
+        return fs.write(table, path, format="parquet", **opts)
 
 
 class kafka:
@@ -151,10 +171,25 @@ class kafka:
 
     @staticmethod
     def write(table: Table, brokers: str, topic: str, **options: Any) -> Any:
+        if not table.df.isStreaming:
+            w = (
+                table.df.write.format("kafka")
+                .option("kafka.bootstrap.servers", brokers)
+                .option("topic", topic)
+            )
+            for k, v in options.items():
+                w = w.option(k, v)
+            return w.save()
+        import tempfile
+
+        checkpoint = options.pop(
+            "checkpointLocation", tempfile.mkdtemp(prefix="pw_kafka_sink_")
+        )
         w = (
             table.df.writeStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("topic", topic)
+            .option("checkpointLocation", checkpoint)
         )
         for k, v in options.items():
             w = w.option(k, v)
@@ -199,14 +234,16 @@ class null:
         table.df.write.format("noop").mode("overwrite").save()
 
 
-def subscribe(table: Table, on_change, mode: str = "batch"):
+def subscribe(table: Table, on_change, mode: str = "batch", *, drain_available: bool = False):
     """Per-row callback sink — reference io/_subscribe.py:13.
 
     Batch: foreach over the final rows (diff=+1, single time).  Streaming:
     ``writeStream.foreach`` — ``on_change`` runs ON THE EXECUTORS (it must
     be picklable and side-effect through shared storage or a service, not
     driver memory), which is what keeps the sink distributed at scale.
-    Returns the StreamingQuery in streaming mode.
+    Returns the StreamingQuery in streaming mode.  A live subscription
+    runs continuously (micro-batch trigger); pass ``drain_available=True``
+    to process what exists and stop (tests, backfills).
     """
     if mode == "batch":
         for row in table.df.toLocalIterator():
@@ -216,11 +253,10 @@ def subscribe(table: Table, on_change, mode: str = "batch"):
     def _fn(row):
         on_change(key=None, row=row.asDict(), time=0, is_addition=True)
 
-    return (
-        table.df.writeStream.foreach(_fn)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = table.df.writeStream.foreach(_fn)
+    if drain_available:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 class debug:
@@ -838,8 +874,8 @@ class orc:
         return fs.read(spark, path, format="orc", mode=mode, **opts)
 
     @staticmethod
-    def write(table: Table, path: str, **opts) -> None:
-        fs.write(table, path, format="orc", **opts)
+    def write(table: Table, path: str, **opts):
+        return fs.write(table, path, format="orc", **opts)
 
 
 class avro:
@@ -853,5 +889,5 @@ class avro:
         return fs.read(spark, path, format="avro", mode=mode, **opts)
 
     @staticmethod
-    def write(table: Table, path: str, **opts) -> None:
-        fs.write(table, path, format="avro", **opts)
+    def write(table: Table, path: str, **opts):
+        return fs.write(table, path, format="avro", **opts)

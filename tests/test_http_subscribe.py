@@ -60,7 +60,9 @@ def test_subscribe_streaming_foreach(spark, tmp_path):
         with open(path, "w") as f:
             json.dump(row, f)
 
-    q = sources.subscribe(Table(stream), on_change, mode="streaming")
+    q = sources.subscribe(
+        Table(stream), on_change, mode="streaming", drain_available=True
+    )
     q.awaitTermination(120)
     rows = []
     for name in os.listdir(out_dir):

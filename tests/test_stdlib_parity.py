@@ -131,3 +131,80 @@ def test_argmax_argmin_rows(spark):
 
 def test_stateful_exports_deduplicate(spark):
     assert pw.stateful.deduplicate is pw.dedup.deduplicate
+
+
+def test_viterbi_survives_absorbing_state(spark):
+    # a state with no outgoing transitions dead-ends the beam; the decode
+    # must still return one state per observation (review regression)
+    g = (
+        pw.ml.hmm.HmmGraph()
+        .add_state("GO", lambda o: 0.0, start=True)
+        .add_state("END", lambda o: -0.1)
+        .add_transition("GO", "END", -0.5)
+        # END has NO outgoing edges
+    )
+    df = spark.createDataFrame(
+        [(1, t, "x") for t in range(4)], "k long, t long, observation string"
+    )
+    out = pw.ml.hmm.viterbi_decode(df, g, group_col="k", time_col="t", obs_col="observation")
+    states = [r["state"] for r in out.orderBy("t").collect()]
+    assert len(states) == 4  # one per observation, no crash
+
+
+def test_hmm_reducer_rejects_incremental_fold(spark):
+    import pytest as _pt
+
+    g = pw.ml.hmm.HmmGraph().add_state("S", lambda o: 0.0, start=True)
+    combine = pw.ml.hmm.create_hmm_reducer(g)
+    assert combine(None, [["a"], ["b"]]) == "S"
+    with _pt.raises(ValueError, match="single-shot"):
+        combine("S", [["c"]])
+
+
+def test_classifier_honors_query_column_names(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = [(i, (rng.randn(4) * 0.05 + 1.0).tolist(), "pos") for i in range(10)]
+    rows += [(i + 10, (rng.randn(4) * 0.05 - 1.0).tolist(), "neg") for i in range(10)]
+    data = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    classify = pw.ml.classifiers.knn_lsh_classifier_train(data, dim=4, bits=8, bands=4)
+    queries = spark.createDataFrame(
+        [(7, [1.0] * 4)], "qid long, emb array<double>"
+    )
+    out = classify(queries, k=3, query_id_col="qid", query_vec_col="emb").collect()
+    assert out[0]["predicted_label"] == "pos"
+
+
+def test_sort_from_index_keeps_custom_key_columns(spark):
+    nodes = spark.createDataFrame([(5,), (1,), (9,)], "ts long")
+    si = pw.indexing.build_sorted_index(nodes, key_col="ts")
+    nav = pw.indexing.sort_from_index(si["index"])
+    assert "ts" in nav.columns and {"prev", "next"} <= set(nav.columns)
+
+
+def test_exact_dedup_default_survivor_is_deterministic(spark):
+    from pathwaydataframework_spark.operators import dedup as dedup_ops
+
+    t = pw.Table.from_rows(
+        spark, [(i, "same") for i in range(50)], "id long, body string"
+    )
+    a = {r["id"] for r in dedup_ops.exact_dedup(t, pw.this.body).df.collect()}
+    b = {
+        r["id"]
+        for r in dedup_ops.exact_dedup(
+            pw.Table(t.df.repartition(7)), pw.this.body
+        ).df.collect()
+    }
+    assert a == b and len(a) == 1  # survivor stable across partitionings
+
+
+def test_fs_write_streaming_table(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(src)
+    stream = spark.readStream.schema("k long, v string").parquet(src)
+    q = pw.io.parquet.write(pw.Table(stream), out)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 2
