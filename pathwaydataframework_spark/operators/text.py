@@ -454,32 +454,38 @@ def unigram_logprob(
 
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
-        tokens(F.lower(F.trim(F.col(text_col)))).alias("__toks"),
+        F.filter(
+            tokens(F.lower(F.trim(F.col(text_col)))), lambda t: F.length(t) > 0
+        ).alias("__toks"),
     )
-    words = base.select(
-        "doc_id", F.explode("__toks").alias("term")
-    ).filter(F.length("term") > 0)
-    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # explode_outer keeps token-less docs in the stream as a NULL-term row,
+    # so the output row universe matches the input WITHOUT a restore join
+    # (a doc_id-keyed left join would be a corpus-scale SortMergeJoin)
+    words = base.select("doc_id", F.explode_outer("__toks").alias("term"))
+    vocab = (
+        words.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     vocab = vocab.localCheckpoint(eager=True)
     total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
     logp = vocab.select(
         "term", F.log(F.col("cnt") / F.lit(float(total))).alias("logp")
     )
     # mean as an exact decimal sum of round-6 logps: partial-aggregation
-    # order cannot flip the 6th decimal vs a serial oracle
-    means = (
-        words.join(F.broadcast(logp), on="term")
+    # order cannot flip the 6th decimal vs a serial oracle.  NULL-term rows
+    # contribute nothing to sum/count; their doc yields a NULL mean.
+    return (
+        words.join(F.broadcast(logp), on="term", how="left")
         .withColumn("__lp", F.round("logp", 6).cast("decimal(18,9)"))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
+            F.when(
+                F.count("__lp") > 0,
+                F.round(F.sum("__lp").cast("double") / F.count("__lp"), 6),
             ).alias("mean_logp")
         )
     )
-    # token-less docs never reach the groupBy — restore them with NULL so
-    # the output row universe matches the input (same as bigram_logprob)
-    return base.select("doc_id").join(means, on="doc_id", how="left")
 
 
 # -- C4-style cleaning ------------------------------------------------------
