@@ -2356,6 +2356,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(
                        raw,
                            '(?s)```.*?```', ' ', 'g'),
                            '`([^`]*)`', '\1', 'g'),
@@ -2364,7 +2365,8 @@ def oracle_sql() -> dict[str, str]:
                            '(?m)^#{1,6}[ \t]*', '', 'g'),
                            '(?m)^[-*+][ \t]+', '', 'g'),
                            '(?m)^>[ \t]?', '', 'g'),
-                           '[*_]{1,3}', '', 'g') AS s
+                           '(^|[\s(\[{])[*_]{1,3}', '\1', 'g'),
+                           '[*_]{1,3}([\s)\]}.,;:!?]|$)', '\1', 'g') AS s
                 FROM wrapped WHERE kind = 1
             ), cleaned AS (
                 SELECT doc_id, s FROM html

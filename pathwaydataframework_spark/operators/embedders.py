@@ -32,7 +32,12 @@ def hashing_embedding(text: Column, *, dim: int = 64) -> Column:
     >>> (len(v), sum(v))
     (8, 3.0)
     """
-    toks = tokens(F.lower(text))
+    # coalesce + empty-token filter: NULL text and ''/' ' must embed as the
+    # ZERO vector (split('') yields [''], which would otherwise put phantom
+    # unit mass in one bucket and make every empty doc a near-duplicate)
+    toks = F.filter(
+        tokens(F.lower(F.coalesce(text, F.lit("")))), lambda t: F.length(t) > 0
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.size(

@@ -58,7 +58,9 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     is_wav = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
         F.substring(d, 9, 4) == F.lit(b"WAVE")
     )
-    is_png = F.substring(d, 2, 3) == F.lit(b"PNG")
+    # the full 4-byte prefix including the discriminating \x89 — matching
+    # only bytes 2-4 would tag any blob with 'PNG' at offset 1 as an image
+    is_png = F.substring(d, 1, 4) == F.lit(b"\x89PNG")
     is_bmp = F.substring(d, 1, 2) == F.lit(b"BM")
     is_gif = F.substring(d, 1, 4) == F.lit(b"GIF8")
     byte_rate = _uint(d, 29, 4, little_endian=True)
@@ -106,10 +108,26 @@ def wav_features(data: bytes) -> list[float]:
     import numpy as np
 
     with wave.open(io.BytesIO(data)) as w:
-        n, sr = w.getnframes(), w.getframerate()
+        n, sr, width = w.getnframes(), w.getframerate(), w.getsampwidth()
         raw = w.readframes(n)
-    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
-    if x.size == 0:
+    # dtype follows the container's sample width — hardcoding int16 would
+    # crash (odd buffer) or silently pair 8-bit samples into garbage
+    if width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype=np.int32).astype(np.float64) / 2147483648.0
+    else:  # 24-bit and exotic widths: no numpy dtype — widen from bytes
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (b.size // width) * width].reshape(-1, width)
+        acc = np.zeros(b.shape[0], dtype=np.int64)
+        for i in range(width):
+            acc |= b[:, i].astype(np.int64) << (8 * i)
+        sign = 1 << (8 * width - 1)
+        acc = np.where(acc >= sign, acc - (sign << 1), acc)
+        x = acc.astype(np.float64) / float(sign)
+    if x.size == 0 or sr == 0:
         return [0.0, 0.0, 0.0, 0.0]
     return [
         n / sr,
@@ -138,7 +156,8 @@ def extract_features(
     mapInPandas (one Python crossing per batch; partition-parallel).
     Pass ``decoder=wav_features`` (feature_dim=4) for real PCM audio."""
     decoder = decoder or _default_image_decoder
-    out_schema = f"{id_col} long, features array<double>"
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, features array<double>"
 
     def _mapper(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -164,7 +183,9 @@ def frame_sample(
     (media_id, frame_idx, frame_bytes) — is what a downstream image
     pipeline consumes.
     """
-    out_schema = f"{id_col} long, frame_idx int, frame_bytes binary"
+    out_schema = (
+        f"{id_col} {dict(df.dtypes)[id_col]}, frame_idx int, frame_bytes binary"
+    )
 
     def _mapper(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -235,7 +256,7 @@ def resize_images(
     """Image resize stage: REAL kernel for P6 PPM (numpy nearest-neighbor);
     codec-bound formats raise NotImplementedError through the same
     mapInPandas plumbing — swap the kernel, keep the plan."""
-    out_schema = f"{id_col} long, resized binary"
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, resized binary"
 
     def _mapper(batches: Iterator) -> Iterator:
         import pandas as pd

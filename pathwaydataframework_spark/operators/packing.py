@@ -59,9 +59,13 @@ def pack_by_offset(
     # explicit exclusive ROWS frame: the default RANGE frame treats rows
     # with equal ids as peers and hands them the SAME cumulative sum —
     # overlapping offsets if ids ever duplicate
+    # duplicate ids would leave the intra-tie order undefined and the
+    # ROWS-frame cumsum nondeterministic; the token count as a second key
+    # makes the layout stable (rows identical in BOTH id and count are
+    # interchangeable — same offset multiset either way)
     w = (
         W.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(id_col, token_count_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))

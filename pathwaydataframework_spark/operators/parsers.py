@@ -43,7 +43,11 @@ _MD_RULES: list[tuple[str, str]] = [
     (r"(?m)^#{1,6}[ \t]*", ""),         # headers
     (r"(?m)^[-*+][ \t]+", ""),          # list bullets
     (r"(?m)^>[ \t]?", ""),              # blockquotes
-    (r"[*_]{1,3}", ""),                 # emphasis
+    # emphasis markers only at token boundaries — a bare [*_]{1,3} would
+    # corrupt snake_case identifiers and inline arithmetic (my_var, 2*3);
+    # boundary-anchored via capture groups (RE2-portable: no lookaround)
+    (r"(^|[\s(\[{])[*_]{1,3}", "$1"),
+    (r"[*_]{1,3}([\s)\]}.,;:!?]|$)", "$1"),
 ]
 
 

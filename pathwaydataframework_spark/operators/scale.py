@@ -39,10 +39,23 @@ def salted_join(
     Use when: one side has heavy key skew AND the other side is too big to
     broadcast but small enough to replicate ``salt``×.
     """
+    # replicating the build side is only correct when unmatched/matched
+    # BUILD rows are never emitted on their own: a right/full outer would
+    # emit each build replica (salt copies of unmatched keys, salt-1
+    # spurious null-padded rows for matched ones)
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, got {how!r} "
+            "(build-side replication would duplicate right/full-outer rows)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
+    # salt from a per-row counter, NOT a hash of the row's values: skew
+    # usually IS duplicated rows, and hashing identical rows would land
+    # them all on one salt, defeating the spread.  The assignment is
+    # run-dependent but the join RESULT is salt-invariant.
     probe_s = probe.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[probe[c] for c in probe.columns]), F.lit(salt)).cast("int"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
     )
     build_s = build.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
@@ -59,8 +72,10 @@ def salted_groupby_count(
     already does this per-partition; explicit salting additionally bounds
     the *reduce*-side partition for a hot key."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # per-row counter salt (see salted_join): identical hot-key rows must
+    # spread across salts, which a value hash cannot do
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[df[c] for c in df.columns]), F.lit(salt))
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
     )
     partial = salted.groupBy(*keys, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(*keys).agg(F.sum("__c").alias("n"))

@@ -48,6 +48,13 @@ def token_chunks(
     NULL or empty/whitespace-only text yields an EMPTY chunk array (no
     chunk rows after explode), consistent with ``text.token_count`` = 0.
     """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if min_tokens < 0:
+        raise ValueError(f"min_tokens must be >= 0, got {min_tokens}")
+    # coalesce: NULL text must yield the EMPTY array the docstring promises
+    # (a NULL would propagate through every branch and drop the doc)
+    text = F.coalesce(text, F.lit(""))
     toks = tokens(text)
     n = token_count(text).cast("int")
     k_raw = F.ceil(n / F.lit(max_tokens)).cast("int")

@@ -58,3 +58,32 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS bk_a")
     spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from pathwaydataframework_spark.operators import scale
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="inner/left"):
+        scale.salted_join(a, b, "k", how="full")
+    with pytest.raises(ValueError, match="inner/left"):
+        scale.salted_join(a, b, "k", how="right")
+
+
+def test_salted_groupby_spreads_duplicate_rows(spark):
+    from pathwaydataframework_spark.operators import scale
+
+    # a key-only frame: every hot-key row is byte-identical, the exact
+    # case a value-hash salt cannot spread (review regression)
+    df = spark.createDataFrame([("hot",)] * 200 + [("cold",)] * 3, "k string")
+    out = {r["k"]: r["n"] for r in scale.salted_groupby_count(df, "k", salt=8).collect()}
+    assert out == {"hot": 200, "cold": 3}
+    salted = df.withColumn(
+        "__salt",
+        __import__("pyspark.sql.functions", fromlist=["F"]).pmod(
+            __import__("pyspark.sql.functions", fromlist=["F"]).monotonically_increasing_id(), 8
+        ),
+    )
+    n_salts = salted.filter("k = 'hot'").select("__salt").distinct().count()
+    assert n_salts > 1  # duplicates actually spread across salts

@@ -186,3 +186,41 @@ def test_bmp_negative_height_topdown(spark):
     media = spark.createDataFrame([(1, bmp)], "media_id long, data binary")
     meta = multimodal.attach_media_meta(media).first()["media_meta"]
     assert (meta["width"], meta["height"]) == (320, 240)  # |biHeight|
+
+
+def test_wav_feature_kernel_8bit(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    import pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM — previously crashed/garbage
+        w.setframerate(8000)
+        samples = (np.sin(np.linspace(0, 20, 801)) * 100 + 128).astype(np.uint8)
+        w.writeframes(samples.tobytes())  # odd count: int16 view would crash
+    feats = multimodal.wav_features(buf.getvalue())
+    assert feats[0] == pytest.approx(801 / 8000, abs=1e-6)
+    assert 0 < feats[1] < 1 and 0 < feats[2] <= 1
+
+
+def test_media_sniffer_requires_png_signature_byte(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xPNGyyyyyyyyyyyyyyyyyyyyyyyyyyy"))], "media_id long, data binary"
+    )
+    out = multimodal.attach_media_meta(df).first()
+    assert out["media_meta"]["media_type"] != "image"  # missing \x89 first byte
+
+
+def test_extract_features_string_id_column(spark):
+    from pathwaydataframework_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [("doc-a", bytearray(b"abc"))], "media_id string, data binary"
+    )
+    out = multimodal.extract_features(df).collect()
+    assert out[0]["media_id"] == "doc-a" and len(out[0]["features"]) == 8
