@@ -70,9 +70,9 @@ class StringNamespace:
         # Non-overlapping occurrence count (Python str.count semantics),
         # computed JVM-side without regex escaping issues.
         return FuncExpr(
-            lambda a, s: ((F.length(a) - F.length(F.replace(a, s, F.lit("")))) / F.length(s)).cast(
-                "long"
-            ),
+            lambda a, s: F.when(F.length(s) == 0, F.lit(0)).otherwise(
+                (F.length(a) - F.length(F.replace(a, s, F.lit("")))) / F.length(s)
+            ).cast("long"),
             self._e,
             lift(sub),
         )
@@ -109,10 +109,13 @@ class StringNamespace:
         )
 
     def parse_int(self):
-        return UnaryOp(self._e, lambda a: a.cast("long"))
+        # try_cast: malformed input yields NULL (the engine's error
+        # channel) — a plain cast under Spark 4's default ANSI mode would
+        # abort the whole job with CAST_INVALID_INPUT
+        return UnaryOp(self._e, lambda a: a.try_cast("long"))
 
     def parse_float(self):
-        return UnaryOp(self._e, lambda a: a.cast("double"))
+        return UnaryOp(self._e, lambda a: a.try_cast("double"))
 
     def parse_bool(self):
         return UnaryOp(self._e, lambda a: F.lower(a).isin("true", "1", "yes", "on"))
@@ -252,23 +255,27 @@ class DateTimeNamespace:
 
     def round(self, duration: str):
         unit = _duration_to_trunc_unit(duration)
-        half = _duration_to_seconds(duration) / 2
+        micros = max(int(round(_duration_to_seconds(duration) * 1_000_000)), 1)
+        half = micros // 2
         return UnaryOp(
             self._e,
-            lambda a: F.timestamp_seconds(
-                ((F.unix_micros(a.cast("timestamp")) / 1e6 + half) / _duration_to_seconds(duration)).cast("long")
-                * int(_duration_to_seconds(duration))
+            lambda a: F.timestamp_micros(
+                F.floor((F.unix_micros(a.cast("timestamp")) + F.lit(half)) / F.lit(micros)).cast("long")
+                * F.lit(micros)
             )
             if unit is None
-            else F.date_trunc(unit, F.timestamp_seconds(F.unix_micros(a.cast("timestamp")) / 1e6 + half)),
+            else F.date_trunc(unit, F.timestamp_micros(F.unix_micros(a.cast("timestamp")) + F.lit(half))),
         )
 
     def floor(self, duration: str):
-        secs = _duration_to_seconds(duration)
+        # integer-microsecond arithmetic: int(secs) floored sub-second
+        # durations to 0 and collapsed every timestamp to the epoch
+        micros = max(int(round(_duration_to_seconds(duration) * 1_000_000)), 1)
         return UnaryOp(
             self._e,
-            lambda a: F.timestamp_seconds(
-                F.floor(F.unix_micros(a.cast("timestamp")) / 1e6 / secs) * int(secs)
+            lambda a: F.timestamp_micros(
+                F.floor(F.unix_micros(a.cast("timestamp")) / F.lit(micros)).cast("long")
+                * F.lit(micros)
             ),
         )
 

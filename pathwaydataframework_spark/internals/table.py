@@ -163,6 +163,12 @@ class Table:
                 raise TypeError("positional select args must be column refs")
         for name, e in kwargs.items():
             cols.append(self._resolve(e).alias(name))
+        # NB: ids here are VALUE-derived (lazy xxhash64 of the id-defining
+        # columns — module docstring): a projection that drops those
+        # columns re-keys the result by the remaining ones.  To keep the
+        # original identity through a narrowing projection, select the id
+        # columns too, or pin it first with ``materialize_id()`` /
+        # ``with_id_from`` and keep that column in the projection.
         return Table(self._df.select(*cols))
 
     def with_columns(self, **kwargs) -> "Table":
@@ -192,7 +198,15 @@ class Table:
     def without(self, *cols) -> "Table":
         """Reference ``Table.without`` (table.py:1921)."""
         names = [self._resolve_name(c) for c in cols]
-        return Table(self._df.drop(*names), self._id_cols)
+        df = self._df
+        id_cols = self._id_cols
+        if id_cols and any(n in id_cols for n in names):
+            # dropping an id-defining column must not silently rekey the
+            # table — pin the id first
+            if ID_COL not in df.columns:
+                df = df.withColumn(ID_COL, self.id_expr())
+            id_cols = None
+        return Table(df.drop(*names), id_cols)
 
     def rename_columns(self, **kwargs) -> "Table":
         """new_name=old_ref — reference table.py:1763."""
@@ -200,9 +214,13 @@ class Table:
         return Table(self._df.withColumnsRenamed(mapping), self._id_cols)
 
     def rename_by_dict(self, mapping: dict) -> "Table":
-        """old→new — reference table.py:1816."""
+        """old→new — reference table.py:1816.  Id-defining column names are
+        remapped alongside, so id_expr keeps resolving after the rename."""
         m = {self._resolve_name(k): v for k, v in mapping.items()}
-        return Table(self._df.withColumnsRenamed(m), self._id_cols)
+        id_cols = (
+            tuple(m.get(c, c) for c in self._id_cols) if self._id_cols else None
+        )
+        return Table(self._df.withColumnsRenamed(m), id_cols)
 
     def rename(self, names_mapping: dict | None = None, **kwargs) -> "Table":
         if names_mapping:

@@ -256,6 +256,8 @@ class WindowedTable:
             raise ValueError("intervals_over(at=...) must reference a table column")
         lb = duration_to_seconds(win.lower_bound)
         ub = duration_to_seconds(win.upper_bound)
+        if ub < lb:
+            raise ValueError("intervals_over: upper_bound < lower_bound")
         probes = probe_table._df.select(
             probe_table._resolve(at).alias("_pw_window")
         ).distinct()
@@ -263,7 +265,9 @@ class WindowedTable:
         t = self._table
         tcol = _epoch_seconds(t._resolve(self._time))
         data = t._df.withColumn("__pw_t", tcol)
-        width = max(ub - lb, 1e-9)
+        # same degenerate-band hazard as interval_join: floor the bucket
+        # width at 1 second (any width >= the span is correct)
+        width = max(ub - lb, 1.0)
         probes = probes.withColumn("__pw_p", _epoch_seconds(F.col("_pw_window")))
         probes = probes.withColumn(
             "__pw_bucket",
@@ -281,12 +285,26 @@ class WindowedTable:
         )
         from pathwaydataframework_spark.internals.groupbys import GroupedContext
 
+        # honor windowby(instance=...): aggregate per (probe window,
+        # instance) — silently mixing instances was a review finding
+        group_keys = ["_pw_window"]
+        if self._instance is not None:
+            inst_name = (
+                self._instance.name
+                if isinstance(self._instance, ColumnRef)
+                else str(self._instance)
+            )
+            group_keys.append(inst_name)
         jt = Table(joined)
         ctx = GroupedContext(jt)
         agg_cols = [lift(e)._resolve(ctx).alias(name) for name, e in aggs.items()]
-        out = joined.groupBy("_pw_window").agg(*agg_cols)
+        out = joined.groupBy(*group_keys).agg(*agg_cols)
         if win.is_outer:
-            out = probes.select("_pw_window").distinct().join(out, on="_pw_window", how="left")
+            pad_keys = probes.select("_pw_window").distinct()
+            if len(group_keys) > 1:
+                insts = joined.select(*group_keys[1:]).distinct()
+                pad_keys = pad_keys.crossJoin(insts)
+            out = pad_keys.join(out, on=group_keys, how="left")
         return Table(out)
 
 
@@ -476,7 +494,37 @@ def asof_join(
     )
     if how == "inner":
         out = out.filter(F.col("__r").isNotNull())
+    elif how == "right":
+        # reference JoinMode.RIGHT: matched pairs + right rows no left row
+        # matched, padded with a NULL left (the match RULE is unchanged)
+        out = out.filter(F.col("__r").isNotNull())
+        out = out.unionByName(_asof_unmatched_right(out, rdf))
+    elif how in ("outer", "full"):
+        out = out.unionByName(_asof_unmatched_right(out, rdf))
+    elif how != "left":
+        raise ValueError(f"unknown how={how!r}")
     return TemporalJoinResult(out, left_table, right_table)
+
+
+def _asof_unmatched_right(pairs_out, rdf):
+    """Right rows never selected as any left row's match, as (__l=NULL,
+    __r) rows — anti-join on the 8-byte row hash of the matched __r."""
+    used = (
+        pairs_out.filter(F.col("__r").isNotNull())
+        .select(F.col("__r.*"))
+    )
+    used_ids = used.select(_row_hash(used).alias("__rid")).distinct()
+    all_right = rdf.select(
+        F.struct(*[rdf[c] for c in rdf.columns]).alias("__r"),
+        _row_hash(rdf).alias("__rid"),
+    )
+    return (
+        all_right.join(used_ids, on="__rid", how="left_anti")
+        .select(
+            F.lit(None).cast(pairs_out.schema["__l"].dataType).alias("__l"),
+            "__r",
+        )
+    )
 
 
 def _asof_nearest(
@@ -558,6 +606,16 @@ def _asof_nearest(
     return TemporalJoinResult(out, left_table, right_table)
 
 
+def _row_hash(df):
+    """8-byte row id for narrow anti-join padding: xxhash64 over every
+    column interleaved with its isnull flag (hash fns SKIP nulls, so
+    (1, NULL) and (NULL, 1) would otherwise collide)."""
+    parts = []
+    for c in df.columns:
+        parts.extend([df[c], F.isnull(df[c])])
+    return F.xxhash64(*parts)
+
+
 # -- interval join ----------------------------------------------------------
 
 
@@ -582,7 +640,12 @@ def interval_join(
     ub = duration_to_seconds(band.upper_bound) if not isinstance(band.upper_bound, (int, float)) else float(band.upper_bound)
     if ub < lb:
         raise ValueError("upper_bound < lower_bound")
-    width = max(ub - lb, 1e-9)
+    # a degenerate (point) band must NOT shrink the bucket width to ~1e-9:
+    # epoch-seconds / 1e-9 ≈ 1e18 exceeds double's 2^53 integer range and
+    # 1-ulp differences land equal instants hundreds of buckets apart.
+    # Any width >= the band span is correct (the band filter is exact);
+    # floor at 1 second.
+    width = max(ub - lb, 1.0)
 
     pairs = _extract_eq_keys(left_table, right_table, on)
     ldf = left_table._df
@@ -599,15 +662,12 @@ def interval_join(
     # would collide; interleaving an isnull flag per column keeps the
     # null positions in the hashed stream.  Inner joins never anti-join,
     # so they skip the id column entirely.
-    outer = how in ("left", "outer", "full")
+    pad_left = how in ("left", "outer", "full")
+    pad_right = how in ("right", "outer", "full")
+    if how not in ("inner", "left", "right", "outer", "full"):
+        raise ValueError(f"unknown how={how!r}")
 
-    def _row_id(df):
-        parts = []
-        for c in df.columns:
-            parts.extend([df[c], F.isnull(df[c])])
-        return F.xxhash64(*parts)
-
-    lid_cols = [_row_id(ldf).alias("__lid")] if outer else []
+    lid_cols = [_row_hash(ldf).alias("__lid")] if pad_left else []
     lprep = ldf.select(
         l_struct.alias("__l"),
         *lid_cols,
@@ -622,8 +682,10 @@ def interval_join(
             )
         ),
     )
+    rid_cols = [_row_hash(rdf).alias("__rid")] if pad_right else []
     rprep = rdf.select(
         r_struct.alias("__r"),
+        *rid_cols,
         rt.alias("__rt"),
         *[rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)],
     ).withColumn("__bucket", F.floor(F.col("__rt") / F.lit(width)))
@@ -634,13 +696,13 @@ def interval_join(
         & (F.col("__rt") <= F.col("__lt") + F.lit(ub))
     )
     out = joined.select("__l", "__r")
-    if outer:
+    if pad_left:
         # pad unmatched left rows (reference outer variants :981-1404):
         # distinct + anti-join over the 8-byte __lid only
         matched_ids = joined.select("__lid").distinct()
         all_left = ldf.select(
             F.struct(*[ldf[c] for c in ldf.columns]).alias("__l"),
-            _row_id(ldf).alias("__lid"),
+            _row_hash(ldf).alias("__lid"),
         )
         unmatched = (
             all_left.join(matched_ids, on="__lid", how="left_anti")
@@ -648,6 +710,19 @@ def interval_join(
             .withColumn("__r", F.lit(None).cast(out.schema["__r"].dataType))
         )
         out = out.unionByName(unmatched)
+    if pad_right:
+        matched_rids = joined.select("__rid").distinct()
+        all_right = rdf.select(
+            F.struct(*[rdf[c] for c in rdf.columns]).alias("__r"),
+            _row_hash(rdf).alias("__rid"),
+        )
+        unmatched_r = (
+            all_right.join(matched_rids, on="__rid", how="left_anti")
+            .select("__r")
+            .withColumn("__l", F.lit(None).cast(out.schema["__l"].dataType))
+            .select("__l", "__r")
+        )
+        out = out.unionByName(unmatched_r)
     return TemporalJoinResult(out, left_table, right_table)
 
 
@@ -702,7 +777,15 @@ def window_join(
         *[rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)],
     )
     join_keys = ["__w"] + [f"__k{i}" for i in range(len(pairs))]
-    joined = lprep.join(rprep, on=join_keys, how="inner")
+    spark_how = {
+        "inner": "inner", "left": "left", "right": "right",
+        "outer": "full", "full": "full",
+    }.get(how)
+    if spark_how is None:
+        raise ValueError(f"unknown how={how!r}")
+    # the window start + keys are USING columns, so the equi-join mode IS
+    # the window-join mode: unmatched sides come back with a NULL struct
+    joined = lprep.join(rprep, on=join_keys, how=spark_how)
     out = joined.select(
         "__l", "__r", F.col("__w").alias("_pw_window_start")
     )

@@ -49,6 +49,19 @@ def write_memory(table: Table, query_name: str, output_mode: str = "append"):
     )
 
 
+def _read_parquet_if_exists(spark, path):
+    """Read a parquet snapshot or None — via Spark's own filesystem layer,
+    so s3a:// / hdfs:// paths work (a driver-local os.path.exists is always
+    False for remote URIs and would silently overwrite the snapshot with
+    each micro-batch)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001 — AnalysisException PATH_NOT_FOUND
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+
+
 def write_foreach_batch(table: Table, batch_fn, *, checkpoint: str | None = None,
                         output_mode: str = "update", trigger_available_now: bool = True):
     """Changelog-style output — the reference's update-stream sinks map to
@@ -68,15 +81,13 @@ def write_upsert_parquet(table: Table, path: str, key_cols: list[str], *,
     target by key (read-modify-write; production deployments use Delta MERGE
     — same call shape, transactional).  Reproduces the reference's
     ``update_rows``-style output table semantics on a stream."""
-    import os
-
     import pyspark.sql.functions as F
 
     def merge(batch_df, batch_id):
         spark = batch_df.sparkSession
         dedup_batch = batch_df.dropDuplicates(key_cols)
-        if os.path.exists(path):
-            current = spark.read.parquet(path)
+        current = _read_parquet_if_exists(spark, path)
+        if current is not None:
             keep = current.join(dedup_batch.select(*key_cols), on=key_cols, how="left_anti")
             merged = keep.unionByName(dedup_batch)
         else:
@@ -183,8 +194,6 @@ def write_changelog_parquet(
     Appends to ``<path>__log`` and maintains the snapshot at ``<path>``
     (production: one Delta MERGE with CDF instead of the read-modify-write).
     """
-    import os
-
     import pyspark.sql.functions as F
 
     def merge(batch_df, batch_id):
@@ -195,8 +204,8 @@ def write_changelog_parquet(
         val_cols = [c for c in batch.columns if c not in key_cols]
         stamp = {"__time__": F.lit(batch_id).cast("long")}
 
-        if os.path.exists(path):
-            current = spark.read.parquet(path)
+        current = _read_parquet_if_exists(spark, path)
+        if current is not None:
             # a no-op redelivery (same key, same values) must emit NOTHING —
             # the reference's changelog carries actual changes only
             joined = current.alias("cur").join(batch.alias("new"), on=key_cols)

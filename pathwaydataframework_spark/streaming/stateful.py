@@ -63,12 +63,16 @@ def deduplicate_stream_acceptor(
         import pandas as pd
 
         kept = json.loads(state.get[0]) if state.exists else None
-        touched = False
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            touched = True
-            pdf = pdf.sort_values(vname, kind="mergesort")
+        # collect ALL Arrow chunks, then one global sort: sorting each
+        # chunk independently applies rows in chunk order, which differs
+        # from the documented value order for multi-chunk batches and
+        # makes non-monotonic acceptors nondeterministic
+        frames = [pdf for pdf in pdf_iter if len(pdf) > 0]
+        touched = bool(frames)
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                vname, kind="mergesort"
+            )
             for row in pdf.to_dict("records"):
                 if kept is None or acceptor(row[vname], kept[vname]):
                     kept = row

@@ -303,3 +303,21 @@ def test_schema_from_csv_and_py_object(spark, tmp_path):
     t = pw.Table.from_rows(spark, [(1, blob)], "k long, payload binary")
     got = t.df.collect()[0]["payload"]
     assert pw.unwrap_py_object(bytes(got)) == {"x": [1, 2]}
+
+
+def test_id_bookkeeping_survives_rename_and_without(spark):
+    """r2 review: rename must remap id-defining column names, and dropping
+    an id column must pin the id first instead of silently rekeying."""
+    t = pw.Table.from_dataframe(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        id_cols=["k"],
+    )
+    renamed = t.rename({"k": "key"})
+    ids_before = sorted(r[0] for r in t.df.select(t.id_expr()).collect())
+    ids_after = sorted(r[0] for r in renamed.df.select(renamed.id_expr()).collect())
+    assert ids_before == ids_after  # id_expr resolves post-rename
+
+    dropped = t.without(pw.this.k)
+    # the id was pinned before the drop — still the hash of k, not of v
+    ids_dropped = sorted(r[0] for r in dropped.df.select(dropped.id_expr()).collect())
+    assert ids_dropped == ids_before

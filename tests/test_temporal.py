@@ -210,3 +210,77 @@ def test_deduplicate(spark, events):
     out = events.deduplicate(value=pw.this.eid, instance=pw.this.user)
     got = sorted(r["eid"] for r in out.df.collect())
     assert got == [3, 4]
+
+
+def test_directional_temporal_joins_actually_differ(spark):
+    """r2 review regression: window/asof/interval right+outer variants must
+    pad the respective side, not silently degrade to inner/left."""
+    import datetime as dt
+
+    import pathwaydataframework_spark as pw
+
+    T0 = dt.datetime(2024, 1, 1)
+    left = pw.Table.from_rows(
+        spark,
+        [("k", T0 + dt.timedelta(minutes=5), 1.0)],
+        "g string, t timestamp_ntz, v double",
+    )
+    right = pw.Table.from_rows(
+        spark,
+        [("k", T0 + dt.timedelta(minutes=2), 10.0),
+         ("k", T0 + dt.timedelta(hours=3), 99.0)],  # matches nothing
+        "g string, rt timestamp_ntz, w double",
+    )
+
+    # window_join left: unmatched left row padded; right: unmatched right padded
+    win = pw.temporal.tumbling("1 hour")
+    inner = pw.temporal.window_join_inner(
+        left, right, pw.this.t, pw.this.rt, win, pw.left.g == pw.right.g
+    ).select(v=pw.left.v, w=pw.right.w)
+    assert sorted(tuple(r) for r in inner.df.collect()) == [(1.0, 10.0)]
+    router = pw.temporal.window_join_right(
+        left, right, pw.this.t, pw.this.rt, win, pw.left.g == pw.right.g
+    ).select(v=pw.left.v, w=pw.right.w)
+    assert sorted((tuple(r) for r in router.df.collect()), key=str) == sorted(
+        [(1.0, 10.0), (None, 99.0)], key=str
+    )
+
+    # asof right: matched pair + never-matched right row padded
+    ar = pw.temporal.asof_join_right(
+        left, right, pw.this.t, pw.this.rt, pw.left.g == pw.right.g
+    ).select(v=pw.left.v, w=pw.right.w)
+    assert sorted((tuple(r) for r in ar.df.collect()), key=str) == sorted(
+        [(1.0, 10.0), (None, 99.0)], key=str
+    )
+    ao = pw.temporal.asof_join_outer(
+        left, right, pw.this.t, pw.this.rt, pw.left.g == pw.right.g
+    ).select(v=pw.left.v, w=pw.right.w)
+    assert len(ao.df.collect()) == 2  # matched left + unmatched right
+
+    # interval right: unmatched right padded
+    ir = pw.temporal.interval_join_right(
+        left, right, pw.this.t, pw.this.rt,
+        pw.interval("-10 minutes", "10 minutes"), pw.left.g == pw.right.g,
+    ).select(v=pw.left.v, w=pw.right.w)
+    assert sorted((tuple(r) for r in ir.df.collect()), key=str) == sorted(
+        [(1.0, 10.0), (None, 99.0)], key=str
+    )
+
+
+def test_degenerate_point_band_interval_join(spark):
+    """ub == lb: equal instants must match (the 1e-9 bucket width put them
+    hundreds of buckets apart via double precision loss)."""
+    import datetime as dt
+
+    import pathwaydataframework_spark as pw
+
+    T = dt.datetime(2024, 3, 7, 12, 30, 15)
+    left = pw.Table.from_rows(spark, [("k", T)], "g string, t timestamp_ntz")
+    right = pw.Table.from_rows(
+        spark, [("k", T + dt.timedelta(seconds=30))], "g string, rt timestamp_ntz"
+    )
+    out = pw.temporal.interval_join(
+        left, right, pw.this.t, pw.this.rt,
+        pw.interval("30 seconds", "30 seconds"), pw.left.g == pw.right.g,
+    ).select(t=pw.left.t, rt=pw.right.rt)
+    assert out.df.count() == 1
