@@ -48,9 +48,12 @@ class GroupedContext(ResolutionContext):
 
 
 class GroupedTable:
-    def __init__(self, table, grouping: list, sort_by=None):
+    def __init__(self, table, grouping: list, sort_by=None, ctx=None):
         self._table = table
         self._sort_by = sort_by
+        # joins pass their side-aware context so pw.left/pw.right refs
+        # resolve over a joined frame whose sides share column names
+        self._ctx = ctx
         # grouping entries: ColumnRef (keeps name) or (name, Expr)
         self._grouping: list[tuple[str, Expr]] = []
         for g in grouping:
@@ -71,7 +74,7 @@ class GroupedTable:
         """
         from pathwaydataframework_spark.internals.table import Table
 
-        ctx = GroupedContext(self._table)
+        ctx = self._ctx if self._ctx is not None else GroupedContext(self._table)
         group_cols = [e._resolve(ctx).alias(name) for name, e in self._grouping]
         group_names = [name for name, _ in self._grouping]
 
@@ -86,6 +89,17 @@ class GroupedTable:
             agg_cols.append(lift(e)._resolve(ctx).alias(name))
 
         df = self._table._df
+        if self._sort_by is not None and group_cols:
+            # honor groupby(sort_by=...): repartition on the grouping keys
+            # and sort within partitions BEFORE the aggregation — the hash
+            # aggregate then consumes rows in that order, so order-sensitive
+            # reducers (tuple/ndarray/collect_list) see the declared order.
+            # The explicit exchange replaces (not adds to) the groupBy's own
+            # shuffle; the window alternative would be a second exchange.
+            sort_col = lift(self._sort_by)._resolve(ctx)
+            df = df.repartition(
+                *[e._resolve(ctx) for _, e in self._grouping]
+            ).sortWithinPartitions(sort_col)
         if group_cols:
             out = df.groupBy(*group_cols).agg(*agg_cols) if agg_cols else df.groupBy(
                 *group_cols

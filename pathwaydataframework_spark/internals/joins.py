@@ -136,14 +136,19 @@ class JoinResult:
                 raise TypeError("groupby keys must be column refs")
             named.append(r)
         full = Table(self._joined())
-        keys = [(r.name, ColumnRef(THIS, r.name)) for r in named]
-        return GroupedTable(full, keys, sort_by=None)
+        # keep the ORIGINAL side-qualified refs and the join's context:
+        # resolving by bare name over the joined frame raises
+        # AMBIGUOUS_REFERENCE whenever both sides share a column name
+        keys = [(r.name, r) for r in named]
+        return GroupedTable(full, keys, sort_by=None, ctx=self._ctx)
 
     def reduce(self, *args, **kwargs):
         from pathwaydataframework_spark.internals.table import Table
         from pathwaydataframework_spark.internals.groupbys import GroupedTable
 
-        return GroupedTable(Table(self._joined()), []).reduce(*args, **kwargs)
+        return GroupedTable(Table(self._joined()), [], ctx=self._ctx).reduce(
+            *args, **kwargs
+        )
 
 
 def join(left_table, right_table, *on, how: str = "inner") -> JoinResult:

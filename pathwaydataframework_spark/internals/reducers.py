@@ -96,8 +96,14 @@ def unique(expr) -> ReducerExpr:
     Spark has no per-cell Error value (SURVEY.md §7): non-unique groups yield
     null (detectable via ``remove_errors``-style filtering downstream).
     """
+    # count_distinct skips nulls, so [1, null] would wrongly look unique;
+    # require all rows non-null too (an all-null group IS uniform → null,
+    # indistinguishable from the error marker — documented limitation)
     return _Agg(
-        lambda c, ctx: F.when(F.count_distinct(c) == 1, F.min(c)).otherwise(F.lit(None)),
+        lambda c, ctx: F.when(
+            (F.count_distinct(c) == 1) & (F.count(c) == F.count(F.lit(1))),
+            F.min(c),
+        ).otherwise(F.lit(None)),
         lift(expr),
     )
 
@@ -109,11 +115,20 @@ def any(expr) -> ReducerExpr:
 
 
 def sorted_tuple(expr, skip_nones: bool = False) -> ReducerExpr:
-    """reducers.py:485 → sort_array(collect_list)."""
+    """reducers.py:485 → sort_array(collect_list).
+
+    ``skip_nones=False`` (the default, matching the reference) KEEPS null
+    values: collect_list drops them, so nulls ride inside single-field
+    structs and unwrap after the sort (nulls first, Spark's sort_array
+    null ordering)."""
 
     def _fn(c, ctx):
-        out = F.sort_array(F.collect_list(c))
-        return out
+        if skip_nones:
+            return F.sort_array(F.collect_list(c))
+        return F.transform(
+            F.sort_array(F.collect_list(F.struct(c.alias("v")))),
+            lambda s: s["v"],
+        )
 
     return _Agg(_fn, lift(expr))
 
@@ -125,7 +140,15 @@ def tuple(expr, sort_by=None, skip_nones: bool = False) -> ReducerExpr:
     value — one JVM aggregate, no UDF.
     """
     if sort_by is None:
-        return _Agg(_no_ctx(F.collect_list), lift(expr))
+        if skip_nones:
+            return _Agg(_no_ctx(F.collect_list), lift(expr))
+        # keep nulls (reference default): structs survive collect_list
+        return _Agg(
+            lambda c, ctx: F.transform(
+                F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"]
+            ),
+            lift(expr),
+        )
 
     def _fn(c, k, ctx):
         pairs = F.sort_array(F.collect_list(F.struct(k.alias("k"), c.alias("v"))))

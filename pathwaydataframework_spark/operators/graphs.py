@@ -50,6 +50,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
+    if n == 0:
+        # empty edges upstream is common mid-pipeline: return an empty
+        # typed result instead of dividing by the vertex count
+        return vertices.select(
+            F.col("v").alias("vertex"), F.lit(0.0).alias("rank")
+        )
     ranks = vertices.withColumn("rank", F.lit(1.0))
     for _ in range(max_iterations):
         contribs = (
@@ -190,7 +196,19 @@ def connected_components(
         # convergence: labels only ever decrease, so the label sum is a
         # monotone potential — unchanged sum ⟺ fixpoint.  One cheap scan of
         # the checkpoint, no comparison join carrying old labels around.
-        cur_sum = new_labels.agg(F.sum("comp")).first()[0]
+        # Non-numeric vertex ids sum via xxhash64 (a raw sum would be NULL
+        # — None == None true after round one — or an ANSI cast error);
+        # hash-sum equality across rounds ⟺ unchanged labels for the
+        # decreasing-label iteration.
+        numeric = dict(new_labels.dtypes)["comp"] in (
+            "bigint", "int", "smallint", "tinyint", "double", "float",
+        )
+        # decimal(38,0) sum: a long sum of xxhash64 values overflows (ANSI
+        # ARITHMETIC_OVERFLOW) after a handful of rows
+        potential = (
+            F.col("comp") if numeric else F.xxhash64("comp").cast("decimal(38,0)")
+        )
+        cur_sum = new_labels.agg(F.sum(potential)).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -271,9 +289,15 @@ def louvain_communities(
             )
             .withColumn("gain", F.col("w_ic") - F.col("k") * F.col("tot_adj") / F.lit(two_m))
         )
+        # tie-break: highest gain, then SMALLEST community label.  Expressed
+        # as min_by over (-gain, comm): the negation is on the (always
+        # numeric) gain, so string vertex ids order correctly too — a
+        # -comm negation is NULL for strings (nondeterministic ties) or an
+        # ANSI cast error
+        tie = F.struct((-F.col("gain")).alias("ng"), F.col("comm"))
         best = gains.groupBy("v").agg(
-            F.max_by(F.col("comm"), F.struct(F.col("gain"), -F.col("comm"))).alias("new_comm"),
-            F.max_by(F.col("gain"), F.struct(F.col("gain"), -F.col("comm"))).alias("best_gain"),
+            F.min_by(F.col("comm"), tie).alias("new_comm"),
+            F.min_by(F.col("gain"), tie).alias("best_gain"),
             F.max(F.when(F.col("comm") == F.col("cur"), F.col("gain"))).alias("stay_gain"),
             F.max("cur").alias("cur"),
         )

@@ -41,6 +41,11 @@ def iterate(
             if not single:
                 raise ValueError("func must return a dict when given multiple tables")
             out = {next(iter(tables)): out}
+        if set(out) != set(cur):
+            raise ValueError(
+                f"iterate: func must return exactly the input table keys "
+                f"{sorted(cur)}, got {sorted(out)}"
+            )
         nxt = {k: Table(v.df.localCheckpoint(eager=True)) for k, v in out.items()}
         rounds += 1
         converged = all(_tables_equal(cur[k], nxt[k]) for k in nxt)

@@ -164,6 +164,16 @@ def _banded(sig: DataFrame, *, bits: int, bands: int) -> DataFrame:
     """Explode a signature frame into (vec_id, band_idx, band_val) rows —
     deliberately WITHOUT the vector column, so the band join and candidate
     dedup shuffle narrow rows only."""
+    if bands > bits:
+        raise ValueError(
+            f"bands ({bands}) > bits ({bits}): every band value would be 0 "
+            "and the candidate join degenerates to a cross product"
+        )
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must be divisible by bands ({bands}) — the top "
+            f"{bits % bands} signature bits would be silently unused"
+        )
     band_bits = bits // bands
     return sig.select(
         "vec_id",
@@ -332,16 +342,26 @@ def knn_ivf(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("__qv"),
     )
+    # probe ranking must use the SAME metric the quantizer assigned with
+    # (L2): cosine-ranked probes miss L2-assigned lists for unnormalized
+    # embeddings and recall silently drops at nprobe < n_clusters
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "__sim", F.round(cosine_similarity(F.col("__qv"), F.col("centroid")), 6)
-        )
+        .withColumn("__dist", F.round(l2, 6))
         .withColumn(
             "__pr",
             F.row_number().over(
                 W.partitionBy("query_id").orderBy(
-                    F.col("__sim").desc(), F.col("cluster").asc()
+                    F.col("__dist").asc(), F.col("cluster").asc()
                 )
             ),
         )

@@ -140,3 +140,59 @@ def test_table_from_markdown(spark):
         """,
     )
     assert sorted((r["a"], r["b"]) for r in t.df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_reducer_null_handling_review_fixes(spark):
+    import pathwaydataframework_spark as pw
+
+    R = pw.reducers
+    t = pw.Table.from_rows(
+        spark, [(1, 1.0), (1, None), (1, 2.0), (2, 5.0), (2, None), (3, 7.0)],
+        "k long, v double",
+    )
+    out = {
+        r["k"]: (r["u"], r["st"])
+        for r in t.groupby(pw.this.k)
+        .reduce(u=R.unique(pw.this.v), st=R.sorted_tuple(pw.this.v))
+        .df.collect()
+    }
+    # unique: a null among values makes the group NON-unique (was: null
+    # ignored and k=2 wrongly reported unique)
+    assert out[2][0] is None
+    assert out[3][0] == 7.0
+    # sorted_tuple default KEEPS nulls (reference skip_nones=False)
+    assert list(out[1][1]) == [None, 1.0, 2.0]
+    skipped = t.groupby(pw.this.k).reduce(
+        st=R.sorted_tuple(pw.this.v, skip_nones=True)
+    )
+    vals = {r["k"]: list(r["st"]) for r in skipped.df.collect()}
+    assert vals[1] == [1.0, 2.0]
+
+
+def test_groupby_sort_by_orders_tuples(spark):
+    import pathwaydataframework_spark as pw
+
+    R = pw.reducers
+    t = pw.Table.from_rows(
+        spark,
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 9, "z")],
+        "k long, ts long, v string",
+    )
+    out = t.groupby(pw.this.k, sort_by=pw.this.ts).reduce(
+        vals=R.tuple(pw.this.v)
+    )
+    got = {r["k"]: list(r["vals"]) for r in out.df.collect()}
+    assert got[1] == ["a", "b", "c"]  # declared sort order, not arrival order
+
+
+def test_join_groupby_with_shared_column_names(spark):
+    import pathwaydataframework_spark as pw
+
+    t1 = pw.Table.from_rows(spark, [(1, 10.0), (1, 5.0), (2, 1.0)], "k long, x double")
+    t2 = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, y string")
+    out = (
+        t1.join(t2, pw.left.k == pw.right.k)
+        .groupby(pw.left.k)
+        .reduce(total=pw.reducers.sum(pw.left.x))
+    )
+    assert sorted(tuple(r) for r in out.df.collect()) == [(1, 15.0), (2, 1.0)]

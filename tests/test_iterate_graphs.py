@@ -179,3 +179,34 @@ def test_louvain_two_cliques(spark):
     assert comm[1] == comm[2] == comm[3]
     assert comm[4] == comm[5] == comm[6]
     assert comm[1] != comm[4]
+
+
+def test_connected_components_string_vertex_ids(spark):
+    # r2 review: sum('comp') convergence was NULL for string ids, stopping
+    # after one round; components >2 doubled hops got wrong labels
+    from pathwaydataframework_spark.operators import graphs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "src string, dst string",
+    )
+    out = {r["vertex"]: r["component"] for r in
+           graphs.connected_components(edges, src="src", dst="dst").collect()}
+    assert {out[v] for v in "abcde"} == {"a"}
+    assert {out[v] for v in "xy"} == {"x"}
+
+
+def test_pagerank_empty_edges(spark):
+    from pathwaydataframework_spark.operators import graphs
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert graphs.pagerank(empty).count() == 0
+
+
+def test_iterate_rejects_key_mismatch(spark):
+    import pathwaydataframework_spark as pw
+    import pytest
+
+    t = pw.Table.from_rows(spark, [(1,)], "x long")
+    with pytest.raises(ValueError, match="input table keys"):
+        pw.iterate(lambda a: {"a": a, "extra": a}, a=t)
