@@ -152,6 +152,7 @@ class JoinResult:
 
 
 def join(left_table, right_table, *on, how: str = "inner") -> JoinResult:
+    how = getattr(how, "value", how)  # accept pw.JoinMode enum anywhere
     if how not in _HOW:
         raise ValueError(f"how must be one of {sorted(_HOW)}")
     return JoinResult(left_table, right_table, on, how)

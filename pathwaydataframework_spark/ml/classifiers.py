@@ -71,13 +71,20 @@ def knn_lsh_classifier_train(
             .groupBy("query_id", "__label")
             .agg(F.count(F.lit(1)).alias("votes"), F.max("score").alias("best"))
         )
-        # majority, ties by closer best-score then smaller label repr
+        # majority, ties by closer best-score then SMALLER label repr — a
+        # min_by over (-votes, -best, label) so the final component sorts
+        # ascending (a max_by struct would pick the LARGEST label on full
+        # ties)
         return (
             votes.groupBy("query_id")
             .agg(
-                F.max_by(
+                F.min_by(
                     F.col("__label"),
-                    F.struct("votes", "best", F.col("__label").cast("string")),
+                    F.struct(
+                        (-F.col("votes")).alias("nv"),
+                        (-F.col("best")).alias("nb"),
+                        F.col("__label").cast("string").alias("lbl"),
+                    ),
                 ).alias("predicted_label")
             )
         )

@@ -200,13 +200,18 @@ def connected_components(
         # — None == None true after round one — or an ANSI cast error);
         # hash-sum equality across rounds ⟺ unchanged labels for the
         # decreasing-label iteration.
-        numeric = dict(new_labels.dtypes)["comp"] in (
-            "bigint", "int", "smallint", "tinyint", "double", "float",
+        # decimal(38,0) sum: a long sum of vertex ids (this engine's ids are
+        # xxhash64 longs) overflows int64 (ANSI ARITHMETIC_OVERFLOW) after a
+        # handful of rows; float ids additionally get an order-dependent sum,
+        # risking false convergence — so integers sum as decimal, everything
+        # else (strings, floats) sums xxhash64 values as decimal.
+        integral = dict(new_labels.dtypes)["comp"] in (
+            "bigint", "int", "smallint", "tinyint",
         )
-        # decimal(38,0) sum: a long sum of xxhash64 values overflows (ANSI
-        # ARITHMETIC_OVERFLOW) after a handful of rows
         potential = (
-            F.col("comp") if numeric else F.xxhash64("comp").cast("decimal(38,0)")
+            F.col("comp").cast("decimal(38,0)")
+            if integral
+            else F.xxhash64("comp").cast("decimal(38,0)")
         )
         cur_sum = new_labels.agg(F.sum(potential)).first()[0]
         labels = new_labels

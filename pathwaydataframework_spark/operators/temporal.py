@@ -445,6 +445,7 @@ def asof_join(
     JOIN is the oracle.
     """
     direction = getattr(direction, "value", direction)  # accept Direction
+    how = getattr(how, "value", how)  # accept pw.JoinMode enum
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     if direction == "nearest":
@@ -508,18 +509,41 @@ def asof_join(
 
 def _asof_unmatched_right(pairs_out, rdf):
     """Right rows never selected as any left row's match, as (__l=NULL,
-    __r) rows — anti-join on the 8-byte row hash of the matched __r."""
+    __r) rows.
+
+    Identity is the 8-byte row hash (_row_hash), so byte-identical duplicate
+    right rows share one id; multiplicity is restored by COUNT rather than a
+    plain anti-join: of n identical copies the asof window can select at most
+    ONE as "the" match (copies tie on key and time, collapsing to a single
+    value), leaving n-1 copies — or all n when none matched — to pad.  This
+    matches the reference's per-row-identity JoinMode.RIGHT/FULL semantics
+    (stdlib/temporal/_asof_join.py) without carrying full row payloads into
+    the exchange: only (hash, count) and one representative struct shuffle.
+    """
     used = (
         pairs_out.filter(F.col("__r").isNotNull())
         .select(F.col("__r.*"))
     )
-    used_ids = used.select(_row_hash(used).alias("__rid")).distinct()
+    used_ids = (
+        used.select(_row_hash(used).alias("__rid"))
+        .distinct()
+        .withColumn("__used", F.lit(1))
+    )
     all_right = rdf.select(
         F.struct(*[rdf[c] for c in rdf.columns]).alias("__r"),
         _row_hash(rdf).alias("__rid"),
     )
+    counted = all_right.groupBy("__rid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.any_value(F.col("__r")).alias("__r")
+    )
     return (
-        all_right.join(used_ids, on="__rid", how="left_anti")
+        counted.join(used_ids, on="__rid", how="left")
+        .withColumn(
+            "__pad",
+            F.col("__cnt") - F.coalesce(F.col("__used"), F.lit(0)).cast("bigint"),
+        )
+        .filter(F.col("__pad") > 0)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__pad"))))
         .select(
             F.lit(None).cast(pairs_out.schema["__l"].dataType).alias("__l"),
             "__r",
@@ -636,6 +660,7 @@ def interval_join(
     is the plan that scales — Catalyst sees a plain equi-join and can
     hash-partition both sides.
     """
+    how = getattr(how, "value", how)  # accept pw.JoinMode enum
     lb = duration_to_seconds(band.lower_bound) if not isinstance(band.lower_bound, (int, float)) else float(band.lower_bound)
     ub = duration_to_seconds(band.upper_bound) if not isinstance(band.upper_bound, (int, float)) else float(band.upper_bound)
     if ub < lb:
@@ -742,6 +767,7 @@ def window_join(
     _window_join.py:156.  Lowered to an equi-join on the window start (plus
     any key columns); sliding windows explode each row into its
     duration/hop windows first (JVM-side, no UDF)."""
+    how = getattr(how, "value", how)  # accept pw.JoinMode enum
     pairs = _extract_eq_keys(left_table, right_table, on)
 
     def _starts(tcol: Column) -> Column:

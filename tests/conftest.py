@@ -19,4 +19,8 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    # Default sf0.001 keeps the suite fast; override to rehearse the driver's
+    # sf0.01 CORRECTNESS gate locally (e.g. SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01).
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -122,10 +122,26 @@ def test_io_roundtrip_csv_jsonlines(spark, tmp_path):
     assert back2.df.count() == 2
 
 
-def test_subscribe_batch(spark):
+def test_subscribe_batch(spark, tmp_path):
+    # batch subscribe runs on_change ON THE EXECUTORS (foreachPartition) —
+    # side-effect through the filesystem, like the streaming foreach test
+    import json as _json
+    import os
+    import uuid
+
+    out_dir = str(tmp_path / "subs")
+    os.makedirs(out_dir)
     t = pw.Table.from_rows(spark, [(1,), (2,)], "x long")
+
+    def on_change(key, row, time, is_addition):
+        with open(os.path.join(out_dir, uuid.uuid4().hex), "w") as f:
+            _json.dump(row, f)
+
+    pw.io.subscribe(t, on_change)
     seen = []
-    pw.io.subscribe(t, lambda key, row, time, is_addition: seen.append(row["x"]))
+    for name in os.listdir(out_dir):
+        with open(os.path.join(out_dir, name)) as f:
+            seen.append(_json.load(f)["x"])
     assert sorted(seen) == [1, 2]
 
 

@@ -210,3 +210,55 @@ def test_iterate_rejects_key_mismatch(spark):
     t = pw.Table.from_rows(spark, [(1,)], "x long")
     with pytest.raises(ValueError, match="input table keys"):
         pw.iterate(lambda a: {"a": a, "extra": a}, a=t)
+
+
+def test_connected_components_xxhash64_scale_ids(spark):
+    """r3 advice regression: this engine's row ids are xxhash64 longs; the
+    convergence potential must sum them as decimal(38,0) — a raw bigint sum
+    overflows under ANSI mode after a handful of rows."""
+    from pathwaydataframework_spark.operators import graphs
+
+    big = 2**62
+    edges = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (-big, -big - 1)],
+        "src long, dst long",
+    )
+    got = {r["vertex"]: r["component"] for r in
+           graphs.connected_components(edges).collect()}
+    assert got == {
+        big: big, big + 1: big, big + 2: big,
+        -big: -big - 1, -big - 1: -big - 1,
+    }
+
+
+def test_connected_components_float_vertex_ids(spark):
+    """Float ids route through the xxhash64 potential (an order-dependent
+    float sum risks false convergence)."""
+    from pathwaydataframework_spark.operators import graphs
+
+    edges = spark.createDataFrame(
+        [(1.5, 2.5), (2.5, 3.5), (9.0, 10.0)], "src double, dst double"
+    )
+    got = {r["vertex"]: r["component"] for r in
+           graphs.connected_components(edges).collect()}
+    assert got == {1.5: 1.5, 2.5: 1.5, 3.5: 1.5, 9.0: 9.0, 10.0: 9.0}
+
+
+def test_classifier_tie_breaks_to_smaller_label(spark):
+    """r3 advice regression: on a full (votes, best-score) tie the smaller
+    label repr must win (min_by over (-votes, -best, label))."""
+    import pathwaydataframework_spark as pw
+
+    # two training points, one per label, equidistant from the query
+    data = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], "b"), (2, [1.0, 0.0, 0.0, 0.0], "a")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    classify = pw.ml.classifiers.knn_lsh_classifier_train(
+        data, dim=4, bits=8, bands=4
+    )
+    out = classify(queries, k=2).collect()
+    assert [r["predicted_label"] for r in out] == ["a"]

@@ -284,3 +284,74 @@ def test_degenerate_point_band_interval_join(spark):
         pw.interval("30 seconds", "30 seconds"), pw.left.g == pw.right.g,
     ).select(t=pw.left.t, rt=pw.right.rt)
     assert out.df.count() == 1
+
+
+def test_asof_right_pad_preserves_duplicate_multiplicity(spark):
+    """r3 advice regression: byte-identical duplicate right rows share a row
+    hash; the right/outer pad must re-emit n-1 copies when one copy matched
+    (the asof window selects exactly one of a tied set) and n copies when
+    none did — not collapse them all."""
+    import datetime as dt
+
+    import pathwaydataframework_spark as pw
+
+    T0 = dt.datetime(2024, 1, 1)
+    left = pw.Table.from_rows(
+        spark,
+        [("k", T0 + dt.timedelta(minutes=5), 1.0)],
+        "g string, t timestamp_ntz, v double",
+    )
+    # two identical matched candidates + two identical never-matched rows
+    right = pw.Table.from_rows(
+        spark,
+        [
+            ("k", T0 + dt.timedelta(minutes=2), 10.0),
+            ("k", T0 + dt.timedelta(minutes=2), 10.0),
+            ("k", T0 + dt.timedelta(hours=3), 99.0),
+            ("k", T0 + dt.timedelta(hours=3), 99.0),
+        ],
+        "g string, rt timestamp_ntz, w double",
+    )
+    out = pw.temporal.asof_join_right(
+        left, right, pw.this.t, pw.this.rt, pw.left.g == pw.right.g
+    ).select(v=pw.left.v, w=pw.right.w)
+    got = sorted((tuple(r) for r in out.df.collect()), key=str)
+    # 1 matched pair, 1 padded twin of the matched value, 2 padded 99s
+    assert got == sorted(
+        [(1.0, 10.0), (None, 10.0), (None, 99.0), (None, 99.0)], key=str
+    )
+
+
+def test_joinmode_enum_accepted_by_all_joins(spark):
+    """r3 advice regression: pw.JoinMode enums must be accepted anywhere a
+    how= string is (top-level join + every temporal join), not just
+    Table.join."""
+    import datetime as dt
+
+    import pathwaydataframework_spark as pw
+
+    T0 = dt.datetime(2024, 1, 1)
+    left = pw.Table.from_rows(
+        spark, [("k", T0, 1.0)], "g string, t timestamp_ntz, v double"
+    )
+    right = pw.Table.from_rows(
+        spark, [("x", T0, 9.0)], "g string, rt timestamp_ntz, w double"
+    )
+    jr = pw.join(left, right, pw.left.g == pw.right.g, how=pw.JoinMode.LEFT)
+    assert jr.select(v=pw.left.v, w=pw.right.w).df.count() == 1
+    a = pw.temporal.asof_join(
+        left, right, pw.this.t, pw.this.rt, pw.left.g == pw.right.g,
+        how=pw.JoinMode.LEFT,
+    )
+    assert a.select(v=pw.left.v).df.count() == 1
+    i = pw.temporal.interval_join(
+        left, right, pw.this.t, pw.this.rt,
+        pw.interval("-1 hours", "1 hours"), pw.left.g == pw.right.g,
+        how=pw.JoinMode.OUTER,
+    )
+    assert i.select(v=pw.left.v, w=pw.right.w).df.count() == 2
+    wj = pw.temporal.window_join(
+        left, right, pw.this.t, pw.this.rt, pw.temporal.tumbling("1 hours"),
+        pw.left.g == pw.right.g, how=pw.JoinMode.OUTER,
+    )
+    assert wj.select(v=pw.left.v, w=pw.right.w).df.count() == 2
