@@ -21,7 +21,15 @@ def assert_pushed_filters(df: DataFrame) -> bool:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    """Number of shuffle Exchange NODES in the physical plan.
+
+    Counts only the detail-section headers ``(n) Exchange`` so each node is
+    counted once (the formatted output also repeats every node in the tree
+    sketch), and excludes BroadcastExchange — a broadcast is not a shuffle.
+    """
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", formatted_plan(df)))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -297,3 +297,23 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_plan_a")
         spark.sql("DROP TABLE IF EXISTS bk_plan_b")
+
+
+def test_groupby_sort_by_single_shuffle(spark):
+    """VERDICT r2 #6: groupby(sort_by=) repartitions on the grouping keys +
+    sortWithinPartitions BEFORE the aggregate; Catalyst must REUSE that
+    hash partitioning for the groupBy (one exchange total), not add its own
+    — a regression here doubles the shuffle for every order-sensitive
+    reducer query (q_sorted_names shape)."""
+    import pathwaydataframework_spark as pw
+    from pathwaydataframework_spark.internals import reducers as R
+
+    t = pw.Table(
+        spark.createDataFrame(
+            [(1, "b"), (1, "a"), (2, "c")], "g long, name string"
+        )
+    )
+    out = t.groupby(pw.this.g, sort_by=pw.this.name).reduce(
+        names=R.sorted_tuple(pw.this.name)
+    )
+    assert count_shuffles(out.df) == 1, formatted_plan(out.df)
