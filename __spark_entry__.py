@@ -843,6 +843,23 @@ def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_lsh(emb, queries, dim=64, k=5, bits=32, bands=16)
 
 
+def q_knn_lsh_tight(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE configuration of knn_lsh — what bench.py times.
+
+    The oracle variant above uses 16 2-bit bands so candidate recall is
+    provable (band collision p≈1/4 → P(candidate)≈0.99), but that makes the
+    candidate set ~all query×corpus pairs — effectively brute force with LSH
+    overhead (VERDICT r2 "What's wrong" #1).  This variant is the config the
+    knn_lsh docstring calls the scale path: 64-bit signatures in 8 8-bit
+    bands (band collision p≈2^-8), recall ≥0.9 asserted against brute force
+    in tests/test_pipeline_ops.py.  Not in queries(): its output is
+    approximate, so it has no exact SQL oracle.
+    """
+    emb = load_table(spark, sf, "embeddings").df
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.knn_lsh(emb, queries, dim=64, k=5, bits=64, bands=8)
+
+
 def q_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """exact embedding-cosine near-dup pairs (cosine ≥ 0.9, brute force)."""
     emb = load_table(spark, sf, "embeddings").df

@@ -55,6 +55,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
+    # Bench-only config overrides: q_knn_lsh is TIMED in its scale
+    # configuration (bits=64, bands=8 — recall-tested in
+    # tests/test_pipeline_ops.py), not the loose provable-recall config the
+    # sf0.01 oracle needs (bits=32, bands=16, which degenerates to ~all
+    # query×corpus candidate pairs).  See q_knn_lsh_tight's docstring.
+    qs = {**qs, "q_knn_lsh": entry.q_knn_lsh_tight}
 
     # Untimed warmup at the smallest SF: compiles most of the codegen
     # classes the timed pass hits, so the timed numbers approximate
