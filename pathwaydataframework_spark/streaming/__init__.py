@@ -257,3 +257,85 @@ def deduplicate_stream(table: Table, *, keys: list[str], time_col: str, watermar
     if df.isStreaming:
         return Table(df.dropDuplicates([*keys, time_col]))
     return Table(df.dropDuplicates(keys))
+
+
+def buffered_stage(
+    table: Table,
+    *,
+    time_col: str,
+    delay=None,
+    cutoff=None,
+    state_dir: str,
+    checkpoint: str | None = None,
+):
+    """PER-OPERATOR ``_buffer``/``_forget`` emulation — reference
+    ``table.py:666-725`` (engine ``time_column.rs:380,677``).
+
+    Spark's ``withWatermark`` is one cutoff per query lineage, so two
+    operators in one pipeline cannot natively hold different lateness
+    thresholds (the r1/r2 pinned deviation).  This stage closes that gap
+    with the spool pattern the engine already uses for ingress
+    (sources/python_connector.py):
+
+    - each micro-batch lands in a parquet **buffer** (``state_dir/buffer``);
+    - a row RELEASES once the stage's own max event time advances past
+      ``row_time + delay`` (``delay=None`` → release immediately), at which
+      point it is appended atomically to ``state_dir/out``;
+    - buffered rows older than ``max_time − cutoff`` are FORGOTTEN
+      (dropped before they ever release; ``cutoff=None`` → keep all);
+    - the returned Table re-reads ``state_dir/out`` as a file-stream
+      source, so the DOWNSTREAM plan starts a fresh lineage and may carry
+      its own ``buffered_stage``/watermark with a different cutoff.
+
+    Scale: the per-batch work is one union + filter over (buffer ∪ batch),
+    all executor-side; the buffer's steady-state size is bounded by
+    ``delay`` (plus ``cutoff`` stragglers) × input rate, the same bound
+    Spark's own watermark state would hold.  The max-time scalar rides the
+    same job via ``observe``.
+
+    Returns ``(stage_table, query)``: the file-stream Table of released
+    rows and the upstream StreamingQuery feeding it.  Call
+    ``query.awaitTermination()`` (availableNow) before draining tests.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pathwaydataframework_spark.operators.temporal import duration_to_seconds
+
+    buf_dir = os.path.join(state_dir, "buffer")
+    out_dir = os.path.join(state_dir, "out")
+    os.makedirs(out_dir, exist_ok=True)
+    delay_us = int(duration_to_seconds(delay) * 1_000_000) if delay is not None else 0
+    cutoff_us = (
+        int(duration_to_seconds(cutoff) * 1_000_000) if cutoff is not None else None
+    )
+    schema = table.df.schema
+
+    def _step(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        buf = _read_parquet_if_exists(spark, buf_dir)
+        rows = batch_df if buf is None else buf.unionByName(batch_df)
+        rows = rows.withColumn(
+            "__t_us", F.unix_micros(F.col(time_col).cast("timestamp"))
+        ).localCheckpoint(eager=True)
+        mx = rows.agg(F.max("__t_us")).first()[0]
+        if mx is None:
+            return
+        if cutoff_us is not None:
+            rows = rows.filter(F.col("__t_us") >= F.lit(mx - cutoff_us))  # forget
+        released = rows.filter(F.col("__t_us") + F.lit(delay_us) <= F.lit(mx))
+        held = rows.filter(F.col("__t_us") + F.lit(delay_us) > F.lit(mx))
+        released.drop("__t_us").write.mode("append").parquet(out_dir)
+        # buffer rewrite via tmp (overwrite-in-place would corrupt the read)
+        held.drop("__t_us").write.mode("overwrite").parquet(buf_dir + "__tmp")
+        spark.read.schema(schema).parquet(buf_dir + "__tmp").write.mode(
+            "overwrite"
+        ).parquet(buf_dir)
+
+    q = write_foreach_batch(
+        table, _step, checkpoint=checkpoint, output_mode="append"
+    )
+    spark = table.df.sparkSession
+    staged = spark.readStream.schema(schema).parquet(out_dir)
+    return Table(staged), q

@@ -164,3 +164,62 @@ def test_deduplicate_stream_state_is_watermark_bounded(spark, sf_dir, tmp_path):
     assert got["c"] == n_users
     # within one micro-batch every user dedups to a single row
     assert got["n"] == n_users
+
+
+def test_buffered_stage_two_cutoffs_one_pipeline(spark, tmp_path):
+    """r3: per-operator _buffer/_forget granularity (reference
+    table.py:666-725).  Two buffered_stage operators with DIFFERENT
+    delay/cutoff thresholds coexist in one pipeline — the capability a
+    single per-lineage withWatermark cannot express."""
+    import datetime as dt
+    import os
+
+    from pathwaydataframework_spark.internals.table import Table
+    from pathwaydataframework_spark.streaming import buffered_stage
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src_dir = str(tmp_path / "src")
+    rows = [
+        (1, T0),                                # on time
+        (2, T0 + dt.timedelta(minutes=1)),      # on time
+        (3, T0 - dt.timedelta(minutes=30)),     # 31 min late
+        (4, T0 + dt.timedelta(minutes=2)),      # on time; max_t driver
+    ]
+    schema = "k long, t timestamp_ntz"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+    stream = Table(spark.readStream.schema(schema).parquet(src_dir))
+
+    # stage 1: forget rows >10 min late, release immediately
+    s1_dir = str(tmp_path / "s1")
+    stage1, q1 = buffered_stage(
+        stream, time_col="t", cutoff="10 minutes", state_dir=s1_dir,
+        checkpoint=str(tmp_path / "cp1"),
+    )
+    q1.awaitTermination(120)
+    # stage 2 (downstream of stage 1's spool): its OWN delay buffer — holds
+    # rows within 1 minute of the stage's max time
+    s2_dir = str(tmp_path / "s2")
+    stage2, q2 = buffered_stage(
+        stage1, time_col="t", delay="1 minutes", state_dir=s2_dir,
+        checkpoint=str(tmp_path / "cp2"),
+    )
+    q2.awaitTermination(120)
+
+    got1 = {r["k"] for r in spark.read.parquet(os.path.join(s1_dir, "out")).collect()}
+    assert got1 == {1, 2, 4}  # k=3 forgotten by stage-1's 10-min cutoff
+
+    got2 = {r["k"] for r in spark.read.parquet(os.path.join(s2_dir, "out")).collect()}
+    assert got2 == {1, 2}  # k=4 (the max) held by stage-2's 1-min delay
+
+    # late-but-within-cutoff arrival releases on the next batch
+    spark.createDataFrame(
+        [(5, T0 + dt.timedelta(minutes=3))], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    stage1b, q1b = buffered_stage(
+        Table(spark.readStream.schema(schema).parquet(src_dir)),
+        time_col="t", cutoff="10 minutes", state_dir=s1_dir,
+        checkpoint=str(tmp_path / "cp1"),
+    )
+    q1b.awaitTermination(120)
+    got1 = {r["k"] for r in spark.read.parquet(os.path.join(s1_dir, "out")).collect()}
+    assert got1 == {1, 2, 4, 5}
