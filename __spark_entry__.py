@@ -1562,6 +1562,42 @@ def _bellman_ford_oracle_sql(rounds: int = 25) -> str:
     """
 
 
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Exact word-trigram Jaccard ≥ threshold pairs via an INVERTED-INDEX
+    join (explode shingles → equi-join on the shared gram → count) instead
+    of the previous all-pairs list_intersect — identical output for any
+    threshold > 0 (zero-overlap pairs cannot reach it) but ~45× faster in
+    DuckDB at sf0.01, which matters because the driver's CORRECTNESS gate
+    pays for these oracles out of a fixed budget."""
+    return f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
+                           range(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE []::VARCHAR[] END) AS g
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, len(g) AS sz FROM sh
+            ), ex AS (
+                SELECT doc_id, unnest(g) AS gram FROM sh
+            ), common AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+                FROM ex x JOIN ex y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= {threshold}
+        """
+
+
 def _neardup_cc_sql(label: str) -> str:
     """Min-label over the jaccard>=0.8 near-dup graph.  Exact oracle for
     BOTH q_connected_components and q_louvain: the fixture's components are
@@ -1570,23 +1606,7 @@ def _neardup_cc_sql(label: str) -> str:
     minimum member id (verified identical at sf0.001 and sf0.01)."""
     return f"""
             WITH RECURSIVE pairs AS (
-                SELECT id_a AS a, id_b AS b FROM (
-                    WITH toks AS (
-                        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-                        FROM documents
-                    ), sh AS (
-                        SELECT doc_id,
-                               list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
-                                   range(1, len(t) - 1),
-                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                               ELSE []::VARCHAR[] END) AS g
-                        FROM toks
-                    )
-                    SELECT x.doc_id AS id_a, y.doc_id AS id_b
-                    FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-                    WHERE len(list_intersect(x.g, y.g))::DOUBLE /
-                          (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) >= 0.8
-                )
+                SELECT id_a AS a, id_b AS b FROM ({_jaccard_pairs_sql(0.8)})
             ), edges AS (
                 SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
             ), reach(v, r) AS (
@@ -1750,26 +1770,7 @@ def oracle_sql() -> dict[str, str]:
     # LSH blocking paths (MinHash bands and SimHash blocks) — each verifies
     # candidates with exact Jaccard and its blocking provably covers the
     # fixtures' planted dups, so both outputs equal this set.
-    jaccard_08_pairs_sql = """
-            WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
-                           range(1, len(t) - 1),
-                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                       ELSE []::VARCHAR[] END) AS g
-                FROM toks
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.g, b.g))::DOUBLE /
-                         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
-                     AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.g, b.g))::DOUBLE /
-                  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
-        """
+    jaccard_08_pairs_sql = _jaccard_pairs_sql(0.8)
     # Exact cosine top-5: the oracle for brute-force knn AND the LSH-knn
     # restatement (whose candidates provably contain the true top-5 at the
     # fixture's parameters, making the exact re-rank equal brute force).
@@ -2121,26 +2122,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             GROUP BY 1, 2
         """,
-        "q_ngram_jaccard": """
-            WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
-                           range(1, len(t) - 1),
-                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                       ELSE []::VARCHAR[] END) AS g
-                FROM toks
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.g, b.g))::DOUBLE /
-                         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
-                     AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.g, b.g))::DOUBLE /
-                  (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.2
-        """,
+        "q_ngram_jaccard": _jaccard_pairs_sql(0.2),
         "q_knn_bruteforce": knn_top5_sql,
         "q_knn_ivf": knn_top5_sql,
         "q_embedding_pairs": """

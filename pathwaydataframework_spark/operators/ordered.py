@@ -76,9 +76,15 @@ def interpolate(table: Table, timestamp, *values, mode: str = "linear") -> Table
     from pathwaydataframework_spark.operators.temporal import _epoch_seconds
 
     t = table._resolve(timestamp)
-    w_prev = Window.partitionBy().orderBy(t).rowsBetween(Window.unboundedPreceding, 0)
+    # Both directions use RUNNING frames (unboundedPreceding → current):
+    # Spark evaluates those incrementally in O(n), while an
+    # (0, unboundedFollowing) frame re-scans current→end per row — O(n²),
+    # ~10 s for a 10k-row series.  "Next non-null" is therefore "last
+    # non-null over the DESC ordering", at the cost of one extra sort of
+    # the same partition (still O(n log n) total).
+    w_prev = Window.partitionBy().orderBy(t.asc()).rowsBetween(Window.unboundedPreceding, 0)
     w_next = (
-        Window.partitionBy().orderBy(t).rowsBetween(0, Window.unboundedFollowing)
+        Window.partitionBy().orderBy(t.desc()).rowsBetween(Window.unboundedPreceding, 0)
     )
     tsec = _epoch_seconds(t)
     mapping = {}
@@ -86,9 +92,9 @@ def interpolate(table: Table, timestamp, *values, mode: str = "linear") -> Table
         col = table._resolve(v)
         name = v.name if hasattr(v, "name") else str(v)
         pv = F.last(col, ignorenulls=True).over(w_prev)
-        nv = F.first(col, ignorenulls=True).over(w_next)
+        nv = F.last(col, ignorenulls=True).over(w_next)
         pt = F.last(F.when(col.isNotNull(), tsec), ignorenulls=True).over(w_prev)
-        nt = F.first(F.when(col.isNotNull(), tsec), ignorenulls=True).over(w_next)
+        nt = F.last(F.when(col.isNotNull(), tsec), ignorenulls=True).over(w_next)
         interp = F.when(col.isNotNull(), col).otherwise(
             F.when(pv.isNull(), nv)
             .when(nv.isNull(), pv)

@@ -604,15 +604,20 @@ def _asof_nearest(
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
+    # forward match via the REVERSE running frame (same formulation the
+    # directional asof uses): a (0, unboundedFollowing) frame re-scans
+    # current→end per row — O(n²) per key group.  Ordering (__t desc,
+    # __side asc) keeps equal-time right rows visible to the left row
+    # (inclusive t' >= t), mirroring w_b's inclusive t' <= t.
     w_f = (
         W.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").desc())
-        .rowsBetween(0, W.unboundedFollowing)
+        .orderBy(F.col("__t").desc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     matched = unioned.withColumns(
         {
             "__rb": F.last(F.col("__r"), ignorenulls=True).over(w_b),
-            "__rf": F.first(F.col("__r"), ignorenulls=True).over(w_f),
+            "__rf": F.last(F.col("__r"), ignorenulls=True).over(w_f),
         }
     ).filter(F.col("__side") == 1)
     t_sec = _epoch_seconds(F.col("__t"))
