@@ -433,6 +433,100 @@ def q_deduplicate_latest(spark: SparkSession, sf: str) -> DataFrame:
     return out.df.select("user_id", "event_id", F.round(F.col("value"), 6).alias("value"))
 
 
+def q_unique_any(spark: SparkSession, sf: str) -> DataFrame:
+    """unique + any reducers (SURVEY §2.4; reference reducers.py:426,457):
+    unique yields the value when the whole group agrees (null otherwise —
+    the engine's error-channel marker), any yields a deterministic member."""
+    li = load_table(spark, sf, "lineitem")
+    t = pw.this
+    out = li.groupby(t.l_orderkey).reduce(
+        n=R.count(),
+        uniq_flag=R.unique(t.l_returnflag),
+        any_status=R.any(t.l_linestatus),
+    )
+    return out.df
+
+
+def q_asof_now(spark: SparkSession, sf: str) -> DataFrame:
+    """asof_now_join — join the CURRENT right state (SURVEY §2.3/§2.9,
+    reference _asof_now_join.py:176); in batch the current state is the
+    whole table, i.e. a plain equi-join (the stream-static variant is the
+    streaming round's covered path)."""
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer")
+    j = pw.temporal.asof_now_join(
+        ev, cust, pw.left.user_id == pw.right.c_custkey, how="inner"
+    )
+    return j.select(
+        pw.left.event_id, pw.left.user_id, cust_name=pw.right.c_name
+    ).df
+
+
+def q_session_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    """session(predicate=...) — merge consecutive events while the Python
+    predicate holds (SURVEY §2.5, reference _window.py:595); the batch plan
+    is one applyInPandas pass per instance."""
+    from pathwaydataframework_spark.operators import stateful
+
+    ev = load_table(spark, sf, "events")
+
+    def within_10min(prev_t, next_t):
+        return (next_t - prev_t).total_seconds() <= 600
+
+    out = stateful.session_windows_by_predicate(
+        ev,
+        pw.this.ts,
+        within_10min,
+        instance=pw.this.user_id,
+        aggregations={"n": ("event_id", "count"), "v_max": ("value", "max")},
+    )
+    return out.df.select(
+        "user_id", "_pw_window_start", "_pw_window_end", "n",
+        F.round(F.col("v_max"), 6).alias("v_max"),
+    )
+
+
+def q_interval_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """interval_join how='outer' — both unmatched sides padded through the
+    occurrence-counted row-hash anti-join (SURVEY §2.3)."""
+    ev = load_table(spark, sf, "events")
+    l = ev.filter(pw.this.event_type == "error")
+    r = load_table(spark, sf, "events").filter(pw.this.event_type == "purchase")
+    j = l.interval_join(
+        r,
+        pw.this.ts,
+        pw.this.ts,
+        pw.interval(0, 1800),
+        pw.left.user_id == pw.right.user_id,
+        how="outer",
+    )
+    return j.select(id_a=pw.left.event_id, id_b=pw.right.event_id).df
+
+
+def q_asof_right(spark: SparkSession, sf: str) -> DataFrame:
+    """asof_join how='right' — matched pairs + never-matched right rows
+    padded with a NULL left (SURVEY §2.3; exercises the r3
+    duplicate-multiplicity pad)."""
+    ev = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders")
+    latest = orders.groupby(pw.this.o_custkey, pw.this.o_orderdate).reduce(
+        o_orderkey=R.max(pw.this.o_orderkey)
+    )
+    j = ev.asof_join(
+        latest,
+        pw.this.ts,
+        pw.this.o_orderdate,
+        pw.left.user_id == pw.right.o_custkey,
+        how="right",
+        direction="backward",
+    )
+    return j.select(
+        event_id=pw.left.event_id,
+        matched_order=pw.right.o_orderkey,
+        matched_date=pw.right.o_orderdate,
+    ).df
+
+
 # ---------------------------------------------------------------------------
 # temporal
 
@@ -1225,6 +1319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize": q_tokenize,
         "q_quality_sample": q_quality_sample,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_asof_now": q_asof_now,
+        "q_session_predicate": q_session_predicate,
+        "q_interval_outer": q_interval_outer,
+        "q_asof_right": q_asof_right,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
@@ -2053,6 +2152,74 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN latest o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "q_unique_any": """
+            SELECT l_orderkey,
+                   count(*) AS n,
+                   CASE WHEN count(DISTINCT l_returnflag) = 1
+                         AND count(l_returnflag) = count(*)
+                        THEN min(l_returnflag) END AS uniq_flag,
+                   min(l_linestatus) AS any_status
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "q_asof_now": """
+            SELECT e.event_id, e.user_id, c.c_name AS cust_name
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        """,
+        "q_session_predicate": """
+            WITH s AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts - lag(ts) OVER w) <= 600
+                            THEN 0 ELSE 1 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), g AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s
+            )
+            SELECT user_id, min(ts) AS _pw_window_start,
+                   max(ts) AS _pw_window_end, count(*) AS n,
+                   round(max(value), 6) AS v_max
+            FROM g GROUP BY user_id, sid
+        """,
+        "q_interval_outer": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'error'),
+                 r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 m AS (
+                    SELECT a.event_id AS id_a, b.event_id AS id_b
+                    FROM l a JOIN r b
+                      ON a.user_id = b.user_id
+                     AND b.ts >= a.ts
+                     AND b.ts <= a.ts + INTERVAL 1800 SECOND
+                 )
+            SELECT id_a, id_b FROM m
+            UNION ALL
+            SELECT a.event_id, NULL FROM l a
+            WHERE a.event_id NOT IN (SELECT id_a FROM m)
+            UNION ALL
+            SELECT NULL, b.event_id FROM r b
+            WHERE b.event_id NOT IN (SELECT id_b FROM m)
+        """,
+        "q_asof_right": """
+            WITH latest AS (
+                SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            ), m AS (
+                SELECT e.event_id, o.o_orderkey, o.o_orderdate
+                FROM events e
+                ASOF LEFT JOIN latest o
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+                WHERE o.o_orderkey IS NOT NULL
+            )
+            SELECT event_id, o_orderkey AS matched_order,
+                   o_orderdate AS matched_date
+            FROM m
+            UNION ALL
+            SELECT NULL, o.o_orderkey, o.o_orderdate FROM latest o
+            WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM m)
         """,
         "q_interval_join": """
             SELECT a.event_id AS id_a, b.event_id AS id_b

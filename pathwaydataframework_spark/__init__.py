@@ -149,6 +149,7 @@ from pathwaydataframework_spark.sources import debug
 from pathwaydataframework_spark.sources import demo
 from pathwaydataframework_spark import persistence
 from pathwaydataframework_spark import universes
+from pathwaydataframework_spark import monitoring
 
 
 # reference free-function forms of the Table methods (pathway/__init__.py

@@ -239,3 +239,61 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:60]
     assert filtered.count() == 9
+
+
+def test_airbyte_read_protocol_parsing(spark, tmp_path):
+    """r3: AirbyteMessage JSONL → stream-filtered RECORDs + STATE callback;
+    LOG lines and other streams are ignored (reference
+    io/airbyte/__init__.py:107)."""
+    msgs = [
+        json.dumps({"type": "LOG", "log": {"level": "INFO", "message": "hi"}}),
+        "not json at all",
+        json.dumps({"type": "RECORD", "record": {"stream": "users", "data": {"uid": 1, "name": "ann"}}}),
+        json.dumps({"type": "RECORD", "record": {"stream": "orders", "data": {"uid": 9, "name": "skip"}}}),
+        json.dumps({"type": "STATE", "state": {"cursor": "2024-01-01"}}),
+        json.dumps({"type": "RECORD", "record": {"stream": "users", "data": {"uid": 2, "name": "bo"}}}),
+    ]
+    states = []
+    table = sources.airbyte.read(
+        spark,
+        streams=["users"],
+        schema="uid long, name string",
+        spool_dir=str(tmp_path / "ab"),
+        messages_iter=msgs,
+        on_state=states.append,
+    )
+    time.sleep(1.0)
+    rows = _drain(spark, table.df, "airbyte_rows")
+    assert {(r["uid"], r["name"]) for r in rows} == {(1, "ann"), (2, "bo")}
+    assert states == [{"cursor": "2024-01-01"}]
+
+
+def test_gdrive_read_with_injected_client(spark, tmp_path):
+    """r3: injectable Drive client → (metadata, binary data) file rows
+    (reference io/gdrive/__init__.py:336)."""
+
+    class FakeDrive:
+        files = {
+            "f1": (b"\x89PNG fake image bytes", "pic.png", "image/png"),
+            "f2": (b"plain text payload", "notes.txt", "text/plain"),
+        }
+
+        def list_files(self, folder_id):
+            assert folder_id == "folder123"
+            for fid, (_, name, mime) in sorted(self.files.items()):
+                yield {"id": fid, "name": name, "mime_type": mime,
+                       "modified": "2024-06-01T00:00:00Z"}
+
+        def download(self, file_id):
+            return self.files[file_id][0]
+
+    table = sources.gdrive.read(
+        spark, "folder123", client=FakeDrive(), spool_dir=str(tmp_path / "gd")
+    )
+    time.sleep(1.0)
+    rows = _drain(spark, table.df, "gdrive_rows")
+    got = {(r["id"], r["name"], r["mime_type"], bytes(r["data"])) for r in rows}
+    assert got == {
+        ("f1", "pic.png", "image/png", b"\x89PNG fake image bytes"),
+        ("f2", "notes.txt", "text/plain", b"plain text payload"),
+    }

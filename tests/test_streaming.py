@@ -223,3 +223,42 @@ def test_buffered_stage_two_cutoffs_one_pipeline(spark, tmp_path):
     q1b.awaitTermination(120)
     got1 = {r["k"] for r in spark.read.parquet(os.path.join(s1_dir, "out")).collect()}
     assert got1 == {1, 2, 4, 5}
+
+
+def test_monitoring_listener_and_http_metrics(spark, tmp_path):
+    """r3: pw.monitoring — StreamingQueryListener progress registry + the
+    HTTP scrape endpoint (reference internals/monitoring.py +
+    src/engine/http_server.rs)."""
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    import pathwaydataframework_spark as pw
+
+    mon = pw.monitoring.attach(spark)
+    try:
+        src = str(tmp_path / "mon_src")
+        spark.createDataFrame([(1,), (2,), (3,)], "k long").write.parquet(src)
+        q = (
+            spark.readStream.schema("k long").parquet(src)
+            .writeStream.format("memory").queryName("mon_rows")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        for _ in range(50):  # listener events are delivered asynchronously
+            kinds = {e["kind"] for e in mon.metrics()}
+            if "progress" in kinds:
+                break
+            _time.sleep(0.2)
+        progress = [e for e in mon.metrics() if e["kind"] == "progress"]
+        assert progress and sum(e["numInputRows"] for e in progress) == 3
+
+        srv = mon.serve(port=0)
+        url = f"http://127.0.0.1:{srv.server_port}"
+        with urllib.request.urlopen(url + "/healthz", timeout=10) as r:
+            assert r.read() == b"ok"
+        with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+            events = _json.loads(r.read())
+        assert any(e["kind"] == "progress" for e in events)
+    finally:
+        pw.monitoring.detach(spark, mon)
