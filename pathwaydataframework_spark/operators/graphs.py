@@ -128,23 +128,25 @@ def bellman_ford(
             .groupBy("v")
             .agg(F.min("cand").alias("cand"))
         )
+        # convergence detection rides the SAME job as the relaxation: the
+        # joined frame still holds both the old distance (d) and the
+        # candidate, so an observe() metric counts improvements with no
+        # extra per-round join+count job (the pagerank observe pattern)
+        from pyspark.sql import Observation
+
+        joined = dist.join(relaxed, on="v", how="left")
+        improved_flag = (
+            (F.col("cand") < F.col("d"))
+            | (F.col("cand").isNotNull() & F.col("d").isNull())
+        ).cast("long")
+        obs = Observation()
         new_dist = (
-            dist.join(relaxed, on="v", how="left")
+            joined.observe(obs, F.sum(improved_flag).alias("improved"))
             .select("v", F.least(F.col("d"), F.col("cand")).alias("d"))
             .localCheckpoint(eager=True)
         )
-        improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), on="v")
-            .filter(
-                (F.col("n.d") < F.col("o.d"))
-                | (F.col("n.d").isNotNull() & F.col("o.d").isNull())
-            )
-            .limit(1)
-            .count()
-        )
         dist = new_dist
-        if improved == 0:
+        if (obs.get["improved"] or 0) == 0:
             break
     return dist.select(F.col("v").alias("vertex"), F.round("d", 6).alias("distance"))
 
@@ -182,6 +184,27 @@ def connected_components(
         .withColumn("comp", F.col("v"))
         .localCheckpoint(eager=True)
     )
+    # convergence potential: labels only ever decrease, so the label sum is
+    # a monotone potential — unchanged sum ⟺ fixpoint.  It is measured by an
+    # observe() metric ON the round's checkpoint job (no extra scan job).
+    # Non-numeric vertex ids sum via xxhash64 (a raw sum would be NULL —
+    # None == None true after round one — or an ANSI cast error); hash-sum
+    # equality across rounds ⟺ unchanged labels for the decreasing-label
+    # iteration.  decimal(38,0): a long sum of vertex ids (this engine's ids
+    # are xxhash64 longs) overflows int64 (ANSI ARITHMETIC_OVERFLOW) after a
+    # handful of rows; float ids additionally get an order-dependent sum,
+    # risking false convergence — so integers sum as decimal, everything
+    # else (strings, floats) sums xxhash64 values as decimal.
+    from pyspark.sql import Observation
+
+    integral = dict(labels.dtypes)["comp"] in (
+        "bigint", "int", "smallint", "tinyint",
+    )
+    potential = (
+        F.col("comp").cast("decimal(38,0)")
+        if integral
+        else F.xxhash64("comp").cast("decimal(38,0)")
+    )
     prev_sum = None
     for _ in range(max_iterations):
         # one pass: min over self + neighbor labels — expressed as
@@ -198,32 +221,14 @@ def connected_components(
         parents = stepped.select(
             F.col("v").alias("p_v"), F.col("comp").alias("p_comp")
         )
+        obs = Observation()
         new_labels = (
             stepped.join(parents, stepped["comp"] == parents["p_v"], how="left")
             .select("v", F.least(F.col("comp"), F.coalesce("p_comp", "comp")).alias("comp"))
-            .localCheckpoint(eager=True)  # single job materializes the round
+            .observe(obs, F.sum(potential).alias("s"))
+            .localCheckpoint(eager=True)  # the round's single job
         )
-        # convergence: labels only ever decrease, so the label sum is a
-        # monotone potential — unchanged sum ⟺ fixpoint.  One cheap scan of
-        # the checkpoint, no comparison join carrying old labels around.
-        # Non-numeric vertex ids sum via xxhash64 (a raw sum would be NULL
-        # — None == None true after round one — or an ANSI cast error);
-        # hash-sum equality across rounds ⟺ unchanged labels for the
-        # decreasing-label iteration.
-        # decimal(38,0) sum: a long sum of vertex ids (this engine's ids are
-        # xxhash64 longs) overflows int64 (ANSI ARITHMETIC_OVERFLOW) after a
-        # handful of rows; float ids additionally get an order-dependent sum,
-        # risking false convergence — so integers sum as decimal, everything
-        # else (strings, floats) sums xxhash64 values as decimal.
-        integral = dict(new_labels.dtypes)["comp"] in (
-            "bigint", "int", "smallint", "tinyint",
-        )
-        potential = (
-            F.col("comp").cast("decimal(38,0)")
-            if integral
-            else F.xxhash64("comp").cast("decimal(38,0)")
-        )
-        cur_sum = new_labels.agg(F.sum(potential)).first()[0]
+        cur_sum = obs.get["s"]
         labels = new_labels
         if cur_sum == prev_sum:
             break
@@ -323,23 +328,26 @@ def louvain_communities(
         # only to lower.  Any profitable move is admissible within two
         # rounds, and a simultaneous swap needs both directions at once.
         up = F.col("new_comm") > F.col("cur")
-        new_labels = best.select(
-            "v",
-            F.when(
-                (F.col("best_gain") > F.col("stay_gain"))
-                & (up if it % 2 == 0 else ~up),
-                F.col("new_comm"),
+        selected = F.when(
+            (F.col("best_gain") > F.col("stay_gain"))
+            & (up if it % 2 == 0 else ~up),
+            F.col("new_comm"),
+        ).otherwise(F.col("cur"))
+        # move-count rides the round's checkpoint job via observe() — the
+        # frame still holds `cur`, so no per-round comparison join+count
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = (
+            best.withColumn("__new", selected)
+            .observe(
+                obs,
+                F.sum((F.col("__new") != F.col("cur")).cast("long")).alias("moved"),
             )
-            .otherwise(F.col("cur"))
-            .alias("comm"),
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="v")
-            .filter(F.col("n.comm") != F.col("o.comm"))
-            .limit(1)
-            .count()
+            .select("v", F.col("__new").alias("comm"))
+            .localCheckpoint(eager=True)
         )
+        changed = obs.get["moved"] or 0
         labels = new_labels
         # a quiet round could be the parity class's doing — require both
         # parities quiet before declaring convergence
