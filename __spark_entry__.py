@@ -984,6 +984,50 @@ def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     return ranking.bm25_scores(docs, queries, k=5)
 
 
+def q_doc_retrieve(spark: SparkSession, sf: str) -> DataFrame:
+    """DocumentStore end-to-end (reference xpacks/llm/document_store.py:32):
+    binary docs + JSON metadata → parse → index → per-query filtered top-k
+    retrieval (one query unfiltered, one with a JMESPath metadata filter,
+    one with a filepath glob).  Flattened to (query_id, rn, dist): the dist
+    multiset per rank is invariant under score-tie permutations, so the
+    check is deterministic even when duplicate docs tie at the k boundary."""
+    from pathwaydataframework_spark.xpacks.llm import DocumentStore
+
+    docs = load_table(spark, sf, "documents").df
+    src = docs.select(
+        F.encode("text", "utf-8").alias("data"),
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.lit("/corpus/"),
+                    F.col("source"),
+                    F.lit("/doc_"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".txt"),
+                ).alias("path"),
+                F.pmod(F.col("doc_id"), F.lit(3)).alias("shard"),
+                F.col("lang"),
+            )
+        ).alias("_metadata"),
+    )
+    store = DocumentStore(src)  # default: utf8 parse, null split, BM25 index
+    qdf = spark.createDataFrame(
+        [
+            (1, "spark query window", 3, None, None),
+            (2, "batch data table", 3, "shard == `1`", None),
+            (3, "spark query window", 4, None, "/corpus/*/doc_1*.txt"),
+        ],
+        "query_id long, query string, k int, metadata_filter string, "
+        "filepath_globpattern string",
+    )
+    res = store.retrieve_query(qdf)
+    return res.select("query_id", F.posexplode("result").alias("pos", "hit")).select(
+        "query_id",
+        (F.col("pos") + 1).cast("long").alias("rn"),
+        F.round(F.col("hit.dist"), 6).alias("dist"),
+    )
+
+
 def q_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieve-then-rerank (reference xpacks/llm/rerankers.py:58 analogue):
     BM25 top-5 candidates per query, reranked by lexical query coverage.
@@ -1298,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_doc_retrieve": q_doc_retrieve,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
         "q_shuffle": q_shuffle,
@@ -1816,6 +1861,64 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _doc_retrieve_oracle_sql() -> str:
+    """Per-query BM25 over the query's own FILTERED corpus (DocumentStore
+    re-ranks within the metadata-filtered subset, so n/avgdl/idf are all
+    subset-local) — one block per query, unioned."""
+
+    def block(qid: int, qtext: str, where: str, k: int) -> str:
+        return f"""
+            SELECT {qid} AS query_id, rn, dist FROM (
+                SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rn,
+                       round(-score, 6) AS dist
+                FROM (
+                    WITH docs_f AS (
+                        SELECT doc_id, text FROM documents WHERE {where}
+                    ), toks AS (
+                        SELECT doc_id,
+                               regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                        FROM docs_f
+                    ), dl AS (
+                        SELECT doc_id, len(t) AS dl FROM toks
+                    ), tf AS (
+                        SELECT doc_id, term, count(*) AS tf
+                        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+                        GROUP BY 1, 2
+                    ), stats AS (
+                        SELECT (SELECT count(*) FROM docs_f)::DOUBLE AS n,
+                               (SELECT avg(dl) FROM dl) AS avgdl
+                    ), dfreq AS (
+                        SELECT term, count(*) AS df FROM tf GROUP BY 1
+                    ), idf AS (
+                        SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+                        FROM dfreq, stats
+                    ), qt AS (
+                        SELECT unnest(list_distinct(
+                            regexp_split_to_array(lower(trim('{qtext}')), '\\s+')
+                        )) AS term
+                    )
+                    SELECT tf.doc_id,
+                           round(sum(idf * (tf * 2.2) /
+                                 (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                               AS score
+                    FROM qt
+                    JOIN idf USING (term)
+                    JOIN tf USING (term)
+                    JOIN dl ON tf.doc_id = dl.doc_id, stats
+                    GROUP BY 1
+                )
+            ) WHERE rn <= {k}
+        """
+
+    return " UNION ALL ".join(
+        [
+            block(1, "spark query window", "TRUE", 3),
+            block(2, "batch data table", "(doc_id % 3) = 1", 3),
+            block(3, "spark query window", "CAST(doc_id AS VARCHAR) LIKE '1%'", 4),
+        ]
+    )
+
+
 _BM25_SQL = """
             WITH q(query_id, query) AS (
                 VALUES (1, 'spark query window'), (2, 'batch data table')
@@ -1889,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_doc_retrieve": _doc_retrieve_oracle_sql(),
         "q_pagerank": _pagerank_oracle_sql(),
         "q_bellman_ford": _bellman_ford_oracle_sql(),
         "q_simhash": jaccard_08_pairs_sql,

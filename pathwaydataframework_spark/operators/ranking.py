@@ -86,7 +86,9 @@ def bm25_scores(
     # frame was measured SLOWER — the broadcast exchange still runs the agg
     # subtree as its own job and adds a nested-loop join to every row.)
     n_docs = docs.count()
-    avgdl = base.agg(F.avg(F.size("__toks"))).collect()[0][0]
+    # empty corpus (e.g. a filtered DocumentStore subset): no rows can score,
+    # but the plan below must still build — any finite avgdl works
+    avgdl = base.agg(F.avg(F.size("__toks"))).collect()[0][0] or 1.0
     # df per query term from the filtered postings — identical to the
     # full-index df for those terms, without the full-index groupBy
     idf = (

@@ -14,6 +14,15 @@ from pathwaydataframework_spark.operators.ml_index import (  # noqa: F401
     DataIndex,
     default_vector_document_index,
 )
+from pathwaydataframework_spark.xpacks.llm.document_store import (  # noqa: F401
+    DocumentStore,
+    SlidesDocumentStore,
+)
+from pathwaydataframework_spark.xpacks.llm.vector_store import (  # noqa: F401
+    SlidesVectorStoreServer,
+    VectorStoreClient,
+    VectorStoreServer,
+)
 
 __all__ = [
     "splitters",
@@ -22,4 +31,9 @@ __all__ = [
     "rerankers",
     "DataIndex",
     "default_vector_document_index",
+    "DocumentStore",
+    "SlidesDocumentStore",
+    "VectorStoreServer",
+    "SlidesVectorStoreServer",
+    "VectorStoreClient",
 ]
