@@ -23,6 +23,17 @@ from pathwaydataframework_spark.xpacks.llm.vector_store import (  # noqa: F401
     VectorStoreClient,
     VectorStoreServer,
 )
+from pathwaydataframework_spark.xpacks.llm import (  # noqa: F401
+    llms,
+    prompts,
+    question_answering,
+)
+from pathwaydataframework_spark.xpacks.llm.question_answering import (  # noqa: F401
+    BaseQuestionAnswerer,
+    BaseRAGQuestionAnswerer,
+    answer_with_geometric_rag_strategy,
+    answer_with_geometric_rag_strategy_from_index,
+)
 
 __all__ = [
     "splitters",
