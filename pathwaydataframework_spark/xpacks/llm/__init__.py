@@ -27,6 +27,7 @@ from pathwaydataframework_spark.xpacks.llm import (  # noqa: F401
     llms,
     prompts,
     question_answering,
+    servers,
 )
 from pathwaydataframework_spark.xpacks.llm.question_answering import (  # noqa: F401
     BaseQuestionAnswerer,

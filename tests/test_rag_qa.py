@@ -230,3 +230,44 @@ def test_rag_summarize_and_endpoints(spark, rag_app):
         "query_id long, metadata_filter string, filepath_globpattern string",
     )
     assert len(rag_app.list_documents(lq).first()["result"]) == 2
+
+
+# -- REST servers ------------------------------------------------------------
+
+
+def _post(url, payload):
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=15) as resp:
+        return json.loads(resp.read())
+
+
+def test_qa_summary_rest_server(spark, rag_app):
+    from pathwaydataframework_spark.xpacks.llm.servers import QASummaryRestServer
+
+    server = QASummaryRestServer(rag_question_answerer=rag_app)
+
+    @server.serve_callable("/v1/echo")
+    def echo(**kw):
+        return {"got": kw}
+
+    server.run(threaded=True)
+    base = f"http://{server.host}:{server.port}"
+    try:
+        ans = _post(base + "/v1/pw_ai_answer", {"prompt": "spark data movement?"})
+        assert ans["response"] == "ANSWER[spark]"
+        summ = _post(base + "/v1/pw_ai_summary", {"text_list": ["a", "b"]})
+        assert summ["response"].startswith("ANSWER")
+        docs = _post(base + "/v1/pw_list_documents", {})
+        assert len(docs) == 2
+        stats = _post(base + "/v1/statistics", {})
+        assert stats["file_count"] == 2
+        hits = _post(base + "/v1/retrieve", {"query": "spark", "k": 1})
+        assert len(hits) == 1
+        assert _post(base + "/v1/echo", {"x": 1}) == {"got": {"x": 1}}
+    finally:
+        server.shutdown()
