@@ -770,6 +770,75 @@ class gdrive:
         return Table(df)
 
 
+class sharepoint:
+    """Reference xpacks/connectors/sharepoint/__init__.py:249 — ingest the
+    files under a SharePoint root path as ``(path, modified, size, data
+    binary, _metadata json)`` rows, the DocumentStore input contract.
+
+    The office365 client is injectable (same pattern as gdrive):
+    ``client.list_files(root_path)`` yields metadata dicts (``path`` /
+    ``modified`` / ``size``) and ``client.download(path)`` returns the
+    file bytes.  Payloads spool base64-inside-JSON through the watch-dir
+    pattern and decode to a real ``binary`` column JVM-side — the listing
+    thread moves each payload once; downstream is a plain distributed
+    file stream.
+    """
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        *,
+        client,
+        root_path: str,
+        spool_dir: str,
+        object_size_limit: int | None = None,
+        with_metadata: bool = True,
+    ) -> Table:
+        import base64
+
+        from pathwaydataframework_spark.sources.python_connector import (
+            ConnectorSubject,
+            read as _py_read,
+        )
+
+        class _Subject(ConnectorSubject):
+            def run(self) -> None:
+                for meta in client.list_files(root_path):
+                    size = meta.get("size")
+                    if (
+                        object_size_limit is not None
+                        and size is not None
+                        and size > object_size_limit
+                    ):
+                        continue  # reference skips oversized objects (:268)
+                    blob = client.download(meta["path"])
+                    self.next_json(
+                        {
+                            "path": meta.get("path"),
+                            "modified": meta.get("modified"),
+                            "size": size if size is not None else len(blob),
+                            "data_b64": base64.b64encode(blob).decode("ascii"),
+                        }
+                    )
+                    self.commit()
+
+        t = _py_read(
+            spark,
+            _Subject(),
+            schema="path string, modified string, size long, data_b64 string",
+            spool_dir=spool_dir,
+        )
+        df = t.df.withColumn("data", F.unbase64(F.col("data_b64"))).drop("data_b64")
+        if with_metadata:
+            df = df.withColumn(
+                "_metadata",
+                F.to_json(F.struct(F.col("path"), F.col("modified"), F.col("size"))),
+            )
+        else:
+            df = df.select("path", "data")
+        return Table(df)
+
+
 class mongodb:
     """Reference io/mongodb/__init__.py:14 → mongo-spark connector
     (``format('mongodb')``; needs the connector jar on the cluster)."""

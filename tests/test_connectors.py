@@ -297,3 +297,41 @@ def test_gdrive_read_with_injected_client(spark, tmp_path):
         ("f1", "pic.png", "image/png", b"\x89PNG fake image bytes"),
         ("f2", "notes.txt", "text/plain", b"plain text payload"),
     }
+
+
+def test_sharepoint_read_with_injected_client(spark, tmp_path):
+    """r3: injectable office365-style client → DocumentStore-shaped rows
+    (path, modified, size, data, _metadata) with the oversize skip
+    (reference xpacks/connectors/sharepoint/__init__.py:249,268)."""
+
+    class FakeSharePoint:
+        files = {
+            "/sites/docs/a.txt": b"alpha contents",
+            "/sites/docs/b.pdf": b"%PDF small",
+            "/sites/docs/huge.bin": b"x" * 4096,
+        }
+
+        def list_files(self, root):
+            assert root == "/sites/docs"
+            for path, blob in sorted(self.files.items()):
+                yield {"path": path, "modified": "2024-06-01", "size": len(blob)}
+
+        def download(self, path):
+            return self.files[path]
+
+    table = sources.sharepoint.read(
+        spark,
+        client=FakeSharePoint(),
+        root_path="/sites/docs",
+        spool_dir=str(tmp_path / "sp"),
+        object_size_limit=1024,
+    )
+    time.sleep(1.0)
+    rows = _drain(spark, table.df, "sharepoint_rows")
+    got = {(r["path"], bytes(r["data"])) for r in rows}
+    assert got == {
+        ("/sites/docs/a.txt", b"alpha contents"),
+        ("/sites/docs/b.pdf", b"%PDF small"),
+    }
+    meta = {r["path"]: json.loads(r["_metadata"]) for r in rows}
+    assert meta["/sites/docs/a.txt"]["size"] == 14
