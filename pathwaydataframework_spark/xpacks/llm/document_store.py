@@ -523,21 +523,25 @@ class DocumentStore:
             ),
         )
 
-    def _filter_groups(self, queries: DataFrame) -> list[str]:
-        """DISTINCT merged filter strings (driver-side; bounded by the
-        number of query templates, not query rows)."""
+    def _filter_groups(self, queries: DataFrame) -> list[tuple[str, int | None]]:
+        """DISTINCT (merged filter string, max k) pairs in ONE driver job
+        (driver-side; bounded by the number of query templates, not query
+        rows)."""
+        k_agg = (
+            F.max("k") if "k" in queries.columns else F.max(F.lit(None).cast("int"))
+        )
         rows = (
-            queries.select(self._merged_filter_col(queries).alias("f"))
-            .distinct()
+            queries.groupBy(self._merged_filter_col(queries).alias("f"))
+            .agg(k_agg.alias("k_max"))
             .collect()
         )
-        return sorted({r["f"] for r in rows})
+        return sorted((r["f"], r["k_max"]) for r in rows)
 
     def _group_frames(self, queries: DataFrame):
-        """Yield (filtered queries, filtered chunk corpus) per distinct
-        merged filter."""
+        """Yield (filtered queries, filtered chunk corpus, filtered parsed
+        docs, max k) per distinct merged filter."""
         merged_col = self._merged_filter_col(queries)
-        for merged in self._filter_groups(queries):
+        for merged, k_max in self._filter_groups(queries):
             qgrp = queries.filter(merged_col == F.lit(merged))
             corpus = self.chunked_docs
             docs = self.parsed_docs
@@ -545,7 +549,7 @@ class DocumentStore:
                 pred = translate_metadata_filter(merged, F.col("metadata"))
                 corpus = corpus.filter(pred)
                 docs = docs.filter(pred)
-            yield qgrp, corpus, docs
+            yield qgrp, corpus, docs, k_max
 
     def retrieve_query(
         self, retrieval_queries: DataFrame | Table, *, query_id_col: str = "query_id"
@@ -559,8 +563,7 @@ class DocumentStore:
         if "k" not in queries.columns:
             queries = queries.withColumn("k", F.lit(3))
         outs = []
-        for qgrp, corpus, _docs in self._group_frames(queries):
-            k_max = qgrp.agg(F.max("k")).first()[0]
+        for qgrp, corpus, _docs, k_max in self._group_frames(queries):
             if k_max is None:
                 continue
             hits = self._retrieve_group(qgrp, corpus, int(k_max), query_id_col)
@@ -608,7 +611,7 @@ class DocumentStore:
         (reference inputs_query, document_store.py:385)."""
         queries = _df(input_queries)
         outs = []
-        for qgrp, _corpus, docs in self._group_frames(queries):
+        for qgrp, _corpus, docs, _k in self._group_frames(queries):
             metas = docs.agg(F.sort_array(F.collect_list("metadata")).alias("result"))
             outs.append(qgrp.crossJoin(F.broadcast(metas)))
         out = outs[0]
@@ -646,7 +649,7 @@ class SlidesDocumentStore(DocumentStore):
     ) -> DataFrame:
         queries = _df(parse_docs_queries)
         outs = []
-        for qgrp, _corpus, docs in self._group_frames(queries):
+        for qgrp, _corpus, docs, _k in self._group_frames(queries):
             meta = F.col("metadata")
             def _drop(key):  # bind key without adding a lambda parameter
                 return lambda k, _v: k != F.lit(key)

@@ -248,3 +248,18 @@ def test_client_requires_exactly_one_address():
         VectorStoreClient(host="h", url="http://x")
     with pytest.raises(ValueError):
         VectorStoreClient()
+
+
+def test_retrieve_plan_no_cartesian(spark, docs_df):
+    """Scale check: store retrieval is the banded/broadcast BM25 plan —
+    no CartesianProduct anywhere, queries broadcast to the postings."""
+    from pathwaydataframework_spark.plans import formatted_plan
+
+    store = DocumentStore(docs_df)
+    q = spark.createDataFrame(
+        [(1, "distributed queries", 2, None, None)],
+        "query_id long, query string, k int, metadata_filter string, "
+        "filepath_globpattern string",
+    )
+    plan = formatted_plan(store.retrieve_query(q))
+    assert "CartesianProduct" not in plan
