@@ -1028,6 +1028,41 @@ def q_doc_retrieve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """HybridIndex reciprocal-rank fusion (reference hybrid_index.py:14):
+    BM25 full-text over documents + brute-force cosine over embeddings —
+    the SAME id space (doc_id == vec_id in the fixtures) — each top-5,
+    fused with rrf = 1/(60+rank), re-ranked.  Each retriever keeps its own
+    broadcast-probe plan; fusion touches only the k-sized candidate lists."""
+    from pathwaydataframework_spark.operators import ml_index
+
+    docs = load_table(spark, sf, "documents").df
+    emb = load_table(spark, sf, "embeddings").df
+    qtexts = spark.createDataFrame(
+        [(1, "spark query window"), (2, "batch data table")],
+        "query_id long, query string",
+    )
+    qvecs = emb.filter(F.col("vec_id").isin(3, 7)).select(
+        F.when(F.col("vec_id") == 3, F.lit(1).cast("long"))
+        .otherwise(F.lit(2).cast("long"))
+        .alias("query_id"),
+        "embedding",
+    )
+    queries = qtexts.join(qvecs, "query_id")
+    knn = ml_index.KNNIndex(
+        emb, id_col="vec_id", vec_col="embedding", dim=8, method="brute_force"
+    )
+    bm25 = ml_index.BM25Index(docs)
+    hybrid = ml_index.HybridIndex([knn, bm25])
+    return hybrid.query(
+        queries,
+        k=5,
+        query_id_col="query_id",
+        query_text_col="query",
+        query_vec_col="embedding",
+    )
+
+
 def q_rerank(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieve-then-rerank (reference xpacks/llm/rerankers.py:58 analogue):
     BM25 top-5 candidates per query, reranked by lexical query coverage.
@@ -1343,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
         "q_doc_retrieve": q_doc_retrieve,
+        "q_hybrid_rrf": q_hybrid_rrf,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
         "q_shuffle": q_shuffle,
@@ -1993,6 +2029,38 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "q_doc_retrieve": _doc_retrieve_oracle_sql(),
+        "q_hybrid_rrf": f"""
+            WITH bm AS ({_BM25_SQL}),
+            knn AS (
+                SELECT query_id, item_id, rank FROM (
+                    SELECT q.query_id, c.vec_id AS item_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY round(list_cosine_similarity(
+                                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]
+                               ), 6) DESC, c.vec_id ASC) AS rank
+                    FROM (
+                        SELECT 1 AS query_id, embedding
+                        FROM embeddings WHERE vec_id = 3
+                        UNION ALL
+                        SELECT 2, embedding FROM embeddings WHERE vec_id = 7
+                    ) q JOIN embeddings c ON TRUE
+                ) WHERE rank <= 5
+            ), unioned AS (
+                SELECT query_id, doc_id AS item_id, 1.0 / (60 + rank) AS rrf
+                FROM bm
+                UNION ALL
+                SELECT query_id, item_id, 1.0 / (60 + rank) FROM knn
+            ), sc AS (
+                SELECT query_id, item_id, round(sum(rrf), 6) AS score
+                FROM unioned GROUP BY 1, 2
+            )
+            SELECT query_id, item_id, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, item_id ASC
+                ) AS rank FROM sc
+            ) WHERE rank <= 5
+        """,
         "q_pagerank": _pagerank_oracle_sql(),
         "q_bellman_ford": _bellman_ford_oracle_sql(),
         "q_simhash": jaccard_08_pairs_sql,

@@ -178,7 +178,14 @@ class HybridIndex:
         parts = []
         for idx in self._indexes:
             if isinstance(idx, BM25Index):
-                r = idx.query(queries, k=k, **kwargs)
+                # route only the kwargs each retriever understands — a
+                # hybrid query carries BOTH a text and a vector column
+                bm_kwargs = {
+                    key: kwargs[key]
+                    for key in ("query_id_col", "query_text_col")
+                    if key in kwargs
+                }
+                r = idx.query(queries, k=k, **bm_kwargs)
                 r = r.select("query_id", F.col("doc_id").alias("item_id"), "rank")
             else:
                 r = idx.get_nearest_items(
