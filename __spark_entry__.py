@@ -1028,6 +1028,58 @@ def q_doc_retrieve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_error_channel(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-channel semantics (reference fill_error, common.py:438; Error
+    values from checked arithmetic, expression.rs): division by zero and
+    mod by zero flow to the null channel (try_divide / guarded mod — under
+    ANSI a plain `/` would ABORT the whole job) and fill_error recovers
+    them per cell.  Also pins floor-mod semantics for negative divisors."""
+    li = load_table(spark, sf, "lineitem")
+    t = pw.this
+    out = li.filter(t.l_orderkey < 200).select(
+        okey=t.l_orderkey,
+        lnum=t.l_linenumber,
+        # l_quantity == 30 → divisor 0 → Error → -1
+        ratio=pw.fill_error(
+            (t.l_extendedprice / (t.l_quantity - 30)).num.round(6), -1.0
+        ),
+        # l_linenumber == 3 → mod by zero → Error → -1; negative divisors
+        # exercise floor-mod (sign of divisor)
+        bucket=pw.fill_error(t.l_orderkey % (t.l_linenumber - 3), -1),
+    )
+    return out.df
+
+
+def q_custom_reducer(spark: SparkSession, sf: str) -> DataFrame:
+    """BaseCustomAccumulator / udaf_reduce (reference custom_reducers.py:174,
+    271): an order-insensitive XOR accumulator folded per group via
+    applyInPandas — one shuffle on the key, Python only inside each group."""
+    from pathwaydataframework_spark.internals import custom_reducers as cr
+
+    class XorAcc(cr.BaseCustomAccumulator):
+        @classmethod
+        def from_row(cls, row):
+            acc = cls()
+            acc.x = row[0]
+            return acc
+
+        def update(self, other):
+            self.x ^= other.x
+
+        def compute_result(self):
+            return self.x
+
+    orders = load_table(spark, sf, "orders")
+    return cr.udaf_reduce(
+        orders,
+        instance=pw.this.o_orderpriority,
+        accumulator=XorAcc,
+        value_cols=[pw.this.o_orderkey],
+        result_name="xor_key",
+        result_type="long",
+    ).df
+
+
 def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """HybridIndex reciprocal-rank fusion (reference hybrid_index.py:14):
     BM25 full-text over documents + brute-force cosine over embeddings —
@@ -1379,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_doc_retrieve": q_doc_retrieve,
         "q_hybrid_rrf": q_hybrid_rrf,
+        "q_error_channel": q_error_channel,
+        "q_custom_reducer": q_custom_reducer,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
         "q_shuffle": q_shuffle,
@@ -2029,6 +2083,22 @@ def oracle_sql() -> dict[str, str]:
         """
     return {
         "q_doc_retrieve": _doc_retrieve_oracle_sql(),
+        "q_error_channel": """
+            SELECT l_orderkey AS okey,
+                   l_linenumber AS lnum,
+                   round(CASE WHEN l_quantity = 30 THEN -1.0
+                         ELSE l_extendedprice / (l_quantity - 30) END, 6)
+                       AS ratio,
+                   CASE WHEN l_linenumber = 3 THEN -1
+                        ELSE ((l_orderkey % (l_linenumber - 3))
+                              + (l_linenumber - 3)) % (l_linenumber - 3)
+                   END AS bucket
+            FROM lineitem WHERE l_orderkey < 200
+        """,
+        "q_custom_reducer": """
+            SELECT o_orderpriority, bit_xor(o_orderkey) AS xor_key
+            FROM orders GROUP BY 1
+        """,
         "q_hybrid_rrf": f"""
             WITH bm AS ({_BM25_SQL}),
             knn AS (

@@ -72,10 +72,10 @@ class Expr:
         return DispatchBinOp(lift(o), self, _add_dispatch)
 
     def __sub__(self, o):
-        return BinOp(self, lift(o), lambda a, b: a - b)
+        return DispatchBinOp(self, lift(o), _sub_dispatch)
 
     def __rsub__(self, o):
-        return BinOp(lift(o), self, lambda a, b: a - b)
+        return DispatchBinOp(lift(o), self, _sub_dispatch)
 
     def __mul__(self, o):
         return DispatchBinOp(self, lift(o), _mul_dispatch)
@@ -97,8 +97,14 @@ class Expr:
 
     def __mod__(self, o):
         # floor-mod (sign of divisor), matching Python and the reference's
-        # Integer::mod_floor (expression.rs:851); Spark's native % truncates
-        return BinOp(self, lift(o), lambda a, b: ((a % b) + b) % b)
+        # Integer::mod_floor (expression.rs:851); Spark's native % truncates.
+        # Zero divisor routes to the null error channel (ANSI % would abort
+        # the job; the reference yields a recoverable Error value).
+        return BinOp(
+            self,
+            lift(o),
+            lambda a, b: F.when(b != 0, ((a % b) + b) % b),
+        )
 
     def __pow__(self, o):
         return BinOp(self, lift(o), lambda a, b: F.pow(a, b))
@@ -310,7 +316,10 @@ _INTISH = ("bigint", "int", "smallint", "tinyint")
 def _add_dispatch(lt, rt, a, b):
     if lt == "string":
         return F.concat(a, b)
-    return a + b
+    # try_add: int64 overflow yields the null error channel (the
+    # reference's checked arithmetic yields an Error value), instead of
+    # aborting the job under ANSI
+    return F.try_add(a, b)
 
 
 def _and_dispatch(lt, rt, a, b):
@@ -331,27 +340,45 @@ def _xor_dispatch(lt, rt, a, b):
     return a.bitwiseXOR(b)
 
 
+_NUMERIC = ("bigint", "int", "smallint", "tinyint", "double", "float")
+
+
+def _sub_dispatch(lt, rt, a, b):
+    # numeric overflow → null error channel (see _add_dispatch); temporal
+    # subtraction (timestamp - timestamp → interval, timestamp - interval)
+    # and unprobeable contexts keep the native operator (try_subtract does
+    # not accept a timestamp-timestamp pair)
+    if lt in _NUMERIC and rt in _NUMERIC:
+        return F.try_subtract(a, b)
+    return a - b
+
+
 def _mul_dispatch(lt, rt, a, b):
     # STR*INT / INT*STR → repetition (reference operator_mapping.py:125)
     if lt == "string":
         return F.call_function("repeat", a, b)
     if rt == "string":
         return F.call_function("repeat", b, a)
-    return a * b
+    # overflow → null error channel (see _add_dispatch)
+    return F.try_multiply(a, b)
 
 
 def _div_dispatch(lt, rt, a, b):
     # DURATION / DURATION → FLOAT ratio (reference DurationTrueDiv); Spark
-    # has no interval division, so divide the micros
+    # has no interval division, so divide the micros.
+    # try_divide, not `/`: the reference's x/0 yields an Error VALUE
+    # (recoverable with fill_error, droppable with remove_errors); under
+    # Spark 4's default ANSI mode a plain `/` would abort the whole job.
+    # Our error channel is null (SURVEY §7), so try_divide IS the channel.
     if lt and rt and lt.startswith("interval") and rt.startswith("interval"):
-        return _dur_micros(a) / _dur_micros(b)
-    return a / b
+        return F.try_divide(_dur_micros(a), _dur_micros(b))
+    return F.try_divide(a, b)
 
 
 def _floordiv_dispatch(lt, rt, a, b):
     if lt and rt and lt.startswith("interval") and rt.startswith("interval"):
-        return F.floor(_dur_micros(a) / _dur_micros(b))
-    return F.floor(a / b)
+        return F.floor(F.try_divide(_dur_micros(a), _dur_micros(b)))
+    return F.floor(F.try_divide(a, b))
 
 
 def _dur_micros(c: Column) -> Column:
