@@ -220,20 +220,23 @@ class Expr:
         return UnaryOp(self, lambda a: a.isNotNull())
 
     # -- conversions --------------------------------------------------------
+    # try_cast, not cast: a malformed value yields the null error channel
+    # (the reference's conversion failures are recoverable Error values);
+    # under ANSI a plain cast would abort the whole job on one bad cell
     def to_string(self):
-        return UnaryOp(self, lambda a: a.cast("string"))
+        return UnaryOp(self, lambda a: a.try_cast("string"))
 
     def as_int(self):
-        return UnaryOp(self, lambda a: a.cast("long"))
+        return UnaryOp(self, lambda a: a.try_cast("long"))
 
     def as_float(self):
-        return UnaryOp(self, lambda a: a.cast("double"))
+        return UnaryOp(self, lambda a: a.try_cast("double"))
 
     def as_str(self):
-        return UnaryOp(self, lambda a: a.cast("string"))
+        return UnaryOp(self, lambda a: a.try_cast("string"))
 
     def as_bool(self):
-        return UnaryOp(self, lambda a: a.cast("boolean"))
+        return UnaryOp(self, lambda a: a.try_cast("boolean"))
 
     # -- namespaces (attached in functions/__init__.py) ---------------------
     @property
@@ -482,9 +485,12 @@ def require(val, *conds):
 
 
 def cast(dtype, expr):
-    """Reference ``pw.cast`` (common.py:242); dtype is a Spark type string."""
+    """Reference ``pw.cast`` (common.py:242); dtype is a Spark type string.
+    try_cast: a malformed value yields the null error channel (the
+    reference's cast failure is a recoverable Error value) instead of
+    aborting the job under ANSI."""
     spark_type = _dtype_to_spark(dtype)
-    return UnaryOp(lift(expr), lambda a: a.cast(spark_type))
+    return UnaryOp(lift(expr), lambda a: a.try_cast(spark_type))
 
 
 def declare_type(dtype, expr):

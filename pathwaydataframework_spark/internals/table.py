@@ -235,9 +235,13 @@ class Table:
 
     def cast_to_types(self, **dtypes) -> "Table":
         """Reference table.py:2011.  Accepts Spark SQL type strings or
-        ``pw.Type`` (compat.Type) members."""
+        ``pw.Type`` (compat.Type) members.  try_cast: malformed cells land
+        in the null error channel instead of aborting the job under ANSI
+        (the reference's cast failures are recoverable Error values)."""
         mapping = {
-            name: self._df[name].cast(getattr(t, "spark", None) or getattr(t, "value", t))
+            name: self._df[name].try_cast(
+                getattr(t, "spark", None) or getattr(t, "value", t)
+            )
             for name, t in dtypes.items()
         }
         return Table(self._df.withColumns(mapping), self._id_cols)

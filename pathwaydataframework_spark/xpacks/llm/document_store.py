@@ -220,7 +220,9 @@ class _FilterTranslator:
         op = self._expect("op")
         lit = self._literal(*self._next())
         if isinstance(lit, (int, float)):
-            field = field.cast("double")
+            # try_cast: a non-numeric field value compared to a numeric
+            # literal is NULL (filter-false), not an ANSI job abort
+            field = field.try_cast("double")
         ops = {
             "==": field.__eq__, "!=": field.__ne__, "<": field.__lt__,
             "<=": field.__le__, ">": field.__gt__, ">=": field.__ge__,

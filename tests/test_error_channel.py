@@ -77,3 +77,21 @@ def test_timestamp_arithmetic_still_native(spark):
     )
     out = ts.select(d=pw.this.a - pw.this.b).df.collect()[0]["d"]
     assert out == datetime.timedelta(days=1)
+
+
+def test_malformed_cast_flows_to_null_channel(spark):
+    t = pw.Table.from_rows(spark, [("12",), ("nope",)], "s string")
+    vals = sorted(
+        (r["v"] is None, r["v"])
+        for r in t.select(v=pw.cast(int, pw.this.s)).df.collect()
+    )
+    assert vals == [(False, 12), (True, None)]
+    # accessor form and table-level form behave identically
+    assert sorted(
+        r["v"] for r in t.select(v=pw.fill_error(pw.this.s.as_int(), -1)).df.collect()
+    ) == [-1, 12]
+    casted = t.cast_to_types(s="long")
+    assert sorted((r["s"] is None, r["s"]) for r in casted.df.collect()) == [
+        (False, 12),
+        (True, None),
+    ]
