@@ -189,7 +189,10 @@ class DateTimeNamespace:
         return UnaryOp(self._e, lambda a: F.date_format(a, fmt))
 
     def strptime(self, fmt: str):
-        return UnaryOp(self._e, lambda a: F.to_timestamp(a, fmt))
+        # try_to_timestamp: an unparseable string yields the null error
+        # channel (reference strptime failure is a recoverable Error value)
+        # instead of aborting the job under ANSI
+        return UnaryOp(self._e, lambda a: F.try_to_timestamp(a, F.lit(fmt)))
 
     def to_utc(self, from_timezone: str):
         return FuncExpr(

@@ -402,7 +402,11 @@ class debezium:
             F.get_json_object(payload, "$.op").alias("op"),
             F.from_json(F.get_json_object(payload, "$.before"), after_schema).alias("before"),
             F.from_json(F.get_json_object(payload, "$.after"), after_schema).alias("after"),
-            F.get_json_object(payload, "$.source.ts_ms").cast("long").alias("source_ts_ms"),
+            # try_cast: one malformed CDC envelope must not abort the whole
+            # stream under ANSI — it lands in the null error channel
+            F.get_json_object(payload, "$.source.ts_ms")
+            .try_cast("long")
+            .alias("source_ts_ms"),
         )
         return Table(parsed)
 

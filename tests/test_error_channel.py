@@ -95,3 +95,12 @@ def test_malformed_cast_flows_to_null_channel(spark):
         (False, 12),
         (True, None),
     ]
+
+
+def test_strptime_malformed_flows_to_null_channel(spark):
+    t = pw.Table.from_rows(
+        spark, [("2024-01-02 03:04:05",), ("not a date",)], "s string"
+    )
+    out = t.select(ts=pw.this.s.dt.strptime("yyyy-MM-dd HH:mm:ss"))
+    vals = sorted((r["ts"] is None) for r in out.df.collect())
+    assert vals == [False, True]
