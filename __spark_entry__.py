@@ -1028,6 +1028,107 @@ def q_doc_retrieve(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _media_fixtures() -> list[tuple[int, str]]:
+    """Deterministic media blobs (hex) shared by q_media_meta and its
+    oracle: two PCM WAVs, a PNG, a top-down BMP (negative biHeight), a
+    GIF, and an unknown blob."""
+    import struct
+
+    def wav(rate=8000, ch=1, bits=16, payload=800):
+        byte_rate = rate * ch * bits // 8
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + payload) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, rate, byte_rate, ch * bits // 8, bits)
+            + b"data" + struct.pack("<I", payload)
+        )
+        return hdr + bytes(payload)
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + bytes(5)
+        )
+
+    def bmp(w, h):
+        return (
+            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24) + bytes(16)
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + bytes(4)
+
+    blobs = [
+        wav(),                                # 50 ms @ 16 kB/s
+        wav(rate=16000, payload=3200),        # 100 ms @ 32 kB/s
+        png(320, 200),
+        bmp(64, -48),                         # top-down: |height| reported
+        gif(12, 34),
+        b"plain text bytes",
+    ]
+    return [(i, b.hex()) for i, b in enumerate(blobs)]
+
+
+def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal container sniffing (operators/multimodal.py
+    attach_media_meta — addendum §2.10): WAV/PNG/BMP/GIF header fields as
+    pure binary column expressions.  The DuckDB oracle re-derives every
+    field from the same blobs with independent hex-string byte arithmetic,
+    so the endianness/offset logic is differentially checked."""
+    from pathwaydataframework_spark.operators import multimodal
+
+    src = spark.createDataFrame(_media_fixtures(), "id long, hex string").select(
+        "id", F.unhex("hex").alias("data")
+    )
+    out = multimodal.attach_media_meta(src)
+    return out.select(
+        "id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+def _media_meta_oracle_sql() -> str:
+    values = ", ".join(f"({i}, '{h}')" for i, h in _media_fixtures())
+    # TRY_CAST: reads past a short blob's end yield NULL, not an error
+    b = lambda p: f"TRY_CAST('0x' || substr(h, ({p}-1)*2+1, 2) AS BIGINT)"  # noqa: E731
+    le32 = lambda p: f"({b(p)} + {b(p+1)}*256 + {b(p+2)}*65536 + {b(p+3)}*16777216)"  # noqa: E731
+    be32 = lambda p: f"TRY_CAST('0x' || substr(h, ({p}-1)*2+1, 8) AS BIGINT)"  # noqa: E731
+    le16 = lambda p: f"({b(p)} + {b(p+1)}*256)"  # noqa: E731
+    sgn = lambda u: f"abs(CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 ELSE {u} END)"  # noqa: E731
+    return f"""
+        WITH raw(id, hx) AS (VALUES {values}),
+        blobs AS (SELECT id, hex(unhex(hx)) AS h, octet_length(unhex(hx)) AS n FROM raw),
+        sniffed AS (
+            SELECT id, h, n,
+                   substr(h, 1, 8) = hex('RIFF'::BLOB)
+                       AND substr(h, 17, 8) = hex('WAVE'::BLOB) AS is_wav,
+                   substr(h, 1, 8) = '89504E47' AS is_png,
+                   substr(h, 1, 4) = hex('BM'::BLOB) AS is_bmp,
+                   substr(h, 1, 8) = hex('GIF8'::BLOB) AS is_gif,
+                   {le32(29)} AS byte_rate
+            FROM blobs
+        )
+        SELECT id,
+               CASE WHEN is_wav THEN 'audio'
+                    WHEN is_png OR is_bmp OR is_gif THEN 'image'
+                    ELSE 'unknown' END AS media_type,
+               CAST(CASE WHEN is_png THEN {be32(17)}
+                         WHEN is_bmp THEN {sgn(le32(19))}
+                         WHEN is_gif THEN {le16(7)} END AS INTEGER) AS width,
+               CAST(CASE WHEN is_png THEN {be32(21)}
+                         WHEN is_bmp THEN {sgn(le32(23))}
+                         WHEN is_gif THEN {le16(9)} END AS INTEGER) AS height,
+               CAST(CASE WHEN is_wav AND byte_rate > 0
+                         THEN (n - 44) * 1000 / byte_rate END AS INTEGER)
+                   AS duration_ms
+        FROM sniffed
+    """
+
+
 def q_error_channel(spark: SparkSession, sf: str) -> DataFrame:
     """Error-channel semantics (reference fill_error, common.py:438; Error
     values from checked arithmetic, expression.rs): division by zero and
@@ -1433,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_error_channel": q_error_channel,
         "q_custom_reducer": q_custom_reducer,
+        "q_media_meta": q_media_meta,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
         "q_shuffle": q_shuffle,
@@ -2099,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, bit_xor(o_orderkey) AS xor_key
             FROM orders GROUP BY 1
         """,
+        "q_media_meta": _media_meta_oracle_sql(),
         "q_hybrid_rrf": f"""
             WITH bm AS ({_BM25_SQL}),
             knn AS (
