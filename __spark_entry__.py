@@ -1129,6 +1129,62 @@ def _media_meta_oracle_sql() -> str:
     """
 
 
+def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup (dedup.incremental_neardup_pairs): an incoming
+    batch (doc_id % 10 == 0) matched against a PERSISTED corpus band index
+    — only the batch is re-shingled; cost scales with the batch, not the
+    corpus.  Same provable-recall banding as q_minhash_lsh (planted dups
+    sit at ~0.99 jaccard; 16 hashes / 4 bands misses them w.p. ~3e-6), so
+    the exact cross-subset jaccard join is the oracle."""
+    docs = load_table(spark, sf, "documents").df
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = dedup.minhash_band_index(
+        corpus, "doc_id", "text", n=3, num_hashes=16, bands=4
+    )
+    return dedup.incremental_neardup_pairs(
+        batch,
+        idx,
+        id_col="doc_id",
+        text_col="text",
+        corpus_docs=corpus,
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.8,
+    )
+
+
+_INCR_NEARDUP_SQL = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE []::VARCHAR[] END) AS g
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, len(g) AS sz FROM sh
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gram FROM sh
+    ), common AS (
+        SELECT x.doc_id AS new_id, y.doc_id AS corpus_id, count(*) AS inter
+        FROM ex x JOIN ex y ON x.gram = y.gram
+        WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 != 0
+        GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = new_id
+    JOIN sizes sb ON sb.doc_id = corpus_id
+    WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
 def q_error_channel(spark: SparkSession, sf: str) -> DataFrame:
     """Error-channel semantics (reference fill_error, common.py:438; Error
     values from checked arithmetic, expression.rs): division by zero and
@@ -1535,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_error_channel": q_error_channel,
         "q_custom_reducer": q_custom_reducer,
         "q_media_meta": q_media_meta,
+        "q_incremental_neardup": q_incremental_neardup,
         "q_stratified_sample": q_stratified_sample,
         "q_train_split": q_train_split,
         "q_shuffle": q_shuffle,
@@ -2202,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "q_media_meta": _media_meta_oracle_sql(),
+        "q_incremental_neardup": _INCR_NEARDUP_SQL,
         "q_hybrid_rrf": f"""
             WITH bm AS ({_BM25_SQL}),
             knn AS (
