@@ -1155,6 +1155,32 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters (identical trajectory
+    to q_kmeans) are the blocking structure; within each cluster, points
+    whose 6dp-rounded cosine to a smaller-id clustermate reaches 0.43 are
+    dropped.  The threshold sits in a >=5e-4 gap of the fixture's realized
+    within-cluster cosine distribution at sf0.001 and sf0.01, so rounding
+    parity makes the kept/dropped split cross-engine exact."""
+    from pathwaydataframework_spark.operators import clustering
+
+    emb = load_table(spark, sf, "embeddings").df
+    return clustering.semdedup(
+        emb, "vec_id", "embedding", k=10, iterations=3, threshold=0.43
+    )
+
+
+def q_corpus_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level near-dup removal: MinHash-LSH pairs (same provable-
+    recall banding as q_minhash_lsh), connected components over the
+    verified jaccard>=0.8 graph, min-id exemplar per component.  The
+    oracle replays the exact jaccard graph + recursive min-label reach."""
+    docs = load_table(spark, sf, "documents").df
+    return dedup.corpus_dedup(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+
+
 _INCR_NEARDUP_SQL = """
     WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1586,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_semdedup": q_semdedup,
+        "q_corpus_dedup": q_corpus_dedup,
         "q_doc_retrieve": q_doc_retrieve,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_error_channel": q_error_channel,
@@ -2110,6 +2138,43 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _semdedup_oracle_sql(
+    k: int = 10, iterations: int = 3, dim: int = 64, threshold: float = 0.43
+) -> str:
+    """q_semdedup oracle: the q_kmeans trajectory replay, then the
+    within-cluster smaller-id cosine>=threshold drop rule on 6dp-rounded
+    cosines — identical arithmetic to clustering.semdedup."""
+    base = _kmeans_oracle_sql(k=k, iterations=iterations, dim=dim)
+    trajectory = base[: base.rindex("SELECT vec_id")]
+    return f"""
+        {trajectory}
+        , pts AS MATERIALIZED (
+            SELECT a.vec_id, a.cidx AS cluster, e.v
+            FROM a{iterations} a JOIN e USING (vec_id)
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM pts a JOIN pts b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+        )
+        SELECT p.vec_id, p.cluster, d.vec_id IS NULL AS kept
+        FROM pts p LEFT JOIN dropped d ON p.vec_id = d.vec_id
+    """
+
+
+def _corpus_dedup_oracle_sql() -> str:
+    """q_corpus_dedup oracle: exact jaccard>=0.8 near-dup graph (inverted
+    index), recursive min-label reach (the q_connected_components oracle),
+    min-id exemplar kept, unique docs keep themselves."""
+    return f"""
+        SELECT d.doc_id,
+               coalesce(cc.component, d.doc_id) AS canon,
+               coalesce(cc.component, d.doc_id) = d.doc_id AS kept
+        FROM documents d
+        LEFT JOIN ({_neardup_cc_sql("component")}) cc ON cc.vertex = d.doc_id
+    """
+
+
 def _doc_retrieve_oracle_sql() -> str:
     """Per-query BM25 over the query's own FILTERED corpus (DocumentStore
     re-ranks within the metadata-filtered subset, so n/avgdl/idf are all
@@ -2241,6 +2306,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_semdedup": _semdedup_oracle_sql(),
+        "q_corpus_dedup": _corpus_dedup_oracle_sql(),
         "q_doc_retrieve": _doc_retrieve_oracle_sql(),
         "q_error_channel": """
             SELECT l_orderkey AS okey,

@@ -131,6 +131,68 @@ def kmeans_fit(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    iterations: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embeddings, then within each
+    cluster drop every point whose cosine similarity to a smaller-id point
+    of the same cluster reaches ``threshold``.
+
+    The clusters ARE the blocking structure — the pairwise check is
+    confined to each cluster (one shuffle keyed by cluster), never a
+    global all-pairs, which is the paper's point: at web scale the k·(n/k)²
+    within-cluster work replaces the impossible n² sweep.  The keep rule is
+    the deterministic analogue of the paper's "keep one exemplar": the
+    smallest id survives (the paper keeps the point farthest from the
+    centroid; any single-representative rule dedups equally — ours is
+    reproducible across engines with no tie ambiguity).
+
+    Returns (id, cluster, kept).  Cosines are rounded to 6 decimals before
+    the threshold compare so an external SQL oracle replays the decision
+    bit-for-bit.
+    """
+    from pathwaydataframework_spark.operators.similarity import cosine_similarity
+
+    assigned = kmeans(df, id_col, vec_col, k, iterations=iterations)
+    pts = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .join(assigned.select(F.col(id_col).alias("_id"), "cluster"), on="_id")
+        # referenced twice (both sides of the within-cluster join) — without
+        # this the whole k-means lineage re-executes for each side
+        .localCheckpoint(eager=True)
+    )
+    a = pts.select(F.col("_id").alias("_ida"), "cluster", F.col("_v").alias("_va"))
+    b = pts.select(F.col("_id").alias("_idb"), "cluster", F.col("_v").alias("_vb"))
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), _ROUND)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return (
+        pts.join(dropped.withColumn("_hit", F.lit(True)), on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.col("_hit").isNull().alias("kept"),
+        )
+    )
+
+
 def embedding_outliers(
     df: DataFrame,
     id_col: str,

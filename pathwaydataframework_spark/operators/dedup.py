@@ -639,3 +639,65 @@ def remove_duplicate_spans(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+# -- Corpus-level dedup -----------------------------------------------------
+
+
+def corpus_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Corpus-level near-duplicate removal — the "give me the deduplicated
+    training set" operator (reference deduplicate at table.py-level keeps
+    latest per key; this is the document-collection analogue used by
+    C4/RefinedWeb-style pipelines).
+
+    MinHash-LSH candidate pairs, exact-Jaccard verified at ``threshold``,
+    connected-componented (duplicate clusters are transitive: A≈B≈C is one
+    group even when jaccard(A,C) dips under the threshold), then the
+    smallest id of each component survives.
+
+    Returns (id_col, canon, kept): ``canon`` = the surviving exemplar's id
+    (itself for unique docs), ``kept`` = whether this row stays.  Filter on
+    ``kept`` for the deduplicated corpus; group by ``canon`` for duplicate
+    clusters.
+
+    Scale path: banded equi-join candidates (never all-pairs), per-pair
+    verification joins, and O(component-diameter) label-propagation rounds
+    — duplicate clusters are near-cliques, so diameter is tiny.
+    """
+    from pathwaydataframework_spark.operators.graphs import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    labels = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    canon = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        df.select(F.col(id_col))
+        .join(
+            labels.select(F.col("vertex").alias(id_col), "component"),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            canon.alias("canon"),
+            (canon == F.col(id_col)).alias("kept"),
+        )
+    )

@@ -536,3 +536,57 @@ def test_kmeans_validates_arguments(spark):
         clustering.kmeans(df, "id", "v", k=1, iterations=0)
     with pytest.raises(ValueError, match="k must"):
         clustering.kmeans(df, "id", "v", k=0)
+
+
+def test_semdedup_drops_within_cluster_near_dups(spark):
+    from pathwaydataframework_spark.operators import clustering
+
+    # two tight groups far apart; ids 1/2 are identical vectors, 3 is close
+    # to them; 10/11 identical in the other group
+    pts = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.05, 1.0]),
+            (10, [1.0, 0.0]),
+            (11, [1.0, 0.0]),
+            (12, [1.0, -0.9]),
+        ],
+        "id long, v array<double>",
+    )
+    out = clustering.semdedup(pts, "id", "v", k=2, iterations=3, threshold=0.99)
+    kept = {r["id"]: r["kept"] for r in out.collect()}
+    # smallest id of each near-dup group survives; the far-off 12 survives
+    assert kept == {1: True, 2: False, 3: False, 10: True, 11: False, 12: True}
+
+
+def test_semdedup_threshold_keeps_distinct_points(spark):
+    from pathwaydataframework_spark.operators import clustering
+
+    pts = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [1.0, 1.0])],
+        "id long, v array<double>",
+    )
+    out = clustering.semdedup(pts, "id", "v", k=1, iterations=2, threshold=0.999)
+    assert all(r["kept"] for r in out.collect())
+
+
+def test_corpus_dedup_transitive_component_min_id_survives(spark):
+    from pathwaydataframework_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (5, base + " alpha"),
+            (7, base + " alpha beta"),      # near-dup of 5 and 9
+            (9, base + " alpha beta gamma"),
+            (20, "completely different words about spark catalyst optimizer plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.corpus_dedup(docs, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5)
+    rows = {r["doc_id"]: (r["canon"], r["kept"]) for r in out.collect()}
+    assert rows[5] == (5, True)
+    assert rows[7] == (5, False)
+    assert rows[9] == (5, False)
+    assert rows[20] == (20, True)
