@@ -1155,6 +1155,36 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source rebalancing (XLM-R-style, alpha=0.5 over
+    the skewed lang column): acceptance rate sqrt(n_min/n_lang), md5-bucket
+    decision.  Every arithmetic step (divide, sqrt, multiply, floor) is
+    IEEE correctly-rounded, so the per-lang thresholds — and therefore the
+    exact kept row set — are bit-identical across engines."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    out = sampling.temperature_sample(docs, "doc_id", "lang", alpha=0.5, seed=0)
+    return out.select("doc_id", "lang")
+
+
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Global line-level exact dedup (C4/RefinedWeb boilerplate removal).
+    The fixture's documents are single-line, so the query first reflows
+    each text into 12-token lines (pure array exprs, replicated exactly by
+    the oracle); planted near-dup documents then share exact lines, which
+    collapse to their first (doc_id, idx) occurrence corpus-wide."""
+    docs = load_table(spark, sf, "documents").df
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(12)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * F.lit(12) + 1, 12), " "),
+    )
+    multi = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return dedup.dedup_lines_global(multi, "doc_id", "text")
+
+
 def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means clusters (identical trajectory
     to q_kmeans) are the blocking structure; within each cluster, points
@@ -1612,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_temperature_sample": q_temperature_sample,
+        "q_line_dedup": q_line_dedup,
         "q_semdedup": q_semdedup,
         "q_corpus_dedup": q_corpus_dedup,
         "q_doc_retrieve": q_doc_retrieve,
@@ -2138,6 +2170,62 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _temperature_sample_oracle_sql() -> str:
+    """q_temperature_sample oracle: identical correctly-rounded threshold
+    arithmetic (sqrt of a count ratio) + the shared md5-bucket primitive."""
+    return f"""
+        WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        nmin AS (SELECT min(n) AS nmin FROM counts),
+        rates AS (
+            SELECT lang,
+                   floor(sqrt(nmin::DOUBLE / n::DOUBLE) * 4294967296.0)::BIGINT AS thr
+            FROM counts, nmin
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {_bucket_sql("d.doc_id", 0)} < r.thr
+    """
+
+
+def _line_dedup_oracle_sql(width: int = 12) -> str:
+    """q_line_dedup oracle: the same 12-token reflow, then keep the first
+    (doc_id, idx) occurrence of every non-blank line corpus-wide."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents
+        ), lines AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, cast(ceil(len(t) / {width}.0) AS INT)),
+                       i -> array_to_string(t[i*{width}+1 : i*{width}+{width}], ' ')
+                   ) AS ls
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx,
+                   unnest(ls) AS line
+            FROM lines
+        ), ranked AS (
+            SELECT doc_id, idx,  line,
+                   row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+            FROM ex WHERE trim(line) != ''
+        ), kept AS (
+            SELECT doc_id, idx, line FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, idx, line FROM ex WHERE trim(line) = ''
+        ), re AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               coalesce(re.clean_text, '') AS clean_text,
+               (len(l.ls) - coalesce(re.n_kept, 0))::BIGINT AS n_removed_lines
+        FROM lines l LEFT JOIN re ON re.doc_id = l.doc_id
+    """
+
+
 def _semdedup_oracle_sql(
     k: int = 10, iterations: int = 3, dim: int = 64, threshold: float = 0.43
 ) -> str:
@@ -2306,6 +2394,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_temperature_sample": _temperature_sample_oracle_sql(),
+        "q_line_dedup": _line_dedup_oracle_sql(),
         "q_semdedup": _semdedup_oracle_sql(),
         "q_corpus_dedup": _corpus_dedup_oracle_sql(),
         "q_doc_retrieve": _doc_retrieve_oracle_sql(),

@@ -701,3 +701,64 @@ def corpus_dedup(
             (canon == F.col(id_col)).alias("kept"),
         )
     )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """Global line-level exact dedup (the C4/RefinedWeb move: one copy of
+    every repeated line survives ACROSS the whole corpus — boilerplate
+    navigation, cookie banners, repeated headers collapse to their first
+    occurrence).
+
+    "First" = smallest (id, line-index) lexicographically, so the result
+    is insertion-order deterministic.  Blank/whitespace lines are
+    structure, not content — always kept.  Documents whose every line is
+    removed survive with ``clean_text = ''``.
+
+    Returns (id_col, clean_text, n_removed_lines).
+
+    Scale path: explode → one exchange keyed by line content (skew note:
+    the empty-line key never enters the window — it is filtered before the
+    shuffle, not after) → reassemble keyed by document.  No global sort;
+    the per-line window ranks only rows sharing that exact line.
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ex = base.select(
+        "_id", F.posexplode(F.split(F.col("_t"), pat)).alias("_idx", "_line")
+    )
+    blank = F.trim(F.col("_line")) == ""
+    content = ex.filter(~blank)
+    rn = F.row_number().over(
+        W.partitionBy("_line").orderBy(F.col("_id"), F.col("_idx"))
+    )
+    kept_content = content.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    kept = kept_content.unionByName(ex.filter(blank))
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col("_t"), pat))
+    return (
+        base.join(reassembled, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed_lines"),
+        )
+    )

@@ -224,6 +224,59 @@ def mix_datasets(
     return out
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-LM data move,
+    Conneau et al. 2019 arXiv:1911.02116 §3.1): resample so source
+    proportions follow p_s^alpha instead of the natural p_s, flattening
+    head sources without replicating the tail.
+
+    Downsample-only: acceptance rate r_s = (n_min / n_s)^(1-alpha), so the
+    smallest source keeps everything, the largest is squeezed hardest, and
+    expected output counts are proportional to n_s^alpha.  alpha=1 is the
+    natural distribution (no-op), alpha=0 targets uniform.
+
+    Determinism: the keep decision is md5-bucket < floor(r_s * 2^32), the
+    same cross-engine primitive as every sampler here.  At alpha in
+    {0, 0.5, 1} every step (divide, sqrt, multiply, floor) is IEEE
+    correctly-rounded, so thresholds are bit-identical in any engine;
+    other alphas go through pow(), whose last-ulp can differ across libm
+    builds (flips a threshold only when r_s*2^32 sits within ~1e-7 of an
+    integer).
+
+    Plan: one per-source count aggregation, a 1-row global min, a
+    broadcast rate join, then a scan-side filter — the corpus itself never
+    shuffles.
+    """
+    if not (alpha == alpha) or not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    ratio = F.col("_nmin").cast("double") / F.col("_n").cast("double")
+    if alpha == 1.0:
+        rate = F.lit(1.0)
+    elif alpha == 0.5:
+        rate = F.sqrt(ratio)  # correctly-rounded — cross-engine exact
+    elif alpha == 0.0:
+        rate = ratio
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - float(alpha)))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        source_col, F.floor(rate * F.lit(float(_BUCKETS))).cast("long").alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(rates), on=source_col)
+        .filter(hash_bucket(F.col(key), seed) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def quality_binned_sample(
     df: DataFrame,
     key: str,

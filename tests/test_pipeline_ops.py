@@ -590,3 +590,46 @@ def test_corpus_dedup_transitive_component_min_id_survives(spark):
     assert rows[7] == (5, False)
     assert rows[9] == (5, False)
     assert rows[20] == (20, True)
+
+
+def test_dedup_lines_global_keeps_first_and_blank(spark):
+    from pathwaydataframework_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "copyright acme corp\nreal content one\n\nmore text"),
+            (2, "copyright acme corp\nreal content two"),
+            (3, "copyright acme corp"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_lines"])
+        for r in dedup.dedup_lines_global(docs, "doc_id", "text").collect()
+    }
+    # doc 1 holds every first occurrence (incl. the blank structural line)
+    assert rows[1] == ("copyright acme corp\nreal content one\n\nmore text", 0)
+    assert rows[2] == ("real content two", 1)
+    assert rows[3] == ("", 1)  # fully-deduped doc survives as empty
+
+
+def test_temperature_sample_rates_and_alpha_bounds(spark):
+    from pathwaydataframework_spark.operators import sampling
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = sampling.temperature_sample(df, "id", "src", alpha=0.5, seed=0).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["src"]] = by_src.get(r["src"], 0) + 1
+    # smallest source keeps everything; big is squeezed to ~sqrt(100/900)=1/3
+    assert by_src["small"] == 100
+    assert 240 <= by_src["big"] <= 360
+    # alpha=1 is the natural distribution (no-op)
+    assert sampling.temperature_sample(df, "id", "src", alpha=1.0).count() == 1000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.temperature_sample(df, "id", "src", alpha=1.5)
+    with _pytest.raises(ValueError):
+        sampling.temperature_sample(df, "id", "src", alpha=float("nan"))
