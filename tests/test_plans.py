@@ -317,3 +317,38 @@ def test_groupby_sort_by_single_shuffle(spark):
         names=R.sorted_tuple(pw.this.name)
     )
     assert count_shuffles(out.df) == 1, formatted_plan(out.df)
+
+
+def test_semdedup_pairs_are_cluster_keyed_not_cartesian(spark, sf_dir):
+    # the within-cluster pair join must be an equi-join on the cluster key —
+    # a CartesianProduct would mean the blocking structure was lost
+    df = entry.q_semdedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_dedup_no_cartesian(spark, sf_dir):
+    # banded LSH candidates + CC label join: every join equi-keyed
+    df = entry.q_corpus_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_sample_rates_broadcast_scan_side(spark, sf_dir):
+    # the per-source rate table (5 rows) must broadcast; the corpus itself
+    # must not shuffle for the filter
+    df = entry.q_temperature_sample(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_line_dedup_shuffle_budget(spark, sf_dir):
+    # explode -> line-keyed window -> doc-keyed reassembly -> left join:
+    # bounded exchange count, no nested-loop anywhere
+    df = entry.q_line_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(df) <= 6
