@@ -1155,6 +1155,21 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the 100 corpus
+    docs most target-like (target = the en subset) by Gumbel-top-k over
+    hashed-unigram importance weights.  Log-ratios round to 6dp and sum as
+    exact decimals; the Gumbel uniform comes from the md5-bucket primitive
+    — so the selected set and ranks replay exactly in the oracle."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    target = docs.filter(F.col("lang") == "en")
+    return sampling.dsir_select(
+        docs, target, id_col="doc_id", text_col="text", buckets=4096, k=100, seed=0
+    )
+
+
 def q_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-based source rebalancing (XLM-R-style, alpha=0.5 over
     the skewed lang column): acceptance rate sqrt(n_min/n_lang), md5-bucket
@@ -1642,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_dsir": q_dsir,
         "q_temperature_sample": q_temperature_sample,
         "q_line_dedup": q_line_dedup,
         "q_semdedup": q_semdedup,
@@ -2170,6 +2186,50 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _dsir_oracle_sql(buckets: int = 4096, k: int = 100) -> str:
+    """q_dsir oracle: identical hashed-unigram models, 6dp log-ratio
+    decimal sums, md5-uniform Gumbel noise, identical (key desc, doc_id)
+    ranking."""
+    b_term = _bucket_sql("term", 0)
+    b_gumbel = _bucket_sql("doc_id", 1)
+    return f"""
+        WITH wf AS (
+            SELECT doc_id, lang, term FROM (
+                SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                FROM documents
+            ) WHERE length(term) > 0
+        ), feat AS (
+            SELECT doc_id, lang, {b_term} % {buckets} AS b FROM wf
+        ), sc AS (
+            SELECT b, count(*) AS cs FROM feat GROUP BY b
+        ), tc AS (
+            SELECT b, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b
+        ), ns AS (
+            SELECT sum(cs)::DOUBLE AS n FROM sc
+        ), nt AS (
+            SELECT coalesce(sum(ct), 0)::DOUBLE AS n FROM tc
+        ), ratio AS (
+            SELECT sc.b,
+                   round(ln((coalesce(tc.ct, 0) + 1) / (nt.n + {buckets}))
+                         - ln((sc.cs + 1) / (ns.n + {buckets})), 6)
+                       ::DECIMAL(18,9) AS lr
+            FROM sc LEFT JOIN tc USING (b), ns, nt
+        ), scores AS (
+            SELECT doc_id, round(sum(lr)::DOUBLE, 6) AS logw
+            FROM feat JOIN ratio USING (b) GROUP BY doc_id
+        ), keyed AS (
+            SELECT doc_id, logw,
+                   round(logw + -ln(-ln((({b_gumbel}) + 0.5) / 4294967296.0)), 6)
+                       AS key
+            FROM scores
+        )
+        SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+               doc_id, logw
+        FROM keyed ORDER BY key DESC, doc_id LIMIT {k}
+    """
+
+
 def _temperature_sample_oracle_sql() -> str:
     """q_temperature_sample oracle: identical correctly-rounded threshold
     arithmetic (sqrt of a count ratio) + the shared md5-bucket primitive."""
@@ -2394,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_dsir": _dsir_oracle_sql(),
         "q_temperature_sample": _temperature_sample_oracle_sql(),
         "q_line_dedup": _line_dedup_oracle_sql(),
         "q_semdedup": _semdedup_oracle_sql(),

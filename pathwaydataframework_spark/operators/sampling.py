@@ -323,3 +323,98 @@ def quality_binned_sample(
     return df.withColumn("quality_bin", bin_expr.cast("long")).filter(
         hash_bucket(F.col(key), seed) < thr
     )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023
+    arXiv:2302.03169): pick the k corpus documents whose hashed-unigram
+    distribution looks most like ``target``, by Gumbel-top-k over
+    importance weights — the public recipe for "find me more data like my
+    high-quality set" at pretraining scale.
+
+    - **Features**: lowercased tokens hashed into ``buckets`` via the
+      md5-bucket primitive (cross-engine deterministic).
+    - **Models**: Laplace-smoothed bucket unigram models fit on target and
+      corpus; log importance weight of a doc = Σ_tokens
+      round(log p_t(b) − log p_s(b), 6), summed as exact decimals so
+      partial-aggregation order cannot flip the 6th decimal.
+    - **Resampling**: Gumbel-top-k (Gumbel noise + top-k IS sampling
+      without replacement ∝ exp(logw)); the Gumbel uses the md5-bucket
+      uniform u=(bucket+0.5)/2³², so the draw replays identically in any
+      engine.  Sort key rounded to 6dp, ties broken by id.
+
+    Returns the selected (rank, id, logw), rank 1..k.  Token-less docs
+    have no tokens to weigh and are never candidates.
+
+    Plan: two bucket-count aggregations (max ``buckets`` rows each), two
+    driver scalars (token totals — one-time, like bm25's avgdl), a
+    broadcast ratio join onto the exploded corpus, a doc-keyed sum, and a
+    TakeOrderedAndProject for the top-k (never a global sort).
+    """
+    from pathwaydataframework_spark.operators.text import tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+
+    def featurize(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            tokens(F.lower(F.trim(F.col(text_col)))), lambda t: F.length(t) > 0
+        )
+        return df.select(
+            F.col(id_col).alias("_id"), F.explode(toks).alias("_term")
+        ).withColumn("_b", hash_bucket(F.col("_term"), seed) % F.lit(buckets))
+
+    corpus_feats = featurize(corpus).localCheckpoint(eager=True)
+    s_counts = corpus_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_cs"))
+    t_counts = featurize(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    s_counts = s_counts.localCheckpoint(eager=True)
+    t_counts = t_counts.localCheckpoint(eager=True)
+    n_s = s_counts.agg(F.sum("_cs")).collect()[0][0] or 0
+    n_t = t_counts.agg(F.sum("_ct")).collect()[0][0] or 0
+    # every corpus token's bucket has _cs >= 1; target-absent buckets take
+    # the smoothed floor (0+1)/(n_t+buckets)
+    ratio = (
+        s_counts.join(t_counts, on="_b", how="left")
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
+                    / F.lit(float(n_t + buckets))
+                )
+                - F.log((F.col("_cs") + F.lit(1)) / F.lit(float(n_s + buckets))),
+                6,
+            ).alias("_lr"),
+        )
+    )
+    scores = (
+        corpus_feats.join(F.broadcast(ratio), on="_b")
+        .withColumn("_lrd", F.col("_lr").cast("decimal(18,9)"))
+        .groupBy("_id")
+        .agg(F.round(F.sum("_lrd").cast("double"), 6).alias("logw"))
+    )
+    u = (hash_bucket(F.col("_id"), seed + 1) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    keyed = scores.withColumn("_key", F.round(F.col("logw") + gumbel, 6))
+    top = keyed.orderBy(F.col("_key").desc(), F.col("_id")).limit(k)
+    from pyspark.sql import Window as _W
+
+    return top.select(
+        F.row_number()
+        .over(_W.orderBy(F.col("_key").desc(), F.col("_id")))
+        .cast("long")
+        .alias("rank"),
+        F.col("_id").alias(id_col),
+        "logw",
+    )

@@ -633,3 +633,26 @@ def test_temperature_sample_rates_and_alpha_bounds(spark):
         sampling.temperature_sample(df, "id", "src", alpha=1.5)
     with _pytest.raises(ValueError):
         sampling.temperature_sample(df, "id", "src", alpha=float("nan"))
+
+
+def test_dsir_selects_target_like_docs(spark):
+    from pathwaydataframework_spark.operators import sampling
+
+    # corpus: 20 docs of "alpha" vocabulary, 20 of "beta"; target speaks alpha
+    alpha = "alpha bravo charlie delta echo foxtrot golf hotel"
+    beta = "nine eight seven six five four three two one zero"
+    corpus = spark.createDataFrame(
+        [(i, alpha if i < 20 else beta) for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(100, alpha), (101, alpha)], "doc_id long, text string")
+    out = sampling.dsir_select(corpus, target, k=10, buckets=512, seed=0).collect()
+    assert len(out) == 10
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(range(1, 11))
+    # every selected doc must be from the alpha half — beta docs carry
+    # strongly negative importance weights
+    assert all(r["doc_id"] < 20 for r in out)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.dsir_select(corpus, target, k=0)
