@@ -375,7 +375,10 @@ def dsir_select(
             F.col(id_col).alias("_id"), F.explode(toks).alias("_term")
         ).withColumn("_b", hash_bucket(F.col("_term"), seed) % F.lit(buckets))
 
-    corpus_feats = featurize(corpus).localCheckpoint(eager=True)
+    # NOT checkpointed: the exploded token table is corpus-scale — cheaper
+    # to re-derive from the column-pruned scan (twice) than to materialize
+    # tokens x docs to executor disk.  Only the tiny count tables persist.
+    corpus_feats = featurize(corpus)
     s_counts = corpus_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_cs"))
     t_counts = featurize(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
     s_counts = s_counts.localCheckpoint(eager=True)
