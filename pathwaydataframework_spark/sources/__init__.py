@@ -843,6 +843,124 @@ class sharepoint:
         return Table(df)
 
 
+class pyfilesystem:
+    """Reference io/pyfilesystem/__init__.py:142 — ingest any PyFilesystem2
+    filesystem (zip://, tar://, ftp://, mem://, osfs, …) as
+    ``(path, data binary[, _metadata json], deleted)`` rows.
+
+    The FS object is duck-typed (injectable — the ``fs`` package is not in
+    this container): ``walk.files(path=...)`` when present (a real
+    pyfilesystem2 FS), else recursive ``listdir``/``isdir``; payloads via
+    ``open(path, 'rb')``; change tracking via ``getmodified(path)`` when
+    available (files re-emit when mtime moves, matching the reference's
+    snapshot diff at :118).  Static mode scans once; streaming mode
+    re-scans every ``refresh_interval`` seconds.
+
+    Deviation (documented): the reference retracts deleted files through
+    its UPSERT session; an append-only file stream cannot retract, so a
+    deletion emits a tombstone row (``deleted=true``, empty payload) —
+    fold downstream with ``deduplicate`` keyed on path to get
+    latest-state semantics.
+    """
+
+    @staticmethod
+    def read(
+        spark: SparkSession,
+        source,
+        *,
+        path: str = "",
+        mode: str = "static",
+        refresh_interval: float = 30.0,
+        with_metadata: bool = False,
+        spool_dir: str,
+        max_scans: int | None = None,
+    ) -> Table:
+        import base64
+        import time as _time
+
+        from pathwaydataframework_spark.sources.python_connector import (
+            ConnectorSubject,
+            read as _py_read,
+        )
+
+        if mode not in ("static", "streaming"):
+            raise ValueError(f"mode must be 'static' or 'streaming', got {mode!r}")
+
+        def _walk(root: str):
+            walker = getattr(source, "walk", None)
+            if walker is not None and hasattr(walker, "files"):
+                yield from walker.files(path=root or "/")
+                return
+            stack = [root or "/"]
+            while stack:
+                d = stack.pop()
+                for name in sorted(source.listdir(d)):
+                    p = d.rstrip("/") + "/" + name
+                    if source.isdir(p):
+                        stack.append(p)
+                    else:
+                        yield p
+
+        def _mtime(p: str):
+            if hasattr(source, "getmodified"):
+                m = source.getmodified(p)
+                return None if m is None else str(m)
+            return None
+
+        class _Subject(ConnectorSubject):
+            def run(self) -> None:
+                stored: dict[str, str | None] = {}
+                scans = 0
+                while True:
+                    existing = set()
+                    for p in _walk(path):
+                        existing.add(p)
+                        m = _mtime(p)
+                        # no mtime info -> emit once; with mtime -> re-emit
+                        # on change (the reference's snapshot-diff rule)
+                        if p in stored and (m is None or stored[p] == m):
+                            continue
+                        stored[p] = m
+                        with source.open(p, "rb") as f:
+                            data = f.read()
+                        if isinstance(data, str):
+                            data = data.encode("utf-8")
+                        row = {
+                            "path": p,
+                            "data_b64": base64.b64encode(data).decode("ascii"),
+                            "deleted": False,
+                        }
+                        if with_metadata:
+                            row["_metadata"] = json.dumps(
+                                {
+                                    "path": p,
+                                    "name": p.rsplit("/", 1)[-1],
+                                    "size": len(data),
+                                    "modified_at": m,
+                                }
+                            )
+                        self.next_json(row)
+                    for p in [q for q in stored if q not in existing]:
+                        stored.pop(p)
+                        self.next_json(
+                            {"path": p, "data_b64": "", "deleted": True}
+                        )
+                    self.commit()
+                    scans += 1
+                    if mode == "static" or (
+                        max_scans is not None and scans >= max_scans
+                    ):
+                        break
+                    _time.sleep(refresh_interval)
+
+        schema = "path string, data_b64 string, deleted boolean"
+        if with_metadata:
+            schema += ", _metadata string"
+        t = _py_read(spark, _Subject(), schema=schema, spool_dir=spool_dir)
+        df = t.df.withColumn("data", F.unbase64(F.col("data_b64"))).drop("data_b64")
+        return Table(df)
+
+
 class mongodb:
     """Reference io/mongodb/__init__.py:14 → mongo-spark connector
     (``format('mongodb')``; needs the connector jar on the cluster)."""

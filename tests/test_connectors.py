@@ -335,3 +335,91 @@ def test_sharepoint_read_with_injected_client(spark, tmp_path):
     }
     meta = {r["path"]: json.loads(r["_metadata"]) for r in rows}
     assert meta["/sites/docs/a.txt"]["size"] == 14
+
+
+def test_pyfilesystem_read_static_walks_nested_dirs(spark, tmp_path):
+    """r3: duck-typed pyfilesystem2 source → (path, data, _metadata) rows
+    (reference io/pyfilesystem/__init__.py:142)."""
+
+    class FakeFS:
+        tree = {
+            "/a.txt": b"alpha",
+            "/sub/b.bin": b"\x00\x01\x02",
+            "/sub/deep/c.txt": b"gamma",
+        }
+
+        def listdir(self, d):
+            d = d.rstrip("/")
+            names = set()
+            for p in self.tree:
+                if p.startswith(d + "/"):
+                    names.add(p[len(d) + 1 :].split("/")[0])
+            return sorted(names)
+
+        def isdir(self, p):
+            return not p in self.tree
+
+        def open(self, p, mode="rb"):
+            import io
+            return io.BytesIO(self.tree[p])
+
+        def getmodified(self, p):
+            return "m1"
+
+    table = sources.pyfilesystem.read(
+        spark, FakeFS(), mode="static", with_metadata=True,
+        spool_dir=str(tmp_path / "pyfs"),
+    )
+    time.sleep(1.0)
+    rows = _drain(spark, table.df, "pyfs_rows")
+    got = {(r["path"], bytes(r["data"])) for r in rows}
+    assert got == {
+        ("/a.txt", b"alpha"),
+        ("/sub/b.bin", b"\x00\x01\x02"),
+        ("/sub/deep/c.txt", b"gamma"),
+    }
+    import json as _json
+
+    meta = {r["path"]: _json.loads(r["_metadata"]) for r in rows}
+    assert meta["/sub/b.bin"]["size"] == 3
+    assert meta["/a.txt"]["name"] == "a.txt"
+    assert all(not r["deleted"] for r in rows)
+
+
+def test_pyfilesystem_streaming_reemits_changed_and_tombstones_deleted(spark, tmp_path):
+    class MutatingFS:
+        def __init__(self):
+            self.tree = {"/x.txt": (b"v1", "m1"), "/y.txt": (b"y", "m1")}
+            self.scans = 0
+
+        def listdir(self, d):
+            # called once per scan at the root — mutate between scans
+            if d in ("/", ""):
+                self.scans += 1
+                if self.scans == 2:
+                    self.tree["/x.txt"] = (b"v2", "m2")  # modified
+                    self.tree.pop("/y.txt", None)        # deleted
+            return sorted(p.rsplit("/", 1)[-1] for p in self.tree)
+
+        def isdir(self, p):
+            return p not in self.tree
+
+        def open(self, p, mode="rb"):
+            import io
+            return io.BytesIO(self.tree[p][0])
+
+        def getmodified(self, p):
+            return self.tree[p][1]
+
+    table = sources.pyfilesystem.read(
+        spark, MutatingFS(), mode="streaming", refresh_interval=0.2,
+        spool_dir=str(tmp_path / "pyfs2"), max_scans=2,
+    )
+    time.sleep(2.5)
+    rows = _drain(spark, table.df, "pyfs2_rows")
+    emitted = [(r["path"], bytes(r["data"]) if r["data"] is not None else b"", r["deleted"]) for r in rows]
+    assert ("/x.txt", b"v1", False) in emitted
+    assert ("/x.txt", b"v2", False) in emitted      # re-emitted on mtime change
+    assert ("/y.txt", b"", True) in emitted          # deletion tombstone
+    # unchanged files are NOT re-emitted: exactly one /y.txt data row
+    assert [e for e in emitted if e[0] == "/y.txt" and not e[2]] == [("/y.txt", b"y", False)]
