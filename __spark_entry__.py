@@ -1155,6 +1155,27 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Trainable fastText-style quality classifier (ml/quality.py): 4
+    deterministic full-batch logistic-regression iterations over
+    tf-normalized hashed bag-of-words (label: lang=='en'), then score the
+    corpus.  The oracle unrolls the identical training trajectory (6dp
+    sigmoids/weights, exact decimal margin/gradient sums), so every
+    per-document probability hash-matches — the check is the distributed
+    GD arithmetic itself.  (The fixture's 31-term shared vocabulary
+    carries no real lang signal, so headline accuracy is the class prior;
+    learning behavior on separable data is unit-tested in
+    test_logreg_learns_separable_vocab.)"""
+    from pathwaydataframework_spark.ml import quality
+
+    docs = load_table(spark, sf, "documents").df
+    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    w = quality.train_logreg(
+        labeled, "doc_id", "text", "y", buckets=1024, iterations=4, lr=2.0, seed=0
+    )
+    return quality.predict_logreg(docs, w, "doc_id", "text", buckets=1024, seed=0)
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): select the 100 corpus
     docs most target-like (target = the en subset) by Gumbel-top-k over
@@ -1657,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_quality_classifier": q_quality_classifier,
         "q_dsir": q_dsir,
         "q_temperature_sample": q_temperature_sample,
         "q_line_dedup": q_line_dedup,
@@ -2186,6 +2208,76 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _logreg_oracle_sql(
+    buckets: int = 1024, iterations: int = 3, lr: float = 0.5
+) -> str:
+    """q_quality_classifier oracle: unrolled full-batch GD replay of
+    ml/quality.train_logreg — identical hashed features, 6dp-rounded
+    sigmoids and weights, exact decimal margin/gradient sums — then the
+    identical scoring pass with the final weights."""
+    b_term = _bucket_sql("term", 0)
+    steps = []
+    for it in range(1, iterations + 1):
+        steps.append(f"""
+            m{it} AS MATERIALIZED (
+                SELECT f.doc_id, sum(f.x * w.w::DECIMAL(18,6))::DOUBLE AS m
+                FROM feat f JOIN w{it - 1} w USING (b) GROUP BY f.doc_id
+            ),
+            r{it} AS MATERIALIZED (
+                SELECT m.doc_id,
+                       round(1.0 / (1.0 + exp(-m.m)), 6)::DECIMAL(18,6) - l.y AS r
+                FROM m{it} m JOIN lab l USING (doc_id)
+            ),
+            w{it} AS MATERIALIZED (
+                SELECT w.b, round(w.w - {lr} * coalesce(g.g, 0.0), 6) AS w
+                FROM w{it - 1} w LEFT JOIN (
+                    SELECT f.b, sum(f.x * r.r)::DOUBLE / nd.n AS g
+                    FROM feat f JOIN r{it} r USING (doc_id), nd
+                    GROUP BY f.b, nd.n
+                ) g USING (b)
+            )""")
+    return f"""
+        WITH wf AS MATERIALIZED (
+            SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                FROM documents
+            ) WHERE length(term) > 0
+        ),
+        dl AS MATERIALIZED (
+            SELECT doc_id, count(*)::DOUBLE AS len FROM wf GROUP BY doc_id
+        ),
+        feat AS MATERIALIZED (
+            SELECT f.doc_id, f.b, round(f.cnt / dl.len, 6)::DECIMAL(18,6) AS x
+            FROM (
+                SELECT doc_id, {b_term} % {buckets} AS b, count(*)::BIGINT AS cnt
+                FROM wf GROUP BY doc_id, b
+            ) f JOIN dl USING (doc_id)
+            UNION ALL
+            SELECT doc_id, {buckets}::BIGINT AS b, 1.0::DECIMAL(18,6) AS x FROM dl
+        ),
+        lab AS MATERIALIZED (
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        nd AS MATERIALIZED (
+            SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM feat
+        ),
+        w0 AS MATERIALIZED (
+            SELECT DISTINCT b, 0.0::DOUBLE AS w FROM feat
+        ),
+        {",".join(steps)},
+        mfin AS (
+            SELECT f.doc_id, sum(f.x * w.w::DECIMAL(18,6))::DOUBLE AS m
+            FROM feat f JOIN w{iterations} w USING (b) GROUP BY f.doc_id
+        )
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-m)), 6) AS p,
+               round(1.0 / (1.0 + exp(-m)), 6) >= 0.5 AS pred
+        FROM mfin
+    """
+
+
 def _dsir_oracle_sql(buckets: int = 4096, k: int = 100) -> str:
     """q_dsir oracle: identical hashed-unigram models, 6dp log-ratio
     decimal sums, md5-uniform Gumbel noise, identical (key desc, doc_id)
@@ -2454,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_quality_classifier": _logreg_oracle_sql(iterations=4, lr=2.0),
         "q_dsir": _dsir_oracle_sql(),
         "q_temperature_sample": _temperature_sample_oracle_sql(),
         "q_line_dedup": _line_dedup_oracle_sql(),

@@ -656,3 +656,28 @@ def test_dsir_selects_target_like_docs(spark):
 
     with _pytest.raises(ValueError):
         sampling.dsir_select(corpus, target, k=0)
+
+
+def test_logreg_learns_separable_vocab(spark):
+    from pathwaydataframework_spark.ml import quality
+
+    alpha = "alpha bravo charlie delta echo foxtrot golf hotel"
+    beta = "nine eight seven six five four three two one zero"
+    docs = spark.createDataFrame(
+        [(i, alpha if i < 30 else beta, 1 if i < 30 else 0) for i in range(60)],
+        "doc_id long, text string, y int",
+    )
+    w = quality.train_logreg(
+        docs, "doc_id", "text", "y", buckets=256, iterations=10, lr=5.0, seed=0
+    )
+    out = quality.predict_logreg(docs, w, "doc_id", "text", buckets=256, seed=0).collect()
+    assert len(out) == 60
+    # perfectly separable vocabularies -> perfect classification
+    assert all(r["pred"] == (r["doc_id"] < 30) for r in out)
+    # probabilities reflect confidence on both sides of 0.5
+    ps = {r["doc_id"]: r["p"] for r in out}
+    assert ps[0] > 0.6 and ps[59] < 0.4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quality.train_logreg(docs, "doc_id", "text", "y", iterations=0)
