@@ -1155,6 +1155,62 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _image_fixtures() -> list[tuple[int, str]]:
+    """Deterministic 16x16 P6 PPM blobs (hex): 0 = textured gradient
+    (blue channel wraps, so rows carry 0-bits too), 1 = two perturbed
+    pixels at sampled dHash positions, 2 = +20 brightness (dHash is
+    gradient-based, so it must collapse to 0 with the base), 3 = parity
+    checkerboard (far hash), 4 = a PNG magic (not decodable — excluded)."""
+    import binascii
+
+    def ppm(pix):
+        header = b"P6\n16 16\n255\n"
+        body = bytes(v for r in range(16) for c in range(16) for v in pix(r, c))
+        return binascii.hexlify(header + body).decode()
+
+    def base(r, c):
+        return (c * 15, r * 15, ((r + c) * 23) % 200)
+
+    def pert(r, c):
+        if (r, c) == (4, 5):
+            return (255, 0, 0)
+        if (r, c) == (12, 10):
+            return (0, 0, 0)
+        return base(r, c)
+
+    def bright(r, c):
+        return tuple(min(v + 20, 255) for v in base(r, c))
+
+    def alt(r, c):
+        v = 255 if (c + r) % 2 == 0 else 0
+        return (v, v, v)
+
+    return [
+        (0, ppm(base)),
+        (1, ppm(pert)),
+        (2, ppm(bright)),
+        (3, ppm(alt)),
+        (4, "89504e470d0a1a0a"),
+    ]
+
+
+def q_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup (multimodal.perceptual_dedup_pairs):
+    integer-arithmetic dHash over real P6 PPM decode, pigeonhole Hamming
+    blocking, popcount verification.  The DuckDB oracle re-derives every
+    dHash bit from the same blobs with independent hex-string byte
+    arithmetic — the fingerprint, blocking recall, and Hamming math are
+    all differentially checked."""
+    from pathwaydataframework_spark.operators import multimodal
+
+    src = spark.createDataFrame(_image_fixtures(), "id long, hex string").select(
+        "id", F.unhex("hex").alias("data")
+    )
+    return multimodal.perceptual_dedup_pairs(
+        src, id_col="id", binary_col="data", max_hamming=4
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Trainable fastText-style quality classifier (ml/quality.py): 4
     deterministic full-batch logistic-regression iterations over
@@ -1678,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_image_dedup": q_image_dedup,
         "q_quality_classifier": q_quality_classifier,
         "q_dsir": q_dsir,
         "q_temperature_sample": q_temperature_sample,
@@ -2208,6 +2265,56 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _image_dedup_oracle_sql(max_hamming: int = 4) -> str:
+    """q_image_dedup oracle: dHash re-derived per blob with hex-string
+    byte arithmetic (luminance 299R+587G+114B, floor-map sampled 9x8
+    grid, strict right-brighter bits), then exact all-pairs Hamming <=
+    max_hamming — blocking recall is pigeonhole-complete, so the banded
+    Spark result must equal this exact join."""
+    values = ", ".join(f"({i}, '{h}')" for i, h in _image_fixtures())
+    size, hs = 16, 8
+    rowmap = [(r * size) // hs for r in range(hs)]
+    colmap = [(c * size) // (hs + 1) for c in range(hs + 1)]
+    pos_rows = ", ".join(
+        f"({ri}, {ci}, {13 + (rr * size + cc) * 3 + 1})"
+        for ri, rr in enumerate(rowmap)
+        for ci, cc in enumerate(colmap)
+    )
+    byte = "TRY_CAST('0x' || substr(h, (p.p - 1 + {o}) * 2 + 1, 2) AS BIGINT)"
+    lum = " + ".join(
+        f"{w} * {byte.format(o=o)}" for o, w in enumerate((299, 587, 114))
+    )
+    return f"""
+        WITH raw(id, hx) AS (VALUES {values}),
+        blobs AS (
+            SELECT id, hex(unhex(hx)) AS h FROM raw
+            WHERE octet_length(unhex(hx)) = {13 + size * size * 3}
+              AND substr(hex(unhex(hx)), 1, 4) = '5036'
+        ),
+        pos(r, c, p) AS (VALUES {pos_rows}),
+        lum AS MATERIALIZED (
+            SELECT b.id, p.r, p.c, {lum} AS l FROM blobs b, pos p
+        ),
+        rowbytes AS (
+            SELECT a.id, a.r,
+                   sum(CASE WHEN nb.l > a.l THEN (1 << a.c)::BIGINT
+                            ELSE 0 END)::BIGINT AS byte
+            FROM lum a JOIN lum nb
+              ON nb.id = a.id AND nb.r = a.r AND nb.c = a.c + 1
+            WHERE a.c < {hs} GROUP BY a.id, a.r
+        ),
+        hash AS (
+            SELECT id, list(byte ORDER BY r) AS dh FROM rowbytes GROUP BY id
+        )
+        SELECT id_a, id_b, ham AS hamming FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   list_sum(list_transform(range({hs}),
+                       i -> bit_count(xor(a.dh[i + 1], b.dh[i + 1]))))::BIGINT AS ham
+            FROM hash a JOIN hash b ON a.id < b.id
+        ) WHERE ham <= {max_hamming}
+    """
+
+
 def _logreg_oracle_sql(
     buckets: int = 1024, iterations: int = 3, lr: float = 0.5
 ) -> str:
@@ -2546,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_image_dedup": _image_dedup_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(iterations=4, lr=2.0),
         "q_dsir": _dsir_oracle_sql(),
         "q_temperature_sample": _temperature_sample_oracle_sql(),

@@ -275,3 +275,128 @@ def resize_images(
             yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
 
     return df.select(id_col, binary_col).mapInPandas(_mapper, out_schema)
+
+
+# -- perceptual image dedup ---------------------------------------------------
+
+
+def image_dhash(data: bytes, *, hash_size: int = 8) -> list[int] | None:
+    """dHash perceptual fingerprint (difference hash — the standard
+    public near-dup image fingerprint): nearest-neighbor sample the image
+    to (hash_size+1) x hash_size integer luminances, set bit c of row r
+    when the right neighbor is strictly brighter.
+
+    Returns ``hash_size`` row-bytes (each 0..255) so the downstream
+    Hamming arithmetic is plain integer XOR/popcount; None for blobs that
+    are not codec-free P6 PPM (the same honest boundary as ppm_resize —
+    production swaps a Pillow decode in front, the fingerprint/blocking
+    stay identical).
+
+    All arithmetic is integer (luminance = 299R + 587G + 114B, floor
+    index maps), so an external SQL oracle replays the exact bits.
+    """
+    import numpy as np
+
+    try:
+        img = _ppm_decode(bytes(data))
+    except (ValueError, TypeError):
+        return None
+    h, w, _ = img.shape
+    rows = [(r * h) // hash_size for r in range(hash_size)]
+    cols = [(c * w) // (hash_size + 1) for c in range(hash_size + 1)]
+    g = img.astype(np.int64)
+    lum = 299 * g[..., 0] + 587 * g[..., 1] + 114 * g[..., 2]
+    sub = lum[np.ix_(rows, cols)]
+    bits = sub[:, 1:] > sub[:, :-1]
+    return [
+        int(sum(1 << c for c in range(hash_size) if bits[r, c]))
+        for r in range(hash_size)
+    ]
+
+
+def perceptual_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    max_hamming: int = 3,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance <= max_hamming.
+
+    The image-corpus analogue of SimHash text dedup, with the same
+    pigeonhole blocking: the hash's ``max_hamming + 1`` byte-groups are
+    equi-join keys — two hashes within ``max_hamming`` MUST agree on at
+    least one whole group, so candidate recall is exact (no probabilistic
+    misses), and verification is a popcount over XORed row-bytes.
+
+    One Python crossing (the Arrow-batched decode+hash), then pure column
+    expressions: banded equi-join on (group_idx, group_bytes), never
+    all-pairs.  Returns (id_a, id_b, hamming).
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    groups = max_hamming + 1
+    if groups > hash_size:
+        raise ValueError("max_hamming + 1 groups need max_hamming < hash_size")
+    id_type = dict(df.dtypes)[id_col]
+
+    def _mapper(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = [
+                image_dhash(bytes(x), hash_size=hash_size) if x is not None else None
+                for x in pdf[binary_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
+
+    hashed = (
+        df.select(id_col, binary_col)
+        .mapInPandas(_mapper, f"{id_col} {id_type}, dhash array<int>")
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=True)  # referenced by every band side + verify
+    )
+    # byte-group boundaries: as even as possible, pigeonhole-complete
+    base, extra = divmod(hash_size, groups)
+    bounds, start = [], 1  # F.slice is 1-based
+    for gi in range(groups):
+        ln = base + (1 if gi < extra else 0)
+        bounds.append((gi, start, ln))
+        start += ln
+    banded = hashed.select(
+        id_col,
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(gi).alias("g"), F.slice("dhash", st, ln).alias("gv")
+                    )
+                    for gi, st, ln in bounds
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "dhash", F.col("band.g").alias("g"), F.col("band.gv").alias("gv"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("ha"), "g", "gv"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("hb"), "g", "gv"
+    )
+    cand = (
+        a.join(b, on=["g", "gv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

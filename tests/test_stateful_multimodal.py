@@ -224,3 +224,61 @@ def test_extract_features_string_id_column(spark):
     )
     out = multimodal.extract_features(df).collect()
     assert out[0]["media_id"] == "doc-a" and len(out[0]["features"]) == 8
+
+
+def _mk_ppm(pix, size=16):
+    header = f"P6\n{size} {size}\n255\n".encode()
+    return header + bytes(v for r in range(size) for c in range(size) for v in pix(r, c))
+
+
+def test_image_dhash_brightness_invariant_and_perturbation_local(spark):
+    from pathwaydataframework_spark.operators.multimodal import image_dhash
+
+    base = _mk_ppm(lambda r, c: (c * 15, r * 15, ((r + c) * 23) % 200))
+    bright = _mk_ppm(lambda r, c: tuple(min(v + 20, 255) for v in (c * 15, r * 15, ((r + c) * 23) % 200)))
+    h0, h2 = image_dhash(base), image_dhash(bright)
+    # dHash compares neighboring luminances — a uniform brightness shift
+    # cannot flip any bit
+    assert h0 == h2
+    assert len(h0) == 8 and all(0 <= b <= 255 for b in h0)
+    # undecodable blobs yield None
+    assert image_dhash(b"\x89PNG not a ppm") is None
+    # non-square decode: 8x4 image still hashes (floor index maps clamp)
+    small = b"P6\n4 4\n255\n" + bytes(range(48))
+    assert image_dhash(small) is not None
+
+
+def test_perceptual_dedup_pairs_blocking_equals_exact(spark):
+    from pathwaydataframework_spark.operators import multimodal
+    import itertools
+
+    def base(r, c):
+        return (c * 15, r * 15, ((r + c) * 23) % 200)
+
+    def pert(r, c):
+        return (255, 0, 0) if (r, c) == (4, 5) else base(r, c)
+
+    def alt(r, c):
+        v = 255 if (r + c) % 2 == 0 else 0
+        return (v, v, v)
+
+    blobs = [(0, _mk_ppm(base)), (1, _mk_ppm(pert)), (2, _mk_ppm(alt)), (3, None)]
+    df = spark.createDataFrame(blobs, "id long, data binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.perceptual_dedup_pairs(
+            df, id_col="id", binary_col="data", max_hamming=6
+        ).collect()
+    }
+    # exact reference: all-pairs popcount over the python kernel
+    hashes = {i: multimodal.image_dhash(b) for i, b in blobs if b is not None}
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(hashes[a], hashes[b]))
+        if ham <= 6:
+            want[(a, b)] = ham
+    assert got == want and (0, 1) in got  # the planted near-dup survives
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.perceptual_dedup_pairs(df, id_col="id", max_hamming=-1)
