@@ -352,3 +352,21 @@ def test_line_dedup_shuffle_budget(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_shuffles(df) <= 6
+
+
+def test_dsir_topk_is_take_ordered_and_ratio_broadcast(spark, sf_dir):
+    # top-k must be TakeOrderedAndProject (never a global sort); the
+    # bucket-ratio table (<= buckets rows) must broadcast onto the corpus
+    df = entry.q_dsir(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_image_dedup_banded_not_cartesian(spark, sf_dir):
+    # pigeonhole byte-group join must be equi-keyed
+    df = entry.q_image_dedup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
