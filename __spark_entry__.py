@@ -1194,6 +1194,57 @@ def _image_fixtures() -> list[tuple[int, str]]:
     ]
 
 
+def _audio_fixtures() -> list[tuple[int, str]]:
+    """Deterministic PCM16 WAV blobs (hex), 1024 samples each: 0 = base
+    sawtooth, 1 = base with one window's samples zeroed (local edit —
+    <= 2 fingerprint bits), 2 = base at double gain (energy envelope
+    comparisons are gain-invariant), 3 = alternating loud/quiet envelope
+    (far fingerprint), 4 = not audio."""
+    import binascii
+    import struct
+
+    n = 1024
+
+    def wav(samples):
+        payload = struct.pack(f"<{len(samples)}h", *samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(payload))
+        )
+        return binascii.hexlify(hdr + payload).decode()
+
+    base = [((i * 37) % 4096) - 2048 for i in range(n)]
+    # window of sample j is (j*33)//1024; zero exactly window 2 (j: 63..92)
+    edit = [0 if (j * 33) // n == 2 else v for j, v in enumerate(base)]
+    loud = [v * 2 for v in base]
+    alt = [2000 if (i // 31) % 2 == 0 else 10 for i in range(n)]
+    return [
+        (0, wav(base)),
+        (1, wav(edit)),
+        (2, wav(loud)),
+        (3, wav(alt)),
+        (4, "6e6f7420617564696f"),
+    ]
+
+
+def q_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup pairs (multimodal.audio_dedup_pairs): exact-integer
+    energy-envelope fingerprints over real PCM16 WAV decode, the shared
+    pigeonhole Hamming blocking.  The oracle re-derives every sample,
+    window energy, and fingerprint bit from the same blobs with hex-string
+    byte arithmetic."""
+    from pathwaydataframework_spark.operators import multimodal
+
+    src = spark.createDataFrame(_audio_fixtures(), "id long, hex string").select(
+        "id", F.unhex("hex").alias("data")
+    )
+    return multimodal.audio_dedup_pairs(
+        src, id_col="id", binary_col="data", max_hamming=3, frames=33
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image dedup (multimodal.perceptual_dedup_pairs):
     integer-arithmetic dHash over real P6 PPM decode, pigeonhole Hamming
@@ -1734,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_audio_dedup": q_audio_dedup,
         "q_image_dedup": q_image_dedup,
         "q_quality_classifier": q_quality_classifier,
         "q_dsir": q_dsir,
@@ -2265,6 +2317,56 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _audio_dedup_oracle_sql(max_hamming: int = 3, frames: int = 33) -> str:
+    """q_audio_dedup oracle: PCM16 samples re-read from hex (LE signed),
+    window-of-sample = (j*frames)//n, exact integer energy sums, strict
+    louder-next bits, then exact all-pairs Hamming — blocking recall is
+    pigeonhole-complete, so the banded Spark result must equal this."""
+    values = ", ".join(f"({i}, '{h}')" for i, h in _audio_fixtures())
+    n = 1024
+    bits = frames - 1
+    nbytes = bits // 8
+    byte = lambda p: f"TRY_CAST('0x' || substr(h, ({p} - 1) * 2 + 1, 2) AS BIGINT)"  # noqa: E731
+    return f"""
+        WITH raw(id, hx) AS (VALUES {values}),
+        blobs AS (
+            SELECT id, hex(unhex(hx)) AS h FROM raw
+            WHERE octet_length(unhex(hx)) = {44 + 2 * n}
+              AND substr(hex(unhex(hx)), 1, 8) = hex('RIFF'::BLOB)
+              AND substr(hex(unhex(hx)), 17, 8) = hex('WAVE'::BLOB)
+        ),
+        samples AS MATERIALIZED (
+            SELECT b.id, r.j,
+                   CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+            FROM (
+                SELECT id, h FROM blobs
+            ) b, range(0, {n}) r(j),
+            LATERAL (SELECT {byte("45 + r.j * 2")} + {byte("46 + r.j * 2")} * 256 AS v)
+        ),
+        energies AS MATERIALIZED (
+            SELECT id, (j * {frames}) // {n} AS f, sum(s * s)::BIGINT AS e
+            FROM samples GROUP BY 1, 2
+        ),
+        fpbytes AS (
+            SELECT e1.id, e1.f // 8 AS r,
+                   sum(CASE WHEN e2.e > e1.e THEN (1 << (e1.f % 8))::BIGINT
+                            ELSE 0 END)::BIGINT AS byte
+            FROM energies e1 JOIN energies e2
+              ON e2.id = e1.id AND e2.f = e1.f + 1
+            WHERE e1.f < {bits} GROUP BY 1, 2
+        ),
+        hash AS (
+            SELECT id, list(byte ORDER BY r) AS fp FROM fpbytes GROUP BY id
+        )
+        SELECT id_a, id_b, ham AS hamming FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   list_sum(list_transform(range({nbytes}),
+                       i -> bit_count(xor(a.fp[i + 1], b.fp[i + 1]))))::BIGINT AS ham
+            FROM hash a JOIN hash b ON a.id < b.id
+        ) WHERE ham <= {max_hamming}
+    """
+
+
 def _image_dedup_oracle_sql(max_hamming: int = 4) -> str:
     """q_image_dedup oracle: dHash re-derived per blob with hex-string
     byte arithmetic (luminance 299R+587G+114B, floor-map sampled 9x8
@@ -2653,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_audio_dedup": _audio_dedup_oracle_sql(),
         "q_image_dedup": _image_dedup_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(iterations=4, lr=2.0),
         "q_dsir": _dsir_oracle_sql(),

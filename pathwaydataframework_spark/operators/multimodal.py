@@ -334,11 +334,6 @@ def perceptual_dedup_pairs(
     expressions: banded equi-join on (group_idx, group_bytes), never
     all-pairs.  Returns (id_a, id_b, hamming).
     """
-    if max_hamming < 0:
-        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
-    groups = max_hamming + 1
-    if groups > hash_size:
-        raise ValueError("max_hamming + 1 groups need max_hamming < hash_size")
     id_type = dict(df.dtypes)[id_col]
 
     def _mapper(batches: Iterator) -> Iterator:
@@ -351,38 +346,67 @@ def perceptual_dedup_pairs(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes})
 
-    hashed = (
-        df.select(id_col, binary_col)
-        .mapInPandas(_mapper, f"{id_col} {id_type}, dhash array<int>")
-        .filter(F.col("dhash").isNotNull())
-        .localCheckpoint(eager=True)  # referenced by every band side + verify
+    hashed = df.select(id_col, binary_col).mapInPandas(
+        _mapper, f"{id_col} {id_type}, dhash array<int>"
     )
-    # byte-group boundaries: as even as possible, pigeonhole-complete
-    base, extra = divmod(hash_size, groups)
+    return hamming_dedup_pairs(
+        hashed,
+        id_col=id_col,
+        hash_col="dhash",
+        max_hamming=max_hamming,
+        n_bytes=hash_size,
+    )
+
+
+def hamming_dedup_pairs(
+    hashed: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bytes: int,
+) -> DataFrame:
+    """Near-duplicate pairs over any byte-array fingerprint column by
+    Hamming distance <= max_hamming — the shared blocking/verify engine
+    behind :func:`perceptual_dedup_pairs` (images) and
+    :func:`audio_dedup_pairs` (audio).
+
+    Pigeonhole blocking: the ``max_hamming + 1`` byte-groups are equi-join
+    keys — two fingerprints within ``max_hamming`` MUST agree on a whole
+    group, so candidate recall is exact; verification is popcount over
+    XORed bytes.  Never all-pairs.  Returns (id_a, id_b, hamming).
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    groups = max_hamming + 1
+    if groups > n_bytes:
+        raise ValueError("max_hamming + 1 groups need max_hamming < n_bytes")
+    base, extra = divmod(n_bytes, groups)
     bounds, start = [], 1  # F.slice is 1-based
     for gi in range(groups):
         ln = base + (1 if gi < extra else 0)
         bounds.append((gi, start, ln))
         start += ln
-    banded = hashed.select(
+    h = hashed.filter(F.col(hash_col).isNotNull()).localCheckpoint(eager=True)
+    banded = h.select(
         id_col,
-        "dhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(gi).alias("g"), F.slice("dhash", st, ln).alias("gv")
+                        F.lit(gi).alias("g"), F.slice(hash_col, st, ln).alias("gv")
                     )
                     for gi, st, ln in bounds
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "dhash", F.col("band.g").alias("g"), F.col("band.gv").alias("gv"))
+    ).select(id_col, hash_col, F.col("band.g").alias("g"), F.col("band.gv").alias("gv"))
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("dhash").alias("ha"), "g", "gv"
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("ha"), "g", "gv"
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("dhash").alias("hb"), "g", "gv"
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("hb"), "g", "gv"
     )
     cand = (
         a.join(b, on=["g", "gv"])
@@ -399,4 +423,79 @@ def perceptual_dedup_pairs(
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def audio_fingerprint(data: bytes, *, frames: int = 33) -> list[int] | None:
+    """Energy-envelope fingerprint for PCM WAV — the audio near-dup
+    analogue of dHash: split the sample stream into ``frames`` equal
+    windows (floor boundaries), per-window energy = Σ sample² as EXACT
+    integer arithmetic on the raw PCM ints, set bit f when window f+1 is
+    strictly louder than window f.
+
+    Robust to uniform gain only in the strict sense of sign-preserving
+    monotone scalings (integer doubling preserves every comparison);
+    resistant to small local edits (each touches <= 2 comparisons).
+    Returns (frames-1)/8 row-bytes; None for non-WAV blobs or streams
+    with fewer samples than frames.  (frames-1) must be a multiple of 8.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    bits = frames - 1
+    if bits <= 0 or bits % 8:
+        raise ValueError("frames - 1 must be a positive multiple of 8")
+    try:
+        with wave.open(io.BytesIO(bytes(data))) as w:
+            n, width = w.getnframes(), w.getsampwidth()
+            raw = w.readframes(n)
+    except (Exception):  # wave raises wave.Error/EOFError on non-WAV
+        return None
+    if width != 2:  # exactness contract is PCM16; others via wav_features
+        return None
+    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    if x.size < frames:
+        return None
+    # window of sample j = (j*frames)//n — the floor-map inverse, chosen so
+    # a SQL oracle recomputes the assignment with one integer expression
+    win = (np.arange(x.size) * frames) // x.size
+    energy = [int((x[win == f] ** 2).sum()) for f in range(frames)]
+    fp_bits = [energy[f + 1] > energy[f] for f in range(bits)]
+    return [
+        int(sum(1 << c for c in range(8) if fp_bits[r * 8 + c]))
+        for r in range(bits // 8)
+    ]
+
+
+def audio_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    max_hamming: int = 3,
+    frames: int = 33,
+) -> DataFrame:
+    """Near-duplicate audio pairs by energy-envelope fingerprint Hamming
+    distance — one Arrow-batched decode crossing, then the shared
+    pigeonhole blocking (:func:`hamming_dedup_pairs`)."""
+    id_type = dict(df.dtypes)[id_col]
+    n_bytes = (frames - 1) // 8
+
+    def _mapper(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fps = [
+                audio_fingerprint(bytes(x), frames=frames) if x is not None else None
+                for x in pdf[binary_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": fps})
+
+    hashed = df.select(id_col, binary_col).mapInPandas(
+        _mapper, f"{id_col} {id_type}, afp array<int>"
+    )
+    return hamming_dedup_pairs(
+        hashed, id_col=id_col, hash_col="afp", max_hamming=max_hamming, n_bytes=n_bytes
     )

@@ -282,3 +282,34 @@ def test_perceptual_dedup_pairs_blocking_equals_exact(spark):
 
     with _pytest.raises(ValueError):
         multimodal.perceptual_dedup_pairs(df, id_col="id", max_hamming=-1)
+
+
+def test_audio_fingerprint_gain_invariant_and_local_edit(spark):
+    from pathwaydataframework_spark.operators.multimodal import audio_fingerprint
+    import struct
+
+    def wav(samples):
+        payload = struct.pack(f"<{len(samples)}h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    n = 1024
+    base = [((i * 37) % 4096) - 2048 for i in range(n)]
+    fp0 = audio_fingerprint(wav(base))
+    # integer gain doubling preserves every energy comparison
+    assert fp0 == audio_fingerprint(wav([v * 2 for v in base]))
+    # zeroing one window flips at most its two adjacent comparisons
+    edit = [0 if (j * 33) // n == 2 else v for j, v in enumerate(base)]
+    fp1 = audio_fingerprint(wav(edit))
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(fp0, fp1))
+    assert 1 <= ham <= 2
+    # non-WAV and too-short streams yield None
+    assert audio_fingerprint(b"not audio") is None
+    assert audio_fingerprint(wav(base[:16])) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_fingerprint(wav(base), frames=12)  # frames-1 not a byte multiple
