@@ -15,6 +15,6 @@ from pathwaydataframework_spark.operators.ml_index import (  # noqa: F401
     UsearchKnnFactory,
 )
 
-from . import classifiers, datasets, hmm, smart_table_ops, utils  # noqa: F401,E402
+from . import classifiers, datasets, hmm, quality, smart_table_ops, utils  # noqa: F401,E402
 
-__all__ = ["classifiers", "datasets", "hmm", "smart_table_ops", "utils"]
+__all__ = ["classifiers", "datasets", "hmm", "quality", "smart_table_ops", "utils"]
