@@ -722,10 +722,11 @@ def dedup_lines_global(
 
     Returns (id_col, clean_text, n_removed_lines).
 
-    Scale path: explode → one exchange keyed by line content (skew note:
-    the empty-line key never enters the window — it is filtered before the
-    shuffle, not after) → reassemble keyed by document.  No global sort;
-    the per-line window ranks only rows sharing that exact line.
+    Scale path: explode → per-line MIN-AGGREGATION (not a rank window:
+    min_by partial-combines map-side, so a boilerplate line repeated 10M
+    times collapses inside each task before the exchange — the classic
+    hot-line skew never reaches one reducer) → reassemble keyed by
+    document.  Blank lines skip the line exchange entirely.
     """
     import re as _re
 
@@ -736,10 +737,17 @@ def dedup_lines_global(
     )
     blank = F.trim(F.col("_line")) == ""
     content = ex.filter(~blank)
-    rn = F.row_number().over(
-        W.partitionBy("_line").orderBy(F.col("_id"), F.col("_idx"))
+    # the surviving copy IS the per-line minimum (id, idx) — no need to
+    # rank every occurrence, the min-agg's map-side combine absorbs skew
+    kept_content = (
+        content.groupBy("_line")
+        .agg(F.min(F.struct("_id", "_idx")).alias("_first"))
+        .select(
+            F.col("_first._id").alias("_id"),
+            F.col("_first._idx").alias("_idx"),
+            "_line",
+        )
     )
-    kept_content = content.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
     kept = kept_content.unionByName(ex.filter(blank))
     reassembled = kept.groupBy("_id").agg(
         F.array_join(
