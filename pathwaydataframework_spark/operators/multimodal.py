@@ -378,30 +378,10 @@ def hamming_dedup_pairs(
     """
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
-    groups = max_hamming + 1
-    if groups > n_bytes:
-        raise ValueError("max_hamming + 1 groups need max_hamming < n_bytes")
-    base, extra = divmod(n_bytes, groups)
-    bounds, start = [], 1  # F.slice is 1-based
-    for gi in range(groups):
-        ln = base + (1 if gi < extra else 0)
-        bounds.append((gi, start, ln))
-        start += ln
     h = hashed.filter(F.col(hash_col).isNotNull()).localCheckpoint(eager=True)
-    banded = h.select(
-        id_col,
-        hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(gi).alias("g"), F.slice(hash_col, st, ln).alias("gv")
-                    )
-                    for gi, st, ln in bounds
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, hash_col, F.col("band.g").alias("g"), F.col("band.gv").alias("gv"))
+    banded = fingerprint_index(
+        h, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming, n_bytes=n_bytes
+    )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col(hash_col).alias("ha"), "g", "gv"
     )
@@ -498,4 +478,90 @@ def audio_dedup_pairs(
     )
     return hamming_dedup_pairs(
         hashed, id_col=id_col, hash_col="afp", max_hamming=max_hamming, n_bytes=n_bytes
+    )
+
+
+def fingerprint_index(
+    df: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bytes: int,
+) -> DataFrame:
+    """Persistable banded fingerprint index: (id, hash, g, gv) rows — one
+    per pigeonhole byte-group.  Write it to parquet once; incoming batches
+    match against it without re-fingerprinting the corpus (the multimodal
+    analogue of dedup.minhash_band_index)."""
+    groups = max_hamming + 1
+    if groups > n_bytes:
+        raise ValueError("max_hamming + 1 groups need max_hamming < n_bytes")
+    base, extra = divmod(n_bytes, groups)
+    bounds, start = [], 1
+    for gi in range(groups):
+        ln = base + (1 if gi < extra else 0)
+        bounds.append((gi, start, ln))
+        start += ln
+    return (
+        df.filter(F.col(hash_col).isNotNull())
+        .select(
+            id_col,
+            hash_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(gi).alias("g"), F.slice(hash_col, st, ln).alias("gv")
+                        )
+                        for gi, st, ln in bounds
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select(
+            id_col, hash_col, F.col("band.g").alias("g"), F.col("band.gv").alias("gv")
+        )
+    )
+
+
+def incremental_hamming_pairs(
+    batch_hashed: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    n_bytes: int,
+) -> DataFrame:
+    """Match an incoming batch of fingerprints AGAINST a persisted
+    :func:`fingerprint_index` — the incremental path of a continuously
+    ingesting media pipeline: only the batch is fingerprinted/banded, the
+    corpus contributes stored index rows, and the band equi-join scales
+    with the BATCH.  Band parameters must match the index's (kept explicit
+    rather than guessed).  Returns (new_id, corpus_id, hamming)."""
+    banded = fingerprint_index(
+        batch_hashed,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_hamming=max_hamming,
+        n_bytes=n_bytes,
+    )
+    a = banded.select(
+        F.col(id_col).alias("new_id"), F.col(hash_col).alias("ha"), "g", "gv"
+    )
+    b = index.select(
+        F.col(id_col).alias("corpus_id"), F.col(hash_col).alias("hb"), "g", "gv"
+    )
+    hamming = F.aggregate(
+        F.zip_with("ha", "hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, on=["g", "gv"])
+        .select("new_id", "corpus_id", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("new_id", "corpus_id", "hamming")
     )

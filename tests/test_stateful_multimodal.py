@@ -313,3 +313,60 @@ def test_audio_fingerprint_gain_invariant_and_local_edit(spark):
 
     with _pytest.raises(ValueError):
         audio_fingerprint(wav(base), frames=12)  # frames-1 not a byte multiple
+
+
+def test_incremental_hamming_matches_persisted_index(spark, tmp_path):
+    """The incremental media-dedup path: fingerprint the corpus ONCE into
+    a parquet index, then match an incoming batch against it — only the
+    batch is re-fingerprinted, matches equal the full-join answer."""
+    from pathwaydataframework_spark.operators import multimodal
+    import pyspark.sql.functions as F
+
+    def base(r, c):
+        return (c * 15, r * 15, ((r + c) * 23) % 200)
+
+    def pert(r, c):
+        return (255, 0, 0) if (r, c) == (4, 5) else base(r, c)
+
+    def alt(r, c):
+        v = 255 if (r + c) % 2 == 0 else 0
+        return (v, v, v)
+
+    corpus = spark.createDataFrame(
+        [(0, _mk_ppm(base)), (1, _mk_ppm(alt))], "id long, data binary"
+    )
+    batch = spark.createDataFrame(
+        [(10, _mk_ppm(pert)), (11, _mk_ppm(lambda r, c: (0, 0, (r * 16 + c) % 256)))],
+        "id long, data binary",
+    )
+
+    def hash_frame(df):
+        return df.select(
+            "id",
+            F.udf(
+                lambda b: multimodal.image_dhash(bytes(b)), "array<int>"
+            )(F.col("data")).alias("dhash"),
+        )
+
+    idx_path = str(tmp_path / "fp_index")
+    multimodal.fingerprint_index(
+        hash_frame(corpus), id_col="id", hash_col="dhash", max_hamming=6, n_bytes=8
+    ).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["hamming"]
+        for r in multimodal.incremental_hamming_pairs(
+            hash_frame(batch),
+            index,
+            id_col="id",
+            hash_col="dhash",
+            max_hamming=6,
+            n_bytes=8,
+        ).collect()
+    }
+    # pert is a near-dup of corpus image 0 only
+    assert set(got) == {(10, 0)}
+    h_p = multimodal.image_dhash(_mk_ppm(pert))
+    h_b = multimodal.image_dhash(_mk_ppm(base))
+    assert got[(10, 0)] == sum(bin(a ^ b).count("1") for a, b in zip(h_p, h_b))
