@@ -770,3 +770,81 @@ def dedup_lines_global(
             .alias("n_removed_lines"),
         )
     )
+
+
+def line_index(
+    df: DataFrame, *, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Distinct non-blank lines of a corpus as a single-column ``line``
+    frame — the persistable artifact :func:`incremental_line_dedup`
+    matches against (write to parquet once; the multimodal analogue is
+    ``fingerprint_index``)."""
+    import re as _re
+
+    return (
+        df.select(F.explode(F.split(F.col(text_col), _re.escape(sep))).alias("line"))
+        .filter(F.trim(F.col("line")) != "")
+        .distinct()
+    )
+
+
+def incremental_line_dedup(
+    new_docs: DataFrame,
+    seen_lines: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-dedup an incoming batch AGAINST a persisted corpus line set —
+    the continuous-ingest form of :func:`dedup_lines_global`: a line
+    survives when it is blank, or when it is both absent from
+    ``seen_lines`` (a :func:`line_index` frame) and the batch's first
+    occurrence.  Only the batch explodes; corpus cost is the stored index.
+
+    After each batch, append ``line_index(kept_docs, text_col='clean_text')``
+    to the persisted index so later batches see this batch's lines.
+    Returns (id_col, clean_text, n_removed_lines).
+    """
+    import re as _re
+
+    pat = _re.escape(sep)
+    base = new_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ex = base.select(
+        "_id", F.posexplode(F.split(F.col("_t"), pat)).alias("_idx", "_line")
+    )
+    blank = F.trim(F.col("_line")) == ""
+    fresh = ex.filter(~blank).join(
+        seen_lines.select(F.col("line").alias("_line")), on="_line", how="left_anti"
+    )
+    kept_content = (
+        fresh.groupBy("_line")
+        .agg(F.min(F.struct("_id", "_idx")).alias("_first"))
+        .select(
+            F.col("_first._id").alias("_id"),
+            F.col("_first._idx").alias("_idx"),
+            "_line",
+        )
+    )
+    kept = kept_content.unionByName(ex.filter(blank))
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col("_t"), pat))
+    return (
+        base.join(reassembled, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed_lines"),
+        )
+    )

@@ -681,3 +681,45 @@ def test_logreg_learns_separable_vocab(spark):
 
     with _pytest.raises(ValueError):
         quality.train_logreg(docs, "doc_id", "text", "y", iterations=0)
+
+
+def test_incremental_line_dedup_two_batches_grow_index(spark, tmp_path):
+    """Continuous-ingest line dedup: batch 2 must drop lines that batch 1
+    contributed to the persisted index, not just the original corpus's."""
+    from pathwaydataframework_spark.operators import dedup
+    import pyspark.sql.functions as F
+
+    corpus = spark.createDataFrame(
+        [(0, "copyright acme corp\nold article body")], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "line_idx")
+    dedup.line_index(corpus).write.parquet(idx_path)
+
+    b1 = spark.createDataFrame(
+        [(1, "copyright acme corp\nfresh news one")], "doc_id long, text string"
+    )
+    out1 = dedup.incremental_line_dedup(
+        b1, spark.read.parquet(idx_path), id_col="doc_id", text_col="text"
+    )
+    r1 = out1.collect()[0]
+    assert r1["clean_text"] == "fresh news one" and r1["n_removed_lines"] == 1
+    # append batch-1 survivors to the index
+    dedup.line_index(out1, text_col="clean_text").write.mode("append").parquet(idx_path)
+
+    b2 = spark.createDataFrame(
+        [(2, "fresh news one\nfresh news two\ncopyright acme corp")],
+        "doc_id long, text string",
+    )
+    out2 = dedup.incremental_line_dedup(
+        b2, spark.read.parquet(idx_path), id_col="doc_id", text_col="text"
+    )
+    r2 = out2.collect()[0]
+    assert r2["clean_text"] == "fresh news two" and r2["n_removed_lines"] == 2
+    # intra-batch first occurrence still wins inside one batch
+    b3 = spark.createDataFrame(
+        [(3, "brand new line\nbrand new line")], "doc_id long, text string"
+    )
+    r3 = dedup.incremental_line_dedup(
+        b3, spark.read.parquet(idx_path), id_col="doc_id", text_col="text"
+    ).collect()[0]
+    assert r3["clean_text"] == "brand new line" and r3["n_removed_lines"] == 1
