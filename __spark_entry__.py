@@ -1194,6 +1194,33 @@ def _image_fixtures() -> list[tuple[int, str]]:
     ]
 
 
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split):
+    near-dup components (same provable-recall MinHash banding as
+    q_corpus_dedup) are bucketed by their canonical exemplar's hash, so a
+    test document can never have a near-copy in train.  The oracle
+    replays the jaccard graph, CC reach, and md5 bucketing."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    parts = sampling.leakage_safe_split(
+        docs,
+        "doc_id",
+        "text",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=0,
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.8,
+    )
+    out = None
+    for name, p in parts.items():
+        t = p.select("doc_id", F.lit(name).alias("part"))
+        out = t if out is None else out.unionByName(t)
+    return out
+
+
 def _audio_fixtures() -> list[tuple[int, str]]:
     """Deterministic PCM16 WAV blobs (hex), 1024 samples each: 0 = base
     sawtooth, 1 = base with one window's samples zeroed (local edit —
@@ -1785,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_leakage_split": q_leakage_split,
         "q_audio_dedup": q_audio_dedup,
         "q_image_dedup": q_image_dedup,
         "q_quality_classifier": q_quality_classifier,
@@ -2317,6 +2345,30 @@ def _embedding_outliers_oracle_sql(
     """
 
 
+def _leakage_split_oracle_sql() -> str:
+    """q_leakage_split oracle: canon = CC min-label over the exact
+    jaccard>=0.8 graph (q_corpus_dedup's), bucketed with the split()
+    thresholds from the SAME cumulative_bounds helper."""
+    from pathwaydataframework_spark.operators.sampling import cumulative_bounds
+
+    bounds = cumulative_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    cases = "\n".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'" for name, lo, hi in bounds
+    )
+    lo0 = bounds[0][1]
+    hi_last = bounds[-1][2]
+    return f"""
+        WITH canon AS (
+            SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS canon
+            FROM documents d
+            LEFT JOIN ({_neardup_cc_sql("component")}) cc ON cc.vertex = d.doc_id
+        )
+        SELECT doc_id, CASE {cases} END AS part
+        FROM (SELECT doc_id, {_bucket_sql("canon", 0)} AS b FROM canon)
+        WHERE b >= {lo0} AND b < {hi_last}
+    """
+
+
 def _audio_dedup_oracle_sql(max_hamming: int = 3, frames: int = 33) -> str:
     """q_audio_dedup oracle: PCM16 samples re-read from hex (LE signed),
     window-of-sample = (j*frames)//n, exact integer energy sums, strict
@@ -2755,6 +2807,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_leakage_split": _leakage_split_oracle_sql(),
         "q_audio_dedup": _audio_dedup_oracle_sql(),
         "q_image_dedup": _image_dedup_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(iterations=4, lr=2.0),

@@ -421,3 +421,51 @@ def dsir_select(
         F.col("_id").alias(id_col),
         "logw",
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    fractions: Mapping[str, float],
+    *,
+    seed: int = 0,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> dict[str, DataFrame]:
+    """:func:`split`, but near-duplicate documents NEVER straddle a split
+    boundary — the eval-contamination guard every pretraining pipeline
+    needs: a test document whose near-copy sits in train leaks the answer.
+
+    Mechanism: near-dup components from
+    :func:`~pathwaydataframework_spark.operators.dedup.corpus_dedup`
+    (MinHash-LSH pairs → connected components), then every member of a
+    component is bucketed by its CANONICAL exemplar's hash — one draw per
+    component, so the whole group lands on one side.  Unique docs ride
+    their own id, identical to :func:`split`.
+
+    Same determinism contract as every sampler here (md5 buckets,
+    python-side integer thresholds).
+    """
+    from pathwaydataframework_spark.operators.dedup import corpus_dedup
+
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    canon = corpus_dedup(
+        df,
+        key,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    ).select(key, "canon")
+    joined = df.join(canon, on=key)
+    b = hash_bucket(F.col("canon"), seed)
+    return {
+        name: joined.filter((b >= F.lit(lo)) & (b < F.lit(hi))).drop("canon")
+        for name, lo, hi in cumulative_bounds(fractions)
+    }

@@ -723,3 +723,30 @@ def test_incremental_line_dedup_two_batches_grow_index(spark, tmp_path):
         b3, spark.read.parquet(idx_path), id_col="doc_id", text_col="text"
     ).collect()[0]
     assert r3["clean_text"] == "brand new line" and r3["n_removed_lines"] == 1
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    from pathwaydataframework_spark.operators import sampling
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, f"unique document number {i} with distinct words {i*7} {i*13}") for i in range(40)]
+    # a near-dup pair that plain split() could separate
+    rows += [(100, base + " alpha"), (101, base + " alpha beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    parts = sampling.leakage_safe_split(
+        docs, "doc_id", "text", {"train": 0.5, "test": 0.5},
+        seed=0, num_hashes=16, bands=8, threshold=0.5,
+    )
+    sides = {
+        name: {r["doc_id"] for r in p.select("doc_id").collect()}
+        for name, p in parts.items()
+    }
+    # disjoint cover
+    assert sides["train"] | sides["test"] == {r[0] for r in rows}
+    assert not (sides["train"] & sides["test"])
+    # the near-dup component lands on ONE side
+    assert ({100, 101} <= sides["train"]) or ({100, 101} <= sides["test"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.leakage_safe_split(docs, "doc_id", "text", {"a": 0.8, "b": 0.4})
