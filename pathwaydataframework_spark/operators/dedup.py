@@ -48,11 +48,16 @@ def deduplicate(table: Table, *, value=None, instance=None, acceptor=None) -> Ta
         raise ValueError("deduplicate needs value=")
     order_col = table._resolve(value)
     if instance is not None:
-        w = W.partitionBy(table._resolve(instance)).orderBy(order_col.desc())
+        # max_by aggregation, not a rank window: a hot instance key
+        # partial-combines map-side instead of funnelling every duplicate
+        # row through one task's sort (same hardening as exact_dedup /
+        # dedup_lines_global)
+        cols = table._df.columns
+        row = F.struct(*[F.col(c) for c in cols])
         out = (
-            table._df.withColumn("__pw_rn", F.row_number().over(w))
-            .filter(F.col("__pw_rn") == 1)
-            .drop("__pw_rn")
+            table._df.groupBy(table._resolve(instance).alias("__pw_k"))
+            .agg(F.max_by(row, order_col).alias("__r"))
+            .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
         )
     else:
         # "last value overall" is a single global max_by aggregate — a
@@ -76,7 +81,11 @@ def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
     (ordered by ``keep_order_by``; default = the deterministic row-id hash,
     so the survivor is stable across runs and partitionings).
 
-    One window over the content key — single shuffle, no UDFs.
+    One min_by aggregation over the content key — single shuffle with
+    map-side partial combine, so a pathologically hot key (the same
+    document repeated millions of times — exactly what exact dedup exists
+    to remove) collapses inside each task instead of funnelling through
+    one reducer's sort.  No UDFs.
 
     >>> import pathwaydataframework_spark as pw
     >>> t = pw.Table.from_rows(
@@ -92,11 +101,12 @@ def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
     order = (
         table._resolve(keep_order_by) if keep_order_by is not None else table.id_expr()
     )
-    w = W.partitionBy(*keys).orderBy(order.asc())
+    cols = table._df.columns
+    row = F.struct(*[F.col(c) for c in cols])
     out = (
-        table._df.withColumn("__pw_rn", F.row_number().over(w))
-        .filter(F.col("__pw_rn") == 1)
-        .drop("__pw_rn")
+        table._df.groupBy(*[k.alias(f"__pw_k{i}") for i, k in enumerate(keys)])
+        .agg(F.min_by(row, order).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
     )
     return Table(out)
 
