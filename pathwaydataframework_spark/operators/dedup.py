@@ -607,10 +607,16 @@ def duplicate_span_starts(
         .select("gh")
     )
     dup_occ = occ.join(repeated, on="gh")
-    w = W.partitionBy("gh").orderBy("doc_id", "pos")
+    # "every occurrence but the globally-first" = min-struct + inequality,
+    # not a rank window: a boilerplate gram repeated 10M times would make
+    # one task sort 10M rows; min() partial-combines map-side and the
+    # join-back streams linearly
+    firsts = dup_occ.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__first")
+    )
     return (
-        dup_occ.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") >= 2)
+        dup_occ.join(firsts, on="gh")
+        .filter(F.struct("doc_id", "pos") != F.col("__first"))
         .select("doc_id", F.col("pos").cast("long").alias("pos"))
     )
 
