@@ -1194,6 +1194,18 @@ def _image_fixtures() -> list[tuple[int, str]]:
     ]
 
 
+def q_assign_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-shard export layout (sampling.assign_shards): epoch
+    shuffle + contiguous 64-row shards; the oracle replays the exact
+    permutation and integer shard arithmetic."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    return sampling.assign_shards(docs, "doc_id", rows_per_shard=64, seed=7).select(
+        "doc_id", "position", "shard", "pos_in_shard"
+    )
+
+
 def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe train/val/test split (sampling.leakage_safe_split):
     near-dup components (same provable-recall MinHash banding as
@@ -1812,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
         "q_audio_dedup": q_audio_dedup,
         "q_image_dedup": q_image_dedup,
@@ -2807,6 +2820,17 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_assign_shards": """
+            SELECT doc_id, position, position // 64 AS shard,
+                   position % 64 AS pos_in_shard
+            FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id
+                       ) - 1 AS position
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+        """,
         "q_leakage_split": _leakage_split_oracle_sql(),
         "q_audio_dedup": _audio_dedup_oracle_sql(),
         "q_image_dedup": _image_dedup_oracle_sql(),

@@ -469,3 +469,27 @@ def leakage_safe_split(
         name: joined.filter((b >= F.lit(lo)) & (b < F.lit(hi))).drop("canon")
         for name, lo, hi in cumulative_bounds(fractions)
     }
+
+
+def assign_shards(
+    df: DataFrame, key: str, *, rows_per_shard: int, seed: int = 0
+) -> DataFrame:
+    """Training-shard assignment — the final pipeline stage before export:
+    a deterministic epoch shuffle (:func:`deterministic_shuffle`), then
+    contiguous fixed-size shards by position.  Adds ``position``, ``shard``
+    and ``pos_in_shard`` columns; write with
+    ``.write.partitionBy('shard')`` for one file set per shard, each in
+    reproducible shuffled order (WebDataset-style layout).
+
+    Same determinism contract as the shuffle: shard membership and
+    intra-shard order depend only on (key, seed), never on cluster
+    topology — re-running the export on a different cluster byte-matches.
+    """
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    out = deterministic_shuffle(df, key, seed=seed)
+    return out.withColumn(
+        "shard", (F.col("position") / F.lit(rows_per_shard)).cast("long")
+    ).withColumn(
+        "pos_in_shard", (F.col("position") % F.lit(rows_per_shard)).cast("long")
+    )

@@ -750,3 +750,29 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
 
     with _pytest.raises(ValueError):
         sampling.leakage_safe_split(docs, "doc_id", "text", {"a": 0.8, "b": 0.4})
+
+
+def test_assign_shards_layout_and_export_round_trip(spark, tmp_path):
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = sampling.assign_shards(docs, "doc_id", rows_per_shard=64, seed=3)
+    rows = out.collect()
+    # full cover, contiguous shards of 64 (last partial)
+    assert sorted(r["position"] for r in rows) == list(range(200))
+    sizes = {}
+    for r in rows:
+        assert r["shard"] == r["position"] // 64
+        assert r["pos_in_shard"] == r["position"] % 64
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert sizes == {0: 64, 1: 64, 2: 64, 3: 8}
+    # partitionBy export writes one directory per shard and round-trips
+    path = str(tmp_path / "shards")
+    out.write.partitionBy("shard").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert back.select("shard").distinct().count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.assign_shards(docs, "doc_id", rows_per_shard=0)
