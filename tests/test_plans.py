@@ -264,16 +264,17 @@ def test_unigram_logprob_broadcasts_vocab(spark, sf_dir):
 
 
 def test_span_dedup_ranks_only_repeated_grams(spark, sf_dir):
-    # the rank window must be fed by the repeated-grams join, not the full
-    # occurrence stream, and the exchanges carry the 8-byte hash — assert
-    # no cartesian and that a pre-aggregation (partial count) exists
+    # duplicate-occurrence selection must be the min-struct aggregation
+    # (map-side partial combine — hot-gram skew-safe), joined back over the
+    # 8-byte gram hash; never a rank window (one-task sort per hot gram)
+    # and never a cartesian
     df = entry.q_span_dedup(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "Partial" in plan
-    # window partitions by the gram hash — never a global (empty) partition
-    assert "Window" in plan
+    assert "partial_min" in plan or "min(" in plan
+    assert "Window" not in plan
 
 
 def test_bucketed_tables_join_without_exchange(spark):
