@@ -1194,6 +1194,16 @@ def _image_fixtures() -> list[tuple[int, str]]:
     ]
 
 
+def q_sliding_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style overlapping chunking (splitters.sliding_window_split):
+    32-token windows every 16 tokens — pure column exprs, zero exchanges;
+    the oracle replays the start-sequence arithmetic and slices."""
+    from pathwaydataframework_spark.operators import splitters
+
+    docs = load_table(spark, sf, "documents").df
+    return splitters.sliding_window_split(docs, "doc_id", "text", size=32, stride=16)
+
+
 def q_assign_shards(spark: SparkSession, sf: str) -> DataFrame:
     """Training-shard export layout (sampling.assign_shards): epoch
     shuffle + contiguous 64-row shards; the oracle replays the exact
@@ -1824,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
         "q_audio_dedup": q_audio_dedup,
@@ -2820,6 +2831,24 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_sliding_chunks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+                FROM documents
+            ), d AS (
+                SELECT doc_id, t, len(t) AS n,
+                       greatest(cast(ceil((len(t) - 32) / 16.0) AS INT) + 1, 1) AS ns
+                FROM toks
+            )
+            SELECT doc_id, r.i::BIGINT AS chunk_idx,
+                   array_to_string(t[r.i*16+1 : r.i*16+32], ' ') AS chunk,
+                   len(t[r.i*16+1 : r.i*16+32])::BIGINT AS n_tokens
+            FROM d, range(0, 64) r(i)
+            WHERE d.n > 0 AND r.i < d.ns
+        """,
         "q_assign_shards": """
             SELECT doc_id, position, position // 64 AS shard,
                    position % 64 AS pos_in_shard

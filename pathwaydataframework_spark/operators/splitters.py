@@ -123,3 +123,53 @@ class TokenCountSplitter:
             min_tokens=kwargs.get("min_tokens", self.min_tokens),
             max_tokens=kwargs.get("max_tokens", self.max_tokens),
         )
+
+
+def sliding_window_chunks(
+    text: Column, *, size: int, stride: int
+) -> Column:
+    """Array of overlapping chunk strings — RAG-style sliding-window
+    chunking: windows of ``size`` whitespace tokens starting every
+    ``stride`` tokens (stride < size ⇒ overlap = size − stride tokens of
+    context carried across boundaries).  The final window is the short
+    remainder unless a full window already covers it.
+
+    Pure column expression (transform over a sequence of slice starts) —
+    no UDF, no shuffle; NULL/blank text yields an empty array.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if stride <= 0 or stride > size:
+        raise ValueError(f"stride must be in [1, size], got {stride}")
+    text = F.coalesce(text, F.lit(""))
+    toks = tokens(text)
+    n = token_count(text).cast("int")
+    # starts: 0, stride, 2*stride, … while start < n and the PREVIOUS
+    # window didn't already reach the end (start + size - stride < n)
+    n_starts = F.greatest(
+        F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + F.lit(1), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), (n_starts - 1) * F.lit(stride), F.lit(stride))
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda s: F.array_join(F.slice(toks, s + 1, size), " "))
+    )
+
+
+def sliding_window_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    size: int,
+    stride: int,
+) -> DataFrame:
+    """Explode :func:`sliding_window_chunks` into
+    (id, chunk_idx, chunk, n_tokens) rows — the overlapping-context
+    chunker a retrieval corpus is usually built with."""
+    chunks = sliding_window_chunks(F.col(text_col), size=size, stride=stride)
+    return df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        token_count(F.col("chunk")).alias("n_tokens"),
+    )

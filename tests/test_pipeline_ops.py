@@ -776,3 +776,26 @@ def test_assign_shards_layout_and_export_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         sampling.assign_shards(docs, "doc_id", rows_per_shard=0)
+
+
+def test_sliding_window_split_overlap_and_edges(spark):
+    from pathwaydataframework_spark.operators import splitters
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, ""), (4, None), (5, "p q r s t")],
+        "doc_id long, text string",
+    )
+    out = splitters.sliding_window_split(d, "doc_id", "text", size=4, stride=2)
+    rows = sorted((r["doc_id"], r["chunk_idx"], r["chunk"]) for r in out.collect())
+    # overlap = size - stride = 2 tokens carried across boundaries; a
+    # window that reaches the end suppresses a trailing partial
+    assert [c for i, _, c in rows if i == 1] == ["a b c d", "c d e f", "e f g h", "g h i j"]
+    assert [c for i, _, c in rows if i == 2] == ["x y"]
+    assert not [c for i, _, c in rows if i in (3, 4)]  # blank/NULL -> no rows
+    assert [c for i, _, c in rows if i == 5] == ["p q r s", "r s t"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        splitters.sliding_window_split(d, "doc_id", "text", size=4, stride=5)
+    with _pytest.raises(ValueError):
+        splitters.sliding_window_split(d, "doc_id", "text", size=0, stride=1)
