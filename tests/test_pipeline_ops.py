@@ -799,3 +799,31 @@ def test_sliding_window_split_overlap_and_edges(spark):
         splitters.sliding_window_split(d, "doc_id", "text", size=4, stride=5)
     with _pytest.raises(ValueError):
         splitters.sliding_window_split(d, "doc_id", "text", size=0, stride=1)
+
+
+def test_temperature_sample_matches_python_model_exactly(spark):
+    """The kept set must equal a pure-Python replay of the threshold
+    arithmetic (md5 bucket, sqrt rate, floor) — the same cross-engine
+    contract the DuckDB oracle checks."""
+    import hashlib
+    import math
+
+    from pathwaydataframework_spark.operators import sampling
+
+    rows = [(i, ["a", "b", "c"][min(i % 7, 2)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    got = {r["id"] for r in sampling.temperature_sample(df, "id", "src", alpha=0.5, seed=4).collect()}
+
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    nmin = min(counts.values())
+    thr = {
+        s: math.floor(math.sqrt(nmin / n) * float(1 << 32)) for s, n in counts.items()
+    }
+    want = {
+        i
+        for i, s in rows
+        if int(hashlib.md5(f"{i}:4".encode()).hexdigest()[:8], 16) < thr[s]
+    }
+    assert got == want
