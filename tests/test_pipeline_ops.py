@@ -827,3 +827,28 @@ def test_temperature_sample_matches_python_model_exactly(spark):
         if int(hashlib.md5(f"{i}:4".encode()).hexdigest()[:8], 16) < thr[s]
     }
     assert got == want
+
+
+def test_sliding_chunks_match_python_model(spark):
+    from pathwaydataframework_spark.operators import splitters
+    import math
+
+    texts = [
+        " ".join(f"t{j}" for j in range(n)) for n in (0, 1, 3, 4, 5, 8, 9, 16, 17)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in splitters.sliding_window_split(df, "doc_id", "text", size=4, stride=3).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+
+    def model(text, size=4, stride=3):
+        toks = text.split() if text.strip() else []
+        if not toks:
+            return []
+        ns = max(math.ceil((len(toks) - size) / stride) + 1, 1)
+        return [
+            (i, " ".join(toks[i * stride : i * stride + size])) for i in range(ns)
+        ]
+
+    for i, t in enumerate(texts):
+        assert sorted(got.get(i, [])) == model(t), f"doc {i}"

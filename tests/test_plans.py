@@ -371,3 +371,9 @@ def test_image_dedup_banded_not_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_chunks_zero_exchanges(spark, sf_dir):
+    # chunking is a narrow per-row projection — no shuffle at any scale
+    df = entry.q_sliding_chunks(spark, sf_dir)
+    assert count_shuffles(df) == 0
