@@ -1,0 +1,77 @@
+"""Capstone: the complete training-data pipeline composed end-to-end from
+this engine's own operators — the workload the 100 TB design exists for.
+
+documents → C4 page rules → global near-dup removal → quality scoring →
+leakage-safe split → vocabulary → tokenize → pack → shard layout.
+Each stage's output feeds the next as a plain DataFrame; the whole chain
+is lazy until the final actions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pathwaydataframework_spark.data import load_table
+from pathwaydataframework_spark.operators import dedup, packing, sampling, text
+
+
+def test_full_pipeline_documents_to_shards(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").df
+
+    # 1. page-quality gate (C4 rules are too strict for the synthetic
+    #    word-soup fixture — use the text-stats gate instead)
+    gated = docs.filter(text.token_count(F.col("text")) >= 10)
+    n_gated = gated.count()
+    assert n_gated > 0
+
+    # 2. corpus-level near-dup removal (MinHash → CC → exemplar)
+    canon = dedup.corpus_dedup(
+        gated, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+    )
+    clean = gated.join(canon.filter("kept").select("doc_id"), on="doc_id")
+    n_clean = clean.count()
+    assert 0 < n_clean <= n_gated
+
+    # 3. quality scoring (unigram LM proxy) — keep the upper half
+    scored = text.unigram_logprob(clean, id_col="doc_id", text_col="text")
+    med = scored.approxQuantile("mean_logp", [0.5], 0.0)[0]
+    good = clean.join(
+        scored.filter(F.col("mean_logp") >= F.lit(med)).select("doc_id"), on="doc_id"
+    )
+    n_good = good.count()
+    assert 0 < n_good <= n_clean
+
+    # 4. leakage-safe split — near-dups can't straddle train/val
+    parts = sampling.leakage_safe_split(
+        good, "doc_id", "text", {"train": 0.9, "val": 0.1},
+        seed=0, num_hashes=16, bands=4, threshold=0.8,
+    )
+    train, val = parts["train"], parts["val"]
+    t_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    v_ids = {r["doc_id"] for r in val.select("doc_id").collect()}
+    assert t_ids.isdisjoint(v_ids) and len(t_ids) + len(v_ids) == n_good
+
+    # 5. vocabulary on train ONLY (no val leakage), tokenize both
+    vocab = text.vocabulary(train, text_col="text", min_count=1, k=None)
+    ids = text.tokenize_to_ids(train, vocab, id_col="doc_id", text_col="text")
+    sample = ids.first()
+    assert sample is not None and len(sample["token_ids"]) > 0
+
+    # 6. pack into 512-token training sequences, then shard layout
+    counted = ids.select(
+        "doc_id", F.size("token_ids").alias("n_tokens")
+    )
+    packed = packing.pack_by_offset(counted, "doc_id", "n_tokens", 512, shards=8)
+    assert packed.filter(F.col("start_offset") < 0).count() == 0
+    # offsets within a shard are non-overlapping: cumsum property
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("start_offset")
+    gaps = packed.withColumn(
+        "prev_end", F.lag(F.col("start_offset") + F.col("n_tokens")).over(w)
+    ).filter(F.col("prev_end").isNotNull() & (F.col("start_offset") != F.col("prev_end")))
+    assert gaps.count() == 0
+
+    # 7. reproducible shard export layout for the packed docs
+    shards = sampling.assign_shards(counted, "doc_id", rows_per_shard=64, seed=1)
+    assert shards.count() == counted.count()
+    assert shards.select("shard").distinct().count() >= 1
