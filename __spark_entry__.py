@@ -2843,10 +2843,13 @@ def oracle_sql() -> dict[str, str]:
                        greatest(cast(ceil((len(t) - 32) / 16.0) AS INT) + 1, 1) AS ns
                 FROM toks
             )
+            -- 4096 starts covers docs up to 65,552 tokens (fixture max is
+            -- ~120); DuckDB can't lateral-correlate range(), so the bound
+            -- is static and generously above any fixture document
             SELECT doc_id, r.i::BIGINT AS chunk_idx,
                    array_to_string(t[r.i*16+1 : r.i*16+32], ' ') AS chunk,
                    len(t[r.i*16+1 : r.i*16+32])::BIGINT AS n_tokens
-            FROM d, range(0, 64) r(i)
+            FROM d, range(0, 4096) r(i)
             WHERE d.n > 0 AND r.i < d.ns
         """,
         "q_assign_shards": """

@@ -51,12 +51,19 @@ def deduplicate(table: Table, *, value=None, instance=None, acceptor=None) -> Ta
         # max_by aggregation, not a rank window: a hot instance key
         # partial-combines map-side instead of funnelling every duplicate
         # row through one task's sort (same hardening as exact_dedup /
-        # dedup_lines_global)
+        # dedup_lines_global).  The ordering key is null-guarded: max_by
+        # IGNORES rows whose ordering is NULL, which would fabricate an
+        # all-NULL output row for a group whose every value is NULL — the
+        # (isNotNull, value) struct keeps every row orderable and matches
+        # the old window's desc-nulls-last rank (non-null values win).
         cols = table._df.columns
         row = F.struct(*[F.col(c) for c in cols])
+        okey = F.struct(
+            order_col.isNotNull().cast("int").alias("__nn"), order_col.alias("__o")
+        )
         out = (
             table._df.groupBy(table._resolve(instance).alias("__pw_k"))
-            .agg(F.max_by(row, order_col).alias("__r"))
+            .agg(F.max_by(row, okey).alias("__r"))
             .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
         )
     else:
@@ -103,9 +110,16 @@ def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
     )
     cols = table._df.columns
     row = F.struct(*[F.col(c) for c in cols])
+    # null-guarded ordering key: min_by IGNORES NULL-ordering rows (an
+    # all-NULL-order group would yield a fabricated all-NULL row); the
+    # (isNull, value) struct keeps every row orderable and reproduces the
+    # old window's asc-nulls-first rank (a NULL order value wins)
+    okey = F.struct(
+        order.isNotNull().cast("int").alias("__nn"), order.alias("__o")
+    )
     out = (
         table._df.groupBy(*[k.alias(f"__pw_k{i}") for i, k in enumerate(keys)])
-        .agg(F.min_by(row, order).alias("__r"))
+        .agg(F.min_by(row, okey).alias("__r"))
         .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
     )
     return Table(out)
@@ -742,17 +756,43 @@ def dedup_lines_global(
     min_by partial-combines map-side, so a boilerplate line repeated 10M
     times collapses inside each task before the exchange — the classic
     hot-line skew never reaches one reducer) → reassemble keyed by
-    document.  Blank lines skip the line exchange entirely.
+    document.  Blank lines skip the line exchange entirely.  NULL text
+    behaves as the empty document (clean_text = '', n_removed_lines = 0).
     """
+    return _line_dedup_core(df, id_col, text_col, sep)
+
+
+def _line_dedup_core(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    seen_lines: DataFrame | None = None,
+) -> DataFrame:
+    """Shared engine behind :func:`dedup_lines_global` (seen_lines=None)
+    and :func:`incremental_line_dedup` (seen_lines = a persisted
+    :func:`line_index` frame): explode → optional corpus anti-join →
+    per-line min-struct keep → reassemble.  One implementation, so the
+    keep rule, blank handling, and accounting can never diverge between
+    the batch and incremental paths."""
     import re as _re
 
     pat = _re.escape(sep)
-    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # NULL text behaves as the empty document (one blank line) so the
+    # accounting columns stay non-NULL
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
     ex = base.select(
         "_id", F.posexplode(F.split(F.col("_t"), pat)).alias("_idx", "_line")
     )
     blank = F.trim(F.col("_line")) == ""
     content = ex.filter(~blank)
+    if seen_lines is not None:
+        content = content.join(
+            seen_lines.select(F.col("line").alias("_line")), on="_line", how="left_anti"
+        )
     # the surviving copy IS the per-line minimum (id, idx) — no need to
     # rank every occurrence, the min-agg's map-side combine absorbs skew
     kept_content = (
@@ -822,45 +862,4 @@ def incremental_line_dedup(
     to the persisted index so later batches see this batch's lines.
     Returns (id_col, clean_text, n_removed_lines).
     """
-    import re as _re
-
-    pat = _re.escape(sep)
-    base = new_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    ex = base.select(
-        "_id", F.posexplode(F.split(F.col("_t"), pat)).alias("_idx", "_line")
-    )
-    blank = F.trim(F.col("_line")) == ""
-    fresh = ex.filter(~blank).join(
-        seen_lines.select(F.col("line").alias("_line")), on="_line", how="left_anti"
-    )
-    kept_content = (
-        fresh.groupBy("_line")
-        .agg(F.min(F.struct("_id", "_idx")).alias("_first"))
-        .select(
-            F.col("_first._id").alias("_id"),
-            F.col("_first._idx").alias("_idx"),
-            "_line",
-        )
-    )
-    kept = kept_content.unionByName(ex.filter(blank))
-    reassembled = kept.groupBy("_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
-                lambda s: s["_line"],
-            ),
-            sep,
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("_n_kept"),
-    )
-    n_lines = F.size(F.split(F.col("_t"), pat))
-    return (
-        base.join(reassembled, on="_id", how="left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed_lines"),
-        )
-    )
+    return _line_dedup_core(new_docs, id_col, text_col, sep, seen_lines=seen_lines)

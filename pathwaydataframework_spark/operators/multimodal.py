@@ -302,6 +302,11 @@ def image_dhash(data: bytes, *, hash_size: int = 8) -> list[int] | None:
     except (ValueError, TypeError):
         return None
     h, w, _ = img.shape
+    if h == 0 or w == 0:
+        # a syntactically valid "P6\n0 0\n255\n" header decodes to an
+        # empty array; indexing it would raise instead of honoring the
+        # None-for-undecodable contract
+        return None
     rows = [(r * h) // hash_size for r in range(hash_size)]
     cols = [(c * w) // (hash_size + 1) for c in range(hash_size + 1)]
     g = img.astype(np.int64)
@@ -358,6 +363,17 @@ def perceptual_dedup_pairs(
     )
 
 
+def _hamming(ha: str, hb: str) -> Column:
+    """Σ popcount(a_i XOR b_i) over two byte-array fingerprint columns —
+    the single definition both the batch-internal and batch-vs-corpus
+    Hamming paths verify with."""
+    return F.aggregate(
+        F.zip_with(ha, hb, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+
+
 def hamming_dedup_pairs(
     hashed: DataFrame,
     *,
@@ -394,13 +410,8 @@ def hamming_dedup_pairs(
         .select("id_a", "id_b", "ha", "hb")
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with("ha", "hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
-        cand.withColumn("hamming", hamming.cast("long"))
+        cand.withColumn("hamming", _hamming("ha", "hb"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
@@ -460,6 +471,10 @@ def audio_dedup_pairs(
     """Near-duplicate audio pairs by energy-envelope fingerprint Hamming
     distance — one Arrow-batched decode crossing, then the shared
     pigeonhole blocking (:func:`hamming_dedup_pairs`)."""
+    # validate driver-side: deferring to the per-row fingerprint call
+    # would launch the job and fail every task with an executor traceback
+    if frames - 1 <= 0 or (frames - 1) % 8:
+        raise ValueError("frames - 1 must be a positive multiple of 8")
     id_type = dict(df.dtypes)[id_col]
     n_bytes = (frames - 1) // 8
 
@@ -552,16 +567,11 @@ def incremental_hamming_pairs(
     b = index.select(
         F.col(id_col).alias("corpus_id"), F.col(hash_col).alias("hb"), "g", "gv"
     )
-    hamming = F.aggregate(
-        F.zip_with("ha", "hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
         a.join(b, on=["g", "gv"])
         .select("new_id", "corpus_id", "ha", "hb")
         .distinct()
-        .withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", _hamming("ha", "hb"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("new_id", "corpus_id", "hamming")
     )

@@ -256,6 +256,11 @@ def temperature_sample(
     """
     if not (alpha == alpha) or not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if alpha == 1.0:
+        # the natural distribution is a true no-op — return df unchanged
+        # (the rate join would uselessly drop NULL-source/NULL-key rows
+        # and cost two jobs), matching hash_sample's fraction>=1 shortcut
+        return df
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     ratio = F.col("_nmin").cast("double") / F.col("_n").cast("double")

@@ -852,3 +852,54 @@ def test_sliding_chunks_match_python_model(spark):
 
     for i, t in enumerate(texts):
         assert sorted(got.get(i, [])) == model(t), f"doc {i}"
+
+
+def test_review_fixes_null_edges(spark):
+    """r3 self-review regressions: NULL ordering values in dedup, NULL
+    text in line dedup, zero-dim PPM, alpha=1 passthrough."""
+    import pathwaydataframework_spark as pw
+    import pyspark.sql.functions as F
+    from pathwaydataframework_spark.operators import dedup, multimodal, sampling
+
+    # exact_dedup: group whose keep_order_by is all-NULL must yield a REAL
+    # row (min_by used to drop every NULL-ordered row -> fabricated NULLs);
+    # NULL order sorts first, like the old asc window
+    t = pw.Table.from_rows(
+        spark,
+        [("a", None, 1), ("a", 5, 2), ("b", None, 3), ("b", None, 4)],
+        "k string, ts long, v long",
+    )
+    out = {r["k"]: (r["ts"], r["v"]) for r in dedup.exact_dedup(
+        t, pw.this.k, keep_order_by=pw.this.ts).df.collect()}
+    assert out["a"] == (None, 1)          # NULL-first beats ts=5
+    assert out["b"][1] in (3, 4)          # real row, not (None, None)
+
+    # deduplicate: keep-last prefers non-NULL values; all-NULL group
+    # still emits a real row
+    t2 = pw.Table.from_rows(
+        spark, [("a", None, 1), ("a", 7, 2), ("c", None, 9)],
+        "k string, seq long, v long",
+    )
+    out2 = {r["k"]: r["v"] for r in dedup.deduplicate(
+        t2, value=pw.this.seq, instance=pw.this.k).df.collect()}
+    assert out2 == {"a": 2, "c": 9}
+
+    # line dedup: NULL text behaves as empty doc with ZERO removed lines
+    docs = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    r = {x["doc_id"]: (x["clean_text"], x["n_removed_lines"])
+         for x in dedup.dedup_lines_global(docs, "doc_id", "text").collect()}
+    assert r[1] == ("", 0) and r[2] == ("x", 0)
+
+    # zero-dimension PPM honours the None contract instead of IndexError
+    assert multimodal.image_dhash(b"P6\n0 0\n255\n") is None
+
+    # alpha=1 temperature sampling is a true passthrough (NULL keys kept)
+    df = spark.createDataFrame([(1, "a"), (2, None), (None, "a")], "id long, src string")
+    assert sampling.temperature_sample(df, "id", "src", alpha=1.0).count() == 3
+
+    # audio_dedup_pairs validates frames driver-side
+    import pytest as _pytest
+
+    bdf = spark.createDataFrame([(1, bytearray(b"x"))], "id long, data binary")
+    with _pytest.raises(ValueError):
+        multimodal.audio_dedup_pairs(bdf, id_col="id", frames=12)
