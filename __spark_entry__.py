@@ -1194,6 +1194,17 @@ def _image_fixtures() -> list[tuple[int, str]]:
     ]
 
 
+def q_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): rightmost-minimum
+    gram hash per 4-window over char 5-grams of the normalized text.  The
+    oracle replays the selection with integer-encoded (hash, -pos) keys —
+    identical selected sets, independent arithmetic."""
+    docs = load_table(spark, sf, "documents").df
+    return text.winnowing_fingerprints(
+        docs, id_col="doc_id", text_col="text", k=5, window=4
+    )
+
+
 def q_sliding_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """RAG-style overlapping chunking (splitters.sliding_window_split):
     32-token windows every 16 tokens — pure column exprs, zero exchanges;
@@ -1834,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
+        "q_winnow": q_winnow,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -2831,6 +2843,35 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """
     return {
+        "q_winnow": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+                FROM documents
+            ), dn AS (
+                SELECT doc_id, s, length(s) - 5 + 1 AS n FROM d
+            ), grams AS MATERIALIZED (
+                SELECT doc_id, n, r.i AS p,
+                       {_bucket_sql("substr(s, r.i + 1, 5)", 0)} AS h
+                FROM dn, range(0, 2048) r(i) WHERE r.i < dn.n
+            ), sel AS (
+                -- each gram at p serves windows j = p-3 .. p (4 rows per
+                -- gram — linear, never a per-doc gram x window join);
+                -- rightmost window minimum via the integer key
+                -- h*4096 + (4095 - p): min key = smallest hash, ties to
+                -- the largest position (p < 4096 holds: fixture docs are
+                -- < 600 chars)
+                SELECT doc_id, (p - o.i) AS j,
+                       min(h * 4096 + (4095 - p)) AS key
+                FROM grams, range(0, 4) o(i)
+                WHERE (p - o.i) >= 0 AND (p - o.i) <= n - 4
+                GROUP BY 1, 2
+            )
+            SELECT DISTINCT doc_id,
+                   (4095 - (key % 4096))::BIGINT AS pos,
+                   (key // 4096)::BIGINT AS gram_hash
+            FROM sel
+        """,
         "q_sliding_chunks": """
             WITH toks AS (
                 SELECT doc_id,

@@ -764,3 +764,92 @@ def bigram_logprob(
     )
     ids = base.select("doc_id")
     return ids.join(means, on="doc_id", how="left")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, SIGMOD —
+    the MOSS local-similarity sketch): hash every character k-gram of the
+    normalized text, then keep the RIGHTMOST minimum of each ``window``
+    of consecutive gram hashes.  The selected (position, hash) set is the
+    fingerprint — guaranteed to share members between any two documents
+    with a common substring of length >= k + window - 1, which whole-doc
+    hashing (``fingerprint``) cannot do.
+
+    Returns exploded (id, pos, gram_hash) rows, distinct per doc.
+
+    Engine notes: gram hashes come from the md5-bucket primitive so an
+    external SQL engine replays the exact selection (a Rabin-Karp rolling
+    recurrence is a single-machine micro-optimization — the SELECTED SET
+    is identical).  The whole operator is one narrow projection + explode:
+    no shuffle, no UDF; at 100 TB it adds zero exchanges ahead of
+    whatever joins consume the fingerprints.
+    """
+    from pathwaydataframework_spark.operators.sampling import hash_bucket
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    # intermediates are NAMED columns, never shared python expression
+    # objects: embedding the hash-array expression inside the window
+    # lambda would textually inline the whole n-element build into every
+    # element access — an O(n²·k) expression tree (the same hazard
+    # documented on _word_shingles)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # the EAGER barriers are load-bearing: projection collapsing
+    # substitutes a named column back into the next stage's lambda, and
+    # evaluating a non-attribute subtree INSIDE a higher-order-function
+    # lambda is pathologically slow in the interpreted HOF path
+    # (measured: one 600-char doc goes from 0.3 s to minutes when
+    # __s/__hs collapse into the lambdas).  A lazy checkpoint is NOT a
+    # barrier — the first action still executes the collapsed plan —
+    # so each stage materializes (tiny frames: normalized text, then the
+    # per-doc hash arrays).  At cluster scale persist the same frames to
+    # storage instead.
+    s1 = df.select(
+        F.col(id_col),
+        norm.alias("__s"),
+        (F.length(norm) - F.lit(k) + 1).alias("__n"),
+    ).localCheckpoint(eager=True)
+    s2 = s1.select(
+        id_col,
+        "__n",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0))),
+            lambda i: hash_bucket(F.substring(F.col("__s"), i + 1, F.lit(k))),
+        ).alias("__hs"),
+    ).localCheckpoint(eager=True)
+    # rightmost minimum of each window: min over structs (hash, -pos) —
+    # smallest hash wins, ties resolved to the LARGEST position
+    sel = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.col("__n") - F.lit(window), F.lit(0))),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window - 1)),
+                lambda o: F.struct(
+                    F.element_at(F.col("__hs"), j + o + 1).alias("h"),
+                    (-(j + o)).alias("np"),
+                ),
+            )
+        ),
+    )
+    s3 = s2.select(
+        id_col,
+        F.when(F.col("__n") >= F.lit(window), F.array_distinct(sel))
+        .otherwise(F.array().cast("array<struct<h:bigint,np:int>>"))
+        .alias("__sel"),
+    )
+    return s3.select(
+        id_col, F.explode("__sel").alias("__w")
+    ).select(
+        id_col,
+        (-F.col("__w.np")).cast("long").alias("pos"),
+        F.col("__w.h").alias("gram_hash"),
+    ).distinct()

@@ -903,3 +903,35 @@ def test_review_fixes_null_edges(spark):
     bdf = spark.createDataFrame([(1, bytearray(b"x"))], "id long, data binary")
     with _pytest.raises(ValueError):
         multimodal.audio_dedup_pairs(bdf, id_col="id", frames=12)
+
+
+def test_winnowing_shares_fingerprints_on_common_substrings(spark):
+    from pathwaydataframework_spark.operators import text
+
+    k, w = 5, 4
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over everything"),
+            (2, "a quick brown fox sits still"),   # shares "quick brown fox" (15 >= k+w-1)
+            (3, "zzzz completely unrelated words here"),
+            (4, "xy"),                              # too short -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.winnowing_fingerprints(docs, k=k, window=w).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["gram_hash"])
+    # winnowing guarantee: any shared substring of length >= k + w - 1
+    # yields at least one shared selected hash
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    # positions are in-range and selections are distinct per doc
+    assert all(0 <= r["pos"] for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.winnowing_fingerprints(docs, k=0)
+    with _pytest.raises(ValueError):
+        text.winnowing_fingerprints(docs, window=0)
