@@ -1762,7 +1762,17 @@ def q_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     feeds sequence packing (operators/text.py tokenize_to_ids)."""
     docs = load_table(spark, sf, "documents").df
     vocab = text.vocabulary(docs, min_count=3)
-    return text.tokenize_to_ids(docs, vocab)
+    out = text.tokenize_to_ids(docs, vocab)
+    # Project the array to scalar columns (md5 of the joined ids + length):
+    # the driver's canonicalizer sorts output columns and cannot factorize
+    # list values, so every registry query must emit scalar columns only.
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("token_ids").cast("array<string>"))).alias(
+            "ids_md5"
+        ),
+        "n_tokens",
+    )
 
 
 def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
@@ -1845,56 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        "q_winnow": q_winnow,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_assign_shards": q_assign_shards,
-        "q_leakage_split": q_leakage_split,
-        "q_audio_dedup": q_audio_dedup,
-        "q_image_dedup": q_image_dedup,
-        "q_quality_classifier": q_quality_classifier,
-        "q_dsir": q_dsir,
-        "q_temperature_sample": q_temperature_sample,
-        "q_line_dedup": q_line_dedup,
-        "q_semdedup": q_semdedup,
-        "q_corpus_dedup": q_corpus_dedup,
-        "q_doc_retrieve": q_doc_retrieve,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_error_channel": q_error_channel,
-        "q_custom_reducer": q_custom_reducer,
-        "q_media_meta": q_media_meta,
-        "q_incremental_neardup": q_incremental_neardup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_train_split": q_train_split,
-        "q_shuffle": q_shuffle,
-        "q_mix_datasets": q_mix_datasets,
-        "q_pack_sequences": q_pack_sequences,
-        "q_vocab": q_vocab,
-        "q_pii_scrub": q_pii_scrub,
-        "q_boilerplate": q_boilerplate,
-        "q_kmeans": q_kmeans,
-        "q_embedding_outliers": q_embedding_outliers,
-        "q_decontam": q_decontam,
-        "q_span_dedup": q_span_dedup,
-        "q_c4_filter": q_c4_filter,
-        "q_gopher_quality": q_gopher_quality,
-        "q_repetition": q_repetition,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_domain_filter": q_domain_filter,
-        "q_gopher_repetition": q_gopher_repetition,
         "q_tokenize": q_tokenize,
-        "q_quality_sample": q_quality_sample,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unique_any": q_unique_any,
-        "q_asof_now": q_asof_now,
-        "q_session_predicate": q_session_predicate,
-        "q_interval_outer": q_interval_outer,
-        "q_asof_right": q_asof_right,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q_part_strings": q_part_strings,
-        "q_orders_dates": q_orders_dates,
-        "q_argmax_supplier": q_argmax_supplier,
         "q_sorted_names": q_sorted_names,
         "q_reducer_matrix": q_reducer_matrix,
         "q_percentile": q_percentile,
@@ -1939,6 +1900,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain": q_louvain,
         "q_bellman_ford": q_bellman_ford,
         "q_rerank": q_rerank,
+        "q_winnow": q_winnow,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_assign_shards": q_assign_shards,
+        "q_leakage_split": q_leakage_split,
+        "q_audio_dedup": q_audio_dedup,
+        "q_image_dedup": q_image_dedup,
+        "q_quality_classifier": q_quality_classifier,
+        "q_dsir": q_dsir,
+        "q_temperature_sample": q_temperature_sample,
+        "q_line_dedup": q_line_dedup,
+        "q_semdedup": q_semdedup,
+        "q_corpus_dedup": q_corpus_dedup,
+        "q_doc_retrieve": q_doc_retrieve,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_error_channel": q_error_channel,
+        "q_custom_reducer": q_custom_reducer,
+        "q_media_meta": q_media_meta,
+        "q_incremental_neardup": q_incremental_neardup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_train_split": q_train_split,
+        "q_shuffle": q_shuffle,
+        "q_mix_datasets": q_mix_datasets,
+        "q_pack_sequences": q_pack_sequences,
+        "q_vocab": q_vocab,
+        "q_pii_scrub": q_pii_scrub,
+        "q_boilerplate": q_boilerplate,
+        "q_kmeans": q_kmeans,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_decontam": q_decontam,
+        "q_span_dedup": q_span_dedup,
+        "q_c4_filter": q_c4_filter,
+        "q_gopher_quality": q_gopher_quality,
+        "q_repetition": q_repetition,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_domain_filter": q_domain_filter,
+        "q_gopher_repetition": q_gopher_repetition,
+        "q_quality_sample": q_quality_sample,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_asof_now": q_asof_now,
+        "q_session_predicate": q_session_predicate,
+        "q_interval_outer": q_interval_outer,
+        "q_asof_right": q_asof_right,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q_part_strings": q_part_strings,
+        "q_orders_dates": q_orders_dates,
+        "q_argmax_supplier": q_argmax_supplier,
     }
 
 
@@ -3479,7 +3489,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM mapped GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   coalesce(a.token_ids, []::BIGINT[]) AS token_ids,
+                   md5(array_to_string(coalesce(a.token_ids, []::BIGINT[]), ',')) AS ids_md5,
                    coalesce(len(a.token_ids), 0)::BIGINT AS n_tokens
             FROM documents d LEFT JOIN arr a USING (doc_id)
         """,
