@@ -80,12 +80,15 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
+    # Sum of whitespace-token lengths == length of the text with all
+    # whitespace removed, so no higher-order F.aggregate is needed.  (An
+    # F.aggregate lambda referencing the F.split subtree hits the
+    # CollapseProject HOF-inlining cliff — the split re-evaluates per
+    # element; see winnowing_fingerprints below.)
     toks = tokens(text)
+    total = F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("double")
     return F.round(
-        F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-            F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
-            / F.size(toks)
-        ),
+        F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks)),
         6,
     )
 

@@ -377,3 +377,14 @@ def test_sliding_chunks_zero_exchanges(spark, sf_dir):
     # chunking is a narrow per-row projection — no shuffle at any scale
     df = entry.q_sliding_chunks(spark, sf_dir)
     assert count_shuffles(df) == 0
+
+
+def test_text_stats_no_aggregate_hof(spark, sf_dir):
+    # mean_word_length must NOT use the F.aggregate higher-order function:
+    # an HOF lambda that references the F.split subtree re-evaluates the
+    # split per array element after CollapseProject inlining (the cliff
+    # documented for winnowing).  Lowercase "aggregate(" is the HOF
+    # expression; HashAggregate/SortAggregate are capitalized.
+    df = entry.q_text_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "aggregate(" not in plan
