@@ -86,8 +86,9 @@ def main() -> None:
     # 2.6 s between bench invocations with no code change); the minimum is
     # the steady-state cost of the PLAN, which is what sustained 100 TB
     # operation sees.  Both raw runs are printed to stderr for audit.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
@@ -97,10 +98,20 @@ def main() -> None:
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
+        medians[name] = sorted(runs)[len(runs) // 2]
         print(
-            f"# {name}: {timings[name]:.3f}s ({n} rows; runs={runs})",
+            f"# {name}: {timings[name]:.3f}s (median {medians[name]:.3f}s; "
+            f"{n} rows; runs={runs})",
             file=sys.stderr,
         )
+        # Variance guard: nudge the JVM to collect between query families so
+        # garbage from one query's shuffle buffers doesn't land as a GC
+        # pause inside the NEXT query's timed window (measured: late-sequence
+        # queries otherwise inherit 1-2 s pauses from earlier heaps).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — a GC hint must never fail the bench
+            pass
 
     total = round(sum(timings.values()), 3)
     print(
@@ -110,6 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "medians": medians,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )
