@@ -1845,6 +1845,35 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return text.unigram_logprob(docs)
 
 
+def q_join_instance(spark: SparkSession, sf: str) -> DataFrame:
+    """join(..., left_instance=, right_instance=): same-day view/click pairs
+    per user.  The instance pair folds into the equi-key set (reference
+    internals/joins.py:965-967), so the shuffle co-partitions by
+    (user_id, day) and no cross-day pair is ever materialized."""
+    events = load_table(spark, sf, "events")
+    views = events.filter(pw.this.event_type == "view").select(
+        pw.this.user_id, pw.this.event_id, day=pw.this.ts.dt.day()
+    )
+    clicks = events.filter(pw.this.event_type == "click").select(
+        pw.this.user_id, pw.this.event_id, day=pw.this.ts.dt.day()
+    )
+    joined = (
+        views.join(
+            clicks,
+            pw.left.user_id == pw.right.user_id,
+            left_instance=views.day,
+            right_instance=clicks.day,
+        )
+        .groupby(pw.left.user_id, pw.left.day)
+        .reduce(
+            n_pairs=R.count(),
+            first_view=R.min(pw.left.event_id),
+            first_click=R.min(pw.right.event_id),
+        )
+    )
+    return joined.df
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1856,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
         "q_tokenize": q_tokenize,
+        "q_join_instance": q_join_instance,
         "q_sorted_names": q_sorted_names,
         "q_reducer_matrix": q_reducer_matrix,
         "q_percentile": q_percentile,
@@ -3465,6 +3495,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE host <> 'blocked.test' AND NOT ends_with(host, '.blocked.test')
         """,
         "q_gopher_repetition": _gopher_repetition_oracle_sql(),
+        "q_join_instance": """
+            WITH v AS (
+                SELECT user_id, event_id, date_part('day', ts)::BIGINT AS day
+                FROM events WHERE event_type = 'view'
+            ), c AS (
+                SELECT user_id, event_id, date_part('day', ts)::BIGINT AS day
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT v.user_id, v.day,
+                   count(*)::BIGINT AS n_pairs,
+                   min(v.event_id) AS first_view,
+                   min(c.event_id) AS first_click
+            FROM v JOIN c ON v.user_id = c.user_id AND v.day = c.day
+            GROUP BY v.user_id, v.day
+        """,
         "q_tokenize": r"""
             WITH toks AS (
                 SELECT doc_id,

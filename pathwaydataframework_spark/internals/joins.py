@@ -74,11 +74,12 @@ class JoinResult:
     """Lazy join: materialized on .select()/.reduce() so late projection can
     prune columns before the shuffle (Catalyst does the pruning)."""
 
-    def __init__(self, left_table, right_table, on: tuple, how: str):
+    def __init__(self, left_table, right_table, on: tuple, how: str, id=None):
         self._lt = left_table
         self._rt = right_table
         self._on = on
         self._how = _HOW[how]
+        self._id = id
         n = next(_alias_counter)
         self._la, self._ra = f"__pwl{n}", f"__pwr{n}"
         self._ctx = JoinContext(left_table, right_table, self._la, self._ra)
@@ -105,7 +106,7 @@ class JoinResult:
 
     def filter(self, expr) -> "JoinResult":
         """Theta predicates post equi-join — reference joins.py:693."""
-        out = JoinResult(self._lt, self._rt, self._on, "inner")
+        out = JoinResult(self._lt, self._rt, self._on, "inner", id=self._id)
         out._la, out._ra, out._ctx, out._how = self._la, self._ra, self._ctx, self._how
         out._filters = self._filters + [expr]
         return out
@@ -122,6 +123,13 @@ class JoinResult:
                 raise TypeError("positional join-select args must be column refs")
         for name, e in kwargs.items():
             cols.append(lift(e)._resolve(self._ctx).alias(name))
+        if self._id is not None:
+            # join(..., id=side.id) keys the result by that side's row id
+            # (reference joins.py:958-962) so downstream ix/update_rows see
+            # the promised universe.
+            from pathwaydataframework_spark.internals.table import ID_COL
+
+            cols.append(lift(self._id)._resolve(self._ctx).alias(ID_COL))
         return Table(self._joined().select(*cols))
 
     def groupby(self, *cols, instance=None):
@@ -151,8 +159,28 @@ class JoinResult:
         )
 
 
-def join(left_table, right_table, *on, how: str = "inner") -> JoinResult:
+def join(
+    left_table,
+    right_table,
+    *on,
+    how: str = "inner",
+    id=None,
+    left_instance=None,
+    right_instance=None,
+) -> JoinResult:
     how = getattr(how, "value", how)  # accept pw.JoinMode enum anywhere
     if how not in _HOW:
         raise ValueError(f"how must be one of {sorted(_HOW)}")
-    return JoinResult(left_table, right_table, on, how)
+    if (left_instance is None) != (right_instance is None):
+        # reference arg_handlers.py:160-164: both or neither
+        raise ValueError(
+            "`left_instance` and `right_instance` arguments to join "
+            "should always be provided simultaneously"
+        )
+    if left_instance is not None:
+        # reference joins.py:965-967: the instance pair is just one more
+        # equi-condition — Catalyst folds it into the same hash key, so the
+        # shuffle co-partitions by (on-keys, instance) exactly as the
+        # reference's per-instance shards do.
+        on = (*on, lift(left_instance) == lift(right_instance))
+    return JoinResult(left_table, right_table, on, how, id=id)

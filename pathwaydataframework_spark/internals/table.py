@@ -448,24 +448,56 @@ class Table:
 
         return GroupedTable(self, []).reduce(*args, **kwargs)
 
-    def join(self, other: "Table", *on, how: str = "inner", id=None):
+    def join(
+        self,
+        other: "Table",
+        *on,
+        how: str = "inner",
+        id=None,
+        left_instance=None,
+        right_instance=None,
+    ):
+        """Reference ``internals/joins.py:135`` — equi-join with optional
+        ``id=`` result keying and ``left_instance=``/``right_instance=``
+        partitioning (the instance pair becomes one more equi-condition,
+        joins.py:965-967)."""
         from pathwaydataframework_spark.internals.joins import join as _join
 
         # accept pw.JoinMode members anywhere a how= string is expected
         how = getattr(how, "value", how)
-        return _join(self, other, *on, how=how)
+        return _join(
+            self,
+            other,
+            *on,
+            how=how,
+            id=id,
+            left_instance=left_instance,
+            right_instance=right_instance,
+        )
 
-    def join_inner(self, other, *on):
-        return self.join(other, *on, how="inner")
+    def join_inner(self, other, *on, id=None, left_instance=None, right_instance=None):
+        return self.join(
+            other, *on, how="inner", id=id,
+            left_instance=left_instance, right_instance=right_instance,
+        )
 
-    def join_left(self, other, *on):
-        return self.join(other, *on, how="left")
+    def join_left(self, other, *on, id=None, left_instance=None, right_instance=None):
+        return self.join(
+            other, *on, how="left", id=id,
+            left_instance=left_instance, right_instance=right_instance,
+        )
 
-    def join_right(self, other, *on):
-        return self.join(other, *on, how="right")
+    def join_right(self, other, *on, id=None, left_instance=None, right_instance=None):
+        return self.join(
+            other, *on, how="right", id=id,
+            left_instance=left_instance, right_instance=right_instance,
+        )
 
-    def join_outer(self, other, *on):
-        return self.join(other, *on, how="outer")
+    def join_outer(self, other, *on, id=None, left_instance=None, right_instance=None):
+        return self.join(
+            other, *on, how="outer", id=id,
+            left_instance=left_instance, right_instance=right_instance,
+        )
 
     # -- ordered / temporal operators (operators/) --------------------------
 
@@ -494,20 +526,20 @@ class Table:
 
         return _windowby(self, time_expr, window=window, instance=instance, behavior=behavior)
 
-    def asof_join(self, other, self_time, other_time, *on, how="left", direction="backward", defaults=None):
+    def asof_join(self, other, self_time, other_time, *on, how="left", direction="backward", defaults=None, left_instance=None, right_instance=None):
         from pathwaydataframework_spark.operators.temporal import asof_join as _asof
 
-        return _asof(self, other, self_time, other_time, *on, how=how, direction=direction, defaults=defaults)
+        return _asof(self, other, self_time, other_time, *on, how=how, direction=direction, defaults=defaults, left_instance=left_instance, right_instance=right_instance)
 
-    def interval_join(self, other, self_time, other_time, interval, *on, how="inner"):
+    def interval_join(self, other, self_time, other_time, interval, *on, how="inner", left_instance=None, right_instance=None):
         from pathwaydataframework_spark.operators.temporal import interval_join as _ij
 
-        return _ij(self, other, self_time, other_time, interval, *on, how=how)
+        return _ij(self, other, self_time, other_time, interval, *on, how=how, left_instance=left_instance, right_instance=right_instance)
 
-    def window_join(self, other, self_time, other_time, window, *on, how="inner"):
+    def window_join(self, other, self_time, other_time, window, *on, how="inner", left_instance=None, right_instance=None):
         from pathwaydataframework_spark.operators.temporal import window_join as _wj
 
-        return _wj(self, other, self_time, other_time, window, *on, how=how)
+        return _wj(self, other, self_time, other_time, window, *on, how=how, left_instance=left_instance, right_instance=right_instance)
 
     def deduplicate(self, *, value=None, instance=None, acceptor=None) -> "Table":
         from pathwaydataframework_spark.operators.dedup import deduplicate as _dd

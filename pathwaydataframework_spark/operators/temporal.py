@@ -393,6 +393,21 @@ def _pack_sides(ldf, rdf):
     return l_struct, r_struct
 
 
+def _compose_instance_on(on, left_instance, right_instance) -> tuple:
+    """Fold ``left_instance``/``right_instance`` into the equi-key set —
+    reference joins.py:965-967 (the instance pair is one more equi-
+    condition; temporal joins thread the kwargs the same way,
+    _asof_join.py:479 / _interval_join.py:577)."""
+    if (left_instance is None) != (right_instance is None):
+        raise ValueError(
+            "`left_instance` and `right_instance` arguments to join "
+            "should always be provided simultaneously"
+        )
+    if left_instance is not None:
+        on = (*on, left_instance == right_instance)
+    return on
+
+
 def _extract_eq_keys(left_table, right_table, on) -> list[tuple[str, str]]:
     """on conditions must be equality of left/right column refs (the
     reference enforces the same — joins.py:1071)."""
@@ -434,6 +449,8 @@ def asof_join(
     how: str = "left",
     direction: str = "backward",
     defaults: dict | None = None,
+    left_instance=None,
+    right_instance=None,
 ) -> TemporalJoinResult:
     """Match each left row with the nearest earlier/later right row per key.
 
@@ -448,6 +465,7 @@ def asof_join(
     how = getattr(how, "value", how)  # accept pw.JoinMode enum
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
+    on = _compose_instance_on(on, left_instance, right_instance)
     if direction == "nearest":
         return _asof_nearest(
             left_table, right_table, self_time, other_time, *on, how=how
@@ -656,6 +674,8 @@ def interval_join(
     band: interval,
     *on,
     how: str = "inner",
+    left_instance=None,
+    right_instance=None,
 ) -> TemporalJoinResult:
     """Time-band join: pairs where other_time − self_time ∈ [lb, ub].
 
@@ -677,6 +697,7 @@ def interval_join(
     # floor at 1 second.
     width = max(ub - lb, 1.0)
 
+    on = _compose_instance_on(on, left_instance, right_instance)
     pairs = _extract_eq_keys(left_table, right_table, on)
     ldf = left_table._df
     rdf = right_table._df
@@ -767,12 +788,15 @@ def window_join(
     window,
     *on,
     how: str = "inner",
+    left_instance=None,
+    right_instance=None,
 ) -> TemporalJoinResult:
     """Rows join iff they fall in the same window — reference
     _window_join.py:156.  Lowered to an equi-join on the window start (plus
     any key columns); sliding windows explode each row into its
     duration/hop windows first (JVM-side, no UDF)."""
     how = getattr(how, "value", how)  # accept pw.JoinMode enum
+    on = _compose_instance_on(on, left_instance, right_instance)
     pairs = _extract_eq_keys(left_table, right_table, on)
 
     def _starts(tcol: Column) -> Column:
@@ -826,13 +850,17 @@ def window_join(
 # -- asof-now join (stream-static analogue, batch = plain asof) -------------
 
 
-def asof_now_join(left_table, right_table, *on, how: str = "inner"):
+def asof_now_join(
+    left_table, right_table, *on, how: str = "inner",
+    left_instance=None, right_instance=None,
+):
     """Reference _asof_now_join.py:176: left rows join the *current* right
     state.  In batch the current state is the whole table → plain equi-join.
     The streaming variant (stream-static join) lands with the streaming
     round."""
     from pathwaydataframework_spark.internals.joins import join as _join
 
+    on = _compose_instance_on(on, left_instance, right_instance)
     return _join(left_table, right_table, *on, how=how)
 
 

@@ -321,3 +321,82 @@ def test_id_bookkeeping_survives_rename_and_without(spark):
     # the id was pinned before the drop — still the hash of k, not of v
     ids_dropped = sorted(r[0] for r in dropped.df.select(dropped.id_expr()).collect())
     assert ids_dropped == ids_before
+
+
+def test_join_instance(spark):
+    # mirrors reference tests/test_common.py test_join_instance: identical
+    # (owner) keys in two instances must only pair within their instance
+    t1 = pw.Table.from_rows(
+        spark,
+        [("Alice", 10, 1), ("Bob", 9, 1), ("Alice", 20, 2), ("Bob", 19, 2)],
+        "owner string, age long, instance long",
+    )
+    t2 = pw.Table.from_rows(
+        spark,
+        [("Alice", "M", 1), ("Bob", "L", 1), ("Alice", "S", 2)],
+        "owner string, size string, instance long",
+    )
+    res = t1.join(
+        t2,
+        pw.left.owner == pw.right.owner,
+        left_instance=t1.instance,
+        right_instance=t2.instance,
+    ).select(owner_name=pw.right.owner, age=pw.left.age, size=pw.right.size)
+    assert rows(res) == [
+        ("Alice", 10, "M"),
+        ("Alice", 20, "S"),
+        ("Bob", 9, "L"),
+    ]
+
+
+def test_join_instance_requires_both(spark):
+    t1 = pw.Table.from_rows(spark, [(1, 1)], "k long, instance long")
+    t2 = pw.Table.from_rows(spark, [(1, 1)], "k long, instance long")
+    with pytest.raises(ValueError, match="simultaneously"):
+        t1.join(t2, pw.left.k == pw.right.k, left_instance=t1.instance)
+    with pytest.raises(ValueError, match="simultaneously"):
+        t1.asof_join(
+            t2, t1.k, t2.k, right_instance=t2.instance
+        )
+
+
+def test_join_id_keys_result_by_side(spark):
+    # join(..., id=left.id) must key the result by the left side's row ids
+    # so downstream id-space ops (difference) see the promised universe
+    left = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, lv string")
+    right = pw.Table.from_rows(spark, [(1, "x"), (2, "y")], "k long, rv string")
+    joined = left.join(right, pw.left.k == pw.right.k, id=left.id).select(
+        k=pw.left.k, rv=pw.right.rv
+    )
+    # same ids as `left` → difference is empty even though columns differ
+    assert len(rows(joined.difference(left))) == 0
+
+
+def test_temporal_joins_accept_instance(spark):
+    import datetime as dt
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    ev = pw.Table.from_rows(
+        spark,
+        [(ts(1), 1, "a"), (ts(2), 2, "b")],
+        "t timestamp_ntz, instance long, v string",
+    )
+    probe = pw.Table.from_rows(
+        spark,
+        [(ts(2), 1), (ts(3), 2), (ts(3), 1)],
+        "t timestamp_ntz, instance long",
+    )
+    out = probe.asof_join(
+        ev, probe.t, ev.t,
+        how="left", left_instance=probe.instance, right_instance=ev.instance,
+    ).select(pt=pw.left.t, inst=pw.left.instance, v=pw.right.v)
+    assert rows(out) == [(ts(2), 1, "a"), (ts(3), 1, "a"), (ts(3), 2, "b")]
+
+    iv = probe.interval_join(
+        ev, probe.t, ev.t,
+        pw.temporal.interval(dt.timedelta(minutes=-1), dt.timedelta(0)),
+        left_instance=probe.instance, right_instance=ev.instance,
+    ).select(pt=pw.left.t, inst=pw.left.instance, v=pw.right.v)
+    assert rows(iv) == [(ts(2), 1, "a"), (ts(3), 2, "b")]
