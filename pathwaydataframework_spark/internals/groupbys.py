@@ -48,9 +48,12 @@ class GroupedContext(ResolutionContext):
 
 
 class GroupedTable:
-    def __init__(self, table, grouping: list, sort_by=None, ctx=None):
+    def __init__(self, table, grouping: list, sort_by=None, ctx=None, set_id=False):
         self._table = table
         self._sort_by = sort_by
+        # groupby(id=...): the single grouping column's values BECOME the
+        # result row ids (reference table.py:985-997, groupbys.py _set_id)
+        self._set_id = set_id
         # joins pass their side-aware context so pw.left/pw.right refs
         # resolve over a joined frame whose sides share column names
         self._ctx = ctx
@@ -108,4 +111,11 @@ class GroupedTable:
             out = out.select(*group_names, *list(kwargs.keys()))
         else:
             out = df.agg(*agg_cols)
+        if self._set_id:
+            from pathwaydataframework_spark.internals.table import ID_COL
+
+            # the (single) grouping column is a pointer; its value is the
+            # result row id — downstream ix/joins see the promised universe
+            key_name = group_names[0]
+            out = out.withColumn(ID_COL, F.col(key_name).cast("long"))
         return Table(out)

@@ -435,11 +435,32 @@ class Table:
     # -- grouping / joins (implemented in sibling modules) ------------------
 
     def groupby(self, *cols, sort_by=None, instance=None, id=None) -> "Any":
+        """Reference table.py:942.  ``id=``: the given (pointer) column both
+        groups the rows and becomes the result row ids (table.py:985-997 —
+        only legal alone or equal to the single grouping column)."""
         from pathwaydataframework_spark.internals.groupbys import GroupedTable
 
         grouping = list(cols)
         if instance is not None:
             grouping.append(instance)
+        if id is not None:
+            if not isinstance(id, ColumnRef):
+                raise ValueError("groupby() id argument must be a column reference")
+            if len(grouping) == 0:
+                grouping = [id]
+            elif len(grouping) > 1:
+                raise ValueError(
+                    "Table.groupby() cannot have id argument when grouping by "
+                    "multiple columns."
+                )
+            elif not (
+                isinstance(grouping[0], ColumnRef) and grouping[0].name == id.name
+            ):
+                raise ValueError(
+                    "Table.groupby() received id argument and is grouped by a "
+                    "single column, but the arguments are not equal."
+                )
+            return GroupedTable(self, grouping, sort_by=sort_by, set_id=True)
         return GroupedTable(self, grouping, sort_by=sort_by)
 
     def reduce(self, *args, **kwargs) -> "Table":

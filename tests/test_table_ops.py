@@ -400,3 +400,28 @@ def test_temporal_joins_accept_instance(spark):
         left_instance=probe.instance, right_instance=ev.instance,
     ).select(pt=pw.left.t, inst=pw.left.instance, v=pw.right.v)
     assert rows(iv) == [(ts(2), 1, "a"), (ts(3), 2, "b")]
+
+
+def test_groupby_id_sets_result_ids(spark):
+    # groupby(id=ptr) groups by the pointer column AND keys the result by it
+    # (reference table.py:985-997): downstream id-space ops must line up
+    t = pw.Table.from_rows(
+        spark, [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    # the supported call shape: a materialized pointer column
+    withptr = t.select(pw.this.v, ptr=t.pointer_from(pw.this.k))
+    out = withptr.groupby(id=withptr.ptr).reduce(
+        pw.this.ptr, total=R.sum(pw.this.v)
+    )
+    # result ids == the ptr values themselves
+    got = {r["ptr"]: r["_pw_id"] for r in out.df.select("ptr", "_pw_id").collect()}
+    assert all(ptr == rid for ptr, rid in got.items())
+    assert len(got) == 2
+
+
+def test_groupby_id_rejects_multi_key(spark):
+    t = pw.Table.from_rows(spark, [(1, 2, 3.0)], "a long, b long, v double")
+    with pytest.raises(ValueError, match="multiple columns"):
+        t.groupby(pw.this.a, pw.this.b, id=pw.this.a)
+    with pytest.raises(ValueError, match="not equal"):
+        t.groupby(pw.this.a, id=pw.this.b)
