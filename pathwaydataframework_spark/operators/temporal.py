@@ -196,10 +196,9 @@ class WindowedTable:
             return self._agg_by_window(wcol, aggs)
         if isinstance(win, SessionWindow):
             if win.predicate is not None:
-                raise NotImplementedError(
-                    "predicate sessions don't fit reduce(**reducer_exprs); "
-                    "use operators.stateful.session_windows_by_predicate"
-                )
+                # reference _window.py:595 accepts predicate sessions through
+                # the ordinary windowby(...).reduce(...) call shape
+                return self._predicate_session_reduce(win, aggs)
             # reference merge is STRICT: next - cur < max_gap splits exactly-
             # gap-apart events (_window.py:80); Spark's session_window merges
             # on <= (closed interval).  Shrinking the gap by 1 µs (timestamp
@@ -211,6 +210,95 @@ class WindowedTable:
         if isinstance(win, IntervalsOverWindow):
             return self._intervals_over_reduce(win, aggs)
         raise TypeError(f"bad window {win!r}")
+
+    def _predicate_session_reduce(self, win: SessionWindow, aggs) -> Table:
+        """session(predicate=...) through the normal reduce path.
+
+        Reference _window.py:595 (SessionWindow._merge via predicate).
+        Physical plan: one shuffle on instance, lag(t) within partition, the
+        predicate as an Arrow-batched pandas UDF over (prev, cur) pairs only
+        (never the payload), a running-sum session id, then a NATIVE hash
+        aggregate — so every reducer (avg, sorted_tuple, ...) composes,
+        unlike the (col, kind) dict of
+        operators.stateful.session_windows_by_predicate.
+        """
+        import pandas as pd
+        from pyspark.sql import Window as W
+        from pyspark.sql.functions import pandas_udf
+
+        from pathwaydataframework_spark.internals.groupbys import GroupedContext
+        from pathwaydataframework_spark.internals.table import Table as _Table
+
+        t = self._table
+        predicate = win.predicate
+        tcol = t._resolve(self._time)
+        df = t._df.withColumn("__pw_t", tcol)
+
+        out_keys: list[str] = []
+        if self._instance is not None:
+            inst_name = (
+                self._instance.name
+                if isinstance(self._instance, ColumnRef)
+                else "_pw_instance"
+            )
+            df = df.withColumn(inst_name, t._resolve(self._instance)) if (
+                inst_name not in df.columns
+            ) else df
+            part_cols = [inst_name]
+            out_keys.append(inst_name)
+        else:
+            part_cols = []
+
+        w = (
+            W.partitionBy(*part_cols).orderBy("__pw_t")
+            if part_cols
+            else W.partitionBy(F.lit(0)).orderBy("__pw_t")
+        )
+        df = df.withColumn("__pw_prev_t", F.lag("__pw_t").over(w))
+
+        def _merges_fn(prev, cur):
+            return pd.Series(
+                [
+                    (p is not None and not pd.isna(p)) and bool(predicate(p, c))
+                    for p, c in zip(prev, cur)
+                ]
+            )
+
+        # real annotation objects (the module's `from __future__ import
+        # annotations` would stringify inline hints, which pandas_udf's
+        # signature inference cannot evaluate here)
+        _merges_fn.__annotations__ = {
+            "prev": pd.Series, "cur": pd.Series, "return": pd.Series
+        }
+        _merges = pandas_udf(_merges_fn, "boolean")
+
+        df = df.withColumn(
+            "__pw_break",
+            F.when(
+                F.col("__pw_prev_t").isNull()
+                | ~_merges("__pw_prev_t", "__pw_t"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        df = df.withColumn(
+            "__pw_session",
+            F.sum("__pw_break").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+
+        ctx = GroupedContext(_Table(df))
+        agg_cols = [lift(e)._resolve(ctx).alias(name) for name, e in aggs.items()]
+        out = df.groupBy(*part_cols, "__pw_session").agg(
+            F.min("__pw_t").alias("_pw_window_start"),
+            F.max("__pw_t").alias("_pw_window_end"),
+            *agg_cols,
+        )
+        return _Table(
+            out.select(
+                "_pw_window_start", "_pw_window_end", *out_keys, *list(aggs.keys())
+            )
+        )
 
     def _agg_by_window(
         self, wcol: Column, aggs, session: bool = False, tcol: Column | None = None

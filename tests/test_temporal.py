@@ -355,3 +355,55 @@ def test_joinmode_enum_accepted_by_all_joins(spark):
         pw.left.g == pw.right.g, how=pw.JoinMode.OUTER,
     )
     assert wj.select(v=pw.left.v, w=pw.right.w).df.count() == 2
+
+
+def test_session_predicate_through_windowby_reduce(spark):
+    # the reference call shape (_window.py:595): predicate sessions through
+    # the ordinary windowby(...).reduce(...) path, with full reducer
+    # generality (avg is not expressible in the (col, kind) dict API)
+    import datetime as dt
+
+    def mts(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    t = pw.Table.from_rows(
+        spark,
+        [
+            ("u1", mts(0), 1.0),
+            ("u1", mts(4), 2.0),
+            ("u1", mts(30), 3.0),
+            ("u2", mts(1), 4.0),
+        ],
+        "user string, t timestamp_ntz, v double",
+    )
+    out = t.windowby(
+        pw.this.t,
+        window=pw.temporal.session(
+            predicate=lambda prev, nxt: (nxt - prev).total_seconds() <= 600
+        ),
+        instance=pw.this.user,
+    ).reduce(n=R.count(), sv=R.sum(pw.this.v), av=R.avg(pw.this.v))
+    got = sorted(
+        (r["user"], r["n"], r["sv"], r["av"],
+         r["_pw_window_start"].minute, r["_pw_window_end"].minute)
+        for r in out.df.collect()
+    )
+    assert got == [
+        ("u1", 1, 3.0, 3.0, 30, 30),
+        ("u1", 2, 3.0, 1.5, 0, 4),
+        ("u2", 1, 4.0, 4.0, 1, 1),
+    ]
+
+
+def test_session_predicate_windowby_no_instance(spark):
+    t = pw.Table.from_rows(
+        spark,
+        [(1.0, 10.0), (2.0, 20.0), (10.0, 30.0)],
+        "t double, v double",
+    )
+    out = t.windowby(
+        pw.this.t,
+        window=pw.temporal.session(predicate=lambda a, b: b - a <= 2.0),
+    ).reduce(n=R.count(), mx=R.max(pw.this.v))
+    got = sorted((r["n"], r["mx"]) for r in out.df.collect())
+    assert got == [(1, 30.0), (2, 20.0)]
