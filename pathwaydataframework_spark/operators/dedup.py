@@ -375,6 +375,69 @@ def incremental_neardup_filter(
     return new_docs.join(hits, on=id_col, how="left_anti")
 
 
+def collapse_pairs_by_signature(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    rep_pair_fn,
+    intra_extras: dict | None = None,
+) -> DataFrame:
+    """Bound the degenerate-hot-band hazard shared by every banded
+    self-join (MinHash bands, SimHash blocks, byte-group Hamming blocking,
+    embedding LSH): collapse docs with IDENTICAL full signatures to one
+    representative, pair representatives only, then expand group membership
+    back into doc pairs.
+
+    A band holding k byte-identical docs costs O(k) membership rows here
+    instead of O(k²) join rows inside the band — the self-join sees one
+    representative per signature, so per-band join work is linear in the
+    number of *distinct* signatures.  (The expanded OUTPUT is still
+    quadratic in group size — that is the pairs contract; corpus-level
+    dedup composes this with connected components precisely to avoid
+    materializing it.)
+
+    Args:
+        sigs: one row per doc: (id_col, sig_col); sig_col any groupable type
+            (long hash, byte array, ...).  Identical sig ⇒ identical band
+            keys, so expansion introduces no false candidates and drops none.
+        rep_pair_fn: callable(reps) → DataFrame(rep_a, rep_b, *extras) where
+            ``reps`` is an (id_col)-frame of representative ids; extras
+            (e.g. a signature-level distance) are valid for every expanded
+            pair because members share the representative's signature.
+        intra_extras: extra column values for same-signature pairs (e.g.
+            hamming → 0); cast to the rep-pair schema automatically.
+    """
+    groups = sigs.groupBy(sig_col).agg(F.min(id_col).alias("__rep"))
+    members = sigs.join(groups, on=sig_col)
+    reps = groups.select(F.col("__rep").alias(id_col))
+    rep_pairs = rep_pair_fn(reps)
+    extras = [c for c in rep_pairs.columns if c not in ("rep_a", "rep_b")]
+    ma = members.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("__da"))
+    mb = members.select(F.col("__rep").alias("rep_b"), F.col(id_col).alias("__db"))
+    inter = (
+        rep_pairs.join(ma, on="rep_a")
+        .join(mb, on="rep_b")
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            *extras,
+        )
+    )
+    x = members.select(F.col(sig_col).alias("__s"), F.col(id_col).alias("id_a"))
+    y = members.select(F.col(sig_col).alias("__s"), F.col(id_col).alias("id_b"))
+    intra = x.join(y, on="__s").filter(F.col("id_a") < F.col("id_b"))
+    dtypes = dict(inter.dtypes)
+    intra = intra.select(
+        "id_a",
+        "id_b",
+        *[
+            (intra_extras or {}).get(e, F.lit(None)).cast(dtypes[e]).alias(e)
+            for e in extras
+        ],
+    )
+    return inter.unionByName(intra)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -396,18 +459,31 @@ def minhash_lsh_pairs(
     banded = minhash_band_index(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    # full-signature hash per doc: the groupBy reuses banded's doc_id
+    # partitioning (it descends from minhash_signatures' doc-keyed agg), so
+    # the collapse costs no corpus-scale exchange
+    sigs = banded.groupBy("doc_id").agg(
+        F.xxhash64(
+            F.sort_array(F.collect_list(F.struct("band_idx", "band_hash")))
+        ).alias("__sig")
     )
+
+    def _rep_band_pairs(reps: DataFrame) -> DataFrame:
+        rb = banded.join(reps, on="doc_id", how="left_semi")
+        a = rb.alias("a")
+        b = rb.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
+            .distinct()
+        )
+
+    cand = collapse_pairs_by_signature(sigs, "doc_id", "__sig", _rep_band_pairs)
     if not verify:
         return cand
     return _verify_jaccard_pairs(cand, df, id_col, text_col, n=n, threshold=threshold)
@@ -486,44 +562,53 @@ def simhash_near_dups(
     sig = simhash_signatures(df, id_col, text_col, bits=bits)
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
-    blocks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk_idx"),
-                        F.shiftright(F.col("simhash"), i * block_bits)
-                        .bitwiseAND(F.lit((1 << block_bits) - 1))
-                        .alias("blk"),
-                    )
-                    for i in range(nblocks)
-                ]
+
+    def _rep_block_pairs(reps: DataFrame) -> DataFrame:
+        rsig = sig.join(reps, on="doc_id", how="left_semi")
+        blocks = rsig.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("blk_idx"),
+                            F.shiftright(F.col("simhash"), i * block_bits)
+                            .bitwiseAND(F.lit((1 << block_bits) - 1))
+                            .alias("blk"),
+                        )
+                        for i in range(nblocks)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "simhash", "bb.blk_idx", "bb.blk")
+        a = blocks.alias("a")
+        b = blocks.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.blk_idx") == F.col("b.blk_idx"))
+                & (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.blk_idx", "bb.blk")
-    a = blocks.alias("a")
-    b = blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk_idx") == F.col("b.blk_idx"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            .select(
+                F.col("a.doc_id").alias("rep_a"),
+                F.col("b.doc_id").alias("rep_b"),
+                F.col("a.simhash").alias("sig_a"),
+                F.col("b.simhash").alias("sig_b"),
+            )
+            .distinct()
+            .withColumn(
+                "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("rep_a", "rep_b", "hamming")
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+
+    # identical simhash ⇒ hamming 0 for every same-signature pair
+    return collapse_pairs_by_signature(
+        sig, "doc_id", "simhash", _rep_block_pairs, intra_extras={"hamming": F.lit(0)}
     )
-    return cand
 
 
 def simhash_jaccard_pairs(

@@ -394,26 +394,43 @@ def hamming_dedup_pairs(
     """
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    from pathwaydataframework_spark.operators.dedup import (
+        collapse_pairs_by_signature,
+    )
+
     h = hashed.filter(F.col(hash_col).isNotNull()).localCheckpoint(eager=True)
-    banded = fingerprint_index(
-        h, id_col=id_col, hash_col=hash_col, max_hamming=max_hamming, n_bytes=n_bytes
-    )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("ha"), "g", "gv"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("hb"), "g", "gv"
-    )
-    cand = (
-        a.join(b, on=["g", "gv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", _hamming("ha", "hb"))
-        .filter(F.col("hamming") <= F.lit(max_hamming))
-        .select("id_a", "id_b", "hamming")
+
+    def _rep_group_pairs(reps: DataFrame) -> DataFrame:
+        rh = h.join(reps, on=id_col, how="left_semi")
+        banded = fingerprint_index(
+            rh, id_col=id_col, hash_col=hash_col,
+            max_hamming=max_hamming, n_bytes=n_bytes,
+        )
+        a = banded.select(
+            F.col(id_col).alias("rep_a"), F.col(hash_col).alias("ha"), "g", "gv"
+        )
+        b = banded.select(
+            F.col(id_col).alias("rep_b"), F.col(hash_col).alias("hb"), "g", "gv"
+        )
+        return (
+            a.join(b, on=["g", "gv"])
+            .filter(F.col("rep_a") < F.col("rep_b"))
+            .select("rep_a", "rep_b", "ha", "hb")
+            .distinct()
+            .withColumn("hamming", _hamming("ha", "hb"))
+            .filter(F.col("hamming") <= F.lit(max_hamming))
+            .select("rep_a", "rep_b", "hamming")
+        )
+
+    # identical fingerprint bytes ⇒ hamming 0; collapse bounds the hot-group
+    # hazard (k identical media blobs: O(k) membership rows, not O(k²) join
+    # rows per byte-group)
+    return collapse_pairs_by_signature(
+        h.select(id_col, hash_col),
+        id_col,
+        hash_col,
+        _rep_group_pairs,
+        intra_extras={"hamming": F.lit(0)},
     )
 
 

@@ -269,18 +269,33 @@ def embedding_cosine_dedup_pairs(
 
     The embedding-space analogue of MinHash dedup: candidates from shared
     LSH bands, exact cosine verification, a < b canonical ordering."""
+    from pathwaydataframework_spark.operators.dedup import (
+        collapse_pairs_by_signature,
+    )
+
     sig = lsh_signatures(df, id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
-    banded = _banded(sig, bits=bits, bands=bands)
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def _rep_band_pairs(reps: DataFrame) -> DataFrame:
+        rsig = sig.join(reps, on="vec_id", how="left_semi")
+        banded = _banded(rsig, bits=bits, bands=bands)
+        return (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("rep_a"), F.col("b.vec_id").alias("rep_b")
+            )
+            .distinct()
         )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()
+
+    # collapse identical LSH signatures before the band self-join (hot-band
+    # bound); cosine still verifies on the actual vectors post-expansion
+    cand = collapse_pairs_by_signature(
+        sig.select("vec_id", "lsh_sig"), "vec_id", "lsh_sig", _rep_band_pairs
     )
     va = sig.select(F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"))
     vb = sig.select(F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"))

@@ -177,3 +177,57 @@ def test_split_embed_index_retrieve_pipeline(spark):
     )
     top_docs = {r["neighbor_id"] // 1000 for r in hits.collect()}
     assert top_docs == {1}  # both top-2 hits are chunks of the spark doc
+
+
+def test_signature_collapse_bounds_hot_band(spark):
+    # a degenerate-hot band (k byte-identical docs sharing every band) must
+    # cost O(k) membership rows, NOT O(k^2) join rows inside the band: the
+    # band self-join may only ever see ONE representative per distinct
+    # signature (VERDICT r3 "residual scale hazard")
+    import itertools
+
+    k = 1000
+    rows = [(i, "the same identical document text repeated") for i in range(k)]
+    rows += [(k, "a completely different document about spark"),
+             (k + 1, "yet another unrelated text on dataframes")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen_rep_counts = []
+
+    def _instrumented(reps):
+        seen_rep_counts.append(reps.count())
+        a, b = reps.alias("a"), reps.alias("b")
+        # trivially pair all reps (superset of any banding) — the point of
+        # this test is the REP COUNT the self-join would see
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
+        )
+
+    sigs = df.select("doc_id", F.md5("text").alias("sig"))
+    out = dedup.collapse_pairs_by_signature(sigs, "doc_id", "sig", _instrumented)
+    # 3 distinct signatures -> the pairing stage sees 3 rows, not 1002
+    assert seen_rep_counts == [3]
+    # expansion restores the full contract: C(1000,2) intra pairs + the
+    # 2*1000 + 1 cross pairs from the all-pairs rep function
+    assert out.count() == k * (k - 1) // 2 + 2 * k + 1
+
+
+def test_minhash_collapse_exactness_with_identical_docs(spark):
+    # end-to-end parity: identical docs + genuine near-dups through the
+    # collapsed minhash path must equal the expected pair set
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(50)]            # 50 identical
+    rows.append((50, base + " lambda"))              # near-dup of the group
+    rows.append((51, "completely different text about nothing relevant"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    intra = {(a, b) for a in range(50) for b in range(a + 1, 50)}
+    assert intra <= pairs                      # all identical pairs present
+    assert (0, 50) in pairs                    # near-dup found across groups
+    assert not any(51 in p for p in pairs)     # unrelated doc untouched
