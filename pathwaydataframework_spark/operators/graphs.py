@@ -271,6 +271,11 @@ def louvain_communities(
         .agg(F.sum("w").alias("w"))
         .localCheckpoint(eager=True)
     )
+    # ONE collected scalar for the whole run, deliberately NOT folded into a
+    # broadcast 1-row frame: two_m feeds the gain expression of EVERY
+    # louvain round, and a crossJoin-carried column would re-run the agg +
+    # broadcast exchange once per round — strictly more jobs than this
+    # single scan of the checkpointed edge list.
     two_m = und.agg(F.sum("w")).collect()[0][0] or 1.0
     degrees = und.groupBy("a").agg(F.sum("w").alias("k")).withColumnRenamed("a", "v")
     labels = degrees.select("v", F.col("v").alias("comm")).localCheckpoint(eager=True)

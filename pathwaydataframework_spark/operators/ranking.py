@@ -81,25 +81,29 @@ def bm25_scores(
         # term filter, so the materialization is near-free
         .localCheckpoint(eager=True)
     )
-    # two driver-side scalars: N is a parquet-metadata count (near-free) and
-    # avgdl is one shuffle-free scan.  (Folding them into a broadcast 1-row
-    # frame was measured SLOWER — the broadcast exchange still runs the agg
-    # subtree as its own job and adds a nested-loop join to every row.)
-    n_docs = docs.count()
-    # empty corpus (e.g. a filtered DocumentStore subset): no rows can score,
-    # but the plan below must still build — any finite avgdl works
-    avgdl = base.agg(F.avg(F.size("__toks"))).collect()[0][0] or 1.0
+    # N and avgdl folded into the job as ONE corpus-scan 1-row agg that
+    # rides the (tiny, per-term) idf broadcast frame — no driver collects,
+    # and one fewer corpus scan than the separate count()/avg() jobs.  The
+    # nested-loop join with the 1-row frame touches only the df-per-term
+    # rows, never the corpus.  coalesce covers the empty corpus (e.g. a
+    # filtered DocumentStore subset): no rows can score, but the plan below
+    # must still build — any finite avgdl works.
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.avg(F.size("__toks")), F.lit(1.0)).alias("__avgdl"),
+    )
     # df per query term from the filtered postings — identical to the
     # full-index df for those terms, without the full-index groupBy
     idf = (
         tf_q.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
         .select(
             "term",
             F.log(
-                1.0
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
             ).alias("idf"),
+            "__avgdl",
         )
     )
     scored = (
@@ -109,7 +113,7 @@ def bm25_scores(
             "s",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("s"), 6).alias("score"))

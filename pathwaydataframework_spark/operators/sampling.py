@@ -388,20 +388,28 @@ def dsir_select(
     t_counts = featurize(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
     s_counts = s_counts.localCheckpoint(eager=True)
     t_counts = t_counts.localCheckpoint(eager=True)
-    n_s = s_counts.agg(F.sum("_cs")).collect()[0][0] or 0
-    n_t = t_counts.agg(F.sum("_ct")).collect()[0][0] or 0
+    # token totals folded into the ratio job as a broadcast 1-row frame (the
+    # aggs read the tiny checkpointed count tables) — no driver collects
+    totals = (
+        s_counts.agg(F.coalesce(F.sum("_cs"), F.lit(0)).alias("__ns"))
+        .crossJoin(t_counts.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("__nt")))
+    )
     # every corpus token's bucket has _cs >= 1; target-absent buckets take
     # the smoothed floor (0+1)/(n_t+buckets)
     ratio = (
         s_counts.join(t_counts, on="_b", how="left")
+        .crossJoin(F.broadcast(totals))
         .select(
             "_b",
             F.round(
                 F.log(
                     (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
-                    / F.lit(float(n_t + buckets))
+                    / (F.col("__nt") + F.lit(buckets)).cast("double")
                 )
-                - F.log((F.col("_cs") + F.lit(1)) / F.lit(float(n_s + buckets))),
+                - F.log(
+                    (F.col("_cs") + F.lit(1))
+                    / (F.col("__ns") + F.lit(buckets)).cast("double")
+                ),
                 6,
             ).alias("_lr"),
         )

@@ -471,9 +471,14 @@ def unigram_logprob(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     vocab = vocab.localCheckpoint(eager=True)
-    total = vocab.agg(F.sum("cnt")).collect()[0][0] or 1
-    logp = vocab.select(
-        "term", F.log(F.col("cnt") / F.lit(float(total))).alias("logp")
+    # corpus token total folded into the job as a broadcast 1-row frame —
+    # no extra driver-side collect job; the agg subtree reads the tiny
+    # checkpointed vocab.  coalesce(·, 1) covers the empty corpus.
+    total_df = vocab.agg(
+        F.coalesce(F.sum("cnt"), F.lit(1)).cast("double").alias("__total")
+    )
+    logp = vocab.crossJoin(F.broadcast(total_df)).select(
+        "term", F.log(F.col("cnt") / F.col("__total")).alias("logp")
     )
     # mean as an exact decimal sum of round-6 logps: partial-aggregation
     # order cannot flip the 6th decimal vs a serial oracle.  NULL-term rows
@@ -716,7 +721,12 @@ def bigram_logprob(
     uni_stream = base.select("doc_id", F.explode("__toks").alias("term"))
     uni = uni_stream.groupBy("term").agg(F.count(F.lit(1)).alias("uc"))
     uni = uni.localCheckpoint(eager=True)
-    total = uni.agg(F.sum("uc")).collect()[0][0] or 1
+    # unigram total rides the (already broadcast) vocab frames as a column
+    # instead of a collected driver scalar — one fewer job per call
+    total_df = uni.agg(
+        F.coalesce(F.sum("uc"), F.lit(1)).cast("double").alias("__total")
+    )
+    uni_t = uni.crossJoin(F.broadcast(total_df))
 
     n1 = F.greatest(F.size("__toks") - F.lit(1), F.lit(0))
     pairs = F.zip_with(
@@ -729,8 +739,10 @@ def bigram_logprob(
     )
     bg = bg_stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
 
-    u1 = F.broadcast(uni.select(F.col("term").alias("w1"), F.col("uc").alias("c1")))
-    u2 = F.broadcast(uni.select(F.col("term").alias("w2"), F.col("uc").alias("c2")))
+    u1 = F.broadcast(
+        uni_t.select(F.col("term").alias("w1"), F.col("uc").alias("c1"), "__total")
+    )
+    u2 = F.broadcast(uni_t.select(F.col("term").alias("w2"), F.col("uc").alias("c2")))
     scored_bg = (
         bg_stream.join(bg, on=["w1", "w2"])
         .join(u1, on="w1")
@@ -740,7 +752,7 @@ def bigram_logprob(
             F.round(
                 F.log(
                     F.lit(lam) * F.col("bc") / F.col("c1")
-                    + F.lit(1.0 - lam) * F.col("c2") / F.lit(float(total))
+                    + F.lit(1.0 - lam) * F.col("c2") / F.col("__total")
                 ),
                 6,
             ).alias("lp"),
@@ -750,10 +762,10 @@ def bigram_logprob(
         "doc_id", F.element_at("__toks", 1).alias("term")
     )
     scored_first = first_tok.join(
-        F.broadcast(uni), on="term"
+        F.broadcast(uni_t), on="term"
     ).select(
         "doc_id",
-        F.round(F.log(F.col("uc") / F.lit(float(total))), 6).alias("lp"),
+        F.round(F.log(F.col("uc") / F.col("__total")), 6).alias("lp"),
     )
     scored = scored_bg.unionByName(scored_first)
     means = (

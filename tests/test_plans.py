@@ -388,3 +388,42 @@ def test_text_stats_no_aggregate_hof(spark, sf_dir):
     df = entry.q_text_stats(spark, sf_dir)
     plan = formatted_plan(df)
     assert "aggregate(" not in plan
+
+
+def _construction_jobs(spark, fn, sf_dir, group):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "construction job count")
+    try:
+        df = fn(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    return df, sc.statusTracker().getJobIdsForGroup(group)
+
+
+def test_unigram_logprob_construction_folds_total(spark, sf_dir):
+    # the corpus-token total must ride the job as a broadcast 1-row frame
+    # (visible as a BroadcastNestedLoopJoin over the 1-row agg), not a
+    # driver-side collect.  Construction budget: parquet read/inputFiles
+    # probes + the vocab localCheckpoint — a reintroduced collect would
+    # add a job per call and bust the bound.
+    df, jobs = _construction_jobs(
+        spark, entry.q_unigram_logprob, sf_dir, "pds_plan_unigram"
+    )
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+    assert len(jobs) <= 4, f"construction ran {len(jobs)} jobs: {jobs}"
+
+
+def test_dsir_construction_folds_totals(spark, sf_dir):
+    # same for DSIR: the s/t token totals join in as a broadcast 1-row
+    # frame; budget covers reads + the two count-table checkpoints
+    df, jobs = _construction_jobs(spark, entry.q_dsir, sf_dir, "pds_plan_dsir")
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+    assert len(jobs) <= 7, f"construction ran {len(jobs)} jobs: {jobs}"
+
+
+def test_bm25_construction_folds_stats(spark, sf_dir):
+    # N/avgdl ride the idf broadcast as a 1-row agg (one corpus scan inside
+    # the job) — construction may only run reads + the tf_q checkpoint
+    df, jobs = _construction_jobs(spark, entry.q_bm25, sf_dir, "pds_plan_bm25")
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+    assert len(jobs) <= 5, f"construction ran {len(jobs)} jobs: {jobs}"
