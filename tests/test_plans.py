@@ -426,4 +426,6 @@ def test_bm25_construction_folds_stats(spark, sf_dir):
     # the job) — construction may only run reads + the tf_q checkpoint
     df, jobs = _construction_jobs(spark, entry.q_bm25, sf_dir, "pds_plan_bm25")
     assert "BroadcastNestedLoopJoin" in formatted_plan(df)
-    assert len(jobs) <= 5, f"construction ran {len(jobs)} jobs: {jobs}"
+    # reads/inputFiles probes for docs+queries + the tf_q checkpoint = 6;
+    # the removed count()/collect() pair would push this to 8
+    assert len(jobs) <= 6, f"construction ran {len(jobs)} jobs: {jobs}"
