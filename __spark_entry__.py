@@ -1336,7 +1336,11 @@ def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.ml import quality
 
     docs = load_table(spark, sf, "documents").df
-    labeled = docs.withColumn("y", (F.col("lang") == "en").cast("int"))
+    # coalesce: a NULL lang must label 0 (the oracle's CASE WHEN does), not
+    # NULL (which would silently drop the doc from residuals/gradient)
+    labeled = docs.withColumn(
+        "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
+    )
     w = quality.train_logreg(
         labeled, "doc_id", "text", "y", buckets=1024, iterations=4, lr=2.0, seed=0
     )

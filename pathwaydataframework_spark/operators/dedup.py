@@ -112,8 +112,9 @@ def exact_dedup(table: Table, *on, keep_order_by=None) -> Table:
     row = F.struct(*[F.col(c) for c in cols])
     # null-guarded ordering key: min_by IGNORES NULL-ordering rows (an
     # all-NULL-order group would yield a fabricated all-NULL row); the
-    # (isNull, value) struct keeps every row orderable and reproduces the
-    # old window's asc-nulls-first rank (a NULL order value wins)
+    # (isNotNull, value) struct keeps every row orderable and reproduces the
+    # old window's asc-nulls-first rank (a NULL order value wins: isNotNull
+    # casts to 0, sorting before every non-null row's 1)
     okey = F.struct(
         order.isNotNull().cast("int").alias("__nn"), order.alias("__o")
     )

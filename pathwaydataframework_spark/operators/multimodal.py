@@ -457,11 +457,18 @@ def audio_fingerprint(data: bytes, *, frames: int = 33) -> list[int] | None:
         raise ValueError("frames - 1 must be a positive multiple of 8")
     try:
         with wave.open(io.BytesIO(bytes(data))) as w:
-            n, width = w.getnframes(), w.getsampwidth()
+            n, width, nchannels = (
+                w.getnframes(), w.getsampwidth(), w.getnchannels(),
+            )
             raw = w.readframes(n)
     except (Exception):  # wave raises wave.Error/EOFError on non-WAV
         return None
     if width != 2:  # exactness contract is PCM16; others via wav_features
+        return None
+    if nchannels != 1:
+        # honest boundary: a stereo stream fingerprinted as interleaved
+        # mono would break the gain/edit-locality properties per channel —
+        # refuse rather than silently mis-fingerprint
         return None
     x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     if x.size < frames:

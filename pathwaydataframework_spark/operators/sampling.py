@@ -264,9 +264,7 @@ def temperature_sample(
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     ratio = F.col("_nmin").cast("double") / F.col("_n").cast("double")
-    if alpha == 1.0:
-        rate = F.lit(1.0)
-    elif alpha == 0.5:
+    if alpha == 0.5:
         rate = F.sqrt(ratio)  # correctly-rounded — cross-engine exact
     elif alpha == 0.0:
         rate = ratio
@@ -502,7 +500,10 @@ def assign_shards(
         raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
     out = deterministic_shuffle(df, key, seed=seed)
     return out.withColumn(
-        "shard", (F.col("position") / F.lit(rows_per_shard)).cast("long")
+        # integer floor-division, NOT float division cast to long: double
+        # loses exactness past 2^53, so position/rows_per_shard could
+        # misplace rows at extreme scale — `div` stays exact on longs
+        "shard", F.expr(f"position div {int(rows_per_shard)}")
     ).withColumn(
         "pos_in_shard", (F.col("position") % F.lit(rows_per_shard)).cast("long")
     )
