@@ -409,8 +409,11 @@ def collapse_pairs_by_signature(
             hamming → 0); cast to the rep-pair schema automatically.
     """
     groups = sigs.groupBy(sig_col).agg(F.min(id_col).alias("__rep"))
-    members = sigs.join(groups, on=sig_col)
-    reps = groups.select(F.col("__rep").alias(id_col))
+    # ONE materialization of the compact (sig, id, rep) membership: it feeds
+    # four consumers (rep extraction, both expansion sides, intra pairs) and
+    # would otherwise re-run the caller's signature pipeline per consumer
+    members = sigs.join(groups, on=sig_col).localCheckpoint(eager=True)
+    reps = members.filter(F.col(id_col) == F.col("__rep")).select(id_col)
     rep_pairs = rep_pair_fn(reps)
     extras = [c for c in rep_pairs.columns if c not in ("rep_a", "rep_b")]
     ma = members.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("__da"))
@@ -457,9 +460,13 @@ def minhash_lsh_pairs(
     tune per threshold.  Returns (id_a, id_b, jaccard) when verify else
     (id_a, id_b).
     """
+    # materialize the band rows ONCE (bands × 8 bytes per doc): they feed
+    # the signature collapse AND the representative self-join — without the
+    # checkpoint each consumer re-runs the shingle explode + num_hashes
+    # min-aggs (measured 3×+ slower at sf0.1)
     banded = minhash_band_index(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
-    )
+    ).localCheckpoint(eager=True)
     # full-signature hash per doc: the groupBy reuses banded's doc_id
     # partitioning (it descends from minhash_signatures' doc-keyed agg), so
     # the collapse costs no corpus-scale exchange
@@ -560,7 +567,12 @@ def simhash_near_dups(
     """Candidate near-dup pairs with Hamming distance ≤ max_hamming, found by
     banding the signature into (max_hamming+1) blocks (pigeonhole: any pair
     within distance shares ≥1 exact block) then verifying with bit_count."""
-    sig = simhash_signatures(df, id_col, text_col, bits=bits)
+    # one row per doc, two longs — materialize once for the collapse and
+    # the representative block join (else the token explode + bit-sum agg
+    # re-runs per consumer)
+    sig = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint(
+        eager=True
+    )
     nblocks = max_hamming + 1
     block_bits = bits // nblocks
 
