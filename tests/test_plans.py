@@ -75,7 +75,18 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     df = entry.q_minhash_lsh(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    assert "partial_min" in plan, "map-side partial min expected for signatures"
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the signature pipeline now materializes behind a localCheckpoint (r4
+    # collapse engine), so the map-side partial min is pinned on the band
+    # index's own plan instead of the final query's truncated lineage
+    from pathwaydataframework_spark.data import load_df
+    from pathwaydataframework_spark.operators import dedup as _dedup
+
+    docs = load_df(spark, sf_dir, "documents")
+    idx_plan = formatted_plan(
+        _dedup.minhash_band_index(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
+    )
+    assert "partial_min" in idx_plan, "map-side partial min expected for signatures"
 
 
 def test_knn_lsh_no_cartesian_and_narrow_dedup(spark, sf_dir):
@@ -97,10 +108,12 @@ def test_bm25_no_cartesian(spark, sf_dir):
     df = entry.q_bm25(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    # exactly ONE BroadcastNestedLoopJoin is expected: the folded 1-row
-    # N/avgdl stats frame riding the per-term idf build (r4) — any second
-    # one would be a real nested-loop pairing regression
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # exactly ONE BroadcastNestedLoopJoin node is expected: the folded
+    # 1-row N/avgdl stats frame riding the per-term idf build (r4) — any
+    # second one would be a real nested-loop pairing regression.  (Each
+    # node prints twice in explain("formatted"): tree line "...Join Cross
+    # BuildRight" + detail header — count the tree form only.)
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
 
 
 def test_splitter_and_embedder_add_no_exchange(spark, sf_dir):
