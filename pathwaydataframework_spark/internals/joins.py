@@ -46,9 +46,14 @@ class JoinContext(ResolutionContext):
 
     def resolve_ref(self, ref: ColumnRef) -> Column:
         owner = ref.owner
-        if owner is LEFT or owner is self._lt:
+        # chained joins (reference Joinable: JoinResult.join): a side built
+        # by _flat_table carries its source tables, so refs owned by the
+        # ORIGINAL tables keep resolving through the chain
+        lsrc = getattr(self._lt, "_join_sources", ())
+        rsrc = getattr(self._rt, "_join_sources", ())
+        if owner is LEFT or owner is self._lt or owner in lsrc:
             return F.col(f"{self._la}.{ref.name}")
-        if owner is RIGHT or owner is self._rt:
+        if owner is RIGHT or owner is self._rt or owner in rsrc:
             return F.col(f"{self._ra}.{ref.name}")
         if owner is THIS:
             # unqualified: prefer unambiguous side
@@ -111,6 +116,78 @@ class JoinResult:
         out._filters = self._filters + [expr]
         return out
 
+    def _flat_table(self):
+        """Flatten this join into a Table for chaining — reference
+        JoinResult is Joinable (joins.py:493), so ``t1.join(t2).join(t3)``
+        works.  The flat table remembers its source tables so refs owned by
+        t1/t2 still resolve in the NEXT join's conditions and select."""
+        from pathwaydataframework_spark.internals.table import Table
+
+        # equal-named equi-key columns merge into ONE output column, like
+        # the reference's common_column_names handling (joins.py:977);
+        # coalesce covers the outer modes' padded side
+        common: set[str] = set()
+        for e in self._on:
+            if (
+                isinstance(e, BinOp)
+                and isinstance(e._l, ColumnRef)
+                and isinstance(e._r, ColumnRef)
+                and e._l.name == e._r.name
+            ):
+                common.add(e._l.name)
+        lcols = self._lt._df.columns
+        rcols = self._rt._df.columns
+        out_cols: list[Column] = []
+        names: list[str] = []
+        for c in lcols:
+            if c in common and c in rcols:
+                out_cols.append(
+                    F.coalesce(
+                        F.col(f"{self._la}.{c}"), F.col(f"{self._ra}.{c}")
+                    ).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"{self._la}.{c}").alias(c))
+            names.append(c)
+        for c in rcols:
+            if c in common and c in lcols:
+                continue
+            out_cols.append(F.col(f"{self._ra}.{c}").alias(c))
+            names.append(c)
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            raise ValueError(
+                f"cannot chain join over ambiguous columns {dupes}; "
+                "project them apart with .select() first"
+            )
+        t = Table(self._joined().select(*out_cols))
+        t._join_sources = (
+            (self._lt, self._rt)
+            + tuple(getattr(self._lt, "_join_sources", ()))
+            + tuple(getattr(self._rt, "_join_sources", ()))
+        )
+        return t
+
+    def join(self, other, *on, how: str = "inner", id=None,
+             left_instance=None, right_instance=None) -> "JoinResult":
+        """Chained join — reference Joinable.join over a JoinResult."""
+        return join(
+            self._flat_table(), other, *on, how=how, id=id,
+            left_instance=left_instance, right_instance=right_instance,
+        )
+
+    def join_inner(self, other, *on, **kw) -> "JoinResult":
+        return self.join(other, *on, how="inner", **kw)
+
+    def join_left(self, other, *on, **kw) -> "JoinResult":
+        return self.join(other, *on, how="left", **kw)
+
+    def join_right(self, other, *on, **kw) -> "JoinResult":
+        return self.join(other, *on, how="right", **kw)
+
+    def join_outer(self, other, *on, **kw) -> "JoinResult":
+        return self.join(other, *on, how="outer", **kw)
+
     def select(self, *args, **kwargs):
         """Reference joins.py:643."""
         from pathwaydataframework_spark.internals.table import Table
@@ -171,6 +248,12 @@ def join(
     how = getattr(how, "value", how)  # accept pw.JoinMode enum anywhere
     if how not in _HOW:
         raise ValueError(f"how must be one of {sorted(_HOW)}")
+    # either side may itself be a JoinResult (reference Joinable.join):
+    # flatten it, keeping source-table refs resolvable through the chain
+    if isinstance(left_table, JoinResult):
+        left_table = left_table._flat_table()
+    if isinstance(right_table, JoinResult):
+        right_table = right_table._flat_table()
     if (left_instance is None) != (right_instance is None):
         # reference arg_handlers.py:160-164: both or neither
         raise ValueError(

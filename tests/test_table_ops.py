@@ -425,3 +425,35 @@ def test_groupby_id_rejects_multi_key(spark):
         t.groupby(pw.this.a, pw.this.b, id=pw.this.a)
     with pytest.raises(ValueError, match="not equal"):
         t.groupby(pw.this.a, id=pw.this.b)
+
+
+def test_chained_joins(spark):
+    # reference tests/test_joins.py:1304/1397 — JoinResult is Joinable:
+    # join results chain on either side, original-table refs keep resolving
+    t1 = pw.Table.from_rows(spark, [("a1", "b1"), ("a2", "b2")], "a string, b string")
+    t2 = pw.Table.from_rows(spark, [("c1", "d1"), ("c2", "d2")], "c string, d string")
+    t3 = pw.Table.from_rows(spark, [("e1", "f1"), ("e2", "f2")], "e string, f string")
+    # condition-less chain = cross product: 2*2*2 = 8 rows
+    out = t1.join(t2).join(t3).select(
+        a=t1.a, c=t2.c, e=t3.e
+    )
+    assert len(rows(out)) == 8
+    # right-side JoinResult
+    out2 = t1.join(t2.join(t3)).select(a=t1.a, d=t2.d, f=t3.f)
+    assert len(rows(out2)) == 8
+    # keyed chain: t1 -> t2 on shared key, then -> t3 on t2's column
+    k1 = pw.Table.from_rows(spark, [(1, "x"), (2, "y")], "k long, xv string")
+    k2 = pw.Table.from_rows(spark, [(1, 10), (2, 20)], "k long, m long")
+    k3 = pw.Table.from_rows(spark, [(10, "ten"), (20, "twenty")], "m long, name string")
+    chained = k1.join(k2, k1.k == k2.k).join(k3, k2.m == k3.m).select(
+        xv=k1.xv, name=k3.name
+    )
+    assert rows(chained) == [("x", "ten"), ("y", "twenty")]
+
+
+def test_chained_join_ambiguous_columns_rejected(spark):
+    t1 = pw.Table.from_rows(spark, [(1, "p")], "k long, v string")
+    t2 = pw.Table.from_rows(spark, [(1, "q")], "k long, v string")
+    t3 = pw.Table.from_rows(spark, [(1,)], "k long")
+    with pytest.raises(ValueError, match="ambiguous columns"):
+        t1.join(t2, t1.k == t2.k).join(t3)
