@@ -998,36 +998,36 @@ def asof_now_join_left(left_table, right_table, *on, **kw):
     return asof_now_join(left_table, right_table, *on, how="left", **kw)
 
 
-def interval_join_inner(left_table, right_table, self_time, other_time, band, *on):
-    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="inner")
+def interval_join_inner(left_table, right_table, self_time, other_time, band, *on, **kw):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="inner", **kw)
 
 
-def interval_join_left(left_table, right_table, self_time, other_time, band, *on):
-    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="left")
+def interval_join_left(left_table, right_table, self_time, other_time, band, *on, **kw):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="left", **kw)
 
 
-def interval_join_right(left_table, right_table, self_time, other_time, band, *on):
-    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="right")
+def interval_join_right(left_table, right_table, self_time, other_time, band, *on, **kw):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="right", **kw)
 
 
-def interval_join_outer(left_table, right_table, self_time, other_time, band, *on):
-    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="outer")
+def interval_join_outer(left_table, right_table, self_time, other_time, band, *on, **kw):
+    return interval_join(left_table, right_table, self_time, other_time, band, *on, how="outer", **kw)
 
 
-def window_join_inner(left_table, right_table, self_time, other_time, window, *on):
-    return window_join(left_table, right_table, self_time, other_time, window, *on, how="inner")
+def window_join_inner(left_table, right_table, self_time, other_time, window, *on, **kw):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="inner", **kw)
 
 
-def window_join_left(left_table, right_table, self_time, other_time, window, *on):
-    return window_join(left_table, right_table, self_time, other_time, window, *on, how="left")
+def window_join_left(left_table, right_table, self_time, other_time, window, *on, **kw):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="left", **kw)
 
 
-def window_join_right(left_table, right_table, self_time, other_time, window, *on):
-    return window_join(left_table, right_table, self_time, other_time, window, *on, how="right")
+def window_join_right(left_table, right_table, self_time, other_time, window, *on, **kw):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="right", **kw)
 
 
-def window_join_outer(left_table, right_table, self_time, other_time, window, *on):
-    return window_join(left_table, right_table, self_time, other_time, window, *on, how="outer")
+def window_join_outer(left_table, right_table, self_time, other_time, window, *on, **kw):
+    return window_join(left_table, right_table, self_time, other_time, window, *on, how="outer", **kw)
 
 
 # behavior + time utilities live in the temporal namespace in the reference
