@@ -154,24 +154,35 @@ from pathwaydataframework_spark import monitoring
 
 # reference free-function forms of the Table methods (pathway/__init__.py
 # exports join/groupby at module level; they desugar to method calls)
-def join(left, right, *on, how: str = "inner", id=None):
-    return left.join(right, *on, how=how, id=id)
+def join(left, right, *on, how: str = "inner", id=None,
+         left_instance=None, right_instance=None):
+    return left.join(
+        right, *on, how=how, id=id,
+        left_instance=left_instance, right_instance=right_instance,
+    )
 
 
-def join_inner(left, right, *on):
-    return left.join(right, *on, how="inner")
+def join_inner(left, right, *on, **kw):
+    return left.join(right, *on, how="inner", **kw)
 
 
-def join_left(left, right, *on):
-    return left.join(right, *on, how="left")
+def join_left(left, right, *on, **kw):
+    return left.join(right, *on, how="left", **kw)
 
 
-def join_right(left, right, *on):
-    return left.join(right, *on, how="right")
+def join_right(left, right, *on, **kw):
+    return left.join(right, *on, how="right", **kw)
 
 
-def join_outer(left, right, *on):
-    return left.join(right, *on, how="outer")
+def join_outer(left, right, *on, **kw):
+    return left.join(right, *on, how="outer", **kw)
+
+
+def set_license_key(key=None, *args, **kwargs) -> None:
+    """Reference ``pw.set_license_key`` — licensing configures the hosted
+    runtime there; this engine has no license-gated paths, so the call is
+    an accepted no-op kept for ported-code compatibility."""
+    return None
 
 
 def groupby(table, *cols, **kwargs):
@@ -331,6 +342,7 @@ __all__ = [
     "common_behavior",
     "exactly_once_behavior",
     "inactivity_detection",
+    "set_license_key",
 ]
 
 __version__ = "0.1.0"
