@@ -117,3 +117,66 @@ def stateful_single(
         result_name=result_name,
         result_type=result_type,
     )
+
+
+_PY2SPARK = {float: "double", int: "bigint", str: "string", bool: "boolean"}
+_STR2PY = {"float": float, "int": int, "str": str, "bool": bool}
+
+
+def udf_reducer(reducer_cls: type[BaseCustomAccumulator]):
+    """Reference custom_reducers.py:271 — decorator turning a
+    BaseCustomAccumulator subclass into a reducer usable inside the normal
+    ``groupby(...).reduce(name=reducer(expr, ...))`` call shape.
+
+    Lowered to a GROUPED_AGG (series-to-scalar) pandas UDF: Spark's hash
+    aggregate ships each group's argument columns as Arrow batches, the
+    accumulator folds them (``from_row`` then ``update``), and the scalar
+    ``compute_result`` comes back as the aggregate value — so the custom
+    reducer composes with built-in reducers in the same ``.reduce()``.
+    The result dtype follows ``compute_result``'s return annotation
+    (reference behavior); ``retract``/``neutral`` are streaming-only
+    refinements and are not consulted in batch folds.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ret = getattr(reducer_cls.compute_result, "__annotations__", {}).get(
+        "return", float
+    )
+    if isinstance(ret, str):
+        ret = _STR2PY.get(ret, float)
+    spark_type = _PY2SPARK.get(ret, "double")
+
+    def make(*exprs):
+        from pathwaydataframework_spark.internals.expression import lift
+        from pathwaydataframework_spark.internals.reducers import _Agg
+
+        n = max(len(exprs), 1)
+
+        def _fold_impl(*cols):
+            acc = None
+            for row in zip(*cols):
+                cur = reducer_cls.from_row(list(row))
+                if acc is None:
+                    acc = cur
+                else:
+                    acc.update(cur)
+            return None if acc is None else acc.compute_result()
+
+        args = ", ".join(f"c{i}" for i in range(n))
+        ns: dict = {"_fold_impl": _fold_impl}
+        exec(f"def _fold({args}):\n    return _fold_impl({args})\n", ns)
+        fold = ns["_fold"]
+        # real annotation objects: (pd.Series, ...) -> scalar marks the UDF
+        # as SERIES_TO_SCALAR (grouped aggregate) for pandas_udf inference
+        fold.__annotations__ = {f"c{i}": pd.Series for i in range(n)}
+        fold.__annotations__["return"] = ret if ret in _PY2SPARK else float
+        udf = pandas_udf(fold, spark_type)
+        agg = _Agg(lambda *cs, ctx: udf(*cs), *[lift(e) for e in exprs])
+        # Spark forbids GROUPED_AGG pandas UDFs beside JVM aggregates in
+        # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — GroupedTable.reduce
+        # splits on this marker and joins the two aggregate passes
+        agg._pandas_udaf = True
+        return agg
+
+    return make

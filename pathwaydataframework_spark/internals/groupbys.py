@@ -69,6 +69,18 @@ class GroupedTable:
             else:
                 raise TypeError(f"bad grouping key {g!r}")
 
+    def _subset_reduce(self, aggs: dict):
+        """Internal: run reduce() for a subset of the aggregate kwargs with
+        the same grouping/sort/ctx (used to split pandas UDAFs from JVM
+        aggregates)."""
+        sub = GroupedTable.__new__(GroupedTable)
+        sub._table = self._table
+        sub._sort_by = self._sort_by
+        sub._ctx = self._ctx
+        sub._set_id = False
+        sub._grouping = self._grouping
+        return sub.reduce(**aggs)
+
     def reduce(self, *args, **kwargs):
         """Reference GroupedTable.reduce (groupbys.py:158).
 
@@ -86,6 +98,34 @@ class GroupedTable:
             if isinstance(a, ColumnRef) and a.name in group_names:
                 continue  # grouping cols are included automatically
             raise ValueError("positional reduce args must be grouping columns")
+
+        # Spark cannot mix GROUPED_AGG pandas UDFs (udf_reducer) with JVM
+        # aggregates in one agg() — split them into two aggregate passes
+        # over the same keys and join null-safely on the group columns
+        pandas_names = [
+            n for n, e in kwargs.items() if getattr(e, "_pandas_udaf", False)
+        ]
+        if pandas_names and len(pandas_names) < len(kwargs):
+            normal = {n: e for n, e in kwargs.items() if n not in pandas_names}
+            pandas_part = {n: kwargs[n] for n in pandas_names}
+            left = self._subset_reduce(normal)
+            right = self._subset_reduce(pandas_part)
+            from pathwaydataframework_spark.internals.table import Table
+
+            names = [name for name, _ in self._grouping]
+            if names:
+                cond = None
+                for n in names:
+                    c = left._df[n].eqNullSafe(right._df[n])
+                    cond = c if cond is None else (cond & c)
+                joined = left._df.join(right._df, cond, "inner").select(
+                    *[left._df[n] for n in names],
+                    *[left._df[n] for n in normal],
+                    *[right._df[n] for n in pandas_names],
+                )
+            else:
+                joined = left._df.crossJoin(right._df)
+            return Table(joined.select(*names, *list(kwargs.keys())))
 
         agg_cols: list[Column] = []
         for name, e in kwargs.items():

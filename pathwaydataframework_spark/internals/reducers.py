@@ -224,3 +224,14 @@ def approx_percentile(expr, p: float, accuracy: int = 10_000) -> ReducerExpr:
 # deprecated aliases kept for API parity (reducers.py:547,611)
 npsum = sum
 int_sum = sum
+
+
+def __getattr__(name):
+    # the reference's pw.reducers module also exports the custom-reducer
+    # trio (reference reducers.py:23-27); lazy to avoid an import cycle
+    if name in ("stateful_many", "stateful_single", "udf_reducer",
+                "BaseCustomAccumulator", "udaf_reduce"):
+        from pathwaydataframework_spark.internals import custom_reducers
+
+        return getattr(custom_reducers, name)
+    raise AttributeError(name)

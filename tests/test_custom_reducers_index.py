@@ -212,3 +212,39 @@ def test_join_groupby_with_shared_column_names(spark):
         .reduce(total=pw.reducers.sum(pw.left.x))
     )
     assert sorted(tuple(r) for r in out.df.collect()) == [(1, 15.0), (2, 1.0)]
+
+
+def test_udf_reducer_decorator_in_reduce(spark):
+    # the reference call shape (custom_reducers.py:271 doctest): decorate an
+    # accumulator, use it INSIDE groupby().reduce() beside built-ins
+    import pathwaydataframework_spark as pw
+    from pathwaydataframework_spark.internals import reducers as R
+
+    class CustomAvg(pw.BaseCustomAccumulator):
+        def __init__(self, sum, cnt):
+            self.sum = sum
+            self.cnt = cnt
+
+        @classmethod
+        def from_row(cls, row):
+            [val] = row
+            return cls(val, 1)
+
+        def update(self, other):
+            self.sum += other.sum
+            self.cnt += other.cnt
+
+        def compute_result(self) -> float:
+            return self.sum / self.cnt
+
+    custom_avg = R.udf_reducer(CustomAvg)
+    t = pw.Table.from_rows(
+        spark,
+        [("a", 2.0), ("a", 4.0), ("b", 10.0)],
+        "k string, v double",
+    )
+    out = t.groupby(pw.this.k).reduce(
+        pw.this.k, avg=custom_avg(pw.this.v), n=R.count()
+    )
+    got = {r["k"]: (r["avg"], r["n"]) for r in out.df.collect()}
+    assert got == {"a": (3.0, 2), "b": (10.0, 1)}
