@@ -66,29 +66,62 @@ class StringNamespace:
     def title(self):
         return UnaryOp(self._e, F.initcap)
 
-    def count(self, sub):
-        # Non-overlapping occurrence count (Python str.count semantics),
-        # computed JVM-side without regex escaping issues.
+    @staticmethod
+    def _py_slice(a: Column, lo: Column, hi: Column) -> Column:
+        """``a[lo:hi]`` for non-negative/None bounds — the slice notation
+        the reference's count/find/rfind start/end args use
+        (string.py:473,526,580)."""
+        lo_c = F.greatest(lo.cast("int"), F.lit(0))
+        length = F.length(a)
+        hi_c = F.when(hi.isNull(), length).otherwise(
+            F.least(hi.cast("int"), length)
+        )
+        return F.substring(a, lo_c + 1, F.greatest(hi_c - lo_c, F.lit(0)))
+
+    def count(self, sub, start=None, end=None):
+        # Non-overlapping occurrence count (Python str.count semantics) in
+        # the [start, end) slice, computed JVM-side without regex escaping.
+        def _fn(a, s, lo, hi):
+            sliced = self._py_slice(a, lo, hi)
+            return (
+                F.when(F.length(s) == 0, F.lit(0))
+                .otherwise(
+                    (F.length(sliced) - F.length(F.replace(sliced, s, F.lit(""))))
+                    / F.length(s)
+                )
+                .cast("long")
+            )
+
         return FuncExpr(
-            lambda a, s: F.when(F.length(s) == 0, F.lit(0)).otherwise(
-                (F.length(a) - F.length(F.replace(a, s, F.lit("")))) / F.length(s)
-            ).cast("long"),
-            self._e,
-            lift(sub),
+            _fn, self._e, lift(sub), lift(0 if start is None else start), lift(end)
         )
 
-    def find(self, sub):
-        # Python semantics: 0-based, -1 if absent (instr is 1-based, 0 if absent).
-        return FuncExpr(lambda a, s: F.instr(a, s).cast("long") - 1, self._e, lift(sub))
-
-    def rfind(self, sub):
-        def _fn(a, s):
-            rev_pos = F.instr(F.reverse(a), F.reverse(s))
-            return F.when(rev_pos == 0, F.lit(-1)).otherwise(
-                F.length(a) - rev_pos - F.length(s) + 1
+    def find(self, sub, start=None, end=None):
+        # Python semantics: lowest 0-based index of sub within a[start:end],
+        # -1 if absent (instr is 1-based, 0 if absent).
+        def _fn(a, s, lo, hi):
+            sliced = self._py_slice(a, lo, hi)
+            pos = F.instr(sliced, s)
+            lo_c = F.greatest(lo.cast("int"), F.lit(0))
+            return (
+                F.when(pos == 0, F.lit(-1)).otherwise(lo_c + pos - 1)
             ).cast("long")
 
-        return FuncExpr(_fn, self._e, lift(sub))
+        return FuncExpr(
+            _fn, self._e, lift(sub), lift(0 if start is None else start), lift(end)
+        )
+
+    def rfind(self, sub, start=None, end=None):
+        def _fn(a, s, lo, hi):
+            sliced = self._py_slice(a, lo, hi)
+            rev_pos = F.instr(F.reverse(sliced), F.reverse(s))
+            lo_c = F.greatest(lo.cast("int"), F.lit(0))
+            rel = F.length(sliced) - rev_pos - F.length(s) + 1
+            return F.when(rev_pos == 0, F.lit(-1)).otherwise(lo_c + rel).cast("long")
+
+        return FuncExpr(
+            _fn, self._e, lift(sub), lift(0 if start is None else start), lift(end)
+        )
 
     def removeprefix(self, prefix):
         def _fn(a, p):
@@ -108,17 +141,38 @@ class StringNamespace:
             lambda a, lo, hi: F.substring(a, lo + 1, hi - lo), self._e, lift(start), lift(stop)
         )
 
-    def parse_int(self):
-        # try_cast: malformed input yields NULL (the engine's error
-        # channel) — a plain cast under Spark 4's default ANSI mode would
-        # abort the whole job with CAST_INVALID_INPUT
+    def parse_int(self, optional: bool = False):
+        # try_cast: malformed input yields NULL — the engine's error
+        # channel stands in for the reference's per-cell Error value, so
+        # optional=False and True coincide here (DEVIATIONS: null channel).
+        # A plain cast under Spark 4's default ANSI mode would abort the
+        # whole job with CAST_INVALID_INPUT.
         return UnaryOp(self._e, lambda a: a.try_cast("long"))
 
-    def parse_float(self):
+    def parse_float(self, optional: bool = False):
         return UnaryOp(self._e, lambda a: a.try_cast("double"))
 
-    def parse_bool(self):
-        return UnaryOp(self._e, lambda a: F.lower(a).isin("true", "1", "yes", "on"))
+    def parse_bool(
+        self,
+        true_values=("on", "true", "yes", "1"),
+        false_values=("off", "false", "no", "0"),
+        optional: bool = False,
+    ):
+        """Reference string.py:872 — case-insensitive membership in the
+        true/false value sets; anything else is NULL (the null error
+        channel, for optional=False too — DEVIATIONS)."""
+        tv = [s.lower() for s in true_values]
+        fv = [s.lower() for s in false_values]
+
+        def _fn(a):
+            low = F.lower(a)
+            return (
+                F.when(low.isin(*tv), F.lit(True))
+                .when(low.isin(*fv), F.lit(False))
+                .otherwise(F.lit(None).cast("boolean"))
+            )
+
+        return UnaryOp(self._e, _fn)
 
     # -- extensions beyond the reference (useful for text pipelines) --------
     def split(self, pattern):
@@ -363,8 +417,17 @@ class NumericalNamespace:
     def abs(self):
         return UnaryOp(self._e, F.abs)
 
-    def round(self, decimals: int = 0):
-        return FuncExpr(lambda a, d: F.round(a, d), self._e, lift(int(decimals)))
+    def round(self, decimals=0):
+        if isinstance(decimals, int):
+            return FuncExpr(lambda a, d: F.round(a, d), self._e, lift(decimals))
+        # column-valued precision (reference numerical.py round accepts an
+        # expression): shift-round-unshift, since F.round needs a foldable
+        # scale
+        return FuncExpr(
+            lambda a, d: F.round(a * F.pow(F.lit(10.0), d)) / F.pow(F.lit(10.0), d),
+            self._e,
+            lift(decimals),
+        )
 
     def fill_na(self, default):
         return FuncExpr(

@@ -222,3 +222,60 @@ def test_fall_back_ambiguous_local_time_to_utc(spark):
     )
     # earlier offset is EDT (UTC-4): 01:30 EDT == 05:30 UTC
     assert out.df.collect()[0][0] == dt.datetime(2023, 11, 5, 5, 30, 0)
+
+
+def test_str_count_find_rfind_with_slice_bounds(spark):
+    # reference tests/expressions/test_string.py test_count/test_find/
+    # test_rfind: optional start/end args use Python slice notation
+    t = pw.Table.from_rows(
+        spark,
+        [("Alice",), ("olice",), ("Hello",), ("World",), ("Zoo",)],
+        "name string",
+    )
+    out = t.select(
+        c0=pw.this.name.str.count("o"),
+        c1=pw.this.name.str.count("o", 1),
+        c2=pw.this.name.str.count("o", 0, 3),
+        f0=pw.this.name.str.find("o"),
+        f1=pw.this.name.str.find("o", 2),
+        r0=pw.this.name.str.rfind("o"),
+        r1=pw.this.name.str.rfind("o", 0, 3),
+    )
+    got = [tuple(r) for r in out.df.collect()]
+    exp = [
+        (s.count("o"), s.count("o", 1), s.count("o", 0, 3),
+         s.find("o"), s.find("o", 2), s.rfind("o"), s.rfind("o", 0, 3))
+        for s in ["Alice", "olice", "Hello", "World", "Zoo"]
+    ]
+    assert sorted(got) == sorted(exp)
+
+
+def test_parse_bool_reference_semantics(spark):
+    # default sets: on/true/yes/1 → True, off/false/no/0 → False,
+    # anything else → NULL; custom mappings respected
+    t = pw.Table.from_rows(
+        spark,
+        [("0",), ("TRUE",), ("on",), ("maybe",)],
+        "a string",
+    )
+    out = t.select(a=pw.this.a, b=pw.this.a.str.parse_bool())
+    got = {r["a"]: r["b"] for r in out.df.collect()}
+    assert got == {"0": False, "TRUE": True, "on": True, "maybe": None}
+    out2 = t.select(
+        a=pw.this.a,
+        b=pw.this.a.str.parse_bool(true_values=["maybe"], false_values=["0"]),
+    )
+    got2 = {r["a"]: r["b"] for r in out2.df.collect()}
+    assert got2 == {"0": False, "TRUE": None, "on": None, "maybe": True}
+
+
+def test_num_round_column_precision(spark):
+    # reference tests/expressions/test_numerical.py test_round_column
+    t = pw.Table.from_rows(
+        spark,
+        [(3.0, 0), (3.1, 1), (3.14, 1), (3.141, 2), (3.1415, 2)],
+        "value double, precision long",
+    )
+    out = t.select(v=pw.this.value.num.round(pw.this.precision))
+    got = sorted(r["v"] for r in out.df.collect())
+    assert got == [3.0, 3.1, 3.1, 3.14, 3.14]
