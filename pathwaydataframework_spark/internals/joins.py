@@ -254,6 +254,14 @@ def join(
         left_table = left_table._flat_table()
     if isinstance(right_table, JoinResult):
         right_table = right_table._flat_table()
+    if left_table is right_table:
+        # reference joins.py:946-949 — with one table OBJECT on both sides
+        # a condition like t.foo == t.bar cannot be attributed to sides
+        # (both refs resolve left); refuse rather than silently mis-join
+        raise ValueError(
+            "Cannot join table with itself. Use <table>.copy() as one of "
+            "the arguments of the join."
+        )
     if (left_instance is None) != (right_instance is None):
         # reference arg_handlers.py:160-164: both or neither
         raise ValueError(

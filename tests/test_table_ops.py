@@ -457,3 +457,17 @@ def test_chained_join_ambiguous_columns_rejected(spark):
     t3 = pw.Table.from_rows(spark, [(1,)], "k long")
     with pytest.raises(ValueError, match="ambiguous columns"):
         t1.join(t2, t1.k == t2.k).join(t3)
+
+
+def test_join_self_same_object_rejected(spark):
+    # reference tests/test_common.py test_join_self: same OBJECT on both
+    # sides would silently resolve both condition refs to the left —
+    # must raise and direct to .copy()
+    t = pw.Table.from_rows(spark, [(1, 1), (1, 2)], "foo long, bar long")
+    with pytest.raises(ValueError, match="copy"):
+        t.join(t, t.foo == t.bar)
+    # the sanctioned form works
+    out = t.join(t.copy(), pw.left.foo == pw.right.bar).select(
+        lf=pw.left.foo, rb=pw.right.bar
+    )
+    assert rows(out) == [(1, 1), (1, 1)]
