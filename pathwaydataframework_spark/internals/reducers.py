@@ -73,12 +73,19 @@ def argmin(expr) -> ReducerExpr:
     Lowered to ``F.min_by(_pw_id, value)``; the id column comes from the
     grouping context (deterministic xxhash64 of the row, see table.py).
     """
-    return _Agg(lambda c, ctx: F.min_by(ctx.id_column(), c), lift(expr))
+    a = _Agg(lambda c, ctx: F.min_by(ctx.id_column(), c), lift(expr))
+    # markers for the Table.ix(argmin(...), context=pw.this).col sugar
+    a._arg_kind = "min"
+    a._arg_value = lift(expr)
+    return a
 
 
 def argmax(expr) -> ReducerExpr:
     """reducers.py:393 → F.max_by(_pw_id, value)."""
-    return _Agg(lambda c, ctx: F.max_by(ctx.id_column(), c), lift(expr))
+    a = _Agg(lambda c, ctx: F.max_by(ctx.id_column(), c), lift(expr))
+    a._arg_kind = "max"
+    a._arg_value = lift(expr)
+    return a
 
 
 def min_by(value, key) -> ReducerExpr:

@@ -280,6 +280,11 @@ class Table:
         rows with this table's columns.  Lowered to an equi-join on the id
         hash — broadcastable when this table is small.
         """
+        if getattr(key_expr, "_arg_kind", None) is not None:
+            # reference idiom `table.ix(reducers.argmin(v), context=pw.this)
+            # .col` INSIDE reduce (tests/test_common.py:3081) — sugar for a
+            # single min_by/max_by aggregate, no join at all
+            return _IxArgProxy(self, key_expr)
         if context is None:
             if isinstance(key_expr, ColumnRef) and isinstance(key_expr.owner, Table):
                 context = key_expr.owner
@@ -713,3 +718,42 @@ def _table_from_columns(*args, **kwargs) -> "Table":
 
 
 Table.from_columns = staticmethod(_table_from_columns)
+
+
+class _IxArgExpr(Expr):
+    """``table.ix(argmin(v), context=pw.this).col`` inside reduce — resolves
+    to ``min_by(col, v)`` / ``max_by(col, v)`` in the grouping context."""
+
+    def __init__(self, table: "Table", agg, name: str):
+        self._t = table
+        self._agg = agg
+        self._name = name
+
+    def _resolve(self, ctx):
+        probe = ctx.probe_df()
+        if probe is not None and probe is not self._t._df:
+            raise NotImplementedError(
+                "ix(argmin/argmax) sugar only supports looking up the "
+                "grouped table itself (context=pw.this); for a different "
+                "table reduce the id first, then ix separately"
+            )
+        col = ctx.resolve_ref(ColumnRef(THIS, self._name))
+        val = self._agg._arg_value._resolve(ctx)
+        fn = F.min_by if self._agg._arg_kind == "min" else F.max_by
+        return fn(col, val)
+
+
+class _IxArgProxy:
+    def __init__(self, table: "Table", agg):
+        self._t = table
+        self._agg = agg
+
+    def __getattr__(self, name: str) -> _IxArgExpr:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in self._t._df.columns:
+            raise AttributeError(f"no column {name!r}; have {self._t._df.columns}")
+        return _IxArgExpr(self._t, self._agg, name)
+
+    def __getitem__(self, name: str) -> _IxArgExpr:
+        return self.__getattr__(name)

@@ -471,3 +471,20 @@ def test_join_self_same_object_rejected(spark):
         lf=pw.left.foo, rb=pw.right.bar
     )
     assert rows(out) == [(1, 1), (1, 1)]
+
+
+def test_ix_argmin_argmax_in_reduce(spark):
+    # reference tests/test_common.py:3081 idiom: look up the row AT the
+    # argmin/argmax inside reduce — lowered to one min_by/max_by aggregate
+    t = pw.Table.from_rows(
+        spark,
+        [("a", "x", 1.0), ("a", "y", 3.0), ("b", "z", 2.0)],
+        "g string, name string, v double",
+    )
+    out = t.groupby(pw.this.g).reduce(
+        pw.this.g,
+        lo=t.ix(R.argmin(pw.this.v), context=pw.this).name,
+        hi=t.ix(R.argmax(pw.this.v), context=pw.this).name,
+    )
+    got = {r["g"]: (r["lo"], r["hi"]) for r in out.df.collect()}
+    assert got == {"a": ("x", "y"), "b": ("z", "z")}
