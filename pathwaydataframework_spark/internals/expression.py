@@ -442,7 +442,9 @@ class _ThisLike:
         self._owner = owner
 
     def __getattr__(self, name: str) -> ColumnRef:
-        if name.startswith("_"):
+        # `_pw_*` names ARE data columns in the reference (windowby key
+        # columns: pw.this._pw_instance/_pw_window_start/_pw_window_end)
+        if name.startswith("_") and not name.startswith("_pw_"):
             raise AttributeError(name)
         return ColumnRef(self._owner, name)
 

@@ -179,7 +179,20 @@ class WindowedTable:
         self._instance = instance
         self._behavior = behavior  # batch mode: cutoff/delay are no-ops
 
-    def reduce(self, **aggs) -> Table:
+    def reduce(self, *args, **aggs) -> Table:
+        # positional args may name the auto-included key columns the
+        # reference exposes (`pw.this._pw_instance/_pw_window_start/
+        # _pw_window_end`, or the instance's original column) — reference
+        # windowby reduce call shape (tests/temporal/test_windows.py:44)
+        allowed = {"_pw_instance", "_pw_window", "_pw_window_start", "_pw_window_end"}
+        if isinstance(self._instance, ColumnRef):
+            allowed.add(self._instance.name)
+        for a in args:
+            if not (isinstance(a, ColumnRef) and a.name in allowed):
+                raise ValueError(
+                    "positional windowby-reduce args must be the window/"
+                    f"instance key columns ({sorted(allowed)}); got {a!r}"
+                )
         win = self._window
         t = self._table
         tcol = t._resolve(self._time)
@@ -294,9 +307,13 @@ class WindowedTable:
             F.max("__pw_t").alias("_pw_window_end"),
             *agg_cols,
         )
+        extra_keys = []
+        if out_keys and out_keys[0] != "_pw_instance":
+            extra_keys.append(F.col(out_keys[0]).alias("_pw_instance"))
         return _Table(
             out.select(
-                "_pw_window_start", "_pw_window_end", *out_keys, *list(aggs.keys())
+                "_pw_window_start", "_pw_window_end", *out_keys, *extra_keys,
+                *list(aggs.keys()),
             )
         )
 
@@ -309,6 +326,7 @@ class WindowedTable:
         ctx = GroupedContext(t)
         group_cols = [wcol.alias("_pw_window")]
         out_keys = []
+        inst_name = None
         if self._instance is not None:
             inst_name = (
                 self._instance.name if isinstance(self._instance, ColumnRef) else "_pw_instance"
@@ -326,10 +344,16 @@ class WindowedTable:
         end_col = (
             F.col("_pw_session_last") if session else F.col("_pw_window.end")
         )
+        extra_keys = []
+        if inst_name is not None and inst_name != "_pw_instance":
+            # also expose the reference's canonical key name alongside the
+            # original column (ports select pw.this._pw_instance)
+            extra_keys.append(F.col(inst_name).alias("_pw_instance"))
         out = out.select(
             F.col("_pw_window.start").alias("_pw_window_start"),
             end_col.alias("_pw_window_end"),
             *out_keys,
+            *extra_keys,
             *list(aggs.keys()),
         )
         return Table(out)

@@ -407,3 +407,56 @@ def test_session_predicate_windowby_no_instance(spark):
     ).reduce(n=R.count(), mx=R.max(pw.this.v))
     got = sorted((r["n"], r["mx"]) for r in out.df.collect())
     assert got == [(1, 30.0), (2, 20.0)]
+
+
+def test_windowby_reduce_reference_call_shape(spark):
+    # reference tests/temporal/test_windows.py:23 — positional key columns
+    # (pw.this._pw_instance/_pw_window_start/_pw_window_end) are accepted
+    # and the canonical _pw_instance key name is exposed alongside the
+    # original instance column
+    t = pw.Table.from_rows(
+        spark,
+        [(0, 1.0, 10.0), (0, 2.0, 1.0), (0, 4.0, 3.0), (0, 8.0, 2.0),
+         (0, 9.0, 4.0), (0, 10.0, 8.0), (1, 1.0, 9.0), (1, 2.0, 16.0)],
+        "instance long, t double, v double",
+    )
+    gb = t.windowby(
+        pw.this.t,
+        window=pw.temporal.session(predicate=lambda a, b: abs(a - b) <= 1),
+        instance=pw.this.instance,
+    )
+    result = gb.reduce(
+        pw.this._pw_instance,
+        pw.this._pw_window_start,
+        pw.this._pw_window_end,
+        min_t=R.min(pw.this.t),
+        max_v=R.max(pw.this.v),
+        count=R.count(),
+    )
+    got = sorted(
+        (r["_pw_instance"], r["_pw_window_start"], r["_pw_window_end"],
+         r["min_t"], r["max_v"], r["count"])
+        for r in result.df.collect()
+    )
+    assert got == [
+        (0, 1.0, 2.0, 1.0, 10.0, 2),
+        (0, 4.0, 4.0, 4.0, 3.0, 1),
+        (0, 8.0, 10.0, 8.0, 8.0, 3),
+        (1, 1.0, 2.0, 1.0, 16.0, 2),
+    ]
+
+
+def test_windowby_tumbling_exposes_pw_instance(spark):
+    import datetime as dt
+
+    t = pw.Table.from_rows(
+        spark,
+        [("a", dt.datetime(2024, 1, 1, 0, 5)), ("b", dt.datetime(2024, 1, 1, 0, 10))],
+        "g string, ts timestamp_ntz",
+    )
+    out = t.windowby(
+        pw.this.ts, window=pw.tumbling("1 hour"), instance=pw.this.g
+    ).reduce(pw.this.g, n=R.count())
+    cols = out.df.columns
+    assert "_pw_instance" in cols and "g" in cols
+    assert {r["_pw_instance"] for r in out.df.collect()} == {"a", "b"}
