@@ -114,6 +114,9 @@ class SlidingWindow(Window):
     hop: Any
     duration: Any
     origin: Any = None
+    # hop-multiplier window length when constructed via ratio= — numeric
+    # windows use it for the reference's exact-tiling end = start(k+ratio)
+    ratio: Any = None
 
 
 @dataclass(frozen=True)
@@ -141,7 +144,7 @@ def sliding(hop, duration=None, ratio=None, origin=None) -> SlidingWindow:
         if ratio is None:
             raise ValueError("need duration or ratio")
         duration = duration_to_seconds(hop) * ratio
-    return SlidingWindow(hop, duration, origin)
+    return SlidingWindow(hop, duration, origin, ratio)
 
 
 def session(max_gap=None, predicate=None) -> SessionWindow:
@@ -196,10 +199,21 @@ class WindowedTable:
         win = self._window
         t = self._table
         tcol = t._resolve(self._time)
+        # the reference accepts int/float event time everywhere
+        # (tests/temporal/test_windows.py test_tumbling/test_*_floats);
+        # F.window needs timestamps, so numeric time takes an arithmetic path
+        tdtype = dict(t._df.select(tcol.alias("__t")).dtypes)["__t"]
+        numeric_time = tdtype in (
+            "bigint", "int", "smallint", "tinyint", "double", "float",
+        ) or tdtype.startswith("decimal")
         if isinstance(win, TumblingWindow):
+            if numeric_time:
+                return self._numeric_window_reduce(win, tcol, tdtype, aggs)
             wcol = F.window(tcol, _duration_str(win.duration), startTime=_origin_offset(win))
             return self._agg_by_window(wcol, aggs)
         if isinstance(win, SlidingWindow):
+            if numeric_time:
+                return self._numeric_window_reduce(win, tcol, tdtype, aggs)
             wcol = F.window(
                 tcol,
                 _duration_str(win.duration),
@@ -212,6 +226,16 @@ class WindowedTable:
                 # reference _window.py:595 accepts predicate sessions through
                 # the ordinary windowby(...).reduce(...) call shape
                 return self._predicate_session_reduce(win, aggs)
+            if numeric_time:
+                # numeric max_gap session: the reference's STRICT merge
+                # (next - cur < max_gap, _window.py:80) as a predicate
+                gap = (
+                    duration_to_seconds(win.max_gap)
+                    if not isinstance(win.max_gap, (int, float))
+                    else float(win.max_gap)
+                )
+                strict = SessionWindow(None, lambda a, b: (b - a) < gap)
+                return self._predicate_session_reduce(strict, aggs)
             # reference merge is STRICT: next - cur < max_gap splits exactly-
             # gap-apart events (_window.py:80); Spark's session_window merges
             # on <= (closed interval).  Shrinking the gap by 1 µs (timestamp
@@ -223,6 +247,119 @@ class WindowedTable:
         if isinstance(win, IntervalsOverWindow):
             return self._intervals_over_reduce(win, aggs)
         raise TypeError(f"bad window {win!r}")
+
+    def _numeric_window_reduce(self, win, tcol: Column, tdtype: str, aggs) -> Table:
+        """Tumbling/sliding windows over NUMERIC event time — pure window
+        arithmetic (floor bucketing; sliding explodes each row into its
+        ≤ ceil(dur/hop) candidate starts), grouped by the start value.
+        Integer time with integral duration/origin keeps integer window
+        bounds, matching the reference's int-time tables."""
+        from pathwaydataframework_spark.internals.groupbys import GroupedContext
+
+        t = self._table
+        origin = float(win.origin or 0)
+        if isinstance(win, TumblingWindow):
+            dur = (
+                duration_to_seconds(win.duration)
+                if not isinstance(win.duration, (int, float))
+                else float(win.duration)
+            )
+            hop = dur
+        else:
+            dur = (
+                duration_to_seconds(win.duration)
+                if not isinstance(win.duration, (int, float))
+                else float(win.duration)
+            )
+            hop = (
+                duration_to_seconds(win.hop)
+                if not isinstance(win.hop, (int, float))
+                else float(win.hop)
+            )
+        integral = (
+            tdtype in ("bigint", "int", "smallint", "tinyint")
+            and dur.is_integer()
+            and hop.is_integer()
+            and origin.is_integer()
+        )
+        tt = tcol.cast("double")
+
+        # the reference's "k-th stable window" scheme (_window.py:286-326):
+        # window IDENTITY is the integer hop-multiplier k (start = k·hop +
+        # origin, end = start + duration), so grouping never compares fuzzy
+        # float starts; candidate ks around floor((t−origin)/hop) are
+        # filtered by start ≤ t < end, and — when origin was given
+        # explicitly — by start ≥ origin (reference drops pre-origin
+        # windows, _window.py:325)
+        # hop-multiplier length: reference tumbling IS sliding(ratio=1)
+        # (_window.py:785), and the ratio form gives exact tiling —
+        # end(k) = start(k + ratio) is the SAME float expression as the
+        # next window's start, so boundary points never fall in a gap
+        if isinstance(win, TumblingWindow):
+            ratio_hops = 1
+        elif getattr(win, "ratio", None) is not None:
+            ratio_hops = int(win.ratio)
+        elif (dur / hop).is_integer():
+            ratio_hops = int(dur / hop)
+        else:
+            ratio_hops = None
+
+        def _start_of(k: Column) -> Column:
+            if integral:
+                return (k * F.lit(int(hop)) + F.lit(int(origin))).cast("long")
+            return k.cast("double") * F.lit(hop) + F.lit(origin)
+
+        def _end_of(k: Column) -> Column:
+            if ratio_hops is not None:
+                return _start_of(k + F.lit(ratio_hops))
+            if integral:
+                return (_start_of(k) + F.lit(int(dur))).cast("long")
+            return _start_of(k) + F.lit(dur)
+
+        m = ratio_hops if ratio_hops is not None else int(dur // hop)
+        last_k = (F.floor((tt - F.lit(origin)) / F.lit(hop)) + 1).cast("long")
+        cands = F.array(*[last_k - F.lit(i) for i in range(m + 3)])
+        origin_given = (
+            win.origin is not None if isinstance(win, (TumblingWindow, SlidingWindow))
+            else False
+        )
+
+        def _fits(k: Column) -> Column:
+            ok = (_start_of(k) <= tt) & (tt < _end_of(k))
+            if origin_given:
+                ok = ok & (_start_of(k) >= F.lit(int(origin) if integral else origin))
+            return ok
+
+        df = t._df.withColumn("__pw_k", F.explode(F.filter(cands, _fits)))
+        start = _start_of(F.col("__pw_k"))
+        end = _end_of(F.col("__pw_k"))
+        out_keys: list[str] = []
+        part_cols: list[str] = []
+        inst_name = None
+        if self._instance is not None:
+            inst_name = (
+                self._instance.name
+                if isinstance(self._instance, ColumnRef)
+                else "_pw_instance"
+            )
+            if inst_name not in df.columns:
+                df = df.withColumn(inst_name, t._resolve(self._instance))
+            part_cols.append(inst_name)
+            out_keys.append(inst_name)
+        ctx = GroupedContext(Table(df))
+        agg_cols = [lift(e)._resolve(ctx).alias(name) for name, e in aggs.items()]
+        out = df.groupBy(start.alias("_pw_window_start"), *part_cols).agg(
+            (F.min(end)).alias("_pw_window_end"), *agg_cols
+        )
+        extra_keys = []
+        if inst_name is not None and inst_name != "_pw_instance":
+            extra_keys.append(F.col(inst_name).alias("_pw_instance"))
+        return Table(
+            out.select(
+                "_pw_window_start", "_pw_window_end", *out_keys, *extra_keys,
+                *list(aggs.keys()),
+            )
+        )
 
     def _predicate_session_reduce(self, win: SessionWindow, aggs) -> Table:
         """session(predicate=...) through the normal reduce path.

@@ -460,3 +460,56 @@ def test_windowby_tumbling_exposes_pw_instance(spark):
     cols = out.df.columns
     assert "_pw_instance" in cols and "g" in cols
     assert {r["_pw_instance"] for r in out.df.collect()} == {"a", "b"}
+
+
+def test_numeric_time_windows(spark):
+    # reference tests/temporal/test_windows.py test_tumbling (int time),
+    # test_tumbling_floats / test_sliding_floats, test_session_max_gap
+    t = pw.Table.from_rows(
+        spark,
+        [(0, 12), (0, 13), (0, 14), (0, 15), (0, 16), (0, 17), (1, 12), (1, 13)],
+        "instance long, t long",
+    )
+    out = t.windowby(
+        pw.this.t, window=pw.temporal.tumbling(duration=5), instance=pw.this.instance
+    ).reduce(
+        pw.this._pw_instance,
+        min_t=R.min(pw.this.t),
+        max_t=R.max(pw.this.t),
+        count=R.count(),
+    )
+    got = sorted(
+        (r["_pw_instance"], r["_pw_window_start"], r["_pw_window_end"],
+         r["min_t"], r["max_t"], r["count"])
+        for r in out.df.collect()
+    )
+    assert got == [
+        (0, 10, 15, 12, 14, 3),
+        (0, 15, 20, 15, 17, 3),
+        (1, 10, 15, 12, 13, 2),
+    ]
+
+    # float tumbling: every point lands in exactly one window
+    fl = pw.Table.from_rows(
+        spark, [(0.1 * (k + 1),) for k in range(100)], "t double"
+    )
+    tf = fl.windowby(
+        pw.this.t, window=pw.temporal.tumbling(duration=0.1, origin=-0.1)
+    ).reduce(count=R.count())
+    assert sum(r["count"] for r in tf.df.collect()) == 100
+
+    # float sliding with ratio: each point in exactly 3 windows
+    sf2 = fl.windowby(
+        pw.this.t, window=pw.temporal.sliding(hop=0.1, ratio=3, origin=-0.1)
+    ).reduce(count=R.count())
+    assert sum(r["count"] for r in sf2.df.collect()) == 300
+
+    # numeric session max_gap: strict merge (next - cur < gap)
+    s = pw.Table.from_rows(
+        spark, [(1.0,), (1.1,), (1.2,), (3.0,), (3.4,), (3.5,)], "t double"
+    )
+    so = s.windowby(
+        pw.this.t, window=pw.temporal.session(max_gap=0.15)
+    ).reduce(min_t=R.min(pw.this.t), count=R.count())
+    got_s = sorted((r["min_t"], r["count"]) for r in so.df.collect())
+    assert got_s == [(1.0, 3), (3.0, 1), (3.4, 2)]
