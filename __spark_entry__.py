@@ -1849,6 +1849,27 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return text.unigram_logprob(docs)
 
 
+def q_window_numeric(spark: SparkSession, sf: str) -> DataFrame:
+    """tumbling window over NUMERIC event time (reference windows accept
+    int/float time; operators/temporal.py numeric k-th-stable-window path)
+    — hourly buckets over epoch seconds, integer window bounds."""
+    ev = load_table(spark, sf, "events")
+    evn = ev.select(
+        pw.this.event_type, pw.this.value, t=pw.this.ts.dt.timestamp()
+    )
+    out = evn.windowby(
+        pw.this.t,
+        window=pw.tumbling(duration=3600),
+        instance=pw.this.event_type,
+    ).reduce(n=R.count(), sum_value=R.sum(pw.this.value).num.round(6))
+    return out.df.select(
+        F.col("_pw_window_start").cast("long").alias("w_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def q_join_instance(spark: SparkSession, sf: str) -> DataFrame:
     """join(..., left_instance=, right_instance=): same-day view/click pairs
     per user.  The instance pair folds into the equi-key set (reference
@@ -1890,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
+        "q_window_numeric": q_window_numeric,
         "q_sorted_names": q_sorted_names,
         "q_reducer_matrix": q_reducer_matrix,
         "q_percentile": q_percentile,
@@ -3499,6 +3521,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE host <> 'blocked.test' AND NOT ends_with(host, '.blocked.test')
         """,
         "q_gopher_repetition": _gopher_repetition_oracle_sql(),
+        "q_window_numeric": """
+            SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS w_start,
+                   event_type,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
         "q_join_instance": """
             WITH v AS (
                 SELECT user_id, event_id, date_part('day', ts)::BIGINT AS day
