@@ -642,6 +642,22 @@ def _pack_sides(ldf, rdf):
     return l_struct, r_struct
 
 
+_NUMERIC_DTYPES = ("bigint", "int", "smallint", "tinyint", "double", "float")
+
+
+def _asof_time_type(ldf, lt: Column, rdf, rt: Column) -> str:
+    """Unified ordering type for the asof union: numeric event time (the
+    reference accepts int/float times) orders as double; otherwise
+    timestamp_ntz."""
+    lty = dict(ldf.select(lt.alias("__t")).dtypes)["__t"]
+    rty = dict(rdf.select(rt.alias("__t")).dtypes)["__t"]
+
+    def _num(t: str) -> bool:
+        return t in _NUMERIC_DTYPES or t.startswith("decimal")
+
+    return "double" if _num(lty) and _num(rty) else "timestamp_ntz"
+
+
 def _compose_instance_on(on, left_instance, right_instance) -> tuple:
     """Fold ``left_instance``/``right_instance`` into the equi-key set —
     reference joins.py:965-967 (the instance pair is one more equi-
@@ -734,16 +750,17 @@ def asof_join(
     lkeys = [ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)]
     rkeys = [rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)]
 
+    __tt = _asof_time_type(ldf, lt, rdf, rt)
     lu = ldf.select(
         *lkeys,
-        lt.cast("timestamp_ntz").alias("__t"),
+        lt.cast(__tt).alias("__t"),
         F.lit(1).alias("__side"),
         l_struct.alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
     )
     ru = rdf.select(
         *rkeys,
-        rt.cast("timestamp_ntz").alias("__t"),
+        rt.cast(__tt).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_type).alias("__l"),
         r_struct.alias("__r"),
@@ -850,16 +867,17 @@ def _asof_nearest(
     lkeys = [ldf[lc].alias(f"__k{i}") for i, (lc, _) in enumerate(pairs)]
     rkeys = [rdf[rc].alias(f"__k{i}") for i, (_, rc) in enumerate(pairs)]
 
+    __tt = _asof_time_type(ldf, lt, rdf, rt)
     lu = ldf.select(
         *lkeys,
-        lt.cast("timestamp_ntz").alias("__t"),
+        lt.cast(__tt).alias("__t"),
         F.lit(1).alias("__side"),
         l_struct.alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
     )
     ru = rdf.select(
         *rkeys,
-        rt.cast("timestamp_ntz").alias("__t"),
+        rt.cast(__tt).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_type).alias("__l"),
         r_struct.alias("__r"),

@@ -513,3 +513,18 @@ def test_numeric_time_windows(spark):
     ).reduce(min_t=R.min(pw.this.t), count=R.count())
     got_s = sorted((r["min_t"], r["count"]) for r in so.df.collect())
     assert got_s == [(1.0, 3), (3.0, 1), (3.4, 2)]
+
+
+def test_asof_join_numeric_time(spark):
+    # reference tests/temporal/test_asof_joins.py uses int event times
+    l = pw.Table.from_rows(spark, [(1, 3), (2, 7)], "k long, t long")
+    r = pw.Table.from_rows(spark, [(1, 4), (1, 2), (2, 20)], "k long, rt long")
+    bwd = l.asof_join(
+        r, pw.this.t, pw.this.rt, pw.left.k == pw.right.k, how="left"
+    ).select(k=pw.left.k, t=pw.left.t, rt=pw.right.rt)
+    assert sorted(tuple(x) for x in bwd.df.collect()) == [(1, 3, 2), (2, 7, None)]
+    near = l.asof_join(
+        r, pw.this.t, pw.this.rt, pw.left.k == pw.right.k,
+        how="left", direction="nearest",
+    ).select(k=pw.left.k, t=pw.left.t, rt=pw.right.rt)
+    assert sorted(tuple(x) for x in near.df.collect()) == [(1, 3, 2), (2, 7, 20)]
