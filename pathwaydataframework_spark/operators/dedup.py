@@ -463,7 +463,9 @@ def minhash_lsh_pairs(
     # materialize the band rows ONCE (bands × 8 bytes per doc): they feed
     # the signature collapse AND the representative self-join — without the
     # checkpoint each consumer re-runs the shingle explode + num_hashes
-    # min-aggs (measured 3×+ slower at sf0.1)
+    # min-aggs (measured 3×+ slower at sf0.1; a LAZY checkpoint was
+    # measured ~0.4 s slower still — the dedicated materialization job
+    # beats lazily materializing inside the membership job)
     banded = minhash_band_index(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     ).localCheckpoint(eager=True)
