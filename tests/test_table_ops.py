@@ -488,3 +488,47 @@ def test_ix_argmin_argmax_in_reduce(spark):
     )
     got = {r["g"]: (r["lo"], r["hi"]) for r in out.df.collect()}
     assert got == {"a": ("x", "y"), "b": ("z", "z")}
+
+
+def test_chained_join_composes_with_filter_and_groupby(spark):
+    t1 = pw.Table.from_rows(spark, [(1, "x"), (2, "y")], "k long, xv string")
+    t2 = pw.Table.from_rows(spark, [(1, 10), (2, 20)], "k long, m long")
+    t3 = pw.Table.from_rows(spark, [(10, "ten"), (20, "twenty")], "m long, name string")
+    out = (
+        t1.join(t2, t1.k == t2.k)
+        .filter(t2.m > 10)
+        .join(t3, t2.m == t3.m)
+        .select(xv=t1.xv, name=t3.name)
+    )
+    assert rows(out) == [("y", "twenty")]
+    g = (
+        t1.join(t2, t1.k == t2.k)
+        .join(t3, t2.m == t3.m)
+        .groupby(t1.xv)
+        .reduce(n=R.count(), sm=R.sum(t2.m))
+    )
+    assert rows(g) == [("x", 1, 10), ("y", 1, 20)]
+
+
+def test_udf_reducer_multi_arg(spark):
+    class WSum(pw.BaseCustomAccumulator):
+        def __init__(self, v):
+            self.v = v
+
+        @classmethod
+        def from_row(cls, row):
+            a, b = row
+            return cls(a * b)
+
+        def update(self, other):
+            self.v += other.v
+
+        def compute_result(self) -> float:
+            return self.v
+
+    wsum = R.udf_reducer(WSum)
+    t = pw.Table.from_rows(
+        spark, [("a", 2.0, 3.0), ("a", 1.0, 5.0)], "g string, x double, w double"
+    )
+    out = t.groupby(pw.this.g).reduce(pw.this.g, ws=wsum(pw.this.x, pw.this.w))
+    assert rows(out) == [("a", 11.0)]
