@@ -282,7 +282,12 @@ def minhash_band_index(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band_idx", "bb.band_hash")
+        # full-signature hash, computed BEFORE the explode and carried on
+        # every band row: the identical-signature collapse reads it with a
+        # narrow filter instead of a collect_list re-aggregation, and a
+        # persisted index can dedup byte-identical docs without re-hashing
+        F.xxhash64(*[band_cols[b] for b in range(bands)]).alias("sig"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash", "sig")
 
 
 def incremental_neardup_pairs(
@@ -469,13 +474,11 @@ def minhash_lsh_pairs(
     banded = minhash_band_index(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     ).localCheckpoint(eager=True)
-    # full-signature hash per doc: the groupBy reuses banded's doc_id
-    # partitioning (it descends from minhash_signatures' doc-keyed agg), so
-    # the collapse costs no corpus-scale exchange
-    sigs = banded.groupBy("doc_id").agg(
-        F.xxhash64(
-            F.sort_array(F.collect_list(F.struct("band_idx", "band_hash")))
-        ).alias("__sig")
+    # full-signature hash per doc: carried on every band row by
+    # minhash_band_index (computed pre-explode), so this is a narrow
+    # filter over the checkpoint — no re-aggregation
+    sigs = banded.filter(F.col("band_idx") == 0).select(
+        "doc_id", F.col("sig").alias("__sig")
     )
 
     def _rep_band_pairs(reps: DataFrame) -> DataFrame:
