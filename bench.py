@@ -104,11 +104,17 @@ def main() -> None:
             f"{n} rows; runs={runs})",
             file=sys.stderr,
         )
-        # Variance guard: nudge the JVM to collect between query families so
-        # garbage from one query's shuffle buffers doesn't land as a GC
-        # pause inside the NEXT query's timed window (measured: late-sequence
+        # Variance guard: release Python-side DataFrame refs FIRST (their
+        # localCheckpoint RDD blocks stay pinned in the block manager until
+        # the py4j objects are collected), then nudge the JVM so garbage
+        # from one query's shuffle buffers doesn't land as a GC pause
+        # inside the NEXT query's timed window (measured: late-sequence
         # queries otherwise inherit 1-2 s pauses from earlier heaps).
         try:
+            import gc as _gc
+
+            df = None
+            _gc.collect()
             spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001 — a GC hint must never fail the bench
             pass
