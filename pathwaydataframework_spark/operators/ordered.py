@@ -18,6 +18,8 @@ data (interpolate over a global series), and document it.
 
 from __future__ import annotations
 
+import enum as _enum
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -63,7 +65,13 @@ def diff(table: Table, timestamp, *values, instance=None) -> Table:
     return Table(table._df.withColumns(mapping), table._id_cols)
 
 
-def interpolate(table: Table, timestamp, *values, mode: str = "linear") -> Table:
+class InterpolateMode(_enum.Enum):
+    """Reference stdlib/statistical/_interpolate.py:28."""
+
+    LINEAR = 0
+
+
+def interpolate(table: Table, timestamp, *values, mode="linear") -> Table:
     """Linear interpolation of null values over time
     (stdlib/statistical/_interpolate.py:33).
 
@@ -71,6 +79,8 @@ def interpolate(table: Table, timestamp, *values, mode: str = "linear") -> Table
     intended for series that fit a single partition; for partitioned series
     compose with groupby-style instance manually.
     """
+    if isinstance(mode, InterpolateMode):
+        mode = mode.name.lower()
     if mode != "linear":
         raise ValueError("only linear interpolation is supported")
     from pathwaydataframework_spark.operators.temporal import _epoch_seconds

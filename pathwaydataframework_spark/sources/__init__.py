@@ -227,11 +227,84 @@ class deltalake:
 
 
 class postgres:
-    """Reference io/postgres/__init__.py:18 → JDBC sink."""
+    """Reference io/postgres/__init__.py:18 (write) / :113 (write_snapshot)
+    → JDBC sink."""
 
     @staticmethod
-    def write(table: Table, *, url: str, table_name: str, mode: str = "append", **props) -> None:
+    def _url_props(postgres_settings: dict) -> tuple[str, dict]:
+        """Reference connection-dict shape (host/port/dbname/user/password)
+        → JDBC url + properties."""
+        host = postgres_settings.get("host", "localhost")
+        port = postgres_settings.get("port", 5432)
+        db = postgres_settings.get("dbname") or postgres_settings.get("database", "")
+        url = f"jdbc:postgresql://{host}:{port}/{db}"
+        props = {
+            k: str(v)
+            for k, v in postgres_settings.items()
+            if k in ("user", "password", "driver")
+        }
+        props.setdefault("driver", "org.postgresql.Driver")
+        return url, props
+
+    @staticmethod
+    def write(
+        table: Table,
+        postgres_settings: dict | None = None,
+        table_name: str | None = None,
+        *,
+        url: str | None = None,
+        mode: str = "append",
+        **props,
+    ) -> None:
+        if postgres_settings is not None:
+            url, sprops = postgres._url_props(postgres_settings)
+            sprops.update(props)
+            props = sprops
         table.df.write.jdbc(url=url, table=table_name, mode=mode, properties=props)
+
+    @staticmethod
+    def write_snapshot(
+        table: Table,
+        postgres_settings: dict | None,
+        table_name: str,
+        primary_key: list[str],
+        max_batch_size: int | None = None,
+        *,
+        url: str | None = None,
+        **props,
+    ) -> None:
+        """Reference io/postgres/__init__.py:113 — maintain the CURRENT
+        state of the table keyed by ``primary_key``.
+
+        Batch analogue: keep the latest row per key (ordered by the
+        ``time`` column when present, reference changelog convention),
+        drop keys whose final ``diff`` is a retraction, and replace the
+        target table (JDBC overwrite + truncate — the snapshot IS the
+        final state, so a full replace is the batch-exact semantics).
+        """
+        import pyspark.sql.functions as F
+
+        df = table.df
+        if "time" in df.columns:
+            cols = [c for c in df.columns]
+            row = F.struct(*[F.col(c) for c in cols])
+            latest = (
+                df.groupBy(*[F.col(k).alias(f"__pk{i}") for i, k in enumerate(primary_key)])
+                .agg(F.max_by(row, F.col("time")).alias("__r"))
+                .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+            )
+            if "diff" in df.columns:
+                latest = latest.filter(F.col("diff") >= 0)
+            df = latest.drop("time", "diff")
+        if url is None:
+            url, sprops = postgres._url_props(postgres_settings)
+        else:
+            sprops = {}  # explicit url: any JDBC database (tests use Derby)
+        sprops.update(props)
+        writer = df.write.option("truncate", "true")
+        if max_batch_size:
+            writer = writer.option("batchsize", str(int(max_batch_size)))
+        writer.jdbc(url=url, table=table_name, mode="overwrite", properties=sprops)
 
 
 class sqlite:
@@ -450,6 +523,14 @@ class http:
         return srv.table(), srv
 
     @staticmethod
+    def rest_connector(spark: SparkSession, host=None, port=None, **kwargs):
+        """Reference pw.io.http.rest_connector (io/http/_server.py:624):
+        (table, response_writer) request/response ingress."""
+        from pathwaydataframework_spark.sources.http_ingress import rest_connector
+
+        return rest_connector(spark, host, port, **kwargs)
+
+    @staticmethod
     def write(table: Table, url: str, *, sender=None, format: str = "json") -> None:
         if sender is None:
             raise NotImplementedError(
@@ -475,6 +556,80 @@ class python:
 
     ConnectorSubject = _mod.ConnectorSubject
     read = staticmethod(_mod.read)
+
+
+class AwsS3Settings:
+    """Reference internals/_io_helpers.py:17 — S3 connection settings
+    (also usable for any custom S3 installation via region/endpoint)."""
+
+    def __init__(
+        self,
+        *,
+        bucket_name=None,
+        access_key=None,
+        secret_access_key=None,
+        with_path_style: bool = False,
+        region=None,
+        endpoint=None,
+        session_token=None,
+    ):
+        self.bucket_name = bucket_name
+        self.access_key = access_key
+        self.secret_access_key = secret_access_key
+        self.with_path_style = with_path_style
+        self.region = region
+        self.endpoint = endpoint
+        self.session_token = session_token
+
+
+class DigitalOceanS3Settings:
+    """Reference io/s3/__init__.py:22 — DigitalOcean Spaces (S3 API with
+    the regional ``digitaloceanspaces.com`` endpoint)."""
+
+    def __init__(self, bucket_name, *, access_key=None, secret_access_key=None, region=None):
+        self.bucket_name = bucket_name
+        self.access_key = access_key
+        self.secret_access_key = secret_access_key
+        self.region = region
+        self.endpoint = f"{region}.digitaloceanspaces.com" if region else None
+        self.with_path_style = False
+        self.session_token = None
+
+
+class WasabiS3Settings:
+    """Reference io/s3/__init__.py:57 — Wasabi regional endpoint."""
+
+    def __init__(self, bucket_name, *, access_key=None, secret_access_key=None, region="us-east-1"):
+        self.bucket_name = bucket_name
+        self.access_key = access_key
+        self.secret_access_key = secret_access_key
+        self.region = region
+        self.endpoint = f"s3.{region}.wasabisys.com"
+        self.with_path_style = False
+        self.session_token = None
+
+
+class MinIOSettings:
+    """Reference io/minio/__init__.py:15 — MinIO bucket settings
+    (path-style addressing by default)."""
+
+    def __init__(
+        self,
+        endpoint,
+        bucket_name,
+        access_key,
+        secret_access_key,
+        *,
+        with_path_style: bool = True,
+        region=None,
+    ):
+        self.endpoint = endpoint
+        self.bucket_name = bucket_name
+        self.access_key = access_key
+        self.secret_access_key = secret_access_key
+        self.with_path_style = with_path_style
+        self.region = region
+        self.session_token = None
 
 
 class s3:
@@ -518,12 +673,17 @@ class s3:
             path = f"s3a://{bucket}/{path.lstrip('/')}" if bucket else "s3a://" + path
         return path
 
+    AwsS3Settings = AwsS3Settings
+    DigitalOceanS3Settings = DigitalOceanS3Settings
+    WasabiS3Settings = WasabiS3Settings
+
     @staticmethod
     def read(
         spark: SparkSession,
         path: str,
         *,
         format: str = "csv",
+        aws_s3_settings=None,
         bucket: str | None = None,
         mode: str = "static",
         access_key: str | None = None,
@@ -532,39 +692,98 @@ class s3:
         region: str | None = None,
         **options: Any,
     ) -> Table:
+        if aws_s3_settings is not None:
+            # reference call shape: pw.io.s3.read(path, format,
+            # aws_s3_settings=AwsS3Settings(...)) — the settings object
+            # supplies anything not passed explicitly
+            access_key = access_key or aws_s3_settings.access_key
+            secret_access_key = secret_access_key or aws_s3_settings.secret_access_key
+            endpoint = endpoint or aws_s3_settings.endpoint
+            region = region or aws_s3_settings.region
+            bucket = bucket or aws_s3_settings.bucket_name
         s3._apply_conf(
             spark,
             access_key=access_key,
             secret_access_key=secret_access_key,
             endpoint=endpoint,
             region=region,
+            path_style=getattr(aws_s3_settings, "with_path_style", None),
         )
+        if aws_s3_settings is not None and aws_s3_settings.session_token:
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            conf.set("fs.s3a.session.token", aws_s3_settings.session_token)
+            conf.set(
+                "fs.s3a.aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider",
+            )
         return fs.read(spark, s3._s3a(path, bucket), format=format, mode=mode, **options)
+
+    @staticmethod
+    def read_from_digital_ocean(
+        spark: SparkSession,
+        path: str,
+        do_s3_settings,
+        format: str = "csv",
+        *,
+        mode: str = "static",
+        **options: Any,
+    ) -> Table:
+        """Reference io/s3/__init__.py:304."""
+        return s3.read(
+            spark, path, format=format, aws_s3_settings=do_s3_settings,
+            mode=mode, **options,
+        )
+
+    @staticmethod
+    def read_from_wasabi(
+        spark: SparkSession,
+        path: str,
+        wasabi_s3_settings,
+        format: str = "csv",
+        *,
+        mode: str = "static",
+        **options: Any,
+    ) -> Table:
+        """Reference io/s3/__init__.py:435."""
+        return s3.read(
+            spark, path, format=format, aws_s3_settings=wasabi_s3_settings,
+            mode=mode, **options,
+        )
 
 
 class minio:
     """Reference io/minio/__init__.py:59 — S3 API with a custom endpoint
     and path-style addressing."""
 
+    MinIOSettings = MinIOSettings
+
     @staticmethod
     def read(
         spark: SparkSession,
         path: str,
         *,
-        endpoint: str,
-        access_key: str,
-        secret_access_key: str,
+        minio_settings=None,
+        endpoint: str | None = None,
+        access_key: str | None = None,
+        secret_access_key: str | None = None,
         bucket: str | None = None,
         format: str = "csv",
         mode: str = "static",
         **options: Any,
     ) -> Table:
+        if minio_settings is not None:
+            endpoint = endpoint or minio_settings.endpoint
+            access_key = access_key or minio_settings.access_key
+            secret_access_key = secret_access_key or minio_settings.secret_access_key
+            bucket = bucket or minio_settings.bucket_name
         s3._apply_conf(
             spark,
             access_key=access_key,
             secret_access_key=secret_access_key,
             endpoint=endpoint,
-            path_style=True,
+            path_style=(
+                minio_settings.with_path_style if minio_settings is not None else True
+            ),
         )
         return fs.read(spark, s3._s3a(path, bucket), format=format, mode=mode, **options)
 
@@ -1007,8 +1226,47 @@ class bigquery:
         w.save()
 
 
+class ElasticSearchAuth:
+    """Reference io/elasticsearch/__init__.py:12 — auth spec factories;
+    carried into the es-hadoop connector options."""
+
+    def __init__(self, kind: str, **fields):
+        self.kind = kind
+        self.fields = fields
+
+    @classmethod
+    def apikey(cls, apikey_id, apikey):
+        return cls("apikey", apikey_id=apikey_id, apikey=apikey)
+
+    @classmethod
+    def basic(cls, username, password):
+        return cls("basic", username=username, password=password)
+
+    @classmethod
+    def bearer(cls, bearer):
+        return cls("bearer", bearer=bearer)
+
+    def as_options(self) -> dict:
+        if self.kind == "basic":
+            return {
+                "es.net.http.auth.user": self.fields["username"],
+                "es.net.http.auth.pass": self.fields["password"],
+            }
+        if self.kind == "apikey":
+            return {
+                "es.net.http.header.Authorization": (
+                    f"ApiKey {self.fields['apikey_id']}:{self.fields['apikey']}"
+                )
+            }
+        return {
+            "es.net.http.header.Authorization": f"Bearer {self.fields['bearer']}"
+        }
+
+
 class elasticsearch:
     """Reference io/elasticsearch/__init__.py:52 → es-hadoop connector."""
+
+    ElasticSearchAuth = ElasticSearchAuth
 
     @staticmethod
     def write(
@@ -1017,10 +1275,13 @@ class elasticsearch:
         hosts: str | Sequence[str],
         index: str,
         mode: str = "append",
+        auth: "ElasticSearchAuth | None" = None,
         **options: Any,
     ) -> None:
         if not isinstance(hosts, str):
             hosts = ",".join(hosts)
+        if auth is not None:
+            options = {**auth.as_options(), **options}
         w = (
             table.df.write.format("org.elasticsearch.spark.sql")
             .mode(mode)

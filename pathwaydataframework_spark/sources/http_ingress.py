@@ -94,3 +94,214 @@ class HttpIngressServer:
         self._server.shutdown()
         self._server.server_close()
         self._thread.join(timeout=5)
+
+
+class RestIngressServer:
+    """Request/response REST ingress — reference ``pw.io.http.rest_connector``
+    (io/http/_server.py:624).
+
+    Each accepted request is assigned a ``query_id``, spooled into the
+    streaming ingress directory (same file-stream spool pattern as
+    :class:`HttpIngressServer` — the data plane never funnels through the
+    driver), and the HTTP response BLOCKS until the response writer
+    delivers a row with that ``query_id`` (or the timeout passes).  The
+    response path intentionally runs driver-side: responses leave through
+    this very HTTP server, so they are the server's working set, not a
+    data-plane funnel.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        schema,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        route: str = "/",
+        methods=("POST",),
+        request_validator=None,
+        response_timeout_s: float = 30.0,
+    ) -> None:
+        self._spark = spark
+        self._schema = schema
+        self._spool = spool_dir
+        self._route = route
+        self._timeout = response_timeout_s
+        os.makedirs(spool_dir, exist_ok=True)
+        self._pending: dict[str, threading.Event] = {}
+        self._results: dict[str, object] = {}
+        self._lock = threading.Lock()
+        spool = self._spool
+        outer = self
+        allowed = {m.upper() for m in methods}
+
+        class Handler(BaseHTTPRequestHandler):
+            def _handle(self, payload: dict) -> None:
+                if request_validator is not None:
+                    try:
+                        verdict = request_validator(payload)
+                    except Exception as exc:  # noqa: BLE001 — validator contract
+                        verdict = str(exc)
+                    if verdict is not None:
+                        self.send_response(400)
+                        self.end_headers()
+                        self.wfile.write(str(verdict).encode("utf-8"))
+                        return
+                qid = uuid.uuid4().hex
+                ev = threading.Event()
+                with outer._lock:
+                    outer._pending[qid] = ev
+                row = dict(payload)
+                row["query_id"] = qid
+                name = qid + ".jsonl"
+                tmp = os.path.join(spool, "." + name)
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(json.dumps(row) + "\n")
+                os.rename(tmp, os.path.join(spool, name))
+                if ev.wait(outer._timeout):
+                    with outer._lock:
+                        result = outer._results.pop(qid, None)
+                        outer._pending.pop(qid, None)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(json.dumps(result).encode("utf-8"))
+                else:
+                    with outer._lock:
+                        outer._pending.pop(qid, None)
+                    self.send_response(504)
+                    self.end_headers()
+
+            def do_POST(self) -> None:  # noqa: N802 — stdlib API name
+                if "POST" not in allowed or (
+                    outer._route != "/" and self.path != outer._route
+                ):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                try:
+                    payload = json.loads(body.decode("utf-8") or "{}")
+                except (UnicodeDecodeError, json.JSONDecodeError):
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                self._handle(payload)
+
+            def do_GET(self) -> None:  # noqa: N802
+                if "GET" not in allowed:
+                    self.send_response(405)
+                    self.end_headers()
+                    return
+                from urllib.parse import parse_qsl, urlparse
+
+                q = dict(parse_qsl(urlparse(self.path).query))
+                self._handle(q)
+
+            def log_message(self, *args) -> None:
+                pass
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}{self._route}"
+
+    def table(self) -> Table:
+        schema = self._schema
+        if isinstance(schema, type) and hasattr(schema, "to_spark"):
+            import pyspark.sql.types as T
+
+            st = schema.to_spark()
+            st = T.StructType(list(st.fields) + [T.StructField("query_id", T.StringType())])
+            df = self._spark.readStream.schema(st).json(self._spool)
+        else:
+            df = self._spark.readStream.schema(
+                f"{schema}, query_id string"
+            ).json(self._spool)
+        return Table(df)
+
+    def deliver(self, query_id: str, result) -> None:
+        """Resolve one pending request (used by the response writer)."""
+        with self._lock:
+            ev = self._pending.get(query_id)
+            if ev is None:
+                return
+            self._results[query_id] = result
+            ev.set()
+
+    def response_writer(self, result_table: Table) -> None:
+        """The callable returned by rest_connector: feed it the result
+        table — columns ``query_id`` and ``result`` (reference contract).
+        Streaming tables deliver via foreachBatch; batch tables deliver
+        their rows once."""
+        df = result_table.df if hasattr(result_table, "df") else result_table
+
+        def _deliver_batch(batch_df, _batch_id=None) -> None:
+            for row in batch_df.select("query_id", "result").collect():
+                self.deliver(row["query_id"], row["result"])
+
+        if df.isStreaming:
+            q = df.writeStream.outputMode("append").foreachBatch(_deliver_batch).start()
+            self._response_query = q
+        else:
+            _deliver_batch(df)
+
+    def stop(self) -> None:
+        q = getattr(self, "_response_query", None)
+        if q is not None:
+            q.stop()
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)
+
+
+def rest_connector(
+    spark: SparkSession,
+    host: str | None = None,
+    port: int | str | None = None,
+    *,
+    schema,
+    spool_dir: str,
+    route: str = "/",
+    methods=("POST",),
+    request_validator=None,
+    delete_completed_queries: bool | None = None,
+    response_timeout_s: float = 30.0,
+    **_accepted,
+):
+    """Reference ``pw.io.http.rest_connector`` (io/http/_server.py:624):
+    returns ``(table, response_writer)`` — POST a JSON payload, the row
+    (plus its ``query_id``) streams into the table, and the HTTP response
+    blocks until ``response_writer``'s table yields a matching
+    ``(query_id, result)`` row.
+
+    ``delete_completed_queries`` is accepted for call-shape parity; the
+    file-stream ingress is append-only (no retraction channel — same
+    deviation as io.pyfilesystem deletions, DEVIATIONS #2), so completed
+    queries are simply dropped from the server's pending map.
+    """
+    srv = RestIngressServer(
+        spark,
+        schema=schema,
+        spool_dir=spool_dir,
+        host=host or "127.0.0.1",
+        port=int(port or 0),
+        route=route,
+        methods=methods,
+        request_validator=request_validator,
+        response_timeout_s=response_timeout_s,
+    )
+    table = srv.table()
+
+    def writer(result_table):
+        return srv.response_writer(result_table)
+
+    # expose the server handle for shutdown/url access
+    writer.server = srv  # type: ignore[attr-defined]
+    return table, writer

@@ -423,3 +423,48 @@ def test_pyfilesystem_streaming_reemits_changed_and_tombstones_deleted(spark, tm
     assert ("/y.txt", b"", True) in emitted          # deletion tombstone
     # unchanged files are NOT re-emitted: exactly one /y.txt data row
     assert [e for e in emitted if e[0] == "/y.txt" and not e[2]] == [("/y.txt", b"y", False)]
+
+
+def test_postgres_write_snapshot_latest_state(spark, tmp_path):
+    # reference io/postgres/__init__.py:113 — snapshot = latest row per
+    # primary key (time-ordered changelog), retracted keys dropped;
+    # exercised against embedded Derby (same JDBC writer path)
+    import pathwaydataframework_spark as pw
+
+    url = f"jdbc:derby:{tmp_path}/snapdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    changelog = pw.Table.from_rows(
+        spark,
+        [
+            (1, "a", 10, 1),   # k=1 v=a @t=10
+            (1, "b", 20, 1),   # k=1 updated to b @t=20 → survives
+            (2, "x", 10, 1),   # k=2 inserted
+            (2, "x", 30, -1),  # k=2 retracted @t=30 → dropped
+        ],
+        "k long, v string, time long, diff int",
+    )
+    pw.io.postgres.write_snapshot(
+        changelog, None, "snapshot", ["k"], url=url, **props
+    )
+    back = pw.io.sqlite.read(spark, url, "snapshot", **props)
+    assert sorted(map(tuple, back.df.collect())) == [(1, "b")]
+
+
+def test_s3_settings_classes_shape(spark):
+    # settings objects carry through to the hadoop conf path (no network
+    # here — asserting the conf the reader would use)
+    import pathwaydataframework_spark as pw
+
+    st = pw.io.s3.AwsS3Settings(
+        bucket_name="bkt", access_key="AK", secret_access_key="SK",
+        region="eu-central-1", endpoint="s3.example.com",
+    )
+    assert st.bucket_name == "bkt" and st.endpoint == "s3.example.com"
+    do = pw.io.s3.DigitalOceanS3Settings("b2", access_key="a", secret_access_key="s", region="fra1")
+    assert do.endpoint == "fra1.digitaloceanspaces.com"
+    wa = pw.io.s3.WasabiS3Settings("b3", access_key="a", secret_access_key="s", region="eu-west-1")
+    assert wa.endpoint == "s3.eu-west-1.wasabisys.com"
+    mi = pw.io.minio.MinIOSettings("minio.local:9000", "b4", "a", "s")
+    assert mi.with_path_style is True
+    auth = pw.io.elasticsearch.ElasticSearchAuth.basic("u", "p")
+    assert auth.as_options()["es.net.http.auth.user"] == "u"

@@ -69,3 +69,41 @@ def test_subscribe_streaming_foreach(spark, tmp_path):
         with open(os.path.join(out_dir, name)) as f:
             rows.append(json.load(f))
     assert sorted((r["k"], r["v"]) for r in rows) == [("a", 1), ("b", 2)]
+
+
+def test_rest_connector_request_response_roundtrip(spark, tmp_path):
+    # reference pw.io.http.rest_connector contract (io/http/_server.py:624):
+    # POST blocks until the response writer delivers (query_id, result)
+    import json
+    import threading
+    import urllib.request
+
+    table, writer = sources.http.rest_connector(
+        spark,
+        schema="x long",
+        spool_dir=str(tmp_path / "rest_spool"),
+        response_timeout_s=20.0,
+    )
+    srv = writer.server
+    assert table.df.isStreaming
+
+    # the computation: double x — run as a streaming pipeline feeding the
+    # response writer
+    import pathwaydataframework_spark as pw
+
+    result = table.select(
+        pw.this.query_id, result=pw.this.x * 2
+    )
+    writer(result)
+
+    try:
+        req = urllib.request.Request(
+            srv.url,
+            data=json.dumps({"x": 21}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read()) == 42
+    finally:
+        srv.stop()
