@@ -54,6 +54,7 @@ from pathwaydataframework_spark.internals.schema import (
     schema_builder,
     schema_from_csv,
     schema_from_dict,
+    schema_from_pandas,
     schema_from_types,
     unwrap_py_object,
     wrap_py_object,
@@ -251,6 +252,7 @@ __all__ = [
     "Pointer",
     "PyObjectWrapper",
     "schema_from_types",
+    "schema_from_pandas",
     "schema_from_dict",
     "schema_builder",
     "assert_table_has_schema",

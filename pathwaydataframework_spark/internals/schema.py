@@ -279,3 +279,27 @@ def assert_table_has_schema(table, schema: type[Schema]) -> None:
     expected = {name: dtype for name, (dtype, _, _) in schema._columns.items()}
     if actual != expected:
         raise AssertionError(f"schema mismatch: {actual} != {expected}")
+
+
+def schema_from_pandas(
+    dframe,
+    *,
+    id_from=None,
+    name: str | None = None,
+    exclude_columns=frozenset(),
+) -> type[Schema]:
+    """Reference internals/schema.py:107 — infer a Schema from a pandas
+    DataFrame's dtypes."""
+    _PD2PY = {"int64": int, "int32": int, "float64": float, "float32": float,
+              "bool": bool, "object": str, "string": str}
+    types = {}
+    for col in dframe.columns:
+        if col in exclude_columns:
+            continue
+        types[col] = _PD2PY.get(str(dframe[col].dtype), str)
+    cls = schema_from_dict(types)
+    if name:
+        cls.__name__ = name
+    if id_from:
+        cls._id_from = list(id_from)
+    return cls

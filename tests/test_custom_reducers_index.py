@@ -248,3 +248,26 @@ def test_udf_reducer_decorator_in_reduce(spark):
     )
     got = {r["k"]: (r["avg"], r["n"]) for r in out.df.collect()}
     assert got == {"a": (3.0, 2), "b": (10.0, 1)}
+
+
+def test_clustering_via_lsh_separates_clusters(spark):
+    # reference stdlib/ml/classifiers/_clustering_via_lsh.py — two far-apart
+    # blobs must get two distinct labels, consistent within each blob
+    from pathwaydataframework_spark.ml.classifiers import (
+        clustering_via_lsh,
+        generate_euclidean_lsh_bucketer,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 10.0, 10.0, 10.0]))
+    for i in range(20, 40):
+        rows.append((i, [-10.0, -10.0 - (i % 3) * 0.1, -10.0, -10.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bucketer = generate_euclidean_lsh_bucketer(4, 2, 3, A=5.0, seed=0)
+    out = clustering_via_lsh(df, bucketer, 2, id_col="vec_id", vec_col="embedding")
+    got = {r["vec_id"]: r["label"] for r in out.collect()}
+    assert len(got) == 40
+    blob_a = {got[i] for i in range(20)}
+    blob_b = {got[i] for i in range(20, 40)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
