@@ -71,3 +71,25 @@ def rerank_token_overlap(
     if k is not None:
         out = out.filter(F.col("rerank") <= k)
     return out
+
+
+def rerank_topk_filter(docs, scores, k: int = 5):
+    """Reference xpacks/llm/rerankers.py:15 — per-row top-k filter over
+    parallel (docs, scores) list columns, returned as the (docs, scores)
+    pair sorted by score descending.  Pure column expressions: zip →
+    sort desc → slice → unzip, no UDF."""
+    import pyspark.sql.functions as F
+
+    from pathwaydataframework_spark.internals.expression import FuncExpr, lift
+
+    def _fn(d, s):
+        zipped = F.zip_with(
+            s, d, lambda sc, doc: F.struct(sc.alias("score"), doc.alias("doc"))
+        )
+        top = F.slice(F.reverse(F.array_sort(zipped)), 1, k)
+        return F.struct(
+            F.transform(top, lambda t: t["doc"]).alias("docs"),
+            F.transform(top, lambda t: t["score"]).alias("scores"),
+        )
+
+    return FuncExpr(_fn, lift(docs), lift(scores))

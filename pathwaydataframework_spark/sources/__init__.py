@@ -1505,3 +1505,28 @@ class avro:
     @staticmethod
     def write(table: Table, path: str, **opts):
         return fs.write(table, path, format="avro", **opts)
+
+
+class RetryPolicy:
+    """Reference io/http/_common.py:13 — delay/backoff schedule for HTTP
+    retries (used by the injectable-sender egress paths)."""
+
+    def __init__(self, first_delay_ms: int, backoff_factor: float, jitter_ms: int):
+        self._next_retry_duration = first_delay_ms * 1e-3
+        self._backoff_factor = backoff_factor
+        self._jitter = jitter_ms * 1e-3
+
+    @classmethod
+    def default(cls) -> "RetryPolicy":
+        return cls(first_delay_ms=1000, backoff_factor=1.5, jitter_ms=300)
+
+    def wait_duration_before_retry(self) -> float:
+        import random
+
+        result = self._next_retry_duration
+        self._next_retry_duration *= self._backoff_factor
+        self._next_retry_duration += random.random() * self._jitter
+        return result
+
+
+http.RetryPolicy = RetryPolicy
