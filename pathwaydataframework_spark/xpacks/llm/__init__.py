@@ -24,10 +24,18 @@ from pathwaydataframework_spark.xpacks.llm.vector_store import (  # noqa: F401
     VectorStoreServer,
 )
 from pathwaydataframework_spark.xpacks.llm import (  # noqa: F401
+    embedders,
     llms,
     prompts,
     question_answering,
     servers,
+)
+from pathwaydataframework_spark.xpacks.llm.embedders import (  # noqa: F401
+    BaseEmbedder,
+    GeminiEmbedder,
+    LiteLLMEmbedder,
+    OpenAIEmbedder,
+    SentenceTransformerEmbedder,
 )
 from pathwaydataframework_spark.xpacks.llm.question_answering import (  # noqa: F401
     BaseQuestionAnswerer,

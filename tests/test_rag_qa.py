@@ -271,3 +271,31 @@ def test_qa_summary_rest_server(spark, rag_app):
         assert _post(base + "/v1/echo", {"x": 1}) == {"got": {"x": 1}}
     finally:
         server.shutdown()
+
+
+def test_embedder_family_fallback_and_injection(spark):
+    # reference xpacks/llm/embedders.py class family: offline fallback is
+    # the deterministic hashing vector; injected clients run per Arrow batch
+    import pyspark.sql.functions as F
+
+    import pathwaydataframework_spark as pw
+    from pathwaydataframework_spark.xpacks.llm import (
+        GeminiEmbedder,
+        LiteLLMEmbedder,
+        OpenAIEmbedder,
+        SentenceTransformerEmbedder,
+    )
+
+    t = pw.Table.from_rows(spark, [("hello world",), ("spark",)], "text string")
+    for cls in (OpenAIEmbedder, LiteLLMEmbedder, GeminiEmbedder):
+        e = cls(model="m", dim=8)
+        vecs = [r["v"] for r in t.df.select(e(F.col("text")).alias("v")).collect()]
+        assert all(len(v) == 8 for v in vecs)
+        assert e.get_embedding_dimension() == 8
+    e2 = SentenceTransformerEmbedder(
+        "fake", embed_fn=lambda s, **kw: [float(len(s)), 1.0]
+    )
+    got = {r["text"]: r["v"] for r in
+           t.df.select("text", e2(F.col("text")).alias("v")).collect()}
+    assert got["hello world"] == [11.0, 1.0]
+    assert e2.get_embedding_dimension() == 2
