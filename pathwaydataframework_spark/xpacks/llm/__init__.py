@@ -38,8 +38,11 @@ from pathwaydataframework_spark.xpacks.llm.embedders import (  # noqa: F401
     SentenceTransformerEmbedder,
 )
 from pathwaydataframework_spark.xpacks.llm.question_answering import (  # noqa: F401
+    AdaptiveRAGQuestionAnswerer,
     BaseQuestionAnswerer,
     BaseRAGQuestionAnswerer,
+    RAGClient,
+    SummaryQuestionAnswerer,
     answer_with_geometric_rag_strategy,
     answer_with_geometric_rag_strategy_from_index,
 )

@@ -241,3 +241,96 @@ class BaseRAGQuestionAnswerer(BaseQuestionAnswerer):
 
     def list_documents(self, queries) -> DataFrame:
         return self.indexer.inputs_query(_df(queries))
+
+
+class AdaptiveRAGQuestionAnswerer(BaseRAGQuestionAnswerer):
+    """Reference :574 — RAG with adaptive context growth: answer with
+    ``n_starting_documents`` chunks first, multiply by ``factor`` until an
+    answer is found (the geometric strategy of Kuratov et al. as published
+    in the adaptive-RAG literature).  Delegates to
+    :func:`answer_with_geometric_rag_strategy_from_index` — one retrieval
+    of the maximum prefix, then prefix-sized prompts."""
+
+    def __init__(
+        self,
+        llm: llms.BaseChat,
+        indexer: DocumentStore,
+        *,
+        n_starting_documents: int = 2,
+        factor: int = 2,
+        max_iterations: int = 4,
+        strict_prompt: bool = False,
+        **kwargs,
+    ):
+        super().__init__(llm, indexer, **kwargs)
+        self.n_starting_documents = n_starting_documents
+        self.factor = factor
+        self.max_iterations = max_iterations
+        self.strict_prompt = strict_prompt
+
+    def answer_query(self, queries: DataFrame | Table) -> DataFrame:
+        q = _df(queries)
+        out = answer_with_geometric_rag_strategy_from_index(
+            q.select("query_id", F.col("prompt").alias("query")),
+            self.indexer,
+            self.llm,
+            self.n_starting_documents,
+            self.factor,
+            self.max_iterations,
+            strict_prompt=self.strict_prompt,
+        )
+        # the serving contract (reference answer endpoint) names it result
+        return out.withColumn("result", F.col("answer"))
+
+
+class SummaryQuestionAnswerer(BaseQuestionAnswerer):
+    """Reference :282 — a summarization-only endpoint surface."""
+
+    def __init__(self, llm: llms.BaseChat, summarize_template=None):
+        self.llm = llm
+        self.summarize_template = summarize_template or prompts.prompt_summarize
+
+    def answer_query(self, queries: DataFrame | Table) -> DataFrame:
+        q = _df(queries)
+        prompt = self.summarize_template(F.col("text_list"))
+        return q.withColumn("result", self.llm(llms.prompt_chat_single_qa(prompt)))
+
+
+class RAGClient:
+    """Reference :816 — HTTP client for the four REST endpoints a served
+    question answerer exposes (servers.py).  Uses only the stdlib HTTP
+    client; endpoints follow the reference routes."""
+
+    def __init__(self, host: str, port: int, *, timeout: float = 30.0):
+        self.base = f"http://{host}:{port}"
+        self.timeout = timeout
+
+    def _post(self, route: str, payload: dict):
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base + route,
+            data=_json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return _json.loads(resp.read())
+
+    def answer(self, prompt: str, filters: str | None = None, response_type: str = "short"):
+        payload = {"prompt": prompt, "response_type": response_type}
+        if filters:
+            payload["filters"] = filters
+        return self._post("/v2/answer", payload)
+
+    def retrieve(self, query: str, k: int = 6, metadata_filter: str | None = None):
+        payload = {"query": query, "k": k}
+        if metadata_filter:
+            payload["metadata_filter"] = metadata_filter
+        return self._post("/v2/retrieve", payload)
+
+    def statistics(self):
+        return self._post("/v2/statistics", {})
+
+    def list_documents(self):
+        return self._post("/v2/list_documents", {})

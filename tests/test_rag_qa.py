@@ -299,3 +299,30 @@ def test_embedder_family_fallback_and_injection(spark):
            t.df.select("text", e2(F.col("text")).alias("v")).collect()}
     assert got["hello world"] == [11.0, 1.0]
     assert e2.get_embedding_dimension() == 2
+
+
+def test_adaptive_rag_question_answerer(spark, rag_app):
+    # reference question_answering.py:574 — adaptive context growth wired
+    # through the same geometric strategy, full endpoint surface intact
+    import pyspark.sql.functions as F
+
+    import pathwaydataframework_spark as pw
+    from pathwaydataframework_spark.xpacks.llm import (
+        AdaptiveRAGQuestionAnswerer,
+        llms,
+    )
+
+    def fake_llm(messages, **kw):
+        content = messages[-1]["content"] if messages else ""
+        if "spark" in content.lower():
+            return "Spark is a distributed engine."
+        return "No information found."
+
+    chat = llms.InjectableChat(fake_llm)
+    qa = AdaptiveRAGQuestionAnswerer(chat, rag_app.indexer, max_iterations=2)
+    queries = spark.createDataFrame(
+        [(1, "what is spark?")], "query_id long, prompt string"
+    )
+    out = qa.answer_query(queries)
+    row = out.first()
+    assert "Spark" in row["result"]
