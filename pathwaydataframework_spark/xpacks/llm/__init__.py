@@ -26,9 +26,18 @@ from pathwaydataframework_spark.xpacks.llm.vector_store import (  # noqa: F401
 from pathwaydataframework_spark.xpacks.llm import (  # noqa: F401
     embedders,
     llms,
+    parsers,
     prompts,
     question_answering,
     servers,
+)
+from pathwaydataframework_spark.xpacks.llm.parsers import (  # noqa: F401
+    ImageParser,
+    OpenParse,
+    ParseUnstructured,
+    ParseUtf8,
+    PypdfParser,
+    SlideParser,
 )
 from pathwaydataframework_spark.xpacks.llm.embedders import (  # noqa: F401
     BaseEmbedder,

@@ -326,3 +326,26 @@ def test_adaptive_rag_question_answerer(spark, rag_app):
     out = qa.answer_query(queries)
     row = out.first()
     assert "Spark" in row["result"]
+
+
+def test_parser_family(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from pathwaydataframework_spark.xpacks.llm import (
+        ParseUnstructured,
+        ParseUtf8,
+        PypdfParser,
+    )
+
+    df = spark.createDataFrame([(b"hello doc",)], "data binary")
+    # ParseUtf8: real decode, one chunk, empty metadata
+    out = df.select(ParseUtf8()(F.col("data")).alias("chunks")).first()["chunks"]
+    assert out[0]["text"] == "hello doc" and dict(out[0]["metadata"]) == {}
+    # injectable parser runs per batch
+    p = ParseUnstructured(parse_fn=lambda b: [(b.decode()[:5], {"page": 1})])
+    got = df.select(p(F.col("data")).alias("chunks")).first()["chunks"]
+    assert got[0]["text"] == "hello" and dict(got[0]["metadata"]) == {"page": "1"}
+    # honest boundary without injection
+    with _pytest.raises(NotImplementedError, match="parse_fn"):
+        df.select(PypdfParser()(F.col("data")))
