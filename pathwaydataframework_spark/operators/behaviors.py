@@ -24,14 +24,21 @@ from pathwaydataframework_spark.internals.table import Table
 
 
 @dataclass(frozen=True)
-class CommonBehavior:
+class Behavior:
+    """Abstract behavior base — reference stdlib/temporal/
+    temporal_behavior.py:10.  Both concrete behaviors subtype it so
+    ``isinstance(b, Behavior)`` checks from ported code keep working."""
+
+
+@dataclass(frozen=True)
+class CommonBehavior(Behavior):
     delay: Any = None
     cutoff: Any = None
     keep_results: bool = True
 
 
 @dataclass(frozen=True)
-class ExactlyOnceBehavior:
+class ExactlyOnceBehavior(Behavior):
     shift: Any = None
 
 

@@ -1211,6 +1211,7 @@ def window_join_outer(left_table, right_table, self_time, other_time, window, *o
 
 # behavior + time utilities live in the temporal namespace in the reference
 from pathwaydataframework_spark.operators.behaviors import (  # noqa: E402
+    Behavior,
     CommonBehavior,
     ExactlyOnceBehavior,
     common_behavior,

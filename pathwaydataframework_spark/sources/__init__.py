@@ -531,6 +531,14 @@ class http:
         return rest_connector(spark, host, port, **kwargs)
 
     @staticmethod
+    def PathwayWebserver(host, port, **kwargs):  # noqa: N802 — reference class name
+        """Reference io/http/_server.py:329 — shared host/port for several
+        rest_connector routes."""
+        from pathwaydataframework_spark.sources.http_ingress import PathwayWebserver
+
+        return PathwayWebserver(host, port, **kwargs)
+
+    @staticmethod
     def write(table: Table, url: str, *, sender=None, format: str = "json") -> None:
         if sender is None:
             raise NotImplementedError(

@@ -122,83 +122,35 @@ class RestIngressServer:
         methods=("POST",),
         request_validator=None,
         response_timeout_s: float = 30.0,
+        webserver=None,
     ) -> None:
         self._spark = spark
         self._schema = schema
         self._spool = spool_dir
         self._route = route
         self._timeout = response_timeout_s
+        self._validator = request_validator
+        self._allowed = {m.upper() for m in methods}
         os.makedirs(spool_dir, exist_ok=True)
         self._pending: dict[str, threading.Event] = {}
         self._results: dict[str, object] = {}
         self._lock = threading.Lock()
-        spool = self._spool
+        self._server = None
+        self._thread = None
+        self._webserver = webserver
+        if webserver is not None:
+            # shared PathwayWebserver: it owns the socket and dispatches to
+            # this route's _handle_request
+            webserver.register(route, self)
+            return
         outer = self
-        allowed = {m.upper() for m in methods}
 
         class Handler(BaseHTTPRequestHandler):
-            def _handle(self, payload: dict) -> None:
-                if request_validator is not None:
-                    try:
-                        verdict = request_validator(payload)
-                    except Exception as exc:  # noqa: BLE001 — validator contract
-                        verdict = str(exc)
-                    if verdict is not None:
-                        self.send_response(400)
-                        self.end_headers()
-                        self.wfile.write(str(verdict).encode("utf-8"))
-                        return
-                qid = uuid.uuid4().hex
-                ev = threading.Event()
-                with outer._lock:
-                    outer._pending[qid] = ev
-                row = dict(payload)
-                row["query_id"] = qid
-                name = qid + ".jsonl"
-                tmp = os.path.join(spool, "." + name)
-                with open(tmp, "w", encoding="utf-8") as f:
-                    f.write(json.dumps(row) + "\n")
-                os.rename(tmp, os.path.join(spool, name))
-                if ev.wait(outer._timeout):
-                    with outer._lock:
-                        result = outer._results.pop(qid, None)
-                        outer._pending.pop(qid, None)
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.end_headers()
-                    self.wfile.write(json.dumps(result).encode("utf-8"))
-                else:
-                    with outer._lock:
-                        outer._pending.pop(qid, None)
-                    self.send_response(504)
-                    self.end_headers()
-
             def do_POST(self) -> None:  # noqa: N802 — stdlib API name
-                if "POST" not in allowed or (
-                    outer._route != "/" and self.path != outer._route
-                ):
-                    self.send_response(404)
-                    self.end_headers()
-                    return
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
-                try:
-                    payload = json.loads(body.decode("utf-8") or "{}")
-                except (UnicodeDecodeError, json.JSONDecodeError):
-                    self.send_response(400)
-                    self.end_headers()
-                    return
-                self._handle(payload)
+                outer._handle_request(self, "POST")
 
             def do_GET(self) -> None:  # noqa: N802
-                if "GET" not in allowed:
-                    self.send_response(405)
-                    self.end_headers()
-                    return
-                from urllib.parse import parse_qsl, urlparse
-
-                q = dict(parse_qsl(urlparse(self.path).query))
-                self._handle(q)
+                outer._handle_request(self, "GET")
 
             def log_message(self, *args) -> None:
                 pass
@@ -207,8 +159,74 @@ class RestIngressServer:
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
 
+    def _handle_request(self, handler, method: str) -> None:
+        """Shared request path for the standalone server and the
+        PathwayWebserver dispatcher."""
+        from urllib.parse import parse_qsl, urlparse
+
+        if method not in self._allowed:
+            handler.send_response(405)
+            handler.end_headers()
+            return
+        if self._webserver is None and self._route != "/" and (
+            urlparse(handler.path).path != self._route
+        ):
+            handler.send_response(404)
+            handler.end_headers()
+            return
+        if method == "POST":
+            length = int(handler.headers.get("Content-Length", 0))
+            body = handler.rfile.read(length)
+            try:
+                payload = json.loads(body.decode("utf-8") or "{}")
+            except (UnicodeDecodeError, json.JSONDecodeError):
+                handler.send_response(400)
+                handler.end_headers()
+                return
+        else:
+            payload = dict(parse_qsl(urlparse(handler.path).query))
+        self._process(handler, payload)
+
+    def _process(self, handler, payload: dict) -> None:
+        if self._validator is not None:
+            try:
+                verdict = self._validator(payload)
+            except Exception as exc:  # noqa: BLE001 — validator contract
+                verdict = str(exc)
+            if verdict is not None:
+                handler.send_response(400)
+                handler.end_headers()
+                handler.wfile.write(str(verdict).encode("utf-8"))
+                return
+        qid = uuid.uuid4().hex
+        ev = threading.Event()
+        with self._lock:
+            self._pending[qid] = ev
+        row = dict(payload)
+        row["query_id"] = qid
+        name = qid + ".jsonl"
+        tmp = os.path.join(self._spool, "." + name)
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(json.dumps(row) + "\n")
+        os.rename(tmp, os.path.join(self._spool, name))
+        if ev.wait(self._timeout):
+            with self._lock:
+                result = self._results.pop(qid, None)
+                self._pending.pop(qid, None)
+            handler.send_response(200)
+            handler.send_header("Content-Type", "application/json")
+            handler.end_headers()
+            handler.wfile.write(json.dumps(result).encode("utf-8"))
+        else:
+            with self._lock:
+                self._pending.pop(qid, None)
+            handler.send_response(504)
+            handler.end_headers()
+
     @property
     def url(self) -> str:
+        if self._server is None and self._webserver is not None:
+            return self._webserver.url + self._route
         host, port = self._server.server_address[:2]
         return f"http://{host}:{port}{self._route}"
 
@@ -256,9 +274,10 @@ class RestIngressServer:
         q = getattr(self, "_response_query", None)
         if q is not None:
             q.stop()
-        self._server.shutdown()
-        self._server.server_close()
-        self._thread.join(timeout=5)
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._thread.join(timeout=5)
 
 
 def rest_connector(
@@ -268,6 +287,7 @@ def rest_connector(
     *,
     schema,
     spool_dir: str,
+    webserver=None,
     route: str = "/",
     methods=("POST",),
     request_validator=None,
@@ -296,6 +316,7 @@ def rest_connector(
         methods=methods,
         request_validator=request_validator,
         response_timeout_s=response_timeout_s,
+        webserver=webserver,
     )
     table = srv.table()
 
@@ -305,3 +326,81 @@ def rest_connector(
     # expose the server handle for shutdown/url access
     writer.server = srv  # type: ignore[attr-defined]
     return table, writer
+
+
+class PathwayWebserver:
+    """Reference io/http/_server.py:329 — shared host/port configuration
+    for ``rest_connector``: several connectors can register distinct
+    routes on ONE webserver instance.  Each registered route keeps its own
+    spool directory and pending-request map; the dispatcher routes by
+    ``self.path``."""
+
+    def __init__(self, host: str, port: int, *, with_schema_endpoint: bool = True,
+                 with_cors: bool = False):
+        self.host = host
+        self.port = int(port)
+        self.with_schema_endpoint = with_schema_endpoint
+        self.with_cors = with_cors
+        self._routes: dict[str, RestIngressServer] = {}
+        self._server = None
+        self._thread = None
+
+    def _ensure_started(self) -> None:
+        if self._server is not None:
+            return
+        outer = self
+
+        class Dispatcher(BaseHTTPRequestHandler):
+            def _dispatch(self, method: str) -> None:
+                from urllib.parse import urlparse
+
+                path = urlparse(self.path).path
+                if outer.with_schema_endpoint and path == "/_schema":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(
+                        json.dumps(
+                            {r: str(s._schema) for r, s in outer._routes.items()}
+                        ).encode()
+                    )
+                    return
+                srv = outer._routes.get(path)
+                if srv is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                # delegate to the route's own handler logic
+                srv._handle_request(self, method)
+
+            def do_POST(self) -> None:  # noqa: N802
+                self._dispatch("POST")
+
+            def do_GET(self) -> None:  # noqa: N802
+                self._dispatch("GET")
+
+            def log_message(self, *args) -> None:
+                pass
+
+        self._server = ThreadingHTTPServer((self.host, self.port), Dispatcher)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        self._ensure_started()
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def register(self, route: str, srv: "RestIngressServer") -> None:
+        self._routes[route] = srv
+        self._ensure_started()
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._thread.join(timeout=5)
+            self._server = None

@@ -107,3 +107,41 @@ def test_rest_connector_request_response_roundtrip(spark, tmp_path):
             assert json.loads(resp.read()) == 42
     finally:
         srv.stop()
+
+
+def test_rest_connector_shared_webserver_routes(spark, tmp_path):
+    # reference PathwayWebserver (io/http/_server.py:329): one host/port,
+    # several rest_connector routes
+    import json
+    import urllib.request
+
+    import pathwaydataframework_spark as pw
+    from pathwaydataframework_spark.sources.http_ingress import PathwayWebserver
+
+    ws = PathwayWebserver("127.0.0.1", 0)
+    t1, w1 = sources.http.rest_connector(
+        spark, schema="x long", spool_dir=str(tmp_path / "r1"),
+        webserver=ws, route="/double", response_timeout_s=20.0,
+    )
+    t2, w2 = sources.http.rest_connector(
+        spark, schema="x long", spool_dir=str(tmp_path / "r2"),
+        webserver=ws, route="/triple", response_timeout_s=20.0,
+    )
+    w1(t1.select(pw.this.query_id, result=pw.this.x * 2))
+    w2(t2.select(pw.this.query_id, result=pw.this.x * 3))
+    try:
+        for route, expected in (("/double", 10), ("/triple", 15)):
+            req = urllib.request.Request(
+                ws.url + route, data=json.dumps({"x": 5}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                assert json.loads(resp.read()) == expected
+        # schema endpoint lists both routes
+        with urllib.request.urlopen(ws.url + "/_schema", timeout=10) as resp:
+            schema_doc = json.loads(resp.read())
+        assert set(schema_doc) == {"/double", "/triple"}
+    finally:
+        w1.server.stop()
+        w2.server.stop()
+        ws.stop()
