@@ -1849,6 +1849,27 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return text.unigram_logprob(docs)
 
 
+def q_chained_join(spark: SparkSession, sf: str) -> DataFrame:
+    """chained Joinable joins (reference joins.py:493 — JoinResult.join):
+    nation → customer → orders chained WITHOUT intermediate selects, then
+    groupby over the chain with original-table refs; decimal-exact sum."""
+    nation = load_table(spark, sf, "nation")
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    out = (
+        nation.join(cust, pw.left.n_nationkey == pw.right.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .groupby(nation.n_name)
+        .reduce(
+            n_orders=R.count(),
+            total=pw.cast(
+                "double", R.sum(pw.cast("decimal(18,2)", orders.o_totalprice))
+            ).num.round(2),
+        )
+    )
+    return out.df
+
+
 def q_window_numeric(spark: SparkSession, sf: str) -> DataFrame:
     """tumbling window over NUMERIC event time (reference windows accept
     int/float time; operators/temporal.py numeric k-th-stable-window path)
@@ -1912,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
         "q_window_numeric": q_window_numeric,
+        "q_chained_join": q_chained_join,
         "q_sorted_names": q_sorted_names,
         "q_reducer_matrix": q_reducer_matrix,
         "q_percentile": q_percentile,
@@ -3521,6 +3543,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE host <> 'blocked.test' AND NOT ends_with(host, '.blocked.test')
         """,
         "q_gopher_repetition": _gopher_repetition_oracle_sql(),
+        "q_chained_join": """
+            SELECT n_name, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS total
+            FROM nation
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            GROUP BY n_name
+        """,
         "q_window_numeric": """
             SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS w_start,
                    event_type,
