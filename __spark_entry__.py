@@ -1849,6 +1849,30 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return text.unigram_logprob(docs)
 
 
+def q_windowby_predicate(spark: SparkSession, sf: str) -> DataFrame:
+    """session(predicate=...) through the REFERENCE call shape
+    windowby(...).reduce(...) (wired in r4; _window.py:595) with full
+    reducer generality — the decimal-exact mean the (col, kind) dict API
+    of q_session_predicate cannot express."""
+    ev = load_table(spark, sf, "events")
+    ssum = R.sum(pw.cast("decimal(18,6)", pw.this.value.num.round(6)))
+    out = ev.windowby(
+        pw.this.ts,
+        window=pw.session(predicate=lambda a, b: (b - a).total_seconds() <= 600),
+        instance=pw.this.user_id,
+    ).reduce(
+        n=R.count(),
+        avg_value=(pw.cast("double", ssum) / R.count()).num.round(6),
+    )
+    return out.df.select(
+        F.col("_pw_window_start").alias("session_start"),
+        F.col("_pw_window_end").alias("session_end"),
+        "user_id",
+        "n",
+        "avg_value",
+    )
+
+
 def q_chained_join(spark: SparkSession, sf: str) -> DataFrame:
     """chained Joinable joins (reference joins.py:493 — JoinResult.join):
     nation → customer → orders chained WITHOUT intermediate selects, then
@@ -1934,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_instance": q_join_instance,
         "q_window_numeric": q_window_numeric,
         "q_chained_join": q_chained_join,
+        "q_windowby_predicate": q_windowby_predicate,
         "q_sorted_names": q_sorted_names,
         "q_reducer_matrix": q_reducer_matrix,
         "q_percentile": q_percentile,
@@ -3543,6 +3568,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE host <> 'blocked.test' AND NOT ends_with(host, '.blocked.test')
         """,
         "q_gopher_repetition": _gopher_repetition_oracle_sql(),
+        "q_windowby_predicate": """
+            WITH ordered AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 600
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM ordered
+            )
+            SELECT min(ts) AS session_start, max(ts) AS session_end,
+                   user_id,
+                   count(*)::BIGINT AS n,
+                   round(sum(round(value, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6)
+                       AS avg_value
+            FROM sess GROUP BY user_id, sid
+        """,
         "q_chained_join": """
             SELECT n_name, count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE, 2) AS total
