@@ -67,15 +67,29 @@ class StringNamespace:
         return UnaryOp(self._e, F.initcap)
 
     @staticmethod
-    def _py_slice(a: Column, lo: Column, hi: Column) -> Column:
-        """``a[lo:hi]`` for non-negative/None bounds — the slice notation
-        the reference's count/find/rfind start/end args use
-        (string.py:473,526,580)."""
-        lo_c = F.greatest(lo.cast("int"), F.lit(0))
+    def _py_bounds(a: Column, lo: Column, hi: Column) -> tuple[Column, Column]:
+        """Normalize ``a[lo:hi]`` bounds with full Python slice semantics —
+        negative bounds count from the end (length+bound, clamped to
+        [0, length]) — matching the reference's delegation to
+        str.count/str.find (string.py:473,526,580)."""
         length = F.length(a)
-        hi_c = F.when(hi.isNull(), length).otherwise(
-            F.least(hi.cast("int"), length)
+        lo_i = lo.cast("int")
+        lo_c = F.least(
+            F.greatest(F.when(lo_i < 0, length + lo_i).otherwise(lo_i), F.lit(0)),
+            length,
         )
+        hi_i = hi.cast("int")
+        hi_c = F.when(hi.isNull(), length).otherwise(
+            F.least(
+                F.greatest(F.when(hi_i < 0, length + hi_i).otherwise(hi_i), F.lit(0)),
+                length,
+            )
+        )
+        return lo_c, hi_c
+
+    @classmethod
+    def _py_slice(cls, a: Column, lo: Column, hi: Column) -> Column:
+        lo_c, hi_c = cls._py_bounds(a, lo, hi)
         return F.substring(a, lo_c + 1, F.greatest(hi_c - lo_c, F.lit(0)))
 
     def count(self, sub, start=None, end=None):
@@ -102,7 +116,7 @@ class StringNamespace:
         def _fn(a, s, lo, hi):
             sliced = self._py_slice(a, lo, hi)
             pos = F.instr(sliced, s)
-            lo_c = F.greatest(lo.cast("int"), F.lit(0))
+            lo_c, _ = self._py_bounds(a, lo, hi)
             return (
                 F.when(pos == 0, F.lit(-1)).otherwise(lo_c + pos - 1)
             ).cast("long")
@@ -115,7 +129,7 @@ class StringNamespace:
         def _fn(a, s, lo, hi):
             sliced = self._py_slice(a, lo, hi)
             rev_pos = F.instr(F.reverse(sliced), F.reverse(s))
-            lo_c = F.greatest(lo.cast("int"), F.lit(0))
+            lo_c, _ = self._py_bounds(a, lo, hi)
             rel = F.length(sliced) - rev_pos - F.length(s) + 1
             return F.when(rev_pos == 0, F.lit(-1)).otherwise(lo_c + rel).cast("long")
 

@@ -125,7 +125,14 @@ class GroupedTable:
                 )
             else:
                 joined = left._df.crossJoin(right._df)
-            return Table(joined.select(*names, *list(kwargs.keys())))
+            out = joined.select(*names, *list(kwargs.keys()))
+            if self._set_id:
+                from pathwaydataframework_spark.internals.table import ID_COL
+
+                # same keying as the single-pass path below: groupby(id=ptr)
+                # must survive the pandas/JVM split too
+                out = out.withColumn(ID_COL, F.col(names[0]).cast("long"))
+            return Table(out)
 
         agg_cols: list[Column] = []
         for name, e in kwargs.items():

@@ -160,6 +160,13 @@ class JoinResult:
                 f"cannot chain join over ambiguous columns {dupes}; "
                 "project them apart with .select() first"
             )
+        if self._id is not None:
+            # thread join(id=side.id) through chaining: the flat table
+            # carries the promised row id so downstream ix/update_rows —
+            # or the next join in the chain — still see it.
+            from pathwaydataframework_spark.internals.table import ID_COL
+
+            out_cols.append(lift(self._id)._resolve(self._ctx).alias(ID_COL))
         t = Table(self._joined().select(*out_cols))
         t._join_sources = (
             (self._lt, self._rt)
@@ -215,6 +222,15 @@ class JoinResult:
         from pathwaydataframework_spark.internals.table import Table
         from pathwaydataframework_spark.internals.groupbys import GroupedTable
 
+        if self._id is not None:
+            # an aggregation replaces the join's universe with one keyed by
+            # the grouping columns — honoring id= here has no meaning, and
+            # silently dropping it would break the caller's keying promise
+            raise NotImplementedError(
+                "join(..., id=...) followed by groupby()/reduce() is not "
+                "supported: the aggregation re-keys the result. Call "
+                ".select() first if you need the join keyed by id."
+            )
         named = []
         for r in cols:
             if not isinstance(r, ColumnRef):
@@ -231,6 +247,12 @@ class JoinResult:
         from pathwaydataframework_spark.internals.table import Table
         from pathwaydataframework_spark.internals.groupbys import GroupedTable
 
+        if self._id is not None:
+            raise NotImplementedError(
+                "join(..., id=...) followed by groupby()/reduce() is not "
+                "supported: the aggregation re-keys the result. Call "
+                ".select() first if you need the join keyed by id."
+            )
         return GroupedTable(Table(self._joined()), [], ctx=self._ctx).reduce(
             *args, **kwargs
         )

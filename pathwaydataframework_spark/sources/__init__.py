@@ -288,14 +288,28 @@ class postgres:
         if "time" in df.columns:
             cols = [c for c in df.columns]
             row = F.struct(*[F.col(c) for c in cols])
+            # A changelog UPDATE is a retraction (diff=-1) plus an addition
+            # (diff=+1) at the SAME time — order by (time, diff) so the
+            # addition wins same-time ties deterministically; a key whose
+            # true latest event is a bare retraction (deletion) then ends
+            # with diff=-1 and is dropped below.
+            order = (
+                F.struct(F.col("time"), F.col("diff"))
+                if "diff" in df.columns
+                else F.col("time")
+            )
             latest = (
                 df.groupBy(*[F.col(k).alias(f"__pk{i}") for i, k in enumerate(primary_key)])
-                .agg(F.max_by(row, F.col("time")).alias("__r"))
+                .agg(F.max_by(row, order).alias("__r"))
                 .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
             )
             if "diff" in df.columns:
                 latest = latest.filter(F.col("diff") >= 0)
             df = latest.drop("time", "diff")
+        elif "diff" in df.columns:
+            # No time column: can't order events, but retraction rows must
+            # never land in a snapshot — keep additions only.
+            df = df.filter(F.col("diff") >= 0).drop("diff")
         if url is None:
             url, sprops = postgres._url_props(postgres_settings)
         else:

@@ -219,7 +219,11 @@ class RestIngressServer:
             handler.wfile.write(json.dumps(result).encode("utf-8"))
         else:
             with self._lock:
+                # deliver() may race the timeout: it can store the result
+                # between ev.wait() expiring and this cleanup — pop BOTH
+                # maps so an abandoned result can't accumulate forever.
                 self._pending.pop(qid, None)
+                self._results.pop(qid, None)
             handler.send_response(504)
             handler.end_headers()
 

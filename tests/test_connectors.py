@@ -450,6 +450,51 @@ def test_postgres_write_snapshot_latest_state(spark, tmp_path):
     assert sorted(map(tuple, back.df.collect())) == [(1, "b")]
 
 
+def test_postgres_write_snapshot_same_time_update_tie(spark, tmp_path):
+    # a changelog UPDATE is retraction+addition at the SAME time — the
+    # addition must win the tie deterministically (order by (time, diff)),
+    # never the -1 row (which would drop or stale the key)
+    import pathwaydataframework_spark as pw
+
+    url = f"jdbc:derby:{tmp_path}/snapdb2;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    changelog = pw.Table.from_rows(
+        spark,
+        [
+            (1, "old", 10, 1),
+            (1, "old", 20, -1),  # update @t=20: retraction...
+            (1, "new", 20, 1),   # ...and addition at the SAME time
+            (2, "x", 5, 1),
+            (2, "x", 9, -1),     # bare deletion @t=9 → key dropped
+        ],
+        "k long, v string, time long, diff int",
+    )
+    pw.io.postgres.write_snapshot(
+        changelog, None, "snapshot", ["k"], url=url, **props
+    )
+    back = pw.io.sqlite.read(spark, url, "snapshot", **props)
+    assert sorted(map(tuple, back.df.collect())) == [(1, "new")]
+
+
+def test_postgres_write_snapshot_no_time_filters_retractions(spark, tmp_path):
+    # without a time column events can't be ordered, but diff=-1 retraction
+    # rows must still never land in the snapshot
+    import pathwaydataframework_spark as pw
+
+    url = f"jdbc:derby:{tmp_path}/snapdb3;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    changelog = pw.Table.from_rows(
+        spark,
+        [(1, "a", 1), (2, "b", -1), (3, "c", 1)],
+        "k long, v string, diff int",
+    )
+    pw.io.postgres.write_snapshot(
+        changelog, None, "snapshot", ["k"], url=url, **props
+    )
+    back = pw.io.sqlite.read(spark, url, "snapshot", **props)
+    assert sorted(map(tuple, back.df.collect())) == [(1, "a"), (3, "c")]
+
+
 def test_s3_settings_classes_shape(spark):
     # settings objects carry through to the hadoop conf path (no network
     # here — asserting the conf the reader would use)

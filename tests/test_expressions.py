@@ -250,6 +250,35 @@ def test_str_count_find_rfind_with_slice_bounds(spark):
     assert sorted(got) == sorted(exp)
 
 
+def test_str_count_find_rfind_negative_slice_bounds(spark):
+    # Python slice semantics: negative start/end count from the string end
+    # (length+bound clamped to [0, length]) — e.g. count('l', 0, -1) must
+    # exclude the final character, not silently scan the full string
+    t = pw.Table.from_rows(
+        spark,
+        [("Hello",), ("llll",), ("ol",), ("x",)],
+        "name string",
+    )
+    out = t.select(
+        c0=pw.this.name.str.count("l", 0, -1),
+        c1=pw.this.name.str.count("l", -3),
+        c2=pw.this.name.str.count("l", -2, -1),
+        f0=pw.this.name.str.find("l", -3),
+        f1=pw.this.name.str.find("l", 0, -1),
+        r0=pw.this.name.str.rfind("l", 0, -1),
+        r1=pw.this.name.str.rfind("l", -2),
+        c3=pw.this.name.str.count("l", -99, 99),
+    )
+    got = [tuple(r) for r in out.df.collect()]
+    exp = [
+        (s.count("l", 0, -1), s.count("l", -3), s.count("l", -2, -1),
+         s.find("l", -3), s.find("l", 0, -1),
+         s.rfind("l", 0, -1), s.rfind("l", -2), s.count("l", -99, 99))
+        for s in ["Hello", "llll", "ol", "x"]
+    ]
+    assert sorted(got) == sorted(exp)
+
+
 def test_parse_bool_reference_semantics(spark):
     # default sets: on/true/yes/1 → True, off/false/no/0 → False,
     # anything else → NULL; custom mappings respected

@@ -109,6 +109,55 @@ def test_rest_connector_request_response_roundtrip(spark, tmp_path):
         srv.stop()
 
 
+def test_rest_connector_timeout_race_cleans_results(spark, tmp_path, monkeypatch):
+    # deliver() landing BETWEEN ev.wait() timing out and the 504 cleanup
+    # must not leak the stored result — both _pending AND _results are
+    # popped in the timeout branch (unbounded growth otherwise)
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    import pathwaydataframework_spark.sources.http_ingress as hi
+
+    srv = hi.RestIngressServer(
+        spark,
+        schema="x long",
+        spool_dir=str(tmp_path / "race_spool"),
+        response_timeout_s=0.05,
+    )
+
+    class RacyEvent(threading.Event):
+        # wait() times out, then the "response writer" delivers the result
+        # just before the handler's cleanup runs — the worst-case interleave
+        def wait(self, timeout=None):
+            got = super().wait(timeout)
+            if not got:
+                qid = next(
+                    (q for q, e in list(srv._pending.items()) if e is self), None
+                )
+                if qid is not None:
+                    srv.deliver(qid, {"late": True})
+            return got
+
+    monkeypatch.setattr(hi.threading, "Event", RacyEvent)
+    try:
+        req = urllib.request.Request(
+            srv.url,
+            data=json.dumps({"x": 1}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 504")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 504
+        assert srv._pending == {}
+        assert srv._results == {}, "late-delivered result leaked"
+    finally:
+        srv.stop()
+
+
 def test_rest_connector_shared_webserver_routes(spark, tmp_path):
     # reference PathwayWebserver (io/http/_server.py:329): one host/port,
     # several rest_connector routes

@@ -372,6 +372,37 @@ def test_join_id_keys_result_by_side(spark):
     assert len(rows(joined.difference(left))) == 0
 
 
+def test_join_id_threads_through_chaining(spark):
+    # join(id=...) then chaining into another join: the keyed universe must
+    # survive _flat_table, not be silently dropped
+    left = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, lv string")
+    right = pw.Table.from_rows(spark, [(1, "x"), (2, "y")], "k long, rv string")
+    extra = pw.Table.from_rows(spark, [("x", 10), ("y", 20)], "rv string, n long")
+    chained = (
+        left.join(right, pw.left.k == pw.right.k, id=left.id)
+        .join(extra, right.rv == extra.rv)
+        .select(lv=left.lv, n=extra.n)
+    )
+    assert rows(chained) == [("a", 10), ("b", 20)]
+    # and the intermediate flat table is keyed by left's ids
+    flat = left.join(right, pw.left.k == pw.right.k, id=left.id)._flat_table()
+    assert len(rows(flat.difference(left))) == 0
+
+
+def test_join_id_with_aggregation_rejected(spark):
+    # honoring id= through groupby/reduce is meaningless (the aggregation
+    # re-keys the result) — it must raise, never be silently ignored
+    import pytest
+
+    left = pw.Table.from_rows(spark, [(1, "a"), (2, "b")], "k long, lv string")
+    right = pw.Table.from_rows(spark, [(1, 5), (2, 7)], "k long, n long")
+    jr = left.join(right, pw.left.k == pw.right.k, id=left.id)
+    with pytest.raises(NotImplementedError, match="re-keys"):
+        jr.groupby(pw.left.lv)
+    with pytest.raises(NotImplementedError, match="re-keys"):
+        jr.reduce(total=pw.reducers.sum(pw.right.n))
+
+
 def test_temporal_joins_accept_instance(spark):
     import datetime as dt
 
@@ -417,6 +448,42 @@ def test_groupby_id_sets_result_ids(spark):
     got = {r["ptr"]: r["_pw_id"] for r in out.df.select("ptr", "_pw_id").collect()}
     assert all(ptr == rid for ptr, rid in got.items())
     assert len(got) == 2
+
+
+def test_groupby_id_survives_pandas_jvm_split(spark):
+    # groupby(id=ptr) must keep _pw_id even when a udf_reducer is mixed
+    # with JVM aggregates (the reduce() two-pass split path)
+    import pathwaydataframework_spark as pw
+
+    class Avg(pw.BaseCustomAccumulator):
+        def __init__(self, sum, cnt):
+            self.sum, self.cnt = sum, cnt
+
+        @classmethod
+        def from_row(cls, row):
+            [val] = row
+            return cls(val, 1)
+
+        def update(self, other):
+            self.sum += other.sum
+            self.cnt += other.cnt
+
+        def compute_result(self) -> float:
+            return self.sum / self.cnt
+
+    custom_avg = R.udf_reducer(Avg)
+    t = pw.Table.from_rows(
+        spark, [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    withptr = t.select(pw.this.v, ptr=t.pointer_from(pw.this.k))
+    out = withptr.groupby(id=withptr.ptr).reduce(
+        pw.this.ptr, avg=custom_avg(pw.this.v), total=R.sum(pw.this.v)
+    )
+    rows_ = out.df.select("ptr", "avg", "total", "_pw_id").collect()
+    assert len(rows_) == 2
+    assert all(r["ptr"] == r["_pw_id"] for r in rows_)
+    got = {r["_pw_id"]: (r["avg"], r["total"]) for r in rows_}
+    assert sorted(got.values()) == [(5.0, 5.0), (15.0, 30.0)]
 
 
 def test_groupby_id_rejects_multi_key(spark):
