@@ -264,6 +264,25 @@ def minhash_band_index(
     then check every incoming batch against it with
     :func:`incremental_neardup_pairs` — the corpus text is never
     re-shingled.  ``bands × 8 bytes`` per doc, linear build."""
+    compact = _minhash_compact_bands(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    return _explode_band_rows(compact, bands, extra_cols=["sig"])
+
+
+def _minhash_compact_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """ONE row per doc: (doc_id, band0..band{b-1}, sig) — the compact
+    pre-explode form of the band index.  ``sig`` is the full-signature
+    hash: the identical-signature collapse reads it directly, and a
+    persisted index can dedup byte-identical docs without re-hashing."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
     band_cols = [
@@ -274,20 +293,33 @@ def minhash_band_index(
     ]
     return sig.select(
         "doc_id",
+        *band_cols,
+        # re-states the band exprs; Catalyst CSE computes each hash once
+        F.xxhash64(*[band_cols[b] for b in range(bands)]).alias("sig"),
+    )
+
+
+def _explode_band_rows(
+    compact: DataFrame, bands: int, *, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash[, extras]) rows from the compact
+    one-row-per-doc band frame — a narrow per-partition explode, no
+    shuffle."""
+    return compact.select(
+        "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band_idx"), band_cols[b].alias("band_hash"))
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_hash"),
+                    )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-        # full-signature hash, computed BEFORE the explode and carried on
-        # every band row: the identical-signature collapse reads it with a
-        # narrow filter instead of a collect_list re-aggregation, and a
-        # persisted index can dedup byte-identical docs without re-hashing
-        F.xxhash64(*[band_cols[b] for b in range(bands)]).alias("sig"),
-    ).select("doc_id", "bb.band_idx", "bb.band_hash", "sig")
+        *(extra_cols or []),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash", *(extra_cols or []))
 
 
 def incremental_neardup_pairs(
@@ -465,24 +497,24 @@ def minhash_lsh_pairs(
     tune per threshold.  Returns (id_a, id_b, jaccard) when verify else
     (id_a, id_b).
     """
-    # materialize the band rows ONCE (bands × 8 bytes per doc): they feed
-    # the signature collapse AND the representative self-join — without the
-    # checkpoint each consumer re-runs the shingle explode + num_hashes
-    # min-aggs (measured 3×+ slower at sf0.1; a LAZY checkpoint was
-    # measured ~0.4 s slower still — the dedicated materialization job
-    # beats lazily materializing inside the membership job)
-    banded = minhash_band_index(
+    # materialize the COMPACT band frame ONCE (1 row/doc: band hashes +
+    # full-signature hash): it feeds the signature collapse AND the
+    # representative self-join — without the checkpoint each consumer
+    # re-runs the shingle explode + num_hashes min-aggs (measured 3×+
+    # slower at sf0.1; a LAZY checkpoint was measured slower still — the
+    # dedicated materialization job beats lazily materializing inside the
+    # membership job).  Checkpointing pre-explode (r5) writes `bands`×
+    # fewer rows than the exploded band index, and the explode below runs
+    # only over the post-collapse representatives.
+    compact = _minhash_compact_bands(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     ).localCheckpoint(eager=True)
-    # full-signature hash per doc: carried on every band row by
-    # minhash_band_index (computed pre-explode), so this is a narrow
-    # filter over the checkpoint — no re-aggregation
-    sigs = banded.filter(F.col("band_idx") == 0).select(
-        "doc_id", F.col("sig").alias("__sig")
-    )
+    sigs = compact.select("doc_id", F.col("sig").alias("__sig"))
 
     def _rep_band_pairs(reps: DataFrame) -> DataFrame:
-        rb = banded.join(reps, on="doc_id", how="left_semi")
+        rb = _explode_band_rows(
+            compact.join(reps, on="doc_id", how="left_semi"), bands
+        )
         a = rb.alias("a")
         b = rb.alias("b")
         return (
