@@ -30,6 +30,32 @@ def test_q03_broadcasts_dimensions(spark, sf_dir):
     assert assert_pushed_filters(df)
 
 
+def test_q03_plan_fingerprint_pinned(spark, sf_dir):
+    # Variance pin (r4 verdict): q03's bench median swung 1.1 ↔ 1.6 s
+    # between rounds with best-run parity — session noise, not a plan
+    # change.  Pin the EXACT physical operator multiset (stable across SFs,
+    # verified identical at sf0.001 and sf0.1) so a future real regression
+    # (broadcast lost to sort-merge, extra exchange, global sort) fails
+    # here and is distinguishable from JIT/GC noise in the bench numbers.
+    import re
+    from collections import Counter
+
+    df = entry.q03_shipping_priority(spark, sf_dir)
+    plan = formatted_plan(df)
+    ops = Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+    assert dict(ops) == {
+        "AdaptiveSparkPlan": 1,
+        "BroadcastExchange": 2,
+        "BroadcastHashJoin": 2,
+        "Exchange": 1,  # the single groupBy shuffle
+        "Filter": 3,
+        "HashAggregate": 2,  # partial + final: map-side combine present
+        "Project": 3,
+        "Scan": 3,
+        "TakeOrderedAndProject": 1,
+    }, f"q03 physical plan changed: {dict(ops)}"
+
+
 def test_q05_star_join_broadcasts(spark, sf_dir):
     df = entry.q05_region_revenue(spark, sf_dir)
     assert has_broadcast_join(df)
