@@ -243,6 +243,7 @@ def louvain_communities(
     dst: str = "dst",
     weight: str | None = None,
     max_iterations: int = 10,
+    _self_loops_in_modularity: bool = False,
 ) -> DataFrame:
     """Community detection — reference stdlib/graphs/louvain_communities/
     impl.py:282.
@@ -278,6 +279,30 @@ def louvain_communities(
     # single scan of the checkpointed edge list.
     two_m = und.agg(F.sum("w")).collect()[0][0] or 1.0
     degrees = und.groupBy("a").agg(F.sum("w").alias("k")).withColumnRenamed("a", "v")
+    if _self_loops_in_modularity:
+        # Textbook convention for self-loops (they arise as intra-community
+        # weight on the CONTRACTED graphs of multi-level Louvain): a
+        # self-loop of weight w adds 2w to its vertex's degree and 2w to
+        # 2m; it never appears as w(i→c) toward another community, so it
+        # influences moves only through k_i and 2m.  The default path
+        # ignores self-loops entirely — phase-1 on a user edge list keeps
+        # its r3-pinned oracle semantics.
+        self_w = (
+            edges_c.filter(F.col("a") == F.col("b"))
+            .groupBy(F.col("a").alias("v"))
+            .agg((F.lit(2.0) * F.sum("w")).alias("k_self"))
+        )
+        two_m += (self_w.agg(F.sum("k_self")).collect()[0][0] or 0.0)
+        degrees = (
+            degrees.join(self_w, on="v", how="full_outer")
+            .select(
+                "v",
+                (
+                    F.coalesce(F.col("k"), F.lit(0.0))
+                    + F.coalesce(F.col("k_self"), F.lit(0.0))
+                ).alias("k"),
+            )
+        )
     labels = degrees.select("v", F.col("v").alias("comm")).localCheckpoint(eager=True)
 
     quiet_rounds = 0
@@ -367,6 +392,84 @@ def louvain_communities(
     )
 
 
+def louvain_communities_multilevel(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    max_iterations: int = 10,
+    max_levels: int = 10,
+) -> DataFrame:
+    """Full multi-level Louvain — the reference's level loop
+    (stdlib/graphs/louvain_communities/impl.py:282): run phase 1, contract
+    each community to a super-vertex (keeping self-loops — the intra-
+    community weight that steers the next level's modularity), and repeat
+    on the quotient graph until contraction stops shrinking.
+
+    Same driver-loop shape as :func:`pw.iterate`: the level count is tiny
+    (O(log n) in practice) and each level's labels are checkpointed, so
+    the per-level scalar (vertex/community counts, one agg) is not a
+    data-plane collect.  Returns (vertex, level, community) — one row per
+    ORIGINAL vertex per level, community ids canonicalized to the minimum
+    member vertex (so the hierarchy nests: every level-k community id is
+    an original vertex).  The final flat clustering is the max-level rows.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    cur = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    mapping: DataFrame | None = None
+    out_levels: list[DataFrame] = []
+    for lvl in range(1, max_levels + 1):
+        comm = louvain_communities(
+            cur,
+            src="a",
+            dst="b",
+            weight="w",
+            max_iterations=max_iterations,
+            # level 1 matches the flat routine exactly (oracle-pinned);
+            # contracted levels carry intra-community self-loops
+            _self_loops_in_modularity=(lvl > 1),
+        )
+        st = comm.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("community").alias("c")
+        ).collect()[0]
+        merged = st["c"] < st["n"]
+        if lvl > 1 and not merged:
+            break  # contraction stopped shrinking; last level was final
+        if mapping is None:
+            mapping = comm.localCheckpoint(eager=True)
+        else:
+            # compose: quotient vertices ARE the previous level's community
+            # ids, so route each original vertex through its community's
+            # new assignment
+            step = comm.select(
+                F.col("vertex").alias("community"), F.col("community").alias("__up")
+            )
+            mapping = (
+                mapping.join(step, on="community")
+                .select("vertex", F.col("__up").alias("community"))
+                .localCheckpoint(eager=True)
+            )
+        out_levels.append(mapping.withColumn("level", F.lit(lvl)))
+        if not merged or st["c"] <= 1:
+            break
+        # contract the CURRENT edge list through this level's assignment,
+        # keeping self-loops (intra-community weight)
+        ca = comm.select(F.col("vertex").alias("a"), F.col("community").alias("__ca"))
+        cb = comm.select(F.col("vertex").alias("b"), F.col("community").alias("__cb"))
+        cur = (
+            cur.join(ca, on="a")
+            .join(cb, on="b")
+            .groupBy(F.col("__ca").alias("a"), F.col("__cb").alias("b"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    result = out_levels[0]
+    for extra in out_levels[1:]:
+        result = result.unionByName(extra)
+    return result.select("vertex", "level", "community")
+
+
 # -- reference stdlib.graphs namespace parity --------------------------------
 # Reference stdlib/graphs/common.py (Vertex/Edge/Weight schemas) and
 # graph.py:77 (Graph / WeightedGraph with cluster contraction).
@@ -403,11 +506,16 @@ class Graph:
             self.E.join(cl.withColumnsRenamed({"__v": "u", "__c": "__cu"}), on="u")
             .join(cl.withColumnsRenamed({"__v": "v", "__c": "__cv"}), on="v")
             .select(F.col("__cu").alias("u"), F.col("__cv").alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
         )
         v = cl.select(F.col("__c").alias("id")).distinct()
         return Graph(v, e)
+
+    def without_self_loops(self) -> "Graph":
+        """Reference graph.py:116 — contraction KEEPS self-loops (they are
+        the contracted intra-cluster edges); dropping them is this separate
+        explicit step."""
+        return Graph(self.V, self.E.filter(F.col("u") != F.col("v")))
 
 
 class WeightedGraph(Graph):
@@ -431,9 +539,13 @@ class WeightedGraph(Graph):
         we = (
             self.WE.join(cl.withColumnsRenamed({"__v": "u", "__c": "__cu"}), on="u")
             .join(cl.withColumnsRenamed({"__v": "v", "__c": "__cv"}), on="v")
-            .filter(F.col("__cu") != F.col("__cv"))
             .groupBy(F.col("__cu").alias("u"), F.col("__cv").alias("v"))
             .agg(F.sum("weight").alias("weight"))
         )
         v = cl.select(F.col("__c").alias("id")).distinct()
         return WeightedGraph(v, we.select("u", "v"), we)
+
+    def without_self_loops(self) -> "WeightedGraph":
+        """Reference graph.py:150."""
+        we = self.WE.filter(F.col("u") != F.col("v"))
+        return WeightedGraph.from_vertices_and_weighted_edges(self.V, we)

@@ -181,6 +181,64 @@ def test_louvain_two_cliques(spark):
     assert comm[1] != comm[4]
 
 
+def test_louvain_multilevel_recovers_two_level_hierarchy(spark):
+    # planted cliques-of-cliques: 4 super-groups × 3 cliques × 4 vertices.
+    # Intra-clique edges weight 10 (strong), full bipartite weight-1 edges
+    # between cliques of the same super-group, nothing across super-groups.
+    # Level 1 must recover the 12 cliques; level 2 the 4 super-groups
+    # (meta-merge gain: w(i→c)=16 vs k·tot/2m ≈ 12.7 — strictly positive).
+    rows = []
+    for g in range(4):
+        cliques = [
+            list(range((g * 3 + c) * 4, (g * 3 + c) * 4 + 4)) for c in range(3)
+        ]
+        for cl in cliques:
+            for i, a in enumerate(cl):
+                for b in cl[i + 1 :]:
+                    rows.append((a, b, 10.0))
+        for ci in range(3):
+            for cj in range(ci + 1, 3):
+                for a in cliques[ci]:
+                    for b in cliques[cj]:
+                        rows.append((a, b, 1.0))
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    out = graphs.louvain_communities_multilevel(
+        edges, weight="w", max_iterations=12
+    ).collect()
+    by_level: dict[int, dict[int, int]] = {}
+    for r in out:
+        by_level.setdefault(r["level"], {})[r["vertex"]] = r["community"]
+    assert set(by_level) == {1, 2}, f"expected exactly 2 levels, got {sorted(by_level)}"
+    l1, l2 = by_level[1], by_level[2]
+    assert len(l1) == 48 and len(l2) == 48
+    # level 1: each clique is one community labelled by its min vertex
+    assert len(set(l1.values())) == 12
+    for c in range(12):
+        members = list(range(c * 4, c * 4 + 4))
+        assert {l1[v] for v in members} == {members[0]}
+    # level 2: each super-group is one community labelled by its min vertex
+    assert len(set(l2.values())) == 4
+    for g in range(4):
+        members = list(range(g * 12, g * 12 + 12))
+        assert {l2[v] for v in members} == {members[0]}
+
+
+def test_louvain_multilevel_stops_when_contraction_stalls(spark):
+    # two triangles bridged by one edge: level 1 finds both, level 2 cannot
+    # profitably merge them (gain < 0) — exactly one level comes back
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    out = graphs.louvain_communities_multilevel(edges).collect()
+    levels = {r["level"] for r in out}
+    assert levels == {1}
+    comm = {r["vertex"]: r["community"] for r in out}
+    assert comm[1] == comm[2] == comm[3]
+    assert comm[4] == comm[5] == comm[6]
+    assert comm[1] != comm[4]
+
+
 def test_connected_components_string_vertex_ids(spark):
     # r2 review: sum('comp') convergence was NULL for string ids, stopping
     # after one round; components >2 doubled hops got wrong labels

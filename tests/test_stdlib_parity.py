@@ -105,7 +105,10 @@ def test_graph_contraction(spark):
     V = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
     cl = spark.createDataFrame([(1, 10), (2, 10), (3, 20), (4, 20)], "u long, c long")
     g = pw.graphs.Graph(V, E).contracted_to_unweighted_simple_graph(cl)
-    assert sorted(tuple(r) for r in g.E.collect()) == [(10, 20)]
+    # reference semantics: contraction KEEPS self-loops (the contracted
+    # intra-cluster edges); without_self_loops() is the separate step
+    assert sorted(tuple(r) for r in g.E.collect()) == [(10, 10), (10, 20), (20, 20)]
+    assert sorted(tuple(r) for r in g.without_self_loops().E.collect()) == [(10, 20)]
     assert g.V.count() == 2
 
     WE = spark.createDataFrame(
@@ -114,7 +117,10 @@ def test_graph_contraction(spark):
     wg = pw.graphs.WeightedGraph.from_vertices_and_weighted_edges(V, WE)
     cwg = wg.contracted_to_weighted_simple_graph(cl)
     weights = {(r["u"], r["v"]): r["weight"] for r in cwg.WE.collect()}
-    assert weights == {(10, 20): 5.0}  # 2.0 + 3.0 cross-cluster
+    # intra: (1,2)=1.0 inside 10; (3,4)=5.0 inside 20; cross: 2.0 + 3.0
+    assert weights == {(10, 10): 1.0, (10, 20): 5.0, (20, 20): 5.0}
+    nl = {(r["u"], r["v"]): r["weight"] for r in cwg.without_self_loops().WE.collect()}
+    assert nl == {(10, 20): 5.0}
 
 
 def test_argmax_argmin_rows(spark):
