@@ -1031,7 +1031,8 @@ def q_doc_retrieve(spark: SparkSession, sf: str) -> DataFrame:
 def _media_fixtures() -> list[tuple[int, str]]:
     """Deterministic media blobs (hex) shared by q_media_meta and its
     oracle: two PCM WAVs, a PNG, a top-down BMP (negative biHeight), a
-    GIF, and an unknown blob."""
+    GIF, a baseline JPEG (r5: real in-repo codec — type sniffed, dims
+    null since SOF sits at a variable offset), and an unknown blob."""
     import struct
 
     def wav(rate=8000, ch=1, bits=16, payload=800):
@@ -1059,12 +1060,20 @@ def _media_fixtures() -> list[tuple[int, str]]:
     def gif(w, h):
         return b"GIF89a" + struct.pack("<HH", w, h) + bytes(4)
 
+    def jpg():
+        import numpy as np
+
+        from pathwaydataframework_spark.operators import jpeg as _jpeg
+
+        return _jpeg.encode(np.full((8, 8, 3), 200, dtype=np.uint8), quality=90)
+
     blobs = [
         wav(),                                # 50 ms @ 16 kB/s
         wav(rate=16000, payload=3200),        # 100 ms @ 32 kB/s
         png(320, 200),
         bmp(64, -48),                         # top-down: |height| reported
         gif(12, 34),
+        jpg(),
         b"plain text bytes",
     ]
     return [(i, b.hex()) for i, b in enumerate(blobs)]
@@ -1072,10 +1081,12 @@ def _media_fixtures() -> list[tuple[int, str]]:
 
 def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal container sniffing (operators/multimodal.py
-    attach_media_meta — addendum §2.10): WAV/PNG/BMP/GIF header fields as
-    pure binary column expressions.  The DuckDB oracle re-derives every
-    field from the same blobs with independent hex-string byte arithmetic,
-    so the endianness/offset logic is differentially checked."""
+    attach_media_meta — addendum §2.10): WAV/PNG/BMP/GIF/JPEG header
+    fields as pure binary column expressions.  The DuckDB oracle
+    re-derives every field from the same blobs with independent
+    hex-string byte arithmetic, so the endianness/offset logic is
+    differentially checked (the JPEG blob is emitted by the in-repo
+    baseline codec, operators/jpeg.py)."""
     from pathwaydataframework_spark.operators import multimodal
 
     src = spark.createDataFrame(_media_fixtures(), "id long, hex string").select(
@@ -1109,12 +1120,13 @@ def _media_meta_oracle_sql() -> str:
                    substr(h, 1, 8) = '89504E47' AS is_png,
                    substr(h, 1, 4) = hex('BM'::BLOB) AS is_bmp,
                    substr(h, 1, 8) = hex('GIF8'::BLOB) AS is_gif,
+                   substr(h, 1, 6) = 'FFD8FF' AS is_jpg,
                    {le32(29)} AS byte_rate
             FROM blobs
         )
         SELECT id,
                CASE WHEN is_wav THEN 'audio'
-                    WHEN is_png OR is_bmp OR is_gif THEN 'image'
+                    WHEN is_png OR is_bmp OR is_gif OR is_jpg THEN 'image'
                     ELSE 'unknown' END AS media_type,
                CAST(CASE WHEN is_png THEN {be32(17)}
                          WHEN is_bmp THEN {sgn(le32(19))}

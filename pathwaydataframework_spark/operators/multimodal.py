@@ -8,17 +8,19 @@ Design: media are opaque ``binary`` columns + a typed metadata struct.
   so ``attach_media_meta`` runs inside whole-stage codegen with no Python
   crossing at all.
 - **Sample/pixel decode crosses to Python once per Arrow batch** via
-  ``mapInPandas``: real kernels for codec-free formats (PCM WAV features
-  through the stdlib ``wave`` module, P6 PPM nearest-neighbor resize
-  through numpy).  Compressed formats (JPEG/MP4) need codecs this
-  container lacks — those kernels raise ``NotImplementedError`` with the
-  same plumbing, so production swaps in Pillow/PyAV without touching the
-  plan.
+  ``mapInPandas``: real kernels for PCM WAV features (stdlib ``wave``),
+  P6 PPM (numpy), and — r5 — baseline JPEG through the pure-numpy codec
+  in ``operators/jpeg.py`` (decode, dHash, resize, features).  The
+  remaining compressed formats (video/MP4, progressive JPEG, PNG
+  inflate) need codecs this container lacks — those kernels raise
+  ``NotImplementedError`` with the same plumbing, so production swaps in
+  Pillow/PyAV without touching the plan.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Callable, Iterator
 
 import pyspark.sql.functions as F
@@ -63,6 +65,10 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     is_png = F.substring(d, 1, 4) == F.lit(b"\x89PNG")
     is_bmp = F.substring(d, 1, 2) == F.lit(b"BM")
     is_gif = F.substring(d, 1, 4) == F.lit(b"GIF8")
+    # JPEG: SOI + marker prefix.  Type only — dimensions live in the SOF
+    # segment at a variable offset (the jpeg.py kernel reads them); a
+    # fixed-offset column expression cannot reach them.
+    is_jpg = F.substring(d, 1, 3) == F.lit(b"\xff\xd8\xff")
     byte_rate = _uint(d, 29, 4, little_endian=True)
 
     def _signed32(u: Column) -> Column:
@@ -75,7 +81,7 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
         "media_meta",
         F.struct(
             F.when(is_wav, F.lit("audio"))
-            .when(is_png | is_bmp | is_gif, F.lit("image"))
+            .when(is_png | is_bmp | is_gif | is_jpg, F.lit("image"))
             .otherwise(F.lit("unknown"))
             .alias("media_type"),
             F.when(is_png, _uint(d, 17, 4, little_endian=False))
@@ -137,11 +143,46 @@ def wav_features(data: bytes) -> list[float]:
     ]
 
 
+def decode_image(data: bytes):
+    """bytes → (h, w, 3) uint8 RGB for the formats with REAL in-repo
+    kernels: P6 PPM (numpy) and baseline JPEG (operators/jpeg.py).
+    Raises ValueError for anything else — the honest codec boundary
+    (production swaps Pillow in front; every consumer below keeps its
+    plan)."""
+    from pathwaydataframework_spark.operators import jpeg as _jpeg
+
+    data = bytes(data)
+    if _jpeg.is_jpeg(data):
+        return _jpeg.decode(data)
+    return _ppm_decode(data)
+
+
 def _default_image_decoder(data: bytes) -> list[float]:
-    """STUB decode for codec-bound formats: deterministic 8-dim feature
-    from content bytes (production: Pillow → resize → tensor)."""
-    digest = hashlib.sha256(data or b"").digest()
-    return [b / 255.0 for b in digest[:8]]
+    """8-dim image feature: REAL pixel statistics for decodable formats
+    (PPM/JPEG — per-channel means, luminance mean/std, aspect, log-area,
+    edge energy), deterministic sha-derived fallback for codec-bound
+    blobs so the plumbing keeps flowing."""
+    import numpy as np
+
+    try:
+        img = decode_image(bytes(data or b""))
+        px = img.astype(np.float64)
+        lum = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        h, w = lum.shape
+        edge = float(np.mean(np.abs(np.diff(lum, axis=1)))) if w > 1 else 0.0
+        return [
+            float(px[..., 0].mean()) / 255.0,
+            float(px[..., 1].mean()) / 255.0,
+            float(px[..., 2].mean()) / 255.0,
+            float(lum.mean()) / 255.0,
+            float(lum.std()) / 255.0,
+            w / (h + w),
+            math.log1p(h * w) / 20.0,
+            edge / 255.0,
+        ]
+    except (ValueError, TypeError, IndexError):
+        digest = hashlib.sha256(data or b"").digest()
+        return [b / 255.0 for b in digest[:8]]
 
 
 def extract_features(
@@ -253,24 +294,39 @@ def resize_images(
     width: int = 224,
     height: int = 224,
 ) -> DataFrame:
-    """Image resize stage: REAL kernel for P6 PPM (numpy nearest-neighbor);
-    codec-bound formats raise NotImplementedError through the same
+    """Image resize stage: REAL kernels for P6 PPM (numpy
+    nearest-neighbor, PPM out) and baseline JPEG (operators/jpeg.py
+    decode → nearest resize → re-encode, JPEG out — format preserved);
+    other codec-bound formats raise NotImplementedError through the same
     mapInPandas plumbing — swap the kernel, keep the plan."""
     out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, resized binary"
 
     def _mapper(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
+
+        from pathwaydataframework_spark.operators import jpeg as _jpeg
 
         for pdf in batches:
             out = []
             for raw in pdf[binary_col]:
                 data = bytes(raw or b"")
                 try:
-                    out.append(ppm_resize(data, width, height))
+                    if _jpeg.is_jpeg(data):
+                        img = _jpeg.decode(data)
+                        h, w, _ = img.shape
+                        rows = (np.arange(height) * h // height).clip(0, h - 1)
+                        cols = (np.arange(width) * w // width).clip(0, w - 1)
+                        out.append(
+                            _jpeg.encode(np.ascontiguousarray(img[rows][:, cols]))
+                        )
+                    else:
+                        out.append(ppm_resize(data, width, height))
                 except ValueError as exc:
                     raise NotImplementedError(
-                        "only codec-free P6 PPM resize is available in this "
-                        "container; plug a Pillow kernel in production"
+                        "only P6 PPM and baseline JPEG resize kernels are "
+                        "available in this container; plug a Pillow kernel "
+                        "in production"
                     ) from exc
             yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
 
@@ -287,18 +343,20 @@ def image_dhash(data: bytes, *, hash_size: int = 8) -> list[int] | None:
     when the right neighbor is strictly brighter.
 
     Returns ``hash_size`` row-bytes (each 0..255) so the downstream
-    Hamming arithmetic is plain integer XOR/popcount; None for blobs that
-    are not codec-free P6 PPM (the same honest boundary as ppm_resize —
-    production swaps a Pillow decode in front, the fingerprint/blocking
-    stay identical).
+    Hamming arithmetic is plain integer XOR/popcount; None for blobs with
+    no in-repo decode kernel (P6 PPM and baseline JPEG are REAL —
+    production swaps a Pillow decode in front for the rest, the
+    fingerprint/blocking stay identical).
 
-    All arithmetic is integer (luminance = 299R + 587G + 114B, floor
-    index maps), so an external SQL oracle replays the exact bits.
+    All arithmetic downstream of the decode is integer (luminance =
+    299R + 587G + 114B, floor index maps), so an external SQL oracle
+    replays the exact bits for PPM inputs (whose pixels are the literal
+    blob bytes).
     """
     import numpy as np
 
     try:
-        img = _ppm_decode(bytes(data))
+        img = decode_image(bytes(data))
     except (ValueError, TypeError):
         return None
     h, w, _ = img.shape
