@@ -1,0 +1,109 @@
+"""sf0.1 → sf1 scale spot-check for the heaviest LLM-pipeline operators.
+
+Synthesizes a 10× corpus from sf0.1 documents (each replica gets a
+vowel-rotation of the text, so replicas are lexically distinct and do NOT
+near-duplicate each other — the duplicate-structure density stays that of
+the original corpus) and times corpus_dedup / span_dedup /
+quality_classifier at both scales on the same local[32] session.  Appends
+nothing; prints a markdown table to paste into SCALE.md.
+
+Run: python3 scripts/scale_spotcheck.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import pathwaydataframework_spark as pw  # noqa: E402
+from pathwaydataframework_spark.ml import quality  # noqa: E402
+from pathwaydataframework_spark.operators import dedup  # noqa: E402
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SCALE_WORK_DIR", "/tmp/spark_graft_scale")
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+
+VOWELS = "aeiou"
+
+
+def build_synthetic(spark, out_dir: str) -> None:
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    parts = []
+    for i in range(REPLICAS):
+        rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        d = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (F.translate("text", VOWELS, rot) if i else F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(out_dir)
+
+
+def timed(fn, reps: int = 2) -> tuple[float, int]:
+    best, n = float("inf"), 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = fn().count()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
+
+
+def main() -> None:
+    spark = pw.get_spark(app_name="scale-spotcheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    synth = os.path.join(WORK, f"docs_x{REPLICAS}")
+    if not os.path.isdir(synth):
+        build_synthetic(spark, synth)
+    small = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    big = spark.read.parquet(synth)
+    print(f"# rows: sf0.1={small.count()}  synthetic={big.count()}")
+
+    ops = {
+        "corpus_dedup": lambda df: dedup.corpus_dedup(
+            df, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8
+        ),
+        "span_dedup": lambda df: dedup.remove_duplicate_spans(
+            df, "doc_id", "text", k=13
+        ),
+        "quality_classifier": lambda df: quality.predict_logreg(
+            df,
+            quality.train_logreg(
+                df.withColumn(
+                    "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
+                ),
+                "doc_id",
+                "text",
+                "y",
+                buckets=1024,
+                iterations=4,
+                lr=2.0,
+                seed=0,
+            ),
+            "doc_id",
+            "text",
+            buckets=1024,
+            seed=0,
+        ),
+    }
+    print("| operator | sf0.1 (s) | rows | 10× (s) | rows | ratio |")
+    print("|---|---|---|---|---|---|")
+    for name, op in ops.items():
+        t1, n1 = timed(lambda: op(small))
+        t10, n10 = timed(lambda: op(big))
+        print(f"| {name} | {t1:.2f} | {n1} | {t10:.2f} | {n10} | {t10 / t1:.1f}× |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
