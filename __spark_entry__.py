@@ -1966,59 +1966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_assign_shards": q_assign_shards,
-        "q_leakage_split": q_leakage_split,
-        "q_audio_dedup": q_audio_dedup,
-        "q_image_dedup": q_image_dedup,
-        "q_quality_classifier": q_quality_classifier,
-        "q_dsir": q_dsir,
-        "q_temperature_sample": q_temperature_sample,
-        "q_line_dedup": q_line_dedup,
-        "q_semdedup": q_semdedup,
-        "q_corpus_dedup": q_corpus_dedup,
-        "q_doc_retrieve": q_doc_retrieve,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_error_channel": q_error_channel,
-        "q_custom_reducer": q_custom_reducer,
-        "q_media_meta": q_media_meta,
-        "q_incremental_neardup": q_incremental_neardup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_train_split": q_train_split,
-        "q_shuffle": q_shuffle,
-        "q_mix_datasets": q_mix_datasets,
-        "q_pack_sequences": q_pack_sequences,
-        "q_vocab": q_vocab,
-        "q_pii_scrub": q_pii_scrub,
-        "q_boilerplate": q_boilerplate,
-        "q_kmeans": q_kmeans,
-        "q_embedding_outliers": q_embedding_outliers,
-        "q_decontam": q_decontam,
-        "q_span_dedup": q_span_dedup,
-        "q_c4_filter": q_c4_filter,
-        "q_gopher_quality": q_gopher_quality,
-        "q_repetition": q_repetition,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_domain_filter": q_domain_filter,
-        "q_gopher_repetition": q_gopher_repetition,
-        "q_quality_sample": q_quality_sample,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unique_any": q_unique_any,
-        "q_asof_now": q_asof_now,
-        "q_session_predicate": q_session_predicate,
-        "q_interval_outer": q_interval_outer,
-        "q_asof_right": q_asof_right,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q_part_strings": q_part_strings,
-        "q_orders_dates": q_orders_dates,
-        "q_argmax_supplier": q_argmax_supplier,
-        # --- r5 touched-this-round set: rotated right behind the 48 stale
-        # rows so the driver's ~50-row budget re-verifies them fresh. ---
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_louvain": q_louvain,
-        # --- r4-green, unchanged: behind the driver cap this round. ---
+        # --- r6 front (≈50-row driver budget): the 48 queries whose latest
+        # driver row is r4 (two rounds old after r5 checked the other 50),
+        # plus q_media_meta (touched this round: PNG + MP4 fixtures). ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
         "q_window_numeric": q_window_numeric,
@@ -2067,6 +2017,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bellman_ford": q_bellman_ford,
         "q_rerank": q_rerank,
         "q_winnow": q_winnow,
+        "q_media_meta": q_media_meta,
+        # --- r5-green, unchanged: behind the driver cap this round. ---
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_assign_shards": q_assign_shards,
+        "q_leakage_split": q_leakage_split,
+        "q_audio_dedup": q_audio_dedup,
+        "q_image_dedup": q_image_dedup,
+        "q_quality_classifier": q_quality_classifier,
+        "q_dsir": q_dsir,
+        "q_temperature_sample": q_temperature_sample,
+        "q_line_dedup": q_line_dedup,
+        "q_semdedup": q_semdedup,
+        "q_corpus_dedup": q_corpus_dedup,
+        "q_doc_retrieve": q_doc_retrieve,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_error_channel": q_error_channel,
+        "q_custom_reducer": q_custom_reducer,
+        "q_incremental_neardup": q_incremental_neardup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_train_split": q_train_split,
+        "q_shuffle": q_shuffle,
+        "q_mix_datasets": q_mix_datasets,
+        "q_pack_sequences": q_pack_sequences,
+        "q_vocab": q_vocab,
+        "q_pii_scrub": q_pii_scrub,
+        "q_boilerplate": q_boilerplate,
+        "q_kmeans": q_kmeans,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_decontam": q_decontam,
+        "q_span_dedup": q_span_dedup,
+        "q_c4_filter": q_c4_filter,
+        "q_gopher_quality": q_gopher_quality,
+        "q_repetition": q_repetition,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_domain_filter": q_domain_filter,
+        "q_gopher_repetition": q_gopher_repetition,
+        "q_quality_sample": q_quality_sample,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_asof_now": q_asof_now,
+        "q_session_predicate": q_session_predicate,
+        "q_interval_outer": q_interval_outer,
+        "q_asof_right": q_asof_right,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q_part_strings": q_part_strings,
+        "q_orders_dates": q_orders_dates,
+        "q_argmax_supplier": q_argmax_supplier,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_louvain": q_louvain,
     }
 
 
