@@ -1030,9 +1030,13 @@ def q_doc_retrieve(spark: SparkSession, sf: str) -> DataFrame:
 
 def _media_fixtures() -> list[tuple[int, str]]:
     """Deterministic media blobs (hex) shared by q_media_meta and its
-    oracle: two PCM WAVs, a PNG, a top-down BMP (negative biHeight), a
-    GIF, a baseline JPEG (r5: real in-repo codec — type sniffed, dims
-    null since SOF sits at a variable offset), and an unknown blob."""
+    oracle: two PCM WAVs, a REAL encoded PNG (r6: in-repo stdlib-zlib
+    codec, operators/png.py — decodes back to the planted gradient), a
+    top-down BMP (negative biHeight), a GIF, a baseline JPEG (real
+    in-repo codec; dims read by the deep SOF walk), a minimal ISO-BMFF
+    MP4 (ftyp + moov{mvhd, trak{tkhd, mdia/minf/stbl/stsd}} — fixed
+    deterministic layout, see the oracle's offset comments), and an
+    unknown blob."""
     import struct
 
     def wav(rate=8000, ch=1, bits=16, payload=800):
@@ -1046,10 +1050,17 @@ def _media_fixtures() -> list[tuple[int, str]]:
         return hdr + bytes(payload)
 
     def png(w, h):
-        return (
-            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
-            + struct.pack(">II", w, h) + bytes(5)
+        import numpy as np
+
+        from pathwaydataframework_spark.operators import png as _png
+
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[..., 0] = np.tile(np.linspace(0, 255, w).astype(np.uint8), (h, 1))
+        img[..., 1] = 77
+        img[..., 2] = np.tile(
+            np.linspace(255, 0, h).astype(np.uint8)[:, None], (1, w)
         )
+        return _png.encode(img)
 
     def bmp(w, h):
         return (
@@ -1067,13 +1078,47 @@ def _media_fixtures() -> list[tuple[int, str]]:
 
         return _jpeg.encode(np.full((8, 8, 3), 200, dtype=np.uint8), quality=90)
 
+    def mp4(w=640, h=360, timescale=600, duration=3300):
+        # Minimal ISO-BMFF with spec-size v0 boxes and a deterministic
+        # layout: ftyp(24) moov(8){mvhd(108) trak{tkhd(92)
+        # mdia{minf{stbl{stsd(8+8+16)}}}}} — the Spark side walks it
+        # GENERALLY (multimodal.mp4_meta); the oracle reads this fixed
+        # layout back at documented absolute offsets.
+        def box(t, payload):
+            return struct.pack(">I", 8 + len(payload)) + t + payload
+
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+        mvhd = box(
+            b"mvhd",
+            bytes(4)  # version/flags
+            + bytes(8)  # ctime/mtime
+            + struct.pack(">II", timescale, duration)
+            + bytes(80),  # rate/volume/reserved/matrix/predefined/next
+        )
+        tkhd = box(
+            b"tkhd",
+            bytes(4)  # version/flags
+            + bytes(8)  # ctime/mtime
+            + struct.pack(">I", 1)  # track id
+            + bytes(4) + bytes(4)  # reserved, duration
+            + bytes(8)  # reserved
+            + bytes(8)  # layer/alt_group/volume/reserved
+            + bytes(36)  # matrix
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+        entry = struct.pack(">I", 16) + b"avc1" + bytes(8)
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        mdia = box(b"mdia", box(b"minf", box(b"stbl", stsd)))
+        return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+
     blobs = [
         wav(),                                # 50 ms @ 16 kB/s
         wav(rate=16000, payload=3200),        # 100 ms @ 32 kB/s
-        png(320, 200),
+        png(20, 12),
         bmp(64, -48),                         # top-down: |height| reported
         gif(12, 34),
         jpg(),
+        mp4(),                                # 640x360, 5500 ms
         b"plain text bytes",
     ]
     return [(i, b.hex()) for i, b in enumerate(blobs)]
@@ -1081,18 +1126,23 @@ def _media_fixtures() -> list[tuple[int, str]]:
 
 def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal container sniffing (operators/multimodal.py
-    attach_media_meta — addendum §2.10): WAV/PNG/BMP/GIF/JPEG header
-    fields as pure binary column expressions.  The DuckDB oracle
-    re-derives every field from the same blobs with independent
-    hex-string byte arithmetic, so the endianness/offset logic is
-    differentially checked (the JPEG blob is emitted by the in-repo
-    baseline codec, operators/jpeg.py)."""
+    attach_media_meta — addendum §2.10): WAV/PNG/BMP/GIF header fields
+    as pure binary column expressions, plus — r6 — ``deep=True``
+    variable-offset metadata: MP4/ISO-BMFF duration + 16.16 track
+    dimensions via the general ``mp4_meta`` box walk and JPEG
+    dimensions via the SOF marker walk (one Arrow-batched pandas UDF).
+    The DuckDB oracle re-derives every field from the same blobs with
+    independent hex-string byte arithmetic — the MP4 fields from the
+    planted fixture's documented fixed layout, the JPEG SOF via
+    strpos(hex, 'FFC0') — so endianness/offset/fixed-point logic is
+    differentially checked (PNG and JPEG blobs are emitted by the
+    in-repo codecs, operators/png.py + operators/jpeg.py)."""
     from pathwaydataframework_spark.operators import multimodal
 
     src = spark.createDataFrame(_media_fixtures(), "id long, hex string").select(
         "id", F.unhex("hex").alias("data")
     )
-    out = multimodal.attach_media_meta(src)
+    out = multimodal.attach_media_meta(src, deep=True)
     return out.select(
         "id",
         F.col("media_meta.media_type").alias("media_type"),
@@ -1108,8 +1158,16 @@ def _media_meta_oracle_sql() -> str:
     b = lambda p: f"TRY_CAST('0x' || substr(h, ({p}-1)*2+1, 2) AS BIGINT)"  # noqa: E731
     le32 = lambda p: f"({b(p)} + {b(p+1)}*256 + {b(p+2)}*65536 + {b(p+3)}*16777216)"  # noqa: E731
     be32 = lambda p: f"TRY_CAST('0x' || substr(h, ({p}-1)*2+1, 8) AS BIGINT)"  # noqa: E731
+    be16 = lambda p: f"TRY_CAST('0x' || substr(h, ({p}-1)*2+1, 4) AS BIGINT)"  # noqa: E731
     le16 = lambda p: f"({b(p)} + {b(p+1)}*256)"  # noqa: E731
     sgn = lambda u: f"abs(CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 ELSE {u} END)"  # noqa: E731
+    # MP4 fixture fixed layout (see _media_fixtures.mp4): ftyp = 24 bytes;
+    # moov hdr 8 → mvhd at byte 32, payload 40 → timescale BE32 at byte 52
+    # (1-based 53), duration at 56 (57); mvhd total 108 → trak at 140,
+    # tkhd at 148, payload 156 → +76 → width 16.16 at 232 (233), height at
+    # 236 (237); the integer part is the leading BE16 of each.
+    # JPEG: SOF0 marker found in the hex string (unique + byte-aligned for
+    # the planted fixture); height BE16 at marker+5 bytes, width at +7.
     return f"""
         WITH raw(id, hx) AS (VALUES {values}),
         blobs AS (SELECT id, hex(unhex(hx)) AS h, octet_length(unhex(hx)) AS n FROM raw),
@@ -1121,21 +1179,34 @@ def _media_meta_oracle_sql() -> str:
                    substr(h, 1, 4) = hex('BM'::BLOB) AS is_bmp,
                    substr(h, 1, 8) = hex('GIF8'::BLOB) AS is_gif,
                    substr(h, 1, 6) = 'FFD8FF' AS is_jpg,
+                   substr(h, 9, 8) = hex('ftyp'::BLOB) AS is_mp4,
+                   strpos(h, 'FFC0') AS sofp,
                    {le32(29)} AS byte_rate
             FROM blobs
         )
         SELECT id,
                CASE WHEN is_wav THEN 'audio'
+                    WHEN is_mp4 THEN 'video'
                     WHEN is_png OR is_bmp OR is_gif OR is_jpg THEN 'image'
                     ELSE 'unknown' END AS media_type,
                CAST(CASE WHEN is_png THEN {be32(17)}
                          WHEN is_bmp THEN {sgn(le32(19))}
-                         WHEN is_gif THEN {le16(7)} END AS INTEGER) AS width,
+                         WHEN is_gif THEN {le16(7)}
+                         WHEN is_mp4 THEN {be16(233)}
+                         WHEN is_jpg AND sofp > 0 THEN
+                             TRY_CAST('0x' || substr(h, sofp + 14, 4) AS BIGINT)
+                         END AS INTEGER) AS width,
                CAST(CASE WHEN is_png THEN {be32(21)}
                          WHEN is_bmp THEN {sgn(le32(23))}
-                         WHEN is_gif THEN {le16(9)} END AS INTEGER) AS height,
+                         WHEN is_gif THEN {le16(9)}
+                         WHEN is_mp4 THEN {be16(237)}
+                         WHEN is_jpg AND sofp > 0 THEN
+                             TRY_CAST('0x' || substr(h, sofp + 10, 4) AS BIGINT)
+                         END AS INTEGER) AS height,
                CAST(CASE WHEN is_wav AND byte_rate > 0
-                         THEN (n - 44) * 1000 / byte_rate END AS INTEGER)
+                         THEN (n - 44) * 1000 / byte_rate
+                         WHEN is_mp4 THEN FLOOR({be32(57)} * 1000 / {be32(53)})
+                         END AS INTEGER)
                    AS duration_ms
         FROM sniffed
     """

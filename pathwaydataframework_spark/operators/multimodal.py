@@ -9,12 +9,16 @@ Design: media are opaque ``binary`` columns + a typed metadata struct.
   crossing at all.
 - **Sample/pixel decode crosses to Python once per Arrow batch** via
   ``mapInPandas``: real kernels for PCM WAV features (stdlib ``wave``),
-  P6 PPM (numpy), and — r5 — baseline JPEG through the pure-numpy codec
-  in ``operators/jpeg.py`` (decode, dHash, resize, features).  The
-  remaining compressed formats (video/MP4, progressive JPEG, PNG
-  inflate) need codecs this container lacks — those kernels raise
-  ``NotImplementedError`` with the same plumbing, so production swaps in
-  Pillow/PyAV without touching the plan.
+  P6 PPM (numpy), baseline JPEG (r5, pure-numpy ``operators/jpeg.py``)
+  and baseline PNG (r6, stdlib-zlib ``operators/png.py``) — decode,
+  dHash, resize, features all run on real pixels for those formats.
+  Variable-offset container metadata (MP4/ISO-BMFF box walk, JPEG SOF
+  dimensions) is read by the pure-struct ``mp4_meta`` kernel behind
+  ``attach_media_meta(deep=True)``.  The remaining compressed formats
+  (video FRAME decode, progressive JPEG, Adam7 PNG) need codecs this
+  container lacks — those kernels raise ``NotImplementedError`` with
+  the same plumbing, so production swaps in Pillow/PyAV without
+  touching the plan.
 """
 
 from __future__ import annotations
@@ -43,7 +47,9 @@ def _uint(col: Column, pos: int, nbytes: int, *, little_endian: bool) -> Column:
     return out
 
 
-def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
+def attach_media_meta(
+    df: DataFrame, binary_col: str = "data", *, deep: bool = False
+) -> DataFrame:
     """Derive the typed metadata struct from raw bytes — REAL container
     sniffing as pure column expressions (no Python, no UDF):
 
@@ -53,8 +59,16 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     - BMP: little-endian SIGNED int32 width/height at offsets 19/23
       (top-down BMPs store a negative biHeight; reported as |height|).
     - GIF (``GIF8``): little-endian uint16 logical-screen size at 7/9.
+    - MP4/ISO-BMFF (``ftyp`` at offset 5): media_type='video'.
 
     Unknown containers get media_type='unknown' and null fields.
+
+    ``deep=True`` additionally fills the fields that live at VARIABLE
+    offsets — MP4 width/height/duration via the ``mp4_meta`` box walk
+    and JPEG dimensions via the SOF marker walk — through one
+    Arrow-batched scalar pandas UDF, coalesced under the JVM-sniffed
+    values (fixed-offset formats never cross to Python for nothing:
+    their fields come from the codegen'd expressions either way).
     """
     d = F.col(binary_col)
     is_wav = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
@@ -69,6 +83,10 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
     # segment at a variable offset (the jpeg.py kernel reads them); a
     # fixed-offset column expression cannot reach them.
     is_jpg = F.substring(d, 1, 3) == F.lit(b"\xff\xd8\xff")
+    # ISO-BMFF: every file starts with an 'ftyp' box — its fourcc sits at
+    # bytes 5-8.  Dimensions/duration live in moov at variable offsets
+    # (deep=True reaches them via the mp4_meta box walk).
+    is_mp4 = F.substring(d, 5, 4) == F.lit(b"ftyp")
     byte_rate = _uint(d, 29, 4, little_endian=True)
 
     def _signed32(u: Column) -> Column:
@@ -77,32 +95,209 @@ def attach_media_meta(df: DataFrame, binary_col: str = "data") -> DataFrame:
         return F.abs(F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u))
 
     null_i = F.lit(None).cast("int")
+    media_type = (
+        F.when(is_wav, F.lit("audio"))
+        .when(is_mp4, F.lit("video"))
+        .when(is_png | is_bmp | is_gif | is_jpg, F.lit("image"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = (
+        F.when(is_png, _uint(d, 17, 4, little_endian=False))
+        .when(is_bmp, _signed32(_uint(d, 19, 4, little_endian=True)))
+        .when(is_gif, _uint(d, 7, 2, little_endian=True))
+        .cast("int")
+    )
+    height = (
+        F.when(is_png, _uint(d, 21, 4, little_endian=False))
+        .when(is_bmp, _signed32(_uint(d, 23, 4, little_endian=True)))
+        .when(is_gif, _uint(d, 9, 2, little_endian=True))
+        .cast("int")
+    )
+    duration_ms = (
+        F.when(is_wav & (byte_rate > 0), ((F.length(d) - 44) * 1000 / byte_rate))
+        .otherwise(null_i)
+        .cast("int")
+    )
+    if deep:
+        deep_col = _deep_meta_udf()(d)
+        width = F.coalesce(width, deep_col["width"])
+        height = F.coalesce(height, deep_col["height"])
+        duration_ms = F.coalesce(duration_ms, deep_col["duration_ms"])
     return df.withColumn(
         "media_meta",
         F.struct(
-            F.when(is_wav, F.lit("audio"))
-            .when(is_png | is_bmp | is_gif | is_jpg, F.lit("image"))
-            .otherwise(F.lit("unknown"))
-            .alias("media_type"),
-            F.when(is_png, _uint(d, 17, 4, little_endian=False))
-            .when(is_bmp, _signed32(_uint(d, 19, 4, little_endian=True)))
-            .when(is_gif, _uint(d, 7, 2, little_endian=True))
-            .cast("int")
-            .alias("width"),
-            F.when(is_png, _uint(d, 21, 4, little_endian=False))
-            .when(is_bmp, _signed32(_uint(d, 23, 4, little_endian=True)))
-            .when(is_gif, _uint(d, 9, 2, little_endian=True))
-            .cast("int")
-            .alias("height"),
-            F.when(
-                is_wav & (byte_rate > 0),
-                ((F.length(d) - 44) * 1000 / byte_rate),
-            )
-            .otherwise(null_i)
-            .cast("int")
-            .alias("duration_ms"),
+            media_type.alias("media_type"),
+            width.alias("width"),
+            height.alias("height"),
+            duration_ms.alias("duration_ms"),
         ),
     )
+
+
+def mp4_meta(data: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV/M4A) metadata via a GENERAL pure-struct box
+    walk — no frame decode (inter-frame codecs are the documented
+    boundary, DEVIATIONS.md #5; the reference's media path is service
+    UDF parsers, reference python/pathway/xpacks/llm/parsers.py:53-746).
+
+    Walks the top-level box stream (32-bit sizes, size==1 → 64-bit
+    largesize, size==0 → to-end-of-enclosing), then:
+
+    - ``moov/mvhd`` (v0/v1): timescale + duration → duration_ms,
+    - ``moov/trak`` count → track_count,
+    - each ``trak/tkhd`` (v0/v1): 16.16 fixed-point width/height —
+      first visual track (nonzero dims) wins,
+    - first ``trak/mdia/minf/stbl/stsd`` sample-entry fourcc → codec.
+
+    Returns dict(duration_ms, width, height, codec, track_count) with
+    None for anything absent; raises ValueError if the stream is not
+    ISO-BMFF (no leading ftyp box).
+    """
+    import struct as _struct
+
+    data = bytes(data)
+
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = _struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                (size,) = _struct.unpack_from(">Q", data, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                return
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def find(start: int, end: int, btype: bytes):
+        for t, s, e in boxes(start, end):
+            if t == btype:
+                return s, e
+        return None
+
+    top = list(boxes(0, len(data)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream (no leading ftyp box)")
+    out: dict = {
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "codec": None,
+        "track_count": None,
+    }
+    moov = find(0, len(data), b"moov")
+    if moov is None:
+        return out
+    ms, me = moov
+    mvhd = find(ms, me, b"mvhd")
+    if mvhd is not None:
+        s, e = mvhd
+        version = data[s]
+        if version == 1 and e - s >= 32:
+            (timescale,) = _struct.unpack_from(">I", data, s + 20)
+            (duration,) = _struct.unpack_from(">Q", data, s + 24)
+        elif e - s >= 20:
+            (timescale,) = _struct.unpack_from(">I", data, s + 12)
+            (duration,) = _struct.unpack_from(">I", data, s + 16)
+        else:
+            timescale = 0
+            duration = 0
+        if timescale:
+            out["duration_ms"] = duration * 1000 // timescale
+    traks = [(s, e) for t, s, e in boxes(ms, me) if t == b"trak"]
+    out["track_count"] = len(traks)
+    for ts, te in traks:
+        tkhd = find(ts, te, b"tkhd")
+        if tkhd is not None:
+            s, e = tkhd
+            off = s + (88 if data[s] == 1 else 76)  # v1 has 64-bit times
+            if e - off >= 8:
+                (w_fx, h_fx) = _struct.unpack_from(">II", data, off)
+                if w_fx and h_fx and out["width"] is None:
+                    out["width"] = w_fx >> 16  # 16.16 fixed point
+                    out["height"] = h_fx >> 16
+        if out["codec"] is None:
+            path = (b"mdia", b"minf", b"stbl", b"stsd")
+            span: tuple[int, int] | None = (ts, te)
+            for part in path:
+                span = find(span[0], span[1], part) if span else None
+            if span is not None and span[1] - span[0] >= 16:
+                # stsd payload: version+flags(4) entry_count(4), then the
+                # first sample entry: size(4) + format fourcc(4)
+                out["codec"] = data[span[0] + 12 : span[0] + 16].decode(
+                    "ascii", "replace"
+                )
+    return out
+
+
+def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first SOFn marker via the standard
+    segment walk (any SOF0-15 except DHT/DNL/DAC carries dimensions —
+    works for progressive files too, whose PIXEL decode stays out of
+    scope)."""
+    import struct as _struct
+
+    if data[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2  # standalone markers have no length field
+            continue
+        (seg_len,) = _struct.unpack_from(">H", data, pos + 2)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            (h,) = _struct.unpack_from(">H", data, pos + 5)
+            (w,) = _struct.unpack_from(">H", data, pos + 7)
+            return w, h
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+def _deep_meta_udf():
+    """Scalar pandas UDF filling variable-offset metadata (MP4 box walk
+    + JPEG SOF dims) — one Arrow crossing per batch; fixed-offset
+    formats return all-null rows and keep their JVM-derived values."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fn(blobs):
+        ws, hs, ds = [], [], []
+        for raw in blobs:
+            w = h = dur = None
+            data = bytes(raw or b"")
+            if len(data) >= 12 and data[4:8] == b"ftyp":
+                try:
+                    meta = mp4_meta(data)
+                    w, h, dur = meta["width"], meta["height"], meta["duration_ms"]
+                except ValueError:
+                    pass
+            elif data[:3] == b"\xff\xd8\xff":
+                dims = _jpeg_dims(data)
+                if dims is not None:
+                    w, h = dims
+            ws.append(w)
+            hs.append(h)
+            ds.append(dur)
+        return pd.DataFrame({"width": ws, "height": hs, "duration_ms": ds})
+
+    # real annotation objects (`from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf inference can't eval)
+    _fn.__annotations__ = {"blobs": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_fn, "width int, height int, duration_ms int")
 
 
 def wav_features(data: bytes) -> list[float]:
@@ -145,15 +340,19 @@ def wav_features(data: bytes) -> list[float]:
 
 def decode_image(data: bytes):
     """bytes → (h, w, 3) uint8 RGB for the formats with REAL in-repo
-    kernels: P6 PPM (numpy) and baseline JPEG (operators/jpeg.py).
-    Raises ValueError for anything else — the honest codec boundary
-    (production swaps Pillow in front; every consumer below keeps its
-    plan)."""
+    kernels: P6 PPM (numpy), baseline JPEG (operators/jpeg.py) and
+    baseline PNG (operators/png.py — all filter types, gray/palette/
+    truecolor/alpha, 1-16 bit).  Raises ValueError for anything else —
+    the honest codec boundary (production swaps Pillow in front; every
+    consumer below keeps its plan)."""
     from pathwaydataframework_spark.operators import jpeg as _jpeg
+    from pathwaydataframework_spark.operators import png as _png
 
     data = bytes(data)
     if _jpeg.is_jpeg(data):
         return _jpeg.decode(data)
+    if _png.is_png(data):
+        return _png.decode(data)
     return _ppm_decode(data)
 
 
@@ -295,9 +494,10 @@ def resize_images(
     height: int = 224,
 ) -> DataFrame:
     """Image resize stage: REAL kernels for P6 PPM (numpy
-    nearest-neighbor, PPM out) and baseline JPEG (operators/jpeg.py
-    decode → nearest resize → re-encode, JPEG out — format preserved);
-    other codec-bound formats raise NotImplementedError through the same
+    nearest-neighbor, PPM out), baseline JPEG (operators/jpeg.py decode
+    → nearest resize → re-encode, JPEG out) and baseline PNG
+    (operators/png.py, PNG out) — format preserved in every case; other
+    codec-bound formats raise NotImplementedError through the same
     mapInPandas plumbing — swap the kernel, keep the plan."""
     out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, resized binary"
 
@@ -306,6 +506,13 @@ def resize_images(
         import pandas as pd
 
         from pathwaydataframework_spark.operators import jpeg as _jpeg
+        from pathwaydataframework_spark.operators import png as _png
+
+        def _nearest(img):
+            h, w, _ = img.shape
+            rows = (np.arange(height) * h // height).clip(0, h - 1)
+            cols = (np.arange(width) * w // width).clip(0, w - 1)
+            return np.ascontiguousarray(img[rows][:, cols])
 
         for pdf in batches:
             out = []
@@ -313,20 +520,16 @@ def resize_images(
                 data = bytes(raw or b"")
                 try:
                     if _jpeg.is_jpeg(data):
-                        img = _jpeg.decode(data)
-                        h, w, _ = img.shape
-                        rows = (np.arange(height) * h // height).clip(0, h - 1)
-                        cols = (np.arange(width) * w // width).clip(0, w - 1)
-                        out.append(
-                            _jpeg.encode(np.ascontiguousarray(img[rows][:, cols]))
-                        )
+                        out.append(_jpeg.encode(_nearest(_jpeg.decode(data))))
+                    elif _png.is_png(data):
+                        out.append(_png.encode(_nearest(_png.decode(data))))
                     else:
                         out.append(ppm_resize(data, width, height))
                 except ValueError as exc:
                     raise NotImplementedError(
-                        "only P6 PPM and baseline JPEG resize kernels are "
-                        "available in this container; plug a Pillow kernel "
-                        "in production"
+                        "only P6 PPM, baseline JPEG and baseline PNG resize "
+                        "kernels are available in this container; plug a "
+                        "Pillow kernel in production"
                     ) from exc
             yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
 

@@ -1,0 +1,213 @@
+"""Baseline PNG codec — stdlib zlib + numpy, no external image libs.
+
+Decode covers full non-interlaced baseline PNG per the public spec
+(RFC 2083 / ISO 15948): chunk walk with CRC verification, IHDR parse,
+zlib inflate of the concatenated IDAT stream, per-scanline unfilter
+(filter types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth), bit-depth
+expansion (1/2/4/8/16), and color-type mapping — 0 grayscale, 2
+truecolor, 3 palette (PLTE), 4 gray+alpha, 6 RGBA — down to the
+repo-wide image contract of a (h, w, 3) uint8 RGB array (alpha
+dropped, 16-bit samples reduced to their high byte).  Adam7 interlace
+(interlace_method=1) is rejected with ValueError — the documented
+codec boundary (DEVIATIONS.md #5), same policy as progressive JPEG.
+
+Encode emits 8-bit truecolor, filter type 0, one IDAT — enough for
+format-preserving resize (multimodal.resize_images) and for planting
+deterministic test fixtures.
+
+The reference framework has no in-process image codec at all — its
+media path hands blobs to service UDF parsers (reference
+python/pathway/xpacks/llm/parsers.py:53-746).  This kernel exists so
+decode_image / resize_images / image_dhash are REAL for the second
+most common corpus image format; it runs per-executor behind
+Arrow-batched mapInPandas, the appropriate boundary for inherently
+imperative decode work.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# channels per pixel for each color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# bit depths the spec allows per color type
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == _SIGNATURE
+
+
+def _chunks(data: bytes):
+    """Yield (type, payload) walking the chunk stream; verifies each CRC."""
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > n:
+            raise ValueError("PNG: truncated chunk %r" % ctype)
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != zlib.crc32(ctype + payload) & 0xFFFFFFFF:
+            raise ValueError("PNG: CRC mismatch in %r chunk" % ctype)
+        yield ctype, payload
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG: missing IEND")
+
+
+def _unfilter(raw: bytes, h: int, row_bytes: int, fbpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering → (h, row_bytes) uint8 matrix."""
+    if len(raw) != h * (1 + row_bytes):
+        raise ValueError("PNG: decompressed size mismatch")
+    flat = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + row_bytes)
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int64)
+    for y in range(h):
+        ftype = int(flat[y, 0])
+        cur = flat[y, 1:].astype(np.int64)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: left-neighbour prefix sum per byte lane
+            for c in range(fbpp):
+                cur[c::fbpp] = np.cumsum(cur[c::fbpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(row_bytes):
+                left = cur[x - fbpp] if x >= fbpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(row_bytes):
+                a = cur[x - fbpp] if x >= fbpp else 0
+                b = prev[x]
+                c = prev[x - fbpp] if x >= fbpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError("PNG: unknown filter type %d" % ftype)
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _expand_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) packed bytes → (h, w*channels) samples at native
+    depth (uint8 for ≤8-bit; 16-bit already reduced to its high byte)."""
+    if depth == 8:
+        return rows[:, : w * channels]
+    if depth == 16:
+        return rows[:, : w * channels * 2 : 2]  # high byte ≈ 8-bit value
+    # 1/2/4-bit: unpack each byte big-endian-first, regroup depth bits
+    bits = np.unpackbits(rows, axis=1)
+    per_row = w * channels  # samples per scanline (sub-byte packing)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    usable = bits[:, : per_row * depth].reshape(rows.shape[0], per_row, depth)
+    return (usable * weights).sum(axis=2).astype(np.uint8)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB.  ValueError on non-PNG input,
+    corrupt streams, and the Adam7 boundary."""
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("PNG: bad signature")
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, payload in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(payload)
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, color_type, compression, filter_method, interlace = ihdr
+    if compression != 0 or filter_method != 0:
+        raise ValueError("PNG: unknown compression/filter method")
+    if interlace == 1:
+        raise ValueError(
+            "PNG: Adam7 interlace is outside the baseline kernel "
+            "(documented codec boundary; plug Pillow in production)"
+        )
+    if color_type not in _CHANNELS or depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError("PNG: invalid depth/color-type combination")
+    if w == 0 or h == 0:
+        raise ValueError("PNG: zero dimension")
+    channels = _CHANNELS[color_type]
+    bpp_bits = depth * channels
+    row_bytes = (w * bpp_bits + 7) // 8
+    fbpp = max(1, bpp_bits // 8)
+    raw = zlib.decompress(b"".join(idat))
+    rows = _unfilter(raw, h, row_bytes, fbpp)
+    samples = _expand_samples(rows, w, channels, depth)
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        idx = samples[:, :w].astype(np.int64)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG: palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    if depth < 8:  # grayscale sub-byte: scale to full 8-bit range
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    px = samples.reshape(h, w, channels)
+    if color_type == 0:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if color_type == 4:
+        return np.ascontiguousarray(np.repeat(px[..., :1], 3, axis=2))
+    return np.ascontiguousarray(px[..., :3])  # 2 (exact) or 6 (drop alpha)
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode(arr: np.ndarray, *, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → truecolor 8-bit PNG, filter 0, one IDAT.
+    Deterministic (fixed zlib strategy) — same array, same bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("PNG encode expects (h, w, 3) uint8")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scanlines = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    scanlines[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(scanlines.tobytes(), level)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
