@@ -70,6 +70,34 @@ def test_asof_join_single_shuffle_no_join(spark, sf_dir):
     assert plan.count("Window") >= 1
 
 
+def test_asof_join_plan_fingerprint_pinned(spark, sf_dir):
+    # Variance pin (r5 verdict): q_asof_join's bench median drifted to
+    # 1.53× its r1 number while its single-run best stayed at 1.09× —
+    # the q03 signature of session noise, not a plan change.  Same remedy
+    # as q03: pin the EXACT physical operator multiset of the
+    # union+window formulation (verified identical at sf0.001 and sf0.1)
+    # so a future real regression (a join sneaking in, a second window
+    # exchange, a lost partial aggregate) fails HERE and bench drift can
+    # be attributed to JIT/GC with evidence.
+    import re
+    from collections import Counter
+
+    df = entry.q_asof_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    ops = Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+    assert dict(ops) == {
+        "AdaptiveSparkPlan": 1,
+        "Exchange": 2,  # window repartition + final groupBy; no join shuffle
+        "Filter": 1,
+        "HashAggregate": 2,  # partial + final: map-side combine present
+        "Project": 2,
+        "Scan": 2,
+        "Sort": 1,  # the single within-partition window sort
+        "Union": 1,  # asof = union of both sides, never a SortMergeJoin
+        "Window": 1,
+    }, f"q_asof_join physical plan changed: {dict(ops)}"
+
+
 def test_interval_join_is_equi_join(spark, sf_dir):
     # double-bucketing must produce a hash-partitionable equi-join, not a
     # BroadcastNestedLoopJoin / CartesianProduct
