@@ -1745,6 +1745,43 @@ def q_louvain(spark: SparkSession, sf: str) -> DataFrame:
     return graphs.louvain_communities(pairs, src="id_a", dst="id_b")
 
 
+def q_louvain_levels(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-level Louvain hierarchy (graphs.louvain_communities_multilevel
+    — reference stdlib/graphs/louvain_communities/impl.py:282 level loop)
+    over a planted cliques-of-cliques graph: 4 super-groups × 3 cliques ×
+    4 vertices, intra-clique weight 10, weight-1 complete bipartite links
+    between same-group cliques, nothing across groups.  Level 1 provably
+    recovers the 12 cliques and level 2 the 4 super-groups (meta-merge
+    gain w(i→c)=16 > k·tot/2m ≈ 12.7, strictly positive; no merge is
+    possible across groups), with community ids canonicalized to the
+    minimum member vertex — so the full (vertex, level, community)
+    hierarchy is exactly derivable in closed form: level 1 community =
+    4·⌊v/4⌋, level 2 community = 12·⌊v/12⌋."""
+    from pathwaydataframework_spark.operators import graphs
+
+    rows = []
+    for g in range(4):
+        cliques = [
+            list(range((g * 3 + c) * 4, (g * 3 + c) * 4 + 4)) for c in range(3)
+        ]
+        for cl in cliques:
+            for i, a in enumerate(cl):
+                for b in cl[i + 1 :]:
+                    rows.append((a, b, 10.0))
+        for ci in range(3):
+            for cj in range(ci + 1, 3):
+                for a in cliques[ci]:
+                    for b in cliques[cj]:
+                        rows.append((a, b, 1.0))
+    edges = spark.createDataFrame(rows, "src long, dst long, w double")
+    out = graphs.louvain_communities_multilevel(edges, weight="w", max_iterations=12)
+    return out.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("level").cast("int").alias("level"),
+        F.col("community").cast("long").alias("community"),
+    )
+
+
 def q_decontam(spark: SparkSession, sf: str) -> DataFrame:
     """benchmark decontamination: 13-gram overlap of the training split
     (sources src2+) against the held-out benchmark split (src0/src1) —
@@ -2089,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rerank": q_rerank,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
+        "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
         # --- r5-green, unchanged: behind the driver cap this round. ---
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
@@ -3626,6 +3664,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_connected_components": _neardup_cc_sql("component"),
         "q_louvain": _neardup_cc_sql("community"),
+        # closed-form hierarchy of the planted cliques-of-cliques graph
+        # (see q_louvain_levels docstring for the provability argument)
+        "q_louvain_levels": """
+            SELECT v.range AS vertex, CAST(1 AS INTEGER) AS level,
+                   (v.range // 4) * 4 AS community
+            FROM range(48) v
+            UNION ALL
+            SELECT v.range, CAST(2 AS INTEGER), (v.range // 12) * 12
+            FROM range(48) v
+        """,
         "q_stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_bucket_sql("doc_id", 3)} <
