@@ -206,11 +206,14 @@ class WindowedTable:
         numeric_time = tdtype in (
             "bigint", "int", "smallint", "tinyint", "double", "float",
         ) or tdtype.startswith("decimal")
+        bt = t
+        if self._behavior is not None and t._df.isStreaming and not numeric_time:
+            bt, tcol = self._apply_stream_behavior(t, tcol)
         if isinstance(win, TumblingWindow):
             if numeric_time:
                 return self._numeric_window_reduce(win, tcol, tdtype, aggs)
             wcol = F.window(tcol, _duration_str(win.duration), startTime=_origin_offset(win))
-            return self._agg_by_window(wcol, aggs)
+            return self._agg_by_window(wcol, aggs, table=bt)
         if isinstance(win, SlidingWindow):
             if numeric_time:
                 return self._numeric_window_reduce(win, tcol, tdtype, aggs)
@@ -220,7 +223,7 @@ class WindowedTable:
                 _duration_str(win.hop),
                 startTime=_origin_offset(win),
             )
-            return self._agg_by_window(wcol, aggs)
+            return self._agg_by_window(wcol, aggs, table=bt)
         if isinstance(win, SessionWindow):
             if win.predicate is not None:
                 # reference _window.py:595 accepts predicate sessions through
@@ -243,7 +246,7 @@ class WindowedTable:
             # to the reported window end.
             gap_us = int(duration_to_seconds(win.max_gap) * 1_000_000) - 1
             wcol = F.session_window(tcol, f"{gap_us} microseconds")
-            return self._agg_by_window(wcol, aggs, session=True, tcol=tcol)
+            return self._agg_by_window(wcol, aggs, session=True, tcol=tcol, table=bt)
         if isinstance(win, IntervalsOverWindow):
             return self._intervals_over_reduce(win, aggs)
         raise TypeError(f"bad window {win!r}")
@@ -454,10 +457,50 @@ class WindowedTable:
             )
         )
 
+    def _apply_stream_behavior(self, t: Table, tcol: Column):
+        """Lower the attached reference behavior onto a STREAMING plan
+        (SURVEY §2.5 — reference stdlib/temporal/temporal_behavior.py:29,83):
+
+        - ``common_behavior(cutoff=c)`` → ``withWatermark(event_time, c)``:
+          rows arriving after the frontier passes window_end + c are
+          dropped and their window state evicted — the reference's
+          late-data cutoff.
+        - ``exactly_once_behavior(shift=s)`` → ``withWatermark(event_time,
+          s)``; with the sink in APPEND mode each window is emitted exactly
+          once — when the frontier passes window_end + shift — and never
+          retracted, the reference's emit-once contract.
+
+        ``delay`` and ``keep_results`` are sink-side in Spark (trigger
+        interval / output-mode choice — DEVIATIONS.md); Spark watermarks
+        are timestamp-only, so numeric event time keeps batch semantics.
+        Returns (watermarked table, event-time column to window on).
+        """
+        from pathwaydataframework_spark.operators.behaviors import (
+            CommonBehavior,
+            ExactlyOnceBehavior,
+        )
+
+        b = self._behavior
+        if isinstance(b, ExactlyOnceBehavior):
+            delay = b.shift if b.shift is not None else "0 seconds"
+        elif isinstance(b, CommonBehavior) and b.cutoff is not None:
+            delay = b.cutoff
+        else:
+            return t, tcol
+        df = t._df.withColumn("__pw_event_t", tcol.cast("timestamp")).withWatermark(
+            "__pw_event_t", _duration_str(delay)
+        )
+        return Table(df), F.col("__pw_event_t")
+
     def _agg_by_window(
-        self, wcol: Column, aggs, session: bool = False, tcol: Column | None = None
+        self,
+        wcol: Column,
+        aggs,
+        session: bool = False,
+        tcol: Column | None = None,
+        table: Table | None = None,
     ) -> Table:
-        t = self._table
+        t = table if table is not None else self._table
         from pathwaydataframework_spark.internals.groupbys import GroupedContext
 
         ctx = GroupedContext(t)

@@ -382,3 +382,152 @@ def test_monitoring_listener_and_http_metrics(spark, tmp_path):
         assert any(e["kind"] == "progress" for e in events)
     finally:
         pw.monitoring.detach(spark, mon)
+
+
+def _behavior_stream_files(spark, tmp_path, name):
+    """Three mtime-ordered files: the event payload, a 1-hour frontier, a
+    2-hour frontier — the standard one-batch-lag replay shape used by
+    test_behavior_cutoff_watermark_deviation."""
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp"
+    src = str(tmp_path / name)
+    f1 = [
+        (1, t0),
+        (2, t0 + dt.timedelta(seconds=10)),
+        (3, t0 + dt.timedelta(seconds=40)),
+        (4, t0 + dt.timedelta(seconds=100)),
+    ]
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(5, t0 + dt.timedelta(hours=1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(6, t0 + dt.timedelta(hours=2))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    return src, schema, t0
+
+
+def _run_windowby_behavior(spark, src, schema, behavior, name, output_mode):
+    """The repo's OWN windowby operator with an attached reference
+    behavior, replayed file-by-file; returns the accumulated sink rows."""
+    import pathwaydataframework_spark as pw
+    import pyspark.sql.functions as F
+    from pathwaydataframework_spark.internals import reducers as R
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    wb = pw.Table(stream).windowby(
+        pw.this.ts, window=pw.tumbling("30 seconds"), behavior=behavior
+    ).reduce(n=R.count())
+    out = wb.df.select(F.col("_pw_window_start").alias("ws"), "n")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return [tuple(r) for r in spark.sql(f"SELECT ws, n FROM {name}").collect()]
+
+
+def test_windowby_exactly_once_behavior_emits_each_window_once(spark, tmp_path):
+    """exactly_once_behavior → append mode: every closed window appears
+    EXACTLY once in the sink (no updates, no retractions), windows the
+    frontier never passed are withheld — reference temporal_behavior.py:83
+    semantics, hand-computed for the fixed replay."""
+    import datetime as dt
+
+    import pathwaydataframework_spark as pw
+
+    src, schema, t0 = _behavior_stream_files(spark, tmp_path, "eo_stream")
+    rows = _run_windowby_behavior(
+        spark, src, schema, pw.exactly_once_behavior(), "eo_once", "append"
+    )
+    # emit-once: no window start may appear twice even though the replay
+    # touches the first window in two different micro-batch frontiers
+    starts = [ws for ws, _ in rows]
+    assert len(starts) == len(set(starts)), rows
+    assert sorted(rows) == [
+        (t0, 2),  # events 1, 2
+        (t0 + dt.timedelta(seconds=30), 1),  # event 3
+        (t0 + dt.timedelta(seconds=90), 1),  # event 4
+        (t0 + dt.timedelta(hours=1), 1),  # event 5 — closed by the 2 h frontier
+        # event 6's window (2 h) is withheld: the frontier never passed it
+    ], rows
+
+
+def test_windowby_exactly_once_shift_delays_emission(spark, tmp_path):
+    """exactly_once_behavior(shift=s) emits a window only once the frontier
+    passes window_end + s: with s = 90 min the final 2 h frontier sits at
+    effective event-time 30 min, so the 1 h window stays withheld while the
+    sub-2-minute windows (all ends < 30 min) still emit exactly once."""
+    import datetime as dt
+
+    import pathwaydataframework_spark as pw
+
+    src, schema, t0 = _behavior_stream_files(spark, tmp_path, "eos_stream")
+    rows = _run_windowby_behavior(
+        spark,
+        src,
+        schema,
+        pw.exactly_once_behavior(shift="90 minutes"),
+        "eo_shift",
+        "append",
+    )
+    assert sorted(rows) == [
+        (t0, 2),
+        (t0 + dt.timedelta(seconds=30), 1),
+        (t0 + dt.timedelta(seconds=90), 1),
+    ], rows
+
+
+def test_windowby_common_behavior_cutoff_drops_late_rows(spark, tmp_path):
+    """common_behavior(cutoff=c) THROUGH the windowby operator itself (the
+    existing deviation test drives a raw pipeline): a row arriving after
+    the frontier passed its window's end + cutoff is dropped; a generous
+    cutoff keeps it — reference temporal_behavior.py:29 late-data rule."""
+    import datetime as dt
+    import time as _time
+
+    import pathwaydataframework_spark as pw
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp"
+    src = str(tmp_path / "cb_stream")
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=5)), (2, t0 + dt.timedelta(hours=2))], schema
+    ).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(4, t0 + dt.timedelta(hours=2, minutes=1))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    # late: lands in the FIRST 30 s window, arrives after the 2 h frontier
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(seconds=20))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def first_window_count(cutoff, name):
+        rows = _run_windowby_behavior(
+            spark,
+            src,
+            schema,
+            pw.common_behavior(cutoff=cutoff),
+            name,
+            "update",
+        )
+        first = min(ws for ws, _ in rows)
+        return max(n for ws, n in rows if ws == first)
+
+    # cutoff 10 min: frontier (2 h) − 10 min is far past the first window →
+    # the late row is dropped, the window's count stays 1
+    assert first_window_count("10 minutes", "cb_small") == 1
+    # cutoff 3 h: frontier − 3 h never reached the first window → kept
+    assert first_window_count("3 hours", "cb_large") == 2
