@@ -14,11 +14,11 @@ Design: media are opaque ``binary`` columns + a typed metadata struct.
   dHash, resize, features all run on real pixels for those formats.
   Variable-offset container metadata (MP4/ISO-BMFF box walk, JPEG SOF
   dimensions) is read by the pure-struct ``mp4_meta`` kernel behind
-  ``attach_media_meta(deep=True)``.  The remaining compressed formats
-  (video FRAME decode, progressive JPEG, Adam7 PNG) need codecs this
-  container lacks — those kernels raise ``NotImplementedError`` with
-  the same plumbing, so production swaps in Pillow/PyAV without
-  touching the plan.
+  ``attach_media_meta(deep=True)``.  PNG covers Adam7 interlace too.
+  The remaining compressed formats (video FRAME decode, progressive
+  JPEG) need codecs this container lacks — those kernels raise
+  ``NotImplementedError`` with the same plumbing, so production swaps
+  in Pillow/PyAV without touching the plan.
 """
 
 from __future__ import annotations

@@ -8,8 +8,9 @@ expansion (1/2/4/8/16), and color-type mapping — 0 grayscale, 2
 truecolor, 3 palette (PLTE), 4 gray+alpha, 6 RGBA — down to the
 repo-wide image contract of a (h, w, 3) uint8 RGB array (alpha
 dropped, 16-bit samples reduced to their high byte).  Adam7 interlace
-(interlace_method=1) is rejected with ValueError — the documented
-codec boundary (DEVIATIONS.md #5), same policy as progressive JPEG.
+(interlace_method=1) is decoded too: the seven passes are independent
+sub-images sharing the filter machinery, scattered back onto the full
+grid by their (x0, y0, dx, dy) lattice.
 
 Encode emits 8-bit truecolor, filter type 0, one IDAT — enough for
 format-preserving resize (multimodal.resize_images) and for planting
@@ -126,9 +127,37 @@ def _expand_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.n
     return (usable * weights).sum(axis=2).astype(np.uint8)
 
 
+# Adam7 pass lattice: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _decode_subimage(
+    raw: bytes, offset: int, w: int, h: int, channels: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + expand one (sub-)image of the decompressed stream →
+    ((h, w, channels) native-depth samples, next offset).  Each Adam7
+    pass filters independently, so this is the shared unit for both the
+    non-interlaced whole image and each interlace pass."""
+    bpp_bits = depth * channels
+    row_bytes = (w * bpp_bits + 7) // 8
+    fbpp = max(1, bpp_bits // 8)
+    nbytes = h * (1 + row_bytes)
+    rows = _unfilter(raw[offset : offset + nbytes], h, row_bytes, fbpp)
+    samples = _expand_samples(rows, w, channels, depth)
+    return samples.reshape(h, w, channels), offset + nbytes
+
+
 def decode(data: bytes) -> np.ndarray:
-    """PNG bytes → (h, w, 3) uint8 RGB.  ValueError on non-PNG input,
-    corrupt streams, and the Adam7 boundary."""
+    """PNG bytes → (h, w, 3) uint8 RGB.  ValueError on non-PNG input
+    and corrupt streams."""
     data = bytes(data)
     if not is_png(data):
         raise ValueError("PNG: bad signature")
@@ -147,35 +176,40 @@ def decode(data: bytes) -> np.ndarray:
     w, h, depth, color_type, compression, filter_method, interlace = ihdr
     if compression != 0 or filter_method != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if interlace == 1:
-        raise ValueError(
-            "PNG: Adam7 interlace is outside the baseline kernel "
-            "(documented codec boundary; plug Pillow in production)"
-        )
+    if interlace not in (0, 1):
+        raise ValueError("PNG: unknown interlace method %d" % interlace)
     if color_type not in _CHANNELS or depth not in _VALID_DEPTHS[color_type]:
         raise ValueError("PNG: invalid depth/color-type combination")
     if w == 0 or h == 0:
         raise ValueError("PNG: zero dimension")
     channels = _CHANNELS[color_type]
-    bpp_bits = depth * channels
-    row_bytes = (w * bpp_bits + 7) // 8
-    fbpp = max(1, bpp_bits // 8)
     raw = zlib.decompress(b"".join(idat))
-    rows = _unfilter(raw, h, row_bytes, fbpp)
-    samples = _expand_samples(rows, w, channels, depth)
+    if interlace == 1:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:  # empty pass contributes zero bytes
+                continue
+            sub, off = _decode_subimage(raw, off, pw, ph, channels, depth)
+            px[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG: decompressed size mismatch")
+    else:
+        px, off = _decode_subimage(raw, 0, w, h, channels, depth)
+        if off != len(raw):
+            raise ValueError("PNG: decompressed size mismatch")
 
     if color_type == 3:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")
-        idx = samples[:, :w].astype(np.int64)
+        idx = px[..., 0].astype(np.int64)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("PNG: palette index out of range")
         return np.ascontiguousarray(plte[idx])
     if depth < 8:  # grayscale sub-byte: scale to full 8-bit range
-        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
-            np.uint8
-        )
-    px = samples.reshape(h, w, channels)
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if color_type == 0:
         return np.ascontiguousarray(np.repeat(px, 3, axis=2))
     if color_type == 4:
@@ -192,19 +226,33 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode(arr: np.ndarray, *, level: int = 6) -> bytes:
+def encode(arr: np.ndarray, *, level: int = 6, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB → truecolor 8-bit PNG, filter 0, one IDAT.
-    Deterministic (fixed zlib strategy) — same array, same bytes."""
+    Deterministic (fixed zlib strategy) — same array, same bytes.
+    ``interlace=True`` emits Adam7 pass order (each pass its own
+    filter-0 scanline block) — used to plant interlaced fixtures."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = np.repeat(arr[..., None], 3, axis=2)
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("PNG encode expects (h, w, 3) uint8")
     h, w, _ = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    scanlines = np.zeros((h, 1 + w * 3), dtype=np.uint8)
-    scanlines[:, 1:] = arr.reshape(h, w * 3)
-    idat = zlib.compress(scanlines.tobytes(), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            block = np.zeros((ph, 1 + pw * 3), dtype=np.uint8)
+            block[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(block.tobytes())
+        idat = zlib.compress(b"".join(parts), level)
+    else:
+        scanlines = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+        scanlines[:, 1:] = arr.reshape(h, w * 3)
+        idat = zlib.compress(scanlines.tobytes(), level)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -157,18 +157,47 @@ def test_golden_fixed_bytes_decode():
     )
 
 
-def test_rejects_adam7_garbage_and_bad_crc():
-    data = _build(
-        (4, 4, 8, 2, 0, 0, 1), (b"IDAT", zlib.compress(b"\x00" * 52))
-    )
-    with pytest.raises(ValueError, match="Adam7"):
-        png.decode(data)
+def test_rejects_garbage_and_bad_crc():
     with pytest.raises(ValueError, match="signature"):
         png.decode(b"not a png")
     good = bytearray(png.encode(np.zeros((3, 3, 3), dtype=np.uint8)))
     good[-20] ^= 0xFF
     with pytest.raises(ValueError, match="CRC|truncated"):
         png.decode(bytes(good))
+
+
+def test_adam7_roundtrip_matches_plain():
+    rng = np.random.default_rng(11)
+    # sizes straddling the 8×8 lattice: tiny (most passes empty), odd,
+    # exact-multiple, and sub-8 in one dimension
+    for h, w in [(1, 1), (3, 5), (8, 8), (13, 21), (7, 40)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = png.encode(img, interlace=True)
+        # IHDR carries interlace_method=1
+        assert data[28] == 1
+        dec = png.decode(data)
+        assert dec.shape == img.shape
+        assert (dec == img).all(), (h, w)
+        assert (png.decode(png.encode(img)) == dec).all()
+
+
+def test_adam7_per_pass_filters_vs_forward_math():
+    # hand-build an interlaced stream where every pass uses non-zero
+    # filter types; filter state must reset per pass (spec: each pass is
+    # filtered as an independent image)
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (10, 11, 3), dtype=np.uint8)
+    parts = []
+    for i, (x0, y0, dx, dy) in enumerate(png._ADAM7):
+        sub = np.ascontiguousarray(img[y0::dy, x0::dx])
+        if sub.size == 0:
+            continue
+        fts = [(i + 1 + y) % 5 for y in range(sub.shape[0])]
+        parts.append(_forward_filter(sub, fts))
+    data = _build(
+        (11, 10, 8, 2, 0, 0, 1), (b"IDAT", zlib.compress(b"".join(parts)))
+    )
+    assert (png.decode(data) == img).all()
 
 
 def test_decode_real_third_party_png_if_present():
