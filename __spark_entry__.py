@@ -1063,13 +1063,31 @@ def _media_fixtures() -> list[tuple[int, str]]:
         return _png.encode(img)
 
     def bmp(w, h):
-        return (
-            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
-            + struct.pack("<IiiHH", 40, w, h, 1, 24) + bytes(16)
-        )
+        # REAL encoded BMP (r6: operators/bmp.py) with biHeight flipped
+        # negative afterwards when a top-down fixture is requested — the
+        # sniffer must report |height|
+        import numpy as np
+
+        from pathwaydataframework_spark.operators import bmp as _bmp
+
+        img = np.zeros((abs(h), w, 3), dtype=np.uint8)
+        img[..., 1] = np.tile(np.linspace(0, 255, w).astype(np.uint8), (abs(h), 1))
+        data = bytearray(_bmp.encode(img))
+        if h < 0:
+            struct.pack_into("<i", data, 22, h)
+            # rows are already bottom-up in the file; a top-down flag
+            # flips the decode, fine for a metadata fixture
+        return bytes(data)
 
     def gif(w, h):
-        return b"GIF89a" + struct.pack("<HH", w, h) + bytes(4)
+        # REAL encoded single-frame GIF (r6: operators/gif.py)
+        import numpy as np
+
+        from pathwaydataframework_spark.operators import gif as _gif
+
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[::2, :, 2] = 170
+        return _gif.encode(img)
 
     def jpg():
         import numpy as np

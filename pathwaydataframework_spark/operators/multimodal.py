@@ -9,9 +9,11 @@ Design: media are opaque ``binary`` columns + a typed metadata struct.
   crossing at all.
 - **Sample/pixel decode crosses to Python once per Arrow batch** via
   ``mapInPandas``: real kernels for PCM WAV features (stdlib ``wave``),
-  P6 PPM (numpy), baseline JPEG (r5, pure-numpy ``operators/jpeg.py``)
-  and baseline PNG (r6, stdlib-zlib ``operators/png.py``) — decode,
-  dHash, resize, features all run on real pixels for those formats.
+  P6 PPM (numpy), baseline JPEG (r5, pure-numpy ``operators/jpeg.py``),
+  baseline PNG (r6, stdlib-zlib ``operators/png.py``), uncompressed BMP
+  (r6, ``operators/bmp.py``) and GIF87a/89a first frame (r6, pure-LZW
+  ``operators/gif.py``) — decode, dHash, resize, features all run on
+  real pixels for those formats.
   Variable-offset container metadata (MP4/ISO-BMFF box walk, JPEG SOF
   dimensions) is read by the pure-struct ``mp4_meta`` kernel behind
   ``attach_media_meta(deep=True)``.  PNG covers Adam7 interlace too.
@@ -340,11 +342,14 @@ def wav_features(data: bytes) -> list[float]:
 
 def decode_image(data: bytes):
     """bytes → (h, w, 3) uint8 RGB for the formats with REAL in-repo
-    kernels: P6 PPM (numpy), baseline JPEG (operators/jpeg.py) and
-    baseline PNG (operators/png.py — all filter types, gray/palette/
-    truecolor/alpha, 1-16 bit).  Raises ValueError for anything else —
-    the honest codec boundary (production swaps Pillow in front; every
-    consumer below keeps its plan)."""
+    kernels: P6 PPM (numpy), baseline JPEG (operators/jpeg.py),
+    baseline PNG incl. Adam7 (operators/png.py), uncompressed BMP
+    (operators/bmp.py) and GIF87a/89a first frame (operators/gif.py).
+    Raises ValueError for anything else — the honest codec boundary
+    (production swaps Pillow in front; every consumer below keeps its
+    plan)."""
+    from pathwaydataframework_spark.operators import bmp as _bmp
+    from pathwaydataframework_spark.operators import gif as _gif
     from pathwaydataframework_spark.operators import jpeg as _jpeg
     from pathwaydataframework_spark.operators import png as _png
 
@@ -353,6 +358,10 @@ def decode_image(data: bytes):
         return _jpeg.decode(data)
     if _png.is_png(data):
         return _png.decode(data)
+    if _bmp.is_bmp(data):
+        return _bmp.decode(data)
+    if _gif.is_gif(data):
+        return _gif.decode(data)
     return _ppm_decode(data)
 
 
@@ -495,16 +504,20 @@ def resize_images(
 ) -> DataFrame:
     """Image resize stage: REAL kernels for P6 PPM (numpy
     nearest-neighbor, PPM out), baseline JPEG (operators/jpeg.py decode
-    → nearest resize → re-encode, JPEG out) and baseline PNG
-    (operators/png.py, PNG out) — format preserved in every case; other
-    codec-bound formats raise NotImplementedError through the same
-    mapInPandas plumbing — swap the kernel, keep the plan."""
+    → nearest resize → re-encode, JPEG out), baseline PNG
+    (operators/png.py, PNG out), uncompressed BMP (operators/bmp.py,
+    BMP out) and GIF (operators/gif.py, GIF out) — format preserved in
+    every case; other codec-bound formats raise NotImplementedError
+    through the same mapInPandas plumbing — swap the kernel, keep the
+    plan."""
     out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, resized binary"
 
     def _mapper(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from pathwaydataframework_spark.operators import bmp as _bmp
+        from pathwaydataframework_spark.operators import gif as _gif
         from pathwaydataframework_spark.operators import jpeg as _jpeg
         from pathwaydataframework_spark.operators import png as _png
 
@@ -523,11 +536,15 @@ def resize_images(
                         out.append(_jpeg.encode(_nearest(_jpeg.decode(data))))
                     elif _png.is_png(data):
                         out.append(_png.encode(_nearest(_png.decode(data))))
+                    elif _bmp.is_bmp(data):
+                        out.append(_bmp.encode(_nearest(_bmp.decode(data))))
+                    elif _gif.is_gif(data):
+                        out.append(_gif.encode(_nearest(_gif.decode(data))))
                     else:
                         out.append(ppm_resize(data, width, height))
                 except ValueError as exc:
                     raise NotImplementedError(
-                        "only P6 PPM, baseline JPEG and baseline PNG resize "
+                        "only P6 PPM, baseline JPEG/PNG/BMP/GIF resize "
                         "kernels are available in this container; plug a "
                         "Pillow kernel in production"
                     ) from exc
