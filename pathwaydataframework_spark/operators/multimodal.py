@@ -16,11 +16,11 @@ Design: media are opaque ``binary`` columns + a typed metadata struct.
   real pixels for those formats.
   Variable-offset container metadata (MP4/ISO-BMFF box walk, JPEG SOF
   dimensions) is read by the pure-struct ``mp4_meta`` kernel behind
-  ``attach_media_meta(deep=True)``.  PNG covers Adam7 interlace too.
-  The remaining compressed formats (video FRAME decode, progressive
-  JPEG) need codecs this container lacks — those kernels raise
-  ``NotImplementedError`` with the same plumbing, so production swaps
-  in Pillow/PyAV without touching the plan.
+  ``attach_media_meta(deep=True)``.  PNG covers Adam7 interlace and
+  JPEG covers progressive (SOF2) too.  The one remaining compressed
+  format — video FRAME decode — needs codecs this container lacks;
+  that kernel raises ``NotImplementedError`` with the same plumbing,
+  so production swaps in PyAV without touching the plan.
 """
 
 from __future__ import annotations

@@ -73,13 +73,60 @@ def test_golden_fixed_bytes_decode():
     assert data == jpeg.encode(img, quality=100)
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_lossless_arithmetic_and_garbage():
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode(b"not a jpeg at all")
-    # fabricate an SOF2 (progressive) header after SOI
-    bad = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-    with pytest.raises(ValueError, match="baseline"):
+    # fabricate an SOF3 (lossless) header after SOI — still out of scope
+    bad = b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(ValueError, match="SOF0/1/2"):
         jpeg.decode(bad)
+
+
+def test_progressive_pixels_bit_identical_to_sequential():
+    # the progressive file carries the SAME quantized coefficients as the
+    # sequential one, split across spectral-selection + successive-
+    # approximation scans — so the two decodes must agree EXACTLY, not
+    # approximately.  Sizes straddle MCU boundaries; 4:2:0 exercises the
+    # padded-vs-true block grid split for non-interleaved AC scans.
+    rng = np.random.default_rng(31)
+    for h, w in [(8, 8), (33, 31), (17, 23)]:
+        for sub in ("4:4:4", "4:2:0"):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            seq = jpeg.decode(jpeg.encode(img, quality=80, subsampling=sub))
+            data = jpeg.encode(
+                img, quality=80, subsampling=sub, progressive=True
+            )
+            # FF C2 can't occur in entropy data (byte stuffing), so its
+            # presence proves the file really is SOF2 progressive
+            assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+            assert (jpeg.decode(data) == seq).all(), (h, w, sub)
+
+
+def test_progressive_gray_flat_and_gradient():
+    rng = np.random.default_rng(32)
+    g = rng.integers(0, 256, (20, 14), dtype=np.uint8)
+    assert (
+        jpeg.decode(jpeg.encode(g, quality=70, progressive=True))
+        == jpeg.decode(jpeg.encode(g, quality=70))
+    ).all()
+    # large flat regions → EOB runs spanning many blocks (EOBn > 1)
+    flat = np.full((64, 64, 3), 130, dtype=np.uint8)
+    flat[10:20, 30:40] = 20
+    assert (
+        jpeg.decode(jpeg.encode(flat, quality=85, progressive=True))
+        == jpeg.decode(jpeg.encode(flat, quality=85))
+    ).all()
+    # smooth gradient → refinement-heavy scans (many |coef| == 1 bits)
+    gx = np.tile(np.linspace(0, 255, 97).astype(np.uint8), (55, 1))
+    grad = np.stack(
+        [gx, np.flipud(gx), np.full((55, 97), 60, np.uint8)], axis=2
+    )
+    assert (
+        jpeg.decode(
+            jpeg.encode(grad, quality=90, subsampling="4:2:0", progressive=True)
+        )
+        == jpeg.decode(jpeg.encode(grad, quality=90, subsampling="4:2:0"))
+    ).all()
 
 
 def test_decode_real_third_party_jpeg_if_present():
