@@ -1129,6 +1129,20 @@ def _media_fixtures() -> list[tuple[int, str]]:
         mdia = box(b"mdia", box(b"minf", box(b"stbl", stsd)))
         return ftyp + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
 
+    def mjpeg_avi(w=24, h=18, fps=10, n=2):
+        # REAL MJPEG AVI (r6: operators/avi.py + jpeg.py frames); the
+        # sniffer reads avih fields at the standard fixed offsets
+        import numpy as np
+
+        from pathwaydataframework_spark.operators import avi as _avi
+        from pathwaydataframework_spark.operators import jpeg as _jpeg
+
+        frames = [
+            _jpeg.encode(np.full((h, w, 3), 60 * i + 40, dtype=np.uint8))
+            for i in range(n)
+        ]
+        return _avi.encode_mjpeg(frames, width=w, height=h, fps=fps)
+
     blobs = [
         wav(),                                # 50 ms @ 16 kB/s
         wav(rate=16000, payload=3200),        # 100 ms @ 32 kB/s
@@ -1137,6 +1151,7 @@ def _media_fixtures() -> list[tuple[int, str]]:
         gif(12, 34),
         jpg(),
         mp4(),                                # 640x360, 5500 ms
+        mjpeg_avi(),                          # 24x18, 2 frames @ 10 fps
         b"plain text bytes",
     ]
     return [(i, b.hex()) for i, b in enumerate(blobs)]
@@ -1198,18 +1213,22 @@ def _media_meta_oracle_sql() -> str:
                    substr(h, 1, 8) = hex('GIF8'::BLOB) AS is_gif,
                    substr(h, 1, 6) = 'FFD8FF' AS is_jpg,
                    substr(h, 9, 8) = hex('ftyp'::BLOB) AS is_mp4,
+                   substr(h, 1, 8) = hex('RIFF'::BLOB)
+                       AND substr(h, 17, 8) = hex('AVI '::BLOB)
+                       AND substr(h, 49, 8) = hex('avih'::BLOB) AS is_avi,
                    strpos(h, 'FFC0') AS sofp,
                    {le32(29)} AS byte_rate
             FROM blobs
         )
         SELECT id,
                CASE WHEN is_wav THEN 'audio'
-                    WHEN is_mp4 THEN 'video'
+                    WHEN is_mp4 OR is_avi THEN 'video'
                     WHEN is_png OR is_bmp OR is_gif OR is_jpg THEN 'image'
                     ELSE 'unknown' END AS media_type,
                CAST(CASE WHEN is_png THEN {be32(17)}
                          WHEN is_bmp THEN {sgn(le32(19))}
                          WHEN is_gif THEN {le16(7)}
+                         WHEN is_avi THEN {le32(65)}
                          WHEN is_mp4 THEN {be16(233)}
                          WHEN is_jpg AND sofp > 0 THEN
                              TRY_CAST('0x' || substr(h, sofp + 14, 4) AS BIGINT)
@@ -1217,12 +1236,14 @@ def _media_meta_oracle_sql() -> str:
                CAST(CASE WHEN is_png THEN {be32(21)}
                          WHEN is_bmp THEN {sgn(le32(23))}
                          WHEN is_gif THEN {le16(9)}
+                         WHEN is_avi THEN {le32(69)}
                          WHEN is_mp4 THEN {be16(237)}
                          WHEN is_jpg AND sofp > 0 THEN
                              TRY_CAST('0x' || substr(h, sofp + 10, 4) AS BIGINT)
                          END AS INTEGER) AS height,
                CAST(CASE WHEN is_wav AND byte_rate > 0
                          THEN (n - 44) * 1000 / byte_rate
+                         WHEN is_avi THEN ({le32(33)} * {le32(49)}) / 1000
                          WHEN is_mp4 THEN FLOOR({be32(57)} * 1000 / {be32(53)})
                          END AS INTEGER)
                    AS duration_ms

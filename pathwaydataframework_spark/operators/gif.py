@@ -1,20 +1,24 @@
 """GIF codec (87a/89a) — pure Python LZW + numpy, no external libs.
 
-Decode renders the FIRST frame onto the logical screen: header + logical
-screen descriptor, global/local color tables, extension-block skipping
-(the 89a graphic-control transparency index is honored by substituting
-the backdrop color), GIF LZW decompression (little-endian bit packing,
-growing code width to 12 bits, clear/EOI codes), and 4-pass row
-interlacing — down to the repo-wide (h, w, 3) uint8 RGB contract.
-Animation beyond frame 0 is out of scope by design: corpus image dedup
-and feature extraction key off the first frame, and the reference
-framework itself has no in-process codec (its media path hands blobs to
-service UDF parsers, reference python/pathway/xpacks/llm/parsers.py:53-746).
+Decode composes frames onto the logical screen: header + logical screen
+descriptor, global/local color tables, graphic-control transparency and
+disposal methods (leave / restore-background / restore-previous), GIF
+LZW decompression (little-endian bit packing, growing code width to 12
+bits, clear/EOI codes), and 4-pass row interlacing — down to the
+repo-wide (h, w, 3) uint8 RGB contract.  ``decode`` returns the first
+frame (what image dedup / feature extraction key off);
+``decode_frames`` returns canvas snapshots for every frame, which is
+what makes ``multimodal.frame_sample`` REAL for animated GIFs.  The
+reference framework has no in-process codec at all (its media path
+hands blobs to service UDF parsers, reference
+python/pathway/xpacks/llm/parsers.py:53-746).
 
-Encode emits a single-frame 89a with a power-of-two palette built from
-the image's distinct colors (ValueError above 256 — real encoders
-quantize; fixtures don't need to) — enough for format-preserving resize
-and deterministic test fixtures.
+Encode emits 89a files with power-of-two palettes built from distinct
+colors (ValueError above 256 — real encoders quantize; fixtures don't
+need to): ``encode`` single-frame, ``encode_animated`` multi-frame with
+per-frame local color tables, offsets, delays, transparency and
+disposal — enough for format-preserving resize and for planting
+deterministic animation fixtures.
 """
 
 from __future__ import annotations
@@ -133,9 +137,39 @@ def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
     return out
 
 
-def decode(data: bytes) -> np.ndarray:
-    """GIF bytes → first frame composed on the logical screen as
-    (h, w, 3) uint8 RGB.  ValueError on non-GIF/corrupt input."""
+def count_frames(data: bytes) -> int:
+    """Number of image descriptors — a cheap structural walk, no LZW
+    decode (frame_sample uses it to pick indices before composing)."""
+    data = bytes(data)
+    if not is_gif(data) or len(data) < 13:
+        raise ValueError("GIF: bad signature")
+    _sw, _sh, packed, _bg, _a = struct.unpack_from("<HHBBB", data, 6)
+    _gct, pos = _color_table(data, 13, packed)
+    n = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            _payload, pos = _subblocks(data, pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError("GIF: unknown block 0x%02x" % block)
+        _l, _t, _iw, _ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        _lct, pos = _color_table(data, pos, ipacked)
+        _stream, pos = _subblocks(data, pos + 1)
+        n += 1
+    return n
+
+
+def decode_frames(data: bytes, *, max_frames: int | None = None) -> list[np.ndarray]:
+    """GIF bytes → frames composed on the logical screen, each a
+    (h, w, 3) uint8 RGB canvas snapshot.  Honors per-frame graphic-
+    control transparency and disposal methods 0/1 (leave) and 2
+    (restore-to-background); 3 (restore-previous) restores the
+    pre-frame canvas.  ValueError on non-GIF/corrupt input."""
     data = bytes(data)
     if not is_gif(data) or len(data) < 13:
         raise ValueError("GIF: bad signature")
@@ -143,19 +177,27 @@ def decode(data: bytes) -> np.ndarray:
     if sw == 0 or sh == 0:
         raise ValueError("GIF: zero logical screen")
     gct, pos = _color_table(data, 13, packed)
+    if gct is not None and bg_idx < len(gct):
+        backdrop = gct[bg_idx]
+    else:
+        backdrop = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(backdrop, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
     transparent = -1
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("GIF: no image data")
+        if block == 0x3B:  # trailer
+            break
         if block == 0x21:  # extension
             if pos >= len(data):
                 raise ValueError("GIF: truncated extension")
             label = data[pos]
             payload, pos = _subblocks(data, pos + 1)
-            if label == 0xF9 and len(payload) >= 4 and payload[0] & 0x01:
-                transparent = payload[3]
+            if label == 0xF9 and len(payload) >= 4:
+                disposal = (payload[0] >> 2) & 0x07
+                transparent = payload[3] if payload[0] & 0x01 else -1
             continue
         if block != 0x2C:
             raise ValueError("GIF: unknown block 0x%02x" % block)
@@ -180,20 +222,35 @@ def decode(data: bytes) -> np.ndarray:
             idx = ordered
         if int(idx.max(initial=0)) >= len(table):
             raise ValueError("GIF: color index out of range")
-        # backdrop = background color (or black when bg is out of range)
-        if gct is not None and bg_idx < len(gct):
-            backdrop = gct[bg_idx]
-        else:
-            backdrop = np.zeros(3, dtype=np.uint8)
-        canvas = np.broadcast_to(backdrop, (sh, sw, 3)).copy()
-        frame = table[idx.astype(np.int64)]
-        if 0 <= transparent < len(table):
-            mask = idx == transparent
-            frame = np.where(mask[..., None], backdrop, frame)
         y1, x1 = min(top + ih, sh), min(left + iw, sw)
-        canvas[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
-        return np.ascontiguousarray(canvas)
-    raise ValueError("GIF: truncated stream")
+        ch, cw = y1 - top, x1 - left
+        if ch > 0 and cw > 0:
+            prev_rect = canvas[top:y1, left:x1].copy()
+            sub_idx = idx[:ch, :cw]
+            frame_px = table[sub_idx.astype(np.int64)]
+            if 0 <= transparent < len(table):
+                mask = (sub_idx == transparent)[..., None]
+                frame_px = np.where(mask, canvas[top:y1, left:x1], frame_px)
+            canvas[top:y1, left:x1] = frame_px
+        frames.append(canvas.copy())
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+        if ch > 0 and cw > 0:
+            if disposal == 2:  # restore rect to background
+                canvas[top:y1, left:x1] = backdrop
+            elif disposal == 3:  # restore rect to pre-frame content
+                canvas[top:y1, left:x1] = prev_rect
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return frames
+
+
+def decode(data: bytes) -> np.ndarray:
+    """GIF bytes → FIRST frame composed on the logical screen as
+    (h, w, 3) uint8 RGB.  ValueError on non-GIF/corrupt input."""
+    return decode_frames(data, max_frames=1)[0]
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
@@ -242,38 +299,116 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode(arr: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB → single-frame GIF89a.  The palette is the
-    image's distinct colors (≤256, else ValueError).  Deterministic."""
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = np.repeat(arr[..., None], 3, axis=2)
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("GIF encode expects (h, w, 3) uint8")
-    h, w, _ = arr.shape
+def _palettize(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """(h, w, 3) → (padded power-of-two palette, index array, depth,
+    min LZW code size).  ValueError above 256 distinct colors."""
     flat = arr.reshape(-1, 3)
     colors, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
         raise ValueError("GIF encode: >256 distinct colors (quantize first)")
     depth = max(1, (len(colors) - 1).bit_length())
-    n_pal = 1 << depth
-    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
     pal[: len(colors)] = colors
-    min_code = max(2, depth)
-    lzw = _lzw_encode(idx.astype(np.uint8), min_code)
+    return pal, idx.astype(np.uint8), depth, max(2, depth)
+
+
+def _image_block(
+    arr: np.ndarray, left: int, top: int, *, local_palette: bool
+) -> tuple[bytes, np.ndarray, int]:
+    """Image descriptor (+ optional local color table) + LZW sub-blocks
+    for one frame → (bytes, palette, depth)."""
+    h, w, _ = arr.shape
+    pal, idx, depth, min_code = _palettize(arr)
+    lzw = _lzw_encode(idx, min_code)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         blocks.append(len(chunk))
         blocks.extend(chunk)
     blocks.append(0)
+    packed = (0x80 | ((depth - 1) & 0x07)) if local_palette else 0
+    out = (
+        b"\x2c"
+        + struct.pack("<HHHHB", left, top, w, h, packed)
+        + (pal.tobytes() if local_palette else b"")
+        + bytes([min_code])
+        + bytes(blocks)
+    )
+    return out, pal, depth
+
+
+def _as_rgb(arr: np.ndarray) -> np.ndarray:
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, axis=2)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("GIF encode expects (h, w, 3) uint8")
+    return arr
+
+
+def encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → single-frame GIF89a.  The palette is the
+    image's distinct colors (≤256, else ValueError).  Deterministic."""
+    arr = _as_rgb(arr)
+    h, w, _ = arr.shape
+    body, pal, depth = _image_block(arr, 0, 0, local_palette=False)
     return (
         b"GIF89a"
         + struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07), 0, 0)
         + pal.tobytes()
-        + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)
-        + bytes([min_code])
-        + bytes(blocks)
+        + body
         + b"\x3b"
     )
+
+
+def encode_animated(
+    frames: list[dict],
+    *,
+    screen: tuple[int, int] | None = None,
+    delay_cs: int = 4,
+) -> bytes:
+    """Multi-frame GIF89a for planting animation fixtures.  Each frame
+    dict: ``img`` ((h, w, 3) uint8, required), ``left``/``top`` offsets,
+    ``disposal`` (0-3), ``transparent`` (an RGB triple present in the
+    frame's palette, rendered see-through), ``delay_cs``.  Every frame
+    carries its own local color table, so palettes never need merging."""
+    if not frames:
+        raise ValueError("GIF encode_animated: no frames")
+    first = _as_rgb(frames[0]["img"])
+    if screen is None:
+        screen = (
+            max(_as_rgb(f["img"]).shape[1] + f.get("left", 0) for f in frames),
+            max(_as_rgb(f["img"]).shape[0] + f.get("top", 0) for f in frames),
+        )
+    sw, sh = screen
+    # global table only provides the backdrop (bg_idx 0 = first frame's
+    # first palette color); frames use local tables
+    gpal, _idx, gdepth, _mc = _palettize(first)
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HHBBB", sw, sh, 0x80 | ((gdepth - 1) & 0x07), 0, 0)
+        + gpal.tobytes()
+    )
+    # Netscape looping extension — what real animated GIFs carry
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        img = _as_rgb(f["img"])
+        pal, _i, _d, _m = _palettize(img)
+        t_idx = 0
+        t_flag = 0
+        if f.get("transparent") is not None:
+            want = np.asarray(f["transparent"], dtype=np.uint8)
+            hits = np.where((pal == want).all(axis=1))[0]
+            if not len(hits):
+                raise ValueError("GIF: transparent color not in frame palette")
+            t_idx, t_flag = int(hits[0]), 1
+        gce_packed = ((f.get("disposal", 0) & 0x07) << 2) | t_flag
+        out += bytes(
+            [0x21, 0xF9, 4, gce_packed]
+        ) + struct.pack("<H", f.get("delay_cs", delay_cs)) + bytes([t_idx, 0])
+        body, _p, _dd = _image_block(
+            img, f.get("left", 0), f.get("top", 0), local_palette=True
+        )
+        out += body
+    out += b"\x3b"
+    return bytes(out)

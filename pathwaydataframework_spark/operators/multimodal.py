@@ -89,6 +89,13 @@ def attach_media_meta(
     # bytes 5-8.  Dimensions/duration live in moov at variable offsets
     # (deep=True reaches them via the mp4_meta box walk).
     is_mp4 = F.substring(d, 5, 4) == F.lit(b"ftyp")
+    # AVI: RIFF form type 'AVI '.  The universal writer layout puts the
+    # avih payload at absolute offset 32 (RIFF 12 + LIST-hdrl 12 + chunk
+    # header 8): µs/frame @33, total frames @49, width @65, height @69
+    # (1-based) — fixed-offset reads like the other containers.
+    is_avi = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(d, 9, 4) == F.lit(b"AVI ")
+    ) & (F.substring(d, 25, 4) == F.lit(b"avih"))
     byte_rate = _uint(d, 29, 4, little_endian=True)
 
     def _signed32(u: Column) -> Column:
@@ -99,7 +106,7 @@ def attach_media_meta(
     null_i = F.lit(None).cast("int")
     media_type = (
         F.when(is_wav, F.lit("audio"))
-        .when(is_mp4, F.lit("video"))
+        .when(is_mp4 | is_avi, F.lit("video"))
         .when(is_png | is_bmp | is_gif | is_jpg, F.lit("image"))
         .otherwise(F.lit("unknown"))
     )
@@ -107,16 +114,23 @@ def attach_media_meta(
         F.when(is_png, _uint(d, 17, 4, little_endian=False))
         .when(is_bmp, _signed32(_uint(d, 19, 4, little_endian=True)))
         .when(is_gif, _uint(d, 7, 2, little_endian=True))
+        .when(is_avi, _uint(d, 65, 4, little_endian=True))
         .cast("int")
     )
     height = (
         F.when(is_png, _uint(d, 21, 4, little_endian=False))
         .when(is_bmp, _signed32(_uint(d, 23, 4, little_endian=True)))
         .when(is_gif, _uint(d, 9, 2, little_endian=True))
+        .when(is_avi, _uint(d, 69, 4, little_endian=True))
         .cast("int")
     )
     duration_ms = (
         F.when(is_wav & (byte_rate > 0), ((F.length(d) - 44) * 1000 / byte_rate))
+        .when(
+            is_avi,
+            (_uint(d, 33, 4, little_endian=True)  # µs per frame
+             * _uint(d, 49, 4, little_endian=True)) / 1000,  # × frames
+        )
         .otherwise(null_i)
         .cast("int")
     )
@@ -425,29 +439,67 @@ def frame_sample(
     id_col: str = "media_id",
     n_frames: int = 4,
 ) -> DataFrame:
-    """video binary → n sampled frame rows (explode pattern for media).
+    """video/animation binary → n sampled frame rows (explode pattern).
 
-    STUB sampler: slices the byte stream deterministically; production
-    replaces the kernel with a real demuxer.  The output shape —
-    (media_id, frame_idx, frame_bytes) — is what a downstream image
-    pipeline consumes.
+    REAL demux for the two containers the in-repo codecs can take to
+    pixels, STUB byte-slices for the rest:
+
+    - **animated GIF** (operators/gif.py): a cheap structural walk
+      counts frames, ``decode_frames`` composes the canvas (disposal +
+      transparency), and each sampled snapshot is re-encoded as PNG —
+      a standalone image blob any downstream ``decode_image`` consumer
+      reads.  ``frame_idx`` is the ORIGINAL frame number.
+    - **MJPEG AVI** (operators/avi.py): the RIFF walk yields one
+      complete JPEG per ``##dc`` chunk; sampled payloads are emitted
+      verbatim (already standalone images).
+    - anything else (inter-frame codecs — DEVIATIONS.md #5): the
+      deterministic byte-slice stub, so the plumbing shape survives
+      until production swaps in a PyAV kernel.
     """
     out_schema = (
         f"{id_col} {dict(df.dtypes)[id_col]}, frame_idx int, frame_bytes binary"
     )
 
+    def _sample_indices(total: int) -> list[int]:
+        if total <= n_frames:
+            return list(range(total))
+        return [i * total // n_frames for i in range(n_frames)]
+
     def _mapper(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from pathwaydataframework_spark.operators import avi as _avi
+        from pathwaydataframework_spark.operators import gif as _gif
+        from pathwaydataframework_spark.operators import png as _png
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
+
+            def emit(mid, i, blob):
+                ids.append(mid)
+                idxs.append(i)
+                frames.append(blob)
+
             for mid, raw in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(raw or b"")
+                if _gif.is_gif(raw):
+                    picks = _sample_indices(_gif.count_frames(raw))
+                    if picks:
+                        composed = _gif.decode_frames(
+                            raw, max_frames=picks[-1] + 1
+                        )
+                        for i in picks:
+                            emit(mid, i, _png.encode(composed[i]))
+                        continue
+                elif _avi.is_avi(raw):
+                    jpegs = _avi.mjpeg_frames(raw)
+                    if jpegs:
+                        for i in _sample_indices(len(jpegs)):
+                            emit(mid, i, jpegs[i])
+                        continue
                 step = max(len(raw) // n_frames, 1)
                 for i in range(n_frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(raw[i * step : (i + 1) * step])
+                    emit(mid, i, raw[i * step : (i + 1) * step])
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_bytes": frames})
 
     return df.select(id_col, binary_col).mapInPandas(_mapper, out_schema)

@@ -1,0 +1,116 @@
+"""frame_sample's real demux paths: animated GIF (gif.decode_frames —
+composition, disposal, transparency, even sampling, PNG re-encode) and
+MJPEG AVI (avi.mjpeg_frames RIFF walk, verbatim JPEG payloads), plus the
+byte-slice fallback for codec-bound containers and the fixed-offset AVI
+branch of the JVM-side sniffer."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pathwaydataframework_spark.operators import avi, gif, jpeg, multimodal, png
+
+
+def _animated_fixture(n=10):
+    # frame i is a full-screen constant 20*i + 5
+    return gif.encode_animated(
+        [dict(img=np.full((6, 8, 3), 20 * i + 5, dtype=np.uint8)) for i in range(n)]
+    )
+
+
+def _mjpeg_fixture(n=6):
+    frames = [
+        jpeg.encode(np.full((16, 16, 3), 30 * i + 10, dtype=np.uint8), quality=95)
+        for i in range(n)
+    ]
+    return avi.encode_mjpeg(frames, width=16, height=16, fps=5), frames
+
+
+# -- kernels ------------------------------------------------------------------
+
+
+def test_gif_count_frames_structural_walk():
+    data = _animated_fixture(7)
+    assert gif.count_frames(data) == 7
+    assert gif.count_frames(gif.encode(np.zeros((3, 3, 3), np.uint8))) == 1
+
+
+def test_avi_roundtrip_and_walk():
+    data, frames = _mjpeg_fixture(4)
+    out = avi.mjpeg_frames(data)
+    assert out == frames  # verbatim payloads, order preserved
+    with pytest.raises(ValueError, match="RIFF"):
+        avi.mjpeg_frames(b"not an avi")
+
+
+def test_avi_rec_sublist_and_alignment():
+    # odd-sized frames force the word-alignment path; a 'rec ' LIST wraps
+    # the chunks the way capture software does
+    f1 = jpeg.encode(np.full((8, 8, 3), 50, np.uint8)) + b"\x00"  # make even? no: raw
+    f1 = f1 if len(f1) % 2 == 1 else f1 + b"\xd9"  # ensure odd length
+    import struct as s
+
+    rec = avi._list(b"rec ", avi._chunk(b"00dc", f1))
+    movi = avi._list(b"movi", rec)
+    data = avi._chunk(b"RIFF", b"AVI " + movi)
+    (out,) = avi.mjpeg_frames(data)
+    assert out == f1
+
+
+# -- frame_sample through Spark ----------------------------------------------
+
+
+def test_frame_sample_animated_gif(spark):
+    data = _animated_fixture(10)
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "media_id long, data binary"
+    )
+    rows = multimodal.frame_sample(df, n_frames=4).orderBy("frame_idx").collect()
+    # 10 frames sampled at 4 evenly: original indices 0, 2, 5, 7
+    assert [r["frame_idx"] for r in rows] == [0, 2, 5, 7]
+    for r in rows:
+        img = png.decode(bytes(r["frame_bytes"]))  # standalone PNG per frame
+        assert img.shape == (6, 8, 3)
+        assert (img == 20 * r["frame_idx"] + 5).all()
+
+
+def test_frame_sample_mjpeg_avi(spark):
+    data, frames = _mjpeg_fixture(6)
+    df = spark.createDataFrame(
+        [(7, bytearray(data))], "media_id long, data binary"
+    )
+    rows = multimodal.frame_sample(df, n_frames=3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        assert bytes(r["frame_bytes"]) == frames[r["frame_idx"]]
+        img = jpeg.decode(bytes(r["frame_bytes"]))
+        assert img.shape == (16, 16, 3)
+
+
+def test_frame_sample_fallback_slices_unknown(spark):
+    blob = bytes(range(100)) * 4
+    df = spark.createDataFrame([(3, bytearray(blob))], "media_id long, data binary")
+    rows = multimodal.frame_sample(df, n_frames=4).orderBy("frame_idx").collect()
+    assert len(rows) == 4  # stub path unchanged for codec-bound containers
+    step = len(blob) // 4
+    assert bytes(rows[1]["frame_bytes"]) == blob[step : 2 * step]
+
+
+def test_fewer_frames_than_requested(spark):
+    data = _animated_fixture(2)
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, data binary")
+    rows = multimodal.frame_sample(df, n_frames=8).collect()
+    assert len(rows) == 2  # never fabricates frames beyond the real count
+
+
+# -- sniffer ------------------------------------------------------------------
+
+
+def test_attach_media_meta_avi_fixed_offsets(spark):
+    data, _ = _mjpeg_fixture(6)  # 6 frames @ 5 fps → 1200 ms
+    df = spark.createDataFrame([(1, bytearray(data))], "media_id long, data binary")
+    (row,) = multimodal.attach_media_meta(df).select("media_meta.*").collect()
+    assert row["media_type"] == "video"
+    assert row["width"] == 16 and row["height"] == 16
+    assert row["duration_ms"] == 1200
