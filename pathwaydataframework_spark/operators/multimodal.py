@@ -8,7 +8,9 @@ Design: media are opaque ``binary`` columns + a typed metadata struct.
   so ``attach_media_meta`` runs inside whole-stage codegen with no Python
   crossing at all.
 - **Sample/pixel decode crosses to Python once per Arrow batch** via
-  ``mapInPandas``: real kernels for PCM WAV features (stdlib ``wave``),
+  ``mapInPandas``: real kernels for WAV features/fingerprints across
+  integer PCM, IEEE float, G.711 and IMA ADPCM (r6,
+  ``operators/wavcodec.py``),
   P6 PPM (numpy), baseline JPEG (r5, pure-numpy ``operators/jpeg.py``),
   baseline PNG (r6, stdlib-zlib ``operators/png.py``), uncompressed BMP
   (r6, ``operators/bmp.py``) and GIF87a/89a first frame (r6, pure-LZW
@@ -317,33 +319,22 @@ def _deep_meta_udf():
 
 
 def wav_features(data: bytes) -> list[float]:
-    """REAL audio feature kernel for PCM WAV (stdlib ``wave`` + numpy, no
-    external codec): [duration_s, rms, peak, zero_crossing_rate]."""
-    import io
-    import wave
-
+    """REAL audio feature kernel for WAV (operators/wavcodec.py + numpy,
+    no external codec): [duration_s, rms, peak, zero_crossing_rate].
+    Covers integer PCM 8/16/24/32, IEEE float32/64, G.711 µ-law/A-law
+    and IMA ADPCM — every WAVE format tag the wavcodec parser decodes."""
     import numpy as np
 
-    with wave.open(io.BytesIO(data)) as w:
-        n, sr, width = w.getnframes(), w.getframerate(), w.getsampwidth()
-        raw = w.readframes(n)
-    # dtype follows the container's sample width — hardcoding int16 would
-    # crash (odd buffer) or silently pair 8-bit samples into garbage
-    if width == 1:
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    elif width == 2:
-        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
-    elif width == 4:
-        x = np.frombuffer(raw, dtype=np.int32).astype(np.float64) / 2147483648.0
-    else:  # 24-bit and exotic widths: no numpy dtype — widen from bytes
-        b = np.frombuffer(raw, dtype=np.uint8)
-        b = b[: (b.size // width) * width].reshape(-1, width)
-        acc = np.zeros(b.shape[0], dtype=np.int64)
-        for i in range(width):
-            acc |= b[:, i].astype(np.int64) << (8 * i)
-        sign = 1 << (8 * width - 1)
-        acc = np.where(acc >= sign, acc - (sign << 1), acc)
-        x = acc.astype(np.float64) / float(sign)
+    from pathwaydataframework_spark.operators import wavcodec as _wav
+
+    samples, sr, scale = _wav.decode(bytes(data))
+    n = samples.shape[0]
+    # interleave channels into one stream — the historical feature
+    # contract (rms/peak are channel-order invariant; zcr matches the
+    # raw-stream reading used before multi-format support)
+    x = samples.reshape(-1).astype(np.float64)
+    if scale is not None:
+        x = x / float(scale)
     if x.size == 0 or sr == 0:
         return [0.0, 0.0, 0.0, 0.0]
     return [
@@ -765,42 +756,41 @@ def hamming_dedup_pairs(
 
 
 def audio_fingerprint(data: bytes, *, frames: int = 33) -> list[int] | None:
-    """Energy-envelope fingerprint for PCM WAV — the audio near-dup
+    """Energy-envelope fingerprint for WAV — the audio near-dup
     analogue of dHash: split the sample stream into ``frames`` equal
     windows (floor boundaries), per-window energy = Σ sample² as EXACT
-    integer arithmetic on the raw PCM ints, set bit f when window f+1 is
-    strictly louder than window f.
+    integer arithmetic on the decoded integer samples, set bit f when
+    window f+1 is strictly louder than window f.
 
-    Robust to uniform gain only in the strict sense of sign-preserving
-    monotone scalings (integer doubling preserves every comparison);
-    resistant to small local edits (each touches <= 2 comparisons).
-    Returns (frames-1)/8 row-bytes; None for non-WAV blobs or streams
-    with fewer samples than frames.  (frames-1) must be a multiple of 8.
+    Covers every integer format wavcodec decodes (PCM 8/16/24/32,
+    G.711 µ-law/A-law, IMA ADPCM — their expansions are exact integers,
+    so the arithmetic stays exact end-to-end; the q_audio_dedup oracle
+    replays PCM16 fixtures from hex).  Robust to uniform gain only in
+    the strict sense of sign-preserving monotone scalings (integer
+    doubling preserves every comparison); resistant to small local
+    edits (each touches <= 2 comparisons).  Returns (frames-1)/8
+    row-bytes; None for non-WAV/float-WAV blobs or streams with fewer
+    samples than frames.  (frames-1) must be a multiple of 8.
     """
-    import io
-    import wave
-
     import numpy as np
+
+    from pathwaydataframework_spark.operators import wavcodec as _wav
 
     bits = frames - 1
     if bits <= 0 or bits % 8:
         raise ValueError("frames - 1 must be a positive multiple of 8")
     try:
-        with wave.open(io.BytesIO(bytes(data))) as w:
-            n, width, nchannels = (
-                w.getnframes(), w.getsampwidth(), w.getnchannels(),
-            )
-            raw = w.readframes(n)
-    except (Exception):  # wave raises wave.Error/EOFError on non-WAV
+        samples, _sr, scale = _wav.decode(bytes(data))
+    except ValueError:
         return None
-    if width != 2:  # exactness contract is PCM16; others via wav_features
+    if scale is None:  # float streams: no exact-integer energy contract
         return None
-    if nchannels != 1:
+    if samples.shape[1] != 1:
         # honest boundary: a stereo stream fingerprinted as interleaved
         # mono would break the gain/edit-locality properties per channel —
         # refuse rather than silently mis-fingerprint
         return None
-    x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    x = samples[:, 0].astype(np.int64)
     if x.size < frames:
         return None
     # window of sample j = (j*frames)//n — the floor-map inverse, chosen so
