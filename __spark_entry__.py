@@ -1185,6 +1185,107 @@ def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _frame_fixtures() -> list[tuple[int, str]]:
+    """MJPEG-AVI blobs (hex) shared by q_frame_sample and its oracle:
+    one 7-frame stream (sampling picks 0/2/4 of 7) and one 2-frame
+    stream (fewer frames than requested → all of them, no fabrication).
+    Frames are flat-color JPEGs from the in-repo codec so every payload
+    byte is deterministic."""
+    import numpy as np
+
+    from pathwaydataframework_spark.operators import avi as _avi
+    from pathwaydataframework_spark.operators import jpeg as _jpeg
+
+    def clip(n, shade_step):
+        frames = [
+            _jpeg.encode(
+                np.full((8, 8, 3), shade_step * i + 10, dtype=np.uint8),
+                quality=85,
+            )
+            for i in range(n)
+        ]
+        return _avi.encode_mjpeg(frames, width=8, height=8, fps=4)
+
+    return [(1, clip(7, 30).hex()), (2, clip(2, 90).hex())]
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Real video-frame extraction (operators/avi.py + multimodal.
+    frame_sample — addendum §2.10): the RIFF walk yields one complete
+    JPEG per ``00dc`` chunk and frame_sample emits ``n_frames`` evenly
+    sampled payloads verbatim with their ORIGINAL indices.  The DuckDB
+    oracle re-demuxes the same blobs INDEPENDENTLY — a recursive-CTE
+    chunk walk over the hex (fourcc + little-endian size + word
+    alignment, no Python offsets leaked) — and re-derives the sampling
+    arithmetic, so container parsing, frame order and the floor-map
+    sampling are all differentially checked byte-for-byte."""
+    from pathwaydataframework_spark.operators import multimodal
+
+    src = spark.createDataFrame(
+        _frame_fixtures(), "media_id long, hex string"
+    ).select("media_id", F.unhex("hex").alias("data"))
+    out = multimodal.frame_sample(src, n_frames=3)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+        F.length("frame_bytes").cast("long").alias("frame_len"),
+    )
+
+
+def _frame_sample_oracle_sql() -> str:
+    values = ", ".join(f"({i}, '{h}')" for i, h in _frame_fixtures())
+    b = lambda c, p: f"TRY_CAST('0x' || substr({c}, ({p})*2-1, 2) AS BIGINT)"  # noqa: E731
+    le32 = lambda c, p: (  # noqa: E731
+        f"({b(c, p)} + {b(c, f'({p})+1')}*256 + {b(c, f'({p})+2')}*65536"
+        f" + {b(c, f'({p})+3')}*16777216)"
+    )
+    return f"""
+        WITH RECURSIVE raw(media_id, hx) AS (VALUES {values}),
+        src AS (SELECT media_id, hex(unhex(hx)) AS h FROM raw),
+        -- chunk walk inside the movi LIST: pos is the 1-based byte
+        -- offset of each chunk header; step = 8 + size + pad-to-word
+        walk(media_id, pos, fourcc, size) AS (
+            SELECT media_id, p, substr(h, (p)*2-1, 8), {le32('h', 'p+4')}
+            FROM (
+                SELECT media_id, h,
+                       (strpos(h, hex('movi'::BLOB)) - 1) // 2 + 5 AS p
+                FROM src
+            ) t(media_id, h, p)
+            UNION ALL
+            SELECT w.media_id,
+                   w.pos + 8 + w.size + (w.size % 2),
+                   substr(s.h, (w.pos + 8 + w.size + (w.size % 2))*2-1, 8),
+                   {le32('s.h', 'w.pos + 12 + w.size + (w.size % 2)')}
+            FROM walk w
+            JOIN src s ON s.media_id = w.media_id
+            WHERE w.pos + 16 + w.size + (w.size % 2) <= length(s.h) // 2
+        ),
+        frames AS (
+            SELECT w.media_id,
+                   row_number() OVER (
+                       PARTITION BY w.media_id ORDER BY w.pos
+                   ) - 1 AS fidx,
+                   lower(substr(s.h, (w.pos + 8) * 2 - 1, w.size * 2)) AS fhex,
+                   w.size AS flen
+            FROM walk w JOIN src s USING (media_id)
+            WHERE w.fourcc = hex('00dc'::BLOB)
+        ),
+        totals AS (SELECT media_id, count(*) AS n FROM frames GROUP BY 1),
+        -- the floor-map sampling: distinct (i*n)//3 reproduces both the
+        -- evenly-spaced picks (n > 3) and the all-frames case (n <= 3)
+        picks AS (
+            SELECT DISTINCT t.media_id, (i.gen * t.n) // 3 AS frame_idx
+            FROM totals t CROSS JOIN generate_series(0, 2) AS i(gen)
+        )
+        SELECT p.media_id, p.frame_idx, f.fhex AS frame_hex,
+               f.flen AS frame_len
+        FROM picks p
+        JOIN frames f
+          ON f.media_id = p.media_id AND f.fidx = p.frame_idx
+    """
+
+
 def _media_meta_oracle_sql() -> str:
     values = ", ".join(f"({i}, '{h}')" for i, h in _media_fixtures())
     # TRY_CAST: reads past a short blob's end yield NULL, not an error
@@ -2166,7 +2267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
         "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
-        # --- r5-green, unchanged: behind the driver cap this round. ---
+        # --- r5-green, unchanged: behind the driver cap this round
+        # (q_frame_sample is NEW r6; first in line for an r7 row). ---
+        "q_frame_sample": q_frame_sample,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -3208,6 +3311,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "q_media_meta": _media_meta_oracle_sql(),
+        "q_frame_sample": _frame_sample_oracle_sql(),
         "q_incremental_neardup": _INCR_NEARDUP_SQL,
         "q_hybrid_rrf": f"""
             WITH bm AS ({_BM25_SQL}),
