@@ -32,31 +32,47 @@ def is_avi(data: bytes) -> bool:
 
 
 def _walk(data: bytes, start: int, end: int, out: list[bytes]) -> None:
-    pos = start
-    while pos + 8 <= end:
-        fourcc = data[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        body_start = pos + 8
-        body_end = body_start + size
-        if body_end > end:
-            raise ValueError("AVI: truncated chunk %r" % fourcc)
-        if fourcc in (b"LIST", b"RIFF"):
-            _walk(data, body_start + 4, body_end, out)  # skip list type
-        elif fourcc[2:4] in (b"dc", b"db"):
-            payload = bytes(data[body_start:body_end])
-            if payload[:2] == b"\xff\xd8":  # a complete JPEG frame
-                out.append(payload)
-        pos = body_end + (size & 1)  # chunks are word-aligned
+    # explicit stack: adversarially nested LISTs must not hit the
+    # interpreter recursion limit
+    stack = [(start, end)]
+    while stack:
+        pos, limit = stack.pop()
+        while pos + 8 <= limit:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > limit:
+                raise ValueError("AVI: truncated chunk %r" % fourcc)
+            if fourcc in (b"LIST", b"RIFF"):
+                stack.append((body_end + (size & 1), limit))  # resume after
+                pos, limit = body_start + 4, body_end  # descend (skip type)
+                continue
+            if fourcc[2:4] in (b"dc", b"db"):
+                payload = bytes(data[body_start:body_end])
+                if payload[:2] == b"\xff\xd8":  # a complete JPEG frame
+                    out.append(payload)
+            pos = body_end + (size & 1)  # chunks are word-aligned
 
 
 def mjpeg_frames(data: bytes) -> list[bytes]:
     """AVI bytes → list of raw JPEG frame payloads (possibly empty for
-    non-MJPEG streams).  ValueError on non-AVI input."""
+    non-MJPEG streams).  ValueError on non-AVI input or malformed trees
+    (all parse escapes normalized)."""
     data = bytes(data)
     if not is_avi(data):
         raise ValueError("not an AVI (missing RIFF/AVI header)")
     out: list[bytes] = []
-    _walk(data, 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]), out)
+    try:
+        _walk(
+            data, 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]), out
+        )
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(
+            "AVI: malformed stream (%s)" % type(exc).__name__
+        ) from exc
     return out
 
 

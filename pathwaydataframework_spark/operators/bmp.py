@@ -33,7 +33,19 @@ def is_bmp(data: bytes) -> bool:
 
 def decode(data: bytes) -> np.ndarray:
     """BMP bytes → (h, w, 3) uint8 RGB.  ValueError on non-BMP input,
-    compressed variants, and malformed streams."""
+    compressed variants, and malformed streams (all parse escapes are
+    normalized to ValueError)."""
+    try:
+        return _decode_impl(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, TypeError) as exc:
+        raise ValueError(
+            "BMP: malformed stream (%s)" % type(exc).__name__
+        ) from exc
+
+
+def _decode_impl(data: bytes) -> np.ndarray:
     data = bytes(data)
     if not is_bmp(data) or len(data) < 54:
         raise ValueError("BMP: bad signature or truncated header")
@@ -49,6 +61,8 @@ def decode(data: bytes) -> np.ndarray:
     h = abs(h_signed)
     if w <= 0 or h == 0 or planes != 1:
         raise ValueError("BMP: invalid dimensions/planes")
+    if w * h > 100_000_000:
+        raise ValueError("BMP: dimensions exceed the 100M-pixel kernel cap")
 
     masks = None
     if compression == 3:  # BI_BITFIELDS: masks follow the 40-byte header

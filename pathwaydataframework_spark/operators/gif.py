@@ -66,6 +66,10 @@ def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
         raise ValueError("GIF: bad LZW minimum code size")
     clear = 1 << min_code_size
     eoi = clear + 1
+    # LZW expands at most ~(8/9)*4096 output bytes per input byte; an
+    # `expect` beyond that bound is a corrupt header's allocation bomb
+    if expect > len(data) * 3700 + 4096:
+        raise ValueError("GIF: pixel count impossible for stream length")
     out = np.empty(expect, dtype=np.uint8)
     n_out = 0
     # dictionary as (prefix_code, tail_byte); roots are implicit
@@ -137,6 +141,29 @@ def _lzw_decode(data: bytes, min_code_size: int, expect: int) -> np.ndarray:
     return out
 
 
+_PARSE_ERRORS = (struct.error, IndexError, KeyError, OverflowError, TypeError)
+
+
+def _valueerror_boundary(fn):
+    """Normalize malformed-stream escapes to ValueError (the contract
+    every corpus-scale consumer catches)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except _PARSE_ERRORS as exc:
+            raise ValueError(
+                "GIF: malformed stream (%s)" % type(exc).__name__
+            ) from exc
+
+    return wrapped
+
+
+@_valueerror_boundary
 def count_frames(data: bytes) -> int:
     """Number of image descriptors — a cheap structural walk, no LZW
     decode (frame_sample uses it to pick indices before composing)."""
@@ -164,6 +191,7 @@ def count_frames(data: bytes) -> int:
     return n
 
 
+@_valueerror_boundary
 def decode_frames(data: bytes, *, max_frames: int | None = None) -> list[np.ndarray]:
     """GIF bytes → frames composed on the logical screen, each a
     (h, w, 3) uint8 RGB canvas snapshot.  Honors per-frame graphic-
@@ -176,6 +204,8 @@ def decode_frames(data: bytes, *, max_frames: int | None = None) -> list[np.ndar
     sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
     if sw == 0 or sh == 0:
         raise ValueError("GIF: zero logical screen")
+    if sw * sh > 100_000_000:
+        raise ValueError("GIF: dimensions exceed the 100M-pixel kernel cap")
     gct, pos = _color_table(data, 13, packed)
     if gct is not None and bg_idx < len(gct):
         backdrop = gct[bg_idx]

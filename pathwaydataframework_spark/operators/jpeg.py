@@ -297,7 +297,28 @@ def _decode_block_into(
     return eobrun
 
 
+_PARSE_ERRORS = (
+    struct.error, KeyError, IndexError, AttributeError, OverflowError,
+    TypeError, ZeroDivisionError,
+)
+
+
 def decode(data: bytes) -> np.ndarray:
+    """JPEG → (h, w, 3) uint8 RGB array — see ``_decode_impl``; any
+    malformed-stream escape (missing tables, out-of-range reads,
+    coefficient overflow...) is normalized to ValueError so corpus-scale
+    consumers need exactly one except-clause per blob."""
+    try:
+        return _decode_impl(data)
+    except ValueError:
+        raise
+    except _PARSE_ERRORS as exc:
+        raise ValueError(
+            "invalid JPEG: malformed stream (%s)" % type(exc).__name__
+        ) from exc
+
+
+def _decode_impl(data: bytes) -> np.ndarray:
     """JPEG → (h, w, 3) uint8 RGB array.
 
     Supports baseline sequential (SOF0/SOF1) and progressive (SOF2)
@@ -362,6 +383,8 @@ def decode(data: bytes) -> np.ndarray:
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h, w = struct.unpack(">HH", seg[1:5])
+            if h * w > 100_000_000:
+                raise ValueError("invalid JPEG: dimensions exceed the 100M-pixel kernel cap")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):

@@ -156,6 +156,19 @@ def _decode_subimage(
 
 
 def decode(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB; every malformed-stream escape
+    (zlib errors, short reads...) is normalized to ValueError."""
+    try:
+        return _decode_impl(data)
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, IndexError, KeyError, OverflowError, TypeError) as exc:
+        raise ValueError(
+            "PNG: malformed stream (%s)" % type(exc).__name__
+        ) from exc
+
+
+def _decode_impl(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB.  ValueError on non-PNG input
     and corrupt streams."""
     data = bytes(data)
@@ -182,8 +195,23 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("PNG: invalid depth/color-type combination")
     if w == 0 or h == 0:
         raise ValueError("PNG: zero dimension")
+    if w * h > 100_000_000:  # allocation-bomb guard for corrupt headers
+        raise ValueError("PNG: dimensions exceed the 100M-pixel kernel cap")
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    # bound the inflate by the geometry the header promises — a zlib bomb
+    # in IDAT cannot expand past one extra byte (which then mismatches)
+    bpp_bits_all = depth * channels
+    if interlace == 1:
+        expected = sum(
+            ph * (1 + (pw * bpp_bits_all + 7) // 8)
+            for x0, y0, dx, dy in _ADAM7
+            for pw, ph in [((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)]
+            if pw and ph
+        )
+    else:
+        expected = h * (1 + (w * bpp_bits_all + 7) // 8)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected + 1)
     if interlace == 1:
         px = np.zeros((h, w, channels), dtype=np.uint8)
         off = 0

@@ -141,6 +141,18 @@ def _ima_adpcm_decode(
 
 
 def decode(data: bytes) -> tuple[np.ndarray, int, int | None]:
+    """See ``_decode_impl``; parse escapes normalize to ValueError."""
+    try:
+        return _decode_impl(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, TypeError) as exc:
+        raise ValueError(
+            "WAV: malformed stream (%s)" % type(exc).__name__
+        ) from exc
+
+
+def _decode_impl(data: bytes) -> tuple[np.ndarray, int, int | None]:
     """WAV bytes → (samples (n_frames, n_channels), sample_rate, scale).
 
     Integer formats return exact int32 samples with ``scale`` =
