@@ -1286,6 +1286,132 @@ def _frame_sample_oracle_sql() -> str:
     """
 
 
+def _warc_fixtures() -> list[tuple[int, str]]:
+    """Uncompressed ASCII WARC shards (hex) shared by q_warc_ingest and
+    its oracle: a warcinfo record plus HTTP response records (one 200
+    with HTML, one 404), built by the same record grammar the parser
+    consumes — the oracle re-parses the stream INDEPENDENTLY in SQL."""
+
+    def record(wtype, uri, body, ctype="application/http; msgtype=response"):
+        hdrs = [
+            b"WARC/1.0",
+            b"WARC-Type: " + wtype.encode(),
+            b"WARC-Date: 2024-01-01T00:00:00Z",
+            b"Content-Type: " + ctype.encode(),
+            b"Content-Length: " + str(len(body)).encode(),
+        ]
+        if uri:
+            hdrs.insert(2, b"WARC-Target-URI: " + uri.encode())
+        return b"\r\n".join(hdrs) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+    def http(payload, status=200, ctype=b"text/html"):
+        return (
+            b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
+            b"Content-Type: " + ctype + b"\r\n\r\n" + payload
+        )
+
+    shard1 = (
+        record("warcinfo", None, b"software: engine\r\n",
+               ctype="application/warc-fields")
+        + record("response", "http://a.example/",
+                 http(b"<html><p>Hello corpus</p></html>"))
+        + record("response", "http://b.example/x",
+                 http(b"<html>gone</html>", status=404))
+    )
+    shard2 = record(
+        "response", "http://c.example/long",
+        http(b"<html>" + b"<p>row</p>" * 40 + b"</html>"),
+    )
+    return [(1, shard1.hex()), (2, shard2.hex())]
+
+
+def q_warc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Common Crawl-style WARC ingestion (operators/archives.py —
+    addendum: corpus shard readers): explode_warc fans each shard out
+    to one row per record, splitting the HTTP envelope off response
+    bodies.  The DuckDB oracle re-parses the same streams from hex with
+    a recursive CTE that walks records by Content-Length (header block
+    to the CRLFCRLF terminator, regexp header extraction, HTTP payload
+    split) — a fully independent reimplementation of the record
+    grammar, so framing, header parsing and payload boundaries are all
+    differentially checked (md5 + length of every payload)."""
+    from pathwaydataframework_spark.operators import archives
+
+    src = spark.createDataFrame(
+        _warc_fixtures(), "blob_id long, hex string"
+    ).select(F.col("blob_id").cast("string").alias("path"),
+             F.unhex("hex").alias("content"))
+    out = archives.explode_warc(src)
+    return out.select(
+        F.col("path").cast("long").alias("blob_id"),
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        F.col("http_status").cast("long").alias("http_status"),
+        F.md5("body").alias("body_md5"),
+        F.length("body").cast("long").alias("body_len"),
+    )
+
+
+def _warc_ingest_oracle_sql() -> str:
+    values = ", ".join(f"({i}, '{h}')" for i, h in _warc_fixtures())
+    return f"""
+        WITH RECURSIVE raw(blob_id, hx) AS (VALUES {values}),
+        src AS (SELECT blob_id, decode(unhex(hx)) AS s FROM raw),
+        -- walk records by Content-Length: header block ends at CRLFCRLF,
+        -- body follows, then a CRLFCRLF record terminator
+        walk(blob_id, idx, pos, hdr, body) AS (
+            SELECT blob_id, 0, 1,
+                   substr(s, 1, strpos(s, chr(13)||chr(10)||chr(13)||chr(10)) - 1),
+                   substr(s,
+                          strpos(s, chr(13)||chr(10)||chr(13)||chr(10)) + 4,
+                          TRY_CAST(regexp_extract(
+                              substr(s, 1, strpos(s, chr(13)||chr(10)||chr(13)||chr(10)) - 1),
+                              'Content-Length: (\\d+)', 1) AS BIGINT))
+            FROM src
+            UNION ALL
+            SELECT w.blob_id, w.idx + 1, t.np,
+                   substr(t.rest, 1, strpos(t.rest, chr(13)||chr(10)||chr(13)||chr(10)) - 1),
+                   substr(t.rest,
+                          strpos(t.rest, chr(13)||chr(10)||chr(13)||chr(10)) + 4,
+                          TRY_CAST(regexp_extract(
+                              substr(t.rest, 1, strpos(t.rest, chr(13)||chr(10)||chr(13)||chr(10)) - 1),
+                              'Content-Length: (\\d+)', 1) AS BIGINT))
+            FROM walk w
+            JOIN src s2 ON s2.blob_id = w.blob_id
+            CROSS JOIN LATERAL (
+                SELECT w.pos + length(w.hdr) + 4 + length(w.body) + 4 AS np,
+                       substr(s2.s, w.pos + length(w.hdr) + 4 + length(w.body) + 4)
+                           AS rest
+            ) t
+            WHERE t.np <= length(s2.s) AND strpos(t.rest, 'WARC/') = 1
+        ),
+        recs AS (
+            SELECT blob_id, idx AS record_idx,
+                   regexp_extract(hdr, 'WARC-Type: ([^\\r\\n]+)', 1) AS warc_type,
+                   nullif(regexp_extract(hdr, 'WARC-Target-URI: ([^\\r\\n]+)', 1), '')
+                       AS target_uri,
+                   regexp_extract(hdr, 'Content-Type: ([^\\r\\n]+)', 1) AS rec_ctype,
+                   body
+            FROM walk
+        )
+        SELECT blob_id, record_idx, warc_type, target_uri,
+               CASE WHEN rec_ctype LIKE 'application/http%'
+                         AND strpos(body, 'HTTP/') = 1
+                    THEN TRY_CAST(regexp_extract(body, '^HTTP/\\S+ (\\d+)', 1)
+                                  AS BIGINT) END AS http_status,
+               md5(CASE WHEN rec_ctype LIKE 'application/http%'
+                             AND strpos(body, chr(13)||chr(10)||chr(13)||chr(10)) > 0
+                        THEN substr(body, strpos(body, chr(13)||chr(10)||chr(13)||chr(10)) + 4)
+                        ELSE body END) AS body_md5,
+               length(CASE WHEN rec_ctype LIKE 'application/http%'
+                                AND strpos(body, chr(13)||chr(10)||chr(13)||chr(10)) > 0
+                           THEN substr(body, strpos(body, chr(13)||chr(10)||chr(13)||chr(10)) + 4)
+                           ELSE body END) AS body_len
+        FROM recs
+    """
+
+
 def _media_meta_oracle_sql() -> str:
     values = ", ".join(f"({i}, '{h}')" for i, h in _media_fixtures())
     # TRY_CAST: reads past a short blob's end yield NULL, not an error
@@ -2270,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5-green, unchanged: behind the driver cap this round
         # (q_frame_sample is NEW r6; first in line for an r7 row). ---
         "q_frame_sample": q_frame_sample,
+        "q_warc_ingest": q_warc_ingest,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -3312,6 +3439,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_media_meta": _media_meta_oracle_sql(),
         "q_frame_sample": _frame_sample_oracle_sql(),
+        "q_warc_ingest": _warc_ingest_oracle_sql(),
         "q_incremental_neardup": _INCR_NEARDUP_SQL,
         "q_hybrid_rrf": f"""
             WITH bm AS ({_BM25_SQL}),
