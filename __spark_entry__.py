@@ -2195,6 +2195,39 @@ def q_domain_filter(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("doc_id", text.url_host(F.col("url")).alias("host"))
 
 
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for crawl processing (text.normalize_url +
+    registrable_domain): lowercase scheme/host, strip default port /
+    userinfo / www. / fragment / tracking params, eTLD+1 via the embedded
+    multi-part-suffix set.  URLs are planted from doc_id with every rule
+    exercised (mixed case, :443/:80 vs :8080, utm_*+ref params, #fragment,
+    www., co.uk/com.au suffixes); the oracle derives the expected
+    canonical form independently from the same doc_id arithmetic."""
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = (
+        F.when(d % 4 == 0, F.lit("Example.COM"))
+        .when(d % 4 == 1, F.lit("www.News.co.uk"))
+        .when(d % 4 == 2, F.concat(F.lit("sub.Site"), d % 7, F.lit(".org")))
+        .otherwise(F.lit("media.Example.com.au"))
+    )
+    port = (
+        F.when(d % 3 == 0, F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")))
+        .when(d % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    query = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("?utm_source=feed&id="), d, F.lit("&utm_campaign=Spring&ref=home")),
+    ).otherwise(F.concat(F.lit("?id="), d, F.lit("&page=2")))
+    frag = F.when(d % 5 == 0, F.lit("#Section2")).otherwise(F.lit(""))
+    raw = F.concat(scheme, F.lit("://"), host, port, F.lit("/Path/"), d, query, frag)
+    return text.canonicalize_urls(docs.select("doc_id", raw.alias("url"))).select(
+        "doc_id", "norm_url", "host", "reg_domain"
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """the full Gopher repetition gate (all 11 published thresholds over
     line + n-gram metrics; text.gopher_repetition_filter).  Planted
@@ -2397,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_frame_sample is NEW r6; first in line for an r7 row). ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
+        "q_url_normalize": q_url_normalize,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -3972,6 +4006,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, host FROM hosts
             WHERE host <> 'blocked.test' AND NOT ends_with(host, '.blocked.test')
+        """,
+        "q_url_normalize": r"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+                   || '://'
+                   || CASE doc_id % 4
+                          WHEN 0 THEN 'example.com'
+                          WHEN 1 THEN 'news.co.uk'
+                          WHEN 2 THEN 'sub.site' || (doc_id % 7)::VARCHAR || '.org'
+                          ELSE 'media.example.com.au'
+                      END
+                   || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+                   || '/Path/' || doc_id::VARCHAR
+                   || '?id=' || doc_id::VARCHAR
+                   || CASE WHEN doc_id % 2 = 0 THEN '' ELSE '&page=2' END
+                       AS norm_url,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'example.com'
+                       WHEN 1 THEN 'news.co.uk'
+                       WHEN 2 THEN 'sub.site' || (doc_id % 7)::VARCHAR || '.org'
+                       ELSE 'media.example.com.au'
+                   END AS host,
+                   CASE doc_id % 4
+                       WHEN 0 THEN 'example.com'
+                       WHEN 1 THEN 'news.co.uk'
+                       WHEN 2 THEN 'site' || (doc_id % 7)::VARCHAR || '.org'
+                       ELSE 'example.com.au'
+                   END AS reg_domain
+            FROM documents
         """,
         "q_gopher_repetition": _gopher_repetition_oracle_sql(),
         "q_windowby_predicate": """

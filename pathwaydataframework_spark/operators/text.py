@@ -687,6 +687,152 @@ def filter_blocked_domains(
     return df.filter(~F.coalesce(blocked, F.lit(False)))
 
 
+# Tracking query parameters stripped by URL canonicalization.  The utm_*
+# family matches by prefix; the rest are exact keys (click ids and
+# mail-campaign ids that carry no content signal).  Mirrors the parameter
+# sets crawl pipelines drop before URL-level dedup.
+_TRACKING_PARAM_KEYS = (
+    "gclid", "fbclid", "msclkid", "dclid", "yclid", "igshid",
+    "mc_cid", "mc_eid", "_ga", "ref", "ref_src",
+)
+
+# Two-label public suffixes for the eTLD+1 heuristic.  A full public-suffix
+# list is ~9k entries and updates monthly; at scale you'd broadcast-join a
+# suffix frame loaded from the published list — the label arithmetic below
+# is identical, only the membership probe changes.
+_MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr",
+    "co.in", "co.kr", "co.nz", "co.za", "com.sg", "com.hk", "com.tw",
+)
+
+
+def _is_tracking_param(param: Column) -> Column:
+    """True for a single 'key=value' query token whose key is tracking."""
+    key = F.lower(F.substring_index(param, "=", 1))
+    exact = F.array(*[F.lit(k) for k in _TRACKING_PARAM_KEYS])
+    return key.startswith("utm_") | F.array_contains(exact, key)
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Drop tracking query parameters (utm_*, click ids, …) from a URL,
+    preserving the order of surviving parameters and the fragment, and
+    dropping the '?' entirely when nothing survives.
+
+    Pure column expressions (regexp split/filter/join) — evaluates inside
+    whole-stage codegen, zero exchanges.  The URL-level dedup step of a
+    crawl pipeline runs this before hashing, else utm-variants of one page
+    count as distinct documents.
+    """
+    # Fragment first: it may contain '?', so peel it before query parsing.
+    frag = F.regexp_extract(url, "#.*", 0)  # '' when absent, never NULL
+    nofrag = F.regexp_replace(url, "#.*", "")
+    base = F.substring_index(nofrag, "?", 1)
+    query = F.when(
+        nofrag.contains("?"), F.regexp_extract(nofrag, r"\?(.*)", 1)
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~_is_tracking_param(p),
+    )
+    rebuilt = F.array_join(kept, "&")
+    return F.concat(
+        base,
+        F.when(rebuilt == "", F.lit("")).otherwise(F.concat(F.lit("?"), rebuilt)),
+        frag,
+    )
+
+
+def normalize_url(url: Column, *, strip_www: bool = True) -> Column:
+    """Canonical URL form for crawl-scale URL dedup and frontier keys:
+
+    - scheme and host lowercased (path/query case is significant, kept)
+    - missing scheme defaults to http://
+    - userinfo ('user:pass@') removed
+    - default port stripped (:80 for http, :443 for https; others kept)
+    - leading 'www.' stripped (``strip_www=False`` to keep)
+    - empty path becomes '/'
+    - fragment removed
+    - tracking query parameters removed (see :func:`strip_tracking_params`)
+
+    All regexp/string column expressions — codegen-friendly, no UDFs, no
+    exchanges; safe as a scan-side projection over a 100 TB url column.
+    Reference pipelines do this row-wise in Python UDF parsers
+    (xpacks/llm/parsers.py); here Catalyst vectorizes it.
+    """
+    u = F.trim(url)
+    u = F.when(u.contains("://"), u).otherwise(F.concat(F.lit("http://"), u))
+    u = F.regexp_replace(u, "#.*", "")  # fragment never survives
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    host_port = F.lower(F.regexp_replace(authority, "^[^@]*@", ""))
+    host_port = (
+        F.when(scheme == "https", F.regexp_replace(host_port, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host_port, ":80$", ""))
+        .otherwise(host_port)
+    )
+    if strip_www:
+        host_port = F.regexp_replace(host_port, r"^www\.", "")
+    path_query = (
+        F.when(rest == "", F.lit("/"))
+        .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
+        .otherwise(rest)
+    )
+    return strip_tracking_params(
+        F.concat(scheme, F.lit("://"), host_port, path_query)
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 of a hostname ('a.b.news.co.uk' → 'news.co.uk') — the key
+    crawl pipelines group by for per-site quotas, domain-level quality
+    priors, and the C4 domain rule.  Uses the embedded two-label suffix
+    set (:data:`_MULTIPART_SUFFIXES`); single- or two-label hosts pass
+    through unchanged.  Label arithmetic over split() — no UDFs.
+    """
+    h = F.lower(F.trim(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last1 = F.element_at(labels, -1)
+    # try_element_at: NULL (not ANSI error) when the array is shorter —
+    # concat_ws then skips it, and the n-guarded CASE never exposes it.
+    last2 = F.concat_ws(".", F.try_element_at(labels, F.lit(-2)), last1)
+    last3 = F.concat_ws(
+        ".",
+        F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        last1,
+    )
+    multi = F.array(*[F.lit(s) for s in _MULTIPART_SUFFIXES])
+    return (
+        F.when(n <= 2, h)
+        .when(F.array_contains(multi, last2), last3)
+        .otherwise(last2)
+    )
+
+
+def canonicalize_urls(
+    df: DataFrame, *, url_col: str = "url", strip_www: bool = True
+) -> DataFrame:
+    """Attach ``norm_url``, ``host`` and ``reg_domain`` columns — the
+    standard first projection of a crawl-processing job, from which URL
+    dedup (groupBy norm_url), per-site quotas (groupBy reg_domain) and
+    domain filters all hang.  One scan-side projection, zero exchanges.
+    """
+    norm = normalize_url(F.col(url_col), strip_www=strip_www)
+    host = F.regexp_extract(norm, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+    return df.withColumns(
+        {
+            "norm_url": norm,
+            "host": host,
+            "reg_domain": registrable_domain(host),
+        }
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     *,

@@ -410,6 +410,81 @@ def test_filter_blocked_domains(spark):
     assert exact_only == [1, 2, 4]
 
 
+def _norm_one(spark, url, **kw):
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(text.normalize_url(F.col("url"), **kw).alias("n")).first()["n"]
+
+
+def test_normalize_url_rules(spark):
+    cases = {
+        # scheme+host lowercased, path case kept, fragment dropped
+        "HTTPS://WWW.Example.COM/Path/X#frag": "https://example.com/Path/X",
+        # default ports stripped per scheme; non-default kept
+        "http://example.com:80/a": "http://example.com/a",
+        "https://example.com:443/a": "https://example.com/a",
+        "https://example.com:8443/a": "https://example.com:8443/a",
+        "http://example.com:443/a": "http://example.com:443/a",
+        # missing scheme -> http; empty path -> '/'
+        "example.com": "http://example.com/",
+        "example.com?q=1": "http://example.com/?q=1",
+        # userinfo removed
+        "http://user:pw@example.com/x": "http://example.com/x",
+        # tracking params dropped, survivors keep order, lone '?' dropped
+        "https://a.com/p?utm_source=x&id=7&utm_campaign=y&ref=h": (
+            "https://a.com/p?id=7"
+        ),
+        "https://a.com/p?utm_source=x": "https://a.com/p",
+        "https://a.com/p?id=7&page=2": "https://a.com/p?id=7&page=2",
+    }
+    for raw, want in cases.items():
+        assert _norm_one(spark, raw) == want, raw
+    assert (
+        _norm_one(spark, "http://www.example.com/x", strip_www=False)
+        == "http://www.example.com/x"
+    )
+
+
+def test_strip_tracking_params_preserves_fragment(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/p?utm_source=x&id=1#sec?not-a-query",)], "url string"
+    )
+    got = df.select(
+        text.strip_tracking_params(F.col("url")).alias("u")
+    ).first()["u"]
+    assert got == "https://a.com/p?id=1#sec?not-a-query"
+
+
+def test_registrable_domain(spark):
+    cases = {
+        "example.com": "example.com",
+        "sub.example.com": "example.com",
+        "a.b.news.co.uk": "news.co.uk",
+        "news.co.uk": "news.co.uk",
+        "media.example.com.au": "example.com.au",
+        "localhost": "localhost",
+        "CO.UK": "co.uk",  # the suffix itself has no +1: passes through
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", text.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == {h: cases[h] for h in cases}
+
+
+def test_canonicalize_urls_projection(spark):
+    df = spark.createDataFrame(
+        [(1, "HTTP://www.Shop.co.uk:80/Item?utm_medium=email&sku=9#top")],
+        "id long, url string",
+    )
+    row = text.canonicalize_urls(df).first()
+    assert row["norm_url"] == "http://shop.co.uk/Item?sku=9"
+    assert row["host"] == "shop.co.uk"
+    assert row["reg_domain"] == "shop.co.uk"
+
+
 class TestBigramLogprob:
     def test_hand_computed(self, spark):
         import math
