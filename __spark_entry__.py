@@ -2228,6 +2228,28 @@ def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """per-site quota: the 5 longest docs per registrable domain
+    (sampling.per_key_topk over text.registrable_domain) — exact top-k
+    under key skew via the salted two-phase rank window.  A hot domain is
+    planted (every 3rd doc lands on big.co.uk; the rest spread over 11
+    small .org sites) so the skew path actually executes."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    host = F.when(d % 3 == 0, F.lit("a.Big.co.uk")).otherwise(
+        F.concat(F.lit("www.site"), d % 11, F.lit(".org"))
+    )
+    with_dom = docs.select(
+        "doc_id", "n_chars", text.registrable_domain(host).alias("domain")
+    )
+    out = sampling.per_key_topk(with_dom, "domain", "n_chars", k=5, tie_col="doc_id")
+    return out.select(
+        "doc_id", "domain", "n_chars", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """the full Gopher repetition gate (all 11 published thresholds over
     line + n-gram metrics; text.gopher_repetition_filter).  Planted
@@ -2431,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
+        "q_domain_quota": q_domain_quota,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -4035,6 +4058,24 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'example.com.au'
                    END AS reg_domain
             FROM documents
+        """,
+        "q_domain_quota": """
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN doc_id % 3 = 0 THEN 'big.co.uk'
+                            ELSE 'site' || (doc_id % 11)::VARCHAR || '.org'
+                       END AS domain
+                FROM documents
+            ), r AS (
+                SELECT doc_id, domain, n_chars,
+                       row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rank
+                FROM d
+            )
+            SELECT doc_id, domain, n_chars, rank::BIGINT AS rank
+            FROM r WHERE rank <= 5
         """,
         "q_gopher_repetition": _gopher_repetition_oracle_sql(),
         "q_windowby_predicate": """

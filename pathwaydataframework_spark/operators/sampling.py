@@ -507,3 +507,54 @@ def assign_shards(
     ).withColumn(
         "pos_in_shard", (F.col("position") % F.lit(rows_per_shard)).cast("long")
     )
+
+
+def per_key_topk(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    *,
+    k: int,
+    descending: bool = True,
+    tie_col: str | None = None,
+    salts: int = 32,
+) -> DataFrame:
+    """Exact top-k rows per key with a ``rank`` column (1-based) — the
+    per-site quota of a crawl pipeline: keep the k best documents per
+    registrable domain, cap any one host's share of the corpus.
+
+    A single rank-window over the key is the textbook plan and the
+    textbook skew trap: one hot key (a 10⁸-page domain in a web crawl)
+    sorts on one task.  This runs the two-phase salted variant instead:
+
+    - phase 1 ranks within ``(key, salt)`` — ``salt = xxhash64(tie) %
+      salts`` spreads a hot key over `salts` tasks — and keeps k per
+      salt-group.  Any global per-key top-k row is necessarily in its own
+      salt-group's top-k, so the ≤ salts·k survivors per key are a strict
+      superset of the answer.
+    - phase 2 ranks the survivors per key: at most salts·k rows per key
+      regardless of skew, so the second window's state is bounded.
+
+    Cold keys pay one extra tiny window; hot keys stop being stragglers.
+    Pass ``tie_col`` whenever order values can repeat — it makes the
+    ordering total, so results (and the rank column) are deterministic
+    and SQL-oracle-exact (``row_number() OVER (PARTITION BY key ORDER BY
+    order DESC, tie)``)."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    salt_src = F.col(tie_col if tie_col is not None else order_col)
+    w1 = W.partitionBy(key, "__salt").orderBy(*order)
+    w2 = W.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(int(salts))))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__salt", "__r1")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

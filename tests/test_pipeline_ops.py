@@ -935,3 +935,45 @@ def test_winnowing_shares_fingerprints_on_common_substrings(spark):
         text.winnowing_fingerprints(docs, k=0)
     with _pytest.raises(ValueError):
         text.winnowing_fingerprints(docs, window=0)
+
+
+def test_per_key_topk_matches_single_window_under_skew(spark):
+    # hot key: 70% of rows land on one domain — the salted two-phase plan
+    # must still return exactly what the naive single window would
+    from pyspark.sql import Window as W
+
+    rows = [(i, "hot.com" if i % 10 < 7 else f"cold{i % 5}.org", (i * 37) % 19)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, score long")
+    got = {
+        (r["domain"], r["doc_id"], r["rank"])
+        for r in sampling.per_key_topk(
+            df, "domain", "score", k=3, tie_col="doc_id", salts=8
+        ).collect()
+    }
+    naive = (
+        df.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("domain").orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    want = {(r["domain"], r["doc_id"], r["rank"]) for r in naive.collect()}
+    # domains: hot + cold{2,3,4} (i%10 in {7,8,9} -> i%5 in {2,3,4})
+    assert got == want and len(got) == 3 * 4
+
+
+def test_per_key_topk_small_groups_and_ascending(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 3), (3, "b", 9)], "id long, key string, v long"
+    )
+    out = sampling.per_key_topk(
+        df, "key", "v", k=10, descending=False, tie_col="id"
+    ).collect()
+    assert {(r["key"], r["id"], r["rank"]) for r in out} == {
+        ("a", 2, 1), ("a", 1, 2), ("b", 3, 1)
+    }
+    with pytest.raises(ValueError):
+        sampling.per_key_topk(df, "key", "v", k=0)
