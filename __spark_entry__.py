@@ -2230,8 +2230,10 @@ def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
     """per-site quota: the 5 longest docs per registrable domain
-    (sampling.per_key_topk over text.registrable_domain) — exact top-k
-    under key skew via the salted two-phase rank window.  A hot domain is
+    (sampling.per_key_topk over text.registrable_domain) — exact top-k,
+    skew-safe via Catalyst's InferWindowGroupLimit two-phase group limit
+    (Partial below the exchange caps a hot key map-side; measured faster
+    than hand-salting, scripts/skew_topk_spotcheck.py).  A hot domain is
     planted (every 3rd doc lands on big.co.uk; the rest spread over 11
     small .org sites) so the skew path actually executes."""
     from pathwaydataframework_spark.operators import sampling

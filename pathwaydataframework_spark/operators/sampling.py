@@ -517,25 +517,26 @@ def per_key_topk(
     k: int,
     descending: bool = True,
     tie_col: str | None = None,
-    salts: int = 32,
 ) -> DataFrame:
     """Exact top-k rows per key with a ``rank`` column (1-based) — the
     per-site quota of a crawl pipeline: keep the k best documents per
     registrable domain, cap any one host's share of the corpus.
 
-    A single rank-window over the key is the textbook plan and the
-    textbook skew trap: one hot key (a 10⁸-page domain in a web crawl)
-    sorts on one task.  This runs the two-phase salted variant instead:
+    Plan note (measured — scripts/skew_topk_spotcheck.py): a rank-window
+    over a content key looks like the textbook skew trap (one 10⁸-page
+    hot domain sorting on one task), but Catalyst's InferWindowGroupLimit
+    rule lowers ``row_number() <= k`` to a two-phase group limit on its
+    own: a PARTIAL WindowGroupLimit below the exchange keeps at most k
+    rows per key per input partition (map-side, so a hot key never ships
+    more than k·numPartitions rows), and a FINAL one after.  The classic
+    hand-salted two-phase rewrite adds an extra exchange and measured
+    ~40% SLOWER even at 90% hot-key share (5M rows, local[32]) — so this
+    is deliberately the single-window form; tests/test_plans.py pins the
+    Partial WindowGroupLimit so a version/config change that loses the
+    rewrite fails a test instead of a production job.  The rule only
+    fires for k ≤ spark.sql.optimizer.windowGroupLimitThreshold (default
+    1000) — pass a larger k and you own the skew again.
 
-    - phase 1 ranks within ``(key, salt)`` — ``salt = xxhash64(tie) %
-      salts`` spreads a hot key over `salts` tasks — and keeps k per
-      salt-group.  Any global per-key top-k row is necessarily in its own
-      salt-group's top-k, so the ≤ salts·k survivors per key are a strict
-      superset of the answer.
-    - phase 2 ranks the survivors per key: at most salts·k rows per key
-      regardless of skew, so the second window's state is bounded.
-
-    Cold keys pay one extra tiny window; hot keys stop being stragglers.
     Pass ``tie_col`` whenever order values can repeat — it makes the
     ordering total, so results (and the rank column) are deterministic
     and SQL-oracle-exact (``row_number() OVER (PARTITION BY key ORDER BY
@@ -547,14 +548,5 @@ def per_key_topk(
     order = [F.col(order_col).desc() if descending else F.col(order_col).asc()]
     if tie_col is not None:
         order.append(F.col(tie_col).asc())
-    salt_src = F.col(tie_col if tie_col is not None else order_col)
-    w1 = W.partitionBy(key, "__salt").orderBy(*order)
-    w2 = W.partitionBy(key).orderBy(*order)
-    return (
-        df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(int(salts))))
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k)
-        .drop("__salt", "__r1")
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-    )
+    w = W.partitionBy(key).orderBy(*order)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -937,32 +937,44 @@ def test_winnowing_shares_fingerprints_on_common_substrings(spark):
         text.winnowing_fingerprints(docs, window=0)
 
 
-def test_per_key_topk_matches_single_window_under_skew(spark):
-    # hot key: 70% of rows land on one domain — the salted two-phase plan
-    # must still return exactly what the naive single window would
-    from pyspark.sql import Window as W
-
+def test_per_key_topk_matches_python_model_under_skew(spark):
+    # hot key: 70% of rows land on one domain; expected top-3 per domain
+    # computed independently in Python (sort by score desc, doc_id asc)
     rows = [(i, "hot.com" if i % 10 < 7 else f"cold{i % 5}.org", (i * 37) % 19)
             for i in range(400)]
+    by_dom: dict[str, list[tuple[int, int]]] = {}
+    for i, dom, score in rows:
+        by_dom.setdefault(dom, []).append((i, score))
+    want = {
+        (dom, i, rank + 1)
+        for dom, members in by_dom.items()
+        for rank, (i, _) in enumerate(
+            sorted(members, key=lambda m: (-m[1], m[0]))[:3]
+        )
+    }
     df = spark.createDataFrame(rows, "doc_id long, domain string, score long")
     got = {
         (r["domain"], r["doc_id"], r["rank"])
         for r in sampling.per_key_topk(
-            df, "domain", "score", k=3, tie_col="doc_id", salts=8
+            df, "domain", "score", k=3, tie_col="doc_id"
         ).collect()
     }
-    naive = (
-        df.withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy("domain").orderBy(F.col("score").desc(), "doc_id")
-            ),
-        )
-        .filter(F.col("rank") <= 3)
-    )
-    want = {(r["domain"], r["doc_id"], r["rank"]) for r in naive.collect()}
     # domains: hot + cold{2,3,4} (i%10 in {7,8,9} -> i%5 in {2,3,4})
     assert got == want and len(got) == 3 * 4
+
+
+def test_per_key_topk_plan_has_partial_window_group_limit(spark):
+    # The operator's skew-safety claim IS this optimizer rewrite (see the
+    # docstring): a Partial WindowGroupLimit below the exchange.  Pin it.
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}", i % 7) for i in range(50)],
+        "doc_id long, key string, score long",
+    )
+    from pathwaydataframework_spark.plans import formatted_plan
+
+    out = sampling.per_key_topk(df, "key", "score", k=5, tie_col="doc_id")
+    plan = formatted_plan(out)
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
 
 
 def test_per_key_topk_small_groups_and_ascending(spark):
