@@ -833,6 +833,43 @@ def canonicalize_urls(
     )
 
 
+def dedup_by_url(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    prefer_col: str | None = None,
+    tie_col: str = "doc_id",
+    strip_www: bool = True,
+) -> DataFrame:
+    """URL-level dedup: one row per canonical URL — the first dedup stage
+    of a crawl pipeline (utm-variants, http/https and www/apex forms of a
+    page collapse BEFORE content hashing ever runs, which at crawl scale
+    removes the bulk of trivial duplicates for the price of a projection
+    plus one groupBy-shaped exchange).
+
+    Keeps, per ``norm_url``, the row with the highest ``prefer_col``
+    (e.g. a quality score or fetch timestamp), tie-broken on ``tie_col``;
+    with no ``prefer_col``, the smallest ``tie_col`` wins.  Implemented
+    as :func:`canonicalize_urls` +
+    :func:`~pathwaydataframework_spark.operators.sampling.per_key_topk`
+    with k=1, so the only exchange is the rank window's — and the hot-key
+    story (one URL duplicated millions of times) is the measured
+    WindowGroupLimit path, not a straggler.
+    """
+    from pathwaydataframework_spark.operators.sampling import per_key_topk
+
+    canon = canonicalize_urls(df, url_col=url_col, strip_www=strip_www)
+    order_col = prefer_col if prefer_col is not None else tie_col
+    return per_key_topk(
+        canon,
+        "norm_url",
+        order_col,
+        k=1,
+        descending=prefer_col is not None,
+        tie_col=tie_col,
+    ).drop("rank")
+
+
 def bigram_logprob(
     df: DataFrame,
     *,

@@ -545,3 +545,22 @@ class TestReviewRegressions:
         out = {r["doc_id"]: r["mean_logp"] for r in text.unigram_logprob(df).collect()}
         assert set(out) == {1, 2}
         assert out[2] is None
+
+
+def test_dedup_by_url_collapses_tracking_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/p?utm_source=x&id=1", 0.9),
+            (2, "https://www.a.com/p?id=1", 0.5),  # same page, www + no utm
+            (3, "HTTPS://A.com/p?id=1#frag", 0.7),  # same page, case + frag
+            (4, "https://a.com/p?id=2", 0.1),  # different page
+        ],
+        "doc_id long, url string, score double",
+    )
+    kept = sorted(
+        r["doc_id"] for r in text.dedup_by_url(df, prefer_col="score").collect()
+    )
+    assert kept == [1, 4]  # highest score among the variant group wins
+    # no prefer_col: smallest doc_id wins
+    kept2 = sorted(r["doc_id"] for r in text.dedup_by_url(df).collect())
+    assert kept2 == [1, 4]
