@@ -2450,8 +2450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
         "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
-        # --- r5-green, unchanged: behind the driver cap this round
-        # (q_frame_sample is NEW r6; first in line for an r7 row). ---
+        # --- r5-green, unchanged: behind the driver cap this round.
+        # q_frame_sample / q_warc_ingest / q_url_normalize / q_domain_quota
+        # are NEW r6 (local-oracle green, no driver row yet): first in line
+        # for r7 — rotate them to the very front next round. ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
