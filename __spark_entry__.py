@@ -2252,6 +2252,42 @@ def q_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level dedup (text.dedup_by_url): tracking/www/case/default-port
+    variants of one page collapse to the single best row per canonical
+    URL.  Planted structure: consecutive doc_id triples are three raw
+    variants of one page (www+utm+fragment / :443 / gclid) that all
+    normalize identically; the longest doc (tie: smallest doc_id) must
+    survive.  The oracle re-derives the canonical URL and the winner
+    independently from doc_id arithmetic."""
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    g = F.expr("doc_id div 3")  # page group: exact integer division
+    variant = d % 3
+    raw = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://www.Site"), g, F.lit(".com/Page?id="), g,
+                F.lit("&utm_source=feed#top"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(F.lit("https://site"), g, F.lit(".com:443/Page?id="), g),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://Site"), g, F.lit(".com/Page?id="), g,
+                F.lit("&gclid=abc"),
+            )
+        )
+    )
+    with_urls = docs.select("doc_id", "n_chars", raw.alias("url"))
+    out = text.dedup_by_url(with_urls, prefer_col="n_chars")
+    return out.select("doc_id", "norm_url", "n_chars")
+
+
 def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """the full Gopher repetition gate (all 11 published thresholds over
     line + n-gram metrics; text.gopher_repetition_filter).  Planted
@@ -2452,12 +2488,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
         # --- r5-green, unchanged: behind the driver cap this round.
         # q_frame_sample / q_warc_ingest / q_url_normalize / q_domain_quota
-        # are NEW r6 (local-oracle green, no driver row yet): first in line
-        # for r7 — rotate them to the very front next round. ---
+        # / q_url_dedup are NEW r6 (local-oracle green, no driver row yet):
+        # first in line for r7 — rotate them to the very front next round. ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
         "q_domain_quota": q_domain_quota,
+        "q_url_dedup": q_url_dedup,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -4062,6 +4099,21 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'example.com.au'
                    END AS reg_domain
             FROM documents
+        """,
+        "q_url_dedup": """
+            WITH pages AS (
+                SELECT doc_id, n_chars, doc_id // 3 AS g,
+                       row_number() OVER (
+                           PARTITION BY doc_id // 3
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id,
+                   'https://site' || g::VARCHAR || '.com/Page?id='
+                       || g::VARCHAR AS norm_url,
+                   n_chars
+            FROM pages WHERE rn = 1
         """,
         "q_domain_quota": """
             WITH d AS (
