@@ -61,6 +61,30 @@ def test_q05_star_join_broadcasts(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_q05_plan_fingerprint_pinned(spark, sf_dir):
+    # Same rationale as the q03 and q_asof_join pins: q05 is the last
+    # bench heavyweight without one, and its median swings ±30% between
+    # rounds with best-run parity.  Operator multiset verified identical
+    # at sf0.001 and sf0.1: 5-table star — all four dims broadcast, the
+    # ONE exchange is the groupBy, partial+final HashAggregate present.
+    import re
+    from collections import Counter
+
+    df = entry.q05_region_revenue(spark, sf_dir)
+    plan = formatted_plan(df)
+    ops = Counter(re.findall(r"\(\d+\) ([A-Za-z]+)", plan))
+    assert dict(ops) == {
+        "AdaptiveSparkPlan": 1,
+        "BroadcastExchange": 4,
+        "BroadcastHashJoin": 4,
+        "Exchange": 1,  # the single groupBy shuffle
+        "Filter": 5,
+        "HashAggregate": 2,  # partial + final: map-side combine present
+        "Project": 4,
+        "Scan": 5,
+    }, f"q05 physical plan changed: {dict(ops)}"
+
+
 def test_asof_join_single_shuffle_no_join(spark, sf_dir):
     # union+window formulation: no Join operator at all, one exchange for
     # the window (plus AQE bookkeeping)
