@@ -202,6 +202,40 @@ class TestStreamingParity:
         got = {tuple(r) for r in spark.sql("SELECT * FROM c4_stream").collect()}
         assert got == batch and len(batch) == 3
 
+    def test_url_canonicalize_stream_equals_batch(self, spark, tmp_path):
+        # canonicalize_urls is a stateless scan-side projection — the crawl
+        # frontier shape is a STREAM of fetched URLs, so the same plan must
+        # produce identical rows under Structured Streaming
+        rows = [
+            (1, "HTTPS://WWW.Example.COM:443/A?utm_source=x&id=1#f"),
+            (2, "site.co.uk/path?gclid=z&q=2"),
+            (3, "http://user@media.example.com.au:8080/B"),
+        ]
+        src = str(tmp_path / "urls")
+        spark.createDataFrame(rows, "doc_id long, url string").repartition(
+            2
+        ).write.parquet(src)
+        batch = {
+            tuple(r)
+            for r in text.canonicalize_urls(spark.read.parquet(src)).collect()
+        }
+        stream = spark.readStream.schema("doc_id long, url string").parquet(src)
+        q = (
+            text.canonicalize_urls(stream)
+            .writeStream.format("memory")
+            .queryName("url_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.sql("SELECT * FROM url_stream").collect()}
+        assert got == batch and len(batch) == 3
+        by_id = {r[0]: r for r in got}
+        assert by_id[1][2] == "https://example.com/A?id=1"  # norm_url
+        assert by_id[2][4] == "site.co.uk"  # reg_domain
+        assert by_id[3][3] == "media.example.com.au"  # host (userinfo gone)
+
     def test_decontam_foreach_batch_equals_batch(self, spark, tmp_path):
         # decontamination against a STATIC benchmark is per-document, so
         # running it per micro-batch over the arriving corpus (foreachBatch,
