@@ -2288,6 +2288,21 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "norm_url", "n_chars")
 
 
+def q_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter incremental dedup (dedup.bloom_dedup — BFF-style):
+    the seen corpus (docs with doc_id%4==0, keyed by md5(text)) is
+    summarized once into a 2^18-bit bitmap FRAME (bit_or-packed 64-bit
+    words, broadcastable, persistable); the incoming batch is pruned by
+    the broadcast bitmap and the surviving candidates are exactly
+    confirmed against the corpus — so despite the probabilistic filter in
+    the middle, the result is EXACTLY the anti-join the oracle states."""
+    docs = load_table(spark, sf, "documents").df
+    keyed = docs.withColumn("__key", F.md5("text"))
+    seen = keyed.filter(F.col("doc_id") % 4 == 0)
+    out = dedup.bloom_dedup(keyed, seen, "__key", m_bits=1 << 18, k=5)
+    return out.select("doc_id", "n_chars")
+
+
 def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """the full Gopher repetition gate (all 11 published thresholds over
     line + n-gram metrics; text.gopher_repetition_filter).  Planted
@@ -2488,13 +2503,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
         # --- r5-green, unchanged: behind the driver cap this round.
         # q_frame_sample / q_warc_ingest / q_url_normalize / q_domain_quota
-        # / q_url_dedup are NEW r6 (local-oracle green, no driver row yet):
-        # first in line for r7 — rotate them to the very front next round. ---
+        # / q_url_dedup / q_bloom_dedup are NEW r6 (local-oracle green, no
+        # driver row yet): first in line for r7 — rotate them to the very
+        # front next round. ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
         "q_domain_quota": q_domain_quota,
         "q_url_dedup": q_url_dedup,
+        "q_bloom_dedup": q_bloom_dedup,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -4099,6 +4116,12 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'example.com.au'
                    END AS reg_domain
             FROM documents
+        """,
+        "q_bloom_dedup": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE md5(text) NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 4 = 0
+            )
         """,
         "q_url_dedup": """
             WITH pages AS (

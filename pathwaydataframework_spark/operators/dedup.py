@@ -998,3 +998,133 @@ def incremental_line_dedup(
     Returns (id_col, clean_text, n_removed_lines).
     """
     return _line_dedup_core(new_docs, id_col, text_col, sep, seen_lines=seen_lines)
+
+
+# -- Bloom-filter exact dedup (BFF-style) ------------------------------------
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: (m_bits, k) for ``expected_items`` keys at
+    ``fpp`` false-positive rate — m = -n·ln p / ln²2, k = (m/n)·ln 2.
+    10⁹ keys at 1% → ~1.2 GB of bitmap: one summary row set per ~100 TB
+    corpus, reusable across every incremental batch."""
+    import math
+
+    if expected_items < 1:
+        raise ValueError(f"expected_items must be >= 1, got {expected_items}")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / expected_items * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int, seed: int) -> Column:
+    """Array of k bit positions in [0, m_bits) for a key — xxhash64 with
+    k distinct salt columns, all JVM-side."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(seed * 131 + i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def build_bloom_index(
+    df: DataFrame, key_col: str, *, m_bits: int = 1 << 22, k: int = 5, seed: int = 0
+) -> DataFrame:
+    """Summarize a corpus's keys into a Bloom bitmap FRAME:
+    ``(word long, bits long)`` — word w holds bits [64w, 64w+64) packed by
+    a ``bit_or`` aggregate.  At most m_bits/64 rows regardless of corpus
+    size (2²² bits → 65 536 rows), so the index broadcasts; persist it
+    with ``.write.parquet`` and it becomes the incremental-dedup state the
+    next batch probes without touching the historical corpus (the same
+    persistable-index pattern as :func:`line_index` /
+    :func:`minhash_band_index`).
+
+    One corpus scan, one m/64-key hash-agg (map-side combined) — the only
+    pass over history a BFF-style pipeline ever pays."""
+    pos = F.explode(_bloom_positions(F.col(key_col), m_bits, k, seed))
+    return (
+        _ensure_parallelism(df)
+        .select(pos.alias("__pos"))
+        .select(
+            F.expr("__pos div 64").alias("word"),
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def bloom_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame | None,
+    key_col: str,
+    *,
+    index: DataFrame | None = None,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+    seed: int = 0,
+    exact_confirm: bool = True,
+) -> DataFrame:
+    """Drop rows of ``new_df`` whose key already exists in the seen corpus
+    — the Bloom-filter dedup of Dolma's BFF, Spark-shaped.  EXACT output
+    by default: the Bloom bitmap only *prunes* (rows whose keys miss any
+    of the k probe bits are provably unseen and skip the join entirely);
+    candidates are then confirmed against the real corpus, so false
+    positives never delete data.  ``exact_confirm=False`` gives the
+    classic probabilistic BFF (drop every candidate; ~fpp of unseen rows
+    lost — size with :func:`bloom_params`).
+
+    Plan at 100 TB: the bitmap frame (≤ m/64 rows) broadcasts to the
+    batch probe — the historical corpus is NOT scanned per batch when a
+    prebuilt ``index`` is passed.  With exact_confirm, the (small)
+    candidate key set broadcasts INTO the corpus scan as a semi-join
+    filter, and the confirmed-duplicate keys broadcast back as an
+    anti-join — history is scanned once but never shuffled, and every
+    exchange is batch-proportional.
+    """
+    if index is None:
+        if seen_df is None:
+            raise ValueError("pass either seen_df or a prebuilt index")
+        index = build_bloom_index(seen_df, key_col, m_bits=m_bits, k=k, seed=seed)
+    key = F.col(key_col)
+    probes = (
+        new_df.select(key.alias("__key")).distinct()
+        .select(
+            "__key",
+            F.explode(_bloom_positions(F.col("__key"), m_bits, k, seed)).alias(
+                "__pos"
+            ),
+        )
+        .select("__key", F.expr("__pos div 64").alias("word"), "__pos")
+        .join(F.broadcast(index), on="word", how="left")
+        .select(
+            "__key",
+            F.expr(
+                "coalesce((shiftrightunsigned(bits, cast(__pos % 64 as int)) & 1)"
+                " = 1, false)"
+            ).alias("__hit"),
+        )
+    )
+    cand = (
+        probes.groupBy("__key")
+        .agg(F.min(F.col("__hit").cast("int")).alias("__all_hit"))
+        .filter(F.col("__all_hit") == 1)
+        .select("__key")
+    )
+    if exact_confirm:
+        if seen_df is None:
+            raise ValueError("exact_confirm requires seen_df")
+        confirmed = (
+            seen_df.select(key.alias("__key"))
+            .join(F.broadcast(cand), on="__key", how="leftsemi")
+            .distinct()
+        )
+        drop_keys = confirmed
+    else:
+        drop_keys = cand
+    return new_df.join(
+        F.broadcast(drop_keys), on=new_df[key_col] == drop_keys["__key"], how="left_anti"
+    )

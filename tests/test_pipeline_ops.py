@@ -989,3 +989,66 @@ def test_per_key_topk_small_groups_and_ascending(spark):
     }
     with pytest.raises(ValueError):
         sampling.per_key_topk(df, "key", "v", k=0)
+
+
+def test_bloom_dedup_exact_despite_false_positives(spark):
+    from pathwaydataframework_spark.operators import dedup
+
+    # 128-bit filter for 80 seen keys: false positives guaranteed — the
+    # exact confirm pass must repair every one of them
+    seen_rows = [(i, f"key{i}") for i in range(0, 160, 2)]  # evens
+    new_rows = [(i, f"key{i}") for i in range(200)]
+    seen = spark.createDataFrame(seen_rows, "id long, key string")
+    new = spark.createDataFrame(new_rows, "id long, key string")
+    out = sorted(
+        r["id"]
+        for r in dedup.bloom_dedup(
+            new, seen, "key", m_bits=128, k=3, exact_confirm=True
+        ).collect()
+    )
+    want = sorted(i for i in range(200) if not (i < 160 and i % 2 == 0))
+    assert out == want
+    # probabilistic mode: every true duplicate still drops, plus ~fpp
+    # of the unseen keys — result is a subset of the exact answer
+    prob = {
+        r["id"]
+        for r in dedup.bloom_dedup(
+            new, seen, "key", m_bits=128, k=3, exact_confirm=False
+        ).collect()
+    }
+    assert prob <= set(want)
+    assert len(prob) < len(want)  # 128 bits for 80 keys MUST false-positive
+
+
+def test_bloom_index_prebuilt_and_roundtrip(spark, tmp_path):
+    from pathwaydataframework_spark.operators import dedup
+
+    seen = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    idx = dedup.build_bloom_index(seen, "key", m_bits=1 << 14, k=5)
+    assert idx.count() <= (1 << 14) // 64
+    p = str(tmp_path / "bloom_idx")
+    idx.write.parquet(p)  # the persistable incremental-dedup state
+    idx2 = spark.read.parquet(p)
+    new = spark.createDataFrame(
+        [(f"k{i}",) for i in range(490, 510)], "key string"
+    )
+    kept = {
+        r["key"]
+        for r in dedup.bloom_dedup(
+            new, None, "key", index=idx2, m_bits=1 << 14, k=5, exact_confirm=False
+        ).collect()
+    }
+    # all 10 true dupes dropped; at 16384 bits / 500 keys the fpp is ~0,
+    # so the 10 unseen keys survive
+    assert kept == {f"k{i}" for i in range(500, 510)}
+
+
+def test_bloom_params_textbook_values():
+    from pathwaydataframework_spark.operators import dedup
+
+    m, k = dedup.bloom_params(1000, 0.01)
+    assert 9000 < m < 10100 and k == 7
+    with pytest.raises(ValueError):
+        dedup.bloom_params(0)
+    with pytest.raises(ValueError):
+        dedup.bloom_params(10, 1.5)
