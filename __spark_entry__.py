@@ -2288,6 +2288,21 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "norm_url", "n_chars")
 
 
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """token-budget truncation per language (sampling.token_budget_sample):
+    deterministic md5 order per lang, keep the prefix whose running
+    n_chars total stays ≤ 8000 — the "N tokens of source X" recipe step.
+    No global sort: 256 hash-monotone shards + broadcast shard offsets
+    (the deterministic_shuffle layout with SUM instead of COUNT)."""
+    from pathwaydataframework_spark.operators import sampling
+
+    docs = load_table(spark, sf, "documents").df
+    out = sampling.token_budget_sample(
+        docs, "doc_id", "n_chars", budget=8000, by="lang", seed=5
+    )
+    return out.select("doc_id", "lang", "n_chars", "cum_tokens")
+
+
 def q_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter incremental dedup (dedup.bloom_dedup — BFF-style):
     the seen corpus (docs with doc_id%4==0, keyed by md5(text)) is
@@ -2503,15 +2518,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
         # --- r5-green, unchanged: behind the driver cap this round.
         # q_frame_sample / q_warc_ingest / q_url_normalize / q_domain_quota
-        # / q_url_dedup / q_bloom_dedup are NEW r6 (local-oracle green, no
-        # driver row yet): first in line for r7 — rotate them to the very
-        # front next round. ---
+        # / q_url_dedup / q_bloom_dedup / q_token_budget are NEW r6
+        # (local-oracle green, no driver row yet): first in line for r7 —
+        # rotate them to the very front next round. ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
         "q_domain_quota": q_domain_quota,
         "q_url_dedup": q_url_dedup,
         "q_bloom_dedup": q_bloom_dedup,
+        "q_token_budget": q_token_budget,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -4116,6 +4132,19 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'example.com.au'
                    END AS reg_domain
             FROM documents
+        """,
+        "q_token_budget": """
+            WITH o AS (
+                SELECT doc_id, lang, n_chars,
+                       (sum(n_chars::BIGINT) OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR || ':5'), doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ))::BIGINT AS cum_tokens
+                FROM documents
+            )
+            SELECT doc_id, lang, n_chars, cum_tokens
+            FROM o WHERE cum_tokens <= 8000
         """,
         "q_bloom_dedup": """
             SELECT doc_id, n_chars FROM documents

@@ -509,6 +509,75 @@ def assign_shards(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    key: str,
+    tokens_col: str,
+    *,
+    budget: int,
+    by: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Token-budget truncation — the "N tokens of source X" step of a
+    training-data recipe: order the corpus deterministically
+    (md5(key:seed), the same order :func:`deterministic_shuffle` uses)
+    and keep the prefix whose RUNNING TOKEN TOTAL stays ≤ budget, per
+    ``by`` group (source/language) or globally.  A document that would
+    cross the budget is dropped, as is everything after it — so the kept
+    set is a contiguous prefix of the shuffle order: reproducible across
+    runs, engines and cluster sizes, and exactly SQL-replayable
+    (``sum(tokens) OVER (ORDER BY md5 ...) <= budget``).
+
+    No global sort and no single-partition window: the first two hex
+    chars of the hash give 256 order-monotone shards; per-shard token
+    sums (a tiny agg) prefix-sum into shard offsets which broadcast
+    back, and the in-shard running total is a 256-way-parallel window —
+    the :func:`deterministic_shuffle` layout with SUM(tokens) instead of
+    COUNT.  Adds a ``cum_tokens`` column (the running total including
+    the row itself).
+
+    Rows with a NULL key are excluded (cannot be deterministically
+    ordered), like every sampling predicate in this module.
+    """
+    from pyspark.sql import Window as W
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    grp = [by] if by is not None else []
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
+    hashed = (
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__h", h)
+        .withColumn(
+            "__shard", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int")
+        )
+    )
+    counts = hashed.groupBy(*grp, "__shard").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__n")
+    )
+    offsets = counts.withColumn(
+        "__off",
+        F.sum("__n").over(
+            W.partitionBy(*grp)
+            .orderBy("__shard")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).select(*grp, "__shard", F.coalesce("__off", F.lit(0)).alias("__off"))
+    run = F.sum(F.col(tokens_col).cast("long")).over(
+        W.partitionBy(*grp, "__shard")
+        .orderBy(F.col("__h"), F.col(key))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = (
+        hashed.withColumn("__run", run)
+        .join(F.broadcast(offsets), on=grp + ["__shard"])
+        .withColumn("cum_tokens", (F.col("__off") + F.col("__run")).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("__h", "__shard", "__run", "__off")
+    )
+    return out
+
+
 def per_key_topk(
     df: DataFrame,
     key: str,

@@ -1052,3 +1052,52 @@ def test_bloom_params_textbook_values():
         dedup.bloom_params(0)
     with pytest.raises(ValueError):
         dedup.bloom_params(10, 1.5)
+
+
+def test_token_budget_sample_matches_python_model(spark):
+    import hashlib
+
+    rows = [(i, "src" + str(i % 2), (i * 7) % 50 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+    budget = 2000
+    # independent python model: per-source md5 order, running-total prefix
+    want = set()
+    for src in ("src0", "src1"):
+        members = sorted(
+            (r for r in rows if r[1] == src),
+            key=lambda r: (hashlib.md5(f"{r[0]}:3".encode()).hexdigest(), r[0]),
+        )
+        cum = 0
+        for r in members:
+            cum += r[2]
+            if cum > budget:
+                break
+            want.add((r[0], cum))
+    got = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in sampling.token_budget_sample(
+            df, "doc_id", "n_tok", budget=budget, by="src", seed=3
+        ).collect()
+    }
+    assert got == want and len(want) > 10
+
+
+def test_token_budget_sample_global_and_edges(spark):
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n_tok long"
+    )
+    out = sampling.token_budget_sample(df, "doc_id", "n_tok", budget=250)
+    assert out.count() == 25  # exactly 25 docs of 10 tokens fit in 250
+    assert out.agg(F.max("cum_tokens")).first()[0] == 250
+    assert sampling.token_budget_sample(df, "doc_id", "n_tok", budget=0).count() == 0
+    with pytest.raises(ValueError):
+        sampling.token_budget_sample(df, "doc_id", "n_tok", budget=-1)
+    # determinism: same seed → same prefix
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.token_budget_sample(
+            df, "doc_id", "n_tok", budget=250
+        ).collect()
+    }
+    assert a == b
