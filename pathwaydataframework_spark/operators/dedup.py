@@ -1057,6 +1057,31 @@ def build_bloom_index(
     )
 
 
+def update_bloom_index(
+    index: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Fold a new batch's keys into an existing Bloom bitmap frame —
+    the per-micro-batch state update of streaming incremental dedup
+    (foreachBatch: ``bloom_dedup`` against the index, then
+    ``update_bloom_index`` and persist — the same
+    dedup-then-extend-the-index loop as :func:`incremental_line_dedup`).
+    Bloom bitmaps are unions: OR the word lanes.  Cost is one agg over
+    the BATCH plus a ≤ m/64-row merge — history is never touched.
+    Parameters must match the index's build parameters."""
+    delta = build_bloom_index(batch, key_col, m_bits=m_bits, k=k, seed=seed)
+    return (
+        index.unionByName(delta)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
 def bloom_dedup(
     new_df: DataFrame,
     seen_df: DataFrame | None,

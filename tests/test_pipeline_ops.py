@@ -1101,3 +1101,30 @@ def test_token_budget_sample_global_and_edges(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_update_bloom_index_incremental_loop(spark):
+    # the streaming shape: three arriving batches, each deduped against
+    # the index built from everything before it, then folded in —
+    # equivalent to a global first-occurrence dedup over the whole stream
+    from pathwaydataframework_spark.operators import dedup
+
+    batches = [
+        [("a",), ("b",), ("c",)],
+        [("b",), ("d",)],          # b seen in batch 1
+        [("a",), ("d",), ("e",)],  # a, d seen earlier
+    ]
+    m, k = 1 << 12, 5
+    idx = dedup.build_bloom_index(
+        spark.createDataFrame([], "key string"), "key", m_bits=m, k=k
+    )
+    survivors = []
+    for rows in batches:
+        b = spark.createDataFrame(rows, "key string")
+        kept = dedup.bloom_dedup(
+            b, None, "key", index=idx, m_bits=m, k=k, exact_confirm=False
+        )
+        survivors.extend(r["key"] for r in kept.collect())
+        idx = dedup.update_bloom_index(idx, b, "key", m_bits=m, k=k)
+        idx = idx.localCheckpoint()  # what a real loop persists per batch
+    assert sorted(survivors) == ["a", "b", "c", "d", "e"]
