@@ -242,7 +242,10 @@ def _post(url, payload):
         url, data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"}, method="POST",
     )
-    with urllib.request.urlopen(req, timeout=15) as resp:
+    # 90s, not 15: each POST runs a real Spark job behind the endpoint,
+    # and under full-suite contention (32 local threads + parallel test
+    # files) a 15s budget flaked once in an otherwise green run
+    with urllib.request.urlopen(req, timeout=90) as resp:
         return json.loads(resp.read())
 
 
