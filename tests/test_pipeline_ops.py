@@ -1128,3 +1128,20 @@ def test_update_bloom_index_incremental_loop(spark):
         idx = dedup.update_bloom_index(idx, b, "key", m_bits=m, k=k)
         idx = idx.localCheckpoint()  # what a real loop persists per batch
     assert sorted(survivors) == ["a", "b", "c", "d", "e"]
+
+
+def test_token_budget_sample_no_global_window(spark):
+    # same 100 TB hazard check as deterministic_shuffle: the running
+    # total must come from per-shard windows, never a single-partition
+    # window over the full frame
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tok")
+    )
+    plan = (
+        sampling.token_budget_sample(df, "doc_id", "n_tok", budget=100)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "sum(" in line and "__h" in line:
+            assert "__shard" in line, line
