@@ -4147,9 +4147,13 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE cum_tokens <= 8000
         """,
         "q_bloom_dedup": """
-            SELECT doc_id, n_chars FROM documents
-            WHERE md5(text) NOT IN (
-                SELECT md5(text) FROM documents WHERE doc_id % 4 = 0
+            -- NOT EXISTS, not NOT IN: a NULL text in the seen set would
+            -- make NOT IN return zero rows while the Spark anti-join
+            -- (NULL never equal) keeps non-duplicates
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents s
+                WHERE s.doc_id % 4 = 0 AND md5(s.text) = md5(d.text)
             )
         """,
         "q_url_dedup": """

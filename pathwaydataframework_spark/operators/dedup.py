@@ -1107,8 +1107,11 @@ def bloom_dedup(
     prebuilt ``index`` is passed.  With exact_confirm, the (small)
     candidate key set broadcasts INTO the corpus scan as a semi-join
     filter, and the confirmed-duplicate keys broadcast back as an
-    anti-join — history is scanned once but never shuffled, and every
-    exchange is batch-proportional.
+    anti-join — ONE history scan (for the confirm), never shuffled, and
+    every exchange batch-proportional.  Note the convenience path
+    (``seen_df`` with no prebuilt ``index``) scans history TWICE — once
+    to build the bitmap, once to confirm; at scale, build the index once
+    with :func:`build_bloom_index`, persist it, and pass it here.
     """
     if index is None:
         if seen_df is None:

@@ -149,8 +149,45 @@ def deterministic_shuffle(df: DataFrame, key: str, *, seed: int = 0) -> DataFram
     ...     .orderBy("position").first()["doc_id"]
     True
     """
+    out = _sharded_running_total(df, key, seed=seed, weight=F.lit(1))
+    return out.withColumn("position", (F.col("__total") - 1).cast("long")).drop(
+        "__total"
+    )
+
+
+def _sharded_running_total(
+    df: DataFrame,
+    key: str,
+    *,
+    seed: int,
+    weight: Column,
+    grp: Sequence[str] = (),
+) -> DataFrame:
+    """Inclusive running total of ``weight`` in ``md5(key:seed)`` order
+    (tie-break on the key), per ``grp`` group, added as ``__total`` —
+    the shared layout engine of :func:`deterministic_shuffle`
+    (weight=1 → position) and :func:`token_budget_sample`
+    (weight=tokens → budget cut).
+
+    No global sort and no single-partition window: the first two hex
+    chars of the hash give 256 shards MONOTONE in the order (a
+    fixed-width hex prefix preserves lexicographic order), per-group ×
+    per-shard partial sums prefix-sum into shard offsets (tiny frame,
+    broadcast back — joined NULL-SAFELY on the group columns so a NULL
+    group is a real group, matching SQL window semantics), and the
+    in-shard running sum is a 256-way-parallel window.  At 100 TB widen
+    to 4 hex chars (65 536 shards) if 1/256th of the data outgrows an
+    executor's sort buffer — one change, both callers inherit it.
+
+    Rows with a NULL key are excluded (cannot be deterministically
+    ordered), like every sampling predicate in this module.
+    """
+    from functools import reduce
+    from operator import and_
+
     from pyspark.sql import Window as W
 
+    grp = list(grp)
     h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
     hashed = (
         df.filter(F.col(key).isNotNull())
@@ -158,22 +195,38 @@ def deterministic_shuffle(df: DataFrame, key: str, *, seed: int = 0) -> DataFram
         .withColumn(
             "__shard", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int")
         )
+        .withColumn("__w", weight.cast("long"))
     )
-    counts = hashed.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    counts = hashed.groupBy(*grp, "__shard").agg(F.sum("__w").alias("__n"))
     offsets = counts.withColumn(
         "__off",
         F.sum("__n").over(
-            W.orderBy("__shard").rowsBetween(W.unboundedPreceding, -1)
+            W.partitionBy(*grp)
+            .orderBy("__shard")
+            .rowsBetween(W.unboundedPreceding, -1)
         ),
-    ).select("__shard", F.coalesce("__off", F.lit(0)).alias("__off"))
-    rank = F.row_number().over(
-        W.partitionBy("__shard").orderBy(F.col("__h"), F.col(key))
+    ).select(
+        *[F.col(g).alias(f"__g{i}") for i in range(len(grp)) for g in [grp[i]]],
+        "__shard",
+        F.coalesce("__off", F.lit(0)).alias("__off"),
+    )
+    offsets = offsets.withColumnRenamed("__shard", "__shard_o")
+    cond = [hashed["__shard"] == offsets["__shard_o"]] + [
+        hashed[g].eqNullSafe(offsets[f"__g{i}"]) for i, g in enumerate(grp)
+    ]
+    run = F.sum("__w").over(
+        W.partitionBy(*grp, "__shard")
+        .orderBy(F.col("__h"), F.col(key))
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     out = (
-        hashed.withColumn("__rank", rank)
-        .join(F.broadcast(offsets), on="__shard")
-        .withColumn("position", (F.col("__off") + F.col("__rank") - 1).cast("long"))
-        .drop("__h", "__shard", "__rank", "__off")
+        hashed.withColumn("__run", run)
+        .join(F.broadcast(offsets), on=reduce(and_, cond))
+        .withColumn("__total", (F.col("__off") + F.col("__run")).cast("long"))
+        .drop(
+            "__h", "__shard", "__shard_o", "__run", "__off", "__w",
+            *[f"__g{i}" for i in range(len(grp))],
+        )
     )
     return out
 
@@ -528,54 +581,25 @@ def token_budget_sample(
     runs, engines and cluster sizes, and exactly SQL-replayable
     (``sum(tokens) OVER (ORDER BY md5 ...) <= budget``).
 
-    No global sort and no single-partition window: the first two hex
-    chars of the hash give 256 order-monotone shards; per-shard token
-    sums (a tiny agg) prefix-sum into shard offsets which broadcast
-    back, and the in-shard running total is a 256-way-parallel window —
-    the :func:`deterministic_shuffle` layout with SUM(tokens) instead of
-    COUNT.  Adds a ``cum_tokens`` column (the running total including
-    the row itself).
+    No global sort and no single-partition window: delegates to
+    :func:`_sharded_running_total` (the :func:`deterministic_shuffle`
+    layout engine with SUM(tokens) instead of COUNT; NULL ``by`` values
+    form a real group, null-safely, matching the SQL window replica).
+    Adds a ``cum_tokens`` column (the running total including the row
+    itself).
 
     Rows with a NULL key are excluded (cannot be deterministically
     ordered), like every sampling predicate in this module.
     """
-    from pyspark.sql import Window as W
-
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     grp = [by] if by is not None else []
-    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
-    hashed = (
-        df.filter(F.col(key).isNotNull())
-        .withColumn("__h", h)
-        .withColumn(
-            "__shard", F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("int")
-        )
+    out = _sharded_running_total(
+        df, key, seed=seed, weight=F.col(tokens_col), grp=grp
     )
-    counts = hashed.groupBy(*grp, "__shard").agg(
-        F.sum(F.col(tokens_col).cast("long")).alias("__n")
+    return out.withColumnRenamed("__total", "cum_tokens").filter(
+        F.col("cum_tokens") <= budget
     )
-    offsets = counts.withColumn(
-        "__off",
-        F.sum("__n").over(
-            W.partitionBy(*grp)
-            .orderBy("__shard")
-            .rowsBetween(W.unboundedPreceding, -1)
-        ),
-    ).select(*grp, "__shard", F.coalesce("__off", F.lit(0)).alias("__off"))
-    run = F.sum(F.col(tokens_col).cast("long")).over(
-        W.partitionBy(*grp, "__shard")
-        .orderBy(F.col("__h"), F.col(key))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    out = (
-        hashed.withColumn("__run", run)
-        .join(F.broadcast(offsets), on=grp + ["__shard"])
-        .withColumn("cum_tokens", (F.col("__off") + F.col("__run")).cast("long"))
-        .filter(F.col("cum_tokens") <= budget)
-        .drop("__h", "__shard", "__run", "__off")
-    )
-    return out
 
 
 def per_key_topk(

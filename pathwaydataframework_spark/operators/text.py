@@ -765,9 +765,15 @@ def normalize_url(url: Column, *, strip_www: bool = True) -> Column:
     u = F.trim(url)
     # scheme presence must be ANCHORED, not contains('://'): a scheme-less
     # URL whose query VALUE embeds a URL ('a.com?to=http://b.com') would
-    # otherwise skip the default-scheme prefix and parse as garbage
+    # otherwise skip the default-scheme prefix and parse as garbage.
+    # Protocol-relative '//cdn.example.com/x' (routine in crawled hrefs)
+    # gets only the scheme, so it collapses with its absolute form.
     has_scheme = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://", 0) != ""
-    u = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))
+    u = (
+        F.when(has_scheme, u)
+        .when(u.startswith("//"), F.concat(F.lit("http:"), u))
+        .otherwise(F.concat(F.lit("http://"), u))
+    )
     u = F.regexp_replace(u, "#.*", "")  # fragment never survives
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     authority = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
@@ -829,14 +835,19 @@ def canonicalize_urls(
     dedup (groupBy norm_url), per-site quotas (groupBy reg_domain) and
     domain filters all hang.  One scan-side projection, zero exchanges.
     """
-    norm = normalize_url(F.col(url_col), strip_www=strip_www)
-    host = F.regexp_extract(norm, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
-    return df.withColumns(
-        {
-            "norm_url": norm,
-            "host": host,
-            "reg_domain": registrable_domain(host),
-        }
+    # chained withColumn on purpose: host/reg_domain reference the
+    # norm_url COLUMN, not the normalize_url expression — the normalizer's
+    # tree inlines its input ~20×, so re-expanding it under host (and
+    # again 5× under reg_domain) multiplies the plan size; referencing the
+    # alias keeps separate Projects that CollapseProject won't re-inline
+    # (multiply-referenced non-cheap expressions stay put)
+    return (
+        df.withColumn("norm_url", normalize_url(F.col(url_col), strip_www=strip_www))
+        .withColumn(
+            "host",
+            F.regexp_extract(F.col("norm_url"), "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1),
+        )
+        .withColumn("reg_domain", registrable_domain(F.col("host")))
     )
 
 
@@ -862,19 +873,26 @@ def dedup_by_url(
     with k=1, so the only exchange is the rank window's — and the hot-key
     story (one URL duplicated millions of times) is the measured
     WindowGroupLimit path, not a straggler.
+
+    Rows whose URL is NULL (missing fetch metadata) cannot be
+    canonicalized: they pass through UNCHANGED rather than being deduped
+    against each other as one giant NULL group.
     """
     from pathwaydataframework_spark.operators.sampling import per_key_topk
 
     canon = canonicalize_urls(df, url_col=url_col, strip_www=strip_www)
+    with_url = canon.filter(F.col("norm_url").isNotNull())
+    null_url = canon.filter(F.col("norm_url").isNull())
     order_col = prefer_col if prefer_col is not None else tie_col
-    return per_key_topk(
-        canon,
+    kept = per_key_topk(
+        with_url,
         "norm_url",
         order_col,
         k=1,
         descending=prefer_col is not None,
         tie_col=tie_col,
     ).drop("rank")
+    return kept.unionByName(null_url)
 
 
 def bigram_logprob(

@@ -90,13 +90,16 @@ def test_deterministic_shuffle_no_global_sort(spark):
     single-partition window over the full frame (the 100 TB hazard)."""
     df = spark.range(1_000).withColumnRenamed("id", "k")
     plan = sampling.deterministic_shuffle(df, "k")._jdf.queryExecution().toString()
-    # per-shard ranks: window partitioned by __shard, never an empty
-    # partitionBy over the full input (the 256-row offsets frame's
-    # prefix-sum window is exempt — it follows an aggregation)
+    # per-shard running totals: every window that orders by the row hash
+    # must be partitioned by __shard, never an empty partitionBy over the
+    # full input (the 256-row offsets frame's prefix-sum window is exempt
+    # — it follows an aggregation and doesn't touch __h)
+    checked = 0
     for line in plan.splitlines():
-        if "Window" in line and "row_number" in line:
-            assert "partitionBy" not in line or "__shard" in line, line
+        if "Window" in line and "__h" in line:
             assert "__shard" in line, line
+            checked += 1
+    assert checked >= 1  # the guard must actually see the running-sum window
 
 
 def test_pack_by_offset_layout_invariants(spark):
@@ -1128,6 +1131,19 @@ def test_update_bloom_index_incremental_loop(spark):
         idx = dedup.update_bloom_index(idx, b, "key", m_bits=m, k=k)
         idx = idx.localCheckpoint()  # what a real loop persists per batch
     assert sorted(survivors) == ["a", "b", "c", "d", "e"]
+
+
+def test_token_budget_sample_null_group_is_a_real_group(spark):
+    # rows whose `by` column is NULL must form their own budget group
+    # (SQL window semantics), not silently vanish in the offsets join
+    rows = [(1, None, 100), (2, None, 100), (3, "en", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+    out = sampling.token_budget_sample(df, "doc_id", "n_tok", budget=150, by="lang")
+    got = {(r["doc_id"], r["cum_tokens"]) for r in out.collect()}
+    # each group keeps exactly its first doc (100 <= 150, 200 > 150)
+    null_kept = {g for g in got if g[0] in (1, 2)}
+    assert len(null_kept) == 1 and next(iter(null_kept))[1] == 100
+    assert (3, 100) in got
 
 
 def test_token_budget_sample_no_global_window(spark):
