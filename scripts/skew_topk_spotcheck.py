@@ -90,15 +90,12 @@ def main() -> None:
     print("|---|---|---|---|")
     for hot in (0.0, 0.5, 0.9):
         df = build(spark, hot)
-        a = set(
-            (r["key"], r["doc_id"], r["rank"])
-            for r in builtin(df).filter(F.col("key") == "hot").collect()
+        # full result-set equality, not just the hot key (which doesn't
+        # even exist at hot=0): both directions of exceptAll are empty
+        a, b = builtin(df), salted_topk(df).select(*builtin(df).columns)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, (
+            f"results diverge at hot={hot}"
         )
-        b = set(
-            (r["key"], r["doc_id"], r["rank"])
-            for r in salted_topk(df).filter(F.col("key") == "hot").collect()
-        )
-        assert a == b, f"hot-key results diverge at hot={hot}"
         tw = timed(lambda: builtin(df))
         ts = timed(lambda: salted_topk(df))
         print(f"| {int(hot * 100)}% | {tw:.2f} | {ts:.2f} | {tw / ts:.2f}× |")
