@@ -2288,6 +2288,29 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "norm_url", "n_chars")
 
 
+def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML link extraction for frontier building (parsers.extract_links:
+    regexp_extract_all over href attributes, double- then single-quoted,
+    case-insensitive).  HTML is planted from doc_id — one absolute
+    double-quoted link (uppercase HREF every 3rd doc) and one
+    root-relative single-quoted link per doc; the oracle derives both
+    link sets from the same arithmetic."""
+    from pathwaydataframework_spark.operators.parsers import extract_links
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    attr = F.when(d % 3 == 0, F.lit("HREF")).otherwise(F.lit("href"))
+    html = F.concat(
+        F.lit("<html><a "), attr, F.lit('="https://site'), d % 7,
+        F.lit(".com/page"), d, F.lit('">t</a><p>x</p>'),
+        F.lit("<a href='/rel/"), d, F.lit("'>r</a></html>"),
+    )
+    planted = docs.select("doc_id", html.alias("html"))
+    return planted.select(
+        "doc_id", F.explode(extract_links(F.col("html"))).alias("link")
+    )
+
+
 def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     """token-budget truncation per language (sampling.token_budget_sample):
     deterministic md5 order per lang, keep the prefix whose running
@@ -2518,9 +2541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
         # --- r5-green, unchanged: behind the driver cap this round.
         # q_frame_sample / q_warc_ingest / q_url_normalize / q_domain_quota
-        # / q_url_dedup / q_bloom_dedup / q_token_budget are NEW r6
-        # (local-oracle green, no driver row yet): first in line for r7 —
-        # rotate them to the very front next round. ---
+        # / q_url_dedup / q_bloom_dedup / q_token_budget / q_extract_links
+        # are NEW r6 (local-oracle green, no driver row yet): first in line
+        # for r7 — rotate them to the very front next round. ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
@@ -2528,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": q_url_dedup,
         "q_bloom_dedup": q_bloom_dedup,
         "q_token_budget": q_token_budget,
+        "q_extract_links": q_extract_links,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -4131,6 +4155,15 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 2 THEN 'site' || (doc_id % 7)::VARCHAR || '.org'
                        ELSE 'example.com.au'
                    END AS reg_domain
+            FROM documents
+        """,
+        "q_extract_links": """
+            SELECT doc_id,
+                   'https://site' || (doc_id % 7)::VARCHAR || '.com/page'
+                       || doc_id::VARCHAR AS link
+            FROM documents
+            UNION ALL
+            SELECT doc_id, '/rel/' || doc_id::VARCHAR AS link
             FROM documents
         """,
         "q_token_budget": """

@@ -75,3 +75,27 @@ def markdown_to_text(text: Column) -> Column:
     'Title see docs now'
     """
     return _apply_rules(text, _MD_RULES)
+
+
+def extract_links(html: Column) -> Column:
+    """Array of href targets from raw HTML — the frontier-building step
+    between fetch/parse and URL canonicalization (compose with
+    ``text.canonicalize_urls`` after exploding).  Double-quoted hrefs
+    come first, then single-quoted, each family in document order;
+    case-insensitive attribute match.  Pure regexp_extract_all (RE2-
+    portable, no lookaround) so the extraction is exactly
+    SQL-oracle-checkable and runs inside whole-stage codegen at any
+    scale.  Target filtering (javascript:/mailto:/#fragment) and
+    relative-URL resolution are left to the caller — they need
+    page-context policy this column expression shouldn't bake in.
+
+    >>> import pyspark.sql.functions as F
+    >>> t = spark.createDataFrame(
+    ...     [('<a HREF="https://a.com/x">t</a><a href=\\'/rel\\'>r</a>',)],
+    ...     "h string")
+    >>> t.select(extract_links(F.col("h")).alias("l")).first()["l"]
+    ['https://a.com/x', '/rel']
+    """
+    dq = F.regexp_extract_all(html, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), 1)
+    sq = F.regexp_extract_all(html, F.lit(r"(?i)href\s*=\s*'([^']*)'"), 1)
+    return F.concat(dq, sq)

@@ -1161,3 +1161,29 @@ def test_token_budget_sample_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "sum(" in line and "__h" in line:
             assert "__shard" in line, line
+
+
+def test_extract_links_quote_styles_and_edges(spark):
+    from pathwaydataframework_spark.operators.parsers import extract_links
+
+    cases = [
+        # mixed quotes + uppercase attr + whitespace around '='
+        (
+            '<a HREF = "https://a.com/x">t</a><a href=\'/rel\'>r</a>',
+            ["https://a.com/x", "/rel"],
+        ),
+        # no links at all
+        ("<p>plain</p>", []),
+        # empty href, fragment, javascript: all extracted verbatim
+        # (filtering is the caller's policy)
+        (
+            "<a href=\"\">e</a><a href='#top'>f</a>",
+            ["", "#top"],
+        ),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r["l"]
+        for r in df.select(extract_links(F.col("h")).alias("l")).collect()
+    ]
+    assert got == [want for _, want in cases]
