@@ -75,3 +75,57 @@ def test_full_pipeline_documents_to_shards(spark, sf_dir):
     shards = sampling.assign_shards(counted, "doc_id", rows_per_shard=64, seed=1)
     assert shards.count() == counted.count()
     assert shards.select("shard").distinct().count() >= 1
+
+
+def test_crawl_front_end_pipeline(spark, sf_dir):
+    """The r6 crawl front-end, composed: planted page HTML → link
+    extraction → canonicalization → URL-level dedup → per-site quota →
+    bloom dedup against 'yesterday's' corpus → token-budget cut.  Every
+    stage is this engine's own operator; counts are checked against the
+    planted structure."""
+    from pathwaydataframework_spark.operators.parsers import extract_links
+
+    docs = load_table(spark, sf_dir, "documents").df.limit(200)
+    d = F.col("doc_id")
+    # each page links to: a shared hub (every doc), and a per-doc page
+    # in one of 5 sites with utm noise
+    html = F.concat(
+        F.lit('<a href="https://hub.test/home?utm_source=x">h</a>'),
+        F.lit('<a href="https://site'), d % 5, F.lit(".test/p"), d,
+        F.lit('#f">p</a>'),
+    )
+    pages = docs.select("doc_id", "n_chars", html.alias("html"))
+
+    # 1. frontier: extract + canonicalize + URL-dedup
+    frontier = pages.select(
+        "doc_id", "n_chars", F.explode(extract_links(F.col("html"))).alias("url")
+    )
+    n_docs = pages.count()
+    assert frontier.count() == 2 * n_docs
+    deduped = text.dedup_by_url(frontier, tie_col="doc_id")
+    # hub collapses to ONE row; per-doc pages all survive
+    assert deduped.count() == 1 + n_docs
+
+    # 2. per-site quota: at most 3 URLs per registrable domain
+    quota = sampling.per_key_topk(
+        deduped, "reg_domain", "n_chars", k=3, tie_col="doc_id"
+    )
+    per_site = {
+        r["reg_domain"]: r["n"]
+        for r in quota.groupBy("reg_domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_site["hub.test"] == 1
+    assert all(per_site[f"site{i}.test"] == 3 for i in range(5))
+
+    # 3. bloom dedup vs an already-crawled corpus (every even doc's page)
+    seen = quota.filter(d % 2 == 0)
+    fresh = dedup.bloom_dedup(quota, seen, "norm_url", m_bits=1 << 14, k=5)
+    assert fresh.count() == quota.filter(d % 2 == 1).count()
+
+    # 4. token-budget cut on what's left
+    budget = 2000
+    cut = sampling.token_budget_sample(
+        fresh, "doc_id", "n_chars", budget=budget, seed=2
+    )
+    assert 0 < cut.count() <= fresh.count()
+    assert cut.agg(F.max("cum_tokens")).first()[0] <= budget
