@@ -2288,6 +2288,36 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "norm_url", "n_chars")
 
 
+def q_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt politeness evaluation (text.parse_robots +
+    robots_allowed): three planted robots files — nested Allow/Disallow
+    prefixes, a full Disallow, and an agent-group split — against URLs
+    planted from doc_id; longest prefix wins, Allow wins ties, no rule
+    means allowed.  The oracle derives every verdict independently from
+    (doc_id%3, doc_id%4) arithmetic."""
+    robots = spark.createDataFrame(
+        [
+            ("site0.test", "User-agent: *\nDisallow: /private\nAllow: /private/pub"),
+            ("site1.test", "User-agent: *\nDisallow: /"),
+            ("site2.test", "User-agent: bot\nDisallow: /\n\nUser-agent: *\nAllow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/public/p"), d))
+        .when(d % 4 == 1, F.concat(F.lit("/private/p"), d))
+        .when(d % 4 == 2, F.concat(F.lit("/private/pub/p"), d))
+        .otherwise(F.lit("/"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://site"), d % 3, F.lit(".test"), path).alias("url"),
+    )
+    return text.robots_allowed(urls, text.parse_robots(robots))
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """HTML link extraction for frontier building (parsers.extract_links:
     regexp_extract_all over href attributes, double- then single-quoted,
@@ -2542,8 +2572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r5-green, unchanged: behind the driver cap this round.
         # q_frame_sample / q_warc_ingest / q_url_normalize / q_domain_quota
         # / q_url_dedup / q_bloom_dedup / q_token_budget / q_extract_links
-        # are NEW r6 (local-oracle green, no driver row yet): first in line
-        # for r7 — rotate them to the very front next round. ---
+        # / q_robots are NEW r6 (local-oracle green, no driver row yet):
+        # first in line for r7 — rotate them to the very front next round. ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
@@ -2552,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_dedup": q_bloom_dedup,
         "q_token_budget": q_token_budget,
         "q_extract_links": q_extract_links,
+        "q_robots": q_robots,
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -4155,6 +4186,22 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 2 THEN 'site' || (doc_id % 7)::VARCHAR || '.org'
                        ELSE 'example.com.au'
                    END AS reg_domain
+            FROM documents
+        """,
+        "q_robots": """
+            SELECT doc_id,
+                   'https://site' || (doc_id % 3)::VARCHAR || '.test' ||
+                   CASE doc_id % 4
+                       WHEN 0 THEN '/public/p' || doc_id::VARCHAR
+                       WHEN 1 THEN '/private/p' || doc_id::VARCHAR
+                       WHEN 2 THEN '/private/pub/p' || doc_id::VARCHAR
+                       ELSE '/'
+                   END AS url,
+                   CASE
+                       WHEN doc_id % 3 = 1 THEN false        -- Disallow: /
+                       WHEN doc_id % 3 = 0 AND doc_id % 4 = 1 THEN false
+                       ELSE true                             -- incl. agent split
+                   END AS allowed
             FROM documents
         """,
         "q_extract_links": """

@@ -13,7 +13,7 @@ parsers.py) as row-wise Python UDFs; ours are vectorized by construction.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 
 # Tiny per-language stopword lists for the heuristic language ID.  Chosen to
 # be disjoint where possible; the operator is a deterministic scoring rule,
@@ -893,6 +893,116 @@ def dedup_by_url(
         tie_col=tie_col,
     ).drop("rank")
     return kept.unionByName(null_url)
+
+
+def parse_robots(
+    df: DataFrame, *, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt → one row per (host, agent, allow, path) rule — the
+    crawl-politeness table a frontier joins against before fetching.
+
+    Parsing is pure column ops: posexplode the lines, regexp-extract the
+    directive, FORWARD-FILL the current ``User-agent`` group with a
+    ``last(ignorenulls)`` window per host in line order (the per-host
+    window partitions on the host key — no skew concern, robots files
+    are a few KB).  Handles comments, blank lines, case-insensitive
+    directive names, and multiple agent groups.  Empty Disallow ("allow
+    everything", per the original spec) is kept as an allow-all rule
+    with path ''.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    )
+    agent_w = (
+        W.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    with_agent = parsed.withColumn(
+        "agent",
+        F.last(
+            F.when(F.col("directive") == "user-agent", F.lower(F.col("value"))),
+            ignorenulls=True,
+        ).over(agent_w),
+    )
+    rules = with_agent.filter(
+        F.col("directive").isin("allow", "disallow") & F.col("agent").isNotNull()
+    ).select(
+        "host",
+        "agent",
+        # per the original spec, an empty Disallow means allow-everything
+        ((F.col("directive") == "allow") | (F.col("value") == "")).alias("allow"),
+        F.col("value").alias("path"),
+    )
+    return rules
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    agent: str = "*",
+) -> DataFrame:
+    """Attach an ``allowed`` flag to a URL frontier using parsed robots
+    rules (:func:`parse_robots`): for the given agent group, the
+    LONGEST-prefix-matching rule decides; Allow wins a length tie (the
+    common crawler interpretation); no matching rule (or no robots at
+    all) means allowed.
+
+    Plan: the rules frame is tiny per host (robots files are KBs) — it
+    broadcasts; matching is one broadcast join + a max_by aggregate per
+    URL, so the frontier never shuffles on anything but its own key.
+    """
+    u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__path",
+        F.coalesce(
+            F.nullif(
+                F.regexp_replace(
+                    F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ),
+    )
+    r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
+        F.col("host").alias("__host"),
+        F.col("allow").alias("__allow"),
+        F.col("path").alias("__rpath"),
+    )
+    joined = u.join(F.broadcast(r), on="__host", how="left").withColumn(
+        "__match", F.col("__rpath").isNotNull() & F.col("__path").startswith(
+            F.col("__rpath")
+        )
+    )
+    # longest matching rule wins; Allow beats Disallow on equal length.
+    # max_by over (len, allow) — NULL verdict (no matching rule) = allowed
+    decided = (
+        joined.groupBy(*urls.columns)
+        .agg(
+            F.max_by(
+                F.col("__allow"),
+                F.when(
+                    F.col("__match"),
+                    F.struct(
+                        F.length("__rpath").alias("l"),
+                        F.col("__allow").cast("int").alias("a"),
+                    ),
+                ),
+            ).alias("__verdict")
+        )
+        .withColumn("allowed", F.coalesce(F.col("__verdict"), F.lit(True)))
+        .drop("__verdict")
+    )
+    return decided
 
 
 def bigram_logprob(

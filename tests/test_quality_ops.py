@@ -660,3 +660,48 @@ def test_dedup_by_url_null_urls_pass_through(spark):
         r["doc_id"] for r in text.dedup_by_url(df, prefer_col="score").collect()
     )
     assert kept == [1, 2, 3, 4]
+
+
+def test_parse_robots_and_allowed(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nDisallow: /private\nAllow: /private/pub  # c\n"),
+            ("b.test", "User-agent: bot\nDisallow: /\n\nUser-agent: *\nAllow: /"),
+            ("c.test", "User-agent: *\nDisallow:"),  # empty = allow all
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["host"], r["agent"], r["allow"], r["path"])
+        for r in text.parse_robots(robots).collect()
+    }
+    assert rules == {
+        ("a.test", "*", False, "/private"),
+        ("a.test", "*", True, "/private/pub"),
+        ("b.test", "bot", False, "/"),
+        ("b.test", "*", True, "/"),
+        ("c.test", "*", True, ""),
+    }
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.test/private/x"),      # longest match: Disallow
+            (2, "https://a.test/private/pub/x"),  # longer Allow overrides
+            (3, "https://a.test/open"),           # no rule -> allowed
+            (4, "https://b.test/anything"),       # '*' group, not 'bot'
+            (5, "https://norobots.test/x"),       # no robots -> allowed
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in text.robots_allowed(urls, text.parse_robots(robots)).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True, 5: True}
+    # the bot group applies when asked for
+    bot = {
+        r["id"]: r["allowed"]
+        for r in text.robots_allowed(
+            urls, text.parse_robots(robots), agent="bot"
+        ).collect()
+    }
+    assert bot[4] is False
