@@ -99,3 +99,22 @@ def extract_links(html: Column) -> Column:
     dq = F.regexp_extract_all(html, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), 1)
     sq = F.regexp_extract_all(html, F.lit(r"(?i)href\s*=\s*'([^']*)'"), 1)
     return F.concat(dq, sq)
+
+
+def sitemap_locs(xml: Column) -> Column:
+    """Array of ``<loc>`` URLs from a sitemap (or sitemap-index) XML blob
+    — the other half of frontier discovery next to
+    :func:`~pathwaydataframework_spark.operators.text.parse_robots`.
+    Whitespace around the URL is the spec's to allow and ours to trim;
+    same RE2-portable regexp_extract_all shape as :func:`extract_links`,
+    composing with the identical explode → canonicalize pipeline.
+
+    >>> import pyspark.sql.functions as F
+    >>> t = spark.createDataFrame(
+    ...     [("<urlset><url><loc> https://a.com/1 </loc></url>"
+    ...       "<url><loc>https://a.com/2</loc></url></urlset>",)], "x string")
+    >>> t.select(sitemap_locs(F.col("x")).alias("l")).first()["l"]
+    ['https://a.com/1', 'https://a.com/2']
+    """
+    raw = F.regexp_extract_all(xml, F.lit(r"(?is)<loc>\s*([^<]*?)\s*</loc>"), 1)
+    return F.filter(raw, lambda u: u != "")

@@ -1187,3 +1187,16 @@ def test_extract_links_quote_styles_and_edges(spark):
         for r in df.select(extract_links(F.col("h")).alias("l")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_sitemap_locs_trims_and_drops_empty(spark):
+    from pathwaydataframework_spark.operators.parsers import sitemap_locs
+
+    xml = (
+        "<urlset><url><LOC> https://a.com/1 </LOC></url>"
+        "<url><loc>https://a.com/2</loc></url>"
+        "<url><loc>  </loc></url></urlset>"
+    )
+    df = spark.createDataFrame([(xml,), ("<urlset/>",)], "x string")
+    got = [r["l"] for r in df.select(sitemap_locs(F.col("x")).alias("l")).collect()]
+    assert got == [["https://a.com/1", "https://a.com/2"], []]
