@@ -2200,9 +2200,10 @@ def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     registrable_domain): lowercase scheme/host, strip default port /
     userinfo / www. / fragment / tracking params, eTLD+1 via the embedded
     multi-part-suffix set.  URLs are planted from doc_id with every rule
-    exercised (mixed case, :443/:80 vs :8080, utm_*+ref params, #fragment,
-    www., co.uk/com.au suffixes); the oracle derives the expected
-    canonical form independently from the same doc_id arithmetic."""
+    exercised (mixed case, :443/:80 vs :8080, utm_* params stripped while
+    a content-bearing ref param survives, #fragment, www., co.uk/com.au
+    suffixes); the oracle derives the expected canonical form
+    independently from the same doc_id arithmetic."""
     docs = load_table(spark, sf, "documents").df
     d = F.col("doc_id")
     scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
@@ -2290,16 +2291,23 @@ def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_robots(spark: SparkSession, sf: str) -> DataFrame:
     """robots.txt politeness evaluation (text.parse_robots +
-    robots_allowed): three planted robots files — nested Allow/Disallow
-    prefixes, a full Disallow, and an agent-group split — against URLs
-    planted from doc_id; longest prefix wins, Allow wins ties, no rule
-    means allowed.  The oracle derives every verdict independently from
-    (doc_id%3, doc_id%4) arithmetic."""
+    robots_allowed) under RFC 9309 group semantics: three planted robots
+    files — nested Allow/Disallow prefixes under a '*' group the 'bot'
+    frontier must FALL BACK to, a full Disallow, and a multi-User-agent
+    run ('User-agent: bot' + 'User-agent: other' sharing one rule set)
+    whose specific group overrides the host's permissive '*' group —
+    against URLs planted from doc_id; longest prefix wins, Allow wins
+    ties, no rule means allowed.  The oracle derives every verdict
+    independently from (doc_id%3, doc_id%4) arithmetic."""
     robots = spark.createDataFrame(
         [
             ("site0.test", "User-agent: *\nDisallow: /private\nAllow: /private/pub"),
             ("site1.test", "User-agent: *\nDisallow: /"),
-            ("site2.test", "User-agent: bot\nDisallow: /\n\nUser-agent: *\nAllow: /"),
+            (
+                "site2.test",
+                "User-agent: bot\nUser-agent: other\nDisallow: /private"
+                "\n\nUser-agent: *\nAllow: /",
+            ),
         ],
         "host string, robots_txt string",
     )
@@ -2315,7 +2323,7 @@ def q_robots(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit("https://site"), d % 3, F.lit(".test"), path).alias("url"),
     )
-    return text.robots_allowed(urls, text.parse_robots(robots))
+    return text.robots_allowed(urls, text.parse_robots(robots), agent="bot")
 
 
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
@@ -2516,64 +2524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r6 front (≈50-row driver budget): the 48 queries whose latest
-        # driver row is r4 (two rounds old after r5 checked the other 50),
-        # plus q_media_meta (touched this round: PNG + MP4 fixtures). ---
-        "q_tokenize": q_tokenize,
-        "q_join_instance": q_join_instance,
-        "q_window_numeric": q_window_numeric,
-        "q_chained_join": q_chained_join,
-        "q_windowby_predicate": q_windowby_predicate,
-        "q_sorted_names": q_sorted_names,
-        "q_reducer_matrix": q_reducer_matrix,
-        "q_percentile": q_percentile,
-        "q_set_difference": q_set_difference,
-        "q_intersect": q_intersect,
-        "q_update_cells": q_update_cells,
-        "q_update_rows": q_update_rows,
-        "q_concat_reindex": q_concat_reindex,
-        "q_asof_nearest": q_asof_nearest,
-        "q_concat_split": q_concat_split,
-        "q_flatten_tokens": q_flatten_tokens,
-        "q_ix_lookup": q_ix_lookup,
-        "q_sql_passthrough": q_sql_passthrough,
-        "q_prev_next": q_prev_next,
-        "q_diff_values": q_diff_values,
-        "q_topk_orders": q_topk_orders,
-        "q_deduplicate_latest": q_deduplicate_latest,
-        "q_window_tumbling": q_window_tumbling,
-        "q_window_sliding": q_window_sliding,
-        "q_window_session": q_window_session,
-        "q_asof_join": q_asof_join,
-        "q_interval_join": q_interval_join,
-        "q_window_join": q_window_join,
-        "q_intervals_over": q_intervals_over,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_token_splitter": q_token_splitter,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash": q_simhash,
-        "q_knn_bruteforce": q_knn_bruteforce,
-        "q_knn_ivf": q_knn_ivf,
-        "q_knn_lsh": q_knn_lsh,
-        "q_embedding_pairs": q_embedding_pairs,
-        "q_bm25": q_bm25,
-        "q_connected_components": q_connected_components,
-        "q_interpolate": q_interpolate,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_pagerank": q_pagerank,
-        "q_json_props": q_json_props,
-        "q_bellman_ford": q_bellman_ford,
-        "q_rerank": q_rerank,
-        "q_winnow": q_winnow,
-        "q_media_meta": q_media_meta,
-        "q_louvain_levels": q_louvain_levels,  # NEW r6: multilevel hierarchy
-        # --- r5-green, unchanged: behind the driver cap this round.
-        # q_frame_sample / q_warc_ingest / q_url_normalize / q_domain_quota
-        # / q_url_dedup / q_bloom_dedup / q_token_budget / q_extract_links
-        # / q_robots are NEW r6 (local-oracle green, no driver row yet):
-        # first in line for r7 — rotate them to the very front next round. ---
+        # --- r7 front (≈50-row driver budget): the 9 r6-new crawl queries
+        # that have never earned a driver row (judge-verified local-oracle
+        # green in r6), then the 49 queries whose latest driver row is r5
+        # (the budget covers ~41 of them; the rest rotate forward in r8). ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
@@ -2583,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget": q_token_budget,
         "q_extract_links": q_extract_links,
         "q_robots": q_robots,
+        # --- latest driver row r5 ---
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -2632,6 +2587,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_argmax_supplier": q_argmax_supplier,
         "q_minhash_lsh": q_minhash_lsh,
         "q_louvain": q_louvain,
+        # --- latest driver row r6: behind the cap this round. ---
+        "q_tokenize": q_tokenize,
+        "q_join_instance": q_join_instance,
+        "q_window_numeric": q_window_numeric,
+        "q_chained_join": q_chained_join,
+        "q_windowby_predicate": q_windowby_predicate,
+        "q_sorted_names": q_sorted_names,
+        "q_reducer_matrix": q_reducer_matrix,
+        "q_percentile": q_percentile,
+        "q_set_difference": q_set_difference,
+        "q_intersect": q_intersect,
+        "q_update_cells": q_update_cells,
+        "q_update_rows": q_update_rows,
+        "q_concat_reindex": q_concat_reindex,
+        "q_asof_nearest": q_asof_nearest,
+        "q_concat_split": q_concat_split,
+        "q_flatten_tokens": q_flatten_tokens,
+        "q_ix_lookup": q_ix_lookup,
+        "q_sql_passthrough": q_sql_passthrough,
+        "q_prev_next": q_prev_next,
+        "q_diff_values": q_diff_values,
+        "q_topk_orders": q_topk_orders,
+        "q_deduplicate_latest": q_deduplicate_latest,
+        "q_window_tumbling": q_window_tumbling,
+        "q_window_sliding": q_window_sliding,
+        "q_window_session": q_window_session,
+        "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
+        "q_window_join": q_window_join,
+        "q_intervals_over": q_intervals_over,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_token_splitter": q_token_splitter,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_knn_bruteforce": q_knn_bruteforce,
+        "q_knn_ivf": q_knn_ivf,
+        "q_knn_lsh": q_knn_lsh,
+        "q_embedding_pairs": q_embedding_pairs,
+        "q_bm25": q_bm25,
+        "q_connected_components": q_connected_components,
+        "q_interpolate": q_interpolate,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_pagerank": q_pagerank,
+        "q_json_props": q_json_props,
+        "q_bellman_ford": q_bellman_ford,
+        "q_rerank": q_rerank,
+        "q_winnow": q_winnow,
+        "q_media_meta": q_media_meta,
+        "q_louvain_levels": q_louvain_levels,
     }
 
 
@@ -4172,7 +4178,9 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
                    || '/Path/' || doc_id::VARCHAR
                    || '?id=' || doc_id::VARCHAR
-                   || CASE WHEN doc_id % 2 = 0 THEN '' ELSE '&page=2' END
+                   -- utm_* stripped; bare ref is content-bearing and KEPT
+                   || CASE WHEN doc_id % 2 = 0 THEN '&ref=home'
+                           ELSE '&page=2' END
                        AS norm_url,
                    CASE doc_id % 4
                        WHEN 0 THEN 'example.com'
@@ -4198,9 +4206,12 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '/'
                    END AS url,
                    CASE
-                       WHEN doc_id % 3 = 1 THEN false        -- Disallow: /
+                       WHEN doc_id % 3 = 1 THEN false        -- Disallow: / ('*' fallback)
                        WHEN doc_id % 3 = 0 AND doc_id % 4 = 1 THEN false
-                       ELSE true                             -- incl. agent split
+                       -- site2: 'bot' group (multi-UA run) Disallow /private
+                       -- overrides the '*' Allow; /private/pub has no bot Allow
+                       WHEN doc_id % 3 = 2 AND doc_id % 4 IN (1, 2) THEN false
+                       ELSE true
                    END AS allowed
             FROM documents
         """,

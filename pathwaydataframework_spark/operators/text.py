@@ -690,10 +690,13 @@ def filter_blocked_domains(
 # Tracking query parameters stripped by URL canonicalization.  The utm_*
 # family matches by prefix; the rest are exact keys (click ids and
 # mail-campaign ids that carry no content signal).  Mirrors the parameter
-# sets crawl pipelines drop before URL-level dedup.
+# sets crawl pipelines drop before URL-level dedup.  Bare 'ref' is NOT in
+# the set: on many sites it selects content ('?ref=main' branch/tab
+# pickers), so stripping it would merge distinct pages before content
+# hashing — callers that know their corpus can pass it via extra_keys.
 _TRACKING_PARAM_KEYS = (
     "gclid", "fbclid", "msclkid", "dclid", "yclid", "igshid",
-    "mc_cid", "mc_eid", "_ga", "ref", "ref_src",
+    "mc_cid", "mc_eid", "_ga", "ref_src",
 )
 
 # Two-label public suffixes for the eTLD+1 heuristic.  A full public-suffix
@@ -709,17 +712,25 @@ _MULTIPART_SUFFIXES = (
 )
 
 
-def _is_tracking_param(param: Column) -> Column:
+def _is_tracking_param(
+    param: Column, extra_keys: tuple[str, ...] = ()
+) -> Column:
     """True for a single 'key=value' query token whose key is tracking."""
     key = F.lower(F.substring_index(param, "=", 1))
-    exact = F.array(*[F.lit(k) for k in _TRACKING_PARAM_KEYS])
+    exact = F.array(
+        *[F.lit(k) for k in (*_TRACKING_PARAM_KEYS, *(k.lower() for k in extra_keys))]
+    )
     return key.startswith("utm_") | F.array_contains(exact, key)
 
 
-def strip_tracking_params(url: Column) -> Column:
+def strip_tracking_params(
+    url: Column, *, extra_keys: tuple[str, ...] = ()
+) -> Column:
     """Drop tracking query parameters (utm_*, click ids, …) from a URL,
     preserving the order of surviving parameters and the fragment, and
-    dropping the '?' entirely when nothing survives.
+    dropping the '?' entirely when nothing survives.  ``extra_keys`` adds
+    corpus-specific exact keys (e.g. ``("ref",)`` for sites where ref is
+    known to be pure campaign tracking) to :data:`_TRACKING_PARAM_KEYS`.
 
     Pure column expressions (regexp split/filter/join) — evaluates inside
     whole-stage codegen, zero exchanges.  The URL-level dedup step of a
@@ -735,7 +746,7 @@ def strip_tracking_params(url: Column) -> Column:
     ).otherwise(F.lit(""))
     kept = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~_is_tracking_param(p),
+        lambda p: (p != "") & ~_is_tracking_param(p, extra_keys),
     )
     rebuilt = F.array_join(kept, "&")
     return F.concat(
@@ -745,7 +756,10 @@ def strip_tracking_params(url: Column) -> Column:
     )
 
 
-def normalize_url(url: Column, *, strip_www: bool = True) -> Column:
+def normalize_url(
+    url: Column, *, strip_www: bool = True,
+    tracking_extra_keys: tuple[str, ...] = (),
+) -> Column:
     """Canonical URL form for crawl-scale URL dedup and frontier keys:
 
     - scheme and host lowercased (path/query case is significant, kept)
@@ -795,7 +809,8 @@ def normalize_url(url: Column, *, strip_www: bool = True) -> Column:
         .otherwise(rest)
     )
     return strip_tracking_params(
-        F.concat(scheme, F.lit("://"), host_port, path_query)
+        F.concat(scheme, F.lit("://"), host_port, path_query),
+        extra_keys=tracking_extra_keys,
     )
 
 
@@ -901,12 +916,20 @@ def parse_robots(
     """robots.txt → one row per (host, agent, allow, path) rule — the
     crawl-politeness table a frontier joins against before fetching.
 
+    RFC 9309 group semantics: a group is a RUN of consecutive
+    ``User-agent`` lines followed by its rule lines, and the rules belong
+    to EVERY agent in the run (``User-agent: a\\nUser-agent: b\\n
+    Disallow: /`` disallows for both a and b); blank lines, comments and
+    unknown directives (Crawl-delay, Sitemap, …) neither split the run
+    nor end the group; a ``User-agent`` line after rule lines starts a
+    new group; rules before any ``User-agent`` line are ignored.
+
     Parsing is pure column ops: posexplode the lines, regexp-extract the
-    directive, FORWARD-FILL the current ``User-agent`` group with a
-    ``last(ignorenulls)`` window per host in line order (the per-host
-    window partitions on the host key — no skew concern, robots files
-    are a few KB).  Handles comments, blank lines, case-insensitive
-    directive names, and multiple agent groups.  Empty Disallow ("allow
+    directive, number agent-line runs with a lag+running-sum window per
+    host in line order (the per-host window partitions on the host key —
+    no skew concern, robots files are a few KB), then join each group's
+    rules to all of its agents.  Handles case-insensitive directive
+    names and multiple agent groups.  Empty Disallow ("allow
     everything", per the original spec) is kept as an allow-all rule
     with path ''.
     """
@@ -920,28 +943,33 @@ def parse_robots(
         F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
     )
-    agent_w = (
-        W.partitionBy("host")
-        .orderBy("line_no")
-        .rowsBetween(W.unboundedPreceding, 0)
+    # Only group-relevant lines participate in run detection, so a blank
+    # line or Crawl-delay between two User-agent lines doesn't break the
+    # run and a group's rules survive interleaved unknown directives.
+    rel = parsed.filter(F.col("directive").isin("user-agent", "allow", "disallow"))
+    order_w = W.partitionBy("host").orderBy("line_no")
+    run_w = order_w.rowsBetween(W.unboundedPreceding, 0)
+    is_ua = F.col("directive") == "user-agent"
+    starts_run = is_ua & ~F.coalesce(F.lag(is_ua).over(order_w), F.lit(False))
+    tagged = rel.withColumn(
+        "__group", F.sum(starts_run.cast("int")).over(run_w)
     )
-    with_agent = parsed.withColumn(
-        "agent",
-        F.last(
-            F.when(F.col("directive") == "user-agent", F.lower(F.col("value"))),
-            ignorenulls=True,
-        ).over(agent_w),
+    agents = (
+        tagged.filter(is_ua)
+        .select("host", "__group", F.lower(F.col("value")).alias("agent"))
+        .dropDuplicates(["host", "__group", "agent"])
     )
-    rules = with_agent.filter(
-        F.col("directive").isin("allow", "disallow") & F.col("agent").isNotNull()
-    ).select(
+    rules = tagged.filter(~is_ua).select(
         "host",
-        "agent",
+        "__group",
         # per the original spec, an empty Disallow means allow-everything
         ((F.col("directive") == "allow") | (F.col("value") == "")).alias("allow"),
         F.col("value").alias("path"),
     )
-    return rules
+    # inner join: rules in __group 0 (before any User-agent line) drop out
+    return rules.join(agents, on=["host", "__group"]).select(
+        "host", "agent", "allow", "path"
+    )
 
 
 def robots_allowed(
@@ -950,16 +978,27 @@ def robots_allowed(
     *,
     url_col: str = "url",
     agent: str = "*",
+    broadcast: bool = False,
 ) -> DataFrame:
     """Attach an ``allowed`` flag to a URL frontier using parsed robots
-    rules (:func:`parse_robots`): for the given agent group, the
-    LONGEST-prefix-matching rule decides; Allow wins a length tie (the
-    common crawler interpretation); no matching rule (or no robots at
-    all) means allowed.
+    rules (:func:`parse_robots`), per RFC 9309 group selection: the
+    frontier agent's OWN group decides where one exists for the host,
+    else the ``*`` group, else everything is allowed; within the chosen
+    group the LONGEST-prefix-matching rule decides and Allow wins a
+    length tie (the common crawler interpretation).
 
-    Plan: the rules frame is tiny per host (robots files are KBs) — it
-    broadcasts; matching is one broadcast join + a max_by aggregate per
-    URL, so the frontier never shuffles on anything but its own key.
+    Frontier rows pass through UNTOUCHED — duplicates stay duplicates,
+    and payload columns of any type (maps, binaries, …) ride along
+    because nothing groups on them.  Plan: the rules frame collapses to
+    ONE row per host (group selection + ``collect_list`` into a
+    rule array — robots files are KBs, so the array is small), then one
+    left join on ``__host`` and a pure array expression compute the
+    verdict — the frontier itself is never aggregated.  The join is a
+    plain equi-join by default so AQE picks broadcast vs shuffle from
+    the measured rules size; ``broadcast=True`` forces the hint for the
+    common crawl case (rules ≪ frontier), but is NOT the default — an
+    all-hosts rules frame for a 100M-host frontier is tens of GB, where
+    a forced broadcast is an OOM rather than a slow plan.
     """
     u = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
         "__path",
@@ -973,36 +1012,49 @@ def robots_allowed(
             F.lit("/"),
         ),
     )
-    r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
-        F.col("host").alias("__host"),
-        F.col("allow").alias("__allow"),
-        F.col("path").alias("__rpath"),
-    )
-    joined = u.join(F.broadcast(r), on="__host", how="left").withColumn(
-        "__match", F.col("__rpath").isNotNull() & F.col("__path").startswith(
-            F.col("__rpath")
-        )
-    )
-    # longest matching rule wins; Allow beats Disallow on equal length.
-    # max_by over (len, allow) — NULL verdict (no matching rule) = allowed
-    decided = (
-        joined.groupBy(*urls.columns)
+    a = agent.lower()
+    spec = F.lower(F.col("agent")) == a
+    rule = F.struct(F.col("path").alias("path"), F.col("allow").alias("allow"))
+    # one row per host: the agent's own group and the '*' group collected
+    # side by side (collect_list skips the NULLs of the other branch);
+    # the specific group wins when non-empty — RFC 9309 group selection
+    per_host = (
+        rules.filter(spec | (F.lower(F.col("agent")) == "*"))
+        .groupBy(F.col("host").alias("__host"))
         .agg(
-            F.max_by(
-                F.col("__allow"),
-                F.when(
-                    F.col("__match"),
-                    F.struct(
-                        F.length("__rpath").alias("l"),
-                        F.col("__allow").cast("int").alias("a"),
-                    ),
-                ),
-            ).alias("__verdict")
+            F.collect_list(F.when(spec, rule)).alias("__spec"),
+            F.collect_list(F.when(~spec, rule)).alias("__star"),
         )
-        .withColumn("allowed", F.coalesce(F.col("__verdict"), F.lit(True)))
-        .drop("__verdict")
+        .select(
+            "__host",
+            F.when(F.size("__spec") > 0, F.col("__spec"))
+            .otherwise(F.col("__star"))
+            .alias("__rules"),
+        )
     )
-    return decided
+    if broadcast:
+        per_host = F.broadcast(per_host)
+    joined = u.join(per_host, on="__host", how="left")
+    matches = F.filter(
+        F.col("__rules"), lambda r: F.col("__path").startswith(r["path"])
+    )
+    # longest matching rule wins; Allow beats Disallow on equal length
+    # (struct ordering is lexicographic on (len, allow)); array_max of an
+    # empty/NULL match set is NULL -> no rule / no robots = allowed
+    best = F.array_max(
+        F.transform(
+            matches,
+            lambda r: F.struct(
+                F.length(r["path"]).alias("l"), r["allow"].cast("int").alias("a")
+            ),
+        )
+    )
+    return (
+        joined.withColumn(
+            "allowed", F.coalesce(best["a"] == 1, F.lit(True))
+        )
+        .drop("__host", "__path", "__rules")
+    )
 
 
 def bigram_logprob(

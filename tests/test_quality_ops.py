@@ -463,15 +463,25 @@ def test_normalize_url_rules(spark):
         "example.com?q=1": "http://example.com/?q=1",
         # userinfo removed
         "http://user:pw@example.com/x": "http://example.com/x",
-        # tracking params dropped, survivors keep order, lone '?' dropped
+        # tracking params dropped, survivors keep order, lone '?' dropped;
+        # bare ref is content-bearing (branch/tab selectors) and KEPT
         "https://a.com/p?utm_source=x&id=7&utm_campaign=y&ref=h": (
-            "https://a.com/p?id=7"
+            "https://a.com/p?id=7&ref=h"
         ),
         "https://a.com/p?utm_source=x": "https://a.com/p",
         "https://a.com/p?id=7&page=2": "https://a.com/p?id=7&page=2",
     }
     for raw, want in cases.items():
         assert _norm_one(spark, raw) == want, raw
+    # callers that KNOW ref is tracking on their corpus opt in per call
+    assert (
+        _norm_one(
+            spark,
+            "https://a.com/p?id=7&ref=h",
+            tracking_extra_keys=("ref",),
+        )
+        == "https://a.com/p?id=7"
+    )
     assert (
         _norm_one(spark, "http://www.example.com/x", strip_www=False)
         == "http://www.example.com/x"
@@ -697,11 +707,62 @@ def test_parse_robots_and_allowed(spark):
         for r in text.robots_allowed(urls, text.parse_robots(robots)).collect()
     }
     assert got == {1: False, 2: True, 3: True, 4: True, 5: True}
-    # the bot group applies when asked for
+    # the bot group applies when asked for; hosts WITHOUT a bot group
+    # fall back to their '*' group (RFC 9309), so a.test still disallows
     bot = {
         r["id"]: r["allowed"]
         for r in text.robots_allowed(
             urls, text.parse_robots(robots), agent="bot"
         ).collect()
     }
-    assert bot[4] is False
+    assert bot == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+
+def test_parse_robots_multi_agent_runs(spark):
+    """RFC 9309: a run of consecutive User-agent lines shares one rule
+    set; unknown directives don't split the run; rules before any
+    User-agent line are ignored."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.test",
+                "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+                "\nUser-agent: c\nCrawl-delay: 2\nUser-agent: d\nDisallow: /y",
+            ),
+            ("b.test", "Disallow: /orphan\nUser-agent: *\nDisallow: /z"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["host"], r["agent"], r["allow"], r["path"])
+        for r in text.parse_robots(robots).collect()
+    }
+    assert rules == {
+        ("a.test", "a", False, "/x"),
+        ("a.test", "b", False, "/x"),
+        ("a.test", "c", False, "/y"),
+        ("a.test", "d", False, "/y"),
+        ("b.test", "*", False, "/z"),  # /orphan (no group) dropped
+    }
+
+
+def test_robots_allowed_preserves_rows(spark):
+    """The verdict is an array expression after a left join — duplicate
+    frontier rows stay duplicates and non-groupable payload columns
+    (maps) pass through (the old groupBy(*columns) design collapsed
+    duplicates and threw on maps)."""
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://a.test/x/1"), (1, "https://a.test/x/1"), (2, "https://a.test/ok")],
+        "id long, url string",
+    ).withColumn("meta", F.create_map(F.lit("k"), F.col("id")))
+    out = text.robots_allowed(
+        urls, text.parse_robots(robots), broadcast=True
+    ).collect()
+    assert len(out) == 3  # both duplicates survive
+    verdicts = sorted((r["id"], r["allowed"]) for r in out)
+    assert verdicts == [(1, False), (1, False), (2, True)]
+    assert all(dict(r["meta"]) == {"k": r["id"]} for r in out)
