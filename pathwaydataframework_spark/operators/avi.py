@@ -97,7 +97,10 @@ def encode_mjpeg(
     max_bytes = max(len(f) for f in frames)
     avih = struct.pack(
         "<14I",
-        usec_per_frame, max_bytes * fps, 0, 0x10,  # flags: AVIF_HASINDEX off
+        # flags 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10) must
+        # be off or strict players would reject the advertised-but-missing
+        # index; demuxers (ours included) stream the movi list directly
+        usec_per_frame, max_bytes * fps, 0, 0,
         len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
     )
     strh = (

@@ -224,6 +224,11 @@ def _decode_block_into(
             t = _decode_symbol(br, dc_tbl)
             diff = _extend(br.bits(t), t)
             pred[cs] += diff
+            # valid 8-bit-precision DC coefficients fit int32 even shifted
+            # by Al<=13; corrupt streams can run pred far outside — bound
+            # it here instead of relying on NumPy int32 overflow behavior
+            if not (-(1 << 17) <= pred[cs] <= (1 << 17)):
+                raise ValueError("invalid JPEG: DC out of range")
             blk[0] = pred[cs] << Al
         else:  # DC refinement: one raw bit per block
             if br.bit():
