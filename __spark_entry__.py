@@ -2326,6 +2326,55 @@ def q_robots(spark: SparkSession, sf: str) -> DataFrame:
     return text.robots_allowed(urls, text.parse_robots(robots), agent="bot")
 
 
+def q_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier discovery end-to-end (parsers.sitemap_locs →
+    text.canonicalize_urls → text.parse_robots + robots_allowed): each
+    document carries a planted sitemap XML with two <loc> entries — a
+    www/mixed-case/utm_-tracked page URL that must canonicalize, and a
+    whitespace-padded /private URL that robots politeness must gate.
+    Evaluated as agent='bot' so every RFC 9309 group path executes:
+    site0 has only a '*' group (fallback), site1 a multi-User-agent run
+    ('crawler'+'bot' share Disallow: /private) overriding a
+    Disallow-everything '*' group, site2 an empty Disallow (allow-all).
+    Returns the ALLOWED frontier; the oracle re-derives every surviving
+    canonical URL independently from doc_id arithmetic."""
+    from pathwaydataframework_spark.operators import parsers
+
+    robots = spark.createDataFrame(
+        [
+            ("site0.test", "User-agent: *\nDisallow: /private"),
+            (
+                "site1.test",
+                "User-agent: crawler\nUser-agent: bot\nDisallow: /private"
+                "\n\nUser-agent: *\nDisallow: /",
+            ),
+            ("site2.test", "User-agent: *\nDisallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://WWW.Site"), d % 3,
+        F.lit(".test/Page"), d, F.lit("?utm_source=x&id="), d,
+        F.lit("</loc></url><url><loc> https://site"), d % 3,
+        F.lit(".test/private/p"), d, F.lit(" </loc></url></urlset>"),
+    )
+    links = docs.select("doc_id", xml.alias("sitemap_xml")).select(
+        "doc_id",
+        F.explode(parsers.sitemap_locs(F.col("sitemap_xml"))).alias("url"),
+    )
+    canon = text.canonicalize_urls(links).select(
+        "doc_id", F.col("norm_url").alias("url"), "host"
+    )
+    checked = text.robots_allowed(
+        canon, text.parse_robots(robots), agent="bot", broadcast=True
+    )
+    return checked.filter(F.col("allowed")).select(
+        "doc_id", F.col("url").alias("norm_url"), "host"
+    )
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """HTML link extraction for frontier building (parsers.extract_links:
     regexp_extract_all over href attributes, double- then single-quoted,
@@ -2537,6 +2586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget": q_token_budget,
         "q_extract_links": q_extract_links,
         "q_robots": q_robots,
+        # --- NEW r7: no driver row yet ---
+        "q_frontier": q_frontier,
         # --- latest driver row r5 ---
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
@@ -4214,6 +4265,26 @@ def oracle_sql() -> dict[str, str]:
                        ELSE true
                    END AS allowed
             FROM documents
+        """,
+        "q_frontier": """
+            -- page <loc>: canonicalized (www./case/utm_ stripped) and
+            -- allowed on every site for agent 'bot' (site0 '*'-fallback
+            -- Disallow hits only /private; site1's bot group allows it;
+            -- site2 allows all)
+            SELECT doc_id,
+                   'https://site' || (doc_id % 3)::VARCHAR || '.test/Page'
+                       || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR
+                       AS norm_url,
+                   'site' || (doc_id % 3)::VARCHAR || '.test' AS host
+            FROM documents
+            UNION ALL
+            -- /private <loc>: survives ONLY on site2 (allow-all group);
+            -- site0 '*' and site1 bot-run both Disallow /private
+            SELECT doc_id,
+                   'https://site' || (doc_id % 3)::VARCHAR
+                       || '.test/private/p' || doc_id::VARCHAR AS norm_url,
+                   'site' || (doc_id % 3)::VARCHAR || '.test' AS host
+            FROM documents WHERE doc_id % 3 = 2
         """,
         "q_extract_links": """
             SELECT doc_id,

@@ -78,12 +78,16 @@ def test_full_pipeline_documents_to_shards(spark, sf_dir):
 
 
 def test_crawl_front_end_pipeline(spark, sf_dir):
-    """The r6 crawl front-end, composed: planted page HTML → link
-    extraction → canonicalization → URL-level dedup → per-site quota →
-    bloom dedup against 'yesterday's' corpus → token-budget cut.  Every
-    stage is this engine's own operator; counts are checked against the
-    planted structure."""
-    from pathwaydataframework_spark.operators.parsers import extract_links
+    """The crawl front-end, composed: planted page HTML → link
+    extraction, plus a per-doc sitemap hop → robots politeness gate →
+    canonicalization → URL-level dedup → per-site quota → bloom dedup
+    against 'yesterday's' corpus → token-budget cut.  Every stage is
+    this engine's own operator; counts are checked against the planted
+    structure."""
+    from pathwaydataframework_spark.operators.parsers import (
+        extract_links,
+        sitemap_locs,
+    )
 
     docs = load_table(spark, sf_dir, "documents").df.limit(200)
     d = F.col("doc_id")
@@ -94,19 +98,49 @@ def test_crawl_front_end_pipeline(spark, sf_dir):
         F.lit('<a href="https://site'), d % 5, F.lit(".test/p"), d,
         F.lit('#f">p</a>'),
     )
-    pages = docs.select("doc_id", "n_chars", html.alias("html"))
+    # ... and serves a sitemap advertising one fresh page plus a
+    # /private page that the robots gate must drop
+    sitemap = F.concat(
+        F.lit("<urlset><url><loc>https://site"), d % 5, F.lit(".test/sm"),
+        d, F.lit("</loc></url><url><loc> https://site"), d % 5,
+        F.lit(".test/private/x"), d, F.lit(" </loc></url></urlset>"),
+    )
+    pages = docs.select(
+        "doc_id", "n_chars", html.alias("html"), sitemap.alias("sitemap_xml")
+    )
 
-    # 1. frontier: extract + canonicalize + URL-dedup
-    frontier = pages.select(
+    # 1. frontier: HTML links + sitemap <loc>s
+    links = pages.select(
         "doc_id", "n_chars", F.explode(extract_links(F.col("html"))).alias("url")
     )
+    sm = pages.select(
+        "doc_id",
+        "n_chars",
+        F.explode(sitemap_locs(F.col("sitemap_xml"))).alias("url"),
+    )
+    frontier = links.unionByName(sm)
     n_docs = pages.count()
-    assert frontier.count() == 2 * n_docs
-    deduped = text.dedup_by_url(frontier, tie_col="doc_id")
-    # hub collapses to ONE row; per-doc pages all survive
-    assert deduped.count() == 1 + n_docs
+    assert frontier.count() == 4 * n_docs
 
-    # 2. per-site quota: at most 3 URLs per registrable domain
+    # 2. robots politeness: every site Disallows /private; hub allows all
+    robots = spark.createDataFrame(
+        [(f"site{i}.test", "User-agent: *\nDisallow: /private") for i in range(5)]
+        + [("hub.test", "User-agent: *\nDisallow:")],
+        "host string, robots_txt string",
+    )
+    gated = text.robots_allowed(
+        frontier, text.parse_robots(robots), agent="bot", broadcast=True
+    )
+    allowed = gated.filter(F.col("allowed")).drop("allowed")
+    # exactly the sitemap /private rows drop; row multiplicity preserved
+    assert allowed.count() == 3 * n_docs
+
+    # 3. canonicalize + URL-dedup
+    deduped = text.dedup_by_url(allowed, tie_col="doc_id")
+    # hub collapses to ONE row; per-doc page + sitemap pages all survive
+    assert deduped.count() == 1 + 2 * n_docs
+
+    # 4. per-site quota: at most 3 URLs per registrable domain
     quota = sampling.per_key_topk(
         deduped, "reg_domain", "n_chars", k=3, tie_col="doc_id"
     )
@@ -117,12 +151,12 @@ def test_crawl_front_end_pipeline(spark, sf_dir):
     assert per_site["hub.test"] == 1
     assert all(per_site[f"site{i}.test"] == 3 for i in range(5))
 
-    # 3. bloom dedup vs an already-crawled corpus (every even doc's page)
+    # 5. bloom dedup vs an already-crawled corpus (every even doc's page)
     seen = quota.filter(d % 2 == 0)
     fresh = dedup.bloom_dedup(quota, seen, "norm_url", m_bits=1 << 14, k=5)
     assert fresh.count() == quota.filter(d % 2 == 1).count()
 
-    # 4. token-budget cut on what's left
+    # 6. token-budget cut on what's left
     budget = 2000
     cut = sampling.token_budget_sample(
         fresh, "doc_id", "n_chars", budget=budget, seed=2
