@@ -2375,6 +2375,43 @@ def q_frontier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword tokenization (operators/bpe.py bpe_encode, mode='longest'):
+    greedy longest-match BPE encoding of each document's first 10 words
+    against a fixed 55-token vocab (a-z base + 29 merged tokens), exploded
+    to one (doc_id, pos, token_id) row per emitted token.  The Python
+    kernel runs over DISTINCT word forms only (one Arrow crossing); the
+    corpus-side explode/join/re-assembly is pure Catalyst.  The oracle
+    replays the greedy longest-prefix algorithm independently in SQL via
+    a recursive CTE over the same literal vocab — integer-exact.
+    Reference tokenizes via tiktoken's learned BPE (xpacks/llm/
+    splitters.py:76-89); this is that capability as an engine operator."""
+    from pathwaydataframework_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
+        ).alias("text"),
+    )
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in (
+        "th", "he", "the", "ta", "ab", "le", "tab", "table", "va", "al",
+        "ue", "val", "value", "ar", "row", "sc", "an", "scan", "fa", "st",
+        "fast", "ke", "key", "pa", "rt", "part", "ha", "sh", "hash",
+    ):
+        vocab[t] = len(vocab)
+    enc = bpe.bpe_encode(trunc, vocab, mode="longest")
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token_id").cast("long").alias("token_id"),
+    )
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """HTML link extraction for frontier building (parsers.extract_links:
     regexp_extract_all over href attributes, double- then single-quoted,
@@ -2588,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots": q_robots,
         # --- NEW r7: no driver row yet ---
         "q_frontier": q_frontier,
+        "q_bpe_tokenize": q_bpe_tokenize,
         # --- latest driver row r5 ---
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
@@ -4285,6 +4323,48 @@ def oracle_sql() -> dict[str, str]:
                        || '.test/private/p' || doc_id::VARCHAR AS norm_url,
                    'site' || (doc_id % 3)::VARCHAR || '.test' AS host
             FROM documents WHERE doc_id % 3 = 2
+        """,
+        "q_bpe_tokenize": r"""
+            -- independent replay of greedy longest-match BPE: a recursive
+            -- CTE peels the longest vocab prefix off each word one token
+            -- at a time; row_number over (word ordinal, peel step)
+            -- reconstructs the flattened per-doc token position
+            WITH RECURSIVE vocab(tok, tid) AS (
+              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
+              UNION ALL
+              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
+                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
+                ('va',34),('al',35),('ue',36),('val',37),('value',38),
+                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
+                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
+                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
+                ('hash',54)) v(a,b)
+            ),
+            words AS (
+              SELECT doc_id, wp, w FROM (
+                SELECT doc_id, generate_subscripts(l,1) AS wp,
+                       unnest(l) AS w
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS l
+                      FROM documents)
+              ) WHERE wp <= 10 AND w <> ''
+            ),
+            step(doc_id, wp, rest, k, tid) AS (
+              SELECT doc_id, wp, w, 0, NULL::INT FROM words
+              UNION ALL
+              SELECT s.doc_id, s.wp, substr(s.rest, length(v.tok)+1),
+                     s.k+1, v.tid
+              FROM step s JOIN vocab v
+                ON starts_with(s.rest, v.tok)
+               AND length(v.tok) = (SELECT max(length(v2.tok)) FROM vocab v2
+                                    WHERE starts_with(s.rest, v2.tok))
+              WHERE s.rest <> ''
+            )
+            SELECT doc_id,
+                   (row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY wp, k) - 1)::BIGINT AS pos,
+                   tid::BIGINT AS token_id
+            FROM step WHERE k > 0
         """,
         "q_extract_links": """
             SELECT doc_id,

@@ -1,0 +1,185 @@
+"""BPE tokenizer: merge learning (Sennrich replay), both encode kernels,
+the distributed distinct-word plan, and composition with sequence packing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pathwaydataframework_spark.data import load_table
+from pathwaydataframework_spark.operators import bpe, packing
+from pathwaydataframework_spark.operators.bpe import (
+    _encode_longest,
+    _encode_merges,
+)
+
+# -- pure-kernel unit tests (no Spark) ---------------------------------------
+
+
+def test_learn_merges_classic_corpus(spark):
+    # Sennrich's canonical example shape: 'low'x5 'lower'x2 'newest'x6
+    # 'widest'x3.  Highest-count pairs merge first; ties go to the
+    # lexicographically smallest pair.
+    rows = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(t,) for t in rows], "text string")
+    merges = bpe.learn_bpe_merges(df, num_merges=4, min_pair_count=1)
+    # hand-derived: es(9) -> est(9) -> lo(7) -> low(7)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+
+def test_vocab_layout():
+    merges = [("e", "s"), ("es", "t"), ("l", "o")]
+    v = bpe.bpe_vocab(merges, alphabet="abcdefghijklmnopqrstuvwxyz")
+    assert v["a"] == 0 and v["z"] == 25
+    assert v["es"] == 26 and v["est"] == 27 and v["lo"] == 28
+    # derived alphabet: only chars appearing in merges
+    small = bpe.bpe_vocab(merges)
+    assert set(small) == {"e", "s", "t", "l", "o", "es", "est", "lo"}
+
+
+def test_longest_kernel_greedy_and_unk():
+    v = bpe.bpe_vocab([("t", "h"), ("th", "e")], alphabet="the")
+    # 'the' -> single longest token, not th+e
+    assert _encode_longest("the", v, 3, -1) == [v["the"]]
+    assert _encode_longest("teh", v, 3, -1) == [v["t"], v["e"], v["h"]]
+    # unknown char emits unk and advances
+    assert _encode_longest("txh", v, 3, -99) == [v["t"], -99, v["h"]]
+    assert _encode_longest("", v, 3, -1) == []
+
+
+def test_merges_kernel_rank_order():
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    v = bpe.bpe_vocab(merges, alphabet="abcdefghijklmnopqrstuvwxyz")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_merges("lowest", ranks, v, -1) == [v["low"], v["est"]]
+    # rank order matters: 'es' merges before 'lo' in 'loes'
+    assert _encode_merges("loes", ranks, v, -1) == [v["lo"], v["es"]]
+    # unmergeable word falls back to chars
+    assert _encode_merges("ab", ranks, v, -1) == [v["a"], v["b"]]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcdef", min_size=0, max_size=24),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef", min_size=1, max_size=2),
+            st.text(alphabet="abcdef", min_size=1, max_size=2),
+        ),
+        max_size=8,
+    ),
+)
+def test_longest_kernel_roundtrip_property(word, merges):
+    """Greedy longest-match over a vocab containing every base char is a
+    lossless segmentation: decoding the ids re-concatenates the word,
+    and each emitted token IS the longest vocab prefix at its position."""
+    v = bpe.bpe_vocab(merges, alphabet="abcdef")
+    inv = {i: t for t, i in v.items()}
+    max_len = max(len(t) for t in v)
+    ids = _encode_longest(word, v, max_len, -1)
+    assert -1 not in ids
+    toks = [inv[i] for i in ids]
+    assert "".join(toks) == word
+    pos = 0
+    for t in toks:
+        for j in range(len(t) + 1, min(max_len, len(word) - pos) + 1):
+            assert word[pos : pos + j] not in v
+        pos += len(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(alphabet="abc", min_size=1, max_size=16),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=2),
+            st.text(alphabet="abc", min_size=1, max_size=2),
+        ),
+        max_size=6,
+    ),
+)
+def test_merges_kernel_roundtrip_property(word, merges):
+    v = bpe.bpe_vocab(merges, alphabet="abc")
+    inv = {i: t for t, i in v.items()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    ids = _encode_merges(word, ranks, v, -1)
+    assert "".join(inv[i] for i in ids) == word
+
+
+# -- distributed encode -------------------------------------------------------
+
+
+def test_bpe_encode_modes_and_shape(spark):
+    rows = [(0, "the fast table"), (1, ""), (2, "zz the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("t", "h"), ("th", "e"), ("t", "a"), ("ta", "b"),
+              ("l", "e"), ("tab", "le")]
+    v = bpe.bpe_vocab(merges, alphabet="abcdefghijklmnopqrstuvwxyz")
+    out = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe.bpe_encode(df, v, mode="longest").collect()
+    }
+    assert out[0][0] == [
+        v["the"], v["f"], v["a"], v["s"], v["t"], v["table"]
+    ]
+    assert out[1] == ([], 0)  # empty doc survives with an empty array
+    assert out[0][1] == 6 and out[2][1] == 3
+    # merges replay agrees on this vocab's own training-style words
+    out_m = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe.bpe_encode(df, v, mode="merges", merges=merges).collect()
+    }
+    assert out_m[0] == out[0][0]
+
+
+def test_bpe_encode_learned_roundtrip(spark, sf_dir):
+    """Learn merges from the real documents table, encode with replay,
+    and verify the segmentation is lossless against the source text."""
+    docs = load_table(spark, sf_dir, "documents").df.limit(50)
+    merges = bpe.learn_bpe_merges(docs, num_merges=30)
+    assert len(merges) == 30
+    v = bpe.bpe_vocab(merges, alphabet="abcdefghijklmnopqrstuvwxyz")
+    inv = {i: t for t, i in v.items()}
+    enc = bpe.bpe_encode(docs, v, mode="merges", merges=merges)
+    joined = enc.join(docs.select("doc_id", "text"), on="doc_id")
+    for r in joined.collect():
+        decoded = "".join(inv[i] for i in r["token_ids"])
+        assert decoded == "".join(r["text"].lower().split())
+
+
+def test_bpe_encode_plan_single_arrow_crossing(spark, sf_dir):
+    """The Python kernel must run over DISTINCT words only: exactly one
+    ArrowEvalPython node, fed by an Aggregate (the distinct), never by
+    the corpus-sized explode directly."""
+    docs = load_table(spark, sf_dir, "documents").df
+    v = bpe.bpe_vocab([("t", "h")], alphabet="abcdefghijklmnopqrstuvwxyz")
+    plan = bpe.bpe_encode(docs, v)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    arrow_at = plan.index("ArrowEvalPython")
+    agg_after = plan.find("Aggregate", arrow_at)
+    assert agg_after != -1, "kernel input is not the distinct-word aggregate"
+
+
+def test_bpe_packing_composition(spark, sf_dir):
+    """BPE ids feed sequence packing: encode -> n_tokens -> pack_by_offset
+    produces gap-free, budget-respecting offsets per shard."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").df.limit(100)
+    merges = bpe.learn_bpe_merges(docs, num_merges=20)
+    v = bpe.bpe_vocab(merges, alphabet="abcdefghijklmnopqrstuvwxyz")
+    enc = bpe.bpe_encode(docs, v, mode="merges", merges=merges)
+    packed = packing.pack_by_offset(
+        enc.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 512, shards=4
+    )
+    assert packed.count() == 100
+    assert packed.filter(F.col("start_offset") < 0).count() == 0
+    w = W.partitionBy("shard").orderBy("start_offset")
+    gaps = packed.withColumn(
+        "prev_end", F.lag(F.col("start_offset") + F.col("n_tokens")).over(w)
+    ).filter(
+        F.col("prev_end").isNotNull()
+        & (F.col("start_offset") != F.col("prev_end"))
+    )
+    assert gaps.count() == 0
