@@ -531,3 +531,111 @@ def test_windowby_common_behavior_cutoff_drops_late_rows(spark, tmp_path):
     assert first_window_count("10 minutes", "cb_small") == 1
     # cutoff 3 h: frontier − 3 h never reached the first window → kept
     assert first_window_count("3 hours", "cb_large") == 2
+
+
+def test_streaming_crawl_front_end_three_batches(spark, tmp_path):
+    """The crawl front-end as a REAL stream: three micro-batches of pages
+    (maxFilesPerTrigger=1) through extract_links → dedup_by_url →
+    per_key_topk → bloom_dedup inside foreachBatch, the bloom index
+    folded forward per batch — first-occurrence-wins across the whole
+    stream.  Survivors are checked against an independent Python replay
+    of the same chain in actual arrival order (batches overlap, so
+    cross-batch dedup does real work beyond the shared hub link)."""
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import dedup, sampling, text
+    from pathwaydataframework_spark.operators.parsers import extract_links
+
+    n_chars = {d: (d * 37) % 101 + 1 for d in range(70)}
+    batches = [list(range(0, 30)), list(range(20, 50)), list(range(40, 70))]
+
+    src = tmp_path / "crawl_stream"
+    src.mkdir()
+    for i, ids in enumerate(batches):
+        rows = [
+            (
+                d,
+                n_chars[d],
+                '<a href="https://hub.test/home?utm_source=x">h</a>'
+                f'<a href="https://site{d % 5}.test/p{d}#f">p</a>',
+            )
+            for d in ids
+        ]
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            rows, "doc_id long, n_chars long, html string"
+        ).coalesce(1).write.parquet(str(stage))
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    M, K = 1 << 16, 7
+    state = {
+        "idx": dedup.build_bloom_index(
+            spark.createDataFrame([], "key string"), "key", m_bits=M, k=K
+        ),
+        "arrivals": [],
+        "survivors": [],
+    }
+
+    def handle(bdf, _epoch):
+        links = bdf.select(
+            "doc_id", "n_chars", F.explode(extract_links(F.col("html"))).alias("url")
+        )
+        deduped = text.dedup_by_url(links, tie_col="doc_id")
+        quota = sampling.per_key_topk(
+            deduped, "reg_domain", "n_chars", k=2, tie_col="doc_id"
+        )
+        kept = dedup.bloom_dedup(
+            quota, None, "norm_url", index=state["idx"], m_bits=M, k=K,
+            exact_confirm=False,
+        )
+        state["survivors"].extend(
+            (r["doc_id"], r["norm_url"])
+            for r in kept.select("doc_id", "norm_url").collect()
+        )
+        state["arrivals"].append(
+            sorted(r["doc_id"] for r in bdf.select("doc_id").collect())
+        )
+        state["idx"] = dedup.update_bloom_index(
+            state["idx"], quota, "norm_url", m_bits=M, k=K
+        ).localCheckpoint()
+
+    q = (
+        spark.readStream.schema("doc_id long, n_chars long, html string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(state["arrivals"]) == 3
+
+    # independent replay in the observed arrival order
+    seen: set[str] = set()
+    expected: list[tuple[int, str]] = []
+    for ids in state["arrivals"]:
+        best: dict[str, tuple[int, int, str]] = {}
+        for d in ids:
+            for url, site in (
+                ("https://hub.test/home", "hub.test"),
+                (f"https://site{d % 5}.test/p{d}", f"site{d % 5}.test"),
+            ):
+                if url not in best or d < best[url][0]:
+                    best[url] = (d, n_chars[d], site)
+        per_site: dict[str, list[tuple[int, int, str]]] = {}
+        for url, (d, nc, site) in best.items():
+            per_site.setdefault(site, []).append((-nc, d, url))
+        quota_urls = [
+            (d, url)
+            for lst in per_site.values()
+            for (_neg, d, url) in sorted(lst)[:2]
+        ]
+        expected.extend((d, u) for d, u in quota_urls if u not in seen)
+        seen |= {u for _, u in quota_urls}
+
+    assert sorted(state["survivors"]) == sorted(expected)
+    # the shared hub link survives exactly once across the whole stream
+    hub = [s for s in state["survivors"] if s[1] == "https://hub.test/home"]
+    assert len(hub) == 1
