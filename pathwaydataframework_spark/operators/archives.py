@@ -49,25 +49,44 @@ WARC_SCHEMA = (
 )
 
 
+#: Input-chunk size for multi-member gzip inflate.  Bounds the bytes
+#: zlib re-surfaces as ``unused_data`` at each member boundary, which is
+#: what keeps the walk linear (see _gzip_members).
+_GZ_CHUNK = 1 << 20
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompressed payload of every gzip member (multi-member streams:
-    the Common Crawl layout is one member per WARC record)."""
+    the Common Crawl layout is one member per WARC record).
+
+    Linear-time walk: input is fed as bounded memoryview slices, so the
+    cost per member is O(member + chunk).  The tempting one-liner —
+    ``d.decompress(data[pos:])`` per member — is quadratic in disguise:
+    the slice copies the whole remaining tail AND ``unused_data`` hands
+    it back as a second copy, so a 1 GB Common Crawl shard with ~100k
+    record-members would memcpy ~100 TB.  This version measured ~100x
+    faster on CC-layout shards (SCALE.md r7)."""
+    mv = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
-        try:
-            chunk = d.decompress(data[pos:])
-        except zlib.error as exc:
-            raise ValueError("gzip: corrupt member (%s)" % exc) from exc
+        out = []
+        start = pos
         while not d.eof:
-            if not d.unconsumed_tail:
+            if pos >= n:
                 raise ValueError("gzip: truncated member")
-            chunk += d.decompress(d.unconsumed_tail)
-        yield chunk
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
+            chunk = mv[pos : pos + _GZ_CHUNK]
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error as exc:
+                raise ValueError("gzip: corrupt member (%s)" % exc) from exc
+            pos += len(chunk)
+            if d.eof:
+                pos -= len(d.unused_data)
+        if pos <= start:
             raise ValueError("gzip: member made no progress")
-        pos += consumed
+        yield b"".join(out)
 
 
 def iter_archive_members(path: str, data: bytes) -> Iterator[tuple[str, bytes]]:
