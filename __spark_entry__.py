@@ -2412,6 +2412,141 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the q_bpe_merges contract, shared between the Spark query and the oracle:
+# ranked merge rules (Sennrich order) and the vocab they induce (a-z = 0..25,
+# merge k's concatenation = 26+k)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "b"), ("ab", "l"), ("e", "s"),
+    ("l", "e"), ("o", "r"), ("a", "n"), ("t", "i"), ("ti", "o"),
+    ("tio", "n"), ("s", "c"), ("sc", "an"), ("r", "o"), ("ro", "w"),
+]
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact merge-rank BPE replay (operators/bpe.py bpe_encode
+    mode='merges' — the Sennrich/tiktoken contract: apply the
+    lowest-rank applicable merge, leftmost on ties, until none applies;
+    reference tokenizes via tiktoken's ranked encodings,
+    xpacks/llm/splitters.py:76-89).  Each document's first 6 words plus
+    a PLANTED out-of-alphabet word ('x' + digit + '!') are encoded, so
+    the unk_id=-1 path is driver-pinned, not just unit-tested: the
+    digit and '!' have no vocab entry and must surface as -1 without
+    dropping the rest of the word.  The oracle replays the ranked merge
+    list independently in SQL (recursive CTE over symbol lists with a
+    rank-map argmin per step) — integer-exact."""
+    from pathwaydataframework_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 6), " "),
+            F.lit(" x"), d % 10, F.lit("!"),
+        ).alias("text"),
+    )
+    vocab = bpe.bpe_vocab(
+        _BPE_MERGES, alphabet="abcdefghijklmnopqrstuvwxyz"
+    )
+    enc = bpe.bpe_encode(planted, vocab, mode="merges", merges=_BPE_MERGES)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token_id").cast("long").alias("token_id"),
+    )
+
+
+def q_crawl_delay(spark: SparkSession, sf: str) -> DataFrame:
+    """The robots discovery loop a real crawler runs (text.
+    robots_directives — the Crawl-delay and Sitemap lines parse_robots
+    excludes from rule matching — feeding parsers.sitemap_locs →
+    text.canonicalize_urls): each host's planted robots.txt declares a
+    per-host Crawl-delay and a Sitemap URL; the sitemap fetch is modeled
+    as a join on the declared URL against a planted (url, xml) frame;
+    the sitemap's <loc> (www/mixed-case/utm_-tracked) canonicalizes; the
+    output frontier carries the politeness delay alongside each
+    discovered URL.  Oracle derives host, delay and canonical URL
+    independently from doc_id arithmetic."""
+    from pathwaydataframework_spark.operators import parsers
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), d, F.lit(".test"))
+    robots = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "), d % 7 + 1,
+            F.lit("\nDisallow: /private\nSitemap: https://h"), d,
+            F.lit(".test/sm.xml"),
+        ).alias("robots_txt"),
+    )
+    directives = text.robots_directives(robots)
+    delays = directives.filter(F.col("directive") == "crawl-delay").select(
+        "host", F.expr("try_cast(value AS LONG)").alias("crawl_delay")
+    )
+    sitemap_urls = directives.filter(F.col("directive") == "sitemap").select(
+        F.col("value").alias("sitemap_url")
+    )
+    # the modeled fetch: sitemap content keyed by its robots-declared URL
+    fetched = docs.select(
+        F.concat(F.lit("https://h"), d, F.lit(".test/sm.xml")).alias("sitemap_url"),
+        F.concat(
+            F.lit("<urlset><url><loc>https://WWW.H"), d, F.lit(".test/Page"),
+            d, F.lit("?utm_source=x&id="), d, F.lit("</loc></url></urlset>"),
+        ).alias("xml"),
+    )
+    locs = sitemap_urls.join(fetched, on="sitemap_url").select(
+        F.explode(parsers.sitemap_locs(F.col("xml"))).alias("url")
+    )
+    canon = text.canonicalize_urls(locs).select(
+        F.col("norm_url"), F.col("host")
+    )
+    return canon.join(delays, on="host").select(
+        "host", "crawl_delay", "norm_url"
+    )
+
+
+def q_token_budget_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Token budgets in TOKENS, not chars (r7 advice): bpe_encode's
+    n_tokens composes with sampling.token_budget_sample — "keep the
+    first N BPE tokens of each language" is the actual recipe step the
+    char-count proxy stood in for.  Each doc's first 10 words encode
+    against the q_bpe_tokenize vocab (greedy longest-match); the
+    per-lang md5-ordered prefix keeps docs while the running BPE-token
+    total stays ≤ 1500.  Plan: the budget scan stays the 256-shard
+    monotone prefix-sum (no global sort); the oracle recomputes
+    n_tokens with the UNK-safe recursive CTE and replays the window in
+    SQL."""
+    from pathwaydataframework_spark.operators import bpe, sampling
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = docs.select(
+        "doc_id",
+        "lang",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
+        ).alias("text"),
+    )
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in (
+        "th", "he", "the", "ta", "ab", "le", "tab", "table", "va", "al",
+        "ue", "val", "value", "ar", "row", "sc", "an", "scan", "fa", "st",
+        "fast", "ke", "key", "pa", "rt", "part", "ha", "sh", "hash",
+    ):
+        vocab[t] = len(vocab)
+    enc = bpe.bpe_encode(trunc, vocab, mode="longest").select(
+        "doc_id", "n_tokens"
+    )
+    with_lang = enc.join(docs.select("doc_id", "lang"), on="doc_id")
+    out = sampling.token_budget_sample(
+        with_lang, "doc_id", "n_tokens", budget=1500, by="lang", seed=7
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """HTML link extraction for frontier building (parsers.extract_links:
     regexp_extract_all over href attributes, double- then single-quoted,
@@ -2610,10 +2745,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r7 front (≈50-row driver budget): the 9 r6-new crawl queries
-        # that have never earned a driver row (judge-verified local-oracle
-        # green in r6), then the 49 queries whose latest driver row is r5
-        # (the budget covers ~41 of them; the rest rotate forward in r8). ---
+        # --- r8 front (≈50-row driver budget): the 10 queries whose latest
+        # driver row is r5 (r7 checked positions 1-50; these sat at 51-60),
+        # then the NEW r8 queries (no driver row yet), then the r6-latest
+        # set fills the budget; the 50 r7-fresh queries rotate to the back. ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q_part_strings": q_part_strings,
+        "q_orders_dates": q_orders_dates,
+        "q_argmax_supplier": q_argmax_supplier,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_louvain": q_louvain,
+        "q_interval_outer": q_interval_outer,
+        "q_asof_right": q_asof_right,
+        # --- NEW r8: no driver row yet ---
+        "q_bpe_merges": q_bpe_merges,
+        "q_crawl_delay": q_crawl_delay,
+        "q_token_budget_bpe": q_token_budget_bpe,
+        # --- latest driver row r6 ---
+        "q_tokenize": q_tokenize,
+        "q_join_instance": q_join_instance,
+        "q_window_numeric": q_window_numeric,
+        "q_chained_join": q_chained_join,
+        "q_windowby_predicate": q_windowby_predicate,
+        "q_sorted_names": q_sorted_names,
+        "q_reducer_matrix": q_reducer_matrix,
+        "q_percentile": q_percentile,
+        "q_set_difference": q_set_difference,
+        "q_intersect": q_intersect,
+        "q_update_cells": q_update_cells,
+        "q_update_rows": q_update_rows,
+        "q_concat_reindex": q_concat_reindex,
+        "q_asof_nearest": q_asof_nearest,
+        "q_concat_split": q_concat_split,
+        "q_flatten_tokens": q_flatten_tokens,
+        "q_ix_lookup": q_ix_lookup,
+        "q_sql_passthrough": q_sql_passthrough,
+        "q_prev_next": q_prev_next,
+        "q_diff_values": q_diff_values,
+        "q_topk_orders": q_topk_orders,
+        "q_deduplicate_latest": q_deduplicate_latest,
+        "q_window_tumbling": q_window_tumbling,
+        "q_window_sliding": q_window_sliding,
+        "q_window_session": q_window_session,
+        "q_asof_join": q_asof_join,
+        "q_interval_join": q_interval_join,
+        "q_window_join": q_window_join,
+        "q_intervals_over": q_intervals_over,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_token_splitter": q_token_splitter,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_knn_bruteforce": q_knn_bruteforce,
+        "q_knn_ivf": q_knn_ivf,
+        "q_knn_lsh": q_knn_lsh,
+        # --- latest driver row r6: behind the ~50 cap this round;
+        # rotates forward in r9. ---
+        "q_embedding_pairs": q_embedding_pairs,
+        "q_bm25": q_bm25,
+        "q_connected_components": q_connected_components,
+        "q_interpolate": q_interpolate,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_pagerank": q_pagerank,
+        "q_json_props": q_json_props,
+        "q_bellman_ford": q_bellman_ford,
+        "q_rerank": q_rerank,
+        "q_winnow": q_winnow,
+        "q_media_meta": q_media_meta,
+        "q_louvain_levels": q_louvain_levels,
+        # --- latest driver row r7 (freshest — very back) ---
         "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
@@ -2623,10 +2826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget": q_token_budget,
         "q_extract_links": q_extract_links,
         "q_robots": q_robots,
-        # --- NEW r7: no driver row yet ---
         "q_frontier": q_frontier,
         "q_bpe_tokenize": q_bpe_tokenize,
-        # --- latest driver row r5 ---
         "q_sliding_chunks": q_sliding_chunks,
         "q_assign_shards": q_assign_shards,
         "q_leakage_split": q_leakage_split,
@@ -2666,67 +2867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unique_any": q_unique_any,
         "q_asof_now": q_asof_now,
         "q_session_predicate": q_session_predicate,
-        "q_interval_outer": q_interval_outer,
-        "q_asof_right": q_asof_right,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q_part_strings": q_part_strings,
-        "q_orders_dates": q_orders_dates,
-        "q_argmax_supplier": q_argmax_supplier,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_louvain": q_louvain,
-        # --- latest driver row r6: behind the cap this round. ---
-        "q_tokenize": q_tokenize,
-        "q_join_instance": q_join_instance,
-        "q_window_numeric": q_window_numeric,
-        "q_chained_join": q_chained_join,
-        "q_windowby_predicate": q_windowby_predicate,
-        "q_sorted_names": q_sorted_names,
-        "q_reducer_matrix": q_reducer_matrix,
-        "q_percentile": q_percentile,
-        "q_set_difference": q_set_difference,
-        "q_intersect": q_intersect,
-        "q_update_cells": q_update_cells,
-        "q_update_rows": q_update_rows,
-        "q_concat_reindex": q_concat_reindex,
-        "q_asof_nearest": q_asof_nearest,
-        "q_concat_split": q_concat_split,
-        "q_flatten_tokens": q_flatten_tokens,
-        "q_ix_lookup": q_ix_lookup,
-        "q_sql_passthrough": q_sql_passthrough,
-        "q_prev_next": q_prev_next,
-        "q_diff_values": q_diff_values,
-        "q_topk_orders": q_topk_orders,
-        "q_deduplicate_latest": q_deduplicate_latest,
-        "q_window_tumbling": q_window_tumbling,
-        "q_window_sliding": q_window_sliding,
-        "q_window_session": q_window_session,
-        "q_asof_join": q_asof_join,
-        "q_interval_join": q_interval_join,
-        "q_window_join": q_window_join,
-        "q_intervals_over": q_intervals_over,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_token_splitter": q_token_splitter,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash": q_simhash,
-        "q_knn_bruteforce": q_knn_bruteforce,
-        "q_knn_ivf": q_knn_ivf,
-        "q_knn_lsh": q_knn_lsh,
-        "q_embedding_pairs": q_embedding_pairs,
-        "q_bm25": q_bm25,
-        "q_connected_components": q_connected_components,
-        "q_interpolate": q_interpolate,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_pagerank": q_pagerank,
-        "q_json_props": q_json_props,
-        "q_bellman_ford": q_bellman_ford,
-        "q_rerank": q_rerank,
-        "q_winnow": q_winnow,
-        "q_media_meta": q_media_meta,
-        "q_louvain_levels": q_louvain_levels,
     }
 
 
@@ -4365,6 +4505,155 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY wp, k) - 1)::BIGINT AS pos,
                    tid::BIGINT AS token_id
             FROM step WHERE k > 0
+        """,
+        "q_bpe_merges": r"""
+            -- independent replay of ranked-merge BPE: symbols start as
+            -- characters; each recursive step applies the LOWEST-rank
+            -- applicable merge (leftmost on rank ties — list_sort of
+            -- (rank, position) structs, take [1]) until none applies;
+            -- final symbols map through the vocab, misses -> -1 (UNK).
+            WITH RECURSIVE
+            m AS (SELECT MAP(
+                ['t|h','th|e','a|b','ab|l','e|s','l|e','o|r','a|n',
+                 't|i','ti|o','tio|n','s|c','sc|an','r|o','ro|w'],
+                [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14]) AS rk),
+            vocab(tok, tid) AS (
+              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
+              UNION ALL
+              SELECT * FROM (VALUES ('th',26),('the',27),('ab',28),
+                ('abl',29),('es',30),('le',31),('or',32),('an',33),
+                ('ti',34),('tio',35),('tion',36),('sc',37),('scan',38),
+                ('ro',39),('row',40)) v(a,b)
+            ),
+            words AS (
+              SELECT doc_id, wp, w FROM (
+                SELECT doc_id, generate_subscripts(l,1) AS wp,
+                       unnest(l) AS w
+                FROM (SELECT doc_id,
+                             list_append(
+                               string_split_regex(lower(trim(text)),
+                                                  '\s+')[1:6],
+                               'x' || (doc_id % 10)::VARCHAR || '!') AS l
+                      FROM documents)
+              ) WHERE w <> ''
+            ),
+            step(doc_id, wp, parts, k) AS (
+              SELECT doc_id, wp,
+                     list_transform(range(1, length(w)+1),
+                                    i -> substr(w, i::INT, 1)),
+                     0
+              FROM words
+              UNION ALL
+              SELECT doc_id, wp,
+                     list_concat(list_concat(
+                         parts[1:best.i-1],
+                         [parts[best.i] || parts[best.i+1]]),
+                         parts[best.i+2:]),
+                     k + 1
+              FROM (
+                SELECT s.doc_id, s.wp, s.parts, s.k,
+                       (list_sort(list_filter(
+                           list_transform(range(1, len(s.parts)),
+                             i -> struct_pack(
+                                 r := m.rk[s.parts[i] || '|'
+                                           || s.parts[i+1]][1],
+                                 i := i::INT)),
+                           x -> x.r IS NOT NULL)))[1] AS best
+                FROM step s, m
+                WHERE len(s.parts) > 1
+              ) WHERE best IS NOT NULL
+            ),
+            final AS (
+              SELECT doc_id, wp, parts FROM (
+                SELECT doc_id, wp, parts,
+                       row_number() OVER (PARTITION BY doc_id, wp
+                                          ORDER BY k DESC) AS rn
+                FROM step
+              ) WHERE rn = 1
+            ),
+            toks AS (
+              SELECT doc_id, wp, generate_subscripts(parts,1) AS sp,
+                     unnest(parts) AS part
+              FROM final
+            )
+            SELECT t.doc_id,
+                   (row_number() OVER (PARTITION BY t.doc_id
+                                       ORDER BY t.wp, t.sp) - 1)::BIGINT
+                       AS pos,
+                   coalesce(v.tid, -1)::BIGINT AS token_id
+            FROM toks t LEFT JOIN vocab v ON t.part = v.tok
+        """,
+        "q_crawl_delay": """
+            -- the robots discovery loop derived independently: every host
+            -- h{d}.test declares Crawl-delay (d%7+1) and one sitemap whose
+            -- <loc> canonicalizes (WWW./case/utm_ stripped) to Page{d}
+            SELECT 'h' || doc_id::VARCHAR || '.test' AS host,
+                   (doc_id % 7 + 1)::BIGINT AS crawl_delay,
+                   'https://h' || doc_id::VARCHAR || '.test/Page'
+                       || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR
+                       AS norm_url
+            FROM documents
+        """,
+        "q_token_budget_bpe": r"""
+            -- n_tokens from the UNK-safe greedy longest-match replay
+            -- (no-prefix position emits -1 and advances one char), then
+            -- the per-lang md5-ordered running-total prefix in SQL
+            WITH RECURSIVE vocab(tok, tid) AS (
+              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
+              UNION ALL
+              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
+                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
+                ('va',34),('al',35),('ue',36),('val',37),('value',38),
+                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
+                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
+                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
+                ('hash',54)) v(a,b)
+            ),
+            words AS (
+              SELECT doc_id, wp, w FROM (
+                SELECT doc_id, generate_subscripts(l,1) AS wp,
+                       unnest(l) AS w
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)),
+                                                '\s+')[1:10] AS l
+                      FROM documents)
+              ) WHERE w <> ''
+            ),
+            step(doc_id, wp, rest, k, tid) AS (
+              SELECT doc_id, wp, w, 0, NULL::INT FROM words
+              UNION ALL
+              SELECT doc_id, wp,
+                     substr(rest, coalesce(length(best.tok), 1) + 1),
+                     k + 1,
+                     coalesce(best.tid, -1)
+              FROM (
+                SELECT s.*,
+                       (SELECT max_by(struct_pack(tok := v.tok,
+                                                  tid := v.tid),
+                                      length(v.tok))
+                        FROM vocab v
+                        WHERE starts_with(s.rest, v.tok)) AS best
+                FROM step s WHERE s.rest <> ''
+              )
+            ),
+            ntok AS (
+              SELECT d.doc_id, d.lang,
+                     count(s.doc_id)::BIGINT AS n_tokens
+              FROM documents d
+              LEFT JOIN (SELECT doc_id FROM step WHERE k > 0) s
+                ON d.doc_id = s.doc_id
+              GROUP BY d.doc_id, d.lang
+            ),
+            o AS (
+              SELECT doc_id, lang, n_tokens,
+                     (sum(n_tokens) OVER (
+                         PARTITION BY lang
+                         ORDER BY md5(doc_id::VARCHAR || ':7'), doc_id
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+              FROM ntok
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens
+            FROM o WHERE cum_tokens <= 1500
         """,
         "q_extract_links": """
             SELECT doc_id,

@@ -49,9 +49,15 @@ WARC_SCHEMA = (
 )
 
 
-#: Input-chunk size for multi-member gzip inflate.  Bounds the bytes
-#: zlib re-surfaces as ``unused_data`` at each member boundary, which is
-#: what keeps the walk linear (see _gzip_members).
+#: Input-chunk sizes for multi-member gzip inflate.  They bound the
+#: bytes zlib re-surfaces as a ``unused_data`` COPY at each member
+#: boundary, which is what keeps the walk linear (see _gzip_members).
+#: The first chunk of each member is small because in the Common Crawl
+#: layout most members END within a few KB — a large first chunk would
+#: pay its size back as the unused_data copy on every one of ~100k
+#: members per shard; members that don't finish continue with big
+#: chunks so large members stay cheap too.
+_GZ_CHUNK_FIRST = 64 << 10
 _GZ_CHUNK = 1 << 20
 
 
@@ -63,9 +69,11 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
     cost per member is O(member + chunk).  The tempting one-liner —
     ``d.decompress(data[pos:])`` per member — is quadratic in disguise:
     the slice copies the whole remaining tail AND ``unused_data`` hands
-    it back as a second copy, so a 1 GB Common Crawl shard with ~100k
-    record-members would memcpy ~100 TB.  This version measured ~100x
-    faster on CC-layout shards (SCALE.md r7)."""
+    most of it back as a second copy, so a 1 GB Common Crawl shard with
+    ~100k record-members would memcpy ~100 TB.  Measured (scripts/
+    gzip_walk_spotcheck.py, SCALE.md r8 "corpus ingestion"): 53.7 s →
+    0.5 s (~103x) on a 100k-member CC-layout shard, with the gap
+    growing quadratically in shard size."""
     mv = memoryview(data)
     n = len(data)
     pos = 0
@@ -73,10 +81,11 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         d = zlib.decompressobj(wbits=31)
         out = []
         start = pos
+        size = _GZ_CHUNK_FIRST
         while not d.eof:
             if pos >= n:
                 raise ValueError("gzip: truncated member")
-            chunk = mv[pos : pos + _GZ_CHUNK]
+            chunk = mv[pos : pos + size]
             try:
                 out.append(d.decompress(chunk))
             except zlib.error as exc:
@@ -84,6 +93,7 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
             pos += len(chunk)
             if d.eof:
                 pos -= len(d.unused_data)
+            size = _GZ_CHUNK
         if pos <= start:
             raise ValueError("gzip: member made no progress")
         yield b"".join(out)

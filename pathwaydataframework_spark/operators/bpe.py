@@ -38,6 +38,8 @@ __all__ = [
     "learn_bpe_merges",
     "bpe_vocab",
     "bpe_encode",
+    "bpe_word_table",
+    "bpe_encode_incremental",
 ]
 
 
@@ -51,28 +53,31 @@ def learn_bpe_merges(
     num_merges: int = 100,
     max_words: int = 100_000,
     min_pair_count: int = 2,
+    lowercase: bool = True,
 ) -> list[tuple[str, str]]:
     """Learn BPE merge rules from a corpus (Sennrich et al. 2016): start
     from characters, repeatedly merge the most frequent adjacent symbol
     pair, weighted by word frequency.
 
-    The distributed part is ONE aggregation: lowercase + whitespace-split
-    + explode + groupBy(word) with map-side partial counts, capped to the
-    ``max_words`` most frequent forms (TakeOrdered — per-partition heaps,
-    no global sort).  The merge loop itself runs on the driver over that
-    (word, count) table, which is how BPE is learned in practice — the
-    corpus is never touched again after the one shuffle.
+    The distributed part is ONE aggregation: case-fold (``lowercase=True``,
+    the default — pass ``False`` for a case-sensitive vocabulary; use the
+    SAME setting here and in :func:`bpe_encode` or upper-case tokens are
+    unreachable) + whitespace-split + explode + groupBy(word) with
+    map-side partial counts, capped to the ``max_words`` most frequent
+    forms (TakeOrdered — per-partition heaps, no global sort).  The merge
+    loop itself runs on the driver over that (word, count) table, which
+    is how BPE is learned in practice — the corpus is never touched again
+    after the one shuffle.
 
     Deterministic: ties on pair count break on the lexicographically
     smallest pair, so the same corpus always yields the same merges.
     Returns the merges in learned order (rank = list index).
     """
+    text = F.trim(F.col(text_col))
+    if lowercase:
+        text = F.lower(text)
     counts = (
-        df.select(
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-                "word"
-            )
-        )
+        df.select(F.explode(F.split(text, r"\s+")).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("count"))
@@ -192,7 +197,9 @@ def bpe_encode(
     mode: str = "longest",
     merges: list[tuple[str, str]] | None = None,
     unk_id: int = -1,
-    broadcast_words: bool = True,
+    broadcast_words: bool = False,
+    lowercase: bool = True,
+    max_word_len: int = 256,
 ) -> DataFrame:
     """Tokenize each document against a BPE vocab -> (doc_id, token_ids,
     n_tokens), the same contract as :func:`~pathwaydataframework_spark.
@@ -203,52 +210,120 @@ def bpe_encode(
     the learned merge rules by rank (exact Sennrich/tiktoken semantics —
     pass the ``merges`` list from :func:`learn_bpe_merges`).
 
+    Input is case-folded by default (``lowercase=True`` — match the
+    setting :func:`learn_bpe_merges` was run with; pass ``False`` for a
+    vocab containing upper-case tokens, which would otherwise be
+    unreachable).
+
+    Words longer than ``max_word_len`` characters are encoded in
+    ``max_word_len``-sized chunks (no token may span a chunk boundary):
+    natural-language words never get near the cap, but a whitespace-free
+    base64 blob or minified-JS line would otherwise make the merges-mode
+    kernel quadratic in the word length — the cap bounds the per-form
+    cost at O(max_word_len²) while still never dropping input.
+
     Plan: whitespace pre-tokenization + posexplode stay JVM-side; the
     Python kernel sees only ``distinct`` word forms (one Arrow crossing,
     vocab shipped once per executor via a SparkContext broadcast); the
-    encoded distinct-word table joins back — broadcast by default (a
-    distinct-word table is vocab-scale, not corpus-scale; pass
-    ``broadcast_words=False`` to let AQE decide for pathological
-    corpora) — and one doc-keyed groupBy re-assembles ordered ids.
+    encoded distinct-word table joins back, and one doc-keyed groupBy
+    re-assembles ordered ids.  The join is a plain equi-join by default
+    so AQE sizes it from the measured post-UDF table (a web corpus's
+    distinct whitespace tokens — URLs, hashes, numbers — run to hundreds
+    of millions of forms, where a forced broadcast is an OOM); pass
+    ``broadcast_words=True`` to force the hint when the distinct-form
+    table is known vocab-scale (measured sf0.1: forced broadcast saves
+    only the AQE planning tick, ~equal wall-clock — SCALE.md r8).
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    _check_mode(mode, merges, max_word_len)
+    encode_udf = _make_encode_udf(
+        df.sparkSession, vocab, mode, merges, unk_id, max_word_len
+    )
+    base, occ = _pretokenize(df, id_col, text_col, lowercase)
+    encoded = occ.select("word").distinct().select(
+        "word", encode_udf(F.col("word")).alias("__ids")
+    )
+    if broadcast_words:
+        encoded = F.broadcast(encoded)
+    return _assemble_docs(base, occ, encoded)
 
+
+def _check_mode(
+    mode: str, merges: list[tuple[str, str]] | None, max_word_len: int
+) -> None:
     if mode not in ("longest", "merges"):
         raise ValueError(f"unknown mode {mode!r}: expected 'longest' or 'merges'")
     if mode == "merges" and merges is None:
         raise ValueError("mode='merges' requires the merges list")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len must be >= 1, got {max_word_len}")
 
-    spark = df.sparkSession
+
+def _make_encode_udf(
+    spark,
+    vocab: dict[str, int],
+    mode: str,
+    merges: list[tuple[str, str]] | None,
+    unk_id: int,
+    max_word_len: int,
+):
+    """The Arrow-batched distinct-word kernel: word -> array<long> ids
+    (vocab/ranks shipped once per executor via SparkContext broadcasts;
+    over-cap words encoded in bounded chunks)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     bc_vocab = spark.sparkContext.broadcast(dict(vocab))
     max_len = max((len(t) for t in vocab), default=1)
     bc_ranks = spark.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)} if merges is not None else {}
     )
     use_merges = mode == "merges"
+    cap = max_word_len
 
     def _fn(words: pd.Series) -> pd.Series:
         v = bc_vocab.value
         r = bc_ranks.value
         if use_merges:
-            return words.map(lambda w: _encode_merges(w, r, v, unk_id))
-        return words.map(lambda w: _encode_longest(w, v, max_len, unk_id))
+            enc = lambda w: _encode_merges(w, r, v, unk_id)  # noqa: E731
+        else:
+            enc = lambda w: _encode_longest(w, v, max_len, unk_id)  # noqa: E731
+
+        def capped(w: str) -> list[int]:
+            if len(w) <= cap:
+                return enc(w)
+            out: list[int] = []
+            for i in range(0, len(w), cap):
+                out.extend(enc(w[i : i + cap]))
+            return out
+
+        return words.map(capped)
 
     _fn.__annotations__ = {"words": pd.Series, "return": pd.Series}
-    encode_udf = pandas_udf(_fn, "array<long>")
+    return pandas_udf(_fn, "array<long>")
 
+
+def _pretokenize(df: DataFrame, id_col: str, text_col: str, lowercase: bool):
+    """JVM-side whitespace pre-tokenization: (base doc frame with word
+    arrays, exploded (doc_id, pos, word) occurrences)."""
+    text = F.trim(F.col(text_col))
+    if lowercase:
+        text = F.lower(text)
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__words"),
+        F.split(text, r"\s+").alias("__words"),
     )
     occ = base.select("doc_id", F.posexplode("__words").alias("pos", "word")).filter(
         F.length("word") > 0
     )
-    encoded = occ.select("word").distinct().select(
-        "word", encode_udf(F.col("word")).alias("__ids")
-    )
-    if broadcast_words:
-        encoded = F.broadcast(encoded)
+    return base, occ
+
+
+def _assemble_docs(
+    base: DataFrame, occ: DataFrame, encoded: DataFrame
+) -> DataFrame:
+    """Fan the encoded word table back out over occurrences and rebuild
+    ordered per-doc id arrays (doc-keyed groupBy; empty docs survive with
+    an empty array)."""
     mapped = occ.join(encoded, on="word").select("doc_id", "pos", "__ids")
     assembled = mapped.groupBy("doc_id").agg(
         F.flatten(
@@ -265,3 +340,61 @@ def bpe_encode(
         filled.alias("token_ids"),
         F.size(filled).cast("long").alias("n_tokens"),
     )
+
+
+# -- incremental / streaming encode ------------------------------------------
+
+
+def bpe_word_table(spark) -> DataFrame:
+    """Empty persisted-state frame for :func:`bpe_encode_incremental`:
+    (word string, __ids array<long>) — the streaming analogue of the
+    Bloom bitmap frame (dedup.build_bloom_index): write it out with
+    ``.write.parquet`` between micro-batches and only NEW word forms
+    ever cross into Python again."""
+    return spark.createDataFrame([], "word string, __ids array<long>")
+
+
+def bpe_encode_incremental(
+    batch: DataFrame,
+    word_table: DataFrame,
+    vocab: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "longest",
+    merges: list[tuple[str, str]] | None = None,
+    unk_id: int = -1,
+    lowercase: bool = True,
+    max_word_len: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of :func:`bpe_encode` against a persisted
+    word→ids table: returns ``(encoded batch, updated word table)``.
+
+    The distinct-word kernel is naturally incremental — a word form
+    encodes to the same ids forever — so the streaming shape is the
+    Bloom-index fold-forward (dedup.update_bloom_index): anti-join the
+    batch's distinct forms against the table, encode ONLY the new forms
+    (the Arrow crossing shrinks batch over batch as the Zipfian head
+    saturates), union them into the table, and assemble the batch's
+    docs from the updated table.  Inside ``foreachBatch``, persist or
+    ``localCheckpoint`` the returned table and feed it to the next
+    batch; encode parameters must match across batches (they define the
+    table's meaning, like the Bloom m/k).
+
+    At 100 TB the table is bounded by DISTINCT corpus word forms (the
+    same scale argument as batch bpe_encode's join side), the per-batch
+    cost by batch size + new-form count — history is never re-encoded.
+    """
+    _check_mode(mode, merges, max_word_len)
+    encode_udf = _make_encode_udf(
+        batch.sparkSession, vocab, mode, merges, unk_id, max_word_len
+    )
+    base, occ = _pretokenize(batch, id_col, text_col, lowercase)
+    new_forms = (
+        occ.select("word")
+        .distinct()
+        .join(word_table.select("word"), on="word", how="left_anti")
+        .select("word", encode_udf(F.col("word")).alias("__ids"))
+    )
+    updated = word_table.unionByName(new_forms)
+    return _assemble_docs(base, occ, updated), updated

@@ -910,6 +910,47 @@ def dedup_by_url(
     return kept.unionByName(null_url)
 
 
+def _robots_grouped(
+    df: DataFrame, host_col: str, text_col: str, directives: tuple[str, ...]
+):
+    """Shared robots.txt line machinery: posexplode lines, strip comments,
+    regexp-extract (directive, value), keep only ``directives``, and tag
+    each row with its RFC 9309 group number (a group = a RUN of
+    consecutive User-agent lines plus the rule lines that follow; the
+    run is numbered with a lag+running-sum window per host in line
+    order — host-keyed, KB-sized, no skew concern).  Returns (tagged
+    frame, is_ua predicate)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    )
+    # Only group-relevant lines participate in run detection, so a blank
+    # line or an excluded directive between two User-agent lines doesn't
+    # break the run and a group's rules survive interleaved lines.
+    rel = parsed.filter(F.col("directive").isin(*directives))
+    order_w = W.partitionBy("host").orderBy("line_no")
+    run_w = order_w.rowsBetween(W.unboundedPreceding, 0)
+    is_ua = F.col("directive") == "user-agent"
+    starts_run = is_ua & ~F.coalesce(F.lag(is_ua).over(order_w), F.lit(False))
+    tagged = rel.withColumn("__group", F.sum(starts_run.cast("int")).over(run_w))
+    return tagged, is_ua
+
+
+def _robots_agents(tagged: DataFrame, is_ua) -> DataFrame:
+    """(host, __group, agent) — every agent of every User-agent run."""
+    return (
+        tagged.filter(is_ua)
+        .select("host", "__group", F.lower(F.col("value")).alias("agent"))
+        .dropDuplicates(["host", "__group", "agent"])
+    )
+
+
 def parse_robots(
     df: DataFrame, *, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:
@@ -931,34 +972,17 @@ def parse_robots(
     rules to all of its agents.  Handles case-insensitive directive
     names and multiple agent groups.  Empty Disallow ("allow
     everything", per the original spec) is kept as an allow-all rule
-    with path ''.
+    with path ''; a matched group with NO rule lines at all gets the
+    same sentinel (RFC 9309: empty group = everything allowed), so a
+    bot with its own empty group never falls through to ``*``.
+
+    Crawl-delay and Sitemap lines don't participate in rule matching —
+    :func:`robots_directives` surfaces them.
     """
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
-    ).withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
-    parsed = lines.select(
-        "host",
-        "line_no",
-        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
-        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
+    tagged, is_ua = _robots_grouped(
+        df, host_col, text_col, ("user-agent", "allow", "disallow")
     )
-    # Only group-relevant lines participate in run detection, so a blank
-    # line or Crawl-delay between two User-agent lines doesn't break the
-    # run and a group's rules survive interleaved unknown directives.
-    rel = parsed.filter(F.col("directive").isin("user-agent", "allow", "disallow"))
-    order_w = W.partitionBy("host").orderBy("line_no")
-    run_w = order_w.rowsBetween(W.unboundedPreceding, 0)
-    is_ua = F.col("directive") == "user-agent"
-    starts_run = is_ua & ~F.coalesce(F.lag(is_ua).over(order_w), F.lit(False))
-    tagged = rel.withColumn(
-        "__group", F.sum(starts_run.cast("int")).over(run_w)
-    )
-    agents = (
-        tagged.filter(is_ua)
-        .select("host", "__group", F.lower(F.col("value")).alias("agent"))
-        .dropDuplicates(["host", "__group", "agent"])
-    )
+    agents = _robots_agents(tagged, is_ua)
     rules = tagged.filter(~is_ua).select(
         "host",
         "__group",
@@ -966,10 +990,72 @@ def parse_robots(
         ((F.col("directive") == "allow") | (F.col("value") == "")).alias("allow"),
         F.col("value").alias("path"),
     )
-    # inner join: rules in __group 0 (before any User-agent line) drop out
-    return rules.join(agents, on=["host", "__group"]).select(
-        "host", "agent", "allow", "path"
+    # agents LEFT join rules: a matched group with zero rule lines means
+    # "everything allowed for that agent" (RFC 9309 §2.2.1) — emit the
+    # allow-all sentinel (allow=true, path='') instead of dropping the
+    # group, so robots_allowed won't silently fall back to '*'.  Rules in
+    # __group 0 (before any User-agent line) still drop out: no agents row.
+    return agents.join(rules, on=["host", "__group"], how="left").select(
+        "host",
+        "agent",
+        F.coalesce("allow", F.lit(True)).alias("allow"),
+        F.coalesce("path", F.lit("")).alias("path"),
     )
+
+
+def robots_directives(
+    df: DataFrame, *, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """The two robots.txt directives a real crawler needs that
+    :func:`parse_robots` deliberately excludes from rule matching —
+    ``Crawl-delay`` (per-host politeness pacing) and ``Sitemap``
+    (robots-declared sitemap discovery, the hop that grows a frontier) —
+    as one typed frame: (host, agent, directive, value).
+
+    Scoping follows how crawlers actually read them: ``Crawl-delay``
+    belongs to its RFC 9309 agent group (same consecutive-User-agent run
+    semantics as :func:`parse_robots` — a run's delay applies to every
+    agent in the run; a delay before any User-agent line is ignored),
+    while ``Sitemap`` is file-global per the sitemaps.org protocol, so
+    its rows carry a NULL agent.  Values are kept as strings (a delay is
+    typically a number but non-numeric values appear in the wild — cast
+    downstream with ``try_cast``); feed sitemap values into
+    :func:`~pathwaydataframework_spark.operators.parsers.sitemap_locs`
+    fetch results → :func:`canonicalize_urls` to close the discovery
+    loop.  Same plan shape as :func:`parse_robots`: per-host KB-scale
+    windows, one agents join — nothing corpus-sized.
+    """
+    tagged, is_ua = _robots_grouped(
+        df, host_col, text_col, ("user-agent", "allow", "disallow", "crawl-delay")
+    )
+    agents = _robots_agents(tagged, is_ua)
+    delays = (
+        tagged.filter(F.col("directive") == "crawl-delay")
+        .join(agents, on=["host", "__group"])
+        .select(
+            "host",
+            "agent",
+            F.lit("crawl-delay").alias("directive"),
+            F.col("value"),
+        )
+    )
+    # Sitemap is group-independent: parse it from the raw lines (it may
+    # appear before any User-agent line), agent NULL
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
+    sitemaps = lines.filter(
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)) == "sitemap"
+    ).select(
+        "host",
+        F.lit(None).cast("string").alias("agent"),
+        F.lit("sitemap").alias("directive"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias(
+            "value"
+        ),
+    )
+    return delays.unionByName(sitemaps)
 
 
 def robots_allowed(
@@ -984,8 +1070,17 @@ def robots_allowed(
     rules (:func:`parse_robots`), per RFC 9309 group selection: the
     frontier agent's OWN group decides where one exists for the host,
     else the ``*`` group, else everything is allowed; within the chosen
-    group the LONGEST-prefix-matching rule decides and Allow wins a
-    length tie (the common crawler interpretation).
+    group the LONGEST-matching rule decides (length of the rule pattern,
+    wildcards counted — the RFC's "most octets" reading, same as
+    Google's matcher) and Allow wins a length tie (the common crawler
+    interpretation).  Rule paths support the RFC 9309 special
+    characters: ``*`` matches any character run and a TRAILING ``$``
+    anchors the end of the URL (``Disallow: /*.php$`` blocks exactly
+    the URLs ending in ``.php``); a ``$`` anywhere else is literal.
+    Matching compiles each rule to a SQL LIKE pattern (``*``→``%``,
+    prefix rules get a trailing ``%``; literal ``%``/``_``/``\\``
+    escaped) — evaluated JVM-side inside the per-host rule array, no
+    regex engine involved.
 
     Frontier rows pass through UNTOUCHED — duplicates stay duplicates,
     and payload columns of any type (maps, binaries, …) ride along
@@ -1014,7 +1109,23 @@ def robots_allowed(
     )
     a = agent.lower()
     spec = F.lower(F.col("agent")) == a
-    rule = F.struct(F.col("path").alias("path"), F.col("allow").alias("allow"))
+    # compile the rule path to a LIKE pattern once, rules-side (KB-scale):
+    # strip a trailing '$' (end anchor), escape LIKE specials, '*' -> '%',
+    # and append '%' for ordinary prefix rules
+    ends = F.col("path").endswith("$")
+    body = F.when(
+        ends, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    esc = F.regexp_replace(body, r"([\\%_])", r"\\$1")
+    pat = F.concat(
+        F.regexp_replace(esc, r"\*", "%"),
+        F.when(ends, F.lit("")).otherwise(F.lit("%")),
+    )
+    rule = F.struct(
+        F.col("path").alias("path"),
+        F.col("allow").alias("allow"),
+        pat.alias("pat"),
+    )
     # one row per host: the agent's own group and the '*' group collected
     # side by side (collect_list skips the NULLs of the other branch);
     # the specific group wins when non-empty — RFC 9309 group selection
@@ -1036,7 +1147,7 @@ def robots_allowed(
         per_host = F.broadcast(per_host)
     joined = u.join(per_host, on="__host", how="left")
     matches = F.filter(
-        F.col("__rules"), lambda r: F.col("__path").startswith(r["path"])
+        F.col("__rules"), lambda r: F.like(F.col("__path"), r["pat"])
     )
     # longest matching rule wins; Allow beats Disallow on equal length
     # (struct ordering is lexicographic on (len, allow)); array_max of an

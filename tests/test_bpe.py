@@ -183,3 +183,42 @@ def test_bpe_packing_composition(spark, sf_dir):
         & (F.col("start_offset") != F.col("prev_end"))
     )
     assert gaps.count() == 0
+
+
+def test_bpe_encode_case_sensitive_vocab(spark):
+    """lowercase=False makes upper-case tokens reachable (ADVICE r7: the
+    default fold must be documented AND overridable, matched between
+    learning and encoding)."""
+    v = {"A": 0, "b": 1, "Ab": 2}
+    df = spark.createDataFrame([(0, "Ab A b")], "doc_id long, text string")
+    sensitive = bpe.bpe_encode(df, v, lowercase=False).collect()[0]
+    assert list(sensitive["token_ids"]) == [2, 0, 1]
+    # the default fold maps 'Ab'->'ab', unreachable in this vocab -> unk
+    folded = bpe.bpe_encode(df, v).collect()[0]
+    assert list(folded["token_ids"]) == [-1, 1, -1, 1]
+    # learning respects the same switch
+    merges = bpe.learn_bpe_merges(
+        df.select(F.lit("AB AB AB").alias("text")),
+        num_merges=1,
+        min_pair_count=1,
+        lowercase=False,
+    )
+    assert merges == [("A", "B")]
+
+
+def test_bpe_encode_word_length_cap(spark):
+    """Words over max_word_len encode in bounded chunks — no token spans
+    a chunk boundary, nothing is dropped, kernel cost stays O(cap^2)."""
+    v = {"a": 0, "b": 1, "ab": 2}
+    # 'abab' with cap=3 -> chunks 'aba'|'b' -> [ab, a] + [b]
+    df = spark.createDataFrame([(0, "abab")], "doc_id long, text string")
+    out = bpe.bpe_encode(df, v, max_word_len=3).collect()[0]
+    assert list(out["token_ids"]) == [2, 0, 1]
+    # uncapped would be [ab, ab]
+    out2 = bpe.bpe_encode(df, v).collect()[0]
+    assert list(out2["token_ids"]) == [2, 2]
+    # a base64-ish blob still encodes completely under a tiny cap
+    blob = "ab" * 500
+    df3 = spark.createDataFrame([(0, blob)], "doc_id long, text string")
+    out3 = bpe.bpe_encode(df3, v, mode="merges", merges=[("a", "b")], max_word_len=64).collect()[0]
+    assert out3["n_tokens"] == 500 and set(out3["token_ids"]) == {2}

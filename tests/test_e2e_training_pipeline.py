@@ -122,23 +122,65 @@ def test_crawl_front_end_pipeline(spark, sf_dir):
     n_docs = pages.count()
     assert frontier.count() == 4 * n_docs
 
-    # 2. robots politeness: every site Disallows /private; hub allows all
+    # 2. robots politeness: every site Disallows /private and declares a
+    # Crawl-delay plus a robots-declared sitemap; hub allows all
     robots = spark.createDataFrame(
-        [(f"site{i}.test", "User-agent: *\nDisallow: /private") for i in range(5)]
+        [
+            (
+                f"site{i}.test",
+                f"User-agent: *\nCrawl-delay: {i + 1}\nDisallow: /private\n"
+                f"Sitemap: https://site{i}.test/sitemap.xml",
+            )
+            for i in range(5)
+        ]
         + [("hub.test", "User-agent: *\nDisallow:")],
         "host string, robots_txt string",
     )
+
+    # 2a. the discovery loop real crawlers run: robots_directives surfaces
+    # the declared sitemaps + per-host politeness delays; fetching each
+    # sitemap (modeled as a join on the declared URL) grows the frontier
+    directives = text.robots_directives(robots)
+    delays = {
+        r["host"]: int(r["value"])
+        for r in directives.filter(F.col("directive") == "crawl-delay").collect()
+    }
+    assert delays == {f"site{i}.test": i + 1 for i in range(5)}
+    fetched = spark.createDataFrame(
+        [
+            (
+                f"https://site{i}.test/sitemap.xml",
+                f"<urlset><url><loc>https://site{i}.test/robotsm{i}"
+                "</loc></url></urlset>",
+            )
+            for i in range(5)
+        ],
+        "sitemap_url string, xml string",
+    )
+    discovered = (
+        directives.filter(F.col("directive") == "sitemap")
+        .join(fetched, F.col("value") == F.col("sitemap_url"))
+        .select(
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.lit(0).cast("long").alias("n_chars"),
+            F.explode(sitemap_locs(F.col("xml"))).alias("url"),
+        )
+    )
+    frontier = frontier.unionByName(discovered)
+    assert frontier.count() == 4 * n_docs + 5
+
     gated = text.robots_allowed(
         frontier, text.parse_robots(robots), agent="bot", broadcast=True
     )
     allowed = gated.filter(F.col("allowed")).drop("allowed")
     # exactly the sitemap /private rows drop; row multiplicity preserved
-    assert allowed.count() == 3 * n_docs
+    assert allowed.count() == 3 * n_docs + 5
 
     # 3. canonicalize + URL-dedup
     deduped = text.dedup_by_url(allowed, tie_col="doc_id")
-    # hub collapses to ONE row; per-doc page + sitemap pages all survive
-    assert deduped.count() == 1 + 2 * n_docs
+    # hub collapses to ONE row; per-doc page + sitemap pages + the 5
+    # robots-discovered pages all survive
+    assert deduped.count() == 1 + 2 * n_docs + 5
 
     # 4. per-site quota: at most 3 URLs per registrable domain
     quota = sampling.per_key_topk(

@@ -766,3 +766,99 @@ def test_robots_allowed_preserves_rows(spark):
     verdicts = sorted((r["id"], r["allowed"]) for r in out)
     assert verdicts == [(1, False), (1, False), (2, True)]
     assert all(dict(r["meta"]) == {"k": r["id"]} for r in out)
+
+
+def test_robots_allowed_wildcards(spark):
+    """RFC 9309 special characters (ADVICE r7): '*' matches any char run,
+    a trailing '$' anchors the end of the URL; '$' elsewhere and LIKE
+    metacharacters in rule paths are literal."""
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nDisallow: /*.php$\nAllow: /pub*.php$"),
+            ("b.test", "User-agent: *\nDisallow: /a*b"),
+            # '%' and '_' are literal in rule paths, not LIKE wildcards
+            # (the %2A is a valid percent-escape so the URL parses)
+            ("c.test", "User-agent: *\nDisallow: /p%2Aq_x"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.test/dir/page.php"),    # *.php$ hits
+            (2, "https://a.test/dir/page.php?q"),  # $ anchors: query -> no hit
+            (3, "https://a.test/pubx.php"),        # longer Allow wins
+            (4, "https://a.test/x.phpx"),          # not ending .php
+            (5, "https://b.test/aXYb/tail"),       # mid '*' is a run
+            (6, "https://b.test/ab"),              # '*' matches empty
+            (7, "https://b.test/ax"),              # no trailing b
+            (8, "https://c.test/p%2Aq_x/y"),       # literal % and _ match
+            (9, "https://c.test/pX2Aq_x/y"),       # '%' is NOT any-run
+            (10, "https://c.test/p%2AqAx/y"),      # '_' is NOT any-char
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in text.robots_allowed(urls, text.parse_robots(robots)).collect()
+    }
+    assert got == {
+        1: False, 2: True, 3: True, 4: True,
+        5: False, 6: False, 7: True,
+        8: False, 9: True, 10: True,
+    }
+
+
+def test_parse_robots_empty_group_allows_all(spark):
+    """RFC 9309: a matched group with no rule lines means everything is
+    allowed for that agent — parse_robots emits the allow-all sentinel
+    instead of dropping the group, so the agent doesn't inherit '*'
+    (ADVICE r7).  Under the RFC grammar consecutive User-agent lines
+    (blanks ignored) form ONE run, so an empty group can only sit at
+    end-of-file — exactly the ADVICE example."""
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nDisallow: /\n\nUser-agent: bot")],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["host"], r["agent"], r["allow"], r["path"])
+        for r in text.parse_robots(robots).collect()
+    }
+    assert rules == {
+        ("a.test", "bot", True, ""),
+        ("a.test", "*", False, "/"),
+    }
+    urls = spark.createDataFrame([(1, "https://a.test/x")], "id long, url string")
+    parsed = text.parse_robots(robots)
+    assert text.robots_allowed(urls, parsed, agent="bot").collect()[0]["allowed"]
+    assert not text.robots_allowed(urls, parsed).collect()[0]["allowed"]
+
+
+def test_robots_directives(spark):
+    """Crawl-delay is agent-group-scoped (consecutive-UA-run semantics,
+    pre-group delays ignored); Sitemap is host-global with NULL agent,
+    even when it appears before any User-agent line."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.test",
+                "Sitemap: https://a.test/sm.xml\n"
+                "User-agent: a\nUser-agent: b\nCrawl-delay: 2\nDisallow: /x\n"
+                "\nUser-agent: c\nCrawl-delay: 10\n"
+                "Sitemap: https://a.test/sm2.xml",
+            ),
+            ("b.test", "Crawl-delay: 9\nUser-agent: *\nDisallow: /z"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        (r["host"], r["agent"], r["directive"], r["value"])
+        for r in text.robots_directives(robots).collect()
+    }
+    assert got == {
+        ("a.test", "a", "crawl-delay", "2"),
+        ("a.test", "b", "crawl-delay", "2"),
+        ("a.test", "c", "crawl-delay", "10"),
+        ("a.test", None, "sitemap", "https://a.test/sm.xml"),
+        ("a.test", None, "sitemap", "https://a.test/sm2.xml"),
+        # b.test's orphan Crawl-delay (no group) is ignored; no sitemap
+    }

@@ -639,3 +639,75 @@ def test_streaming_crawl_front_end_three_batches(spark, tmp_path):
     # the shared hub link survives exactly once across the whole stream
     hub = [s for s in state["survivors"] if s[1] == "https://hub.test/home"]
     assert len(hub) == 1
+
+
+def test_streaming_bpe_encode_three_batches(spark, tmp_path):
+    """BPE encoding as a REAL stream (VERDICT r7 item 8): three
+    overlapping micro-batches (maxFilesPerTrigger=1) through
+    bpe_encode_incremental inside foreachBatch, the word→ids table
+    folded forward per batch — the Bloom-index pattern applied to the
+    distinct-word kernel.  Checks (a) streamed per-doc ids equal the
+    one-shot batch bpe_encode over the same corpus, and (b) the Arrow
+    crossing SHRINKS: each batch adds only its genuinely new word forms
+    to the table, and a batch with no new forms adds zero."""
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import bpe
+
+    # batch 0 introduces w0..w9, batch 1 w10..w19, batch 2 reuses w0..w9
+    def doc_text(d):
+        return f"the table w{d % 20}"
+
+    batches = [list(range(0, 10)), list(range(10, 20)), list(range(20, 30))]
+    src = tmp_path / "bpe_stream"
+    src.mkdir()
+    for i, ids in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            [(d, doc_text(d)) for d in ids], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(stage))
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in ("th", "the", "ta", "table", "w"):
+        vocab[t] = len(vocab)
+
+    state = {
+        "table": bpe.bpe_word_table(spark),
+        "docs": {},
+        "table_sizes": [],
+    }
+
+    def handle(bdf, _epoch):
+        enc, updated = bpe.bpe_encode_incremental(bdf, state["table"], vocab)
+        for r in enc.collect():
+            state["docs"][r["doc_id"]] = list(r["token_ids"])
+        state["table"] = updated.localCheckpoint()
+        state["table_sizes"].append(state["table"].count())
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert len(state["docs"]) == 30
+    # (a) parity with the one-shot batch encode over the full corpus
+    full = spark.createDataFrame(
+        [(d, doc_text(d)) for ids in batches for d in ids],
+        "doc_id long, text string",
+    )
+    expected = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe.bpe_encode(full, vocab).collect()
+    }
+    assert state["docs"] == expected
+    # (b) the table grows only by NEW forms: 'the','table' + w0..w9 = 12,
+    # then +w10..w19 = 22, then +0 (batch 2 is all reused forms)
+    assert state["table_sizes"] == [12, 22, 22]
