@@ -2509,6 +2509,64 @@ def q_crawl_delay(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer inverse (operators/bpe.py bpe_decode — tiktoken's
+    ``decode`` as an engine operator): each document's first 8 words
+    encode (greedy longest-match, q_bpe_tokenize vocab: full a-z base,
+    so the encoding is lossless) and decode back.  The oracle never
+    touches BPE at all — it states the roundtrip CONTRACT directly:
+    decode(encode(x)) = x with whitespace removed (the encoder's
+    whitespace pre-tokenization is the only lossy step).  Decode is
+    pure Catalyst: id->token table join + ordered doc-keyed
+    re-assembly, no map literal, no Python."""
+    from pathwaydataframework_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
+        ).alias("text"),
+    )
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in (
+        "th", "he", "the", "ta", "ab", "le", "tab", "table", "va", "al",
+        "ue", "val", "value", "ar", "row", "sc", "an", "scan", "fa", "st",
+        "fast", "ke", "key", "pa", "rt", "part", "ha", "sh", "hash",
+    ):
+        vocab[t] = len(vocab)
+    enc = bpe.bpe_encode(trunc, vocab, mode="longest")
+    return bpe.bpe_decode(enc, vocab).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host politeness pacing (text.schedule_fetches — the step after
+    the robots gate): 20 hosts' URL queues get deterministic md5-order
+    positions and fetch offsets honoring each host's Crawl-delay
+    (fetch_offset_s = fetch_seq * delay; hosts h10..h19 carry no delay
+    row and pace at the 1 s default).  No global sort and no per-host
+    single-partition window — the 256-shard monotone layout of
+    deterministic_shuffle, grouped by host, so a hot host spreads over
+    all shards.  Oracle replays the queue with a per-host row_number
+    over the same md5 order."""
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    g = d % 20
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), g, F.lit(".test")).alias("host"),
+        F.concat(F.lit("https://h"), g, F.lit(".test/p"), d).alias("url"),
+    )
+    delays = docs.filter(d < 10).select(
+        F.concat(F.lit("h"), d, F.lit(".test")).alias("host"),
+        (d % 7 + 1).cast("long").alias("crawl_delay"),
+    )
+    out = text.schedule_fetches(frontier, delays, seed=3)
+    return out.select("doc_id", "host", "url", "fetch_seq", "fetch_offset_s")
+
+
 def q_token_budget_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Token budgets in TOKENS, not chars (r7 advice): bpe_encode's
     n_tokens composes with sampling.token_budget_sample — "keep the
@@ -2763,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_crawl_delay": q_crawl_delay,
         "q_token_budget_bpe": q_token_budget_bpe,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_fetch_schedule": q_fetch_schedule,
         # --- latest driver row r6 ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
@@ -4467,8 +4527,11 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_tokenize": r"""
             -- independent replay of greedy longest-match BPE: a recursive
             -- CTE peels the longest vocab prefix off each word one token
-            -- at a time; row_number over (word ordinal, peel step)
-            -- reconstructs the flattened per-doc token position
+            -- at a time; UNK-safe (r8): a position with NO vocab prefix
+            -- emits -1 and advances one character, matching the kernel's
+            -- unk_id contract instead of stalling; row_number over
+            -- (word ordinal, peel step) reconstructs the flattened
+            -- per-doc token position
             WITH RECURSIVE vocab(tok, tid) AS (
               SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
               UNION ALL
@@ -4492,13 +4555,19 @@ def oracle_sql() -> dict[str, str]:
             step(doc_id, wp, rest, k, tid) AS (
               SELECT doc_id, wp, w, 0, NULL::INT FROM words
               UNION ALL
-              SELECT s.doc_id, s.wp, substr(s.rest, length(v.tok)+1),
-                     s.k+1, v.tid
-              FROM step s JOIN vocab v
-                ON starts_with(s.rest, v.tok)
-               AND length(v.tok) = (SELECT max(length(v2.tok)) FROM vocab v2
-                                    WHERE starts_with(s.rest, v2.tok))
-              WHERE s.rest <> ''
+              SELECT doc_id, wp,
+                     substr(rest, coalesce(length(best.tok), 1) + 1),
+                     k + 1,
+                     coalesce(best.tid, -1)
+              FROM (
+                SELECT s.*,
+                       (SELECT max_by(struct_pack(tok := v.tok,
+                                                  tid := v.tid),
+                                      length(v.tok))
+                        FROM vocab v
+                        WHERE starts_with(s.rest, v.tok)) AS best
+                FROM step s WHERE s.rest <> ''
+              )
             )
             SELECT doc_id,
                    (row_number() OVER (PARTITION BY doc_id
@@ -4592,6 +4661,40 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || doc_id::VARCHAR || '.test/Page'
                        || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR
                        AS norm_url
+            FROM documents
+        """,
+        "q_fetch_schedule": """
+            -- per-host queue replay: row_number over the same md5(url:3)
+            -- order; hosts 0..9 declare delay (host_idx % 7 + 1), the
+            -- rest pace at the 1 s default
+            WITH frontier AS (
+                SELECT doc_id, doc_id % 20 AS g,
+                       'h' || (doc_id % 20)::VARCHAR || '.test' AS host,
+                       'https://h' || (doc_id % 20)::VARCHAR || '.test/p'
+                           || doc_id::VARCHAR AS url
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, g, host, url,
+                       (row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY md5(url || ':3'), url
+                       ) - 1)::BIGINT AS fetch_seq
+                FROM frontier
+            )
+            SELECT doc_id, host, url, fetch_seq,
+                   (fetch_seq * CASE WHEN g < 10 THEN g % 7 + 1
+                                     ELSE 1 END)::DOUBLE AS fetch_offset_s
+            FROM o
+        """,
+        "q_bpe_roundtrip": r"""
+            -- the roundtrip contract stated directly, no BPE replay:
+            -- decode(encode(x)) = x minus whitespace (full a-z base
+            -- vocab makes the a-z-only corpus encode losslessly)
+            SELECT doc_id,
+                   array_to_string(
+                       string_split_regex(lower(trim(text)),
+                                          '\s+')[1:8], '') AS text
             FROM documents
         """,
         "q_token_budget_bpe": r"""

@@ -38,6 +38,7 @@ __all__ = [
     "learn_bpe_merges",
     "bpe_vocab",
     "bpe_encode",
+    "bpe_decode",
     "bpe_word_table",
     "bpe_encode_incremental",
 ]
@@ -339,6 +340,56 @@ def _assemble_docs(
         "doc_id",
         filled.alias("token_ids"),
         F.size(filled).cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_decode(
+    df: DataFrame,
+    vocab: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    unk_token: str = "�",
+) -> DataFrame:
+    """token ids -> (doc_id, text): the inverse of :func:`bpe_encode`,
+    tiktoken's ``decode`` as an engine operator.  Ids outside the vocab
+    (e.g. ``unk_id``) decode to ``unk_token``.
+
+    Whitespace is NOT recoverable from plain BPE ids (the encoder's
+    whitespace pre-tokenization discards it), so the decoded text is the
+    per-doc concatenation of token strings — ``decode(encode(x))``
+    equals ``x`` with whitespace removed, which is the roundtrip
+    contract the driver query pins.
+
+    Plan: the id->token table is a small DataFrame joined to the
+    posexploded ids (vocab-scale side, AQE broadcasts it), then the same
+    ordered doc-keyed re-assembly as encoding — never a giant map
+    literal in the expression tree (a 100k-entry ``create_map`` would
+    blow up codegen), never a Python crossing.
+    """
+    spark = df.sparkSession
+    vtab = spark.createDataFrame(
+        [(i, t) for t, i in vocab.items()], "__tid long, __tok string"
+    )
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(F.col(ids_col)).alias("pos", "__tid"),
+    ).filter(F.col("pos").isNotNull())
+    joined = occ.join(vtab, on="__tid", how="left").select(
+        "doc_id", "pos", F.coalesce("__tok", F.lit(unk_token)).alias("__tok")
+    )
+    assembled = joined.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            "",
+        ).alias("text")
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(assembled, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
     )
 
 

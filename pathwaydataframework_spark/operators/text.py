@@ -1058,6 +1058,68 @@ def robots_directives(
     return delays.unionByName(sitemaps)
 
 
+def schedule_fetches(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    default_delay: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-host politeness pacing — the step AFTER the robots gate: give
+    every frontier URL a deterministic per-host queue position
+    (``fetch_seq``, 0-based, md5(url:seed) order — reproducible across
+    runs and cluster sizes) and the earliest fetch time it respects the
+    host's ``Crawl-delay`` (``fetch_offset_s = fetch_seq * delay``
+    seconds from the host's first fetch).
+
+    ``delays`` is a (host, crawl_delay) frame — typically
+    :func:`robots_directives` output filtered to crawl-delay rows and
+    ``try_cast`` to a number — left-joined on ``host_col``; hosts
+    without a declared delay (or a non-numeric one) pace at
+    ``default_delay``.
+
+    Scale shape: politeness is inherently a PER-HOST serialization, but
+    numbering the queue needs no global sort and no per-host
+    single-partition window — positions come from the same 256-shard
+    monotone layout as :func:`~pathwaydataframework_spark.operators.
+    sampling.deterministic_shuffle` (`_sharded_running_total` with
+    count weight, grouped by host), so a 10⁸-URL hot host spreads over
+    all shards.  Rows with a NULL url are excluded (cannot be
+    deterministically queued), like every sampling predicate; NULL
+    hosts form a real group.
+    """
+    from pathwaydataframework_spark.operators.sampling import (
+        _sharded_running_total,
+    )
+
+    if delays is not None:
+        d = delays.select(
+            F.col(host_col),
+            F.col(delay_col).cast("double").alias("__delay"),
+        )
+        frontier = frontier.join(d, on=host_col, how="left")
+    else:
+        frontier = frontier.withColumn("__delay", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("__delay"), F.lit(float(default_delay)))
+    out = _sharded_running_total(
+        frontier,
+        url_col,
+        seed=seed,
+        weight=F.lit(1).cast("long"),
+        grp=[host_col],
+    )
+    return (
+        out.withColumn("fetch_seq", (F.col("__total") - 1).cast("long"))
+        .withColumn(
+            "fetch_offset_s", (F.col("fetch_seq") * delay).cast("double")
+        )
+        .drop("__total", "__delay")
+    )
+
+
 def robots_allowed(
     urls: DataFrame,
     rules: DataFrame,

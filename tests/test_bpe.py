@@ -222,3 +222,33 @@ def test_bpe_encode_word_length_cap(spark):
     df3 = spark.createDataFrame([(0, blob)], "doc_id long, text string")
     out3 = bpe.bpe_encode(df3, v, mode="merges", merges=[("a", "b")], max_word_len=64).collect()[0]
     assert out3["n_tokens"] == 500 and set(out3["token_ids"]) == {2}
+
+
+def test_bpe_decode_roundtrip_and_unk(spark):
+    """bpe_decode inverts bpe_encode up to whitespace; out-of-vocab ids
+    decode to the unk_token; empty docs survive with empty text."""
+    v = bpe.bpe_vocab([("t", "h"), ("th", "e")], alphabet="abcdefghijklmnopqrstuvwxyz")
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, ""), (2, "ab the")], "doc_id long, text string"
+    )
+    enc = bpe.bpe_encode(df, v)
+    out = {r["doc_id"]: r["text"] for r in bpe.bpe_decode(enc, v).collect()}
+    assert out == {0: "thecat", 1: "", 2: "abthe"}
+    # an unk id (e.g. from a digit) decodes to the replacement token
+    enc7 = bpe.bpe_encode(
+        spark.createDataFrame([(0, "a7b")], "doc_id long, text string"), v
+    )
+    (dec,) = bpe.bpe_decode(enc7, v, unk_token="?").collect()
+    assert dec["text"] == "a?b"
+
+
+def test_bpe_decode_no_python_no_map_literal(spark, sf_dir):
+    """Decode stays JVM-side: no Arrow/Python eval nodes, and the vocab
+    arrives as a joined table, not an expression-tree map literal."""
+    docs = load_table(spark, sf_dir, "documents").df
+    v = bpe.bpe_vocab([("t", "h")], alphabet="abcdefghijklmnopqrstuvwxyz")
+    enc = bpe.bpe_encode(docs, v)
+    plan = bpe.bpe_decode(enc, v)._jdf.queryExecution().optimizedPlan().toString()
+    # encode's single kernel is the only Python crossing in the whole tree
+    assert plan.count("ArrowEvalPython") == 1
+    assert "map_from" not in plan and "CreateMap" not in plan

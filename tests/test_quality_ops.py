@@ -862,3 +862,40 @@ def test_robots_directives(spark):
         ("a.test", None, "sitemap", "https://a.test/sm2.xml"),
         # b.test's orphan Crawl-delay (no group) is ignored; no sitemap
     }
+
+
+def test_schedule_fetches(spark):
+    """Per-host politeness pacing: deterministic md5-order queue
+    positions, fetch offsets = seq * the host's delay (default for
+    undeclared hosts), NULL urls excluded, NULL host a real group."""
+    frontier = spark.createDataFrame(
+        [
+            ("a.test", "https://a.test/1"),
+            ("a.test", "https://a.test/2"),
+            ("a.test", "https://a.test/3"),
+            ("b.test", "https://b.test/1"),
+            ("b.test", "https://b.test/2"),
+            (None, "https://c.test/naked"),
+            ("a.test", None),
+        ],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame([("a.test", 5)], "host string, crawl_delay long")
+    out = text.schedule_fetches(frontier, delays, seed=1).collect()
+    assert len(out) == 6  # NULL url dropped; NULL host kept
+    by_host: dict = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # per-host seqs are 0..n-1 and offsets scale by the host's delay
+    a = sorted(by_host["a.test"], key=lambda r: r["fetch_seq"])
+    assert [r["fetch_seq"] for r in a] == [0, 1, 2]
+    assert [r["fetch_offset_s"] for r in a] == [0.0, 5.0, 10.0]
+    b = sorted(by_host["b.test"], key=lambda r: r["fetch_seq"])
+    assert [r["fetch_offset_s"] for r in b] == [0.0, 1.0]  # default delay
+    assert [r["fetch_seq"] for r in by_host[None]] == [0]
+    # md5 order is stable: same seed -> same queue, new seed -> may differ
+    again = {
+        (r["host"], r["url"]): r["fetch_seq"]
+        for r in text.schedule_fetches(frontier, delays, seed=1).collect()
+    }
+    assert all(again[(r["host"], r["url"])] == r["fetch_seq"] for r in out)
