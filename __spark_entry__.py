@@ -2541,6 +2541,48 @@ def q_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_robots_wildcards(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 9309 wildcard rule matching (text.robots_allowed r8: '*' =
+    any character run, trailing '$' = end-of-URL anchor, LIKE
+    metacharacters in rule paths literal — each rule compiled to a SQL
+    LIKE pattern matched JVM-side in the per-host rule array).  Four
+    hosts exercise the four pattern shapes ('/*.php$' + longer Allow
+    override, mid-pattern '/a*b', literal %/_ in '/p%2Aq_x', exact
+    '/exact$'); docs with even doc_id//4 hit the Disallow, odd ones
+    miss it (the quotient's parity — doc_id%2 would be constant within
+    a doc_id%4 host class), so the oracle derives every verdict from
+    doc_id arithmetic."""
+    robots = spark.createDataFrame(
+        [
+            ("w0.test", "User-agent: *\nDisallow: /*.php$\nAllow: /pub*.php$"),
+            ("w1.test", "User-agent: *\nDisallow: /a*b"),
+            ("w2.test", "User-agent: *\nDisallow: /p%2Aq_x"),
+            ("w3.test", "User-agent: *\nDisallow: /exact$"),
+        ],
+        "host string, robots_txt string",
+    )
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    g = d % 4
+    even = F.expr("doc_id div 4") % 2 == 0
+    path = (
+        F.when(g == 0, F.when(even, F.concat(F.lit("/dir/pg"), d, F.lit(".php")))
+               .otherwise(F.concat(F.lit("/pub"), d, F.lit(".php"))))
+        .when(g == 1, F.when(even, F.concat(F.lit("/a"), d, F.lit("b")))
+              .otherwise(F.concat(F.lit("/x"), d)))
+        .when(g == 2, F.when(even, F.concat(F.lit("/p%2Aq_x/y"), d))
+              .otherwise(F.concat(F.lit("/pX2Aq_x/"), d)))
+        .otherwise(F.when(even, F.lit("/exact"))
+                   .otherwise(F.concat(F.lit("/exact/"), d)))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://w"), g, F.lit(".test"), path).alias("url"),
+    )
+    out = text.robots_allowed(urls, text.parse_robots(robots))
+    return out.select("doc_id", "url", "allowed")
+
+
 def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host politeness pacing (text.schedule_fetches — the step after
     the robots gate): 20 hosts' URL queues get deterministic md5-order
@@ -2823,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_bpe": q_token_budget_bpe,
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_fetch_schedule": q_fetch_schedule,
+        "q_robots_wildcards": q_robots_wildcards,
         # --- latest driver row r6 ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
@@ -4661,6 +4704,32 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || doc_id::VARCHAR || '.test/Page'
                        || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR
                        AS norm_url
+            FROM documents
+        """,
+        "q_robots_wildcards": """
+            -- verdicts by doc_id//4 parity (doc_id%2 is constant within
+            -- a %4 host class): even-quotient docs hit their host's
+            -- wildcard Disallow, odd-quotient miss it; w0's odd docs prove the LONGER Allow '/pub*.php$'
+            -- overrides '/*.php$'
+            SELECT doc_id,
+                   'https://w' || (doc_id % 4)::VARCHAR || '.test' ||
+                   CASE
+                     WHEN doc_id % 4 = 0 AND (doc_id // 4) % 2 = 0
+                       THEN '/dir/pg' || doc_id::VARCHAR || '.php'
+                     WHEN doc_id % 4 = 0
+                       THEN '/pub' || doc_id::VARCHAR || '.php'
+                     WHEN doc_id % 4 = 1 AND (doc_id // 4) % 2 = 0
+                       THEN '/a' || doc_id::VARCHAR || 'b'
+                     WHEN doc_id % 4 = 1
+                       THEN '/x' || doc_id::VARCHAR
+                     WHEN doc_id % 4 = 2 AND (doc_id // 4) % 2 = 0
+                       THEN '/p%2Aq_x/y' || doc_id::VARCHAR
+                     WHEN doc_id % 4 = 2
+                       THEN '/pX2Aq_x/' || doc_id::VARCHAR
+                     WHEN (doc_id // 4) % 2 = 0 THEN '/exact'
+                     ELSE '/exact/' || doc_id::VARCHAR
+                   END AS url,
+                   ((doc_id // 4) % 2 = 1) AS allowed
             FROM documents
         """,
         "q_fetch_schedule": """
