@@ -930,14 +930,23 @@ def _robots_grouped(
         F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("directive"),
         F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias("value"),
     )
-    # Only group-relevant lines participate in run detection, so a blank
-    # line or an excluded directive between two User-agent lines doesn't
-    # break the run and a group's rules survive interleaved lines.
+    # Run detection looks only at GROUP lines (user-agent/allow/disallow),
+    # so a blank line, comment, or other directive (Crawl-delay, …)
+    # between two User-agent lines doesn't break the run — the lenient
+    # RFC 9309 reading every major parser takes.  `directives` may
+    # include extra rows (robots_directives tags crawl-delay lines with
+    # the group they sit inside) without affecting the grouping:
+    # prev-group-line is a last(ignorenulls) over the group lines only,
+    # not a plain lag over whatever happens to be in the frame.
     rel = parsed.filter(F.col("directive").isin(*directives))
     order_w = W.partitionBy("host").orderBy("line_no")
     run_w = order_w.rowsBetween(W.unboundedPreceding, 0)
     is_ua = F.col("directive") == "user-agent"
-    starts_run = is_ua & ~F.coalesce(F.lag(is_ua).over(order_w), F.lit(False))
+    is_groupline = F.col("directive").isin("user-agent", "allow", "disallow")
+    prev_groupline_is_ua = F.last(
+        F.when(is_groupline, is_ua), ignorenulls=True
+    ).over(order_w.rowsBetween(W.unboundedPreceding, -1))
+    starts_run = is_ua & ~F.coalesce(prev_groupline_is_ua, F.lit(False))
     tagged = rel.withColumn("__group", F.sum(starts_run.cast("int")).over(run_w))
     return tagged, is_ua
 

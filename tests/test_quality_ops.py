@@ -862,6 +862,22 @@ def test_robots_directives(spark):
         ("a.test", None, "sitemap", "https://a.test/sm2.xml"),
         # b.test's orphan Crawl-delay (no group) is ignored; no sitemap
     }
+    # a Crawl-delay BETWEEN two User-agent lines of one run neither
+    # splits the run (both agents share delay and rules — the lenient
+    # grouping parse_robots also uses) nor leaks into the next group
+    mid = spark.createDataFrame(
+        [("c.test", "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    got_mid = {
+        (r["agent"], r["value"])
+        for r in text.robots_directives(mid).collect()
+    }
+    assert got_mid == {("a", "2"), ("b", "2")}
+    rules_mid = {
+        (r["agent"], r["path"]) for r in text.parse_robots(mid).collect()
+    }
+    assert rules_mid == {("a", "/x"), ("b", "/x")}
 
 
 def test_schedule_fetches(spark):
