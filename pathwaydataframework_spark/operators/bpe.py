@@ -362,14 +362,19 @@ def bpe_decode(
     contract the driver query pins.
 
     Plan: the id->token table is a small DataFrame joined to the
-    posexploded ids (vocab-scale side, AQE broadcasts it), then the same
-    ordered doc-keyed re-assembly as encoding — never a giant map
-    literal in the expression tree (a 100k-entry ``create_map`` would
-    blow up codegen), never a Python crossing.
+    posexploded ids, then the same ordered doc-keyed re-assembly as
+    encoding — never a giant map literal in the expression tree (a
+    100k-entry ``create_map`` would blow up codegen), never a Python
+    crossing.  The table gets an explicit broadcast hint: unlike the
+    corpus-DERIVED distinct-word table in :func:`bpe_encode` (where the
+    size is unknowable and AQE decides), this one is the caller's vocab
+    dict — vocab-scale by construction.
     """
     spark = df.sparkSession
-    vtab = spark.createDataFrame(
-        [(i, t) for t, i in vocab.items()], "__tid long, __tok string"
+    vtab = F.broadcast(
+        spark.createDataFrame(
+            [(i, t) for t, i in vocab.items()], "__tid long, __tok string"
+        )
     )
     occ = df.select(
         F.col(id_col).alias("doc_id"),

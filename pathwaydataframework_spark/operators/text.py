@@ -1076,6 +1076,7 @@ def schedule_fetches(
     delay_col: str = "crawl_delay",
     default_delay: float = 1.0,
     seed: int = 0,
+    start_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-host politeness pacing — the step AFTER the robots gate: give
     every frontier URL a deterministic per-host queue position
@@ -1099,6 +1100,12 @@ def schedule_fetches(
     all shards.  Rows with a NULL url are excluded (cannot be
     deterministically queued), like every sampling predicate; NULL
     hosts form a real group.
+
+    ``start_counts`` (a (host, n_scheduled) frame — see
+    :func:`host_fetch_counts`) shifts each host's queue start: URLs
+    number from the host's prior total instead of 0, which is how
+    :func:`schedule_fetches_incremental` keeps pacing continuous
+    across micro-batches.
     """
     from pathwaydataframework_spark.operators.sampling import (
         _sharded_running_total,
@@ -1120,13 +1127,77 @@ def schedule_fetches(
         weight=F.lit(1).cast("long"),
         grp=[host_col],
     )
+    base = F.lit(0).cast("long")
+    if start_counts is not None:
+        prev = start_counts.select(
+            F.col(host_col), F.col("n_scheduled").alias("__prev")
+        )
+        out = out.join(prev, on=host_col, how="left")
+        base = F.coalesce(F.col("__prev"), F.lit(0)).cast("long")
     return (
-        out.withColumn("fetch_seq", (F.col("__total") - 1).cast("long"))
+        out.withColumn("fetch_seq", (F.col("__total") - 1 + base).cast("long"))
         .withColumn(
             "fetch_offset_s", (F.col("fetch_seq") * delay).cast("double")
         )
-        .drop("__total", "__delay")
+        .drop("__total", "__delay", "__prev")
     )
+
+
+def host_fetch_counts(spark, *, host_col: str = "host") -> DataFrame:
+    """Empty persisted-state frame for :func:`schedule_fetches_incremental`:
+    (host, n_scheduled) — how far each host's politeness queue has
+    advanced across micro-batches (the same persistable-state pattern as
+    the Bloom bitmap and the BPE word table)."""
+    return spark.createDataFrame([], f"{host_col} string, n_scheduled long")
+
+
+def schedule_fetches_incremental(
+    batch: DataFrame,
+    counts: DataFrame,
+    delays: DataFrame | None = None,
+    *,
+    url_col: str = "url",
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    default_delay: float = 1.0,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of :func:`schedule_fetches` against a persisted
+    per-host counter table: returns ``(scheduled batch, updated
+    counts)``.  A host's queue position carries ACROSS batches —
+    batch 2's first URL for a host that already scheduled 5 gets
+    ``fetch_seq`` 5, so politeness pacing holds over the whole stream,
+    not per batch.  Inside ``foreachBatch``, persist or
+    ``localCheckpoint`` the returned counts and feed them to the next
+    batch (the Bloom-index fold-forward, counter-shaped).
+
+    Within the batch, ordering is the same deterministic md5(url:seed)
+    queue as the batch operator; the counts table is one row per host
+    (broadcastable by AQE), and the fold is one groupBy over the BATCH
+    plus a union-sum — history is never rescanned.  NULL-host rows pace
+    within their batch but don't carry a queue position across batches
+    (the counter join is an equi-join); a crawler has no host to be
+    polite to there anyway.
+    """
+    scheduled = schedule_fetches(
+        batch,
+        delays,
+        url_col=url_col,
+        host_col=host_col,
+        delay_col=delay_col,
+        default_delay=default_delay,
+        seed=seed,
+        start_counts=counts,
+    )
+    delta = batch.filter(F.col(url_col).isNotNull()).groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_scheduled")
+    )
+    updated = (
+        counts.unionByName(delta)
+        .groupBy(host_col)
+        .agg(F.sum("n_scheduled").cast("long").alias("n_scheduled"))
+    )
+    return scheduled, updated
 
 
 def robots_allowed(

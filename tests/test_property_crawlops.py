@@ -116,3 +116,60 @@ def test_token_budget_matches_model(spark, rows, budget):
                 break
             want.add((i, cum))
     assert got == want
+
+
+# -- robots_allowed wildcard matching == python regex model ------------------
+
+_rule_path = st.builds(
+    lambda segs, anchor: "/" + "".join(segs) + ("$" if anchor else ""),
+    st.lists(st.sampled_from(["a", "b", "p", "/", "*"]), min_size=0, max_size=5),
+    st.booleans(),
+)
+_url_path = st.builds(
+    lambda segs: "/" + "".join(segs),
+    st.lists(st.sampled_from(["a", "b", "p", "/"]), min_size=0, max_size=6),
+)
+
+
+def _rfc_match(path: str, rule: str) -> bool:
+    """Independent RFC 9309 matcher: '*' = any run, trailing '$' = end
+    anchor, everything else literal (including a mid-pattern '$')."""
+    import re
+
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    rx = "^" + ".*".join(re.escape(p) for p in body.split("*"))
+    if anchored:
+        rx += "$"
+    return re.search(rx, path) is not None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rules=st.lists(st.tuples(st.booleans(), _rule_path), min_size=0, max_size=6),
+    paths=st.lists(_url_path, min_size=1, max_size=12),
+)
+def test_robots_wildcard_matching_matches_model(spark, rules, paths):
+    from pathwaydataframework_spark.operators import text
+
+    rules_df = spark.createDataFrame(
+        [("h.test", "*", allow, p) for allow, p in rules],
+        "host string, agent string, allow boolean, path string",
+    )
+    urls = spark.createDataFrame(
+        [(i, f"https://h.test{p}") for i, p in enumerate(paths)],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in text.robots_allowed(urls, rules_df).collect()
+    }
+
+    def model(path):
+        matched = [(len(p), allow) for allow, p in rules if _rfc_match(path, p)]
+        if not matched:
+            return True
+        return max(matched)[1]  # longest pattern; allow wins length ties
+
+    want = {i: model(p) for i, p in enumerate(paths)}
+    assert got == want

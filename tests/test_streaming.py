@@ -711,3 +711,73 @@ def test_streaming_bpe_encode_three_batches(spark, tmp_path):
     # (b) the table grows only by NEW forms: 'the','table' + w0..w9 = 12,
     # then +w10..w19 = 22, then +0 (batch 2 is all reused forms)
     assert state["table_sizes"] == [12, 22, 22]
+
+
+def test_streaming_fetch_schedule_three_batches(spark, tmp_path):
+    """Politeness pacing as a REAL stream: three micro-batches through
+    schedule_fetches_incremental inside foreachBatch, the per-host
+    counter table folded forward — a host's queue position carries
+    ACROSS batches (batch 2's first URL for a 5-deep host gets seq 5),
+    and offsets stay seq x the host's Crawl-delay over the whole
+    stream."""
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import text
+
+    # host a.test appears in every batch (3+2+1 urls), b.test in 1 and 3
+    batches = [
+        [("a.test", f"https://a.test/{i}") for i in range(3)]
+        + [("b.test", f"https://b.test/{i}") for i in range(2)],
+        [("a.test", f"https://a.test/{i}") for i in range(3, 5)],
+        [("a.test", "https://a.test/5"), ("b.test", "https://b.test/9")],
+    ]
+    src = tmp_path / "sched_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "host string, url string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    delays = spark.createDataFrame([("a.test", 4)], "host string, crawl_delay long")
+    state = {"counts": text.host_fetch_counts(spark), "rows": [], "batches": 0}
+
+    def handle(bdf, _epoch):
+        sched, updated = text.schedule_fetches_incremental(
+            bdf, state["counts"], delays, seed=2
+        )
+        state["rows"].extend(
+            (r["host"], r["url"], r["fetch_seq"], r["fetch_offset_s"])
+            for r in sched.collect()
+        )
+        state["counts"] = updated.localCheckpoint()
+        state["batches"] += 1
+
+    q = (
+        spark.readStream.schema("host string, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["batches"] == 3
+
+    per_host: dict = {}
+    for h, u, seq, off in state["rows"]:
+        per_host.setdefault(h, []).append((seq, off))
+    # queue positions are contiguous 0..n-1 per host ACROSS the stream
+    assert sorted(s for s, _ in per_host["a.test"]) == list(range(6))
+    assert sorted(s for s, _ in per_host["b.test"]) == list(range(3))
+    # offsets = seq * delay (a declares 4 s, b paces at the 1 s default)
+    assert all(off == seq * 4.0 for seq, off in per_host["a.test"])
+    assert all(off == seq * 1.0 for seq, off in per_host["b.test"])
+    # final counter state equals total scheduled per host
+    final = {
+        r["host"]: r["n_scheduled"] for r in state["counts"].collect()
+    }
+    assert final == {"a.test": 6, "b.test": 3}
