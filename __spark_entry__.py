@@ -2375,6 +2375,22 @@ def q_frontier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the q_bpe_tokenize / q_bpe_roundtrip / q_token_budget_bpe Spark-side vocab
+# (a-z base + 29 merged tokens).  ONE definition so the three queries can
+# never drift from each other or from q_token_budget_bpe's oracle, which
+# replays exactly these tokens; the DuckDB VALUES copies in oracle_sql()
+# stay inlined BY DESIGN (oracle independence).
+def _bpe_fixture_vocab() -> dict[str, int]:
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in (
+        "th", "he", "the", "ta", "ab", "le", "tab", "table", "va", "al",
+        "ue", "val", "value", "ar", "row", "sc", "an", "scan", "fa", "st",
+        "fast", "ke", "key", "pa", "rt", "part", "ha", "sh", "hash",
+    ):
+        vocab[t] = len(vocab)
+    return vocab
+
+
 def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Subword tokenization (operators/bpe.py bpe_encode, mode='longest'):
     greedy longest-match BPE encoding of each document's first 10 words
@@ -2395,13 +2411,7 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
             F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
         ).alias("text"),
     )
-    vocab = {chr(97 + i): i for i in range(26)}
-    for t in (
-        "th", "he", "the", "ta", "ab", "le", "tab", "table", "va", "al",
-        "ue", "val", "value", "ar", "row", "sc", "an", "scan", "fa", "st",
-        "fast", "ke", "key", "pa", "rt", "part", "ha", "sh", "hash",
-    ):
-        vocab[t] = len(vocab)
+    vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest")
     return enc.select(
         "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
@@ -2528,13 +2538,7 @@ def q_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
         ).alias("text"),
     )
-    vocab = {chr(97 + i): i for i in range(26)}
-    for t in (
-        "th", "he", "the", "ta", "ab", "le", "tab", "table", "va", "al",
-        "ue", "val", "value", "ar", "row", "sc", "an", "scan", "fa", "st",
-        "fast", "ke", "key", "pa", "rt", "part", "ha", "sh", "hash",
-    ):
-        vocab[t] = len(vocab)
+    vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest")
     return bpe.bpe_decode(enc, vocab).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
@@ -2630,13 +2634,7 @@ def q_token_budget_bpe(spark: SparkSession, sf: str) -> DataFrame:
             F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
         ).alias("text"),
     )
-    vocab = {chr(97 + i): i for i in range(26)}
-    for t in (
-        "th", "he", "the", "ta", "ab", "le", "tab", "table", "va", "al",
-        "ue", "val", "value", "ar", "row", "sc", "an", "scan", "fa", "st",
-        "fast", "ke", "key", "pa", "rt", "part", "ha", "sh", "hash",
-    ):
-        vocab[t] = len(vocab)
+    vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest").select(
         "doc_id", "n_tokens"
     )

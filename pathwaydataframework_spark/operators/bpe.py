@@ -378,8 +378,8 @@ def bpe_decode(
     )
     occ = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode_outer(F.col(ids_col)).alias("pos", "__tid"),
-    ).filter(F.col("pos").isNotNull())
+        F.posexplode(F.col(ids_col)).alias("pos", "__tid"),
+    )
     joined = occ.join(vtab, on="__tid", how="left").select(
         "doc_id", "pos", F.coalesce("__tok", F.lit(unk_token)).alias("__tok")
     )

@@ -1034,8 +1034,15 @@ def robots_directives(
     loop.  Same plan shape as :func:`parse_robots`: per-host KB-scale
     windows, one agents join — nothing corpus-sized.
     """
+    # one line-parse pass serves both directives: sitemap rows ride the
+    # same tagged frame (grouping ignores them — _robots_grouped's run
+    # detection looks only at user-agent/allow/disallow), instead of
+    # re-splitting every robots_txt a second time
     tagged, is_ua = _robots_grouped(
-        df, host_col, text_col, ("user-agent", "allow", "disallow", "crawl-delay")
+        df,
+        host_col,
+        text_col,
+        ("user-agent", "allow", "disallow", "crawl-delay", "sitemap"),
     )
     agents = _robots_agents(tagged, is_ua)
     delays = (
@@ -1048,21 +1055,13 @@ def robots_directives(
             F.col("value"),
         )
     )
-    # Sitemap is group-independent: parse it from the raw lines (it may
-    # appear before any User-agent line), agent NULL
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-    ).withColumn("line", F.trim(F.regexp_replace("line", "#.*", "")))
-    sitemaps = lines.filter(
-        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)) == "sitemap"
-    ).select(
+    # Sitemap is file-global (may appear before any User-agent line, so
+    # its __group — possibly 0 — is deliberately ignored), agent NULL
+    sitemaps = tagged.filter(F.col("directive") == "sitemap").select(
         "host",
         F.lit(None).cast("string").alias("agent"),
         F.lit("sitemap").alias("directive"),
-        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)).alias(
-            "value"
-        ),
+        F.col("value"),
     )
     return delays.unionByName(sitemaps)
 
@@ -1087,9 +1086,12 @@ def schedule_fetches(
 
     ``delays`` is a (host, crawl_delay) frame — typically
     :func:`robots_directives` output filtered to crawl-delay rows and
-    ``try_cast`` to a number — left-joined on ``host_col``; hosts
-    without a declared delay (or a non-numeric one) pace at
-    ``default_delay``.
+    ``try_cast`` to a number.  It is collapsed to ONE row per host
+    before the join (the MAX — the most conservative politeness — since
+    robots_directives emits one row per (host, agent); filter to your
+    agent's rows first for agent-specific pacing), so a multi-agent
+    host can never fan the frontier out.  Hosts without a declared
+    delay (or a non-numeric one) pace at ``default_delay``.
 
     Scale shape: politeness is inherently a PER-HOST serialization, but
     numbering the queue needs no global sort and no per-host
@@ -1112,9 +1114,8 @@ def schedule_fetches(
     )
 
     if delays is not None:
-        d = delays.select(
-            F.col(host_col),
-            F.col(delay_col).cast("double").alias("__delay"),
+        d = delays.groupBy(host_col).agg(
+            F.max(F.col(delay_col).cast("double")).alias("__delay")
         )
         frontier = frontier.join(d, on=host_col, how="left")
     else:

@@ -915,3 +915,17 @@ def test_schedule_fetches(spark):
         for r in text.schedule_fetches(frontier, delays, seed=1).collect()
     }
     assert all(again[(r["host"], r["url"])] == r["fetch_seq"] for r in out)
+    # a multi-row delays frame (robots_directives emits one row per
+    # (host, agent)) must NOT fan the frontier out: one row per URL,
+    # max delay wins (code-review r8 finding)
+    multi = spark.createDataFrame(
+        [("a.test", "agenta", 5), ("a.test", "agentb", 2)],
+        "host string, agent string, crawl_delay long",
+    )
+    out_multi = text.schedule_fetches(frontier, multi, seed=1).collect()
+    assert len(out_multi) == 6
+    a_multi = sorted(
+        (r for r in out_multi if r["host"] == "a.test"),
+        key=lambda r: r["fetch_seq"],
+    )
+    assert [r["fetch_offset_s"] for r in a_multi] == [0.0, 5.0, 10.0]
