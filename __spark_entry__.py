@@ -754,6 +754,25 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_no_straddle(spark: SparkSession, sf: str) -> DataFrame:
+    """boundary-respecting sequence packing (packing.pack_no_straddle):
+    greedy in-order fill per shard where an overflowing doc closes the
+    open sequence — no document straddles a cut, oversized docs get a
+    dedicated sequence.  The fold (running remainder WITH RESET) is not
+    a prefix sum: one applyInPandas kernel per shard is the honest
+    Python crossing, and the oracle replays the identical (fill, seq)
+    recurrence as a recursive CTE stepping row_number order per shard."""
+    from pathwaydataframework_spark.operators import packing, text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    with_counts = docs.select(
+        "doc_id", text_ops.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return packing.pack_no_straddle(
+        with_counts, "doc_id", "n_tok", max_tokens=256, shards=64
+    )
+
+
 def q_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """corpus vocabulary top-100 by frequency, alphabetical tie-break."""
     from pathwaydataframework_spark.operators import text as text_ops
@@ -2864,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_fetch_schedule": q_fetch_schedule,
         "q_robots_wildcards": q_robots_wildcards,
+        "q_pack_no_straddle": q_pack_no_straddle,
         # --- latest driver row r6 ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
@@ -5023,6 +5043,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, (start_offset // 512)::BIGINT AS seq_id,
                    start_offset::BIGINT AS start_offset, n_tok
             FROM offs
+        """,
+        "q_pack_no_straddle": f"""
+            -- replay the greedy no-straddle fold: per shard, step the
+            -- (fill, seq) state in row_number order; an overflowing doc
+            -- (fill > 0 AND fill + n > 256) closes the sequence
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END::BIGINT AS n_tok,
+                       {_bucket_sql("doc_id", 0)} % 64 AS shard
+                FROM documents
+            ), base AS (
+                SELECT doc_id, n_tok, shard,
+                       row_number() OVER (
+                           PARTITION BY shard ORDER BY doc_id, n_tok
+                       ) AS rn
+                FROM toks
+            ),
+            fold(shard, rn, doc_id, n_tok, seq_id, start_offset, fill) AS (
+                SELECT shard, rn, doc_id, n_tok,
+                       0::BIGINT, 0::BIGINT, n_tok
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.n_tok,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 256
+                            THEN f.seq_id + 1 ELSE f.seq_id END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 256
+                            THEN 0 ELSE f.fill END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 256
+                            THEN b.n_tok ELSE f.fill + b.n_tok END
+                FROM fold f
+                JOIN base b ON b.shard = f.shard AND b.rn = f.rn + 1
+            )
+            SELECT doc_id, shard, seq_id, start_offset, n_tok
+            FROM fold
         """,
         "q_vocab": """
             SELECT term, count, rank FROM (

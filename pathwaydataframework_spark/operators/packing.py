@@ -75,3 +75,72 @@ def pack_by_offset(
         .withColumn("seq_id", F.floor(F.col("start_offset") / F.lit(max_tokens)))
         .select(id_col, "shard", "seq_id", "start_offset", token_count_col)
     )
+
+
+def pack_no_straddle(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    max_tokens: int,
+    *,
+    shards: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Boundary-respecting packing: greedy fill in deterministic id order
+    per shard, where a document that would overflow the open sequence
+    CLOSES it and starts the next — no document ever straddles a cut,
+    the layout used when training without cross-document attention
+    (every sequence holds whole documents; the tail slack is padding).
+    A document longer than ``max_tokens`` gets a dedicated oversized
+    sequence (truncation is the trainer's call, the packer never drops
+    tokens).
+
+    Deliberately first-fit in ORDER, not first-fit-decreasing: FFD's
+    global sort by length would make the layout depend on the whole
+    shard's histogram, while the in-order fold is a pure recurrence —
+    reproducible across runs/engines and exactly SQL-replayable (a
+    recursive CTE steps the same (fill, seq) state).
+
+    Scale shape: the recurrence (running remainder WITH RESET) is not a
+    prefix sum, so no window expresses it — this is the honest
+    applyInPandas case: one linear Arrow-batched fold per shard,
+    ``shards`` ≈ cluster cores, the md5 shard pick identical to
+    :func:`pack_by_offset`.  Returns (id, shard, seq_id,
+    start_offset-within-sequence, token_count).
+    """
+    import pandas as pd
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    id_type = df.schema[id_col].dataType.simpleString()
+    tc_type = df.schema[token_count_col].dataType.simpleString()
+    shard = F.pmod(hash_bucket(F.col(id_col), seed), F.lit(shards)).alias("shard")
+    base = df.select(id_col, shard, F.col(token_count_col))
+    out_schema = (
+        f"`{id_col}` {id_type}, shard long, seq_id long, "
+        f"start_offset long, `{token_count_col}` {tc_type}"
+    )
+    cap = max_tokens
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [id_col, token_count_col], kind="mergesort"
+        ).reset_index(drop=True)
+        seq = 0
+        fill = 0
+        seqs: list[int] = []
+        offs: list[int] = []
+        for n in pdf[token_count_col]:
+            n = int(n)
+            if fill > 0 and fill + n > cap:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += n
+        pdf["seq_id"] = pd.Series(seqs, dtype="int64")
+        pdf["start_offset"] = pd.Series(offs, dtype="int64")
+        return pdf[[id_col, "shard", "seq_id", "start_offset", token_count_col]]
+
+    fold.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
+    return base.groupBy("shard").applyInPandas(fold, out_schema)

@@ -1200,3 +1200,52 @@ def test_sitemap_locs_trims_and_drops_empty(spark):
     df = spark.createDataFrame([(xml,), ("<urlset/>",)], "x string")
     got = [r["l"] for r in df.select(sitemap_locs(F.col("x")).alias("l")).collect()]
     assert got == [["https://a.com/1", "https://a.com/2"], []]
+
+
+def test_pack_no_straddle_properties(spark):
+    """Boundary-respecting packing: no document crosses a sequence cut,
+    sequences fill greedily in id order, oversized docs get a dedicated
+    sequence, and the layout is deterministic."""
+    from pathwaydataframework_spark.operators import packing
+
+    rows = [(i, n) for i, n in enumerate([100, 100, 100, 50, 300, 10, 256, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = packing.pack_no_straddle(df, "doc_id", "n_tok", 256, shards=1, seed=0)
+    got = {
+        r["doc_id"]: (r["seq_id"], r["start_offset"]) for r in out.collect()
+    }
+    # hand-folded, id order, cap 256:
+    # d0:100@s0/0, d1:100@s0/100 (200), d2 would hit 300 -> s1/0,
+    # d3:50@s1/100 (150), d4:300 overflows -> s2/0 alone (oversized),
+    # d5:10 -> s3/0, d6:256 would hit 266 -> s4/0 (exactly cap),
+    # d7:1 -> s5/0
+    assert got == {
+        0: (0, 0), 1: (0, 100), 2: (1, 0), 3: (1, 100),
+        4: (2, 0), 5: (3, 0), 6: (4, 0), 7: (5, 0),
+    }
+    # invariant over a bigger random-ish frame, multiple shards: every
+    # in-cap doc ends within its sequence; sequences are contiguous
+    big = spark.createDataFrame(
+        [(i, (i * 37) % 400 + 1) for i in range(500)], "doc_id long, n_tok long"
+    )
+    packed = packing.pack_no_straddle(big, "doc_id", "n_tok", 256, shards=8)
+    bad = packed.filter(
+        (F.col("n_tok") <= 256)
+        & (F.col("start_offset") + F.col("n_tok") > 256)
+    )
+    assert bad.count() == 0
+    # oversized docs sit alone at offset 0
+    over = packed.filter(F.col("n_tok") > 256)
+    assert over.filter(F.col("start_offset") != 0).count() == 0
+    # determinism
+    again = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["start_offset"])
+        for r in packing.pack_no_straddle(
+            big, "doc_id", "n_tok", 256, shards=8
+        ).collect()
+    }
+    first = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["start_offset"])
+        for r in packed.collect()
+    }
+    assert first == again
