@@ -201,10 +201,16 @@ def bpe_encode(
     broadcast_words: bool = False,
     lowercase: bool = True,
     max_word_len: int = 256,
+    append_eos_id: int | None = None,
 ) -> DataFrame:
     """Tokenize each document against a BPE vocab -> (doc_id, token_ids,
     n_tokens), the same contract as :func:`~pathwaydataframework_spark.
     operators.text.tokenize_to_ids` but subword instead of whole-word.
+
+    ``append_eos_id`` appends a document-boundary token to every doc's
+    ids (empty docs become ``[eos]``) — the standard prep before
+    sequence packing, so concatenated training streams keep their
+    document boundaries; counted in ``n_tokens``.
 
     ``mode='longest'`` is the deterministic greedy longest-match encoder
     (WordPiece-style decode of a BPE vocab); ``mode='merges'`` replays
@@ -245,7 +251,7 @@ def bpe_encode(
     )
     if broadcast_words:
         encoded = F.broadcast(encoded)
-    return _assemble_docs(base, occ, encoded)
+    return _assemble_docs(base, occ, encoded, eos_id=append_eos_id)
 
 
 def _check_mode(
@@ -320,11 +326,15 @@ def _pretokenize(df: DataFrame, id_col: str, text_col: str, lowercase: bool):
 
 
 def _assemble_docs(
-    base: DataFrame, occ: DataFrame, encoded: DataFrame
+    base: DataFrame,
+    occ: DataFrame,
+    encoded: DataFrame,
+    *,
+    eos_id: int | None = None,
 ) -> DataFrame:
     """Fan the encoded word table back out over occurrences and rebuild
     ordered per-doc id arrays (doc-keyed groupBy; empty docs survive with
-    an empty array)."""
+    an empty array, or ``[eos_id]`` when a boundary token is appended)."""
     mapped = occ.join(encoded, on="word").select("doc_id", "pos", "__ids")
     assembled = mapped.groupBy("doc_id").agg(
         F.flatten(
@@ -336,6 +346,8 @@ def _assemble_docs(
     )
     ids = base.select("doc_id")
     filled = F.coalesce(F.col("token_ids"), F.array().cast("array<long>"))
+    if eos_id is not None:
+        filled = F.concat(filled, F.array(F.lit(int(eos_id)).cast("long")))
     return ids.join(assembled, on="doc_id", how="left").select(
         "doc_id",
         filled.alias("token_ids"),

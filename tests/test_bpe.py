@@ -252,3 +252,26 @@ def test_bpe_decode_no_python_no_map_literal(spark, sf_dir):
     # encode's single kernel is the only Python crossing in the whole tree
     assert plan.count("ArrowEvalPython") == 1
     assert "map_from" not in plan and "CreateMap" not in plan
+
+
+def test_bpe_encode_append_eos(spark):
+    """append_eos_id adds the doc-boundary token to every doc (empty docs
+    become [eos]), counted in n_tokens — the packing prep step."""
+    v = {"a": 0, "b": 1, "ab": 2}
+    df = spark.createDataFrame(
+        [(0, "ab a"), (1, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe.bpe_encode(df, v, append_eos_id=99).collect()
+    }
+    assert out[0] == ([2, 0, 99], 3)
+    assert out[1] == ([99], 1)
+    # and composes with boundary-respecting packing
+    from pathwaydataframework_spark.operators import packing
+
+    enc = bpe.bpe_encode(df, v, append_eos_id=99)
+    packed = packing.pack_no_straddle(
+        enc.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 4, shards=1
+    )
+    assert packed.count() == 2
