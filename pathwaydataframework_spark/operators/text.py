@@ -920,6 +920,10 @@ def _robots_grouped(
     run is numbered with a lag+running-sum window per host in line
     order — host-keyed, KB-sized, no skew concern).  Returns (tagged
     frame, is_ua predicate)."""
+    # CRLF files need no special-casing: after the \n split, the Java
+    # regexes treat the leftover \r as a line terminator ('.' excludes
+    # \r and '$' anchors before it), so directives and values extract
+    # clean — pinned by test_parse_robots_crlf.
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),

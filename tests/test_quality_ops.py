@@ -929,3 +929,42 @@ def test_schedule_fetches(spark):
         key=lambda r: r["fetch_seq"],
     )
     assert [r["fetch_offset_s"] for r in a_multi] == [0.0, 5.0, 10.0]
+
+
+def test_parse_robots_crlf(spark):
+    """Real robots.txt files are CRLF: the \\n split leaves a trailing
+    \\r per line, which the Java regexes treat as a line terminator
+    ('.' excludes it, '$' anchors before it) — rules, delays and
+    sitemap URLs must extract with no stray carriage returns."""
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.test",
+                "User-agent: *\r\nDisallow: /private\r\nAllow: /private/pub\r\n"
+                "Crawl-delay: 3\r\nSitemap: https://a.test/sm.xml\r\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["agent"], r["allow"], r["path"])
+        for r in text.parse_robots(robots).collect()
+    }
+    assert rules == {("*", False, "/private"), ("*", True, "/private/pub")}
+    dirs = {
+        (r["agent"], r["directive"], r["value"])
+        for r in text.robots_directives(robots).collect()
+    }
+    assert dirs == {
+        ("*", "crawl-delay", "3"),
+        (None, "sitemap", "https://a.test/sm.xml"),
+    }
+    urls = spark.createDataFrame(
+        [(1, "https://a.test/private/x"), (2, "https://a.test/private/pub/y")],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in text.robots_allowed(urls, text.parse_robots(robots)).collect()
+    }
+    assert got == {1: False, 2: True}
