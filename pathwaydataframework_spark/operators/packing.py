@@ -85,6 +85,7 @@ def pack_no_straddle(
     *,
     shards: int = 32,
     seed: int = 0,
+    start_state: DataFrame | None = None,
 ) -> DataFrame:
     """Boundary-respecting packing: greedy fill in deterministic id order
     per shard, where a document that would overflow the open sequence
@@ -107,6 +108,12 @@ def pack_no_straddle(
     ``shards`` ≈ cluster cores, the md5 shard pick identical to
     :func:`pack_by_offset`.  Returns (id, shard, seq_id,
     start_offset-within-sequence, token_count).
+
+    ``start_state`` (a (shard, next_seq, open_fill) frame — see
+    :func:`pack_state`) resumes each shard's fold mid-sequence: the
+    first documents keep filling the previous batch's open sequence and
+    seq ids continue counting, which is how
+    :func:`pack_no_straddle_incremental` packs a stream.
     """
     import pandas as pd
 
@@ -116,6 +123,17 @@ def pack_no_straddle(
     tc_type = df.schema[token_count_col].dataType.simpleString()
     shard = F.pmod(hash_bucket(F.col(id_col), seed), F.lit(shards)).alias("shard")
     base = df.select(id_col, shard, F.col(token_count_col))
+    if start_state is not None:
+        st = start_state.select(
+            "shard",
+            F.col("next_seq").alias("__next_seq"),
+            F.col("open_fill").alias("__open_fill"),
+        )
+        base = base.join(st, on="shard", how="left")
+    else:
+        base = base.withColumn(
+            "__next_seq", F.lit(None).cast("long")
+        ).withColumn("__open_fill", F.lit(None).cast("long"))
     out_schema = (
         f"`{id_col}` {id_type}, shard long, seq_id long, "
         f"start_offset long, `{token_count_col}` {tc_type}"
@@ -128,6 +146,9 @@ def pack_no_straddle(
         ).reset_index(drop=True)
         seq = 0
         fill = 0
+        if len(pdf) and pd.notna(pdf["__next_seq"].iloc[0]):
+            seq = int(pdf["__next_seq"].iloc[0])
+            fill = int(pdf["__open_fill"].iloc[0])
         seqs: list[int] = []
         offs: list[int] = []
         for n in pdf[token_count_col]:
@@ -144,3 +165,67 @@ def pack_no_straddle(
 
     fold.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
     return base.groupBy("shard").applyInPandas(fold, out_schema)
+
+
+def pack_state(spark) -> DataFrame:
+    """Empty persisted-state frame for :func:`pack_no_straddle_incremental`:
+    (shard, next_seq, open_fill) — where each shard's fold stopped (the
+    id of the still-open sequence and the tokens already in it); the
+    same small-summarizing-frame streaming-state pattern as the Bloom
+    bitmap, the BPE word table and the host fetch counters."""
+    return spark.createDataFrame([], "shard long, next_seq long, open_fill long")
+
+
+def pack_no_straddle_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    max_tokens: int,
+    *,
+    shards: int = 32,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of :func:`pack_no_straddle` against a persisted
+    per-shard fold state: returns ``(packed batch, updated state)``.
+    The previous batch's OPEN sequence keeps filling across the batch
+    boundary and sequence ids keep counting, so a stream packed batch by
+    batch lays out exactly like the one-shot pack of the concatenated
+    stream (asserted by the 3-batch streaming test for id-ordered
+    arrivals).  Inside ``foreachBatch``, persist or ``localCheckpoint``
+    the returned state for the next batch.
+
+    The updated state is derived from the packed output itself — per
+    shard, the max (seq_id, start_offset + tokens) struct IS the fold's
+    final (open seq, fill) — one agg over the BATCH; shards absent from
+    the batch carry their old state through untouched.
+    """
+    packed = pack_no_straddle(
+        batch,
+        id_col,
+        token_count_col,
+        max_tokens,
+        shards=shards,
+        seed=seed,
+        start_state=state,
+    )
+    delta = (
+        packed.groupBy("shard")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("seq_id"),
+                    (F.col("start_offset") + F.col(token_count_col))
+                    .cast("long")
+                    .alias("end"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "shard",
+            F.col("m.seq_id").alias("next_seq"),
+            F.col("m.end").alias("open_fill"),
+        )
+    )
+    updated = state.join(delta, on="shard", how="left_anti").unionByName(delta)
+    return packed, updated

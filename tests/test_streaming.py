@@ -781,3 +781,78 @@ def test_streaming_fetch_schedule_three_batches(spark, tmp_path):
         r["host"]: r["n_scheduled"] for r in state["counts"].collect()
     }
     assert final == {"a.test": 6, "b.test": 3}
+
+
+def test_streaming_pack_no_straddle_three_batches(spark, tmp_path):
+    """Boundary-respecting packing as a REAL stream: three id-ordered
+    micro-batches through pack_no_straddle_incremental in foreachBatch,
+    the per-shard (next_seq, open_fill) state folded forward — the
+    previous batch's open sequence keeps filling across the boundary,
+    and the streamed layout equals the ONE-SHOT pack of the whole
+    corpus exactly."""
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import packing
+
+    n_tok = {d: (d * 37) % 150 + 1 for d in range(90)}
+    batches = [list(range(0, 30)), list(range(30, 60)), list(range(60, 90))]
+    src = tmp_path / "pack_stream"
+    src.mkdir()
+    for i, ids in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            [(d, n_tok[d]) for d in ids], "doc_id long, n_tok long"
+        ).coalesce(1).write.parquet(str(stage))
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    state = {"st": packing.pack_state(spark), "rows": {}, "batches": 0}
+
+    def handle(bdf, _epoch):
+        packed, updated = packing.pack_no_straddle_incremental(
+            bdf, state["st"], "doc_id", "n_tok", 256, shards=4
+        )
+        for r in packed.collect():
+            state["rows"][r["doc_id"]] = (
+                r["shard"], r["seq_id"], r["start_offset"]
+            )
+        state["st"] = updated.localCheckpoint()
+        state["batches"] += 1
+
+    q = (
+        spark.readStream.schema("doc_id long, n_tok long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["batches"] == 3 and len(state["rows"]) == 90
+
+    # exact parity with the one-shot pack (id-ordered arrivals make the
+    # concatenated per-shard batch order equal the sorted order)
+    full = spark.createDataFrame(
+        [(d, n_tok[d]) for ids in batches for d in ids], "doc_id long, n_tok long"
+    )
+    expected = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["start_offset"])
+        for r in packing.pack_no_straddle(
+            full, "doc_id", "n_tok", 256, shards=4
+        ).collect()
+    }
+    assert state["rows"] == expected
+    # final state matches the one-shot fold's end state per shard
+    final = {
+        r["shard"]: (r["next_seq"], r["open_fill"])
+        for r in state["st"].collect()
+    }
+    by_shard: dict = {}
+    for d, (sh, seq, off) in expected.items():
+        cur = by_shard.get(sh)
+        if cur is None or (seq, off) > (cur[0], cur[1]):
+            by_shard[sh] = (seq, off, n_tok[d])
+    assert final == {
+        sh: (seq, off + n) for sh, (seq, off, n) in by_shard.items()
+    }
