@@ -766,7 +766,7 @@ def q_pack_no_straddle(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").df
     with_counts = docs.select(
-        "doc_id", text_ops.token_count(F.col("text")).cast("long").alias("n_tok")
+        "doc_id", text_ops.token_count(F.col("text")).alias("n_tok")
     )
     return packing.pack_no_straddle(
         with_counts, "doc_id", "n_tok", max_tokens=256, shards=64

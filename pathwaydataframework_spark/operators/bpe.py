@@ -434,9 +434,13 @@ def bpe_encode_incremental(
     unk_id: int = -1,
     lowercase: bool = True,
     max_word_len: int = 256,
+    append_eos_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of :func:`bpe_encode` against a persisted
     word→ids table: returns ``(encoded batch, updated word table)``.
+    ``append_eos_id`` adds the document-boundary token exactly like the
+    batch operator, so an encode→pack stream lays out identically to
+    the one-shot ``bpe_encode(append_eos_id=...)`` pipeline.
 
     The distinct-word kernel is naturally incremental — a word form
     encodes to the same ids forever — so the streaming shape is the
@@ -465,4 +469,4 @@ def bpe_encode_incremental(
         .select("word", encode_udf(F.col("word")).alias("__ids"))
     )
     updated = word_table.unionByName(new_forms)
-    return _assemble_docs(base, occ, updated), updated
+    return _assemble_docs(base, occ, updated, eos_id=append_eos_id), updated

@@ -152,7 +152,9 @@ def pack_no_straddle(
         seqs: list[int] = []
         offs: list[int] = []
         for n in pdf[token_count_col]:
-            n = int(n)
+            # a NULL count (NULL text upstream) packs as zero tokens —
+            # the row keeps its slot instead of crashing the task
+            n = 0 if pd.isna(n) else int(n)
             if fill > 0 and fill + n > cap:
                 seq += 1
                 fill = 0
@@ -198,7 +200,10 @@ def pack_no_straddle_incremental(
     The updated state is derived from the packed output itself — per
     shard, the max (seq_id, start_offset + tokens) struct IS the fold's
     final (open seq, fill) — one agg over the BATCH; shards absent from
-    the batch carry their old state through untouched.
+    the batch carry their old state through untouched.  The packed
+    frame is localCheckpoint'ed before the state agg so the per-shard
+    Python fold runs ONCE per batch, not once for the output and again
+    for the state (micro-batches are memory-sized by definition).
     """
     packed = pack_no_straddle(
         batch,
@@ -208,7 +213,7 @@ def pack_no_straddle_incremental(
         shards=shards,
         seed=seed,
         start_state=state,
-    )
+    ).localCheckpoint()
     delta = (
         packed.groupBy("shard")
         .agg(

@@ -275,3 +275,13 @@ def test_bpe_encode_append_eos(spark):
         enc.select("doc_id", "n_tokens"), "doc_id", "n_tokens", 4, shards=1
     )
     assert packed.count() == 2
+    # the incremental encoder honors the same boundary token, so a
+    # streaming encode->pack pipeline matches the one-shot layout
+    inc, _tbl = bpe.bpe_encode_incremental(
+        df, bpe.bpe_word_table(spark), v, append_eos_id=99
+    )
+    inc_out = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in inc.collect()
+    }
+    assert inc_out == out

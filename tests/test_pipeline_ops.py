@@ -1249,3 +1249,15 @@ def test_pack_no_straddle_properties(spark):
         for r in packed.collect()
     }
     assert first == again
+    # a NULL count (NULL text upstream) packs as zero tokens instead of
+    # crashing the Arrow task (code-review r8 finding)
+    with_null = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 250)], "doc_id long, n_tok long"
+    )
+    rows = {
+        r["doc_id"]: (r["seq_id"], r["start_offset"])
+        for r in packing.pack_no_straddle(
+            with_null, "doc_id", "n_tok", 256, shards=1
+        ).collect()
+    }
+    assert rows == {0: (0, 0), 1: (0, 10), 2: (1, 0)}
