@@ -773,6 +773,36 @@ def q_pack_no_straddle(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
+    """the packing WRITER step (packing.materialize_sequences): join each
+    doc's token ids onto its pack_no_straddle slot and rebuild every
+    training sequence in offset order, right-padded to the cap with -1
+    (n_tokens stays the REAL count for the trainer's padding mask).
+    Fixture gives every doc exactly ONE token — its own doc_id — so the
+    greedy fold degenerates to row_number grouping and the oracle states
+    each sequence's content INDEPENDENTLY (string_agg of doc_ids in
+    queue order, no recursion): sequences are the rn-order groups of 8
+    per md5 shard."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    toks = docs.select(
+        "doc_id",
+        F.array(F.col("doc_id").cast("long")).alias("token_ids"),
+        F.lit(1).cast("long").alias("n_tok"),
+    )
+    layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 8, shards=16)
+    seqs = packing.materialize_sequences(
+        toks, layout, max_tokens=8, pad_id=-1
+    )
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+    )
+
+
 def q_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """corpus vocabulary top-100 by frequency, alphabetical tie-break."""
     from pathwaydataframework_spark.operators import text as text_ops
@@ -2884,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fetch_schedule": q_fetch_schedule,
         "q_robots_wildcards": q_robots_wildcards,
         "q_pack_no_straddle": q_pack_no_straddle,
+        "q_pack_materialize": q_pack_materialize,
         # --- latest driver row r6 ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
@@ -5079,6 +5110,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, shard, seq_id, start_offset, n_tok
             FROM fold
+        """,
+        "q_pack_materialize": f"""
+            -- unit token counts make the greedy no-straddle fold exactly
+            -- row_number grouping: seq = (rn-1)//8 per shard; each
+            -- sequence's content is its doc_ids in queue order, padded
+            -- with -1 to the cap of 8
+            WITH base AS (
+                SELECT doc_id,
+                       {_bucket_sql("doc_id", 0)} % 16 AS shard,
+                       row_number() OVER (
+                           PARTITION BY {_bucket_sql("doc_id", 0)} % 16
+                           ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT shard,
+                   ((rn - 1) // 8)::BIGINT AS seq_id,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY rn)
+                       || repeat(',-1', 8 - count(*)::INT) AS tokens,
+                   count(*)::BIGINT AS n_tokens
+            FROM (SELECT doc_id, shard, rn, (rn - 1) // 8 AS g FROM base)
+            GROUP BY shard, g, ((rn - 1) // 8)
         """,
         "q_vocab": """
             SELECT term, count, rank FROM (

@@ -234,3 +234,59 @@ def pack_no_straddle_incremental(
     )
     updated = state.join(delta, on="shard", how="left_anti").unionByName(delta)
     return packed, updated
+
+
+def materialize_sequences(
+    token_frame: DataFrame,
+    layout: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    max_tokens: int | None = None,
+    pad_id: int | None = None,
+) -> DataFrame:
+    """The writer step after :func:`pack_no_straddle`: join each
+    document's token ids onto its packing slot and rebuild every
+    training sequence in offset order -> (shard, seq_id, token_ids,
+    n_tokens), optionally right-padded to ``max_tokens`` with ``pad_id``
+    (``n_tokens`` stays the REAL token count so the trainer can mask the
+    padding).
+
+    Assumes documents are whole within their sequence — the
+    :func:`pack_no_straddle` contract.  A :func:`pack_by_offset` layout
+    lets documents straddle cuts, so its sequences must be materialized
+    by the loader that also splits the straddlers; this function is not
+    that.  An oversized single-document sequence (longer than
+    ``max_tokens``) is emitted unpadded and untruncated — dropping
+    tokens is the trainer's decision, never the packer's.
+
+    Plan: one equi-join on the id (AQE-sized) + one (shard, seq_id)-keyed
+    groupBy using the same sort_array(struct) re-assembly idiom as
+    bpe_encode's doc rebuild; per-group arrays are bounded by
+    ``max_tokens``, so no group outgrows an executor.
+    """
+    joined = layout.join(token_frame.select(id_col, ids_col), on=id_col)
+    assembled = joined.groupBy("shard", "seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("start_offset", ids_col))),
+                lambda s: s[ids_col],
+            )
+        ).alias("token_ids")
+    )
+    n = F.size("token_ids").cast("long")
+    out = assembled.withColumn("n_tokens", n)
+    if pad_id is not None:
+        if max_tokens is None:
+            raise ValueError("pad_id requires max_tokens")
+        out = out.withColumn(
+            "token_ids",
+            F.concat(
+                F.col("token_ids"),
+                F.array_repeat(
+                    F.lit(int(pad_id)).cast("long"),
+                    F.greatest(F.lit(0), F.lit(max_tokens) - F.col("n_tokens")).cast("int"),
+                ),
+            ),
+        )
+    return out.select("shard", "seq_id", "token_ids", "n_tokens")

@@ -1261,3 +1261,38 @@ def test_pack_no_straddle_properties(spark):
         ).collect()
     }
     assert rows == {0: (0, 0), 1: (0, 10), 2: (1, 0)}
+
+
+def test_materialize_sequences(spark):
+    """The packing writer: sequences rebuild in offset order from real
+    multi-token docs, padding fills to the cap with the real count kept,
+    and an oversized single-doc sequence survives unpadded/untruncated."""
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    v = {"a": 0, "b": 1, "ab": 2}
+    df = spark.createDataFrame(
+        [(0, "ab a"), (1, "b b b"), (2, "a"), (3, "ab ab ab ab")],
+        "doc_id long, text string",
+    )
+    enc = bpe.bpe_encode(df, v, append_eos_id=9)
+    # n_tokens: d0=3, d1=4, d2=2, d3=5; cap 6, one shard ->
+    # fold in id order: d0(3), d1 would hit 7 -> seq1 (4), d2 fits (6),
+    # d3 -> seq2 (5)
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 6, shards=1)
+    seqs = {
+        r["seq_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in packing.materialize_sequences(
+            enc, layout, max_tokens=6, pad_id=-1
+        ).collect()
+    }
+    assert seqs[0] == ([2, 0, 9, -1, -1, -1], 3)           # d0 padded
+    assert seqs[1] == ([1, 1, 1, 9, 0, 9], 6)              # d1 + d2, full
+    assert seqs[2] == ([2, 2, 2, 2, 9, -1], 5)             # d3 padded
+    # an oversized doc's dedicated sequence is emitted whole, no padding
+    big = spark.createDataFrame([(0, "a b a b a b a b")], "doc_id long, text string")
+    enc_b = bpe.bpe_encode(big, v)
+    layout_b = packing.pack_no_straddle(enc_b, "doc_id", "n_tokens", 4, shards=1)
+    (row,) = packing.materialize_sequences(
+        enc_b, layout_b, max_tokens=4, pad_id=-1
+    ).collect()
+    assert row["n_tokens"] == 8 and len(row["token_ids"]) == 8
