@@ -803,6 +803,36 @@ def q_pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """the concatenate-and-cut writer (packing.
+    materialize_sequences_by_offset): documents straddle sequence cuts,
+    so each doc's id array is SLICED into the pieces landing in each
+    sequence it touches (sequence()+explode+slice — pure Catalyst) and
+    every sequence rebuilds as exactly 64 ids (one partial tail per
+    shard).  Fixture: doc d's ids are d repeated (d%13+1) times, so the
+    oracle derives every sequence's content independently — expand each
+    doc to per-token global positions via the window cumsum, cut at 64,
+    string_agg in position order."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 1).cast("long").alias("n_tok"),
+        F.array_repeat(
+            F.col("doc_id").cast("long"), (F.col("doc_id") % 13 + 1).cast("int")
+        ).alias("token_ids"),
+    )
+    layout = packing.pack_by_offset(toks, "doc_id", "n_tok", 64, shards=8)
+    seqs = packing.materialize_sequences_by_offset(toks, layout, 64)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+    )
+
+
 def q_vocab(spark: SparkSession, sf: str) -> DataFrame:
     """corpus vocabulary top-100 by frequency, alphabetical tie-break."""
     from pathwaydataframework_spark.operators import text as text_ops
@@ -2915,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_robots_wildcards": q_robots_wildcards,
         "q_pack_no_straddle": q_pack_no_straddle,
         "q_pack_materialize": q_pack_materialize,
+        "q_pack_cut": q_pack_cut,
         # --- latest driver row r6 ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
@@ -5110,6 +5141,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, shard, seq_id, start_offset, n_tok
             FROM fold
+        """,
+        "q_pack_cut": f"""
+            -- expand each doc to per-token global positions (window
+            -- cumsum start + intra-doc index), cut every 64: sequence
+            -- content = ids in position order, no padding
+            WITH toks AS (
+                SELECT doc_id, (doc_id % 13 + 1)::BIGINT AS n_tok,
+                       {_bucket_sql("doc_id", 0)} % 8 AS shard
+                FROM documents
+            ), offs AS (
+                SELECT doc_id, shard, n_tok,
+                       coalesce(sum(n_tok) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS start_offset
+                FROM toks
+            ), expanded AS (
+                SELECT shard, doc_id,
+                       start_offset + unnest(range(n_tok)) AS pos
+                FROM offs
+            )
+            SELECT shard, (pos // 64)::BIGINT AS seq_id,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY pos) AS tokens,
+                   count(*)::BIGINT AS n_tokens
+            FROM expanded
+            GROUP BY shard, pos // 64
         """,
         "q_pack_materialize": f"""
             -- unit token counts make the greedy no-straddle fold exactly

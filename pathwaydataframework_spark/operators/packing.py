@@ -254,9 +254,9 @@ def materialize_sequences(
 
     Assumes documents are whole within their sequence — the
     :func:`pack_no_straddle` contract.  A :func:`pack_by_offset` layout
-    lets documents straddle cuts, so its sequences must be materialized
-    by the loader that also splits the straddlers; this function is not
-    that.  An oversized single-document sequence (longer than
+    lets documents straddle cuts — materialize those with
+    :func:`materialize_sequences_by_offset`, which splits the
+    straddlers.  An oversized single-document sequence (longer than
     ``max_tokens``) is emitted unpadded and untruncated — dropping
     tokens is the trainer's decision, never the packer's.
 
@@ -290,3 +290,87 @@ def materialize_sequences(
             ),
         )
     return out.select("shard", "seq_id", "token_ids", "n_tokens")
+
+
+def materialize_sequences_by_offset(
+    token_frame: DataFrame,
+    layout: DataFrame,
+    max_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """The writer step for :func:`pack_by_offset` layouts — the
+    concatenate-and-cut counterpart of :func:`materialize_sequences`:
+    documents MAY straddle sequence cuts, so each document is sliced
+    into the pieces that land in each sequence it touches, and every
+    sequence rebuilds as exactly ``max_tokens`` ids (the last sequence
+    of a shard is the one partial tail — no padding, matching the
+    classic packed-dataset loader).
+
+    Pure Catalyst, no Python: per document, the touched sequence range
+    is ``sequence(floor(start/max), floor((start+n-1)/max))`` — an
+    explode bounded by ceil(n/max)+1 pieces per doc — and each piece is
+    a ``slice`` of the id array; the (shard, seq_id) groupBy then
+    re-assembles in offset order with the same sort_array(struct) idiom.
+    Each output sequence is bounded by ``max_tokens``, so no group
+    outgrows an executor.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    m = F.lit(max_tokens)
+    joined = layout.join(token_frame.select(id_col, ids_col), on=id_col)
+    n = F.size(ids_col).cast("long")
+    start = F.col("start_offset")
+    pieces = (
+        joined.filter(n > 0)
+        .select(
+            "shard",
+            start.alias("__start"),
+            F.col(ids_col).alias("__ids"),
+            F.explode(
+                F.sequence(
+                    F.floor(start / m), F.floor((start + n - 1) / m)
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            # offset of the piece inside its sequence, for re-assembly
+            F.greatest(F.lit(0), F.col("__start") - F.col("seq_id") * m)
+            .cast("long")
+            .alias("__off"),
+            F.slice(
+                "__ids",
+                # slice is 1-based; piece covers the overlap of
+                # [start, start+n) with [seq*m, (seq+1)*m)
+                (
+                    F.greatest(F.lit(0), F.col("seq_id") * m - F.col("__start"))
+                    + 1
+                ).cast("int"),
+                (
+                    F.least(
+                        F.size("__ids").cast("long"),
+                        (F.col("seq_id") + 1) * m - F.col("__start"),
+                    )
+                    - F.greatest(
+                        F.lit(0), F.col("seq_id") * m - F.col("__start")
+                    )
+                ).cast("int"),
+            ).alias("__piece"),
+        )
+    )
+    return (
+        pieces.groupBy("shard", "seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__off", "__piece"))),
+                    lambda s: s["__piece"],
+                )
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+        .select("shard", "seq_id", "token_ids", "n_tokens")
+    )

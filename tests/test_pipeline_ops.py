@@ -1296,3 +1296,32 @@ def test_materialize_sequences(spark):
         enc_b, layout_b, max_tokens=4, pad_id=-1
     ).collect()
     assert row["n_tokens"] == 8 and len(row["token_ids"]) == 8
+
+
+def test_materialize_sequences_by_offset(spark):
+    """The concatenate-and-cut writer splits straddlers: every sequence
+    except each shard's tail is exactly max_tokens ids, pieces land in
+    position order, and a doc spanning 3+ sequences reassembles."""
+    from pathwaydataframework_spark.operators import packing
+
+    # single shard, cap 8: docs of 5, 10 (straddles seqs 0->1), 3, 20
+    # (spans seqs 2,3,4), 1 -> stream of 39 ids cut at 8
+    sizes = {0: 5, 1: 10, 2: 3, 3: 20, 4: 1}
+    toks = spark.createDataFrame(
+        [(d, n, [d] * n) for d, n in sizes.items()],
+        "doc_id long, n_tok long, token_ids array<long>",
+    )
+    layout = packing.pack_by_offset(toks, "doc_id", "n_tok", 8, shards=1)
+    seqs = {
+        r["seq_id"]: list(r["token_ids"])
+        for r in packing.materialize_sequences_by_offset(
+            toks, layout, 8
+        ).collect()
+    }
+    stream = [d for d in sorted(sizes) for _ in range(sizes[d])]
+    want = {
+        k: stream[k * 8 : (k + 1) * 8] for k in range((len(stream) + 7) // 8)
+    }
+    assert seqs == want
+    # every non-tail sequence is exactly full
+    assert all(len(v) == 8 for k, v in seqs.items() if k < max(seqs))
