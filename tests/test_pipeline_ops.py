@@ -1325,3 +1325,46 @@ def test_materialize_sequences_by_offset(spark):
     assert seqs == want
     # every non-tail sequence is exactly full
     assert all(len(v) == 8 for k, v in seqs.items() if k < max(seqs))
+
+
+def test_schedule_fetches_no_global_sort(spark):
+    """Politeness queue numbering must inherit deterministic_shuffle's
+    sharded layout: every window ordering by the row hash is partitioned
+    by __shard (+ host), never a per-host single-partition window over
+    the full frontier — the hot-host 100 TB hazard."""
+    frontier = spark.range(1_000).select(
+        F.concat(F.lit("h"), F.col("id") % 7).alias("host"),
+        F.concat(F.lit("https://h"), F.col("id") % 7, F.lit("/"), F.col("id")).alias("url"),
+    )
+    plan = text.schedule_fetches(frontier)._jdf.queryExecution().toString()
+    checked = 0
+    for line in plan.splitlines():
+        if "Window" in line and "__h" in line:
+            assert "__shard" in line, line
+            checked += 1
+    assert checked >= 1
+
+
+def test_materialize_by_offset_stays_jvm_side(spark):
+    """The concatenate-and-cut writer is pure Catalyst: no Python/Arrow
+    eval nodes anywhere in the plan (the straddle split is
+    sequence+explode+slice, not a kernel)."""
+    from pathwaydataframework_spark.operators import packing
+
+    toks = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13 + 1).alias("n_tok"),
+        F.array_repeat(F.col("id"), (F.col("id") % 13 + 1).cast("int")).alias(
+            "token_ids"
+        ),
+    )
+    layout = packing.pack_by_offset(toks, "doc_id", "n_tok", 64, shards=4)
+    plan = (
+        packing.materialize_sequences_by_offset(toks, layout, 64)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
