@@ -220,7 +220,14 @@ def pack_no_straddle_incremental(
             F.max(
                 F.struct(
                     F.col("seq_id"),
-                    (F.col("start_offset") + F.col(token_count_col))
+                    # NULL counts pack as zero (the fold's contract) — the
+                    # state delta must agree, or a NULL-count doc ending a
+                    # batch poisons open_fill and crashes the NEXT batch's
+                    # fold at int(NaN)
+                    (
+                        F.col("start_offset")
+                        + F.coalesce(F.col(token_count_col), F.lit(0))
+                    )
                     .cast("long")
                     .alias("end"),
                 )
@@ -248,9 +255,17 @@ def materialize_sequences(
     """The writer step after :func:`pack_no_straddle`: join each
     document's token ids onto its packing slot and rebuild every
     training sequence in offset order -> (shard, seq_id, token_ids,
-    n_tokens), optionally right-padded to ``max_tokens`` with ``pad_id``
-    (``n_tokens`` stays the REAL token count so the trainer can mask the
-    padding).
+    n_tokens, doc_spans[, oversized]), optionally right-padded to
+    ``max_tokens`` with ``pad_id`` (``n_tokens`` stays the REAL token
+    count so the trainer can mask the padding).
+
+    ``doc_spans`` is the per-sequence document boundary map — an
+    offset-ordered array of (<id_col>, off, len) structs, one per
+    document — which is what a trainer packing WITHOUT cross-document
+    attention needs to build its attention/loss masks (``token_ids``
+    alone can't reconstruct where one document ends and the next
+    begins).  ``off`` is the document's start inside the sequence,
+    ``len`` the materialized id count.
 
     Assumes documents are whole within their sequence — the
     :func:`pack_no_straddle` contract.  A :func:`pack_by_offset` layout
@@ -258,21 +273,36 @@ def materialize_sequences(
     :func:`materialize_sequences_by_offset`, which splits the
     straddlers.  An oversized single-document sequence (longer than
     ``max_tokens``) is emitted unpadded and untruncated — dropping
-    tokens is the trainer's decision, never the packer's.
+    tokens is the trainer's decision, never the packer's — and when
+    ``max_tokens`` is given the output carries an explicit ``oversized``
+    flag so a loader can filter or truncate deliberately instead of
+    discovering cap violations by crashing.
 
     Plan: one equi-join on the id (AQE-sized) + one (shard, seq_id)-keyed
     groupBy using the same sort_array(struct) re-assembly idiom as
     bpe_encode's doc rebuild; per-group arrays are bounded by
-    ``max_tokens``, so no group outgrows an executor.
+    ``max_tokens``, so no group outgrows an executor.  ``doc_spans``
+    rides the SAME collect_list — no second aggregation.
     """
     joined = layout.join(token_frame.select(id_col, ids_col), on=id_col)
     assembled = joined.groupBy("shard", "seq_id").agg(
-        F.flatten(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("start_offset", ids_col))),
-                lambda s: s[ids_col],
-            )
-        ).alias("token_ids")
+        F.sort_array(
+            F.collect_list(F.struct("start_offset", id_col, ids_col))
+        ).alias("__docs")
+    ).select(
+        "shard",
+        "seq_id",
+        F.flatten(F.transform("__docs", lambda s: s[ids_col])).alias(
+            "token_ids"
+        ),
+        F.transform(
+            "__docs",
+            lambda s: F.struct(
+                s[id_col].alias(id_col),
+                s["start_offset"].cast("long").alias("off"),
+                F.size(s[ids_col]).cast("long").alias("len"),
+            ),
+        ).alias("doc_spans"),
     )
     n = F.size("token_ids").cast("long")
     out = assembled.withColumn("n_tokens", n)
@@ -289,7 +319,60 @@ def materialize_sequences(
                 ),
             ),
         )
-    return out.select("shard", "seq_id", "token_ids", "n_tokens")
+    cols = ["shard", "seq_id", "token_ids", "n_tokens", "doc_spans"]
+    if max_tokens is not None:
+        out = out.withColumn(
+            "oversized", F.col("n_tokens") > F.lit(int(max_tokens))
+        )
+        cols.append("oversized")
+    return out.select(*cols)
+
+
+def training_masks(
+    sequences: DataFrame,
+    *,
+    ids_col: str = "token_ids",
+    spans_col: str = "doc_spans",
+    pad_pos: int = 0,
+    pad_seg: int = -1,
+) -> DataFrame:
+    """Expand a packed sequence frame's ``doc_spans`` into the per-token
+    trainer inputs: ``position_ids`` (0..len-1, restarting at every
+    document boundary) and ``segment_ids`` (the document's index within
+    the sequence) — together exactly what a loader needs to build the
+    block-diagonal attention mask and the loss mask for
+    no-cross-document-attention training.  Padding tokens (positions
+    past the spans' total length) get ``pad_pos`` / ``pad_seg``; both
+    output arrays are sized to ``token_ids`` exactly.
+
+    Pure Catalyst: two array transforms over the spans (``sequence`` /
+    ``array_repeat`` + ``flatten``) and one pad ``concat`` — no shuffle,
+    no Python, arrays bounded by the sequence cap.
+    """
+    spans = F.col(spans_col)
+    pos_core = F.flatten(
+        F.transform(spans, lambda s: F.sequence(F.lit(0).cast("long"), s["len"] - 1))
+    )
+    seg_core = F.flatten(
+        F.transform(
+            spans,
+            lambda s, i: F.array_repeat(i.cast("long"), s["len"].cast("int")),
+        )
+    )
+    pad_n = (F.size(ids_col) - F.size(pos_core)).cast("int")
+    return sequences.withColumn(
+        "position_ids",
+        F.concat(
+            pos_core,
+            F.array_repeat(F.lit(int(pad_pos)).cast("long"), pad_n),
+        ),
+    ).withColumn(
+        "segment_ids",
+        F.concat(
+            seg_core,
+            F.array_repeat(F.lit(int(pad_seg)).cast("long"), pad_n),
+        ),
+    )
 
 
 def materialize_sequences_by_offset(
@@ -308,13 +391,20 @@ def materialize_sequences_by_offset(
     of a shard is the one partial tail — no padding, matching the
     classic packed-dataset loader).
 
+    ``doc_spans`` maps each sequence back to its documents — an
+    offset-ordered array of (<id_col>, off, len) structs, one per PIECE
+    (a straddling document contributes a span to every sequence it
+    touches; ``off`` is the piece's start inside the sequence, ``len``
+    its id count) — the boundary metadata a trainer needs for
+    attention/loss masks over a concatenate-and-cut layout.
+
     Pure Catalyst, no Python: per document, the touched sequence range
     is ``sequence(floor(start/max), floor((start+n-1)/max))`` — an
     explode bounded by ceil(n/max)+1 pieces per doc — and each piece is
     a ``slice`` of the id array; the (shard, seq_id) groupBy then
-    re-assembles in offset order with the same sort_array(struct) idiom.
-    Each output sequence is bounded by ``max_tokens``, so no group
-    outgrows an executor.
+    re-assembles in offset order with the same sort_array(struct) idiom
+    (``doc_spans`` rides the same collect_list).  Each output sequence
+    is bounded by ``max_tokens``, so no group outgrows an executor.
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
@@ -326,6 +416,7 @@ def materialize_sequences_by_offset(
         joined.filter(n > 0)
         .select(
             "shard",
+            F.col(id_col),
             start.alias("__start"),
             F.col(ids_col).alias("__ids"),
             F.explode(
@@ -337,6 +428,7 @@ def materialize_sequences_by_offset(
         .select(
             "shard",
             "seq_id",
+            F.col(id_col),
             # offset of the piece inside its sequence, for re-assembly
             F.greatest(F.lit(0), F.col("__start") - F.col("seq_id") * m)
             .cast("long")
@@ -364,13 +456,25 @@ def materialize_sequences_by_offset(
     return (
         pieces.groupBy("shard", "seq_id")
         .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__off", "__piece"))),
-                    lambda s: s["__piece"],
-                )
-            ).alias("token_ids")
+            F.sort_array(
+                F.collect_list(F.struct("__off", id_col, "__piece"))
+            ).alias("__pieces")
+        )
+        .select(
+            "shard",
+            "seq_id",
+            F.flatten(F.transform("__pieces", lambda s: s["__piece"])).alias(
+                "token_ids"
+            ),
+            F.transform(
+                "__pieces",
+                lambda s: F.struct(
+                    s[id_col].alias(id_col),
+                    s["__off"].alias("off"),
+                    F.size(s["__piece"]).cast("long").alias("len"),
+                ),
+            ).alias("doc_spans"),
         )
         .withColumn("n_tokens", F.size("token_ids").cast("long"))
-        .select("shard", "seq_id", "token_ids", "n_tokens")
+        .select("shard", "seq_id", "token_ids", "n_tokens", "doc_spans")
     )

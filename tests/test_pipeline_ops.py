@@ -1279,16 +1279,25 @@ def test_materialize_sequences(spark):
     # fold in id order: d0(3), d1 would hit 7 -> seq1 (4), d2 fits (6),
     # d3 -> seq2 (5)
     layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 6, shards=1)
+    out = packing.materialize_sequences(
+        enc, layout, max_tokens=6, pad_id=-1
+    ).collect()
     seqs = {
-        r["seq_id"]: (list(r["token_ids"]), r["n_tokens"])
-        for r in packing.materialize_sequences(
-            enc, layout, max_tokens=6, pad_id=-1
-        ).collect()
+        r["seq_id"]: (list(r["token_ids"]), r["n_tokens"]) for r in out
     }
     assert seqs[0] == ([2, 0, 9, -1, -1, -1], 3)           # d0 padded
     assert seqs[1] == ([1, 1, 1, 9, 0, 9], 6)              # d1 + d2, full
     assert seqs[2] == ([2, 2, 2, 2, 9, -1], 5)             # d3 padded
-    # an oversized doc's dedicated sequence is emitted whole, no padding
+    # doc_spans: offset-ordered (doc_id, off, len) per document — the
+    # trainer's attention/loss-mask boundary map
+    spans = {
+        r["seq_id"]: [(s["doc_id"], s["off"], s["len"]) for s in r["doc_spans"]]
+        for r in out
+    }
+    assert spans == {0: [(0, 0, 3)], 1: [(1, 0, 4), (2, 4, 2)], 2: [(3, 0, 5)]}
+    assert all(not r["oversized"] for r in out)
+    # an oversized doc's dedicated sequence is emitted whole, no padding,
+    # and FLAGGED so a loader filters/truncates deliberately
     big = spark.createDataFrame([(0, "a b a b a b a b")], "doc_id long, text string")
     enc_b = bpe.bpe_encode(big, v)
     layout_b = packing.pack_no_straddle(enc_b, "doc_id", "n_tokens", 4, shards=1)
@@ -1296,6 +1305,13 @@ def test_materialize_sequences(spark):
         enc_b, layout_b, max_tokens=4, pad_id=-1
     ).collect()
     assert row["n_tokens"] == 8 and len(row["token_ids"]) == 8
+    assert row["oversized"] is True
+    assert [(s["doc_id"], s["off"], s["len"]) for s in row["doc_spans"]] == [
+        (0, 0, 8)
+    ]
+    # without max_tokens there is no cap to violate — no oversized column
+    bare = packing.materialize_sequences(enc, layout)
+    assert "oversized" not in bare.columns and "doc_spans" in bare.columns
 
 
 def test_materialize_sequences_by_offset(spark):
@@ -1312,12 +1328,8 @@ def test_materialize_sequences_by_offset(spark):
         "doc_id long, n_tok long, token_ids array<long>",
     )
     layout = packing.pack_by_offset(toks, "doc_id", "n_tok", 8, shards=1)
-    seqs = {
-        r["seq_id"]: list(r["token_ids"])
-        for r in packing.materialize_sequences_by_offset(
-            toks, layout, 8
-        ).collect()
-    }
+    out = packing.materialize_sequences_by_offset(toks, layout, 8).collect()
+    seqs = {r["seq_id"]: list(r["token_ids"]) for r in out}
     stream = [d for d in sorted(sizes) for _ in range(sizes[d])]
     want = {
         k: stream[k * 8 : (k + 1) * 8] for k in range((len(stream) + 7) // 8)
@@ -1325,6 +1337,26 @@ def test_materialize_sequences_by_offset(spark):
     assert seqs == want
     # every non-tail sequence is exactly full
     assert all(len(v) == 8 for k, v in seqs.items() if k < max(seqs))
+    # doc_spans: one span per PIECE, offset-ordered — a straddler shows
+    # up in every sequence it touches with its in-sequence off/len
+    spans = {
+        r["seq_id"]: [(s["doc_id"], s["off"], s["len"]) for s in r["doc_spans"]]
+        for r in out
+    }
+    assert spans == {
+        0: [(0, 0, 5), (1, 5, 3)],
+        1: [(1, 0, 7), (2, 7, 1)],
+        2: [(2, 0, 2), (3, 2, 6)],
+        3: [(3, 0, 8)],
+        4: [(3, 0, 6), (4, 6, 1)],
+    }
+    # spans tile each sequence exactly: contiguous, gap-free
+    for sid, sp in spans.items():
+        pos = 0
+        for _, off, ln in sp:
+            assert off == pos
+            pos += ln
+        assert pos == len(seqs[sid])
 
 
 def test_schedule_fetches_no_global_sort(spark):
@@ -1368,3 +1400,44 @@ def test_materialize_by_offset_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_training_masks(spark):
+    """doc_spans -> per-token trainer inputs: position_ids restart at
+    every doc boundary, segment_ids index the doc within its sequence,
+    padding gets (pad_pos, pad_seg), arrays sized to token_ids exactly —
+    and the step itself is pure Catalyst (zero Python nodes over a
+    plain input)."""
+    from pathwaydataframework_spark.operators import packing
+
+    seqs = spark.createDataFrame(
+        [
+            (0, 0, [5, 6, 7, 8, 9, -1], 5,
+             [(10, 0, 3), (11, 3, 2)]),
+            (0, 1, [4, -1, -1, -1, -1, -1], 1, [(12, 0, 1)]),
+        ],
+        "shard long, seq_id long, token_ids array<long>, n_tokens long, "
+        "doc_spans array<struct<doc_id: long, off: long, len: long>>",
+    )
+    out = {
+        r["seq_id"]: (list(r["position_ids"]), list(r["segment_ids"]))
+        for r in packing.training_masks(seqs).collect()
+    }
+    assert out[0] == ([0, 1, 2, 0, 1, 0], [0, 0, 0, 1, 1, -1])
+    assert out[1] == ([0, 0, 0, 0, 0, 0], [0, -1, -1, -1, -1, -1])
+    plan = (
+        packing.training_masks(seqs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "FlatMapGroupsInPandas", "BatchEvalPython"):
+        assert node not in plan
+    # custom pad markers
+    alt = {
+        r["seq_id"]: (list(r["position_ids"]), list(r["segment_ids"]))
+        for r in packing.training_masks(
+            seqs, pad_pos=-1, pad_seg=99
+        ).collect()
+    }
+    assert alt[1] == ([0, -1, -1, -1, -1, -1], [0, 99, 99, 99, 99, 99])

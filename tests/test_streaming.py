@@ -856,3 +856,179 @@ def test_streaming_pack_no_straddle_three_batches(spark, tmp_path):
     assert final == {
         sh: (seq, off + n) for sh, (seq, off, n) in by_shard.items()
     }
+
+
+def test_streaming_pack_null_count_ends_batch(spark, tmp_path):
+    """A NULL token count ending a micro-batch must not poison the pack
+    state: the batch fold packs NULL as zero tokens, so the state delta
+    must coalesce the count the same way — otherwise open_fill persists
+    as NULL and the NEXT batch's fold crashes at int(NaN) (ADVICE r8)."""
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import packing
+
+    # the NULL-count doc is ALONE in its batch so the state's max struct
+    # is necessarily the NULL-end one (the ADVICE repro shape)
+    batches = [[(0, 10)], [(1, None)], [(2, 8)]]
+    src = tmp_path / "pack_null_stream"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, n_tok long").coalesce(
+            1
+        ).write.parquet(str(stage))
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    state = {"st": packing.pack_state(spark), "rows": {}, "opens": []}
+
+    def handle(bdf, _epoch):
+        packed, updated = packing.pack_no_straddle_incremental(
+            bdf, state["st"], "doc_id", "n_tok", 16, shards=1
+        )
+        for r in packed.collect():
+            state["rows"][r["doc_id"]] = (r["seq_id"], r["start_offset"])
+        state["st"] = updated.localCheckpoint()
+        state["opens"].extend(
+            r["open_fill"] for r in state["st"].collect()
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, n_tok long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the state never carries a NULL fill, and batch 2 folded fine
+    assert all(o is not None for o in state["opens"])
+    full = spark.createDataFrame(
+        [r for rows in batches for r in rows], "doc_id long, n_tok long"
+    )
+    expected = {
+        r["doc_id"]: (r["seq_id"], r["start_offset"])
+        for r in packing.pack_no_straddle(
+            full, "doc_id", "n_tok", 16, shards=1
+        ).collect()
+    }
+    assert state["rows"] == expected
+
+
+def test_streaming_tokenize_to_train_chain(spark, tmp_path):
+    """The full incremental tokenize-to-train pipeline in ONE
+    foreachBatch (VERDICT r8 item 4): bpe_encode_incremental →
+    pack_no_straddle_incremental with BOTH state frames (word table +
+    pack state) folding forward per batch — composition is where
+    state-ordering bugs live; the three single-stage 3-batch tests
+    can't see them.  The accumulated layout materializes once at the
+    end (sequences stay open across batch boundaries, so the writer
+    runs over the whole packed stream) and must equal the one-shot
+    bpe_encode(eos) → pack_no_straddle → materialize_sequences chain —
+    token ids, real counts, doc_spans and all."""
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    def doc_text(d):
+        return f"the table w{d % 20}"
+
+    batches = [list(range(0, 10)), list(range(10, 20)), list(range(20, 30))]
+    src = tmp_path / "chain_stream"
+    src.mkdir()
+    for i, ids in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            [(d, doc_text(d)) for d in ids], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(stage))
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in ("th", "the", "ta", "table", "w"):
+        vocab[t] = len(vocab)
+    EOS, CAP, SHARDS = 99, 16, 2
+
+    state = {
+        "wt": bpe.bpe_word_table(spark),
+        "ps": packing.pack_state(spark),
+        "enc": [],
+        "layout": [],
+        "batches": 0,
+    }
+
+    def handle(bdf, _epoch):
+        enc, wt = bpe.bpe_encode_incremental(
+            bdf, state["wt"], vocab, append_eos_id=EOS
+        )
+        enc = enc.localCheckpoint()
+        packed, ps = packing.pack_no_straddle_incremental(
+            enc, state["ps"], "doc_id", "n_tokens", CAP, shards=SHARDS
+        )
+        state["wt"] = wt.localCheckpoint()
+        state["ps"] = ps.localCheckpoint()
+        state["enc"].extend(
+            (r["doc_id"], list(r["token_ids"]), r["n_tokens"])
+            for r in enc.collect()
+        )
+        state["layout"].extend(
+            (r["doc_id"], r["shard"], r["seq_id"], r["start_offset"],
+             r["n_tokens"])
+            for r in packed.collect()
+        )
+        state["batches"] += 1
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["batches"] == 3 and len(state["layout"]) == 30
+
+    def seq_map(df):
+        return {
+            (r["shard"], r["seq_id"]): (
+                list(r["token_ids"]),
+                r["n_tokens"],
+                [(s["doc_id"], s["off"], s["len"]) for s in r["doc_spans"]],
+                r["oversized"],
+            )
+            for r in df.collect()
+        }
+
+    enc_all = spark.createDataFrame(
+        state["enc"], "doc_id long, token_ids array<long>, n_tokens long"
+    )
+    layout_all = spark.createDataFrame(
+        state["layout"],
+        "doc_id long, shard long, seq_id long, start_offset long, "
+        "n_tokens long",
+    )
+    streamed = seq_map(
+        packing.materialize_sequences(
+            enc_all, layout_all, max_tokens=CAP, pad_id=-1
+        )
+    )
+
+    full = spark.createDataFrame(
+        [(d, doc_text(d)) for ids in batches for d in ids],
+        "doc_id long, text string",
+    )
+    enc_once = bpe.bpe_encode(full, vocab, append_eos_id=EOS)
+    layout_once = packing.pack_no_straddle(
+        enc_once, "doc_id", "n_tokens", CAP, shards=SHARDS
+    )
+    expected = seq_map(
+        packing.materialize_sequences(
+            enc_once, layout_once, max_tokens=CAP, pad_id=-1
+        )
+    )
+    assert streamed == expected
