@@ -1089,13 +1089,17 @@ def schedule_fetches(
     seconds from the host's first fetch).
 
     ``delays`` is a (host, crawl_delay) frame — typically
-    :func:`robots_directives` output filtered to crawl-delay rows and
-    ``try_cast`` to a number.  It is collapsed to ONE row per host
-    before the join (the MAX — the most conservative politeness — since
-    robots_directives emits one row per (host, agent); filter to your
-    agent's rows first for agent-specific pacing), so a multi-agent
-    host can never fan the frontier out.  Hosts without a declared
-    delay (or a non-numeric one) pace at ``default_delay``.
+    :func:`robots_directives` output filtered to crawl-delay rows; the
+    value may still be a string, because the operator ``try_cast``\\ s it
+    internally (a wild ``Crawl-delay: fast`` nulls out and paces at
+    ``default_delay`` — the contract is self-contained, not dependent
+    on every caller remembering to cast).  It is collapsed to ONE row
+    per host before the join (the MAX — the most conservative
+    politeness — since robots_directives emits one row per (host,
+    agent); filter to your agent's rows first for agent-specific
+    pacing), so a multi-agent host can never fan the frontier out.
+    Hosts without a declared delay (or a non-numeric one) pace at
+    ``default_delay``.
 
     Scale shape: politeness is inherently a PER-HOST serialization, but
     numbering the queue needs no global sort and no per-host
@@ -1118,8 +1122,11 @@ def schedule_fetches(
     )
 
     if delays is not None:
+        # try_cast, not cast: a non-numeric Crawl-delay ("fast") must
+        # null out and fall back to default_delay, never error (and
+        # under ANSI mode a plain cast would throw mid-stage)
         d = delays.groupBy(host_col).agg(
-            F.max(F.col(delay_col).cast("double")).alias("__delay")
+            F.max(F.col(delay_col).try_cast("double")).alias("__delay")
         )
         frontier = frontier.join(d, on=host_col, how="left")
     else:
@@ -1203,6 +1210,38 @@ def schedule_fetches_incremental(
         .agg(F.sum("n_scheduled").cast("long").alias("n_scheduled"))
     )
     return scheduled, updated
+
+
+def fetch_waves(
+    scheduled: DataFrame,
+    window_s: float,
+    *,
+    host_col: str = "host",
+    offset_col: str = "fetch_offset_s",
+) -> DataFrame:
+    """Turn :func:`schedule_fetches` offsets into dispatch WAVES — the
+    batch a crawler actually fires: ``wave = floor(fetch_offset_s /
+    window_s)`` (the numeric tumbling window of the politeness timeline,
+    same bucketing as ``windowby(tumbling)`` over the offset column) and
+    ``wave_size``, how many of the host's URLs land in that wave, so the
+    dispatcher can size its connection pool per tick.
+
+    Scale shape: one window count partitioned by (host, wave) — no join,
+    no global sort.  The partitioning is SAFE under hot hosts by
+    construction: a host pacing at delay ``d`` puts at most
+    ``ceil(window_s / d)`` URLs in any wave, so groups are bounded by
+    the politeness contract itself (a 10⁸-URL host spreads over 10⁸·d /
+    window_s waves).  Rows with a NULL offset (never produced by
+    schedule_fetches) keep a NULL wave.
+    """
+    if window_s <= 0:
+        raise ValueError("window_s must be positive")
+    from pyspark.sql import Window as W
+
+    wave = F.floor(F.col(offset_col) / F.lit(float(window_s)))
+    out = scheduled.withColumn("wave", wave.cast("long"))
+    w = W.partitionBy(host_col, "wave")
+    return out.withColumn("wave_size", F.count(F.lit(1)).over(w).cast("long"))
 
 
 def robots_allowed(
