@@ -782,7 +782,10 @@ def q_pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
     greedy fold degenerates to row_number grouping and the oracle states
     each sequence's content INDEPENDENTLY (string_agg of doc_ids in
     queue order, no recursion): sequences are the rn-order groups of 8
-    per md5 shard."""
+    per md5 shard.  r9 adds the doc-boundary surface: ``doc_spans``
+    (offset-ordered doc_id:off:len, the trainer's attention-mask map —
+    here each doc is one unit span at its queue position) and the
+    ``oversized`` cap-violation flag (never set for unit counts)."""
     from pathwaydataframework_spark.operators import packing
 
     docs = load_table(spark, sf, "documents").df
@@ -800,6 +803,14 @@ def q_pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
         "seq_id",
         F.array_join("token_ids", ",").alias("tokens"),
         "n_tokens",
+        F.array_join(
+            F.transform(
+                "doc_spans",
+                lambda s: F.concat_ws(":", s["doc_id"], s["off"], s["len"]),
+            ),
+            ";",
+        ).alias("spans"),
+        "oversized",
     )
 
 
@@ -812,7 +823,11 @@ def q_pack_cut(spark: SparkSession, sf: str) -> DataFrame:
     shard).  Fixture: doc d's ids are d repeated (d%13+1) times, so the
     oracle derives every sequence's content independently — expand each
     doc to per-token global positions via the window cumsum, cut at 64,
-    string_agg in position order."""
+    string_agg in position order.  r9 adds ``doc_spans``: one
+    doc_id:off:len span per PIECE (a straddler spans every sequence it
+    touches), the boundary map a trainer's attention mask needs over a
+    concatenate-and-cut layout; the oracle re-derives pieces as
+    per-(seq, doc) position groups."""
     from pathwaydataframework_spark.operators import packing
 
     docs = load_table(spark, sf, "documents").df
@@ -830,6 +845,13 @@ def q_pack_cut(spark: SparkSession, sf: str) -> DataFrame:
         "seq_id",
         F.array_join("token_ids", ",").alias("tokens"),
         "n_tokens",
+        F.array_join(
+            F.transform(
+                "doc_spans",
+                lambda s: F.concat_ws(":", s["doc_id"], s["off"], s["len"]),
+            ),
+            ";",
+        ).alias("spans"),
     )
 
 
@@ -2607,7 +2629,14 @@ def q_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     decode(encode(x)) = x with whitespace removed (the encoder's
     whitespace pre-tokenization is the only lossy step).  Decode is
     pure Catalyst: id->token table join + ordered doc-keyed
-    re-assembly, no map literal, no Python."""
+    re-assembly, no map literal, no Python.
+
+    r9 adds the LOSSLESS mode (VERDICT r8 stretch): a second pipeline
+    encodes with ``space_marker`` (GPT-2's Ġ word-boundary symbol —
+    non-initial words carry it inside the tokens) and decodes with the
+    same marker, so ``text_exact`` = the original words WITH their
+    spaces — full identity against the whitespace-normalized input,
+    not just the concatenation contract."""
     from pathwaydataframework_spark.operators import bpe
 
     docs = load_table(spark, sf, "documents").df
@@ -2619,8 +2648,20 @@ def q_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest")
-    return bpe.bpe_decode(enc, vocab).select(
+    lossy = bpe.bpe_decode(enc, vocab).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    marker = "Ġ"
+    mvocab = dict(vocab)
+    for t in (marker, marker + "t", marker + "th", marker + "the"):
+        mvocab[t] = len(mvocab)
+    enc_m = bpe.bpe_encode(trunc, mvocab, mode="longest", space_marker=marker)
+    exact = bpe.bpe_decode(enc_m, mvocab, space_marker=marker).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").alias("text_exact"),
+    )
+    return lossy.join(exact, on="doc_id").select(
+        "doc_id", "text", "text_exact"
     )
 
 
@@ -2692,6 +2733,39 @@ def q_fetch_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "host", "url", "fetch_seq", "fetch_offset_s")
 
 
+def q_fetch_waves(spark: SparkSession, sf: str) -> DataFrame:
+    """Dispatch waves from politeness offsets (text.fetch_waves — the
+    step that CONSUMES schedule_fetches' fetch_offset_s, VERDICT r8
+    item 5): wave = floor(offset / 10 s), the batch a crawler fires per
+    tick, plus the per-(host, wave) batch size for connection-pool
+    sizing.  Same 20-host fixture as q_fetch_schedule, with a planted
+    NON-NUMERIC Crawl-delay ('fast') on hosts h5..h9 — try_cast inside
+    schedule_fetches nulls it out and those hosts pace at the 1 s
+    default (VERDICT r8 item 7, pinned in driver data).  One window
+    count partitioned by (host, wave); groups bounded by window_s/delay
+    — no join, no global sort.  Oracle replays the md5 queue, the
+    try_cast fallback, and the floor/count independently."""
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    g = d % 20
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), g, F.lit(".test")).alias("host"),
+        F.concat(F.lit("https://h"), g, F.lit(".test/p"), d).alias("url"),
+    )
+    delays = docs.filter(d < 10).select(
+        F.concat(F.lit("h"), d, F.lit(".test")).alias("host"),
+        F.when(d < 5, (d % 7 + 1).cast("string"))
+        .otherwise(F.lit("fast"))
+        .alias("crawl_delay"),
+    )
+    sched = text.schedule_fetches(frontier, delays, seed=3)
+    out = text.fetch_waves(sched, 10.0)
+    return out.select(
+        "doc_id", "host", "fetch_seq", "wave", "wave_size"
+    )
+
+
 def q_token_budget_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Token budgets in TOKENS, not chars (r7 advice): bpe_encode's
     n_tokens composes with sampling.token_budget_sample — "keep the
@@ -2722,6 +2796,86 @@ def q_token_budget_bpe(spark: SparkSession, sf: str) -> DataFrame:
         with_lang, "doc_id", "n_tokens", budget=1500, by="lang", seed=7
     )
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+def q_train_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL tokenize-to-train composition (VERDICT r8 item 2): the
+    pipeline a user actually runs — bpe_encode(append_eos_id) over
+    documents → pack_no_straddle on the REAL n_tokens →
+    materialize_sequences — with no synthetic token arrays anywhere, so
+    a join-key or EOS-accounting bug BETWEEN the stages shows up here.
+    Each doc's first 8 words encode against the fixture vocab with
+    EOS=55 appended; the boundary-respecting pack at cap 32 (some docs
+    exceed it — the oversized path carries real data); the writer emits
+    tokens, the doc_spans boundary map, and the oversized flag.  The
+    oracle composes the three proven replays: the UNK-safe longest-match
+    CTE (q_bpe_tokenize's) for per-doc ids, the (fill, seq) recurrence
+    CTE (q_pack_no_straddle's) for the layout, and string_agg
+    re-assembly (q_pack_materialize's) for the sequences."""
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
+        ).alias("text"),
+    )
+    vocab = _bpe_fixture_vocab()
+    enc = bpe.bpe_encode(trunc, vocab, mode="longest", append_eos_id=55)
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
+    seqs = packing.materialize_sequences(
+        enc, layout, max_tokens=32, pad_id=-1
+    )
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        F.array_join(
+            F.transform(
+                "doc_spans",
+                lambda s: F.concat_ws(":", s["doc_id"], s["off"], s["len"]),
+            ),
+            ";",
+        ).alias("spans"),
+        "oversized",
+    )
+
+
+def q_train_masks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-token trainer inputs from doc_spans (packing.training_masks —
+    what the r9 span metadata exists FOR): position_ids restart at every
+    document boundary, segment_ids index the doc within its sequence,
+    padding gets (0, -1) — the block-diagonal attention/loss-mask
+    recipe, pure Catalyst over the packed frame.  Fixture: doc d packs
+    (d%13+1) copies of its own id at cap 16 (no-straddle), so the
+    oracle replays the (fill, seq) recurrence and states each
+    sequence's position/segment streams as per-doc range()/repeat
+    strings in offset order."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    toks = docs.select(
+        "doc_id",
+        (d % 13 + 1).cast("long").alias("n_tok"),
+        F.array_repeat(d.cast("long"), (d % 13 + 1).cast("int")).alias(
+            "token_ids"
+        ),
+    )
+    layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 16, shards=8)
+    seqs = packing.materialize_sequences(
+        toks, layout, max_tokens=16, pad_id=-1
+    )
+    m = packing.training_masks(seqs)
+    return m.select(
+        "shard",
+        "seq_id",
+        F.array_join("position_ids", ",").alias("positions"),
+        F.array_join("segment_ids", ",").alias("segments"),
+        "n_tokens",
+    )
 
 
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
@@ -2922,10 +3076,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r8 front (≈50-row driver budget): the 10 queries whose latest
-        # driver row is r5 (r7 checked positions 1-50; these sat at 51-60),
-        # then the NEW r8 queries (no driver row yet), then the r6-latest
-        # set fills the budget; the 50 r7-fresh queries rotate to the back. ---
+        # --- r9 front (≈50-row driver budget): the 19 queries whose latest
+        # driver row is r6 (r8 checked positions 1-50; these sat at 51-69),
+        # then the NEW r9 queries, then the r9-CHANGED r8 queries (spans
+        # added to the packing writers; schedule_fetches delay parsing;
+        # roundtrip's lossless mode), then r7-stale fill to the budget. ---
+        "q_lang_id": q_lang_id,
+        "q_token_splitter": q_token_splitter,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_knn_bruteforce": q_knn_bruteforce,
+        "q_knn_ivf": q_knn_ivf,
+        "q_knn_lsh": q_knn_lsh,
+        "q_embedding_pairs": q_embedding_pairs,
+        "q_bm25": q_bm25,
+        "q_connected_components": q_connected_components,
+        "q_interpolate": q_interpolate,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_pagerank": q_pagerank,
+        "q_json_props": q_json_props,
+        "q_bellman_ford": q_bellman_ford,
+        "q_rerank": q_rerank,
+        "q_winnow": q_winnow,
+        "q_media_meta": q_media_meta,
+        "q_louvain_levels": q_louvain_levels,
+        # --- NEW r9: no driver row yet ---
+        "q_train_sequences": q_train_sequences,
+        "q_fetch_waves": q_fetch_waves,
+        "q_train_masks": q_train_masks,
+        # --- CHANGED in r9: need a fresh driver row ---
+        "q_pack_materialize": q_pack_materialize,
+        "q_pack_cut": q_pack_cut,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_crawl_delay": q_crawl_delay,
+        "q_fetch_schedule": q_fetch_schedule,
+        # --- latest driver row r7 (stalest remaining): fill the budget ---
+        "q_frame_sample": q_frame_sample,
+        "q_warc_ingest": q_warc_ingest,
+        "q_url_normalize": q_url_normalize,
+        "q_domain_quota": q_domain_quota,
+        "q_url_dedup": q_url_dedup,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_token_budget": q_token_budget,
+        "q_extract_links": q_extract_links,
+        "q_robots": q_robots,
+        "q_frontier": q_frontier,
+        "q_bpe_tokenize": q_bpe_tokenize,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_assign_shards": q_assign_shards,
+        "q_leakage_split": q_leakage_split,
+        "q_audio_dedup": q_audio_dedup,
+        "q_image_dedup": q_image_dedup,
+        "q_quality_classifier": q_quality_classifier,
+        "q_dsir": q_dsir,
+        "q_temperature_sample": q_temperature_sample,
+        "q_line_dedup": q_line_dedup,
+        "q_semdedup": q_semdedup,
+        "q_corpus_dedup": q_corpus_dedup,
+        "q_doc_retrieve": q_doc_retrieve,
+        # --- latest driver row r7: behind the ~50 cap this round;
+        # rotates forward in r10. ---
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_error_channel": q_error_channel,
+        "q_custom_reducer": q_custom_reducer,
+        "q_incremental_neardup": q_incremental_neardup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_train_split": q_train_split,
+        "q_shuffle": q_shuffle,
+        "q_mix_datasets": q_mix_datasets,
+        "q_pack_sequences": q_pack_sequences,
+        "q_vocab": q_vocab,
+        "q_pii_scrub": q_pii_scrub,
+        "q_boilerplate": q_boilerplate,
+        "q_kmeans": q_kmeans,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_decontam": q_decontam,
+        "q_span_dedup": q_span_dedup,
+        "q_c4_filter": q_c4_filter,
+        "q_gopher_quality": q_gopher_quality,
+        "q_repetition": q_repetition,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_domain_filter": q_domain_filter,
+        "q_gopher_repetition": q_gopher_repetition,
+        "q_quality_sample": q_quality_sample,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_asof_now": q_asof_now,
+        "q_session_predicate": q_session_predicate,
+        # --- latest driver row r8 (freshest — very back) ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
@@ -2936,17 +3174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain": q_louvain,
         "q_interval_outer": q_interval_outer,
         "q_asof_right": q_asof_right,
-        # --- NEW r8: no driver row yet ---
         "q_bpe_merges": q_bpe_merges,
-        "q_crawl_delay": q_crawl_delay,
         "q_token_budget_bpe": q_token_budget_bpe,
-        "q_bpe_roundtrip": q_bpe_roundtrip,
-        "q_fetch_schedule": q_fetch_schedule,
         "q_robots_wildcards": q_robots_wildcards,
         "q_pack_no_straddle": q_pack_no_straddle,
-        "q_pack_materialize": q_pack_materialize,
-        "q_pack_cut": q_pack_cut,
-        # --- latest driver row r6 ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
         "q_window_numeric": q_window_numeric,
@@ -2978,78 +3209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intervals_over": q_intervals_over,
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_token_splitter": q_token_splitter,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash": q_simhash,
-        "q_knn_bruteforce": q_knn_bruteforce,
-        "q_knn_ivf": q_knn_ivf,
-        "q_knn_lsh": q_knn_lsh,
-        # --- latest driver row r6: behind the ~50 cap this round;
-        # rotates forward in r9. ---
-        "q_embedding_pairs": q_embedding_pairs,
-        "q_bm25": q_bm25,
-        "q_connected_components": q_connected_components,
-        "q_interpolate": q_interpolate,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_pagerank": q_pagerank,
-        "q_json_props": q_json_props,
-        "q_bellman_ford": q_bellman_ford,
-        "q_rerank": q_rerank,
-        "q_winnow": q_winnow,
-        "q_media_meta": q_media_meta,
-        "q_louvain_levels": q_louvain_levels,
-        # --- latest driver row r7 (freshest — very back) ---
-        "q_frame_sample": q_frame_sample,
-        "q_warc_ingest": q_warc_ingest,
-        "q_url_normalize": q_url_normalize,
-        "q_domain_quota": q_domain_quota,
-        "q_url_dedup": q_url_dedup,
-        "q_bloom_dedup": q_bloom_dedup,
-        "q_token_budget": q_token_budget,
-        "q_extract_links": q_extract_links,
-        "q_robots": q_robots,
-        "q_frontier": q_frontier,
-        "q_bpe_tokenize": q_bpe_tokenize,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_assign_shards": q_assign_shards,
-        "q_leakage_split": q_leakage_split,
-        "q_audio_dedup": q_audio_dedup,
-        "q_image_dedup": q_image_dedup,
-        "q_quality_classifier": q_quality_classifier,
-        "q_dsir": q_dsir,
-        "q_temperature_sample": q_temperature_sample,
-        "q_line_dedup": q_line_dedup,
-        "q_semdedup": q_semdedup,
-        "q_corpus_dedup": q_corpus_dedup,
-        "q_doc_retrieve": q_doc_retrieve,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_error_channel": q_error_channel,
-        "q_custom_reducer": q_custom_reducer,
-        "q_incremental_neardup": q_incremental_neardup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_train_split": q_train_split,
-        "q_shuffle": q_shuffle,
-        "q_mix_datasets": q_mix_datasets,
-        "q_pack_sequences": q_pack_sequences,
-        "q_vocab": q_vocab,
-        "q_pii_scrub": q_pii_scrub,
-        "q_boilerplate": q_boilerplate,
-        "q_kmeans": q_kmeans,
-        "q_embedding_outliers": q_embedding_outliers,
-        "q_decontam": q_decontam,
-        "q_span_dedup": q_span_dedup,
-        "q_c4_filter": q_c4_filter,
-        "q_gopher_quality": q_gopher_quality,
-        "q_repetition": q_repetition,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_domain_filter": q_domain_filter,
-        "q_gopher_repetition": q_gopher_repetition,
-        "q_quality_sample": q_quality_sample,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unique_any": q_unique_any,
-        "q_asof_now": q_asof_now,
-        "q_session_predicate": q_session_predicate,
     }
 
 
@@ -4836,14 +4995,50 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 1 END)::DOUBLE AS fetch_offset_s
             FROM o
         """,
+        "q_fetch_waves": """
+            -- md5 queue replay + the try_cast fallback (hosts 5..9
+            -- declare the non-numeric 'fast' -> default 1 s) + wave =
+            -- floor(offset / 10) and the per-(host, wave) count
+            WITH frontier AS (
+                SELECT doc_id, doc_id % 20 AS g,
+                       'h' || (doc_id % 20)::VARCHAR || '.test' AS host,
+                       'https://h' || (doc_id % 20)::VARCHAR || '.test/p'
+                           || doc_id::VARCHAR AS url
+                FROM documents
+            ),
+            o AS (
+                SELECT doc_id, g, host,
+                       (row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY md5(url || ':3'), url
+                       ) - 1)::BIGINT AS fetch_seq
+                FROM frontier
+            ),
+            w AS (
+                SELECT doc_id, host, fetch_seq,
+                       (floor(fetch_seq * CASE WHEN g < 5 THEN g % 7 + 1
+                                               ELSE 1 END
+                              / 10.0))::BIGINT AS wave
+                FROM o
+            )
+            SELECT doc_id, host, fetch_seq, wave,
+                   (count(*) OVER (PARTITION BY host, wave))::BIGINT
+                       AS wave_size
+            FROM w
+        """,
         "q_bpe_roundtrip": r"""
-            -- the roundtrip contract stated directly, no BPE replay:
-            -- decode(encode(x)) = x minus whitespace (full a-z base
-            -- vocab makes the a-z-only corpus encode losslessly)
+            -- the roundtrip contracts stated directly, no BPE replay:
+            -- plain mode: decode(encode(x)) = x minus whitespace (full
+            -- a-z base vocab makes the a-z-only corpus lossless);
+            -- space-marker mode: = x with single spaces back (exact
+            -- identity over the normalized first-8-words input)
             SELECT doc_id,
                    array_to_string(
                        string_split_regex(lower(trim(text)),
-                                          '\s+')[1:8], '') AS text
+                                          '\s+')[1:8], '') AS text,
+                   array_to_string(
+                       string_split_regex(lower(trim(text)),
+                                          '\s+')[1:8], ' ') AS text_exact
             FROM documents
         """,
         "q_token_budget_bpe": r"""
@@ -5145,7 +5340,9 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_cut": f"""
             -- expand each doc to per-token global positions (window
             -- cumsum start + intra-doc index), cut every 64: sequence
-            -- content = ids in position order, no padding
+            -- content = ids in position order, no padding; spans =
+            -- per-(seq, doc) position groups (off = min(pos) % 64 since
+            -- pos // 64 is constant within the group)
             WITH toks AS (
                 SELECT doc_id, (doc_id % 13 + 1)::BIGINT AS n_tok,
                        {_bucket_sql("doc_id", 0)} % 8 AS shard
@@ -5161,18 +5358,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT shard, doc_id,
                        start_offset + unnest(range(n_tok)) AS pos
                 FROM offs
+            ), seqs AS (
+                SELECT shard, (pos // 64)::BIGINT AS seq_id,
+                       string_agg(doc_id::VARCHAR, ',' ORDER BY pos) AS tokens,
+                       count(*)::BIGINT AS n_tokens
+                FROM expanded
+                GROUP BY shard, pos // 64
+            ), piece AS (
+                SELECT shard, (pos // 64)::BIGINT AS seq_id, doc_id,
+                       (min(pos) % 64)::BIGINT AS off,
+                       count(*)::BIGINT AS len
+                FROM expanded
+                GROUP BY shard, pos // 64, doc_id
+            ), sp AS (
+                SELECT shard, seq_id,
+                       string_agg(doc_id::VARCHAR || ':' || off::VARCHAR
+                                  || ':' || len::VARCHAR,
+                                  ';' ORDER BY off) AS spans
+                FROM piece
+                GROUP BY shard, seq_id
             )
-            SELECT shard, (pos // 64)::BIGINT AS seq_id,
-                   string_agg(doc_id::VARCHAR, ',' ORDER BY pos) AS tokens,
-                   count(*)::BIGINT AS n_tokens
-            FROM expanded
-            GROUP BY shard, pos // 64
+            SELECT s.shard, s.seq_id, s.tokens, s.n_tokens, sp.spans
+            FROM seqs s JOIN sp USING (shard, seq_id)
         """,
         "q_pack_materialize": f"""
             -- unit token counts make the greedy no-straddle fold exactly
             -- row_number grouping: seq = (rn-1)//8 per shard; each
             -- sequence's content is its doc_ids in queue order, padded
-            -- with -1 to the cap of 8
+            -- with -1 to the cap of 8; spans = unit doc_id:(rn-1)%8:1
+            -- entries in queue order; unit counts can never exceed the
+            -- cap, so oversized is constant FALSE
             WITH base AS (
                 SELECT doc_id,
                        {_bucket_sql("doc_id", 0)} % 16 AS shard,
@@ -5186,9 +5401,172 @@ def oracle_sql() -> dict[str, str]:
                    ((rn - 1) // 8)::BIGINT AS seq_id,
                    string_agg(doc_id::VARCHAR, ',' ORDER BY rn)
                        || repeat(',-1', 8 - count(*)::INT) AS tokens,
-                   count(*)::BIGINT AS n_tokens
+                   count(*)::BIGINT AS n_tokens,
+                   string_agg(doc_id::VARCHAR || ':'
+                              || ((rn - 1) % 8)::VARCHAR || ':1',
+                              ';' ORDER BY rn) AS spans,
+                   FALSE AS oversized
             FROM (SELECT doc_id, shard, rn, (rn - 1) // 8 AS g FROM base)
             GROUP BY shard, g, ((rn - 1) // 8)
+        """,
+        "q_train_sequences": f"""
+            -- the real composition, replayed end to end: (1) the
+            -- UNK-safe greedy longest-match CTE gives per-doc id strings
+            -- + counts, EOS 55 appended (empty docs become just '55');
+            -- (2) the recursive (fill, seq) recurrence steps the
+            -- no-straddle layout per md5 shard; (3) string_agg in
+            -- start_offset order re-assembles each sequence, -1-padded
+            -- to the cap of 32, with the doc_id:off:len span map and
+            -- the sum(n_tok) > cap oversized flag
+            WITH RECURSIVE vocab(tok, tid) AS (
+              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
+              UNION ALL
+              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
+                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
+                ('va',34),('al',35),('ue',36),('val',37),('value',38),
+                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
+                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
+                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
+                ('hash',54)) v(a,b)
+            ),
+            words AS (
+              SELECT doc_id, wp, w FROM (
+                SELECT doc_id, generate_subscripts(l,1) AS wp,
+                       unnest(l) AS w
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)),
+                                                '\\s+')[1:8] AS l
+                      FROM documents)
+              ) WHERE w <> ''
+            ),
+            step(doc_id, wp, rest, k, tid) AS (
+              SELECT doc_id, wp, w, 0, NULL::INT FROM words
+              UNION ALL
+              SELECT doc_id, wp,
+                     substr(rest, coalesce(length(best.tok), 1) + 1),
+                     k + 1,
+                     coalesce(best.tid, -1)
+              FROM (
+                SELECT s.*,
+                       (SELECT max_by(struct_pack(tok := v.tok,
+                                                  tid := v.tid),
+                                      length(v.tok))
+                        FROM vocab v
+                        WHERE starts_with(s.rest, v.tok)) AS best
+                FROM step s WHERE s.rest <> ''
+              )
+            ),
+            doc_toks AS (
+              SELECT d.doc_id,
+                     CASE WHEN count(s.doc_id) = 0 THEN '55'
+                          ELSE string_agg(s.tid::VARCHAR, ','
+                                          ORDER BY s.wp, s.k) || ',55'
+                     END AS toks,
+                     (count(s.doc_id) + 1)::BIGINT AS n_tok
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, wp, k, tid
+                         FROM step WHERE k > 0) s
+                ON d.doc_id = s.doc_id
+              GROUP BY d.doc_id
+            ),
+            base AS (
+              SELECT doc_id, toks, n_tok,
+                     {_bucket_sql("doc_id", 0)} % 16 AS shard,
+                     row_number() OVER (
+                         PARTITION BY {_bucket_sql("doc_id", 0)} % 16
+                         ORDER BY doc_id, n_tok
+                     ) AS rn
+              FROM doc_toks
+            ),
+            fold(shard, rn, doc_id, toks, n_tok, seq_id, start_offset,
+                 fill) AS (
+              SELECT shard, rn, doc_id, toks, n_tok,
+                     0::BIGINT, 0::BIGINT, n_tok
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.toks, b.n_tok,
+                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
+                          THEN f.seq_id + 1 ELSE f.seq_id END,
+                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
+                          THEN 0 ELSE f.fill END,
+                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
+                          THEN b.n_tok ELSE f.fill + b.n_tok END
+              FROM fold f
+              JOIN base b ON b.shard = f.shard AND b.rn = f.rn + 1
+            )
+            SELECT shard, seq_id,
+                   string_agg(toks, ',' ORDER BY start_offset)
+                       || repeat(',-1',
+                                 greatest(0, 32 - sum(n_tok))::INT)
+                       AS tokens,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   string_agg(doc_id::VARCHAR || ':'
+                              || start_offset::VARCHAR || ':'
+                              || n_tok::VARCHAR,
+                              ';' ORDER BY start_offset) AS spans,
+                   (sum(n_tok) > 32) AS oversized
+            FROM fold
+            GROUP BY shard, seq_id
+        """,
+        "q_train_masks": f"""
+            -- replay the (fill, seq) recurrence over the synthetic
+            -- counts, then state each sequence's position/segment
+            -- streams directly: per doc in offset order, positions =
+            -- range(n_tok), segments = its row_number within the
+            -- sequence, padding = (0, -1) to the cap of 16
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, (doc_id % 13 + 1)::BIGINT AS n_tok,
+                       {_bucket_sql("doc_id", 0)} % 8 AS shard
+                FROM documents
+            ), base AS (
+                SELECT doc_id, n_tok, shard,
+                       row_number() OVER (
+                           PARTITION BY shard ORDER BY doc_id, n_tok
+                       ) AS rn
+                FROM toks
+            ),
+            fold(shard, rn, doc_id, n_tok, seq_id, start_offset, fill) AS (
+                SELECT shard, rn, doc_id, n_tok,
+                       0::BIGINT, 0::BIGINT, n_tok
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.n_tok,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN f.seq_id + 1 ELSE f.seq_id END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN 0 ELSE f.fill END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN b.n_tok ELSE f.fill + b.n_tok END
+                FROM fold f
+                JOIN base b ON b.shard = f.shard AND b.rn = f.rn + 1
+            ),
+            per_doc AS (
+                SELECT shard, seq_id, start_offset, n_tok,
+                       (row_number() OVER (
+                           PARTITION BY shard, seq_id
+                           ORDER BY start_offset
+                       ) - 1)::BIGINT AS seg
+                FROM fold
+            ),
+            agg AS (
+                SELECT shard, seq_id,
+                       string_agg(array_to_string(range(n_tok), ','),
+                                  ',' ORDER BY start_offset) AS pos_core,
+                       string_agg(array_to_string(
+                                      list_transform(range(n_tok),
+                                                     x -> seg), ','),
+                                  ',' ORDER BY start_offset) AS seg_core,
+                       sum(n_tok)::BIGINT AS n_tokens
+                FROM per_doc
+                GROUP BY shard, seq_id
+            )
+            SELECT shard, seq_id,
+                   pos_core || repeat(',0', (16 - n_tokens)::INT)
+                       AS positions,
+                   seg_core || repeat(',-1', (16 - n_tokens)::INT)
+                       AS segments,
+                   n_tokens
+            FROM agg
         """,
         "q_vocab": """
             SELECT term, count, rank FROM (

@@ -55,6 +55,7 @@ def learn_bpe_merges(
     max_words: int = 100_000,
     min_pair_count: int = 2,
     lowercase: bool = True,
+    space_marker: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn BPE merge rules from a corpus (Sennrich et al. 2016): start
     from characters, repeatedly merge the most frequent adjacent symbol
@@ -73,12 +74,22 @@ def learn_bpe_merges(
     Deterministic: ties on pair count break on the lexicographically
     smallest pair, so the same corpus always yields the same merges.
     Returns the merges in learned order (rank = list index).
+
+    ``space_marker`` (GPT-2's ``Ġ``-style word-boundary symbol) prefixes
+    every non-initial word before counting, so merges learn
+    space-carrying tokens and :func:`bpe_decode` can reconstruct the
+    spaces — use the SAME marker in :func:`bpe_encode`/:func:`bpe_decode`
+    and include it in :func:`bpe_vocab`'s ``alphabet`` (a marker that
+    never lands in a merge won't be derivable from the merges list).
     """
     text = F.trim(F.col(text_col))
     if lowercase:
         text = F.lower(text)
+    words_arr = F.split(text, r"\s+")
+    if space_marker:
+        words_arr = _mark_spaces(words_arr, space_marker)
     counts = (
-        df.select(F.explode(F.split(text, r"\s+")).alias("word"))
+        df.select(F.explode(words_arr).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("count"))
@@ -202,6 +213,7 @@ def bpe_encode(
     lowercase: bool = True,
     max_word_len: int = 256,
     append_eos_id: int | None = None,
+    space_marker: str | None = None,
 ) -> DataFrame:
     """Tokenize each document against a BPE vocab -> (doc_id, token_ids,
     n_tokens), the same contract as :func:`~pathwaydataframework_spark.
@@ -221,6 +233,16 @@ def bpe_encode(
     setting :func:`learn_bpe_merges` was run with; pass ``False`` for a
     vocab containing upper-case tokens, which would otherwise be
     unreachable).
+
+    ``space_marker`` (opt-in, GPT-2's ``Ġ`` convention) prefixes every
+    non-initial word with the boundary symbol BEFORE matching, so the
+    marker rides inside the tokens and :func:`bpe_decode` (same marker)
+    reconstructs the spaces — ``decode(encode(x)) == x`` exactly for
+    trimmed single-space-separated text (whitespace RUNS still
+    normalize to one space: the pre-tokenizer splits on ``\\s+``).
+    Learn the vocab with the same marker (:func:`learn_bpe_merges`) and
+    make sure the marker is in the vocab's alphabet; pick a symbol that
+    never occurs in the corpus (U+0120 for natural text).
 
     Words longer than ``max_word_len`` characters are encoded in
     ``max_word_len``-sized chunks (no token may span a chunk boundary):
@@ -245,7 +267,7 @@ def bpe_encode(
     encode_udf = _make_encode_udf(
         df.sparkSession, vocab, mode, merges, unk_id, max_word_len
     )
-    base, occ = _pretokenize(df, id_col, text_col, lowercase)
+    base, occ = _pretokenize(df, id_col, text_col, lowercase, space_marker)
     encoded = occ.select("word").distinct().select(
         "word", encode_udf(F.col("word")).alias("__ids")
     )
@@ -309,15 +331,36 @@ def _make_encode_udf(
     return pandas_udf(_fn, "array<long>")
 
 
-def _pretokenize(df: DataFrame, id_col: str, text_col: str, lowercase: bool):
+def _mark_spaces(words_arr, space_marker: str):
+    """Prefix every non-initial word with the boundary marker (GPT-2's
+    ``Ġ`` convention): the marker IS the space, carried through
+    tokenization so decode can put it back."""
+    return F.transform(
+        words_arr,
+        lambda w, i: F.when(
+            i > F.lit(0), F.concat(F.lit(space_marker), w)
+        ).otherwise(w),
+    )
+
+
+def _pretokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool,
+    space_marker: str | None = None,
+):
     """JVM-side whitespace pre-tokenization: (base doc frame with word
     arrays, exploded (doc_id, pos, word) occurrences)."""
     text = F.trim(F.col(text_col))
     if lowercase:
         text = F.lower(text)
+    words_arr = F.split(text, r"\s+")
+    if space_marker:
+        words_arr = _mark_spaces(words_arr, space_marker)
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(text, r"\s+").alias("__words"),
+        words_arr.alias("__words"),
     )
     occ = base.select("doc_id", F.posexplode("__words").alias("pos", "word")).filter(
         F.length("word") > 0
@@ -362,6 +405,7 @@ def bpe_decode(
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     unk_token: str = "�",
+    space_marker: str | None = None,
 ) -> DataFrame:
     """token ids -> (doc_id, text): the inverse of :func:`bpe_encode`,
     tiktoken's ``decode`` as an engine operator.  Ids outside the vocab
@@ -371,7 +415,11 @@ def bpe_decode(
     whitespace pre-tokenization discards it), so the decoded text is the
     per-doc concatenation of token strings — ``decode(encode(x))``
     equals ``x`` with whitespace removed, which is the roundtrip
-    contract the driver query pins.
+    contract the driver query pins.  UNLESS the corpus was encoded with
+    a ``space_marker``: pass the same marker here and every marker
+    (word-boundary symbol carried inside the tokens) turns back into
+    one space — the roundtrip becomes exact identity for trimmed
+    single-space-separated text.
 
     Plan: the id->token table is a small DataFrame joined to the
     posexploded ids, then the same ordered doc-keyed re-assembly as
@@ -405,8 +453,11 @@ def bpe_decode(
         ).alias("text")
     )
     ids = df.select(F.col(id_col).alias("doc_id"))
+    text = F.coalesce("text", F.lit(""))
+    if space_marker:
+        text = F.replace(text, F.lit(space_marker), F.lit(" "))
     return ids.join(assembled, on="doc_id", how="left").select(
-        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+        "doc_id", text.alias("text")
     )
 
 
@@ -435,6 +486,7 @@ def bpe_encode_incremental(
     lowercase: bool = True,
     max_word_len: int = 256,
     append_eos_id: int | None = None,
+    space_marker: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of :func:`bpe_encode` against a persisted
     word→ids table: returns ``(encoded batch, updated word table)``.
@@ -461,7 +513,7 @@ def bpe_encode_incremental(
     encode_udf = _make_encode_udf(
         batch.sparkSession, vocab, mode, merges, unk_id, max_word_len
     )
-    base, occ = _pretokenize(batch, id_col, text_col, lowercase)
+    base, occ = _pretokenize(batch, id_col, text_col, lowercase, space_marker)
     new_forms = (
         occ.select("word")
         .distinct()

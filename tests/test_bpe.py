@@ -285,3 +285,57 @@ def test_bpe_encode_append_eos(spark):
         for r in inc.collect()
     }
     assert inc_out == out
+
+
+def test_bpe_space_marker_lossless_roundtrip(spark):
+    """space_marker mode (GPT-2's Ġ convention): non-initial words carry
+    the boundary symbol through learn/encode, decode puts the spaces
+    back — decode(encode(x)) == x exactly for trimmed single-space
+    text, and whitespace runs normalize to one space."""
+    M = "Ġ"  # Ġ
+    rows = [
+        (0, "the table"),
+        (1, "a value  in   the row"),   # runs normalize to single spaces
+        (2, "solo"),
+        (3, ""),                        # empty doc stays empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # marker pairs tie-break LAST among equal counts ('Ġ' = U+0120 sorts
+    # after ascii), so give the loop room to reach them
+    merges = bpe.learn_bpe_merges(
+        df, num_merges=60, min_pair_count=1, space_marker=M
+    )
+    # marked words mean marker-initial pairs are learnable
+    assert any(M in a + b for a, b in merges)
+    vocab = bpe.bpe_vocab(
+        merges, alphabet="abcdefghijklmnopqrstuvwxyz" + M
+    )
+    enc = bpe.bpe_encode(df, vocab, space_marker=M)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in bpe.bpe_decode(enc, vocab, space_marker=M).collect()
+    }
+    import re
+
+    assert dec == {
+        d: re.sub(r"\s+", " ", t.strip()) for d, t in rows
+    }
+    # the merges-mode kernel honors the marker too
+    enc_m = bpe.bpe_encode(
+        df, vocab, mode="merges", merges=merges, space_marker=M
+    )
+    dec_m = {
+        r["doc_id"]: r["text"]
+        for r in bpe.bpe_decode(enc_m, vocab, space_marker=M).collect()
+    }
+    assert dec_m == dec
+    # incremental encode takes the same marker
+    inc, _tbl = bpe.bpe_encode_incremental(
+        df, bpe.bpe_word_table(spark), vocab, space_marker=M
+    )
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in inc.collect()
+    }
+    want = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
+    assert got == want
