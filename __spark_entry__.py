@@ -773,6 +773,18 @@ def q_pack_no_straddle(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _spans_str():
+    """doc_spans -> 'doc:off:len;...' — the one stringification every
+    span-carrying driver query uses, so the three rows can't drift."""
+    return F.array_join(
+        F.transform(
+            "doc_spans",
+            lambda s: F.concat_ws(":", s["doc_id"], s["off"], s["len"]),
+        ),
+        ";",
+    )
+
+
 def q_pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
     """the packing WRITER step (packing.materialize_sequences): join each
     doc's token ids onto its pack_no_straddle slot and rebuild every
@@ -803,13 +815,7 @@ def q_pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
         "seq_id",
         F.array_join("token_ids", ",").alias("tokens"),
         "n_tokens",
-        F.array_join(
-            F.transform(
-                "doc_spans",
-                lambda s: F.concat_ws(":", s["doc_id"], s["off"], s["len"]),
-            ),
-            ";",
-        ).alias("spans"),
+        _spans_str().alias("spans"),
         "oversized",
     )
 
@@ -845,13 +851,7 @@ def q_pack_cut(spark: SparkSession, sf: str) -> DataFrame:
         "seq_id",
         F.array_join("token_ids", ",").alias("tokens"),
         "n_tokens",
-        F.array_join(
-            F.transform(
-                "doc_spans",
-                lambda s: F.concat_ws(":", s["doc_id"], s["off"], s["len"]),
-            ),
-            ";",
-        ).alias("spans"),
+        _spans_str().alias("spans"),
     )
 
 
@@ -2832,13 +2832,7 @@ def q_train_sequences(spark: SparkSession, sf: str) -> DataFrame:
         "seq_id",
         F.array_join("token_ids", ",").alias("tokens"),
         "n_tokens",
-        F.array_join(
-            F.transform(
-                "doc_spans",
-                lambda s: F.concat_ws(":", s["doc_id"], s["off"], s["len"]),
-            ),
-            ";",
-        ).alias("spans"),
+        _spans_str().alias("spans"),
         "oversized",
     )
 

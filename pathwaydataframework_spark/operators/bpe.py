@@ -334,9 +334,13 @@ def _make_encode_udf(
 def _mark_spaces(words_arr, space_marker: str):
     """Prefix every non-initial word with the boundary marker (GPT-2's
     ``Ġ`` convention): the marker IS the space, carried through
-    tokenization so decode can put it back."""
+    tokenization so decode can put it back.  Empty split tokens are
+    dropped FIRST — Spark's ``trim`` strips only ' ' (not \\t/\\n/\\r),
+    so a newline-terminated text splits with a trailing '' that would
+    otherwise become a phantom bare-marker token (inflating n_tokens,
+    decoding to a stray space, and skewing learned pair counts)."""
     return F.transform(
-        words_arr,
+        F.filter(words_arr, lambda w: F.length(w) > 0),
         lambda w, i: F.when(
             i > F.lit(0), F.concat(F.lit(space_marker), w)
         ).otherwise(w),

@@ -350,8 +350,17 @@ def training_masks(
     no Python, arrays bounded by the sequence cap.
     """
     spans = F.col(spans_col)
+    # a zero-length span (an empty document still owns a slot) must
+    # contribute NO positions: sequence(0, -1) would count DOWN to
+    # [0, -1] and misalign every array after it
     pos_core = F.flatten(
-        F.transform(spans, lambda s: F.sequence(F.lit(0).cast("long"), s["len"] - 1))
+        F.transform(
+            spans,
+            lambda s: F.when(
+                s["len"] > 0,
+                F.sequence(F.lit(0).cast("long"), s["len"] - 1),
+            ).otherwise(F.array().cast("array<long>")),
+        )
     )
     seg_core = F.flatten(
         F.transform(

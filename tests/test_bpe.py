@@ -339,3 +339,43 @@ def test_bpe_space_marker_lossless_roundtrip(spark):
     }
     want = {r["doc_id"]: list(r["token_ids"]) for r in enc.collect()}
     assert got == want
+
+
+def test_bpe_space_marker_ignores_empty_split_tokens(spark):
+    """Spark's trim strips only ' ' — a newline-terminated text splits
+    with a trailing '' which must NOT become a phantom bare-marker
+    token (inflated n_tokens, stray decoded space, skewed learned
+    pairs) (code-review r9 finding)."""
+    M = "Ġ"
+    v = {c: i for i, c in enumerate("abcdehtĠ")}
+    clean = spark.createDataFrame([(0, "the cat")], "doc_id long, text string")
+    dirty = spark.createDataFrame(
+        [(0, "the cat\n"), (1, "\tthe cat")], "doc_id long, text string"
+    )
+    want = [
+        (r["doc_id"], list(r["token_ids"]), r["n_tokens"])
+        for r in bpe.bpe_encode(clean, v, space_marker=M).collect()
+    ][0]
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe.bpe_encode(dirty, v, space_marker=M).collect()
+    }
+    assert got[0] == (want[1], want[2])      # trailing \n: no phantom token
+    assert got[1] == (want[1], want[2])      # leading \t: first word unmarked
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in bpe.bpe_decode(
+            bpe.bpe_encode(dirty, v, space_marker=M), v, space_marker=M
+        ).collect()
+    }
+    assert dec == {0: "the cat", 1: "the cat"}
+    # learn path: the phantom '' must not count as a marker word
+    corpus = spark.createDataFrame([("a b\n",)], "text string")
+    merges = bpe.learn_bpe_merges(
+        corpus, num_merges=5, min_pair_count=1, space_marker=M
+    )
+    assert ("Ġ", "b") in merges or all(M not in a or len(a) > 1 for a, b in merges)
+    # the only marker-bearing symbol stream is 'Ġb' from the real word;
+    # no pair may involve a STANDALONE phantom marker word's trailing edge
+    flat = [a + b for a, b in merges]
+    assert all(tok != M for tok in flat)

@@ -1441,3 +1441,28 @@ def test_training_masks(spark):
         ).collect()
     }
     assert alt[1] == ([0, -1, -1, -1, -1, -1], [0, 99, 99, 99, 99, 99])
+
+
+def test_training_masks_zero_length_span(spark):
+    """A zero-length doc span (an empty document still owns a layout
+    slot) must contribute NO positions/segments: sequence(0, len-1)
+    with len=0 would count DOWN to [0, -1] and misalign every array
+    after it (code-review r9 finding)."""
+    from pathwaydataframework_spark.operators import packing
+
+    toks = spark.createDataFrame(
+        [(0, 3, [7, 7, 7]), (1, 0, []), (2, 2, [9, 9])],
+        "doc_id long, n_tok long, token_ids array<long>",
+    )
+    layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 8, shards=1)
+    seqs = packing.materialize_sequences(
+        toks, layout, max_tokens=8, pad_id=-1
+    )
+    (row,) = packing.training_masks(seqs).collect()
+    assert list(row["token_ids"]) == [7, 7, 7, 9, 9, -1, -1, -1]
+    assert list(row["position_ids"]) == [0, 1, 2, 0, 1, 0, 0, 0]
+    # segment index stays aligned with the doc_spans array (the empty
+    # doc keeps its index; its tokens just don't exist)
+    assert list(row["segment_ids"]) == [0, 0, 0, 2, 2, -1, -1, -1]
+    assert len(row["position_ids"]) == len(row["token_ids"])
+    assert len(row["segment_ids"]) == len(row["token_ids"])
