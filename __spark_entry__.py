@@ -2872,6 +2872,36 @@ def q_train_masks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-waste accounting (packing.packing_efficiency — the number
+    a training-data team watches: every padded slot is a wasted FLOP):
+    per shard over the q_train_masks fixture's packed output, the
+    sequence count, real tokens, padded slots, waste fraction and
+    oversized count — one map-side-combined aggregation over the
+    sequence table.  Oracle replays the (fill, seq) recurrence and
+    aggregates the same quantities from the layout alone (each
+    sequence's n_tokens = sum of its docs' counts)."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    toks = docs.select(
+        "doc_id",
+        (d % 13 + 1).cast("long").alias("n_tok"),
+        F.array_repeat(d.cast("long"), (d % 13 + 1).cast("int")).alias(
+            "token_ids"
+        ),
+    )
+    layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 16, shards=8)
+    seqs = packing.materialize_sequences(
+        toks, layout, max_tokens=16, pad_id=-1
+    )
+    return packing.packing_efficiency(seqs, 16).select(
+        "shard", "n_seqs", "real_tokens", "padded_slots",
+        "oversized_seqs", "waste_frac",
+    )
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """HTML link extraction for frontier building (parsers.extract_links:
     regexp_extract_all over href attributes, double- then single-quoted,
@@ -3098,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_sequences": q_train_sequences,
         "q_fetch_waves": q_fetch_waves,
         "q_train_masks": q_train_masks,
+        "q_pack_efficiency": q_pack_efficiency,
         # --- CHANGED in r9: need a fresh driver row ---
         "q_pack_materialize": q_pack_materialize,
         "q_pack_cut": q_pack_cut,
@@ -3127,9 +3158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_semdedup": q_semdedup,
         "q_corpus_dedup": q_corpus_dedup,
-        "q_doc_retrieve": q_doc_retrieve,
         # --- latest driver row r7: behind the ~50 cap this round;
         # rotates forward in r10. ---
+        "q_doc_retrieve": q_doc_retrieve,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_error_channel": q_error_channel,
         "q_custom_reducer": q_custom_reducer,
@@ -5561,6 +5592,52 @@ def oracle_sql() -> dict[str, str]:
                        AS segments,
                    n_tokens
             FROM agg
+        """,
+        "q_pack_efficiency": f"""
+            -- same recurrence as q_train_masks, aggregated: per-seq
+            -- n_tokens from the layout, then per-shard counts/waste
+            -- (counts max 13 < cap 16 so oversized is structurally 0,
+            -- stated as such)
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, (doc_id % 13 + 1)::BIGINT AS n_tok,
+                       {_bucket_sql("doc_id", 0)} % 8 AS shard
+                FROM documents
+            ), base AS (
+                SELECT doc_id, n_tok, shard,
+                       row_number() OVER (
+                           PARTITION BY shard ORDER BY doc_id, n_tok
+                       ) AS rn
+                FROM toks
+            ),
+            fold(shard, rn, doc_id, n_tok, seq_id, start_offset, fill) AS (
+                SELECT shard, rn, doc_id, n_tok,
+                       0::BIGINT, 0::BIGINT, n_tok
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.n_tok,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN f.seq_id + 1 ELSE f.seq_id END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN 0 ELSE f.fill END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN b.n_tok ELSE f.fill + b.n_tok END
+                FROM fold f
+                JOIN base b ON b.shard = f.shard AND b.rn = f.rn + 1
+            ),
+            seqs AS (
+                SELECT shard, seq_id, sum(n_tok)::BIGINT AS n_tokens
+                FROM fold GROUP BY shard, seq_id
+            )
+            SELECT shard,
+                   count(*)::BIGINT AS n_seqs,
+                   sum(n_tokens)::BIGINT AS real_tokens,
+                   sum(16 - n_tokens)::BIGINT AS padded_slots,
+                   0::BIGINT AS oversized_seqs,
+                   round(sum(16 - n_tokens)
+                         / (sum(16 - n_tokens) + sum(n_tokens)), 6)
+                       AS waste_frac
+            FROM seqs
+            GROUP BY shard
         """,
         "q_vocab": """
             SELECT term, count, rank FROM (

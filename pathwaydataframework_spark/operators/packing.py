@@ -328,6 +328,83 @@ def materialize_sequences(
     return out.select(*cols)
 
 
+def open_rows_state(
+    spark, *, id_col: str = "doc_id", ids_col: str = "token_ids"
+) -> DataFrame:
+    """Empty persisted-state frame for
+    :func:`materialize_sequences_incremental`: the packed rows (slot +
+    token ids) of every still-OPEN sequence.  Bounded by construction:
+    each shard has exactly one open sequence holding at most
+    ``max_tokens`` tokens, so the frame never exceeds shards × cap
+    tokens — the same small-summarizing-state pattern as the pack
+    state, just carrying the open tail's ids instead of a counter."""
+    return spark.createDataFrame(
+        [],
+        f"`{id_col}` long, shard long, seq_id long, start_offset long, "
+        f"`{ids_col}` array<long>",
+    )
+
+
+def materialize_sequences_incremental(
+    packed_batch: DataFrame,
+    token_batch: DataFrame,
+    open_rows: DataFrame,
+    pack_st: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    max_tokens: int | None = None,
+    pad_id: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The streaming WRITER step — one micro-batch of
+    :func:`materialize_sequences` that emits only the sequences the
+    fold has CLOSED and carries the open tails forward: returns
+    ``(materialized closed sequences, updated open_rows)``.
+
+    ``packed_batch``/``pack_st`` are :func:`pack_no_straddle_incremental`'s
+    outputs for this batch; ``token_batch`` is the batch's (id,
+    token_ids) frame; ``open_rows`` is the previous batch's carried
+    state (:func:`open_rows_state`).  A sequence is closed exactly when
+    the shard's fold has moved past it (``seq_id < next_seq`` — the
+    state's next_seq IS the still-open sequence), so every sequence is
+    emitted once, whole, no matter how many batches its documents
+    straddle.  At stream end, flush the final ``open_rows`` through
+    :func:`materialize_sequences` to emit the last open sequence per
+    shard.
+
+    Scale shape: one equi-join to attach the batch's ids, one
+    state-sized union, one broadcastable join against the per-shard
+    pack state, and the closed-set groupBy — per-batch cost is batch +
+    state sized; the open state is bounded by shards × ``max_tokens``
+    tokens regardless of stream length.
+    """
+    rows = open_rows.unionByName(
+        packed_batch.join(token_batch.select(id_col, ids_col), on=id_col).select(
+            id_col, "shard", "seq_id", "start_offset", ids_col
+        )
+    )
+    st = pack_st.select("shard", F.col("next_seq").alias("__next_seq"))
+    tagged = rows.join(st, on="shard", how="left")
+    # a shard absent from the state (no docs ever) can't hold rows; a
+    # NULL next_seq would otherwise silently drop them — treat as open
+    is_closed = F.col("seq_id") < F.coalesce(
+        F.col("__next_seq"), F.col("seq_id") + 1
+    )
+    closed = tagged.filter(is_closed).drop("__next_seq")
+    still_open = tagged.filter(~is_closed).drop("__next_seq")
+    # each doc enters `rows` in exactly one batch and leaves exactly once
+    # (emitted or carried), so no dedup is needed on either side
+    emitted = materialize_sequences(
+        closed.select(id_col, ids_col),
+        closed.select(id_col, "shard", "seq_id", "start_offset"),
+        id_col=id_col,
+        ids_col=ids_col,
+        max_tokens=max_tokens,
+        pad_id=pad_id,
+    )
+    return emitted, still_open
+
+
 def training_masks(
     sequences: DataFrame,
     *,
@@ -381,6 +458,49 @@ def training_masks(
             seg_core,
             F.array_repeat(F.lit(int(pad_seg)).cast("long"), pad_n),
         ),
+    )
+
+
+def packing_efficiency(
+    sequences: DataFrame,
+    max_tokens: int,
+    *,
+    by: str | list[str] = "shard",
+) -> DataFrame:
+    """Padding-waste accounting over a materialized packed dataset — the
+    number a training-data team actually watches (every padded slot is
+    a FLOP spent on nothing): per group, the sequence count, real token
+    count, padded slots (cap − n_tokens for non-oversized sequences),
+    the waste fraction of the padded grid, and the oversized count.
+
+    One map-side-combined aggregation; at 100 TB the input is the
+    sequence table (corpus_tokens / cap rows), so this is a seconds-
+    scale scan.  ``by`` defaults to per-shard, where skew shows up as
+    one shard's waste diverging; pass a column list for other
+    groupings (e.g. a dataset/source column).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    keys = [by] if isinstance(by, str) else list(by)
+    cap = F.lit(int(max_tokens))
+    over = F.col("n_tokens") > cap
+    pad = F.when(over, F.lit(0)).otherwise(cap - F.col("n_tokens"))
+    return (
+        sequences.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            F.sum(pad).cast("long").alias("padded_slots"),
+            F.sum(over.cast("long")).cast("long").alias("oversized_seqs"),
+        )
+        .withColumn(
+            "waste_frac",
+            F.round(
+                F.col("padded_slots")
+                / (F.col("padded_slots") + F.col("real_tokens")),
+                6,
+            ),
+        )
     )
 
 

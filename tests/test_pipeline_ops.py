@@ -1466,3 +1466,38 @@ def test_training_masks_zero_length_span(spark):
     assert list(row["segment_ids"]) == [0, 0, 0, 2, 2, -1, -1, -1]
     assert len(row["position_ids"]) == len(row["token_ids"])
     assert len(row["segment_ids"]) == len(row["token_ids"])
+
+
+def test_packing_efficiency(spark):
+    """Padding-waste accounting: padded slots count only non-oversized
+    sequences, oversized ones are counted separately, waste_frac is
+    padded / (padded + real)."""
+    from pathwaydataframework_spark.operators import packing
+
+    seqs = spark.createDataFrame(
+        [
+            (0, 0, 8),    # full
+            (0, 1, 5),    # 3 padded
+            (0, 2, 12),   # oversized: no padding counted
+            (1, 0, 2),    # 6 padded
+        ],
+        "shard long, seq_id long, n_tokens long",
+    )
+    out = {
+        r["shard"]: (
+            r["n_seqs"], r["real_tokens"], r["padded_slots"],
+            r["oversized_seqs"], r["waste_frac"],
+        )
+        for r in packing.packing_efficiency(seqs, 8).collect()
+    }
+    assert out[0] == (3, 25, 3, 1, round(3 / 28, 6))
+    assert out[1] == (1, 2, 6, 0, 0.75)
+    # alternate grouping key list
+    (tot,) = packing.packing_efficiency(
+        seqs.withColumn("ds", F.lit("web")), 8, by=["ds"]
+    ).collect()
+    assert tot["n_seqs"] == 4 and tot["padded_slots"] == 9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        packing.packing_efficiency(seqs, 0)

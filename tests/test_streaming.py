@@ -1032,3 +1032,107 @@ def test_streaming_tokenize_to_train_chain(spark, tmp_path):
         )
     )
     assert streamed == expected
+
+
+def test_streaming_materialize_emits_closed_sequences(spark, tmp_path):
+    """The streaming writer (materialize_sequences_incremental): each
+    micro-batch emits exactly the sequences the fold CLOSED — whole,
+    once, even when their documents arrived in earlier batches — the
+    open tails carry forward in a shards×cap-bounded state, and
+    emitted-per-batch ∪ final-flush equals the one-shot writer output
+    exactly (ids, counts, spans)."""
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import packing
+
+    # deterministic token arrays; sizes force sequences to straddle
+    # batch boundaries (cap 16, sizes cycle 5..9)
+    def toks(d):
+        n = d % 5 + 5
+        return [d] * n
+
+    batches = [list(range(0, 8)), list(range(8, 16)), list(range(16, 24))]
+    src = tmp_path / "mat_stream"
+    src.mkdir()
+    for i, ids in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            [(d, len(toks(d)), toks(d)) for d in ids],
+            "doc_id long, n_tok long, token_ids array<long>",
+        ).coalesce(1).write.parquet(str(stage))
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    CAP, SHARDS = 16, 2
+    state = {
+        "ps": packing.pack_state(spark),
+        "open": packing.open_rows_state(spark),
+        "emitted": [],
+        "per_batch": [],
+    }
+
+    def seq_key(r):
+        return (
+            (r["shard"], r["seq_id"]),
+            (
+                list(r["token_ids"]),
+                r["n_tokens"],
+                [(s["doc_id"], s["off"], s["len"]) for s in r["doc_spans"]],
+            ),
+        )
+
+    def handle(bdf, _epoch):
+        bdf = bdf.localCheckpoint()
+        packed, ps = packing.pack_no_straddle_incremental(
+            bdf.select("doc_id", "n_tok"), state["ps"], "doc_id", "n_tok",
+            CAP, shards=SHARDS,
+        )
+        emitted, still_open = packing.materialize_sequences_incremental(
+            packed, bdf.select("doc_id", "token_ids"), state["open"], ps,
+            max_tokens=CAP, pad_id=-1,
+        )
+        rows = [seq_key(r) for r in emitted.collect()]
+        state["per_batch"].append(len(rows))
+        state["emitted"].extend(rows)
+        state["ps"] = ps.localCheckpoint()
+        state["open"] = still_open.localCheckpoint()
+
+    q = (
+        spark.readStream.schema(
+            "doc_id long, n_tok long, token_ids array<long>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # flush the final open tails
+    flushed = packing.materialize_sequences(
+        state["open"].select("doc_id", "token_ids"),
+        state["open"].select("doc_id", "shard", "seq_id", "start_offset"),
+        max_tokens=CAP,
+        pad_id=-1,
+    )
+    state["emitted"].extend(seq_key(r) for r in flushed.collect())
+
+    # one-shot reference over the concatenated stream
+    full = spark.createDataFrame(
+        [(d, len(toks(d)), toks(d)) for ids in batches for d in ids],
+        "doc_id long, n_tok long, token_ids array<long>",
+    )
+    layout = packing.pack_no_straddle(full, "doc_id", "n_tok", CAP, shards=SHARDS)
+    expected = dict(
+        seq_key(r)
+        for r in packing.materialize_sequences(
+            full, layout, max_tokens=CAP, pad_id=-1
+        ).collect()
+    )
+    got = dict(state["emitted"])
+    assert len(state["emitted"]) == len(got), "a sequence was emitted twice"
+    assert got == expected
+    # the stream emitted progressively, not everything in the flush
+    assert sum(state["per_batch"]) > 0 and state["per_batch"][0] > 0
