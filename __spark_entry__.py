@@ -2837,6 +2837,40 @@ def q_train_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_train_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """The concatenate-and-cut twin of q_train_sequences: REAL BPE ids
+    (first 8 words + EOS 55) through pack_by_offset →
+    materialize_sequences_by_offset at cap 48 — documents straddle cuts
+    and their id arrays are sliced, so a join-key, EOS-accounting or
+    slicing bug between the real encoder and the by-offset writer shows
+    up here (q_pack_cut's synthetic repeated-id arrays can't see a
+    misordered slice: every piece of a doc looks the same).  Oracle:
+    the longest-match CTE numbers each doc's ids (wp, k order), EOS
+    appended at index n+1, the shard window cumsum gives global
+    positions, cut at 48; spans re-derived as per-(seq, doc) position
+    groups."""
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
+        ).alias("text"),
+    )
+    vocab = _bpe_fixture_vocab()
+    enc = bpe.bpe_encode(trunc, vocab, mode="longest", append_eos_id=55)
+    layout = packing.pack_by_offset(enc, "doc_id", "n_tokens", 48, shards=8)
+    seqs = packing.materialize_sequences_by_offset(enc, layout, 48)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        _spans_str().alias("spans"),
+    )
+
+
 def q_train_masks(spark: SparkSession, sf: str) -> DataFrame:
     """Per-token trainer inputs from doc_spans (packing.training_masks —
     what the r9 span metadata exists FOR): position_ids restart at every
@@ -3127,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r9: no driver row yet ---
         "q_train_sequences": q_train_sequences,
         "q_fetch_waves": q_fetch_waves,
+        "q_train_cut": q_train_cut,
         "q_train_masks": q_train_masks,
         "q_pack_efficiency": q_pack_efficiency,
         # --- CHANGED in r9: need a fresh driver row ---
@@ -3157,9 +3192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_sample": q_temperature_sample,
         "q_line_dedup": q_line_dedup,
         "q_semdedup": q_semdedup,
-        "q_corpus_dedup": q_corpus_dedup,
         # --- latest driver row r7: behind the ~50 cap this round;
         # rotates forward in r10. ---
+        "q_corpus_dedup": q_corpus_dedup,
         "q_doc_retrieve": q_doc_retrieve,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_error_channel": q_error_channel,
@@ -5532,6 +5567,113 @@ def oracle_sql() -> dict[str, str]:
                    (sum(n_tok) > 32) AS oversized
             FROM fold
             GROUP BY shard, seq_id
+        """,
+        "q_train_cut": f"""
+            -- real-token concatenate-and-cut replay: the longest-match
+            -- CTE numbers each doc's ids in (wp, k) order, EOS 55 rides
+            -- at index n+1, global position = shard window cumsum +
+            -- intra index, cut every 48; spans = per-(seq, doc)
+            -- position groups (off = min(pos) % 48)
+            WITH RECURSIVE vocab(tok, tid) AS (
+              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
+              UNION ALL
+              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
+                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
+                ('va',34),('al',35),('ue',36),('val',37),('value',38),
+                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
+                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
+                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
+                ('hash',54)) v(a,b)
+            ),
+            words AS (
+              SELECT doc_id, wp, w FROM (
+                SELECT doc_id, generate_subscripts(l,1) AS wp,
+                       unnest(l) AS w
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)),
+                                                '\\s+')[1:8] AS l
+                      FROM documents)
+              ) WHERE w <> ''
+            ),
+            step(doc_id, wp, rest, k, tid) AS (
+              SELECT doc_id, wp, w, 0, NULL::INT FROM words
+              UNION ALL
+              SELECT doc_id, wp,
+                     substr(rest, coalesce(length(best.tok), 1) + 1),
+                     k + 1,
+                     coalesce(best.tid, -1)
+              FROM (
+                SELECT s.*,
+                       (SELECT max_by(struct_pack(tok := v.tok,
+                                                  tid := v.tid),
+                                      length(v.tok))
+                        FROM vocab v
+                        WHERE starts_with(s.rest, v.tok)) AS best
+                FROM step s WHERE s.rest <> ''
+              )
+            ),
+            tok_rows AS (
+              SELECT doc_id, tid,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY wp, k) AS idx
+              FROM step WHERE k > 0
+            ),
+            ntok AS (
+              SELECT d.doc_id, count(s.doc_id)::BIGINT AS n
+              FROM documents d
+              LEFT JOIN (SELECT doc_id FROM step WHERE k > 0) s
+                ON d.doc_id = s.doc_id
+              GROUP BY d.doc_id
+            ),
+            all_tokens AS (
+              SELECT doc_id, tid, idx FROM tok_rows
+              UNION ALL
+              SELECT doc_id, 55 AS tid, n + 1 AS idx FROM ntok
+            ),
+            counts AS (
+              SELECT doc_id, (n + 1)::BIGINT AS n_tok,
+                     {_bucket_sql("doc_id", 0)} % 8 AS shard
+              FROM ntok
+            ),
+            offs AS (
+              SELECT doc_id, shard, n_tok,
+                     coalesce(sum(n_tok) OVER (
+                         PARTITION BY shard ORDER BY doc_id, n_tok
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING
+                     ), 0) AS start_offset
+              FROM counts
+            ),
+            expanded AS (
+              SELECT o.shard, o.doc_id,
+                     o.start_offset + t.idx - 1 AS pos, t.tid
+              FROM offs o JOIN all_tokens t USING (doc_id)
+            ),
+            seqs AS (
+              SELECT shard, (pos // 48)::BIGINT AS seq_id,
+                     string_agg(tid::VARCHAR, ',' ORDER BY pos)
+                         AS tokens,
+                     count(*)::BIGINT AS n_tokens
+              FROM expanded
+              GROUP BY shard, pos // 48
+            ),
+            piece AS (
+              SELECT shard, (pos // 48)::BIGINT AS seq_id, doc_id,
+                     (min(pos) % 48)::BIGINT AS off,
+                     count(*)::BIGINT AS len
+              FROM expanded
+              GROUP BY shard, pos // 48, doc_id
+            ),
+            sp AS (
+              SELECT shard, seq_id,
+                     string_agg(doc_id::VARCHAR || ':' || off::VARCHAR
+                                || ':' || len::VARCHAR,
+                                ';' ORDER BY off) AS spans
+              FROM piece
+              GROUP BY shard, seq_id
+            )
+            SELECT s.shard, s.seq_id, s.tokens, s.n_tokens, sp.spans
+            FROM seqs s JOIN sp USING (shard, seq_id)
         """,
         "q_train_masks": f"""
             -- replay the (fill, seq) recurrence over the synthetic
