@@ -1501,3 +1501,51 @@ def test_packing_efficiency(spark):
 
     with _pytest.raises(ValueError):
         packing.packing_efficiency(seqs, 0)
+
+
+def test_write_packed_dataset(spark, tmp_path):
+    """The terminal sink: shard-partitioned parquet, seq_id-ordered
+    within files, manifest totals matching packing_efficiency."""
+    import json
+
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    v = {"a": 0, "b": 1, "ab": 2}
+    df = spark.createDataFrame(
+        [(d, "ab a b" if d % 2 else "a b") for d in range(40)],
+        "doc_id long, text string",
+    )
+    enc = bpe.bpe_encode(df, v, append_eos_id=9)
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 8, shards=4)
+    seqs = packing.materialize_sequences(enc, layout, max_tokens=8, pad_id=-1)
+    path = str(tmp_path / "packed")
+    manifest = packing.write_packed_dataset(seqs, path, max_tokens=8)
+    with open(path + "/_manifest.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["n_seqs"] == manifest["n_seqs"] == seqs.count()
+    assert manifest["n_shards"] == seqs.select("shard").distinct().count()
+    # read back: same rows, and within every file seq_ids are ascending
+    back = spark.read.parquet(path)
+    assert back.count() == seqs.count()
+    got = {
+        (r["shard"], r["seq_id"]): list(r["token_ids"]) for r in back.collect()
+    }
+    want = {
+        (r["shard"], r["seq_id"]): list(r["token_ids"]) for r in seqs.collect()
+    }
+    assert got == want
+    import pyspark.sql.functions as _F
+
+    files = back.select(
+        "shard", "seq_id", _F.input_file_name().alias("f")
+    ).collect()
+    by_file: dict = {}
+    for r in files:
+        by_file.setdefault(r["f"], []).append(r["seq_id"])
+    assert all(seq == sorted(seq) for seq in by_file.values())
+    # manifest waste accounting matches the operator
+    eff = {
+        r["shard"]: r["padded_slots"]
+        for r in packing.packing_efficiency(seqs, 8).collect()
+    }
+    assert {s["shard"]: s["padded_slots"] for s in manifest["shards"]} == eff
