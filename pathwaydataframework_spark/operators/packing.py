@@ -251,6 +251,7 @@ def materialize_sequences(
     ids_col: str = "token_ids",
     max_tokens: int | None = None,
     pad_id: int | None = None,
+    truncate_oversized: bool = False,
 ) -> DataFrame:
     """The writer step after :func:`pack_no_straddle`: join each
     document's token ids onto its packing slot and rebuild every
@@ -272,11 +273,16 @@ def materialize_sequences(
     lets documents straddle cuts — materialize those with
     :func:`materialize_sequences_by_offset`, which splits the
     straddlers.  An oversized single-document sequence (longer than
-    ``max_tokens``) is emitted unpadded and untruncated — dropping
-    tokens is the trainer's decision, never the packer's — and when
-    ``max_tokens`` is given the output carries an explicit ``oversized``
-    flag so a loader can filter or truncate deliberately instead of
-    discovering cap violations by crashing.
+    ``max_tokens``) is emitted unpadded and untruncated BY DEFAULT —
+    dropping tokens is the trainer's decision, never the packer's — and
+    when ``max_tokens`` is given the output carries an explicit
+    ``oversized`` flag so a loader can filter or truncate deliberately
+    instead of discovering cap violations by crashing.  Pass
+    ``truncate_oversized=True`` to make that decision here: oversized
+    sequences are cut to exactly ``max_tokens`` ids, the crossing span's
+    ``len`` is clamped, ``n_tokens`` becomes the kept count, and the
+    ``oversized`` flag still marks them so the loss of tail tokens is
+    auditable.
 
     Plan: one equi-join on the id (AQE-sized) + one (shard, seq_id)-keyed
     groupBy using the same sort_array(struct) re-assembly idiom as
@@ -325,6 +331,27 @@ def materialize_sequences(
             "oversized", F.col("n_tokens") > F.lit(int(max_tokens))
         )
         cols.append("oversized")
+        if truncate_oversized:
+            m = F.lit(int(max_tokens))
+            out = (
+                out.withColumn(
+                    "token_ids", F.slice("token_ids", 1, int(max_tokens))
+                )
+                .withColumn("n_tokens", F.least(F.col("n_tokens"), m))
+                .withColumn(
+                    "doc_spans",
+                    F.transform(
+                        F.filter(F.col("doc_spans"), lambda s: s["off"] < m),
+                        lambda s: F.struct(
+                            s[id_col].alias(id_col),
+                            s["off"].alias("off"),
+                            F.least(s["len"], m - s["off"]).alias("len"),
+                        ),
+                    ),
+                )
+            )
+    elif truncate_oversized:
+        raise ValueError("truncate_oversized requires max_tokens")
     return out.select(*cols)
 
 

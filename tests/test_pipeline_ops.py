@@ -1549,3 +1549,38 @@ def test_write_packed_dataset(spark, tmp_path):
         for r in packing.packing_efficiency(seqs, 8).collect()
     }
     assert {s["shard"]: s["padded_slots"] for s in manifest["shards"]} == eff
+
+
+def test_materialize_sequences_truncate_oversized(spark):
+    """truncate_oversized=True makes the trainer's cut at the writer:
+    ids sliced to the cap, n_tokens = kept count, the crossing span's
+    len clamped, the oversized flag kept for audit; non-oversized
+    sequences are untouched."""
+    from pathwaydataframework_spark.operators import packing
+
+    toks = spark.createDataFrame(
+        [(0, 10, list(range(100, 110))), (1, 3, [7, 7, 7])],
+        "doc_id long, n_tok long, token_ids array<long>",
+    )
+    layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 4, shards=1)
+    out = {
+        r["seq_id"]: r
+        for r in packing.materialize_sequences(
+            toks, layout, max_tokens=4, pad_id=-1, truncate_oversized=True
+        ).collect()
+    }
+    big = next(r for r in out.values() if r["oversized"])
+    small = next(r for r in out.values() if not r["oversized"])
+    assert list(big["token_ids"]) == [100, 101, 102, 103]
+    assert big["n_tokens"] == 4
+    assert [(s["doc_id"], s["off"], s["len"]) for s in big["doc_spans"]] == [
+        (0, 0, 4)
+    ]
+    assert list(small["token_ids"]) == [7, 7, 7, -1] and small["n_tokens"] == 3
+    assert [(s["doc_id"], s["off"], s["len"]) for s in small["doc_spans"]] == [
+        (1, 0, 3)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        packing.materialize_sequences(toks, layout, truncate_oversized=True)
