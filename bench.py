@@ -119,6 +119,20 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — a GC hint must never fail the bench
             pass
 
+    # Environment calibration: a fixed pure-Python spin, timed best-of-3.
+    # The host this runs on swings 30-70% across hours (measured by
+    # benching the SAME commit twice in one afternoon — SCALE.md r9), so
+    # cross-round totals are only comparable after normalizing by this
+    # machine-speed constant.  Reported, never used to adjust timings.
+    def _spin() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i
+        return time.perf_counter() - t0
+
+    calib_spin_ms = round(min(_spin() for _ in range(3)) * 1000, 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -128,6 +142,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "medians": medians,
+                "calib_spin_ms": calib_spin_ms,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )
