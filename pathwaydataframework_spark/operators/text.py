@@ -1233,6 +1233,13 @@ def fetch_waves(
     the politeness contract itself (a 10⁸-URL host spreads over 10⁸·d /
     window_s waves).  Rows with a NULL offset (never produced by
     schedule_fetches) keep a NULL wave.
+
+    Streaming note: ``wave`` is offset-derived and therefore stable per
+    row no matter how the stream is batched (offsets from
+    :func:`schedule_fetches_incremental` already carry across batches),
+    but ``wave_size`` counts only the rows in THIS frame — a wave that
+    straddles micro-batches needs its size from the accumulated
+    schedule, not a single batch.
     """
     if window_s <= 0:
         raise ValueError("window_s must be positive")

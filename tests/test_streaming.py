@@ -781,6 +781,22 @@ def test_streaming_fetch_schedule_three_batches(spark, tmp_path):
         r["host"]: r["n_scheduled"] for r in state["counts"].collect()
     }
     assert final == {"a.test": 6, "b.test": 3}
+    # fetch_waves over the ACCUMULATED stream: wave ids are pure offset
+    # arithmetic (stable under any batching since offsets carry across
+    # batches), sizes count the whole wave
+    acc = spark.createDataFrame(
+        [(h, u, s, o) for h, u, s, o in state["rows"]],
+        "host string, url string, fetch_seq long, fetch_offset_s double",
+    )
+    waves = {
+        (r["host"], r["fetch_seq"]): (r["wave"], r["wave_size"])
+        for r in text.fetch_waves(acc, 8.0).collect()
+    }
+    # a.test offsets 0,4,8,12,16,20 at window 8 -> waves 0,0,1,1,2,2
+    assert [waves[("a.test", s)][0] for s in range(6)] == [0, 0, 1, 1, 2, 2]
+    assert all(waves[("a.test", s)][1] == 2 for s in range(6))
+    # b.test offsets 0,1,2 all land in wave 0, size 3
+    assert all(waves[("b.test", s)] == (0, 3) for s in range(3))
 
 
 def test_streaming_pack_no_straddle_three_batches(spark, tmp_path):
