@@ -2871,16 +2871,11 @@ def q_train_cut(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_train_masks(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-token trainer inputs from doc_spans (packing.training_masks —
-    what the r9 span metadata exists FOR): position_ids restart at every
-    document boundary, segment_ids index the doc within its sequence,
-    padding gets (0, -1) — the block-diagonal attention/loss-mask
-    recipe, pure Catalyst over the packed frame.  Fixture: doc d packs
-    (d%13+1) copies of its own id at cap 16 (no-straddle), so the
-    oracle replays the (fill, seq) recurrence and states each
-    sequence's position/segment streams as per-doc range()/repeat
-    strings in offset order."""
+def _pack_fixture_seqs(spark: SparkSession, sf: str):
+    """The shared q_train_masks / q_pack_efficiency fixture: doc d packs
+    (d%13+1) copies of its own id, no-straddle at cap 16 over 8 md5
+    shards, materialized padded — ONE definition so the two queries and
+    their shared fold-replay oracles can never drift."""
     from pathwaydataframework_spark.operators import packing
 
     docs = load_table(spark, sf, "documents").df
@@ -2893,9 +2888,24 @@ def q_train_masks(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 16, shards=8)
-    seqs = packing.materialize_sequences(
+    return packing.materialize_sequences(
         toks, layout, max_tokens=16, pad_id=-1
     )
+
+
+def q_train_masks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-token trainer inputs from doc_spans (packing.training_masks —
+    what the r9 span metadata exists FOR): position_ids restart at every
+    document boundary, segment_ids index the doc within its sequence,
+    padding gets (0, -1) — the block-diagonal attention/loss-mask
+    recipe, pure Catalyst over the packed frame.  Fixture: doc d packs
+    (d%13+1) copies of its own id at cap 16 (no-straddle), so the
+    oracle replays the (fill, seq) recurrence and states each
+    sequence's position/segment streams as per-doc range()/repeat
+    strings in offset order."""
+    from pathwaydataframework_spark.operators import packing
+
+    seqs = _pack_fixture_seqs(spark, sf)
     m = packing.training_masks(seqs)
     return m.select(
         "shard",
@@ -2910,29 +2920,19 @@ def q_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
     """Padding-waste accounting (packing.packing_efficiency — the number
     a training-data team watches: every padded slot is a wasted FLOP):
     per shard over the q_train_masks fixture's packed output, the
-    sequence count, real tokens, padded slots, waste fraction and
-    oversized count — one map-side-combined aggregation over the
-    sequence table.  Oracle replays the (fill, seq) recurrence and
-    aggregates the same quantities from the layout alone (each
-    sequence's n_tokens = sum of its docs' counts)."""
+    sequence count, real tokens, padded slots, oversized count and both
+    waste views (whole consumed grid, and the capped grid alone — the
+    alarm metric an oversized-heavy source can't dilute) — one
+    map-side-combined aggregation over the sequence table.  Oracle
+    replays the (fill, seq) recurrence and aggregates the same
+    quantities from the layout alone (each sequence's n_tokens = sum of
+    its docs' counts)."""
     from pathwaydataframework_spark.operators import packing
 
-    docs = load_table(spark, sf, "documents").df
-    d = F.col("doc_id")
-    toks = docs.select(
-        "doc_id",
-        (d % 13 + 1).cast("long").alias("n_tok"),
-        F.array_repeat(d.cast("long"), (d % 13 + 1).cast("int")).alias(
-            "token_ids"
-        ),
-    )
-    layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 16, shards=8)
-    seqs = packing.materialize_sequences(
-        toks, layout, max_tokens=16, pad_id=-1
-    )
+    seqs = _pack_fixture_seqs(spark, sf)
     return packing.packing_efficiency(seqs, 16).select(
         "shard", "n_seqs", "real_tokens", "padded_slots",
-        "oversized_seqs", "waste_frac",
+        "oversized_seqs", "waste_frac", "capped_waste_frac",
     )
 
 
@@ -4142,6 +4142,55 @@ _BM25_SQL = """
         """
 
 
+def _longest_match_cte(first_n: int) -> str:
+    """The shared fixture-vocab greedy-longest-match replay: DuckDB CTE
+    fragment (vocab + words + step) peeling the longest vocab prefix
+    off each of a doc's first ``first_n`` words, UNK-safe (-1, advance
+    one char).  ONE definition feeding q_bpe_tokenize,
+    q_token_budget_bpe, q_train_sequences and q_train_cut — the vocab
+    literal must stay in lockstep with _bpe_fixture_vocab, and with one
+    copy a drift breaks every dependent oracle loudly instead of one
+    silently.  Embed directly after WITH RECURSIVE."""
+    return f"""vocab(tok, tid) AS (
+              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
+              UNION ALL
+              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
+                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
+                ('va',34),('al',35),('ue',36),('val',37),('value',38),
+                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
+                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
+                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
+                ('hash',54)) v(a,b)
+            ),
+            words AS (
+              SELECT doc_id, wp, w FROM (
+                SELECT doc_id, generate_subscripts(l,1) AS wp,
+                       unnest(l) AS w
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)),
+                                                '\\s+')[1:{first_n}] AS l
+                      FROM documents)
+              ) WHERE w <> ''
+            ),
+            step(doc_id, wp, rest, k, tid) AS (
+              SELECT doc_id, wp, w, 0, NULL::INT FROM words
+              UNION ALL
+              SELECT doc_id, wp,
+                     substr(rest, coalesce(length(best.tok), 1) + 1),
+                     k + 1,
+                     coalesce(best.tid, -1)
+              FROM (
+                SELECT s.*,
+                       (SELECT max_by(struct_pack(tok := v.tok,
+                                                  tid := v.tid),
+                                      length(v.tok))
+                        FROM vocab v
+                        WHERE starts_with(s.rest, v.tok)) AS best
+                FROM step s WHERE s.rest <> ''
+              )
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = {
         "en": "'the','a','of','and','to','in','is','that','it','for'",
@@ -4866,51 +4915,13 @@ def oracle_sql() -> dict[str, str]:
                    'site' || (doc_id % 3)::VARCHAR || '.test' AS host
             FROM documents WHERE doc_id % 3 = 2
         """,
-        "q_bpe_tokenize": r"""
-            -- independent replay of greedy longest-match BPE: a recursive
-            -- CTE peels the longest vocab prefix off each word one token
-            -- at a time; UNK-safe (r8): a position with NO vocab prefix
-            -- emits -1 and advances one character, matching the kernel's
-            -- unk_id contract instead of stalling; row_number over
-            -- (word ordinal, peel step) reconstructs the flattened
-            -- per-doc token position
-            WITH RECURSIVE vocab(tok, tid) AS (
-              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
-              UNION ALL
-              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
-                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
-                ('va',34),('al',35),('ue',36),('val',37),('value',38),
-                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
-                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
-                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
-                ('hash',54)) v(a,b)
-            ),
-            words AS (
-              SELECT doc_id, wp, w FROM (
-                SELECT doc_id, generate_subscripts(l,1) AS wp,
-                       unnest(l) AS w
-                FROM (SELECT doc_id,
-                             string_split_regex(trim(text), '\s+') AS l
-                      FROM documents)
-              ) WHERE wp <= 10 AND w <> ''
-            ),
-            step(doc_id, wp, rest, k, tid) AS (
-              SELECT doc_id, wp, w, 0, NULL::INT FROM words
-              UNION ALL
-              SELECT doc_id, wp,
-                     substr(rest, coalesce(length(best.tok), 1) + 1),
-                     k + 1,
-                     coalesce(best.tid, -1)
-              FROM (
-                SELECT s.*,
-                       (SELECT max_by(struct_pack(tok := v.tok,
-                                                  tid := v.tid),
-                                      length(v.tok))
-                        FROM vocab v
-                        WHERE starts_with(s.rest, v.tok)) AS best
-                FROM step s WHERE s.rest <> ''
-              )
-            )
+        "q_bpe_tokenize": f"""
+            -- independent replay of greedy longest-match BPE: the shared
+            -- CTE (_longest_match_cte) peels the longest vocab prefix
+            -- off each word one token at a time, UNK-safe (-1, advance
+            -- one char); row_number over (word ordinal, peel step)
+            -- reconstructs the flattened per-doc token position
+            WITH RECURSIVE {_longest_match_cte(10)}
             SELECT doc_id,
                    (row_number() OVER (PARTITION BY doc_id
                                        ORDER BY wp, k) - 1)::BIGINT AS pos,
@@ -5101,48 +5112,11 @@ def oracle_sql() -> dict[str, str]:
                                           '\s+')[1:8], ' ') AS text_exact
             FROM documents
         """,
-        "q_token_budget_bpe": r"""
-            -- n_tokens from the UNK-safe greedy longest-match replay
-            -- (no-prefix position emits -1 and advances one char), then
-            -- the per-lang md5-ordered running-total prefix in SQL
-            WITH RECURSIVE vocab(tok, tid) AS (
-              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
-              UNION ALL
-              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
-                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
-                ('va',34),('al',35),('ue',36),('val',37),('value',38),
-                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
-                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
-                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
-                ('hash',54)) v(a,b)
-            ),
-            words AS (
-              SELECT doc_id, wp, w FROM (
-                SELECT doc_id, generate_subscripts(l,1) AS wp,
-                       unnest(l) AS w
-                FROM (SELECT doc_id,
-                             string_split_regex(lower(trim(text)),
-                                                '\s+')[1:10] AS l
-                      FROM documents)
-              ) WHERE w <> ''
-            ),
-            step(doc_id, wp, rest, k, tid) AS (
-              SELECT doc_id, wp, w, 0, NULL::INT FROM words
-              UNION ALL
-              SELECT doc_id, wp,
-                     substr(rest, coalesce(length(best.tok), 1) + 1),
-                     k + 1,
-                     coalesce(best.tid, -1)
-              FROM (
-                SELECT s.*,
-                       (SELECT max_by(struct_pack(tok := v.tok,
-                                                  tid := v.tid),
-                                      length(v.tok))
-                        FROM vocab v
-                        WHERE starts_with(s.rest, v.tok)) AS best
-                FROM step s WHERE s.rest <> ''
-              )
-            ),
+        "q_token_budget_bpe": f"""
+            -- n_tokens from the shared UNK-safe longest-match replay
+            -- (_longest_match_cte), then the per-lang md5-ordered
+            -- running-total prefix in SQL
+            WITH RECURSIVE {_longest_match_cte(10)},
             ntok AS (
               SELECT d.doc_id, d.lang,
                      count(s.doc_id)::BIGINT AS n_tokens
@@ -5478,44 +5452,7 @@ def oracle_sql() -> dict[str, str]:
             -- start_offset order re-assembles each sequence, -1-padded
             -- to the cap of 32, with the doc_id:off:len span map and
             -- the sum(n_tok) > cap oversized flag
-            WITH RECURSIVE vocab(tok, tid) AS (
-              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
-              UNION ALL
-              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
-                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
-                ('va',34),('al',35),('ue',36),('val',37),('value',38),
-                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
-                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
-                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
-                ('hash',54)) v(a,b)
-            ),
-            words AS (
-              SELECT doc_id, wp, w FROM (
-                SELECT doc_id, generate_subscripts(l,1) AS wp,
-                       unnest(l) AS w
-                FROM (SELECT doc_id,
-                             string_split_regex(lower(trim(text)),
-                                                '\\s+')[1:8] AS l
-                      FROM documents)
-              ) WHERE w <> ''
-            ),
-            step(doc_id, wp, rest, k, tid) AS (
-              SELECT doc_id, wp, w, 0, NULL::INT FROM words
-              UNION ALL
-              SELECT doc_id, wp,
-                     substr(rest, coalesce(length(best.tok), 1) + 1),
-                     k + 1,
-                     coalesce(best.tid, -1)
-              FROM (
-                SELECT s.*,
-                       (SELECT max_by(struct_pack(tok := v.tok,
-                                                  tid := v.tid),
-                                      length(v.tok))
-                        FROM vocab v
-                        WHERE starts_with(s.rest, v.tok)) AS best
-                FROM step s WHERE s.rest <> ''
-              )
-            ),
+            WITH RECURSIVE {_longest_match_cte(8)},
             doc_toks AS (
               SELECT d.doc_id,
                      CASE WHEN count(s.doc_id) = 0 THEN '55'
@@ -5574,44 +5511,7 @@ def oracle_sql() -> dict[str, str]:
             -- at index n+1, global position = shard window cumsum +
             -- intra index, cut every 48; spans = per-(seq, doc)
             -- position groups (off = min(pos) % 48)
-            WITH RECURSIVE vocab(tok, tid) AS (
-              SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
-              UNION ALL
-              SELECT * FROM (VALUES ('th',26),('he',27),('the',28),
-                ('ta',29),('ab',30),('le',31),('tab',32),('table',33),
-                ('va',34),('al',35),('ue',36),('val',37),('value',38),
-                ('ar',39),('row',40),('sc',41),('an',42),('scan',43),
-                ('fa',44),('st',45),('fast',46),('ke',47),('key',48),
-                ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
-                ('hash',54)) v(a,b)
-            ),
-            words AS (
-              SELECT doc_id, wp, w FROM (
-                SELECT doc_id, generate_subscripts(l,1) AS wp,
-                       unnest(l) AS w
-                FROM (SELECT doc_id,
-                             string_split_regex(lower(trim(text)),
-                                                '\\s+')[1:8] AS l
-                      FROM documents)
-              ) WHERE w <> ''
-            ),
-            step(doc_id, wp, rest, k, tid) AS (
-              SELECT doc_id, wp, w, 0, NULL::INT FROM words
-              UNION ALL
-              SELECT doc_id, wp,
-                     substr(rest, coalesce(length(best.tok), 1) + 1),
-                     k + 1,
-                     coalesce(best.tid, -1)
-              FROM (
-                SELECT s.*,
-                       (SELECT max_by(struct_pack(tok := v.tok,
-                                                  tid := v.tid),
-                                      length(v.tok))
-                        FROM vocab v
-                        WHERE starts_with(s.rest, v.tok)) AS best
-                FROM step s WHERE s.rest <> ''
-              )
-            ),
+            WITH RECURSIVE {_longest_match_cte(8)},
             tok_rows AS (
               SELECT doc_id, tid,
                      row_number() OVER (PARTITION BY doc_id
@@ -5777,7 +5677,11 @@ def oracle_sql() -> dict[str, str]:
                    0::BIGINT AS oversized_seqs,
                    round(sum(16 - n_tokens)
                          / (sum(16 - n_tokens) + sum(n_tokens)), 6)
-                       AS waste_frac
+                       AS waste_frac,
+                   -- no oversized seqs in this fixture, so the capped
+                   -- grid is simply n_seqs * 16
+                   round(sum(16 - n_tokens) / (count(*) * 16.0), 6)
+                       AS capped_waste_frac
             FROM seqs
             GROUP BY shard
         """,

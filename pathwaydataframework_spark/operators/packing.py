@@ -356,7 +356,12 @@ def materialize_sequences(
 
 
 def open_rows_state(
-    spark, *, id_col: str = "doc_id", ids_col: str = "token_ids"
+    spark,
+    *,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    id_type: str = "long",
+    id_elem_type: str = "long",
 ) -> DataFrame:
     """Empty persisted-state frame for
     :func:`materialize_sequences_incremental`: the packed rows (slot +
@@ -364,11 +369,15 @@ def open_rows_state(
     each shard has exactly one open sequence holding at most
     ``max_tokens`` tokens, so the frame never exceeds shards × cap
     tokens — the same small-summarizing-state pattern as the pack
-    state, just carrying the open tail's ids instead of a counter."""
+    state, just carrying the open tail's ids instead of a counter.
+    ``id_type``/``id_elem_type`` must match the stream's actual id and
+    token types (pack_no_straddle preserves the id column's type, so a
+    string-keyed stream needs ``id_type='string'`` here or the first
+    union fails on column types)."""
     return spark.createDataFrame(
         [],
-        f"`{id_col}` long, shard long, seq_id long, start_offset long, "
-        f"`{ids_col}` array<long>",
+        f"`{id_col}` {id_type}, shard long, seq_id long, "
+        f"start_offset long, `{ids_col}` array<{id_elem_type}>",
     )
 
 
@@ -412,10 +421,14 @@ def materialize_sequences_incremental(
     )
     st = pack_st.select("shard", F.col("next_seq").alias("__next_seq"))
     tagged = rows.join(st, on="shard", how="left")
-    # a shard absent from the state (no docs ever) can't hold rows; a
-    # NULL next_seq would otherwise silently drop them — treat as open
+    # a shard missing from the state (a caller passed a fresh/stale
+    # pack_st while open_rows still holds the shard's tail) must treat
+    # its rows as OPEN — carried to the flush — never emitted: closing
+    # them here would split the sequence across two emissions when the
+    # next batch keeps filling the same seq_id.  coalesce to seq_id
+    # itself so `seq_id < seq_id` is false.
     is_closed = F.col("seq_id") < F.coalesce(
-        F.col("__next_seq"), F.col("seq_id") + 1
+        F.col("__next_seq"), F.col("seq_id")
     )
     closed = tagged.filter(is_closed).drop("__next_seq")
     still_open = tagged.filter(~is_closed).drop("__next_seq")
@@ -498,7 +511,14 @@ def packing_efficiency(
     number a training-data team actually watches (every padded slot is
     a FLOP spent on nothing): per group, the sequence count, real token
     count, padded slots (cap − n_tokens for non-oversized sequences),
-    the waste fraction of the padded grid, and the oversized count.
+    the oversized count, and two waste views: ``waste_frac`` = padded
+    slots over ALL consumed slots (cap per padded sequence + the
+    oversized sequences' real lengths — the whole FLOP grid), and
+    ``capped_waste_frac`` = padded slots over the capped grid alone
+    (non-oversized sequences × cap; NULL when a group is all-oversized).
+    The second view is the alarm metric: an oversized-heavy source
+    would otherwise hide its padding waste behind tokens that never sit
+    in a padded grid.
 
     One map-side-combined aggregation; at 100 TB the input is the
     sequence table (corpus_tokens / cap rows), so this is a seconds-
@@ -525,6 +545,19 @@ def packing_efficiency(
             F.round(
                 F.col("padded_slots")
                 / (F.col("padded_slots") + F.col("real_tokens")),
+                6,
+            ),
+        )
+        .withColumn(
+            "capped_waste_frac",
+            F.round(
+                F.col("padded_slots")
+                / (
+                    F.nullif(
+                        F.col("n_seqs") - F.col("oversized_seqs"), F.lit(0)
+                    )
+                    * cap
+                ),
                 6,
             ),
         )
@@ -659,21 +692,30 @@ def write_packed_dataset(
     parallelism = shards ≈ cores at every scale) and
     ``sortWithinPartitions`` keeps the in-file order; no global sort,
     no driver-side data movement — the manifest is the only collect,
-    and it is shards-sized.
+    and it is shards-sized.  Manifest stats are computed by reading the
+    WRITTEN files back, not from the input expression: that makes the
+    manifest describe what is actually on disk (correct under
+    ``mode='append'``, where the dataset now holds prior writes too,
+    and under ``mode='ignore'``, where nothing new landed), avoids
+    re-executing the input's full upstream lineage a second time, and
+    can never diverge from the data.  The manifest file itself goes
+    through the Hadoop FileSystem API, so any URI the parquet write
+    accepts (hdfs://, s3a://, plain local) works.
     """
     import json
-    import os
 
+    spark = sequences.sparkSession
     cols = sequences.columns
     out = (
         sequences.repartition("shard")
         .sortWithinPartitions("shard", "seq_id")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
+    written = spark.read.parquet(path)
     if max_tokens is not None:
-        stats = packing_efficiency(sequences, max_tokens)
+        stats = packing_efficiency(written, max_tokens)
     else:
-        stats = sequences.groupBy("shard").agg(
+        stats = written.groupBy("shard").agg(
             F.count(F.lit(1)).alias("n_seqs"),
             F.sum("n_tokens").cast("long").alias("real_tokens"),
         )
@@ -688,6 +730,13 @@ def write_packed_dataset(
         "real_tokens": int(sum(r["real_tokens"] for r in shards)),
         "shards": shards,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, default=str)
+    payload = json.dumps(manifest, indent=1, default=str).encode()
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_manifest.json")
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(mpath, True)
+    try:
+        stream.write(payload)
+    finally:
+        stream.close()
     return manifest

@@ -1486,12 +1486,19 @@ def test_packing_efficiency(spark):
     out = {
         r["shard"]: (
             r["n_seqs"], r["real_tokens"], r["padded_slots"],
-            r["oversized_seqs"], r["waste_frac"],
+            r["oversized_seqs"], r["waste_frac"], r["capped_waste_frac"],
         )
         for r in packing.packing_efficiency(seqs, 8).collect()
     }
-    assert out[0] == (3, 25, 3, 1, round(3 / 28, 6))
-    assert out[1] == (1, 2, 6, 0, 0.75)
+    # whole-grid waste vs capped-grid waste: shard 0's oversized seq
+    # (12 real tokens) dilutes waste_frac but not capped_waste_frac
+    assert out[0] == (3, 25, 3, 1, round(3 / 28, 6), round(3 / 16, 6))
+    assert out[1] == (1, 2, 6, 0, 0.75, 0.75)
+    # an all-oversized group has no capped grid: NULL, not a div-zero
+    (only_over,) = packing.packing_efficiency(
+        seqs.filter(F.col("n_tokens") > 8), 8
+    ).collect()
+    assert only_over["capped_waste_frac"] is None
     # alternate grouping key list
     (tot,) = packing.packing_efficiency(
         seqs.withColumn("ds", F.lit("web")), 8, by=["ds"]
@@ -1549,6 +1556,14 @@ def test_write_packed_dataset(spark, tmp_path):
         for r in packing.packing_efficiency(seqs, 8).collect()
     }
     assert {s["shard"]: s["padded_slots"] for s in manifest["shards"]} == eff
+    # manifest describes the ON-DISK dataset: after an append, counts
+    # cover both writes, not just the second input (code-review r9)
+    manifest2 = packing.write_packed_dataset(
+        seqs, path, max_tokens=8, mode="append"
+    )
+    assert manifest2["n_seqs"] == 2 * manifest["n_seqs"]
+    with open(path + "/_manifest.json") as f:
+        assert json.load(f)["n_seqs"] == manifest2["n_seqs"]
 
 
 def test_materialize_sequences_truncate_oversized(spark):
@@ -1584,3 +1599,31 @@ def test_materialize_sequences_truncate_oversized(spark):
 
     with _pytest.raises(ValueError):
         packing.materialize_sequences(toks, layout, truncate_oversized=True)
+
+
+def test_materialize_incremental_missing_shard_state_stays_open(spark):
+    """A shard present in open_rows but absent from the pack state (a
+    fresh/stale pack_st after a restart) must keep its rows OPEN —
+    emitting them would split the sequence when the next batch keeps
+    filling the same seq_id (code-review r9: the coalesce defaulted the
+    comparison to always-closed)."""
+    from pathwaydataframework_spark.operators import packing
+
+    open_rows = spark.createDataFrame(
+        [(0, 1, 0, 0, [5, 5])],
+        "doc_id long, shard long, seq_id long, start_offset long, "
+        "token_ids array<long>",
+    )
+    empty_batch = spark.createDataFrame(
+        [], "doc_id long, shard long, seq_id long, start_offset long, "
+        "n_tok long"
+    )
+    empty_toks = spark.createDataFrame(
+        [], "doc_id long, token_ids array<long>"
+    )
+    emitted, still_open = packing.materialize_sequences_incremental(
+        empty_batch, empty_toks, open_rows, packing.pack_state(spark),
+        max_tokens=8,
+    )
+    assert emitted.count() == 0
+    assert still_open.count() == 1
