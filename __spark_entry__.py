@@ -2936,6 +2936,123 @@ def q_pack_efficiency(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _id_halves(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a doc frame into two id-ordered 'micro-batches' (all of
+    batch 1's ids below batch 2's) — the arrival order under which the
+    incremental operators are contractually byte-identical to their
+    one-shot twins, so the batch-replay queries can share oracles."""
+    cut = df.agg(F.max("doc_id")).first()[0] // 2
+    return df.filter(F.col("doc_id") <= cut), df.filter(F.col("doc_id") > cut)
+
+
+def q_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING pack fold, driver-checked against the one-shot
+    oracle (packing.pack_no_straddle_incremental): two id-ordered
+    batches through the per-shard (next_seq, open_fill) state — batch
+    2's first docs keep filling batch 1's open sequences — and the
+    union must replay the identical recursive (fill, seq) recurrence
+    the q_pack_no_straddle oracle steps.  Any cross-batch state bug
+    (the r9-ADVICE NULL-fill crash class) breaks the shared replay."""
+    from pathwaydataframework_spark.operators import packing, text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    with_counts = docs.select(
+        "doc_id", text_ops.token_count(F.col("text")).alias("n_tok")
+    )
+    b1, b2 = _id_halves(with_counts)
+    p1, st = packing.pack_no_straddle_incremental(
+        b1, packing.pack_state(spark), "doc_id", "n_tok", 256, shards=64
+    )
+    p2, _ = packing.pack_no_straddle_incremental(
+        b2, st, "doc_id", "n_tok", 256, shards=64
+    )
+    return p1.unionByName(p2)
+
+
+def q_bpe_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING BPE encode, driver-checked against the one-shot
+    oracle (bpe.bpe_encode_incremental): batch 1 populates the word→ids
+    table, batch 2 anti-joins it and encodes only NEW forms — and the
+    union must equal the greedy longest-match replay q_bpe_tokenize's
+    oracle states per doc (a word form encodes identically forever, so
+    the split is semantically invisible; a stale or corrupted word
+    table is not)."""
+    from pathwaydataframework_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
+        ).alias("text"),
+    )
+    vocab = _bpe_fixture_vocab()
+    b1, b2 = _id_halves(trunc)
+    enc1, wt = bpe.bpe_encode_incremental(b1, bpe.bpe_word_table(spark), vocab)
+    enc2, _ = bpe.bpe_encode_incremental(b2, wt.localCheckpoint(), vocab)
+    enc = enc1.unionByName(enc2)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token_id").cast("long").alias("token_id"),
+    )
+
+
+def q_train_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL incremental tokenize-to-train chain, driver-checked
+    against the one-shot oracle: per id-ordered batch,
+    bpe_encode_incremental → pack_no_straddle_incremental →
+    materialize_sequences_incremental with all THREE states folding
+    forward (word table, pack state, open rows), closed sequences
+    emitted per batch and the open tails flushed at the end — the union
+    must equal q_train_sequences' one-shot replay exactly (tokens,
+    counts, spans, oversized).  This is the streaming surface the
+    3-batch tests pin, now under the driver's DuckDB gate."""
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
+        ).alias("text"),
+    )
+    vocab = _bpe_fixture_vocab()
+    wt = bpe.bpe_word_table(spark)
+    ps = packing.pack_state(spark)
+    orows = packing.open_rows_state(spark)
+    parts = []
+    for b in _id_halves(trunc):
+        enc, wt = bpe.bpe_encode_incremental(b, wt, vocab, append_eos_id=55)
+        enc = enc.localCheckpoint()
+        packed, ps = packing.pack_no_straddle_incremental(
+            enc, ps, "doc_id", "n_tokens", 32, shards=16
+        )
+        emitted, orows = packing.materialize_sequences_incremental(
+            packed, enc, orows, ps, max_tokens=32, pad_id=-1
+        )
+        parts.append(emitted)
+        orows = orows.localCheckpoint()
+        wt = wt.localCheckpoint()
+    flushed = packing.materialize_sequences(
+        orows.select("doc_id", "token_ids"),
+        orows.select("doc_id", "shard", "seq_id", "start_offset"),
+        max_tokens=32,
+        pad_id=-1,
+    )
+    seqs = parts[0].unionByName(parts[1]).unionByName(flushed)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        _spans_str().alias("spans"),
+        "oversized",
+    )
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """HTML link extraction for frontier building (parsers.extract_links:
     regexp_extract_all over href attributes, double- then single-quoted,
@@ -3164,6 +3281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_cut": q_train_cut,
         "q_train_masks": q_train_masks,
         "q_pack_efficiency": q_pack_efficiency,
+        "q_pack_incremental": q_pack_incremental,
+        "q_bpe_incremental": q_bpe_incremental,
+        "q_train_stream": q_train_stream,
         # --- CHANGED in r9: need a fresh driver row ---
         "q_pack_materialize": q_pack_materialize,
         "q_pack_cut": q_pack_cut,
@@ -4221,7 +4341,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10
             ) WHERE rank <= 5
         """
-    return {
+    d = {
         "q_winnow": f"""
             WITH d AS (
                 SELECT doc_id,
@@ -6017,3 +6137,12 @@ def oracle_sql() -> dict[str, str]:
         # on the near-dup fixture (see _neardup_cc_sql); planted-clique
         # recovery is additionally asserted in tests/test_iterate_graphs.py.
     }
+    # the incremental batch-replay queries PROVE the streaming operators
+    # against the SAME oracles as their one-shot twins: for id-ordered
+    # arrivals the incremental fold/encode/writer are contractually
+    # byte-identical to the one-shot result, so sharing the oracle is
+    # the point — any cross-batch state bug breaks the shared replay
+    d["q_pack_incremental"] = d["q_pack_no_straddle"]
+    d["q_bpe_incremental"] = d["q_bpe_tokenize"]
+    d["q_train_stream"] = d["q_train_sequences"]
+    return d
