@@ -2481,6 +2481,20 @@ def q_frontier(spark: SparkSession, sf: str) -> DataFrame:
 # never drift from each other or from q_token_budget_bpe's oracle, which
 # replays exactly these tokens; the DuckDB VALUES copies in oracle_sql()
 # stay inlined BY DESIGN (oracle independence).
+def _first_words(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, text truncated to the first n whitespace words) — the
+    one truncation every BPE-fixture driver query uses.  The incremental
+    batch-replay queries alias their one-shot twins' oracles, so twin
+    and replay MUST truncate identically; one definition makes that
+    structural."""
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, n), " "
+        ).alias("text"),
+    )
+
+
 def _bpe_fixture_vocab() -> dict[str, int]:
     vocab = {chr(97 + i): i for i in range(26)}
     for t in (
@@ -2506,12 +2520,7 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import bpe
 
     docs = load_table(spark, sf, "documents").df
-    trunc = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
-        ).alias("text"),
-    )
+    trunc = _first_words(docs, 10)
     vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest")
     return enc.select(
@@ -2640,12 +2649,7 @@ def q_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import bpe
 
     docs = load_table(spark, sf, "documents").df
-    trunc = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
-        ).alias("text"),
-    )
+    trunc = _first_words(docs, 8)
     vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest")
     lossy = bpe.bpe_decode(enc, vocab).select(
@@ -2815,12 +2819,7 @@ def q_train_sequences(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import bpe, packing
 
     docs = load_table(spark, sf, "documents").df
-    trunc = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
-        ).alias("text"),
-    )
+    trunc = _first_words(docs, 8)
     vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest", append_eos_id=55)
     layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
@@ -2852,12 +2851,7 @@ def q_train_cut(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import bpe, packing
 
     docs = load_table(spark, sf, "documents").df
-    trunc = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
-        ).alias("text"),
-    )
+    trunc = _first_words(docs, 8)
     vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest", append_eos_id=55)
     layout = packing.pack_by_offset(enc, "doc_id", "n_tokens", 48, shards=8)
@@ -2980,15 +2974,15 @@ def q_bpe_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import bpe
 
     docs = load_table(spark, sf, "documents").df
-    trunc = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
-        ).alias("text"),
-    )
+    trunc = _first_words(docs, 10)
     vocab = _bpe_fixture_vocab()
     b1, b2 = _id_halves(trunc)
     enc1, wt = bpe.bpe_encode_incremental(b1, bpe.bpe_word_table(spark), vocab)
+    # checkpoint the batch-1 output before deriving batch 2 from the
+    # word table, or the final union re-runs batch 1's encode kernel
+    # through the un-checkpointed lineage (same discipline as
+    # q_train_stream / the streaming tests)
+    enc1 = enc1.localCheckpoint()
     enc2, _ = bpe.bpe_encode_incremental(b2, wt.localCheckpoint(), vocab)
     enc = enc1.unionByName(enc2)
     return enc.select(
@@ -3013,12 +3007,7 @@ def q_train_stream(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import bpe, packing
 
     docs = load_table(spark, sf, "documents").df
-    trunc = docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8), " "
-        ).alias("text"),
-    )
+    trunc = _first_words(docs, 8)
     vocab = _bpe_fixture_vocab()
     wt = bpe.bpe_word_table(spark)
     ps = packing.pack_state(spark)

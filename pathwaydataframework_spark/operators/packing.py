@@ -705,13 +705,15 @@ def write_packed_dataset(
     import json
 
     spark = sequences.sparkSession
-    cols = sequences.columns
     out = (
         sequences.repartition("shard")
         .sortWithinPartitions("shard", "seq_id")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
-    written = spark.read.parquet(path)
+    # explicit schema: an EMPTY write leaves only _SUCCESS behind, where
+    # schema inference fails — a legitimately empty dataset must still
+    # yield its n_seqs=0 manifest, not crash the terminal step
+    written = spark.read.schema(sequences.schema).parquet(path)
     if max_tokens is not None:
         stats = packing_efficiency(written, max_tokens)
     else:
@@ -722,8 +724,12 @@ def write_packed_dataset(
     shards = sorted(
         (r.asDict() for r in stats.collect()), key=lambda r: r["shard"]
     )
+    # columns describe the ON-DISK dataset (like the stats), not this
+    # call's input — under mode='append'/'ignore' they can differ;
+    # max_tokens parameterizes THIS manifest's waste accounting: pass
+    # the dataset's cap consistently across appends
     manifest = {
-        "columns": cols,
+        "columns": written.columns,
         "max_tokens": max_tokens,
         "n_shards": len(shards),
         "n_seqs": int(sum(r["n_seqs"] for r in shards)),

@@ -1627,3 +1627,19 @@ def test_materialize_incremental_missing_shard_state_stays_open(spark):
     )
     assert emitted.count() == 0
     assert still_open.count() == 1
+
+
+def test_write_packed_dataset_empty_input(spark, tmp_path):
+    """A legitimately empty dataset (empty stream flush, fully-filtered
+    source) must yield its n_seqs=0 manifest, not crash schema inference
+    on a directory holding only _SUCCESS (code-review r9)."""
+    from pathwaydataframework_spark.operators import packing
+
+    empty = spark.createDataFrame(
+        [],
+        "shard long, seq_id long, token_ids array<long>, n_tokens long",
+    )
+    path = str(tmp_path / "empty_packed")
+    manifest = packing.write_packed_dataset(empty, path, max_tokens=8)
+    assert manifest["n_seqs"] == 0 and manifest["n_shards"] == 0
+    assert manifest["real_tokens"] == 0
