@@ -2558,12 +2558,9 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").df
     d = F.col("doc_id")
-    planted = docs.select(
+    planted = _first_words(docs, 6).select(
         "doc_id",
-        F.concat(
-            F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 6), " "),
-            F.lit(" x"), d % 10, F.lit("!"),
-        ).alias("text"),
+        F.concat(F.col("text"), F.lit(" x"), d % 10, F.lit("!")).alias("text"),
     )
     vocab = bpe.bpe_vocab(
         _BPE_MERGES, alphabet="abcdefghijklmnopqrstuvwxyz"
@@ -2784,13 +2781,10 @@ def q_token_budget_bpe(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import bpe, sampling
 
     docs = load_table(spark, sf, "documents").df
-    trunc = docs.select(
-        "doc_id",
-        "lang",
-        F.array_join(
-            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " "
-        ).alias("text"),
-    )
+    # _first_words keeps this query's truncation pinned to
+    # q_bpe_tokenize's (their oracles share the longest-match replay);
+    # lang is re-joined below, so the trunc frame doesn't carry it
+    trunc = _first_words(docs, 10)
     vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest").select(
         "doc_id", "n_tokens"

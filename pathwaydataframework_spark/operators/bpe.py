@@ -504,10 +504,12 @@ def bpe_encode_incremental(
     batch's distinct forms against the table, encode ONLY the new forms
     (the Arrow crossing shrinks batch over batch as the Zipfian head
     saturates), union them into the table, and assemble the batch's
-    docs from the updated table.  Inside ``foreachBatch``, persist or
-    ``localCheckpoint`` the returned table and feed it to the next
-    batch; encode parameters must match across batches (they define the
-    table's meaning, like the Bloom m/k).
+    docs from the updated table.  The updated table comes back already
+    ``localCheckpoint``-ed — the kernel runs ONCE per batch no matter
+    how many actions follow — so feed it to the next batch as-is (or
+    ``.write.parquet`` it for durable state); encode parameters must
+    match across batches (they define the table's meaning, like the
+    Bloom m/k).
 
     At 100 TB the table is bounded by DISTINCT corpus word forms (the
     same scale argument as batch bpe_encode's join side), the per-batch
@@ -524,5 +526,10 @@ def bpe_encode_incremental(
         .join(word_table.select("word"), on="word", how="left_anti")
         .select("word", encode_udf(F.col("word")).alias("__ids"))
     )
-    updated = word_table.unionByName(new_forms)
+    # localCheckpoint BEFORE deriving either return value: the encoded
+    # batch and the updated table both read the new-forms kernel, and
+    # without the cut each caller-side action would run it again (the
+    # same single-fold discipline as pack_no_straddle_incremental's
+    # internal checkpoint; micro-batches are memory-sized by definition)
+    updated = word_table.unionByName(new_forms).localCheckpoint()
     return _assemble_docs(base, occ, updated, eos_id=append_eos_id), updated

@@ -698,9 +698,13 @@ def write_packed_dataset(
     ``mode='append'``, where the dataset now holds prior writes too,
     and under ``mode='ignore'``, where nothing new landed), avoids
     re-executing the input's full upstream lineage a second time, and
-    can never diverge from the data.  The manifest file itself goes
-    through the Hadoop FileSystem API, so any URI the parquet write
-    accepts (hdfs://, s3a://, plain local) works.
+    can never diverge from the data.  The read uses the INPUT's schema
+    explicitly (an empty write leaves nothing to infer from), so the
+    manifest's ``columns`` are the caller's dataset contract in stable
+    input order — appending frames with a different schema is the
+    caller's error, as with any parquet append.  The manifest file
+    itself goes through the Hadoop FileSystem API, so any URI the
+    parquet write accepts (hdfs://, s3a://, plain local) works.
     """
     import json
 
@@ -724,12 +728,14 @@ def write_packed_dataset(
     shards = sorted(
         (r.asDict() for r in stats.collect()), key=lambda r: r["shard"]
     )
-    # columns describe the ON-DISK dataset (like the stats), not this
-    # call's input — under mode='append'/'ignore' they can differ;
-    # max_tokens parameterizes THIS manifest's waste accounting: pass
-    # the dataset's cap consistently across appends
+    # columns/max_tokens state the CALLER's dataset contract (the schema
+    # the read-back is performed under, in stable input order — the
+    # explicit-schema read reorders nothing and never infers); the stats
+    # are the ON-DISK rows as seen under that contract.  Appending with
+    # a different schema is the caller's error, as with any parquet
+    # append; pass the dataset's cap consistently across appends.
     manifest = {
-        "columns": written.columns,
+        "columns": sequences.columns,
         "max_tokens": max_tokens,
         "n_shards": len(shards),
         "n_seqs": int(sum(r["n_seqs"] for r in shards)),
