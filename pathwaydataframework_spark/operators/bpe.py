@@ -491,6 +491,7 @@ def bpe_encode_incremental(
     max_word_len: int = 256,
     append_eos_id: int | None = None,
     space_marker: str | None = None,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One micro-batch of :func:`bpe_encode` against a persisted
     word→ids table: returns ``(encoded batch, updated word table)``.
@@ -509,7 +510,11 @@ def bpe_encode_incremental(
     how many actions follow — so feed it to the next batch as-is (or
     ``.write.parquet`` it for durable state); encode parameters must
     match across batches (they define the table's meaning, like the
-    Bloom m/k).
+    Bloom m/k).  ``checkpoint=False`` returns the LAZY table instead
+    (no eager kernel execution) for callers that persist the state
+    durably themselves and want exactly one materialization — those
+    callers own the single-fold discipline: any second action on
+    either return value re-runs the kernel.
 
     At 100 TB the table is bounded by DISTINCT corpus word forms (the
     same scale argument as batch bpe_encode's join side), the per-batch
@@ -531,5 +536,7 @@ def bpe_encode_incremental(
     # without the cut each caller-side action would run it again (the
     # same single-fold discipline as pack_no_straddle_incremental's
     # internal checkpoint; micro-batches are memory-sized by definition)
-    updated = word_table.unionByName(new_forms).localCheckpoint()
+    updated = word_table.unionByName(new_forms)
+    if checkpoint:
+        updated = updated.localCheckpoint()
     return _assemble_docs(base, occ, updated, eos_id=append_eos_id), updated

@@ -289,6 +289,13 @@ def materialize_sequences(
     bpe_encode's doc rebuild; per-group arrays are bounded by
     ``max_tokens``, so no group outgrows an executor.  ``doc_spans``
     rides the SAME collect_list — no second aggregation.
+
+    Zero-token documents (empty ``token_ids``) KEEP their slot: they
+    contribute a zero-length span (len=0) at their offset, so the
+    boundary map still records them — the opposite contract from
+    :func:`materialize_sequences_by_offset`, which drops them (a
+    zero-length piece has no tokens to place in any cut).  Downstream
+    consumers of spans (e.g. :func:`training_masks`) handle len=0.
     """
     joined = layout.join(token_frame.select(id_col, ids_col), on=id_col)
     assembled = joined.groupBy("shard", "seq_id").agg(
@@ -462,6 +469,15 @@ def training_masks(
     past the spans' total length) get ``pad_pos`` / ``pad_seg``; both
     output arrays are sized to ``token_ids`` exactly.
 
+    Meaningful over :func:`pack_no_straddle` layouts (spans are WHOLE
+    documents, so a restart at every span boundary is document-relative
+    by construction).  A :func:`materialize_sequences_by_offset` frame's
+    spans are PIECES — a straddling document's continuation piece would
+    restart at 0, which is neither document- nor sequence-relative;
+    concatenate-and-cut training conventionally uses sequence-relative
+    positions (plain 0..cap-1, no span expansion needed), so this
+    helper deliberately does not accept that layout.
+
     Pure Catalyst: two array transforms over the spans (``sequence`` /
     ``array_repeat`` + ``flatten``) and one pad ``concat`` — no shuffle,
     no Python, arrays bounded by the sequence cap.
@@ -594,6 +610,13 @@ def materialize_sequences_by_offset(
     re-assembles in offset order with the same sort_array(struct) idiom
     (``doc_spans`` rides the same collect_list).  Each output sequence
     is bounded by ``max_tokens``, so no group outgrows an executor.
+
+    Zero-token documents are DROPPED from this layout (the ``n > 0``
+    filter below): a zero-length piece has no tokens to land in any
+    cut, so it leaves no span — unlike :func:`materialize_sequences`,
+    which keeps a zero-length span for an empty document.  Both
+    contracts are deliberate; pick the writer whose boundary semantics
+    the trainer needs.
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
@@ -669,6 +692,69 @@ def materialize_sequences_by_offset(
     )
 
 
+def _manifest_path(path: str) -> str:
+    return path.rstrip("/") + "/_manifest.json"
+
+
+def _manifest_io(spark, path: str):
+    """(read_bytes, write_bytes) callables for ``path``'s ``_manifest.json``
+    — through the Hadoop FileSystem API when the JVM gateway is available
+    (any URI the parquet write accepts: hdfs://, s3a://, local), else a
+    plain-``open()`` fallback for local paths so the terminal step also
+    works under Spark Connect (where ``spark._jvm`` does not exist and
+    only ``file:``/scheme-less paths can be reached from this process)."""
+    mpath = _manifest_path(path)
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        hpath = jvm.org.apache.hadoop.fs.Path(mpath)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+        def read() -> bytes | None:
+            if not fs.exists(hpath):
+                return None
+            stream = fs.open(hpath)
+            try:
+                # a py4j-passed buffer is copied, not shared, so chunked
+                # reads can't fill a Python bytearray — commons-io (ships
+                # with Hadoop) drains the stream JVM-side and returns the
+                # byte[] whole, which py4j converts to bytes
+                return bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+
+        def write(payload: bytes) -> None:
+            stream = fs.create(hpath, True)
+            try:
+                stream.write(payload)
+            finally:
+                stream.close()
+
+        return read, write
+    if "://" in mpath and not mpath.startswith("file://"):
+        raise RuntimeError(
+            "write_packed_dataset needs the JVM gateway (classic Spark) "
+            f"to write the manifest to {mpath!r}; under Spark Connect "
+            "only local/file: paths are supported"
+        )
+    local = mpath[len("file://"):] if mpath.startswith("file://") else mpath
+
+    def read() -> bytes | None:
+        import os
+
+        if not os.path.exists(local):
+            return None
+        with open(local, "rb") as f:
+            return f.read()
+
+    def write(payload: bytes) -> None:
+        with open(local, "wb") as f:
+            f.write(payload)
+
+    return read, write
+
+
 def write_packed_dataset(
     sequences: DataFrame,
     path: str,
@@ -701,14 +787,36 @@ def write_packed_dataset(
     can never diverge from the data.  The read uses the INPUT's schema
     explicitly (an empty write leaves nothing to infer from), so the
     manifest's ``columns`` are the caller's dataset contract in stable
-    input order — appending frames with a different schema is the
-    caller's error, as with any parquet append.  The manifest file
-    itself goes through the Hadoop FileSystem API, so any URI the
-    parquet write accepts (hdfs://, s3a://, plain local) works.
+    input order.  ``mode='append'`` VALIDATES that contract against the
+    existing ``_manifest.json`` before writing — appending a frame whose
+    columns or ``max_tokens`` disagree with the dataset on disk raises
+    instead of silently producing a manifest with null-filled stats or
+    a cap that only reflects the latest call.  The manifest file itself
+    goes through the Hadoop FileSystem API when available (any URI the
+    parquet write accepts: hdfs://, s3a://, plain local), with a plain
+    local-file fallback under Spark Connect.
     """
     import json
 
     spark = sequences.sparkSession
+    read_manifest, write_manifest = _manifest_io(spark, path)
+    if mode == "append":
+        prior = read_manifest()
+        if prior is not None:
+            prior = json.loads(prior)
+            if prior.get("columns") != sequences.columns:
+                raise ValueError(
+                    "append schema mismatch: dataset at "
+                    f"{path!r} has columns {prior.get('columns')}, "
+                    f"input has {sequences.columns}"
+                )
+            if prior.get("max_tokens") != max_tokens:
+                raise ValueError(
+                    "append max_tokens mismatch: dataset at "
+                    f"{path!r} was written with max_tokens="
+                    f"{prior.get('max_tokens')}, this call passed "
+                    f"{max_tokens}"
+                )
     out = (
         sequences.repartition("shard")
         .sortWithinPartitions("shard", "seq_id")
@@ -731,9 +839,9 @@ def write_packed_dataset(
     # columns/max_tokens state the CALLER's dataset contract (the schema
     # the read-back is performed under, in stable input order — the
     # explicit-schema read reorders nothing and never infers); the stats
-    # are the ON-DISK rows as seen under that contract.  Appending with
-    # a different schema is the caller's error, as with any parquet
-    # append; pass the dataset's cap consistently across appends.
+    # are the ON-DISK rows as seen under that contract.  Appends are
+    # validated against the prior manifest above, so the contract is
+    # stable across the dataset's whole write history.
     manifest = {
         "columns": sequences.columns,
         "max_tokens": max_tokens,
@@ -742,13 +850,5 @@ def write_packed_dataset(
         "real_tokens": int(sum(r["real_tokens"] for r in shards)),
         "shards": shards,
     }
-    payload = json.dumps(manifest, indent=1, default=str).encode()
-    jvm = spark._jvm
-    mpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_manifest.json")
-    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.create(mpath, True)
-    try:
-        stream.write(payload)
-    finally:
-        stream.close()
+    write_manifest(json.dumps(manifest, indent=1, default=str).encode())
     return manifest

@@ -1468,6 +1468,39 @@ def test_training_masks_zero_length_span(spark):
     assert len(row["segment_ids"]) == len(row["token_ids"])
 
 
+def test_zero_token_doc_writer_contracts(spark):
+    """The two writers' zero-token-document contracts, stated and
+    pinned (VERDICT r9 'What's wrong' #1): materialize_sequences keeps
+    a zero-length span for an empty document; materialize_sequences_
+    by_offset drops it entirely (a zero-length piece has no tokens to
+    place in any cut) — so the same input leaves a span in one layout
+    and none in the other, and both token streams are identical."""
+    from pathwaydataframework_spark.operators import packing
+
+    toks = spark.createDataFrame(
+        [(0, 2, [5, 5]), (1, 0, []), (2, 3, [9, 9, 9])],
+        "doc_id long, n_tok long, token_ids array<long>",
+    )
+    ns_layout = packing.pack_no_straddle(toks, "doc_id", "n_tok", 4, shards=1)
+    ns = packing.materialize_sequences(toks, ns_layout, max_tokens=4).collect()
+    ns_span_docs = {
+        s["doc_id"] for r in ns for s in r["doc_spans"]
+    }
+    assert 1 in ns_span_docs  # empty doc keeps its (len=0) span
+    empty_spans = [
+        s for r in ns for s in r["doc_spans"] if s["doc_id"] == 1
+    ]
+    assert [(s["off"], s["len"]) for s in empty_spans] == [(2, 0)]
+    bo_layout = packing.pack_by_offset(toks, "doc_id", "n_tok", 4, shards=1)
+    bo = packing.materialize_sequences_by_offset(toks, bo_layout, 4).collect()
+    bo_span_docs = {s["doc_id"] for r in bo for s in r["doc_spans"]}
+    assert 1 not in bo_span_docs  # by-offset drops the empty doc
+    # the token streams themselves agree on content
+    assert sorted(
+        t for r in bo for t in r["token_ids"]
+    ) == sorted(t for r in ns for t in r["token_ids"] )
+
+
 def test_packing_efficiency(spark):
     """Padding-waste accounting: padded slots count only non-oversized
     sequences, oversized ones are counted separately, waste_frac is
@@ -1564,6 +1597,53 @@ def test_write_packed_dataset(spark, tmp_path):
     assert manifest2["n_seqs"] == 2 * manifest["n_seqs"]
     with open(path + "/_manifest.json") as f:
         assert json.load(f)["n_seqs"] == manifest2["n_seqs"]
+
+
+def test_write_packed_dataset_append_validation(spark, tmp_path):
+    """mode='append' validates the new frame against the dataset's
+    existing _manifest.json: a different column set or a different
+    max_tokens raises instead of silently writing a manifest with
+    null-filled stats or the latest call's cap (ADVICE r9)."""
+    import pytest as _pytest
+
+    from pathwaydataframework_spark.operators import packing
+
+    seqs = spark.createDataFrame(
+        [(0, 0, [1, 2, -1, -1], 2)],
+        "shard long, seq_id long, token_ids array<long>, n_tokens long",
+    )
+    path = str(tmp_path / "packed_v")
+    packing.write_packed_dataset(seqs, path, max_tokens=4)
+    with _pytest.raises(ValueError, match="max_tokens mismatch"):
+        packing.write_packed_dataset(seqs, path, max_tokens=8, mode="append")
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        packing.write_packed_dataset(
+            seqs.withColumn("extra", F.lit(1)), path, max_tokens=4,
+            mode="append",
+        )
+    # a matching append still works, and overwrite never validates
+    m = packing.write_packed_dataset(seqs, path, max_tokens=4, mode="append")
+    assert m["n_seqs"] == 2
+    m2 = packing.write_packed_dataset(seqs, path, max_tokens=16)
+    assert m2["max_tokens"] == 16
+
+
+def test_manifest_io_local_fallback(tmp_path):
+    """Without the JVM gateway (Spark Connect), _manifest_io falls back
+    to plain local-file IO for scheme-less/file: paths and refuses
+    remote URIs with a clear error (ADVICE r9)."""
+    import pytest as _pytest
+
+    from pathwaydataframework_spark.operators.packing import _manifest_io
+
+    no_jvm = object()  # a "session" without ._jvm
+    read, write = _manifest_io(no_jvm, str(tmp_path / "ds"))
+    assert read() is None
+    (tmp_path / "ds").mkdir()
+    write(b'{"n_seqs": 3}')
+    assert read() == b'{"n_seqs": 3}'
+    with _pytest.raises(RuntimeError, match="JVM gateway"):
+        _manifest_io(no_jvm, "s3a://bucket/ds")
 
 
 def test_materialize_sequences_truncate_oversized(spark):
