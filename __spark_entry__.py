@@ -2837,15 +2837,28 @@ def q_train_cut(spark: SparkSession, sf: str) -> DataFrame:
     and their id arrays are sliced, so a join-key, EOS-accounting or
     slicing bug between the real encoder and the by-offset writer shows
     up here (q_pack_cut's synthetic repeated-id arrays can't see a
-    misordered slice: every piece of a doc looks the same).  Oracle:
-    the longest-match CTE numbers each doc's ids (wp, k order), EOS
-    appended at index n+1, the shard window cumsum gives global
-    positions, cut at 48; spans re-derived as per-(seq, doc) position
-    groups."""
+    misordered slice: every piece of a doc looks the same).  Every
+    19th doc's text is planted EMPTY (r10): with EOS appended it
+    encodes to the single token [55], pinning that an empty document
+    still KEEPS its slot in the by-offset layout when the encoder
+    appends EOS — the contract partner of the writers' zero-token
+    rules (materialize_sequences keeps a len=0 span, by-offset drops
+    the truly token-less doc; both pinned in
+    tests/test_pipeline_ops.py).  Oracle: the longest-match CTE
+    (re-pointed at the planted source) numbers each doc's ids (wp, k
+    order), EOS appended at index n+1, the shard window cumsum gives
+    global positions, cut at 48; spans re-derived as per-(seq, doc)
+    position groups."""
     from pathwaydataframework_spark.operators import bpe, packing
 
     docs = load_table(spark, sf, "documents").df
-    trunc = _first_words(docs, 8)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit(""))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    trunc = _first_words(planted, 8)
     vocab = _bpe_fixture_vocab()
     enc = bpe.bpe_encode(trunc, vocab, mode="longest", append_eos_id=55)
     layout = packing.pack_by_offset(enc, "doc_id", "n_tokens", 48, shards=8)
@@ -3032,6 +3045,199 @@ def q_train_stream(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join("token_ids", ",").alias("tokens"),
         "n_tokens",
         _spans_str().alias("spans"),
+        "oversized",
+    )
+
+
+def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
+    """The TERMINAL export step under the oracle gate (VERDICT r9 item
+    2): run the q_train_sequences pipeline, write_packed_dataset it to
+    a scratch dir (partitionBy(shard) parquet + _manifest.json), then
+    READ THE PARQUET BACK and return the on-disk rows joined with the
+    manifest file's per-shard stats — so the write→read round-trip
+    (array/struct columns, the shard partition column, in-file order)
+    and the manifest arithmetic (packing_efficiency over the WRITTEN
+    files, JSON-serialized and re-parsed) must both be invisible
+    against the composed q_train_sequences replay plus the
+    q_pack_efficiency-style per-shard aggregation.  The read-back is
+    localCheckpoint'ed so the scratch dir can be removed before the
+    driver collects; the manifest frame is shards-sized and broadcast.
+    Reference terminal persistence is io.fs/deltalake write
+    (/root/reference/python/pathway/io/fs/__init__.py); the manifest is
+    the Spark-native loader-contract analogue."""
+    import json
+    import shutil
+    import tempfile
+
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = _first_words(docs, 8)
+    enc = bpe.bpe_encode(
+        trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
+    )
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
+    seqs = packing.materialize_sequences(enc, layout, max_tokens=32, pad_id=-1)
+    tmp = tempfile.mkdtemp(prefix="pw_pack_export_")
+    try:
+        packing.write_packed_dataset(seqs, tmp, max_tokens=32)
+        # the manifest as persisted on disk, not the returned dict —
+        # pins the JSON serialize/re-parse round-trip too
+        with open(tmp + "/_manifest.json", "rb") as f:
+            manifest = json.loads(f.read())
+        ondisk = spark.read.schema(seqs.schema).parquet(tmp).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    mstats = spark.createDataFrame(
+        [
+            (
+                int(r["shard"]),
+                int(r["n_seqs"]),
+                int(r["real_tokens"]),
+                int(r["padded_slots"]),
+                int(r["oversized_seqs"]),
+                None if r["waste_frac"] is None else float(r["waste_frac"]),
+                None
+                if r["capped_waste_frac"] is None
+                else float(r["capped_waste_frac"]),
+            )
+            for r in manifest["shards"]
+        ],
+        "shard long, m_n_seqs long, m_real_tokens long, m_padded_slots long,"
+        " m_oversized_seqs long, m_waste_frac double, m_capped_waste_frac double",
+    )
+    return ondisk.join(F.broadcast(mstats), on="shard").select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        _spans_str().alias("spans"),
+        "oversized",
+        "m_n_seqs",
+        "m_real_tokens",
+        "m_padded_slots",
+        "m_oversized_seqs",
+        "m_waste_frac",
+        "m_capped_waste_frac",
+    )
+
+
+def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
+    """The full-corpus-recipe CAPSTONE (VERDICT r9 item 3): the pipeline
+    a data team actually runs, composed in ONE driver row — plant page
+    structure → c4_filter (line cleaning + page rules) → keep →
+    dedup_lines_global (corpus-wide boilerplate collapse) →
+    bpe_encode(EOS) → pack_no_straddle → materialize_sequences — so a
+    filter-changes-the-id-set bug BETWEEN cleaning and packing, or a
+    dedup-order bug surfacing in token space, shows up here.
+
+    Planted per doc: its original (punctuation-less, hence dropped)
+    text line, a doc-specific opener built from its first 4 words, a
+    short junk line (c4-dropped), ONE corpus-wide cookie-banner line
+    (c4-kept, then line-dedup'd down to the smallest kept doc_id), and
+    a doc-specific closer; docs with doc_id%11==0 get 'lorem ipsum'
+    page poison, %13==0 a brace — both c4-dropped, changing the id set
+    mid-pipeline.  The first 12 post-dedup words then encode (EOS 55)
+    and pack at cap 64 — for the one doc that KEPT the banner line,
+    words 9-12 differ from everyone else's, so the dedup outcome is
+    pinned in token space, not just text.  Oracle: the planted CASE,
+    the proven c4 replay, the proven line-dedup replay, the
+    longest-match CTE re-pointed at the post-dedup corpus, and the
+    (fill, seq) fold — all existing pieces composed in one
+    WITH RECURSIVE."""
+    from pathwaydataframework_spark.operators import bpe, packing
+    from pathwaydataframework_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    first4 = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4), " "
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            first4,
+            F.lit(" opens document "),
+            d.cast("string"),
+            F.lit(" cleanly.\nshort line.\n"),
+            F.lit("every page shares this exact cookie banner line.\n"),
+            F.lit("document "),
+            d.cast("string"),
+            F.lit(" closes with a tidy sentence!"),
+            F.when(d % 11 == 0, F.lit("\nlorem ipsum tail"))
+            .when(d % 13 == 0, F.lit("\nbrace { tail"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = text_ops.c4_filter(planted)
+    kept = cleaned.filter(F.col("kept")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    deduped = dedup.dedup_lines_global(kept, "doc_id", "text")
+    corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
+    trunc = _first_words(corpus, 12)
+    enc = bpe.bpe_encode(
+        trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
+    )
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 64, shards=16)
+    seqs = packing.materialize_sequences(enc, layout, max_tokens=64, pad_id=-1)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        _spans_str().alias("spans"),
+        "oversized",
+    )
+
+
+def q_epoch_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-ordered packing (VERDICT r9 item 4): a trainer consumes
+    sequences in the EPOCH SHUFFLE order, not id order — so pack on
+    deterministic_shuffle's dense global ``position`` as the order key
+    (it is the honest id: deterministic, dense, epoch-seeded).  Doc d
+    carries (d%13+1) copies of its own id; shuffle(seed=2) assigns
+    positions; pack_no_straddle folds in POSITION order per md5(position)
+    shard and materialize_sequences rebuilds the padded sequences —
+    token values are doc_ids, so a misordered layout shows up in
+    sequence CONTENT, not just metadata.  Spans are position-keyed
+    (position:off:len).  Oracle: the q_shuffle md5-permutation replay
+    composed with the (fill, seq) recurrence ordered by position.
+    Two-epoch disjointness + token-multiset identity is pinned in
+    tests/test_pipeline_ops.py."""
+    from pathwaydataframework_spark.operators import packing, sampling
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        (d % 13 + 1).cast("long").alias("n_tok"),
+        F.array_repeat(d.cast("long"), (d % 13 + 1).cast("int")).alias(
+            "token_ids"
+        ),
+    )
+    shuffled = sampling.deterministic_shuffle(base, "doc_id", seed=2)
+    layout = packing.pack_no_straddle(
+        shuffled, "position", "n_tok", 16, shards=8
+    )
+    seqs = packing.materialize_sequences(
+        shuffled, layout, id_col="position", max_tokens=16, pad_id=-1
+    )
+    spans = F.array_join(
+        F.transform(
+            "doc_spans",
+            lambda s: F.concat_ws(":", s["position"], s["off"], s["len"]),
+        ),
+        ";",
+    )
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        spans.alias("spans"),
         "oversized",
     )
 
@@ -3234,69 +3440,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r9 front (≈50-row driver budget): the 19 queries whose latest
-        # driver row is r6 (r8 checked positions 1-50; these sat at 51-69),
-        # then the NEW r9 queries, then the r9-CHANGED r8 queries (spans
-        # added to the packing writers; schedule_fetches delay parsing;
-        # roundtrip's lossless mode), then r7-stale fill to the budget. ---
-        "q_lang_id": q_lang_id,
-        "q_token_splitter": q_token_splitter,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash": q_simhash,
-        "q_knn_bruteforce": q_knn_bruteforce,
-        "q_knn_ivf": q_knn_ivf,
-        "q_knn_lsh": q_knn_lsh,
-        "q_embedding_pairs": q_embedding_pairs,
-        "q_bm25": q_bm25,
-        "q_connected_components": q_connected_components,
-        "q_interpolate": q_interpolate,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_pagerank": q_pagerank,
-        "q_json_props": q_json_props,
-        "q_bellman_ford": q_bellman_ford,
-        "q_rerank": q_rerank,
-        "q_winnow": q_winnow,
-        "q_media_meta": q_media_meta,
-        "q_louvain_levels": q_louvain_levels,
-        # --- NEW r9: no driver row yet ---
-        "q_train_sequences": q_train_sequences,
-        "q_fetch_waves": q_fetch_waves,
-        "q_train_cut": q_train_cut,
-        "q_train_masks": q_train_masks,
-        "q_pack_efficiency": q_pack_efficiency,
-        "q_pack_incremental": q_pack_incremental,
-        "q_bpe_incremental": q_bpe_incremental,
-        "q_train_stream": q_train_stream,
-        # --- CHANGED in r9: need a fresh driver row ---
-        "q_pack_materialize": q_pack_materialize,
-        "q_pack_cut": q_pack_cut,
-        "q_bpe_roundtrip": q_bpe_roundtrip,
-        "q_crawl_delay": q_crawl_delay,
-        "q_fetch_schedule": q_fetch_schedule,
-        # --- latest driver row r7 (stalest remaining): fill the budget ---
-        "q_frame_sample": q_frame_sample,
-        "q_warc_ingest": q_warc_ingest,
-        "q_url_normalize": q_url_normalize,
-        "q_domain_quota": q_domain_quota,
-        "q_url_dedup": q_url_dedup,
-        "q_bloom_dedup": q_bloom_dedup,
-        "q_token_budget": q_token_budget,
-        "q_extract_links": q_extract_links,
-        "q_robots": q_robots,
-        "q_frontier": q_frontier,
-        "q_bpe_tokenize": q_bpe_tokenize,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_assign_shards": q_assign_shards,
-        "q_leakage_split": q_leakage_split,
-        "q_audio_dedup": q_audio_dedup,
-        "q_image_dedup": q_image_dedup,
-        "q_quality_classifier": q_quality_classifier,
-        "q_dsir": q_dsir,
+        # --- r10 front (≈50-row driver budget): the 32 queries whose
+        # latest driver row is r7 (r9 checked positions 1-50; these sat
+        # at 51-82), then the NEW r10 queries (terminal export / recipe
+        # capstone / epoch pack), then the r10-CHANGED q_train_cut
+        # (planted empty docs), then r8-stale fill to the budget. ---
         "q_temperature_sample": q_temperature_sample,
         "q_line_dedup": q_line_dedup,
         "q_semdedup": q_semdedup,
-        # --- latest driver row r7: behind the ~50 cap this round;
-        # rotates forward in r10. ---
         "q_corpus_dedup": q_corpus_dedup,
         "q_doc_retrieve": q_doc_retrieve,
         "q_hybrid_rrf": q_hybrid_rrf,
@@ -3326,7 +3477,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unique_any": q_unique_any,
         "q_asof_now": q_asof_now,
         "q_session_predicate": q_session_predicate,
-        # --- latest driver row r8 (freshest — very back) ---
+        # --- NEW r10: no driver row yet ---
+        "q_pack_export": q_pack_export,
+        "q_recipe": q_recipe,
+        "q_epoch_pack": q_epoch_pack,
+        # --- CHANGED in r10: need a fresh driver row ---
+        "q_train_cut": q_train_cut,
+        # --- latest driver row r8 (stalest remaining): fill the budget ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
@@ -3341,6 +3498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_bpe": q_token_budget_bpe,
         "q_robots_wildcards": q_robots_wildcards,
         "q_pack_no_straddle": q_pack_no_straddle,
+        # --- latest driver row r8: behind the ~50 cap this round;
+        # rotates forward in r11. ---
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
         "q_window_numeric": q_window_numeric,
@@ -3372,6 +3531,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_intervals_over": q_intervals_over,
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
+        # --- latest driver row r9 (freshest — very back) ---
+        "q_lang_id": q_lang_id,
+        "q_token_splitter": q_token_splitter,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_knn_bruteforce": q_knn_bruteforce,
+        "q_knn_ivf": q_knn_ivf,
+        "q_knn_lsh": q_knn_lsh,
+        "q_embedding_pairs": q_embedding_pairs,
+        "q_bm25": q_bm25,
+        "q_connected_components": q_connected_components,
+        "q_interpolate": q_interpolate,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_pagerank": q_pagerank,
+        "q_json_props": q_json_props,
+        "q_bellman_ford": q_bellman_ford,
+        "q_rerank": q_rerank,
+        "q_winnow": q_winnow,
+        "q_media_meta": q_media_meta,
+        "q_louvain_levels": q_louvain_levels,
+        "q_train_sequences": q_train_sequences,
+        "q_fetch_waves": q_fetch_waves,
+        "q_train_masks": q_train_masks,
+        "q_pack_efficiency": q_pack_efficiency,
+        "q_pack_incremental": q_pack_incremental,
+        "q_bpe_incremental": q_bpe_incremental,
+        "q_train_stream": q_train_stream,
+        "q_pack_materialize": q_pack_materialize,
+        "q_pack_cut": q_pack_cut,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_crawl_delay": q_crawl_delay,
+        "q_fetch_schedule": q_fetch_schedule,
+        "q_frame_sample": q_frame_sample,
+        "q_warc_ingest": q_warc_ingest,
+        "q_url_normalize": q_url_normalize,
+        "q_domain_quota": q_domain_quota,
+        "q_url_dedup": q_url_dedup,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_token_budget": q_token_budget,
+        "q_extract_links": q_extract_links,
+        "q_robots": q_robots,
+        "q_frontier": q_frontier,
+        "q_bpe_tokenize": q_bpe_tokenize,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_assign_shards": q_assign_shards,
+        "q_leakage_split": q_leakage_split,
+        "q_audio_dedup": q_audio_dedup,
+        "q_image_dedup": q_image_dedup,
+        "q_quality_classifier": q_quality_classifier,
+        "q_dsir": q_dsir,
     }
 
 
@@ -4245,15 +4454,26 @@ _BM25_SQL = """
         """
 
 
-def _longest_match_cte(first_n: int) -> str:
+def _longest_match_cte(first_n: int, source: str = "documents") -> str:
     """The shared fixture-vocab greedy-longest-match replay: DuckDB CTE
     fragment (vocab + words + step) peeling the longest vocab prefix
     off each of a doc's first ``first_n`` words, UNK-safe (-1, advance
     one char).  ONE definition feeding q_bpe_tokenize,
-    q_token_budget_bpe, q_train_sequences and q_train_cut — the vocab
-    literal must stay in lockstep with _bpe_fixture_vocab, and with one
-    copy a drift breaks every dependent oracle loudly instead of one
-    silently.  Embed directly after WITH RECURSIVE."""
+    q_token_budget_bpe, q_train_sequences, q_train_cut, q_pack_export
+    and q_recipe — the vocab literal must stay in lockstep with
+    _bpe_fixture_vocab, and with one copy a drift breaks every
+    dependent oracle loudly instead of one silently.  ``source`` is the
+    (doc_id, text) relation to encode — ``documents`` by default, or a
+    prior CTE's name when the encoder sits mid-pipeline (q_recipe) or
+    the fixture plants structure first (q_train_cut's empty docs).
+    Like the Spark kernel (bpe.bpe_encode runs its Python fold over
+    DISTINCT word forms only — a form encodes identically wherever it
+    occurs), the recursion steps DISTINCT forms and the per-(doc,
+    position) stream is recovered by joining occurrences back: an
+    order-of-magnitude fewer recursion rows on repetitive corpora
+    (r10 — the q_recipe composition made the per-occurrence recursion
+    the oracle's bottleneck at sf0.1).  Embed directly after
+    WITH RECURSIVE."""
     return f"""vocab(tok, tid) AS (
               SELECT chr((97+i)::INT), i::INT FROM range(26) t(i)
               UNION ALL
@@ -4265,20 +4485,27 @@ def _longest_match_cte(first_n: int) -> str:
                 ('pa',49),('rt',50),('part',51),('ha',52),('sh',53),
                 ('hash',54)) v(a,b)
             ),
-            words AS (
+            -- MATERIALIZED: words is referenced twice (forms + the
+            -- occurrence join) and DuckDB inlines plain CTEs per
+            -- reference — over a composed upstream (q_recipe) that
+            -- re-evaluates the whole pipeline once per reference
+            words AS MATERIALIZED (
               SELECT doc_id, wp, w FROM (
                 SELECT doc_id, generate_subscripts(l,1) AS wp,
                        unnest(l) AS w
                 FROM (SELECT doc_id,
                              string_split_regex(lower(trim(text)),
                                                 '\\s+')[1:{first_n}] AS l
-                      FROM documents)
+                      FROM {source})
               ) WHERE w <> ''
             ),
-            step(doc_id, wp, rest, k, tid) AS (
-              SELECT doc_id, wp, w, 0, NULL::INT FROM words
+            forms AS MATERIALIZED (
+              SELECT DISTINCT w FROM words
+            ),
+            fstep(w, rest, k, tid) AS (
+              SELECT w, w, 0, NULL::INT FROM forms
               UNION ALL
-              SELECT doc_id, wp,
+              SELECT w,
                      substr(rest, coalesce(length(best.tok), 1) + 1),
                      k + 1,
                      coalesce(best.tid, -1)
@@ -4289,9 +4516,92 @@ def _longest_match_cte(first_n: int) -> str:
                                       length(v.tok))
                         FROM vocab v
                         WHERE starts_with(s.rest, v.tok)) AS best
-                FROM step s WHERE s.rest <> ''
+                FROM fstep s WHERE s.rest <> ''
               )
+            ),
+            step AS (
+              SELECT wo.doc_id, wo.wp, f.rest, f.k, f.tid
+              FROM words wo JOIN fstep f USING (w)
             )"""
+
+
+def _train_fold_cte() -> str:
+    """The q_train_sequences replay BODY (longest-match encode → per-doc
+    id strings with EOS 55 → the recursive (fill, seq) no-straddle fold
+    at cap 32 over 16 md5 shards) as a reusable CTE chain — ONE
+    definition feeding q_train_sequences, q_train_stream (alias) and
+    q_pack_export, so the pipeline replay and the export round-trip
+    check can never drift.  Embed directly after WITH RECURSIVE."""
+    return f"""{_longest_match_cte(8)},
+            doc_toks AS (
+              SELECT d.doc_id,
+                     CASE WHEN count(s.doc_id) = 0 THEN '55'
+                          ELSE string_agg(s.tid::VARCHAR, ','
+                                          ORDER BY s.wp, s.k) || ',55'
+                     END AS toks,
+                     (count(s.doc_id) + 1)::BIGINT AS n_tok
+              FROM documents d
+              LEFT JOIN (SELECT doc_id, wp, k, tid
+                         FROM step WHERE k > 0) s
+                ON d.doc_id = s.doc_id
+              GROUP BY d.doc_id
+            ),
+            -- MATERIALIZED: the recursive fold joins base once per
+            -- iteration; a plain CTE would re-evaluate the whole
+            -- encode chain each step
+            base AS MATERIALIZED (
+              SELECT doc_id, toks, n_tok,
+                     {_bucket_sql("doc_id", 0)} % 16 AS shard,
+                     row_number() OVER (
+                         PARTITION BY {_bucket_sql("doc_id", 0)} % 16
+                         ORDER BY doc_id, n_tok
+                     ) AS rn
+              FROM doc_toks
+            ),
+            fold(shard, rn, doc_id, toks, n_tok, seq_id, start_offset,
+                 fill) AS (
+              SELECT shard, rn, doc_id, toks, n_tok,
+                     0::BIGINT, 0::BIGINT, n_tok
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.shard, b.rn, b.doc_id, b.toks, b.n_tok,
+                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
+                          THEN f.seq_id + 1 ELSE f.seq_id END,
+                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
+                          THEN 0 ELSE f.fill END,
+                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
+                          THEN b.n_tok ELSE f.fill + b.n_tok END
+              FROM fold f
+              JOIN base b ON b.shard = f.shard AND b.rn = f.rn + 1
+            )"""
+
+
+# the sequence re-assembly over the fold — string_agg in start_offset
+# order, -1-padded to the cap of 32, span map, oversized flag; shared by
+# q_train_sequences (whole result) and q_pack_export (an `out` CTE the
+# manifest stats aggregate over)
+_TRAIN_SEQ_SELECT = """
+            SELECT shard, seq_id,
+                   string_agg(toks, ',' ORDER BY start_offset)
+                       || repeat(',-1',
+                                 greatest(0, 32 - sum(n_tok))::INT)
+                       AS tokens,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   string_agg(doc_id::VARCHAR || ':'
+                              || start_offset::VARCHAR || ':'
+                              || n_tok::VARCHAR,
+                              ';' ORDER BY start_offset) AS spans,
+                   (sum(n_tok) > 32) AS oversized
+            FROM fold
+            GROUP BY shard, seq_id"""
+
+
+# q_train_cut's planted encoder source: every 19th doc's text is empty
+# (the Spark query plants the same CASE before _first_words)
+_TRAIN_CUT_SRC = (
+    "(SELECT doc_id, CASE WHEN doc_id % 19 = 0 THEN '' ELSE text END"
+    " AS text FROM documents)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5555,66 +5865,50 @@ def oracle_sql() -> dict[str, str]:
             -- start_offset order re-assembles each sequence, -1-padded
             -- to the cap of 32, with the doc_id:off:len span map and
             -- the sum(n_tok) > cap oversized flag
-            WITH RECURSIVE {_longest_match_cte(8)},
-            doc_toks AS (
-              SELECT d.doc_id,
-                     CASE WHEN count(s.doc_id) = 0 THEN '55'
-                          ELSE string_agg(s.tid::VARCHAR, ','
-                                          ORDER BY s.wp, s.k) || ',55'
-                     END AS toks,
-                     (count(s.doc_id) + 1)::BIGINT AS n_tok
-              FROM documents d
-              LEFT JOIN (SELECT doc_id, wp, k, tid
-                         FROM step WHERE k > 0) s
-                ON d.doc_id = s.doc_id
-              GROUP BY d.doc_id
+            WITH RECURSIVE {_train_fold_cte()}
+            {_TRAIN_SEQ_SELECT}
+        """,
+        "q_pack_export": f"""
+            -- the q_train_sequences replay (the on-disk rows must be
+            -- byte-identical to the pipeline — the parquet write/read
+            -- round-trip is invisible), plus the manifest's per-shard
+            -- stats re-derived by the packing_efficiency arithmetic
+            -- over the same sequences and joined onto every row
+            WITH RECURSIVE {_train_fold_cte()},
+            out AS ({_TRAIN_SEQ_SELECT}
             ),
-            base AS (
-              SELECT doc_id, toks, n_tok,
-                     {_bucket_sql("doc_id", 0)} % 16 AS shard,
-                     row_number() OVER (
-                         PARTITION BY {_bucket_sql("doc_id", 0)} % 16
-                         ORDER BY doc_id, n_tok
-                     ) AS rn
-              FROM doc_toks
-            ),
-            fold(shard, rn, doc_id, toks, n_tok, seq_id, start_offset,
-                 fill) AS (
-              SELECT shard, rn, doc_id, toks, n_tok,
-                     0::BIGINT, 0::BIGINT, n_tok
-              FROM base WHERE rn = 1
-              UNION ALL
-              SELECT b.shard, b.rn, b.doc_id, b.toks, b.n_tok,
-                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
-                          THEN f.seq_id + 1 ELSE f.seq_id END,
-                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
-                          THEN 0 ELSE f.fill END,
-                     CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 32
-                          THEN b.n_tok ELSE f.fill + b.n_tok END
-              FROM fold f
-              JOIN base b ON b.shard = f.shard AND b.rn = f.rn + 1
+            stats AS (
+                SELECT shard,
+                       count(*)::BIGINT AS m_n_seqs,
+                       sum(n_tokens)::BIGINT AS m_real_tokens,
+                       sum(CASE WHEN oversized THEN 0
+                           ELSE 32 - n_tokens END)::BIGINT AS m_padded_slots,
+                       sum(CASE WHEN oversized THEN 1
+                           ELSE 0 END)::BIGINT AS m_oversized_seqs
+                FROM out GROUP BY shard
             )
-            SELECT shard, seq_id,
-                   string_agg(toks, ',' ORDER BY start_offset)
-                       || repeat(',-1',
-                                 greatest(0, 32 - sum(n_tok))::INT)
-                       AS tokens,
-                   sum(n_tok)::BIGINT AS n_tokens,
-                   string_agg(doc_id::VARCHAR || ':'
-                              || start_offset::VARCHAR || ':'
-                              || n_tok::VARCHAR,
-                              ';' ORDER BY start_offset) AS spans,
-                   (sum(n_tok) > 32) AS oversized
-            FROM fold
-            GROUP BY shard, seq_id
+            SELECT o.shard, o.seq_id, o.tokens, o.n_tokens, o.spans,
+                   o.oversized,
+                   s.m_n_seqs, s.m_real_tokens, s.m_padded_slots,
+                   s.m_oversized_seqs,
+                   round(s.m_padded_slots
+                         / (s.m_padded_slots + s.m_real_tokens), 6)
+                       AS m_waste_frac,
+                   round(s.m_padded_slots
+                         / (nullif(s.m_n_seqs - s.m_oversized_seqs, 0)
+                            * 32.0), 6)
+                       AS m_capped_waste_frac
+            FROM out o JOIN stats s USING (shard)
         """,
         "q_train_cut": f"""
             -- real-token concatenate-and-cut replay: the longest-match
-            -- CTE numbers each doc's ids in (wp, k) order, EOS 55 rides
-            -- at index n+1, global position = shard window cumsum +
-            -- intra index, cut every 48; spans = per-(seq, doc)
-            -- position groups (off = min(pos) % 48)
-            WITH RECURSIVE {_longest_match_cte(8)},
+            -- CTE (over the planted source — every 19th doc's text is
+            -- EMPTY, so it contributes only the EOS token) numbers each
+            -- doc's ids in (wp, k) order, EOS 55 rides at index n+1,
+            -- global position = shard window cumsum + intra index, cut
+            -- every 48; spans = per-(seq, doc) position groups
+            -- (off = min(pos) % 48)
+            WITH RECURSIVE {_longest_match_cte(8, _TRAIN_CUT_SRC)},
             tok_rows AS (
               SELECT doc_id, tid,
                      row_number() OVER (PARTITION BY doc_id
@@ -5677,6 +5971,181 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s.shard, s.seq_id, s.tokens, s.n_tokens, sp.spans
             FROM seqs s JOIN sp USING (shard, seq_id)
+        """,
+        "q_epoch_pack": f"""
+            -- the q_shuffle md5-permutation replay assigns dense
+            -- positions (seed 2), then the (fill, seq) recurrence folds
+            -- in POSITION order per md5(position) shard at cap 16;
+            -- sequence content = each doc's id repeated n_tok times in
+            -- layout order, -1-padded; spans are position-keyed
+            WITH RECURSIVE pos AS (
+                SELECT doc_id, (doc_id % 13 + 1)::BIGINT AS n_tok,
+                       (row_number() OVER (
+                           ORDER BY md5(doc_id::VARCHAR || ':2'), doc_id
+                       ) - 1)::BIGINT AS position
+                FROM documents
+                WHERE doc_id IS NOT NULL
+            ), base AS MATERIALIZED (
+                SELECT doc_id, n_tok, position,
+                       {_bucket_sql("position", 0)} % 8 AS shard,
+                       row_number() OVER (
+                           PARTITION BY {_bucket_sql("position", 0)} % 8
+                           ORDER BY position, n_tok
+                       ) AS rn
+                FROM pos
+            ),
+            fold(shard, rn, doc_id, position, n_tok, seq_id,
+                 start_offset, fill) AS (
+                SELECT shard, rn, doc_id, position, n_tok,
+                       0::BIGINT, 0::BIGINT, n_tok
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.position, b.n_tok,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN f.seq_id + 1 ELSE f.seq_id END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN 0 ELSE f.fill END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 16
+                            THEN b.n_tok ELSE f.fill + b.n_tok END
+                FROM fold f
+                JOIN base b ON b.shard = f.shard AND b.rn = f.rn + 1
+            )
+            SELECT shard, seq_id,
+                   string_agg(array_to_string(
+                       list_transform(range(n_tok), x -> doc_id), ','),
+                       ',' ORDER BY start_offset)
+                       || repeat(',-1',
+                                 greatest(0, 16 - sum(n_tok))::INT)
+                       AS tokens,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   string_agg(position::VARCHAR || ':'
+                              || start_offset::VARCHAR || ':'
+                              || n_tok::VARCHAR,
+                              ';' ORDER BY start_offset) AS spans,
+                   (sum(n_tok) > 16) AS oversized
+            FROM fold
+            GROUP BY shard, seq_id
+        """,
+        "q_recipe": f"""
+            -- the full corpus recipe, composed from the proven replays:
+            -- the planted page structure, the q_c4_filter line+page
+            -- rules, the q_line_dedup first-(doc_id, idx) keep rule,
+            -- the longest-match CTE re-pointed at the post-dedup
+            -- corpus (first 12 words, EOS 55), and the (fill, seq)
+            -- recurrence at cap 64 over 16 md5 shards
+            WITH RECURSIVE planted AS (
+                SELECT doc_id,
+                       text || chr(10)
+                       || array_to_string(
+                              regexp_split_to_array(trim(text),
+                                                    '\\s+')[1:4], ' ')
+                       || ' opens document ' || doc_id::VARCHAR
+                       || ' cleanly.' || chr(10)
+                       || 'short line.' || chr(10)
+                       || 'every page shares this exact cookie banner line.'
+                       || chr(10)
+                       || 'document ' || doc_id::VARCHAR
+                       || ' closes with a tidy sentence!'
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN chr(10) || 'lorem ipsum tail'
+                               WHEN doc_id % 13 = 0
+                               THEN chr(10) || 'brace {{ tail'
+                               ELSE '' END AS text
+                FROM documents
+            ), c4 AS (
+                SELECT doc_id, text,
+                       coalesce(array_to_string(list_filter(
+                           list_filter(list_transform(
+                               string_split(text, chr(10)), l -> trim(l)),
+                               l -> length(l) > 0),
+                           l -> regexp_matches(l, '[.!?"”]$')
+                                AND len(regexp_split_to_array(
+                                        l, '\\s+')) >= 5
+                                AND NOT contains(lower(l), 'javascript')
+                       ), chr(10)), '') AS clean_text
+                FROM planted
+            ), kept_docs AS MATERIALIZED (
+                SELECT doc_id, clean_text
+                FROM c4
+                WHERE len(regexp_extract_all(clean_text,
+                        '[.!?]["”]?(\\s|$)|["”](\\s|$)')) >= 3
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{{')
+            ), exd AS (
+                SELECT doc_id, generate_subscripts(ls, 1) - 1 AS idx,
+                       unnest(ls) AS line
+                FROM (SELECT doc_id,
+                             string_split(clean_text, chr(10)) AS ls
+                      FROM kept_docs)
+            ), ranked AS (
+                SELECT doc_id, idx, line,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, idx
+                       ) AS rn
+                FROM exd WHERE trim(line) != ''
+            ), keptl AS (
+                SELECT doc_id, idx, line FROM ranked WHERE rn = 1
+                UNION ALL
+                SELECT doc_id, idx, line FROM exd WHERE trim(line) = ''
+            ), corpus AS MATERIALIZED (
+                SELECT k.doc_id, coalesce(re.txt, '') AS text
+                FROM kept_docs k LEFT JOIN (
+                    SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY idx) AS txt
+                    FROM keptl GROUP BY doc_id
+                ) re USING (doc_id)
+            ),
+            {_longest_match_cte(12, "corpus")},
+            doc_toks AS (
+                SELECT d.doc_id,
+                       CASE WHEN count(s.doc_id) = 0 THEN '55'
+                            ELSE string_agg(s.tid::VARCHAR, ','
+                                            ORDER BY s.wp, s.k) || ',55'
+                       END AS toks,
+                       (count(s.doc_id) + 1)::BIGINT AS n_tok
+                FROM corpus d
+                LEFT JOIN (SELECT doc_id, wp, k, tid
+                           FROM step WHERE k > 0) s
+                  ON d.doc_id = s.doc_id
+                GROUP BY d.doc_id
+            ), rbase AS MATERIALIZED (
+                SELECT doc_id, toks, n_tok,
+                       {_bucket_sql("doc_id", 0)} % 16 AS shard,
+                       row_number() OVER (
+                           PARTITION BY {_bucket_sql("doc_id", 0)} % 16
+                           ORDER BY doc_id, n_tok
+                       ) AS rn
+                FROM doc_toks
+            ),
+            rfold(shard, rn, doc_id, toks, n_tok, seq_id, start_offset,
+                  fill) AS (
+                SELECT shard, rn, doc_id, toks, n_tok,
+                       0::BIGINT, 0::BIGINT, n_tok
+                FROM rbase WHERE rn = 1
+                UNION ALL
+                SELECT b.shard, b.rn, b.doc_id, b.toks, b.n_tok,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 64
+                            THEN f.seq_id + 1 ELSE f.seq_id END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 64
+                            THEN 0 ELSE f.fill END,
+                       CASE WHEN f.fill > 0 AND f.fill + b.n_tok > 64
+                            THEN b.n_tok ELSE f.fill + b.n_tok END
+                FROM rfold f
+                JOIN rbase b ON b.shard = f.shard AND b.rn = f.rn + 1
+            )
+            SELECT shard, seq_id,
+                   string_agg(toks, ',' ORDER BY start_offset)
+                       || repeat(',-1',
+                                 greatest(0, 64 - sum(n_tok))::INT)
+                       AS tokens,
+                   sum(n_tok)::BIGINT AS n_tokens,
+                   string_agg(doc_id::VARCHAR || ':'
+                              || start_offset::VARCHAR || ':'
+                              || n_tok::VARCHAR,
+                              ';' ORDER BY start_offset) AS spans,
+                   (sum(n_tok) > 64) AS oversized
+            FROM rfold
+            GROUP BY shard, seq_id
         """,
         "q_train_masks": f"""
             -- replay the (fill, seq) recurrence over the synthetic

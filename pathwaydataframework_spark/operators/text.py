@@ -1239,7 +1239,7 @@ def fetch_waves(
     :func:`schedule_fetches_incremental` already carry across batches),
     but ``wave_size`` counts only the rows in THIS frame — a wave that
     straddles micro-batches needs its size from the accumulated
-    schedule, not a single batch.
+    schedule; that is :func:`fetch_waves_incremental`'s job.
     """
     if window_s <= 0:
         raise ValueError("window_s must be positive")
@@ -1249,6 +1249,75 @@ def fetch_waves(
     out = scheduled.withColumn("wave", wave.cast("long"))
     w = W.partitionBy(host_col, "wave")
     return out.withColumn("wave_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
+def wave_counts_state(spark, *, host_col: str = "host") -> DataFrame:
+    """Empty persisted-state frame for :func:`fetch_waves_incremental`:
+    (host, wave, n) — how many URLs each (host, wave) dispatch slot has
+    accumulated across micro-batches.  Bounded: a host pacing at delay
+    ``d`` holds at most ``ceil(window_s / d)`` URLs per wave and the
+    frame is one row per NON-EMPTY (host, wave), so it grows with the
+    schedule horizon, not the stream — and a dispatcher can prune rows
+    for waves it has already fired (their counts are final: offsets
+    only grow, so a later batch can never land in a fired wave of the
+    same host unless the host's queue was reset).  Same persistable
+    small-summarizing-state pattern as the host fetch counters."""
+    return spark.createDataFrame([], f"{host_col} string, wave long, n long")
+
+
+def fetch_waves_incremental(
+    scheduled: DataFrame,
+    counts: DataFrame,
+    window_s: float,
+    *,
+    host_col: str = "host",
+    offset_col: str = "fetch_offset_s",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of :func:`fetch_waves` against a persisted
+    (host, wave, n) counter table: returns ``(batch with wave +
+    ACCUMULATED wave_size, updated counts)``.  A wave that straddles
+    micro-batches (offsets from :func:`schedule_fetches_incremental`
+    keep growing across batches, so batch 2's first URLs for a host can
+    land in the wave batch 1 opened) gets its size from the accumulated
+    schedule — the dispatcher-facing number — not from this frame
+    alone: each emitted row carries the wave's total count over every
+    batch seen so far, and the updated state holds the same totals for
+    the next batch.  Rows already emitted in earlier batches are NOT
+    re-emitted with the grown size; a dispatcher sizing its pool for a
+    wave should read the LATEST batch's rows (or the state) for that
+    wave.
+
+    Scale shape: the per-batch wave count (one bounded-group window),
+    one groupBy(host, wave) over the BATCH, a state-sized union-sum
+    fold, and one broadcastable equi-join back — history is never
+    rescanned (the same fold shape as
+    :func:`schedule_fetches_incremental`'s host counters).  NULL-host
+    rows keep their batch-local size (the counter join is an
+    equi-join), mirroring the scheduler's NULL-host contract.
+    """
+    batch = fetch_waves(
+        scheduled, window_s, host_col=host_col, offset_col=offset_col
+    )
+    delta = (
+        batch.filter(F.col(host_col).isNotNull())
+        .groupBy(host_col, "wave")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    updated = (
+        counts.unionByName(delta)
+        .groupBy(host_col, "wave")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    acc = updated.select(host_col, "wave", F.col("n").alias("__acc"))
+    out = (
+        batch.join(acc, on=[host_col, "wave"], how="left")
+        .withColumn(
+            "wave_size",
+            F.coalesce(F.col("__acc"), F.col("wave_size")).cast("long"),
+        )
+        .drop("__acc")
+    )
+    return out, updated
 
 
 def robots_allowed(

@@ -799,6 +799,74 @@ def test_streaming_fetch_schedule_three_batches(spark, tmp_path):
     assert all(waves[("b.test", s)] == (0, 3) for s in range(3))
 
 
+def test_fetch_waves_incremental_straddling_wave(spark):
+    """Accumulated wave sizes across micro-batches (VERDICT r9 item 7):
+    a.test paces at 4 s, window 8 s, one URL per batch — so WAVE 0
+    (offsets 0 and 4) STRADDLES batches 1 and 2.  The (host, wave, n)
+    state folds forward: batch 2's emitted row carries the accumulated
+    size 2 (not the batch-local 1), the final state equals the one-shot
+    fetch_waves sizes over the whole stream, and NULL-host rows keep
+    their batch-local size (the counter join is an equi-join)."""
+    from pathwaydataframework_spark.operators import text
+
+    delays = spark.createDataFrame(
+        [("a.test", 4)], "host string, crawl_delay long"
+    )
+    batches = [
+        [("a.test", "https://a.test/0"), ("b.test", "https://b.test/0"),
+         ("b.test", "https://b.test/1"), (None, "https://x.test/0")],
+        [("a.test", "https://a.test/1")],
+        [("a.test", "https://a.test/2"), ("b.test", "https://b.test/2")],
+    ]
+    counts = text.host_fetch_counts(spark)
+    wcounts = text.wave_counts_state(spark)
+    emitted: list[dict] = []
+    all_sched = []
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, "host string, url string")
+        sched, counts = text.schedule_fetches_incremental(
+            bdf, counts, delays, seed=2
+        )
+        sched = sched.localCheckpoint()
+        all_sched.append(sched)
+        out, wcounts = text.fetch_waves_incremental(sched, wcounts, 8.0)
+        emitted.append(
+            {(r["host"], r["url"]): (r["wave"], r["wave_size"])
+             for r in out.collect()}
+        )
+        counts = counts.localCheckpoint()
+        wcounts = wcounts.localCheckpoint()
+    # batch 1: a.test seq 0 (off 0) opens wave 0 at size 1; b.test seqs
+    # 0,1 (offs 0,1) land in wave 0 at size 2; the NULL-host row keeps
+    # its batch-local size
+    assert emitted[0][("a.test", "https://a.test/0")] == (0, 1)
+    assert emitted[0][("b.test", "https://b.test/0")] == (0, 2)
+    assert emitted[0][(None, "https://x.test/0")][1] == 1
+    # batch 2: a.test seq 1 (off 4) STILL lands in wave 0 — the row
+    # carries the ACCUMULATED size 2, not the batch-local 1
+    assert emitted[1][("a.test", "https://a.test/1")] == (0, 2)
+    # batch 3: a.test seq 2 (off 8) opens wave 1; b.test seq 2 (off 2)
+    # joins wave 0 at accumulated size 3
+    assert emitted[2][("a.test", "https://a.test/2")] == (1, 1)
+    assert emitted[2][("b.test", "https://b.test/2")] == (0, 3)
+    # the final state equals the one-shot fetch_waves over the whole
+    # accumulated schedule
+    full = all_sched[0]
+    for s in all_sched[1:]:
+        full = full.unionByName(s)
+    oneshot = {
+        (r["host"], r["wave"]): r["wave_size"]
+        for r in text.fetch_waves(full, 8.0).collect()
+        if r["host"] is not None
+    }
+    state = {
+        (r["host"], r["wave"]): r["n"] for r in wcounts.collect()
+    }
+    assert state == oneshot == {
+        ("a.test", 0): 2, ("a.test", 1): 1, ("b.test", 0): 3,
+    }
+
+
 def test_streaming_pack_no_straddle_three_batches(spark, tmp_path):
     """Boundary-respecting packing as a REAL stream: three id-ordered
     micro-batches through pack_no_straddle_incremental in foreachBatch,
@@ -1152,3 +1220,92 @@ def test_streaming_materialize_emits_closed_sequences(spark, tmp_path):
     assert got == expected
     # the stream emitted progressively, not everything in the flush
     assert sum(state["per_batch"]) > 0 and state["per_batch"][0] > 0
+
+
+def test_incremental_chain_state_parquet_resume(spark, tmp_path):
+    """Durable-state RESUME for the full incremental chain (VERDICT r9
+    item 5): the 3-batch tests fold state via localCheckpoint within
+    one session; the docstrings additionally claim the three state
+    frames (BPE word table, pack state, open rows) are PERSISTABLE.
+    Exercise that claim: after EVERY batch, write all three frames to
+    parquet and reload them from disk (explicit-schema read — an empty
+    frame's write leaves nothing to infer from), severing every
+    in-memory lineage exactly like a process restart — and the resumed
+    stream's emitted ∪ flushed sequences must still equal the one-shot
+    bpe_encode(EOS) → pack_no_straddle → materialize_sequences chain."""
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    def doc_text(d):
+        return f"the table w{d % 20}"
+
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in ("th", "the", "ta", "table", "w"):
+        vocab[t] = len(vocab)
+    EOS, CAP, SHARDS = 99, 16, 2
+    batches = [list(range(0, 10)), list(range(10, 20)), list(range(20, 30))]
+
+    def seq_key(r):
+        return (
+            (r["shard"], r["seq_id"]),
+            (
+                list(r["token_ids"]),
+                r["n_tokens"],
+                [(s["doc_id"], s["off"], s["len"]) for s in r["doc_spans"]],
+            ),
+        )
+
+    def dump_reload(df, path):
+        df.write.parquet(str(path))
+        return spark.read.schema(df.schema).parquet(str(path))
+
+    wt = bpe.bpe_word_table(spark)
+    ps = packing.pack_state(spark)
+    orows = packing.open_rows_state(spark)
+    emitted: list = []
+    for i, ids in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(d, doc_text(d)) for d in ids], "doc_id long, text string"
+        )
+        enc, wt = bpe.bpe_encode_incremental(
+            bdf, wt, vocab, append_eos_id=EOS
+        )
+        enc = enc.localCheckpoint()
+        packed, ps = packing.pack_no_straddle_incremental(
+            enc, ps, "doc_id", "n_tokens", CAP, shards=SHARDS
+        )
+        em, orows = packing.materialize_sequences_incremental(
+            packed, enc, orows, ps, max_tokens=CAP, pad_id=-1
+        )
+        emitted.extend(seq_key(r) for r in em.collect())
+        # the durable round-trip: all three states to parquet, then a
+        # cold explicit-schema reload — the "restart" between batches
+        d = tmp_path / f"state{i}"
+        wt = dump_reload(wt, d / "word_table")
+        ps = dump_reload(ps, d / "pack_state")
+        orows = dump_reload(orows, d / "open_rows")
+
+    flushed = packing.materialize_sequences(
+        orows.select("doc_id", "token_ids"),
+        orows.select("doc_id", "shard", "seq_id", "start_offset"),
+        max_tokens=CAP,
+        pad_id=-1,
+    )
+    emitted.extend(seq_key(r) for r in flushed.collect())
+
+    full = spark.createDataFrame(
+        [(d, doc_text(d)) for ids in batches for d in ids],
+        "doc_id long, text string",
+    )
+    enc_once = bpe.bpe_encode(full, vocab, append_eos_id=EOS)
+    layout_once = packing.pack_no_straddle(
+        enc_once, "doc_id", "n_tokens", CAP, shards=SHARDS
+    )
+    expected = dict(
+        seq_key(r)
+        for r in packing.materialize_sequences(
+            enc_once, layout_once, max_tokens=CAP, pad_id=-1
+        ).collect()
+    )
+    got = dict(emitted)
+    assert len(emitted) == len(got), "a sequence was emitted twice"
+    assert got == expected
