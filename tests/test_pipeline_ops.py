@@ -1723,3 +1723,45 @@ def test_write_packed_dataset_empty_input(spark, tmp_path):
     manifest = packing.write_packed_dataset(empty, path, max_tokens=8)
     assert manifest["n_seqs"] == 0 and manifest["n_shards"] == 0
     assert manifest["real_tokens"] == 0
+
+
+def test_epoch_pack_layouts_differ_tokens_identical(spark):
+    """Epoch-ordered packing (q_epoch_pack's contract): packing on
+    deterministic_shuffle's position gives each epoch (= seed) its own
+    layout — two epochs must produce DIFFERENT sequence contents — while
+    the token MULTISET is identical (a shuffle permutes, never drops or
+    duplicates), and every sequence holds whole documents in shuffle
+    order."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_tok"),
+        F.array_repeat(F.col("id"), (F.col("id") % 7 + 1).cast("int")).alias(
+            "token_ids"
+        ),
+    )
+
+    def epoch(seed):
+        shuffled = sampling.deterministic_shuffle(docs, "doc_id", seed=seed)
+        layout = packing.pack_no_straddle(
+            shuffled, "position", "n_tok", 16, shards=4
+        )
+        seqs = packing.materialize_sequences(
+            shuffled, layout, id_col="position", max_tokens=16, pad_id=-1
+        )
+        return {
+            (r["shard"], r["seq_id"]): list(r["token_ids"])
+            for r in seqs.collect()
+        }
+
+    e1, e2 = epoch(1), epoch(2)
+    # different epochs lay out differently...
+    assert e1 != e2
+    # ...but carry exactly the same tokens (pad -1 stripped)
+    flat1 = sorted(t for seq in e1.values() for t in seq if t != -1)
+    flat2 = sorted(t for seq in e2.values() for t in seq if t != -1)
+    expected = sorted(
+        t for r in docs.collect() for t in r["token_ids"]
+    )
+    assert flat1 == flat2 == expected
+    # same epoch replays byte-identically
+    assert epoch(1) == e1
