@@ -1,17 +1,22 @@
-"""AVI (RIFF) MJPEG demuxer — pure struct reads, no codec libraries.
+"""AVI (RIFF) demuxer for intra-frame streams — pure struct reads, no
+codec libraries.
 
-Motion-JPEG is the one video format this container can take all the way
-to pixels: the AVI is a RIFF chunk tree whose ``movi`` LIST carries one
-complete JPEG per ``##dc``/``##db`` chunk, and operators/jpeg.py already
-decodes those.  ``mjpeg_frames`` walks the tree (including ``rec ``
-sub-LISTs, word-aligned chunk sizes) and returns the raw JPEG payloads;
-``multimodal.frame_sample`` uses it to emit real frames.  Inter-frame
-codecs (H.264 etc. inside MP4/AVI) remain the documented boundary
-(DEVIATIONS.md #5) — ``is_avi``/``mjpeg_frames`` simply find no JPEG
-chunks there and the caller falls back.
+Two video formats go all the way to pixels in this container: the AVI
+is a RIFF chunk tree whose ``movi`` LIST carries one frame per
+``##dc``/``##db`` chunk, and the payloads are either complete JPEGs
+(Motion-JPEG — operators/jpeg.py decodes those) or raw uncompressed
+DIB pixel arrays (BI_RGB — each wraps into a standalone BMP the
+operators/bmp.py kernel decodes).  ``mjpeg_frames`` / ``dib_frames``
+walk the tree (including ``rec `` sub-LISTs, word-aligned chunk sizes)
+and return standalone image blobs; ``multimodal.frame_sample`` uses
+them to emit real frames.  Inter-frame codecs (H.264 etc. inside
+MP4/AVI) remain the documented boundary (DEVIATIONS.md #5) — both
+demuxers simply find no decodable frames there and the caller falls
+back.
 
-``encode_mjpeg`` emits a minimal valid single-stream MJPEG AVI
-(hdrl with avih/strh/strf + movi) for planting deterministic fixtures.
+``encode_mjpeg`` / ``encode_dib`` emit minimal valid single-stream
+AVIs (hdrl with avih/strh/strf + movi) for planting deterministic
+fixtures.
 
 The reference framework has no in-process media path at all — it hands
 blobs to service UDF parsers (reference
@@ -31,7 +36,13 @@ def is_avi(data: bytes) -> bool:
     )
 
 
-def _walk(data: bytes, start: int, end: int, out: list[bytes]) -> None:
+def _walk(
+    data: bytes,
+    start: int,
+    end: int,
+    frames: list[bytes],
+    headers: list[tuple[bytes, bytes]] | None = None,
+) -> None:
     # explicit stack: adversarially nested LISTs must not hit the
     # interpreter recursion limit
     stack = [(start, end)]
@@ -49,23 +60,27 @@ def _walk(data: bytes, start: int, end: int, out: list[bytes]) -> None:
                 pos, limit = body_start + 4, body_end  # descend (skip type)
                 continue
             if fourcc[2:4] in (b"dc", b"db"):
-                payload = bytes(data[body_start:body_end])
-                if payload[:2] == b"\xff\xd8":  # a complete JPEG frame
-                    out.append(payload)
+                frames.append(bytes(data[body_start:body_end]))
+            elif headers is not None and fourcc in (b"strh", b"strf"):
+                # tree order: each strf follows its stream's strh
+                headers.append((bytes(fourcc), bytes(data[body_start:body_end])))
             pos = body_end + (size & 1)  # chunks are word-aligned
 
 
-def mjpeg_frames(data: bytes) -> list[bytes]:
-    """AVI bytes → list of raw JPEG frame payloads (possibly empty for
-    non-MJPEG streams).  ValueError on non-AVI input or malformed trees
-    (all parse escapes normalized)."""
+def _demux(
+    data: bytes, headers: list[tuple[bytes, bytes]] | None = None
+) -> list[bytes]:
     data = bytes(data)
     if not is_avi(data):
         raise ValueError("not an AVI (missing RIFF/AVI header)")
-    out: list[bytes] = []
+    frames: list[bytes] = []
     try:
         _walk(
-            data, 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]), out
+            data,
+            12,
+            min(len(data), 8 + struct.unpack_from("<I", data, 4)[0]),
+            frames,
+            headers,
         )
     except ValueError:
         raise
@@ -73,6 +88,83 @@ def mjpeg_frames(data: bytes) -> list[bytes]:
         raise ValueError(
             "AVI: malformed stream (%s)" % type(exc).__name__
         ) from exc
+    return frames
+
+
+def mjpeg_frames(data: bytes) -> list[bytes]:
+    """AVI bytes → list of raw JPEG frame payloads (possibly empty for
+    non-MJPEG streams).  ValueError on non-AVI input or malformed trees
+    (all parse escapes normalized)."""
+    # a complete JPEG frame starts with the SOI marker
+    return [f for f in _demux(data) if f[:2] == b"\xff\xd8"]
+
+
+def _video_strf(data: bytes) -> bytes | None:
+    """The first ``vids`` stream's strf payload (a BITMAPINFOHEADER,
+    possibly with palette/mask tail) — None when no video stream
+    declares one."""
+    headers: list[tuple[bytes, bytes]] = []
+    _demux(data, headers)
+    want_strf = False
+    for fourcc, payload in headers:
+        if fourcc == b"strh":
+            want_strf = payload[:4] == b"vids"
+        elif fourcc == b"strf" and want_strf:
+            return payload if len(payload) >= 40 else None
+    return None
+
+
+def video_format(data: bytes) -> dict | None:
+    """The first video stream's declared format: ``{'width', 'height'
+    (sign preserved — negative = top-down rows), 'bpp', 'compression'}``
+    where compression is the BITMAPINFOHEADER value (0 = BI_RGB raw,
+    else the codec fourcc as an int, e.g. 'MJPG').  None when the AVI
+    declares no video stream."""
+    strf = _video_strf(data)
+    if strf is None:
+        return None
+    w, h = struct.unpack_from("<ii", strf, 4)
+    (bpp,) = struct.unpack_from("<H", strf, 14)
+    (compression,) = struct.unpack_from("<I", strf, 16)
+    return {"width": w, "height": h, "bpp": bpp, "compression": compression}
+
+
+def dib_frames(data: bytes) -> list[bytes]:
+    """AVI bytes → list of standalone BMP blobs, one per frame — for
+    streams whose video format is uncompressed DIB (BI_RGB): each
+    ``##db``/``##dc`` payload is the raw pixel array described by the
+    stream's strf BITMAPINFOHEADER, so prefixing a BITMAPFILEHEADER +
+    that strf (palette included, for ≤8-bit streams) yields a BMP the
+    operators/bmp.py kernel decodes.  Empty for compressed streams
+    (MJPG → :func:`mjpeg_frames`; inter-frame codecs → the documented
+    boundary).  ValueError on non-AVI/malformed input."""
+    headers: list[tuple[bytes, bytes]] = []
+    frames = _demux(data, headers)
+    want_strf = False
+    strf = None
+    for fourcc, payload in headers:
+        if fourcc == b"strh":
+            want_strf = payload[:4] == b"vids"
+        elif fourcc == b"strf" and want_strf:
+            strf = payload if len(payload) >= 40 else None
+            break
+    if strf is None:
+        return []
+    (compression,) = struct.unpack_from("<I", strf, 16)
+    if compression != 0:  # not BI_RGB
+        return []
+    w, h = struct.unpack_from("<ii", strf, 4)
+    (bpp,) = struct.unpack_from("<H", strf, 14)
+    need = (w * bpp + 31) // 32 * 4 * abs(h)
+    pix_off = 14 + len(strf)
+    out = []
+    for f in frames:
+        if len(f) < need:  # truncated/foreign chunk — skip, don't crash
+            continue
+        file_header = struct.pack(
+            "<2sIHHI", b"BM", pix_off + len(f), 0, 0, pix_off
+        )
+        out.append(file_header + strf + f)
     return out
 
 
@@ -119,4 +211,53 @@ def encode_mjpeg(
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
     movi = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in frames))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def encode_dib(frames: list, *, fps: int = 25) -> bytes:
+    """(h, w, 3) uint8 RGB arrays → minimal single-stream uncompressed
+    (BI_RGB 24-bit bottom-up) AVI — ``00db`` chunks carrying the raw
+    DIB pixel rows the bmp.py encoder would write, for planting
+    deterministic raw-video fixtures.  All frames must share one
+    shape (one strf describes the whole stream)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("AVI encode: no frames")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if any(a.ndim != 3 or a.shape[2] != 3 for a in arrs):
+        raise ValueError("AVI DIB encode expects (h, w, 3) uint8 frames")
+    if len({a.shape for a in arrs}) != 1:
+        raise ValueError("AVI DIB encode: all frames must share one shape")
+    h, w, _ = arrs[0].shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+
+    def dib(a):
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        return rows.tobytes()
+
+    payloads = [dib(a) for a in arrs]
+    usec_per_frame = 1_000_000 // max(fps, 1)
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, max_bytes * fps, 0, 0,
+        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+                      max_bytes, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER, biCompression=0 (BI_RGB)
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", p) for p in payloads))
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)

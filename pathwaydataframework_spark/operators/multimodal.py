@@ -443,6 +443,11 @@ def frame_sample(
     - **MJPEG AVI** (operators/avi.py): the RIFF walk yields one
       complete JPEG per ``##dc`` chunk; sampled payloads are emitted
       verbatim (already standalone images).
+    - **raw (BI_RGB) AVI** (operators/avi.py dib_frames, r10): each
+      ``##db``/``##dc`` payload is an uncompressed DIB pixel array —
+      wrapped with the stream's BITMAPINFOHEADER into a standalone BMP
+      the operators/bmp.py kernel decodes, so raw-video AVIs sample to
+      real decodable frames too.
     - anything else (inter-frame codecs — DEVIATIONS.md #5): the
       deterministic byte-slice stub, so the plumbing shape survives
       until production swaps in a PyAV kernel.
@@ -487,6 +492,11 @@ def frame_sample(
                     if jpegs:
                         for i in _sample_indices(len(jpegs)):
                             emit(mid, i, jpegs[i])
+                        continue
+                    bmps = _avi.dib_frames(raw)  # raw BI_RGB stream
+                    if bmps:
+                        for i in _sample_indices(len(bmps)):
+                            emit(mid, i, bmps[i])
                         continue
                 step = max(len(raw) // n_frames, 1)
                 for i in range(n_frames):

@@ -114,3 +114,59 @@ def test_attach_media_meta_avi_fixed_offsets(spark):
     assert row["media_type"] == "video"
     assert row["width"] == 16 and row["height"] == 16
     assert row["duration_ms"] == 1200
+
+
+# -- raw (BI_RGB) DIB AVI (r10) ------------------------------------------------
+
+
+def _dib_fixture(n=5, shape=(6, 8)):
+    h, w = shape
+    frames = [np.full((h, w, 3), 25 * i + 5, dtype=np.uint8) for i in range(n)]
+    return avi.encode_dib(frames, fps=10), frames
+
+
+def test_avi_dib_roundtrip_and_format():
+    from pathwaydataframework_spark.operators import bmp
+
+    data, frames = _dib_fixture(4)
+    fmt = avi.video_format(data)
+    assert fmt == {"width": 8, "height": 6, "bpp": 24, "compression": 0}
+    bmps = avi.dib_frames(data)
+    assert len(bmps) == 4
+    for blob, arr in zip(bmps, frames):
+        assert bmp.is_bmp(blob)  # standalone BMP per frame
+        assert (bmp.decode(blob) == arr).all()
+    # an MJPEG stream is NOT raw — dib_frames stays empty, mjpeg path owns it
+    mdata, _ = _mjpeg_fixture(2)
+    assert avi.dib_frames(mdata) == []
+    assert avi.video_format(mdata)["compression"] != 0
+    with pytest.raises(ValueError, match="RIFF"):
+        avi.dib_frames(b"not an avi")
+
+
+def test_avi_dib_skips_truncated_frames():
+    data, frames = _dib_fixture(3)
+    # append a movi LIST holding a short foreign 00db chunk after the
+    # real one: the demuxer must skip it (not crash, not emit a broken
+    # BMP)
+    movi_extra = avi._list(b"movi", avi._chunk(b"00db", b"\x01\x02"))
+    body = data[12 : 8 + int.from_bytes(data[4:8], "little")]
+    patched = avi._chunk(b"RIFF", b"AVI " + body + movi_extra)
+    bmps = avi.dib_frames(patched)
+    assert len(bmps) == 3  # the short chunk is dropped
+
+
+def test_frame_sample_raw_dib_avi(spark):
+    from pathwaydataframework_spark.operators import bmp
+
+    data, frames = _dib_fixture(5)
+    df = spark.createDataFrame(
+        [(9, bytearray(data))], "media_id long, data binary"
+    )
+    rows = multimodal.frame_sample(df, n_frames=3).orderBy("frame_idx").collect()
+    # 5 frames sampled at 3 evenly: original indices 0, 1, 3
+    assert [r["frame_idx"] for r in rows] == [0, 1, 3]
+    for r in rows:
+        img = bmp.decode(bytes(r["frame_bytes"]))  # standalone BMP per frame
+        assert img.shape == (6, 8, 3)
+        assert (img == 25 * r["frame_idx"] + 5).all()
