@@ -3059,10 +3059,15 @@ def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
     and the manifest arithmetic (packing_efficiency over the WRITTEN
     files, JSON-serialized and re-parsed) must both be invisible
     against the composed q_train_sequences replay plus the
-    q_pack_efficiency-style per-shard aggregation.  The read-back is
-    localCheckpoint'ed so the scratch dir can be removed before the
-    driver collects; the manifest frame is shards-sized and broadcast.
-    Reference terminal persistence is io.fs/deltalake write
+    q_pack_efficiency-style per-shard aggregation.  The dataset lands
+    in TWO calls — even seq_ids written, odd seq_ids APPENDED — so the
+    append path (prior-manifest contract validation, stats recomputed
+    from the on-disk union, not the second call's input) sits under
+    the oracle too: a stats-from-input bug would halve every count.
+    The read-back is localCheckpoint'ed so the scratch dir can be
+    removed before the driver collects; the manifest frame is
+    shards-sized and broadcast.  Reference terminal persistence is
+    io.fs/deltalake write
     (/root/reference/python/pathway/io/fs/__init__.py); the manifest is
     the Spark-native loader-contract analogue."""
     import json
@@ -3077,10 +3082,18 @@ def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
         trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
     )
     layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
-    seqs = packing.materialize_sequences(enc, layout, max_tokens=32, pad_id=-1)
+    seqs = packing.materialize_sequences(
+        enc, layout, max_tokens=32, pad_id=-1
+    ).localCheckpoint()
     tmp = tempfile.mkdtemp(prefix="pw_pack_export_")
     try:
-        packing.write_packed_dataset(seqs, tmp, max_tokens=32)
+        half = F.col("seq_id") % 2
+        packing.write_packed_dataset(
+            seqs.filter(half == 0), tmp, max_tokens=32
+        )
+        packing.write_packed_dataset(
+            seqs.filter(half == 1), tmp, max_tokens=32, mode="append"
+        )
         # the manifest as persisted on disk, not the returned dict —
         # pins the JSON serialize/re-parse round-trip too
         with open(tmp + "/_manifest.json", "rb") as f:

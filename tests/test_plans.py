@@ -523,3 +523,34 @@ def test_bm25_construction_folds_stats(spark, sf_dir):
     # reads/inputFiles probes for docs+queries + the tf_q checkpoint = 6;
     # the removed count()/collect() pair would push this to 8
     assert len(jobs) <= 6, f"construction ran {len(jobs)} jobs: {jobs}"
+
+
+def test_recipe_and_epoch_pack_hazard_census(spark, sf_dir):
+    """The r10 composition rows must not smuggle in a scale killer: the
+    full corpus recipe (q_recipe) and epoch-ordered packing
+    (q_epoch_pack) executed-plan census — zero CartesianProduct, zero
+    row-at-a-time Python (BatchEvalPython); the only Python crossings
+    are the two costed Arrow kernels (the distinct-word BPE encode and
+    the per-shard pack fold), and q_epoch_pack's SinglePartition
+    exchanges are exactly the documented 256-row shard-offset prefix
+    sums of deterministic_shuffle (bounded by construction, SCALE.md
+    r5/r10)."""
+    for name in ("q_recipe", "q_epoch_pack"):
+        df = entry.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+    recipe_plan = (
+        entry.queries()["q_recipe"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the recipe's Python surface: one FlatMapGroupsInPandas (pack fold)
+    # + the Arrow-batched distinct-word encode; nothing else
+    assert recipe_plan.count("FlatMapGroupsInPandas") == 1
+    epoch_plan = (
+        entry.queries()["q_epoch_pack"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the epoch frame is consumed twice (layout + token join), so the
+    # 256-row offset prefix-sum appears once per consumer and never more
+    assert epoch_plan.count("SinglePartition") <= 2
