@@ -3255,6 +3255,50 @@ def q_epoch_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_wave_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Accumulated dispatch-wave sizes across micro-batches
+    (text.fetch_waves_incremental + wave_counts_state — the r10
+    follow-on to q_fetch_waves): the q_fetch_waves fixture split into
+    two id-ordered batches through schedule_fetches_incremental, each
+    batch's waves folded into the (host, wave, n) state, and the FINAL
+    state returned.  Per-URL seq assignment differs between the
+    incremental and one-shot schedules (each batch orders its own md5
+    queue), but each host's seq SET is 0..n-1 either way — so the wave
+    COUNT state is batch-invariant and the oracle states it directly:
+    seq by any per-host order, wave = floor(seq·delay / 10), count per
+    (host, wave).  The try_cast fallback rides along (hosts h5..h9
+    declare the non-numeric 'fast' → 1 s default)."""
+    from pathwaydataframework_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    d = F.col("doc_id")
+    g = d % 20
+    frontier = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), g, F.lit(".test")).alias("host"),
+        F.concat(F.lit("https://h"), g, F.lit(".test/p"), d).alias("url"),
+    )
+    delays = docs.filter(d < 10).select(
+        F.concat(F.lit("h"), d, F.lit(".test")).alias("host"),
+        F.when(d < 5, (d % 7 + 1).cast("string"))
+        .otherwise(F.lit("fast"))
+        .alias("crawl_delay"),
+    )
+    counts = text_ops.host_fetch_counts(spark)
+    wc = text_ops.wave_counts_state(spark)
+    for b in _id_halves(frontier):
+        sched, counts = text_ops.schedule_fetches_incremental(
+            b, counts, delays, seed=3
+        )
+        # the schedule feeds both the wave rows and the wave delta —
+        # checkpoint so the md5-queue window runs once per batch
+        sched = sched.localCheckpoint()
+        _, wc = text_ops.fetch_waves_incremental(sched, wc, 10.0)
+        counts = counts.localCheckpoint()
+        wc = wc.localCheckpoint()
+    return wc.select("host", "wave", "n")
+
+
 def q_extract_links(spark: SparkSession, sf: str) -> DataFrame:
     """HTML link extraction for frontier building (parsers.extract_links:
     regexp_extract_all over href attributes, double- then single-quoted,
@@ -3494,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_export": q_pack_export,
         "q_recipe": q_recipe,
         "q_epoch_pack": q_epoch_pack,
+        "q_wave_counts": q_wave_counts,
         # --- CHANGED in r10: need a fresh driver row ---
         "q_train_cut": q_train_cut,
         # --- latest driver row r8 (stalest remaining): fill the budget ---
@@ -3510,9 +3555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_token_budget_bpe": q_token_budget_bpe,
         "q_robots_wildcards": q_robots_wildcards,
-        "q_pack_no_straddle": q_pack_no_straddle,
         # --- latest driver row r8: behind the ~50 cap this round;
         # rotates forward in r11. ---
+        "q_pack_no_straddle": q_pack_no_straddle,
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
         "q_window_numeric": q_window_numeric,
@@ -5522,6 +5567,33 @@ def oracle_sql() -> dict[str, str]:
                    (count(*) OVER (PARTITION BY host, wave))::BIGINT
                        AS wave_size
             FROM w
+        """,
+        "q_wave_counts": """
+            -- the wave-count state is batch-invariant: each host's seq
+            -- set is 0..n-1 under any batching, so seq by ANY per-host
+            -- order, wave = floor(seq * delay / 10), count per
+            -- (host, wave); delays replay the try_cast fallback
+            WITH frontier AS (
+                SELECT doc_id, doc_id % 20 AS g,
+                       'h' || (doc_id % 20)::VARCHAR || '.test' AS host
+                FROM documents
+            ),
+            o AS (
+                SELECT g, host,
+                       (row_number() OVER (
+                           PARTITION BY host ORDER BY doc_id
+                       ) - 1)::BIGINT AS fetch_seq
+                FROM frontier
+            ),
+            w AS (
+                SELECT host,
+                       (floor(fetch_seq * CASE WHEN g < 5 THEN g % 7 + 1
+                                               ELSE 1 END
+                              / 10.0))::BIGINT AS wave
+                FROM o
+            )
+            SELECT host, wave, count(*)::BIGINT AS n
+            FROM w GROUP BY host, wave
         """,
         "q_bpe_roundtrip": r"""
             -- the roundtrip contracts stated directly, no BPE replay:
