@@ -94,17 +94,21 @@ def _demux(
 def mjpeg_frames(data: bytes) -> list[bytes]:
     """AVI bytes → list of raw JPEG frame payloads (possibly empty for
     non-MJPEG streams).  ValueError on non-AVI input or malformed trees
-    (all parse escapes normalized)."""
-    # a complete JPEG frame starts with the SOI marker
+    (all parse escapes normalized).
+
+    Selection is by SOI sniff, not the declared compression, because
+    headerless capture files (movi-only, no hdrl — see
+    test_avi_rec_sublist_and_alignment) must still demux; callers that
+    can meet a declared-raw stream should route through
+    :func:`image_frames`, which checks the strf first (a raw BGR frame
+    can legitimately START with FF D8 and would hijack this sniff)."""
     return [f for f in _demux(data) if f[:2] == b"\xff\xd8"]
 
 
-def _video_strf(data: bytes) -> bytes | None:
+def _first_vids_strf(headers: list[tuple[bytes, bytes]]) -> bytes | None:
     """The first ``vids`` stream's strf payload (a BITMAPINFOHEADER,
-    possibly with palette/mask tail) — None when no video stream
-    declares one."""
-    headers: list[tuple[bytes, bytes]] = []
-    _demux(data, headers)
+    possibly with palette/mask tail) from a tree-ordered strh/strf
+    list — None when no video stream declares one."""
     want_strf = False
     for fourcc, payload in headers:
         if fourcc == b"strh":
@@ -120,13 +124,41 @@ def video_format(data: bytes) -> dict | None:
     where compression is the BITMAPINFOHEADER value (0 = BI_RGB raw,
     else the codec fourcc as an int, e.g. 'MJPG').  None when the AVI
     declares no video stream."""
-    strf = _video_strf(data)
+    headers: list[tuple[bytes, bytes]] = []
+    _demux(data, headers)
+    strf = _first_vids_strf(headers)
     if strf is None:
         return None
     w, h = struct.unpack_from("<ii", strf, 4)
     (bpp,) = struct.unpack_from("<H", strf, 14)
     (compression,) = struct.unpack_from("<I", strf, 16)
     return {"width": w, "height": h, "bpp": bpp, "compression": compression}
+
+
+def _wrap_dibs(strf: bytes, frames: list[bytes]) -> list[bytes]:
+    """Raw DIB payloads + their stream's strf → standalone BMP blobs.
+    Empty unless the strf declares a decodable uncompressed layout
+    (BI_RGB, sane dimensions, a bit depth the bmp.py kernel accepts) —
+    hostile w<=0/h==0 headers would make the expected frame size
+    non-positive and let every foreign chunk masquerade as a frame."""
+    (compression,) = struct.unpack_from("<I", strf, 16)
+    if compression != 0:  # not BI_RGB
+        return []
+    w, h = struct.unpack_from("<ii", strf, 4)
+    (bpp,) = struct.unpack_from("<H", strf, 14)
+    if w <= 0 or h == 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        return []
+    need = (w * bpp + 31) // 32 * 4 * abs(h)
+    pix_off = 14 + len(strf)
+    out = []
+    for f in frames:
+        if len(f) < need:  # truncated/foreign chunk — skip, don't crash
+            continue
+        file_header = struct.pack(
+            "<2sIHHI", b"BM", pix_off + len(f), 0, 0, pix_off
+        )
+        out.append(file_header + strf + f)
+    return out
 
 
 def dib_frames(data: bytes) -> list[bytes]:
@@ -140,32 +172,28 @@ def dib_frames(data: bytes) -> list[bytes]:
     boundary).  ValueError on non-AVI/malformed input."""
     headers: list[tuple[bytes, bytes]] = []
     frames = _demux(data, headers)
-    want_strf = False
-    strf = None
-    for fourcc, payload in headers:
-        if fourcc == b"strh":
-            want_strf = payload[:4] == b"vids"
-        elif fourcc == b"strf" and want_strf:
-            strf = payload if len(payload) >= 40 else None
-            break
-    if strf is None:
-        return []
-    (compression,) = struct.unpack_from("<I", strf, 16)
-    if compression != 0:  # not BI_RGB
-        return []
-    w, h = struct.unpack_from("<ii", strf, 4)
-    (bpp,) = struct.unpack_from("<H", strf, 14)
-    need = (w * bpp + 31) // 32 * 4 * abs(h)
-    pix_off = 14 + len(strf)
-    out = []
-    for f in frames:
-        if len(f) < need:  # truncated/foreign chunk — skip, don't crash
-            continue
-        file_header = struct.pack(
-            "<2sIHHI", b"BM", pix_off + len(f), 0, 0, pix_off
-        )
-        out.append(file_header + strf + f)
-    return out
+    strf = _first_vids_strf(headers)
+    return _wrap_dibs(strf, frames) if strf is not None else []
+
+
+def image_frames(data: bytes) -> list[bytes]:
+    """AVI bytes → standalone image blobs, one per frame, in ONE RIFF
+    walk — the dispatch ``frame_sample`` uses: a stream whose strf
+    declares BI_RGB wraps its DIB payloads as BMPs; anything else
+    (declared MJPG, or headerless movi-only capture files with no strf
+    at all) keeps the complete-JPEG payloads.  Checking the declared
+    compression FIRST prevents a raw BGR frame that happens to start
+    with the JPEG SOI marker (FF D8) from hijacking the MJPEG sniff.
+    Empty for inter-frame codec streams (neither raw nor JPEG — the
+    documented boundary).  ValueError on non-AVI/malformed input."""
+    headers: list[tuple[bytes, bytes]] = []
+    frames = _demux(data, headers)
+    strf = _first_vids_strf(headers)
+    if strf is not None:
+        (compression,) = struct.unpack_from("<I", strf, 16)
+        if compression == 0:
+            return _wrap_dibs(strf, frames)
+    return [f for f in frames if f[:2] == b"\xff\xd8"]
 
 
 def _chunk(fourcc: bytes, payload: bytes) -> bytes:

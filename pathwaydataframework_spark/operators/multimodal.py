@@ -488,15 +488,12 @@ def frame_sample(
                             emit(mid, i, _png.encode(composed[i]))
                         continue
                 elif _avi.is_avi(raw):
-                    jpegs = _avi.mjpeg_frames(raw)
-                    if jpegs:
-                        for i in _sample_indices(len(jpegs)):
-                            emit(mid, i, jpegs[i])
-                        continue
-                    bmps = _avi.dib_frames(raw)  # raw BI_RGB stream
-                    if bmps:
-                        for i in _sample_indices(len(bmps)):
-                            emit(mid, i, bmps[i])
+                    # one RIFF walk; the declared compression routes to
+                    # BMP-wrapped DIBs or verbatim JPEGs (avi.py)
+                    imgs = _avi.image_frames(raw)
+                    if imgs:
+                        for i in _sample_indices(len(imgs)):
+                            emit(mid, i, imgs[i])
                         continue
                 step = max(len(raw) // n_frames, 1)
                 for i in range(n_frames):

@@ -732,13 +732,23 @@ def _manifest_io(spark, path: str):
                 stream.close()
 
         return read, write
-    if "://" in mpath and not mpath.startswith("file://"):
+    import re
+
+    # a URI scheme is letters/digits/+.- followed by ':' before any '/'
+    # — matches both file://x and the single-slash file:/x form Spark's
+    # writers accept, and catches hdfs:/x too (not just hdfs://x)
+    scheme = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", mpath)
+    if scheme and scheme.group(1).lower() != "file":
         raise RuntimeError(
             "write_packed_dataset needs the JVM gateway (classic Spark) "
             f"to write the manifest to {mpath!r}; under Spark Connect "
             "only local/file: paths are supported"
         )
-    local = mpath[len("file://"):] if mpath.startswith("file://") else mpath
+    local = mpath
+    if scheme:  # strip 'file:' and an optional '//' authority marker
+        local = local[len("file:"):]
+        if local.startswith("//"):
+            local = local[2:]
 
     def read() -> bytes | None:
         import os
@@ -791,19 +801,29 @@ def write_packed_dataset(
     existing ``_manifest.json`` before writing — appending a frame whose
     columns or ``max_tokens`` disagree with the dataset on disk raises
     instead of silently producing a manifest with null-filled stats or
-    a cap that only reflects the latest call.  The manifest file itself
-    goes through the Hadoop FileSystem API when available (any URI the
-    parquet write accepts: hdfs://, s3a://, plain local), with a plain
-    local-file fallback under Spark Connect.
+    a cap that only reflects the latest call — and ``mode='ignore'``
+    against an existing manifest returns it UNCHANGED (the parquet
+    write no-ops, so rewriting the manifest under this call's
+    columns/cap would be the same silent contract drift).  The manifest
+    file itself goes through the Hadoop FileSystem API when available
+    (any URI the parquet write accepts: hdfs://, s3a://, plain local),
+    with a plain local-file fallback under Spark Connect (file:// and
+    the single-slash file:/ form both strip to local paths).
     """
     import json
 
     spark = sequences.sparkSession
     read_manifest, write_manifest = _manifest_io(spark, path)
-    if mode == "append":
+    if mode in ("append", "ignore"):
         prior = read_manifest()
         if prior is not None:
             prior = json.loads(prior)
+            if mode == "ignore":
+                # ignore no-ops when the dataset exists — the manifest
+                # must keep describing what is on disk, not be rewritten
+                # under THIS call's columns/max_tokens (the same silent
+                # contract-drift class the append validation guards)
+                return prior
             if prior.get("columns") != sequences.columns:
                 raise ValueError(
                     "append schema mismatch: dataset at "

@@ -170,3 +170,55 @@ def test_frame_sample_raw_dib_avi(spark):
         img = bmp.decode(bytes(r["frame_bytes"]))  # standalone BMP per frame
         assert img.shape == (6, 8, 3)
         assert (img == 25 * r["frame_idx"] + 5).all()
+
+
+def test_image_frames_soi_lookalike_raw_stream_not_hijacked():
+    """A raw BI_RGB frame can legitimately START with FF D8 (bottom-left
+    pixel B=0xFF, G=0xD8) — the declared-compression dispatch must route
+    it to the BMP wrap, never the MJPEG sniff (code-review r10)."""
+    from pathwaydataframework_spark.operators import bmp
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    # bottom-left pixel, bottom-up BGR payload → chunk starts ff d8
+    arr[3, 0] = (0, 0xD8, 0xFF)  # R, G, B
+    data = avi.encode_dib([arr, arr], fps=5)
+    # the payload really does look like a JPEG SOI to a 2-byte sniff
+    assert avi.mjpeg_frames(data) != []
+    # ...but the dispatch checks the declared compression first
+    imgs = avi.image_frames(data)
+    assert len(imgs) == 2
+    for blob in imgs:
+        assert bmp.is_bmp(blob)
+        assert (bmp.decode(blob) == arr).all()
+    # declared-MJPG and headerless streams still take the JPEG path
+    mdata, mframes = _mjpeg_fixture(2)
+    assert avi.image_frames(mdata) == mframes
+    movi = avi._list(b"movi", avi._chunk(b"00dc", mframes[0]))
+    headerless = avi._chunk(b"RIFF", b"AVI " + movi)
+    assert avi.image_frames(headerless) == [mframes[0]]
+
+
+def test_dib_frames_rejects_hostile_dimensions():
+    """w<=0 / h==0 / odd bit depths in the strf must yield NO frames —
+    a non-positive expected frame size would otherwise let every
+    foreign chunk masquerade as a decodable BMP (code-review r10)."""
+    import struct as s
+
+    data, _ = _dib_fixture(2)
+
+    def patch_strf(w, h, bpp):
+        # rebuild the fixture with a corrupted BITMAPINFOHEADER
+        strf = s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, 0, 0, 0, 0, 0)
+        strh = (b"vids" + b"DIB " + s.pack("<IHHIIIIIIIII", *([0] * 12))
+                + s.pack("<4H", 0, 0, 8, 6))
+        hdrl = avi._list(b"hdrl", avi._list(
+            b"strl", avi._chunk(b"strh", strh) + avi._chunk(b"strf", strf)))
+        movi = avi._list(b"movi", avi._chunk(b"00db", b"\x01\x02\x03\x04"))
+        return avi._chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+    assert avi.dib_frames(patch_strf(0, 6, 24)) == []
+    assert avi.dib_frames(patch_strf(-8, 6, 24)) == []
+    assert avi.dib_frames(patch_strf(8, 0, 24)) == []
+    assert avi.dib_frames(patch_strf(8, 6, 7)) == []
+    # the healthy fixture still demuxes
+    assert len(avi.dib_frames(data)) == 2

@@ -1765,3 +1765,50 @@ def test_epoch_pack_layouts_differ_tokens_identical(spark):
     assert flat1 == flat2 == expected
     # same epoch replays byte-identically
     assert epoch(1) == e1
+
+
+def test_manifest_io_single_slash_file_uri(spark, tmp_path):
+    """write_packed_dataset must accept the single-slash file:/ URI form
+    Spark's writers accept — previously it passed the remote-URI check
+    unstripped and open() got a literal 'file:/...' path (code-review
+    r10).  Exercised through _manifest_io's local fallback directly."""
+    from pathwaydataframework_spark.operators.packing import _manifest_io
+
+    class NoJvm:
+        _jvm = None
+
+    for uri in (str(tmp_path), f"file:{tmp_path}", f"file://{tmp_path}"):
+        read, write = _manifest_io(NoJvm(), uri)
+        write(b'{"x": 1}')
+        assert read() == b'{"x": 1}'
+        assert (tmp_path / "_manifest.json").exists()
+        (tmp_path / "_manifest.json").unlink()
+    with pytest.raises(RuntimeError, match="JVM gateway"):
+        _manifest_io(NoJvm(), "hdfs:/cluster/ds")
+    with pytest.raises(RuntimeError, match="JVM gateway"):
+        _manifest_io(NoJvm(), "s3a://bucket/ds")
+
+
+def test_write_packed_dataset_ignore_keeps_manifest(spark, tmp_path):
+    """mode='ignore' against an existing dataset must return the PRIOR
+    manifest unchanged — the parquet write no-ops, so rewriting the
+    manifest under the new call's columns/max_tokens would silently
+    change the dataset contract with no data change (code-review r10)."""
+    from pathwaydataframework_spark.operators import packing
+
+    seqs = spark.createDataFrame(
+        [(0, 0, [1, 2], 2)],
+        "shard long, seq_id long, token_ids array<long>, n_tokens long",
+    )
+    path = str(tmp_path / "ds")
+    first = packing.write_packed_dataset(seqs, path, max_tokens=4)
+    # a later ignore call with a DIFFERENT cap and extra column
+    other = seqs.withColumn("extra", F.lit(1))
+    m = packing.write_packed_dataset(other, path, max_tokens=64, mode="ignore")
+    assert m == first  # prior manifest returned verbatim
+    import json
+
+    with open(path + "/_manifest.json", "rb") as f:
+        on_disk = json.loads(f.read())
+    assert on_disk["max_tokens"] == 4
+    assert on_disk["columns"] == seqs.columns

@@ -535,22 +535,15 @@ def test_recipe_and_epoch_pack_hazard_census(spark, sf_dir):
     exchanges are exactly the documented 256-row shard-offset prefix
     sums of deterministic_shuffle (bounded by construction, SCALE.md
     r5/r10)."""
+    plans = {}
     for name in ("q_recipe", "q_epoch_pack"):
         df = entry.queries()[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "CartesianProduct" not in plan, name
-        assert "BatchEvalPython" not in plan, name
-    recipe_plan = (
-        entry.queries()["q_recipe"](spark, sf_dir)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plans[name], name
+        assert "BatchEvalPython" not in plans[name], name
     # the recipe's Python surface: one FlatMapGroupsInPandas (pack fold)
     # + the Arrow-batched distinct-word encode; nothing else
-    assert recipe_plan.count("FlatMapGroupsInPandas") == 1
-    epoch_plan = (
-        entry.queries()["q_epoch_pack"](spark, sf_dir)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    assert plans["q_recipe"].count("FlatMapGroupsInPandas") == 1
     # the epoch frame is consumed twice (layout + token join), so the
     # 256-row offset prefix-sum appears once per consumer and never more
-    assert epoch_plan.count("SinglePartition") <= 2
+    assert plans["q_epoch_pack"].count("SinglePartition") <= 2
