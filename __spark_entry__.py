@@ -3162,11 +3162,35 @@ def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import text as text_ops
 
     docs = load_table(spark, sf, "documents").df
+    planted = _recipe_planted(docs)
+    cleaned = text_ops.c4_filter(planted)
+    kept = cleaned.filter(F.col("kept")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    deduped = dedup.dedup_lines_global(kept, "doc_id", "text")
+    corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
+    trunc = _first_words(corpus, 12)
+    enc = bpe.bpe_encode(
+        trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
+    )
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 64, shards=16)
+    seqs = packing.materialize_sequences(enc, layout, max_tokens=64, pad_id=-1)
+    return _train_seq_select(seqs)
+
+
+def _recipe_planted(docs: DataFrame) -> DataFrame:
+    """The q_recipe page-structure planting (shared with
+    q_recipe_stream, which replays the SAME corpus through the
+    incremental chain and aliases the same oracle — one definition so
+    the twins can never drift): per doc, its original punctuation-less
+    line, a doc-specific opener from its first 4 words, a junk short
+    line, the corpus-wide cookie-banner line, a doc-specific closer,
+    and lorem-ipsum / brace page poison on doc_id %11 / %13."""
     d = F.col("doc_id")
     first4 = F.array_join(
         F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 4), " "
     )
-    planted = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -3184,18 +3208,10 @@ def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(F.lit("")),
         ).alias("text"),
     )
-    cleaned = text_ops.c4_filter(planted)
-    kept = cleaned.filter(F.col("kept")).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    deduped = dedup.dedup_lines_global(kept, "doc_id", "text")
-    corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
-    trunc = _first_words(corpus, 12)
-    enc = bpe.bpe_encode(
-        trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
-    )
-    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 64, shards=16)
-    seqs = packing.materialize_sequences(enc, layout, max_tokens=64, pad_id=-1)
+
+
+def _train_seq_select(seqs: DataFrame) -> DataFrame:
+    """The shared driver projection for packed-sequence frames."""
     return seqs.select(
         "shard",
         "seq_id",
@@ -3204,6 +3220,71 @@ def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
         _spans_str().alias("spans"),
         "oversized",
     )
+
+
+def q_recipe_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """The full corpus recipe as a STREAM — q_recipe's pipeline run as
+    two id-ordered micro-batches with FOUR state frames folding
+    forward: the line index (incremental_line_dedup — later batches
+    dedup against earlier batches' kept lines), the BPE word table,
+    the pack state, and the writer's open rows; closed sequences emit
+    per batch, open tails flush at the end, and the union must equal
+    q_recipe's one-shot replay exactly (shared oracle — the
+    q_train_stream pattern extended from the tokenize-to-train tail to
+    the WHOLE recipe).  For id-ordered arrivals every stage's
+    incremental form is contractually identical to its one-shot twin
+    (line dedup keeps the smallest (doc_id, idx) occurrence either
+    way), so a state-ordering or fold bug in ANY of the four states
+    breaks the shared replay."""
+    from pathwaydataframework_spark.operators import bpe, packing
+    from pathwaydataframework_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    planted = _recipe_planted(docs)
+    vocab = _bpe_fixture_vocab()
+    wt = bpe.bpe_word_table(spark)
+    ps = packing.pack_state(spark)
+    orows = packing.open_rows_state(spark)
+    lines = spark.createDataFrame([], "line string")
+    parts = []
+    for b in _id_halves(planted):
+        cleaned = text_ops.c4_filter(b)
+        kept = cleaned.filter(F.col("kept")).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        deduped = dedup.incremental_line_dedup(
+            kept, lines, id_col="doc_id", text_col="text"
+        ).localCheckpoint()
+        lines = (
+            lines.unionByName(
+                dedup.line_index(deduped, text_col="clean_text")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
+        trunc = _first_words(corpus, 12)
+        enc, wt = bpe.bpe_encode_incremental(
+            trunc, wt, vocab, append_eos_id=55
+        )
+        enc = enc.localCheckpoint()
+        packed, ps = packing.pack_no_straddle_incremental(
+            enc, ps, "doc_id", "n_tokens", 64, shards=16
+        )
+        emitted, orows = packing.materialize_sequences_incremental(
+            packed, enc, orows, ps, max_tokens=64, pad_id=-1
+        )
+        parts.append(emitted)
+        orows = orows.localCheckpoint()
+        wt = wt.localCheckpoint()
+    flushed = packing.materialize_sequences(
+        orows.select("doc_id", "token_ids"),
+        orows.select("doc_id", "shard", "seq_id", "start_offset"),
+        max_tokens=64,
+        pad_id=-1,
+    )
+    seqs = parts[0].unionByName(parts[1]).unionByName(flushed)
+    return _train_seq_select(seqs)
 
 
 def q_epoch_pack(spark: SparkSession, sf: str) -> DataFrame:
@@ -3538,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_export": q_pack_export,
         "q_recipe": q_recipe,
         "q_epoch_pack": q_epoch_pack,
+        "q_recipe_stream": q_recipe_stream,
         "q_wave_counts": q_wave_counts,
         # --- CHANGED in r10: need a fresh driver row ---
         "q_train_cut": q_train_cut,
@@ -3554,9 +3636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_right": q_asof_right,
         "q_bpe_merges": q_bpe_merges,
         "q_token_budget_bpe": q_token_budget_bpe,
-        "q_robots_wildcards": q_robots_wildcards,
         # --- latest driver row r8: behind the ~50 cap this round;
         # rotates forward in r11. ---
+        "q_robots_wildcards": q_robots_wildcards,
         "q_pack_no_straddle": q_pack_no_straddle,
         "q_tokenize": q_tokenize,
         "q_join_instance": q_join_instance,
@@ -6682,4 +6764,5 @@ def oracle_sql() -> dict[str, str]:
     d["q_pack_incremental"] = d["q_pack_no_straddle"]
     d["q_bpe_incremental"] = d["q_bpe_tokenize"]
     d["q_train_stream"] = d["q_train_sequences"]
+    d["q_recipe_stream"] = d["q_recipe"]
     return d
