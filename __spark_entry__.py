@@ -3070,7 +3070,6 @@ def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
     io.fs/deltalake write
     (/root/reference/python/pathway/io/fs/__init__.py); the manifest is
     the Spark-native loader-contract analogue."""
-    import json
     import shutil
     import tempfile
 
@@ -3094,11 +3093,15 @@ def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
         packing.write_packed_dataset(
             seqs.filter(half == 1), tmp, max_tokens=32, mode="append"
         )
-        # the manifest as persisted on disk, not the returned dict —
-        # pins the JSON serialize/re-parse round-trip too
-        with open(tmp + "/_manifest.json", "rb") as f:
-            manifest = json.loads(f.read())
-        ondisk = spark.read.schema(seqs.schema).parquet(tmp).localCheckpoint()
+        # read back through the LOADER (r10): read_packed_dataset
+        # reconstructs the schema from the on-disk manifest (the JSON
+        # serialize/re-parse round-trip rides along) and its
+        # validate=True gate re-counts the files against the manifest
+        # totals before any row is returned
+        ondisk, manifest = packing.read_packed_dataset(
+            spark, tmp, validate=True
+        )
+        ondisk = ondisk.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     mstats = spark.createDataFrame(

@@ -864,6 +864,10 @@ def write_packed_dataset(
     # stable across the dataset's whole write history.
     manifest = {
         "columns": sequences.columns,
+        # the full schema (types included) so read_packed_dataset can
+        # reconstruct it without inference — an empty dataset leaves
+        # nothing to infer from, and inference can widen/reorder
+        "schema": json.loads(sequences.schema.json()),
         "max_tokens": max_tokens,
         "n_shards": len(shards),
         "n_seqs": int(sum(r["n_seqs"] for r in shards)),
@@ -872,3 +876,65 @@ def write_packed_dataset(
     }
     write_manifest(json.dumps(manifest, indent=1, default=str).encode())
     return manifest
+
+
+def read_packed_dataset(
+    spark, path: str, *, validate: bool = True
+) -> tuple[DataFrame, dict]:
+    """The loader counterpart of :func:`write_packed_dataset`: read the
+    dataset THROUGH its manifest — the contract a training run should
+    consume — and return ``(DataFrame, manifest)``.
+
+    The parquet is read under the manifest's stored schema (explicit,
+    never inferred: an empty dataset has nothing to infer from, and
+    inference can widen or reorder columns), falling back to inference
+    + a manifest-order ``select`` for legacy manifests written before
+    the schema field.  ``validate=True`` (default) additionally checks
+    the on-disk row and token totals against the manifest's
+    ``n_seqs``/``real_tokens`` and raises on mismatch — the "is this
+    dataset what its manifest claims" gate before pointing a run at
+    it.  That check is ONE count+sum aggregate scan over the sequence
+    table (corpus_tokens / cap rows — seconds at 100 TB); pass
+    ``validate=False`` on hot restart paths that trust the dataset.
+
+    Raises ``FileNotFoundError`` when no ``_manifest.json`` exists —
+    a packed dataset without its manifest is not a contract, and
+    reading it silently would defeat the writer's guarantees.
+    """
+    import json
+
+    read_manifest, _ = _manifest_io(spark, path)
+    raw = read_manifest()
+    if raw is None:
+        raise FileNotFoundError(
+            f"no _manifest.json at {path!r} — not a packed dataset "
+            "(write it with write_packed_dataset)"
+        )
+    manifest = json.loads(raw)
+    schema_json = manifest.get("schema")
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        df = spark.read.schema(StructType.fromJson(schema_json)).parquet(path)
+        # a partitioned read appends the partition column (shard) LAST
+        # even under an explicit schema — restore the contract's order
+        df = df.select(*manifest["columns"])
+    else:  # legacy manifest: infer, then restore the contract's order
+        df = spark.read.parquet(path).select(*manifest["columns"])
+    if validate:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok"),
+        ).first()
+        if int(row["n"]) != manifest["n_seqs"] or int(row["tok"]) != (
+            manifest["real_tokens"]
+        ):
+            raise ValueError(
+                f"packed dataset at {path!r} does not match its "
+                f"manifest: on disk n_seqs={int(row['n'])} "
+                f"real_tokens={int(row['tok'])}, manifest claims "
+                f"n_seqs={manifest['n_seqs']} "
+                f"real_tokens={manifest['real_tokens']} — the dataset "
+                "was modified outside write_packed_dataset"
+            )
+    return df, manifest

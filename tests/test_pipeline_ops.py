@@ -1812,3 +1812,79 @@ def test_write_packed_dataset_ignore_keeps_manifest(spark, tmp_path):
         on_disk = json.loads(f.read())
     assert on_disk["max_tokens"] == 4
     assert on_disk["columns"] == seqs.columns
+
+
+def test_read_packed_dataset_roundtrip_and_validate(spark, tmp_path):
+    """The loader counterpart (r10): read_packed_dataset reconstructs
+    the schema from the manifest (explicit, never inferred), returns
+    the rows the writer persisted, validates on-disk totals against
+    the manifest, and raises on a manifest-less dir, a tampered
+    manifest, and a legacy no-schema manifest still loads in contract
+    order."""
+    import json
+
+    from pathwaydataframework_spark.operators import packing
+
+    seqs = spark.createDataFrame(
+        [(0, 0, [1, 2, 3], 3), (1, 0, [4], 1)],
+        "shard long, seq_id long, token_ids array<long>, n_tokens long",
+    )
+    path = str(tmp_path / "ds")
+    written = packing.write_packed_dataset(seqs, path, max_tokens=4)
+    df, manifest = packing.read_packed_dataset(spark, path)
+    assert manifest == written
+    assert df.columns == seqs.columns
+    assert df.schema == seqs.schema
+    got = {(r["shard"], r["seq_id"]): (list(r["token_ids"]), r["n_tokens"])
+           for r in df.collect()}
+    assert got == {(0, 0): ([1, 2, 3], 3), (1, 0): ([4], 1)}
+
+    # no manifest -> not a packed dataset
+    bare = str(tmp_path / "bare")
+    seqs.write.parquet(bare)
+    with pytest.raises(FileNotFoundError, match="_manifest"):
+        packing.read_packed_dataset(spark, bare)
+
+    # tampered manifest totals -> validate raises, validate=False trusts
+    # (drop Hadoop's local-FS checksum sidecar: the tamper is a plain
+    # open() write, and a stale .crc would fail the read before the
+    # validation under test gets to run)
+    import os
+
+    mpath = path + "/_manifest.json"
+    crc = path + "/._manifest.json.crc"
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["n_seqs"] = 99
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    if os.path.exists(crc):
+        os.unlink(crc)
+    with pytest.raises(ValueError, match="does not match its manifest"):
+        packing.read_packed_dataset(spark, path)
+    df2, _ = packing.read_packed_dataset(spark, path, validate=False)
+    assert df2.count() == 2
+
+    # legacy manifest (no schema field) -> inference + contract order
+    del m["schema"]
+    m["n_seqs"] = 2
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    df3, m3 = packing.read_packed_dataset(spark, path)
+    assert df3.columns == seqs.columns
+    assert df3.count() == 2 and "schema" not in m3
+
+
+def test_read_packed_dataset_empty(spark, tmp_path):
+    """An empty dataset (only _SUCCESS + manifest on disk) must load —
+    the manifest's stored schema is the only schema there is."""
+    from pathwaydataframework_spark.operators import packing
+
+    empty = spark.createDataFrame(
+        [], "shard long, seq_id long, token_ids array<long>, n_tokens long"
+    )
+    path = str(tmp_path / "empty")
+    packing.write_packed_dataset(empty, path, max_tokens=8)
+    df, manifest = packing.read_packed_dataset(spark, path)
+    assert df.count() == 0 and manifest["n_seqs"] == 0
+    assert df.schema == empty.schema
