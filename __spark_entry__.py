@@ -810,14 +810,7 @@ def q_pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
     seqs = packing.materialize_sequences(
         toks, layout, max_tokens=8, pad_id=-1
     )
-    return seqs.select(
-        "shard",
-        "seq_id",
-        F.array_join("token_ids", ",").alias("tokens"),
-        "n_tokens",
-        _spans_str().alias("spans"),
-        "oversized",
-    )
+    return _train_seq_select(seqs)
 
 
 def q_pack_cut(spark: SparkSession, sf: str) -> DataFrame:
@@ -2820,14 +2813,7 @@ def q_train_sequences(spark: SparkSession, sf: str) -> DataFrame:
     seqs = packing.materialize_sequences(
         enc, layout, max_tokens=32, pad_id=-1
     )
-    return seqs.select(
-        "shard",
-        "seq_id",
-        F.array_join("token_ids", ",").alias("tokens"),
-        "n_tokens",
-        _spans_str().alias("spans"),
-        "oversized",
-    )
+    return _train_seq_select(seqs)
 
 
 def q_train_cut(spark: SparkSession, sf: str) -> DataFrame:
@@ -3001,6 +2987,54 @@ def q_bpe_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stream_tokenize_pack(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    *,
+    first_n: int,
+    cap: int,
+    shards: int,
+) -> DataFrame:
+    """The shared incremental tokenize-to-train tail (q_train_stream and
+    q_recipe_stream — ONE copy of the state/checkpoint discipline, so a
+    fold-fix lands in both drivers at once): each id-ordered (doc_id,
+    text) batch runs bpe_encode_incremental(EOS 55, fixture vocab) →
+    pack_no_straddle_incremental → materialize_sequences_incremental
+    with the word table, pack state and open rows folding forward;
+    closed sequences emit per batch and the open tails flush at the
+    end.  The word table needs no caller-side checkpoint —
+    bpe_encode_incremental returns it already localCheckpoint'ed."""
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    vocab = _bpe_fixture_vocab()
+    wt = bpe.bpe_word_table(spark)
+    ps = packing.pack_state(spark)
+    orows = packing.open_rows_state(spark)
+    parts = []
+    for b in batches:
+        enc, wt = bpe.bpe_encode_incremental(
+            _first_words(b, first_n), wt, vocab, append_eos_id=55
+        )
+        enc = enc.localCheckpoint()
+        packed, ps = packing.pack_no_straddle_incremental(
+            enc, ps, "doc_id", "n_tokens", cap, shards=shards
+        )
+        emitted, orows = packing.materialize_sequences_incremental(
+            packed, enc, orows, ps, max_tokens=cap, pad_id=-1
+        )
+        parts.append(emitted)
+        orows = orows.localCheckpoint()
+    seqs = packing.materialize_sequences(
+        orows.select("doc_id", "token_ids"),
+        orows.select("doc_id", "shard", "seq_id", "start_offset"),
+        max_tokens=cap,
+        pad_id=-1,
+    )
+    for p in parts:
+        seqs = seqs.unionByName(p)
+    return seqs
+
+
 def q_train_stream(spark: SparkSession, sf: str) -> DataFrame:
     """The FULL incremental tokenize-to-train chain, driver-checked
     against the one-shot oracle: per id-ordered batch,
@@ -3011,42 +3045,11 @@ def q_train_stream(spark: SparkSession, sf: str) -> DataFrame:
     must equal q_train_sequences' one-shot replay exactly (tokens,
     counts, spans, oversized).  This is the streaming surface the
     3-batch tests pin, now under the driver's DuckDB gate."""
-    from pathwaydataframework_spark.operators import bpe, packing
-
     docs = load_table(spark, sf, "documents").df
-    trunc = _first_words(docs, 8)
-    vocab = _bpe_fixture_vocab()
-    wt = bpe.bpe_word_table(spark)
-    ps = packing.pack_state(spark)
-    orows = packing.open_rows_state(spark)
-    parts = []
-    for b in _id_halves(trunc):
-        enc, wt = bpe.bpe_encode_incremental(b, wt, vocab, append_eos_id=55)
-        enc = enc.localCheckpoint()
-        packed, ps = packing.pack_no_straddle_incremental(
-            enc, ps, "doc_id", "n_tokens", 32, shards=16
-        )
-        emitted, orows = packing.materialize_sequences_incremental(
-            packed, enc, orows, ps, max_tokens=32, pad_id=-1
-        )
-        parts.append(emitted)
-        orows = orows.localCheckpoint()
-        wt = wt.localCheckpoint()
-    flushed = packing.materialize_sequences(
-        orows.select("doc_id", "token_ids"),
-        orows.select("doc_id", "shard", "seq_id", "start_offset"),
-        max_tokens=32,
-        pad_id=-1,
+    seqs = _stream_tokenize_pack(
+        spark, list(_id_halves(docs)), first_n=8, cap=32, shards=16
     )
-    seqs = parts[0].unionByName(parts[1]).unionByName(flushed)
-    return seqs.select(
-        "shard",
-        "seq_id",
-        F.array_join("token_ids", ",").alias("tokens"),
-        "n_tokens",
-        _spans_str().alias("spans"),
-        "oversized",
-    )
+    return _train_seq_select(seqs)
 
 
 def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
@@ -3239,18 +3242,13 @@ def q_recipe_stream(spark: SparkSession, sf: str) -> DataFrame:
     (line dedup keeps the smallest (doc_id, idx) occurrence either
     way), so a state-ordering or fold bug in ANY of the four states
     breaks the shared replay."""
-    from pathwaydataframework_spark.operators import bpe, packing
     from pathwaydataframework_spark.operators import text as text_ops
 
     docs = load_table(spark, sf, "documents").df
-    planted = _recipe_planted(docs)
-    vocab = _bpe_fixture_vocab()
-    wt = bpe.bpe_word_table(spark)
-    ps = packing.pack_state(spark)
-    orows = packing.open_rows_state(spark)
+    halves = list(_id_halves(_recipe_planted(docs)))
     lines = spark.createDataFrame([], "line string")
-    parts = []
-    for b in _id_halves(planted):
+    prepared = []
+    for i, b in enumerate(halves):
         cleaned = text_ops.c4_filter(b)
         kept = cleaned.filter(F.col("kept")).select(
             "doc_id", F.col("clean_text").alias("text")
@@ -3258,35 +3256,20 @@ def q_recipe_stream(spark: SparkSession, sf: str) -> DataFrame:
         deduped = dedup.incremental_line_dedup(
             kept, lines, id_col="doc_id", text_col="text"
         ).localCheckpoint()
-        lines = (
-            lines.unionByName(
-                dedup.line_index(deduped, text_col="clean_text")
+        if i + 1 < len(halves):  # the last fold would never be read
+            lines = (
+                lines.unionByName(
+                    dedup.line_index(deduped, text_col="clean_text")
+                )
+                .distinct()
+                .localCheckpoint()
             )
-            .distinct()
-            .localCheckpoint()
+        prepared.append(
+            deduped.select("doc_id", F.col("clean_text").alias("text"))
         )
-        corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
-        trunc = _first_words(corpus, 12)
-        enc, wt = bpe.bpe_encode_incremental(
-            trunc, wt, vocab, append_eos_id=55
-        )
-        enc = enc.localCheckpoint()
-        packed, ps = packing.pack_no_straddle_incremental(
-            enc, ps, "doc_id", "n_tokens", 64, shards=16
-        )
-        emitted, orows = packing.materialize_sequences_incremental(
-            packed, enc, orows, ps, max_tokens=64, pad_id=-1
-        )
-        parts.append(emitted)
-        orows = orows.localCheckpoint()
-        wt = wt.localCheckpoint()
-    flushed = packing.materialize_sequences(
-        orows.select("doc_id", "token_ids"),
-        orows.select("doc_id", "shard", "seq_id", "start_offset"),
-        max_tokens=64,
-        pad_id=-1,
+    seqs = _stream_tokenize_pack(
+        spark, prepared, first_n=12, cap=64, shards=16
     )
-    seqs = parts[0].unionByName(parts[1]).unionByName(flushed)
     return _train_seq_select(seqs)
 
 

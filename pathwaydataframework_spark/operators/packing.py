@@ -830,6 +830,24 @@ def write_packed_dataset(
                     f"{path!r} has columns {prior.get('columns')}, "
                     f"input has {sequences.columns}"
                 )
+            # same NAMES but drifted TYPES would pass the check above,
+            # write mismatched parquet files, and only then crash the
+            # stats read-back — after mutating the dataset.  Compare
+            # the stored type contract (names+types; nullability and
+            # metadata excluded — lineage legitimately flips those)
+            # BEFORE anything lands.
+            prior_schema = prior.get("schema")
+            if prior_schema is not None:
+                contract = lambda sj: [  # noqa: E731
+                    (f["name"], f["type"]) for f in sj["fields"]
+                ]
+                ours = json.loads(sequences.schema.json())
+                if contract(prior_schema) != contract(ours):
+                    raise ValueError(
+                        "append type mismatch: dataset at "
+                        f"{path!r} stores {contract(prior_schema)}, "
+                        f"input has {contract(ours)}"
+                    )
             if prior.get("max_tokens") != max_tokens:
                 raise ValueError(
                     "append max_tokens mismatch: dataset at "
@@ -920,7 +938,21 @@ def read_packed_dataset(
         # even under an explicit schema — restore the contract's order
         df = df.select(*manifest["columns"])
     else:  # legacy manifest: infer, then restore the contract's order
-        df = spark.read.parquet(path).select(*manifest["columns"])
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.read.parquet(path).select(*manifest["columns"])
+        except AnalysisException as exc:
+            # an EMPTY legacy dataset (only _SUCCESS + manifest) leaves
+            # nothing to infer from — fail with the remedy, not
+            # UNABLE_TO_INFER_SCHEMA
+            raise ValueError(
+                f"the manifest at {path!r} predates the 'schema' field "
+                "and the dataset holds no data files to infer a schema "
+                "from; re-write it with the current "
+                "write_packed_dataset, or read it directly with "
+                "spark.read.schema(<your schema>).parquet(path)"
+            ) from exc
     if validate:
         row = df.agg(
             F.count(F.lit(1)).alias("n"),

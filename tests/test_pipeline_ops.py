@@ -1888,3 +1888,55 @@ def test_read_packed_dataset_empty(spark, tmp_path):
     df, manifest = packing.read_packed_dataset(spark, path)
     assert df.count() == 0 and manifest["n_seqs"] == 0
     assert df.schema == empty.schema
+
+
+def test_write_packed_dataset_append_type_drift_rejected(spark, tmp_path):
+    """Same column NAMES but drifted TYPES must be rejected BEFORE any
+    parquet lands — previously the name-only check passed, mismatched
+    files were written, and the stats read-back crashed after mutating
+    the dataset, leaving a manifest no read could satisfy (code-review
+    r10)."""
+    from pathwaydataframework_spark.operators import packing
+
+    longs = spark.createDataFrame(
+        [(0, 0, [1], 1)],
+        "shard long, seq_id long, token_ids array<long>, n_tokens long",
+    )
+    ints = spark.createDataFrame(
+        [(0, 1, [2], 1)],
+        "shard long, seq_id long, token_ids array<int>, n_tokens int",
+    )
+    path = str(tmp_path / "ds")
+    packing.write_packed_dataset(longs, path, max_tokens=4)
+    with pytest.raises(ValueError, match="append type mismatch"):
+        packing.write_packed_dataset(ints, path, max_tokens=4, mode="append")
+    # nothing landed: the dataset still reads clean against its manifest
+    df, m = packing.read_packed_dataset(spark, path)
+    assert df.count() == 1 and m["n_seqs"] == 1
+
+
+def test_read_packed_dataset_legacy_empty(spark, tmp_path):
+    """An EMPTY dataset whose manifest predates the 'schema' field must
+    fail with the remedy, not UNABLE_TO_INFER_SCHEMA (code-review
+    r10)."""
+    import json
+    import os
+
+    from pathwaydataframework_spark.operators import packing
+
+    empty = spark.createDataFrame(
+        [], "shard long, seq_id long, token_ids array<long>, n_tokens long"
+    )
+    path = str(tmp_path / "ds")
+    packing.write_packed_dataset(empty, path, max_tokens=4)
+    mpath = path + "/_manifest.json"
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["schema"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    crc = path + "/._manifest.json.crc"
+    if os.path.exists(crc):
+        os.unlink(crc)
+    with pytest.raises(ValueError, match="predates the 'schema' field"):
+        packing.read_packed_dataset(spark, path)
