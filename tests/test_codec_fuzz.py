@@ -37,6 +37,8 @@ def _corpus():
             avi.encode_mjpeg([jpeg.encode(img)], width=16, height=16),
             avi.mjpeg_frames,
         ),
+        "avi_dib": (avi.encode_dib([img, img]), avi.dib_frames),
+        "avi_dispatch": (avi.encode_dib([img]), avi.image_frames),
         "wav_pcm": (wavcodec.encode_pcm16(pcm), wavcodec.decode),
         "wav_ulaw": (wavcodec.encode(pcm, tag=7), wavcodec.decode),
     }
