@@ -1309,3 +1309,120 @@ def test_incremental_chain_state_parquet_resume(spark, tmp_path):
     got = dict(emitted)
     assert len(emitted) == len(got), "a sequence was emitted twice"
     assert got == expected
+
+
+def test_recipe_chain_four_state_parquet_resume(spark, tmp_path):
+    """q_recipe_stream's FOUR states (line index, word table, pack
+    state, open rows) survive a durable round-trip: after every batch
+    all four frames go to parquet and reload cold (explicit schema),
+    severing in-memory lineage like a process restart — and the
+    resumed stream still equals the one-shot recipe chain (c4 →
+    dedup_lines_global → bpe_encode(EOS) → pack_no_straddle →
+    materialize_sequences)."""
+    from pathwaydataframework_spark.operators import bpe, dedup, packing
+    from pathwaydataframework_spark.operators import text as text_ops
+
+    def doc_text(d):
+        # two keepable doc-specific sentences + the common banner line
+        return (
+            f"the table w{d % 6} holds a value row cleanly for {d}.\n"
+            "every page shares this exact cookie banner line.\n"
+            f"value row v{d % 6} closes the table neatly for {d}."
+            + ("\nlorem ipsum tail" if d % 7 == 0 else "")
+        )
+
+    vocab = {chr(97 + i): i for i in range(26)}
+    for t in ("th", "the", "ta", "table", "w", "va", "al", "ue"):
+        vocab[t] = len(vocab)
+    EOS, CAP, SHARDS = 99, 24, 2
+    batches = [list(range(0, 12)), list(range(12, 24)), list(range(24, 36))]
+
+    def seq_key(r):
+        return (
+            (r["shard"], r["seq_id"]),
+            (
+                list(r["token_ids"]),
+                r["n_tokens"],
+                [(s["doc_id"], s["off"], s["len"]) for s in r["doc_spans"]],
+            ),
+        )
+
+    def dump_reload(df, path):
+        df.write.parquet(str(path))
+        return spark.read.schema(df.schema).parquet(str(path))
+
+    def front(bdf, lines):
+        cleaned = text_ops.c4_filter(bdf)
+        kept = cleaned.filter(F.col("kept")).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        return dedup.incremental_line_dedup(
+            kept, lines, id_col="doc_id", text_col="text"
+        )
+
+    wt = bpe.bpe_word_table(spark)
+    ps = packing.pack_state(spark)
+    orows = packing.open_rows_state(spark)
+    lines = spark.createDataFrame([], "line string")
+    emitted: list = []
+    for i, ids in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(d, doc_text(d)) for d in ids], "doc_id long, text string"
+        )
+        deduped = front(bdf, lines).localCheckpoint()
+        lines = lines.unionByName(
+            dedup.line_index(deduped, text_col="clean_text")
+        ).distinct()
+        corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
+        enc, wt = bpe.bpe_encode_incremental(
+            corpus, wt, vocab, append_eos_id=EOS
+        )
+        enc = enc.localCheckpoint()
+        packed, ps = packing.pack_no_straddle_incremental(
+            enc, ps, "doc_id", "n_tokens", CAP, shards=SHARDS
+        )
+        em, orows = packing.materialize_sequences_incremental(
+            packed, enc, orows, ps, max_tokens=CAP, pad_id=-1
+        )
+        emitted.extend(seq_key(r) for r in em.collect())
+        d = tmp_path / f"state{i}"
+        lines = dump_reload(lines, d / "line_index")
+        wt = dump_reload(wt, d / "word_table")
+        ps = dump_reload(ps, d / "pack_state")
+        orows = dump_reload(orows, d / "open_rows")
+
+    flushed = packing.materialize_sequences(
+        orows.select("doc_id", "token_ids"),
+        orows.select("doc_id", "shard", "seq_id", "start_offset"),
+        max_tokens=CAP,
+        pad_id=-1,
+    )
+    emitted.extend(seq_key(r) for r in flushed.collect())
+
+    full = spark.createDataFrame(
+        [(d, doc_text(d)) for ids in batches for d in ids],
+        "doc_id long, text string",
+    )
+    cleaned = text_ops.c4_filter(full)
+    kept = cleaned.filter(F.col("kept")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    deduped = dedup.dedup_lines_global(kept, "doc_id", "text")
+    corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
+    enc_once = bpe.bpe_encode(corpus, vocab, append_eos_id=EOS)
+    layout_once = packing.pack_no_straddle(
+        enc_once, "doc_id", "n_tokens", CAP, shards=SHARDS
+    )
+    expected = dict(
+        seq_key(r)
+        for r in packing.materialize_sequences(
+            enc_once, layout_once, max_tokens=CAP, pad_id=-1
+        ).collect()
+    )
+    got = dict(emitted)
+    assert len(emitted) == len(got), "a sequence was emitted twice"
+    assert got == expected
+    # the poison dropped docs 0,7,14,21,28,35 before tokenization in
+    # BOTH forms — the id set narrowed identically mid-pipeline
+    packed_ids = {s[0] for v in got.values() for s in v[2]}
+    assert packed_ids == {d for d in range(36) if d % 7 != 0}
