@@ -1280,10 +1280,12 @@ def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _frame_fixtures() -> list[tuple[int, str]]:
-    """MJPEG-AVI blobs (hex) shared by q_frame_sample and its oracle:
-    one 7-frame stream (sampling picks 0/2/4 of 7) and one 2-frame
-    stream (fewer frames than requested → all of them, no fabrication).
-    Frames are flat-color JPEGs from the in-repo codec so every payload
+    """AVI blobs (hex) shared by q_frame_sample and its oracle: one
+    7-frame MJPEG stream (sampling picks 0/2/4 of 7), one 2-frame
+    MJPEG stream (fewer frames than requested → all of them, no
+    fabrication), and — r10 — one 5-frame RAW (BI_RGB) stream whose
+    DIB payloads wrap into standalone BMPs (picks 0/1/3 of 5).  Frames
+    are flat-color images from the in-repo codecs so every payload
     byte is deterministic."""
     import numpy as np
 
@@ -1300,19 +1302,28 @@ def _frame_fixtures() -> list[tuple[int, str]]:
         ]
         return _avi.encode_mjpeg(frames, width=8, height=8, fps=4)
 
-    return [(1, clip(7, 30).hex()), (2, clip(2, 90).hex())]
+    raw = _avi.encode_dib(
+        [np.full((6, 8, 3), 25 * i + 5, dtype=np.uint8) for i in range(5)],
+        fps=4,
+    )
+    return [(1, clip(7, 30).hex()), (2, clip(2, 90).hex()), (3, raw.hex())]
 
 
 def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Real video-frame extraction (operators/avi.py + multimodal.
     frame_sample — addendum §2.10): the RIFF walk yields one complete
-    JPEG per ``00dc`` chunk and frame_sample emits ``n_frames`` evenly
-    sampled payloads verbatim with their ORIGINAL indices.  The DuckDB
-    oracle re-demuxes the same blobs INDEPENDENTLY — a recursive-CTE
-    chunk walk over the hex (fourcc + little-endian size + word
-    alignment, no Python offsets leaked) — and re-derives the sampling
-    arithmetic, so container parsing, frame order and the floor-map
-    sampling are all differentially checked byte-for-byte."""
+    JPEG per ``00dc`` chunk for MJPEG streams — emitted verbatim — and,
+    r10, one standalone BMP per ``00db`` chunk for RAW (BI_RGB)
+    streams (the DIB payload wrapped with the stream's
+    BITMAPINFOHEADER), each with its ORIGINAL index, ``n_frames``
+    evenly sampled.  The DuckDB oracle re-demuxes the same blobs
+    INDEPENDENTLY — a recursive-CTE chunk walk over the hex (fourcc +
+    little-endian size + word alignment, no Python offsets leaked),
+    with the strf compression field routing raw streams through a
+    SQL-rebuilt BITMAPFILEHEADER wrap — and re-derives the sampling
+    arithmetic, so container parsing, the compression dispatch, the
+    BMP wrap bytes, frame order and the floor-map sampling are all
+    differentially checked byte-for-byte."""
     from pathwaydataframework_spark.operators import multimodal
 
     src = spark.createDataFrame(
@@ -1334,9 +1345,33 @@ def _frame_sample_oracle_sql() -> str:
         f"({b(c, p)} + {b(c, f'({p})+1')}*256 + {b(c, f'({p})+2')}*65536"
         f" + {b(c, f'({p})+3')}*16777216)"
     )
+    # 4-byte little-endian hex of an integer expression (the
+    # BITMAPFILEHEADER's two length fields, rebuilt in SQL)
+    le32hex = lambda v: (  # noqa: E731
+        f"printf('%02x%02x%02x%02x', ({v}) % 256, (({v}) // 256) % 256,"
+        f" (({v}) // 65536) % 256, (({v}) // 16777216) % 256)"
+    )
     return f"""
         WITH RECURSIVE raw(media_id, hx) AS (VALUES {values}),
         src AS (SELECT media_id, hex(unhex(hx)) AS h FROM raw),
+        -- the first vids strf: its size, payload hex, and the
+        -- BITMAPINFOHEADER compression field (byte offset 16) — 0
+        -- means RAW (BI_RGB), where each frame payload is a DIB pixel
+        -- array the wrap below turns into a standalone BMP
+        fmt AS (
+            SELECT media_id,
+                   CASE WHEN sp > 0 THEN {le32('h', 'sp+4')} END AS ssize,
+                   CASE WHEN sp > 0
+                        THEN lower(substr(h, (sp+8)*2-1,
+                                          {le32('h', 'sp+4')}*2))
+                   END AS strf_hex,
+                   CASE WHEN sp > 0 THEN {le32('h', 'sp+24')} END AS comp
+            FROM (
+                SELECT media_id, h,
+                       (strpos(h, hex('strf'::BLOB)) - 1) // 2 + 1 AS sp
+                FROM src
+            )
+        ),
         -- chunk walk inside the movi LIST: pos is the 1-based byte
         -- offset of each chunk header; step = 8 + size + pad-to-word
         walk(media_id, pos, fourcc, size) AS (
@@ -1360,10 +1395,23 @@ def _frame_sample_oracle_sql() -> str:
                    row_number() OVER (
                        PARTITION BY w.media_id ORDER BY w.pos
                    ) - 1 AS fidx,
-                   lower(substr(s.h, (w.pos + 8) * 2 - 1, w.size * 2)) AS fhex,
-                   w.size AS flen
-            FROM walk w JOIN src s USING (media_id)
-            WHERE w.fourcc = hex('00dc'::BLOB)
+                   CASE WHEN m.comp = 0 THEN
+                       -- BITMAPFILEHEADER ('BM', total, 0, 0, pix_off)
+                       -- + the stream's strf + the raw DIB payload
+                       '424d' || {le32hex('14 + m.ssize + w.size')}
+                       || '00000000' || {le32hex('14 + m.ssize')}
+                       || m.strf_hex
+                       || lower(substr(s.h, (w.pos + 8) * 2 - 1,
+                                       w.size * 2))
+                   ELSE
+                       lower(substr(s.h, (w.pos + 8) * 2 - 1, w.size * 2))
+                   END AS fhex,
+                   CASE WHEN m.comp = 0 THEN 14 + m.ssize + w.size
+                        ELSE w.size END AS flen
+            FROM walk w
+            JOIN src s USING (media_id)
+            JOIN fmt m USING (media_id)
+            WHERE w.fourcc IN (hex('00dc'::BLOB), hex('00db'::BLOB))
         ),
         totals AS (SELECT media_id, count(*) AS n FROM frames GROUP BY 1),
         -- the floor-map sampling: distinct (i*n)//3 reproduces both the
@@ -3609,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wave_counts": q_wave_counts,
         # --- CHANGED in r10: need a fresh driver row ---
         "q_train_cut": q_train_cut,
+        "q_frame_sample": q_frame_sample,
         # --- latest driver row r8 (stalest remaining): fill the budget ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -3621,9 +3670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interval_outer": q_interval_outer,
         "q_asof_right": q_asof_right,
         "q_bpe_merges": q_bpe_merges,
-        "q_token_budget_bpe": q_token_budget_bpe,
         # --- latest driver row r8: behind the ~50 cap this round;
         # rotates forward in r11. ---
+        "q_token_budget_bpe": q_token_budget_bpe,
         "q_robots_wildcards": q_robots_wildcards,
         "q_pack_no_straddle": q_pack_no_straddle,
         "q_tokenize": q_tokenize,
@@ -3689,7 +3738,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_crawl_delay": q_crawl_delay,
         "q_fetch_schedule": q_fetch_schedule,
-        "q_frame_sample": q_frame_sample,
         "q_warc_ingest": q_warc_ingest,
         "q_url_normalize": q_url_normalize,
         "q_domain_quota": q_domain_quota,
