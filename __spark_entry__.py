@@ -3189,6 +3189,65 @@ def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_slices(spark: SparkSession, sf: str) -> DataFrame:
+    """The TRAINER-facing loader contract under the oracle gate (VERDICT
+    r10 item 3): write the q_train_sequences pipeline as a packed
+    dataset, then read it back as the three rank slices a world_size=3
+    data-parallel job would consume (packing.read_packed_slices) and
+    return their tagged union — so the rank rule (shard % world_size,
+    partition-pruned at the scan), the no-shuffle order contract
+    (position = prefix-sum-of-manifest-n_seqs + per-shard row_number,
+    which must equal row_number over ascending (shard, seq_id) within
+    the rank), and mid-epoch resume (rank 1 passes skip_seqs=2 — its
+    first two positions are absent, the rest keep absolute epoch
+    positions) are all stated independently by the SQL replay.
+    Disjointness and completeness are implied by the hash gate: the
+    union must equal the replay exactly — a duplicated or dropped
+    sequence changes the row set.  The epoch_seed re-permutation is
+    pinned in tests/test_pipeline_ops.py (its md5 order is
+    q_shuffle's already-verified contract).  Reference loader surface
+    is io.fs read (/root/reference/python/pathway/io/fs/__init__.py);
+    rank sharding is the Spark-native distributed-trainer analogue."""
+    import shutil
+    import tempfile
+
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = _first_words(docs, 8)
+    enc = bpe.bpe_encode(
+        trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
+    )
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
+    seqs = packing.materialize_sequences(
+        enc, layout, max_tokens=32, pad_id=-1
+    ).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="pw_pack_slices_")
+    try:
+        packing.write_packed_dataset(seqs, tmp, max_tokens=32)
+        parts = []
+        for r in range(3):
+            sl, _info = packing.read_packed_slices(
+                spark, tmp, 3, r, skip_seqs=2 if r == 1 else 0
+            )
+            parts.append(sl.withColumn("rank", F.lit(r).cast("long")))
+        union = (
+            parts[0].unionByName(parts[1]).unionByName(parts[2])
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return union.select(
+        "rank",
+        "position",
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        _spans_str().alias("spans"),
+        "oversized",
+    )
+
+
 def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     """The full-corpus-recipe CAPSTONE (VERDICT r9 item 3): the pipeline
     a data team actually runs, composed in ONE driver row — plant page
@@ -3612,101 +3671,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r10 front (≈50-row driver budget): the 32 queries whose
-        # latest driver row is r7 (r9 checked positions 1-50; these sat
-        # at 51-82), then the NEW r10 queries (terminal export / recipe
-        # capstone / epoch pack), then the r10-CHANGED q_train_cut
-        # (planted empty docs), then r8-stale fill to the budget. ---
-        "q_temperature_sample": q_temperature_sample,
-        "q_line_dedup": q_line_dedup,
-        "q_semdedup": q_semdedup,
-        "q_corpus_dedup": q_corpus_dedup,
-        "q_doc_retrieve": q_doc_retrieve,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_error_channel": q_error_channel,
-        "q_custom_reducer": q_custom_reducer,
-        "q_incremental_neardup": q_incremental_neardup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_train_split": q_train_split,
-        "q_shuffle": q_shuffle,
-        "q_mix_datasets": q_mix_datasets,
-        "q_pack_sequences": q_pack_sequences,
-        "q_vocab": q_vocab,
-        "q_pii_scrub": q_pii_scrub,
-        "q_boilerplate": q_boilerplate,
-        "q_kmeans": q_kmeans,
-        "q_embedding_outliers": q_embedding_outliers,
-        "q_decontam": q_decontam,
-        "q_span_dedup": q_span_dedup,
-        "q_c4_filter": q_c4_filter,
-        "q_gopher_quality": q_gopher_quality,
-        "q_repetition": q_repetition,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_domain_filter": q_domain_filter,
-        "q_gopher_repetition": q_gopher_repetition,
-        "q_quality_sample": q_quality_sample,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unique_any": q_unique_any,
-        "q_asof_now": q_asof_now,
-        "q_session_predicate": q_session_predicate,
-        # --- NEW r10: no driver row yet ---
-        "q_pack_export": q_pack_export,
-        "q_recipe": q_recipe,
-        "q_epoch_pack": q_epoch_pack,
-        "q_recipe_stream": q_recipe_stream,
-        "q_wave_counts": q_wave_counts,
-        # --- CHANGED in r10: need a fresh driver row ---
-        "q_train_cut": q_train_cut,
-        "q_frame_sample": q_frame_sample,
-        # --- latest driver row r8 (stalest remaining): fill the budget ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q_part_strings": q_part_strings,
-        "q_orders_dates": q_orders_dates,
-        "q_argmax_supplier": q_argmax_supplier,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_louvain": q_louvain,
-        "q_interval_outer": q_interval_outer,
-        "q_asof_right": q_asof_right,
-        "q_bpe_merges": q_bpe_merges,
-        # --- latest driver row r8: behind the ~50 cap this round;
-        # rotates forward in r11. ---
-        "q_token_budget_bpe": q_token_budget_bpe,
-        "q_robots_wildcards": q_robots_wildcards,
-        "q_pack_no_straddle": q_pack_no_straddle,
-        "q_tokenize": q_tokenize,
-        "q_join_instance": q_join_instance,
-        "q_window_numeric": q_window_numeric,
+        # --- r11 front (≈50-row driver budget): the 34 queries whose
+        # latest driver row is r8 (r10 checked positions 1-50; these sat
+        # at 51-84), then the NEW r11 query (the rank-sharded trainer
+        # loader), then r9-stale fill to the budget (VERDICT r10 item 1).
+        "q_asof_join": q_asof_join,
+        "q_asof_nearest": q_asof_nearest,
         "q_chained_join": q_chained_join,
-        "q_windowby_predicate": q_windowby_predicate,
-        "q_sorted_names": q_sorted_names,
-        "q_reducer_matrix": q_reducer_matrix,
-        "q_percentile": q_percentile,
-        "q_set_difference": q_set_difference,
+        "q_concat_reindex": q_concat_reindex,
+        "q_concat_split": q_concat_split,
+        "q_dedup_exact": q_dedup_exact,
+        "q_deduplicate_latest": q_deduplicate_latest,
+        "q_diff_values": q_diff_values,
+        "q_flatten_tokens": q_flatten_tokens,
         "q_intersect": q_intersect,
+        "q_interval_join": q_interval_join,
+        "q_intervals_over": q_intervals_over,
+        "q_ix_lookup": q_ix_lookup,
+        "q_join_instance": q_join_instance,
+        "q_pack_no_straddle": q_pack_no_straddle,
+        "q_percentile": q_percentile,
+        "q_prev_next": q_prev_next,
+        "q_reducer_matrix": q_reducer_matrix,
+        "q_robots_wildcards": q_robots_wildcards,
+        "q_set_difference": q_set_difference,
+        "q_sorted_names": q_sorted_names,
+        "q_sql_passthrough": q_sql_passthrough,
+        "q_text_stats": q_text_stats,
+        "q_token_budget_bpe": q_token_budget_bpe,
+        "q_tokenize": q_tokenize,
+        "q_topk_orders": q_topk_orders,
         "q_update_cells": q_update_cells,
         "q_update_rows": q_update_rows,
-        "q_concat_reindex": q_concat_reindex,
-        "q_asof_nearest": q_asof_nearest,
-        "q_concat_split": q_concat_split,
-        "q_flatten_tokens": q_flatten_tokens,
-        "q_ix_lookup": q_ix_lookup,
-        "q_sql_passthrough": q_sql_passthrough,
-        "q_prev_next": q_prev_next,
-        "q_diff_values": q_diff_values,
-        "q_topk_orders": q_topk_orders,
-        "q_deduplicate_latest": q_deduplicate_latest,
-        "q_window_tumbling": q_window_tumbling,
-        "q_window_sliding": q_window_sliding,
-        "q_window_session": q_window_session,
-        "q_asof_join": q_asof_join,
-        "q_interval_join": q_interval_join,
         "q_window_join": q_window_join,
-        "q_intervals_over": q_intervals_over,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_stats": q_text_stats,
-        # --- latest driver row r9 (freshest — very back) ---
+        "q_window_numeric": q_window_numeric,
+        "q_window_session": q_window_session,
+        "q_window_sliding": q_window_sliding,
+        "q_window_tumbling": q_window_tumbling,
+        "q_windowby_predicate": q_windowby_predicate,
+        # --- NEW r11: no driver row yet ---
+        "q_pack_slices": q_pack_slices,
+        # --- latest driver row r9 (stalest remaining): fill the budget ---
         "q_lang_id": q_lang_id,
         "q_token_splitter": q_token_splitter,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -3722,6 +3727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": q_pagerank,
         "q_json_props": q_json_props,
         "q_bellman_ford": q_bellman_ford,
+        # --- latest driver row r9: behind the ~50 cap this round;
+        # rotates forward in r12. ---
         "q_rerank": q_rerank,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
@@ -3755,6 +3762,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dedup": q_image_dedup,
         "q_quality_classifier": q_quality_classifier,
         "q_dsir": q_dsir,
+        # --- latest driver row r10 (freshest — very back) ---
+        "q_temperature_sample": q_temperature_sample,
+        "q_line_dedup": q_line_dedup,
+        "q_semdedup": q_semdedup,
+        "q_corpus_dedup": q_corpus_dedup,
+        "q_doc_retrieve": q_doc_retrieve,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_error_channel": q_error_channel,
+        "q_custom_reducer": q_custom_reducer,
+        "q_incremental_neardup": q_incremental_neardup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_train_split": q_train_split,
+        "q_shuffle": q_shuffle,
+        "q_mix_datasets": q_mix_datasets,
+        "q_pack_sequences": q_pack_sequences,
+        "q_vocab": q_vocab,
+        "q_pii_scrub": q_pii_scrub,
+        "q_boilerplate": q_boilerplate,
+        "q_kmeans": q_kmeans,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_decontam": q_decontam,
+        "q_span_dedup": q_span_dedup,
+        "q_c4_filter": q_c4_filter,
+        "q_gopher_quality": q_gopher_quality,
+        "q_repetition": q_repetition,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_domain_filter": q_domain_filter,
+        "q_gopher_repetition": q_gopher_repetition,
+        "q_quality_sample": q_quality_sample,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_asof_now": q_asof_now,
+        "q_session_predicate": q_session_predicate,
+        "q_pack_export": q_pack_export,
+        "q_recipe": q_recipe,
+        "q_epoch_pack": q_epoch_pack,
+        "q_recipe_stream": q_recipe_stream,
+        "q_wave_counts": q_wave_counts,
+        "q_train_cut": q_train_cut,
+        "q_frame_sample": q_frame_sample,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q_part_strings": q_part_strings,
+        "q_orders_dates": q_orders_dates,
+        "q_argmax_supplier": q_argmax_supplier,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_louvain": q_louvain,
+        "q_interval_outer": q_interval_outer,
+        "q_asof_right": q_asof_right,
+        "q_bpe_merges": q_bpe_merges,
     }
 
 
@@ -6100,6 +6158,26 @@ def oracle_sql() -> dict[str, str]:
                             * 32.0), 6)
                        AS m_capped_waste_frac
             FROM out o JOIN stats s USING (shard)
+        """,
+        "q_pack_slices": f"""
+            -- the q_train_sequences replay sliced by the trainer
+            -- contract: rank = shard % 3 (the rank rule), position =
+            -- row_number within rank over ascending (shard, seq_id)
+            -- (the no-shuffle order contract — the Spark side computes
+            -- it as manifest prefix sums + a per-shard window, which
+            -- must collapse to this), rank 1 resuming mid-epoch at
+            -- skip_seqs=2 with absolute positions kept
+            WITH RECURSIVE {_train_fold_cte()},
+            out AS ({_TRAIN_SEQ_SELECT}
+            )
+            SELECT * FROM (
+                SELECT shard % 3 AS rank,
+                       row_number() OVER (PARTITION BY shard % 3
+                                          ORDER BY shard, seq_id) - 1
+                           AS position,
+                       shard, seq_id, tokens, n_tokens, spans, oversized
+                FROM out
+            ) WHERE rank <> 1 OR position >= 2
         """,
         "q_train_cut": f"""
             -- real-token concatenate-and-cut replay: the longest-match

@@ -970,3 +970,129 @@ def read_packed_dataset(
                 "was modified outside write_packed_dataset"
             )
     return df, manifest
+
+
+def read_packed_slices(
+    spark,
+    path: str,
+    world_size: int,
+    rank: int,
+    *,
+    epoch_seed: int | None = None,
+    skip_seqs: int = 0,
+    validate: bool = True,
+) -> tuple[DataFrame, dict]:
+    """The trainer-facing contract over :func:`read_packed_dataset`:
+    the deterministic slice of a packed dataset that data-parallel rank
+    ``rank`` of ``world_size`` consumes, with an explicit 0-based
+    ``position`` column defining its consumption order.  Every rank of
+    a distributed training job calls this with the same arguments except
+    ``rank``; the slices are pairwise disjoint and their union is the
+    whole dataset — each sequence is trained on exactly once per epoch.
+
+    The rank rule is ``shard % world_size == rank`` — a pure predicate
+    on the partition column, so each rank's parquet scan PRUNES to its
+    own shard directories and never lists, let alone reads, another
+    rank's files (at 100 TB each of 1000 ranks touches 1/1000th of the
+    object store).  Raises if any rank's shard set would be EMPTY
+    (manifest-checked before any scan): a rank with no data deadlocks a
+    collective-op training loop, so that misconfiguration must fail at
+    load time on every rank, not hang at the first all-reduce.  The
+    returned info dict carries ``rank_seqs`` (per-rank sequence totals,
+    straight from the manifest's per-shard ``n_seqs``) so the caller
+    can check balance — with equal-size packed sequences, step counts
+    per epoch differ across ranks by at most
+    ``max(rank_seqs) - min(rank_seqs)``; a loader that must equalize
+    drops each rank's tail beyond ``min(rank_seqs)``.
+
+    Order contract: with ``epoch_seed=None``, ``position`` numbers the
+    slice in ascending ``(shard, seq_id)`` — the writer's in-file order,
+    so a sequential scan replays it with no sort.  Positions are
+    computed WITHOUT a global sort: each shard's offset is a prefix sum
+    over the manifest's per-shard ``n_seqs`` (driver-side arithmetic
+    over an already-loaded dict — no extra scan), broadcast-joined back,
+    plus a per-shard ``row_number`` window (parallelism = shards).
+    With ``epoch_seed=N``, the slice is re-permuted by
+    :func:`~pathwaydataframework_spark.operators.sampling.deterministic_shuffle`
+    keyed on ``shard:seq_id`` — the same md5 epoch shuffle the pipeline
+    uses, reproducible across runs, engines and cluster sizes, different
+    per seed, and never a global sort (256 monotone md5-prefix shards).
+
+    ``skip_seqs=N`` is mid-epoch resume: rows with ``position < N`` are
+    filtered out (a scan-side predicate), positions keep their absolute
+    epoch values, and with the same ``epoch_seed`` the remainder is
+    exactly the tail the interrupted run never consumed.  Each rank
+    passes ITS OWN consumed count — ranks advance independently.
+
+    ``validate`` is :func:`read_packed_dataset`'s on-disk-totals gate
+    (one count+sum scan); the position arithmetic additionally trusts
+    the manifest's per-shard ``n_seqs``, which that gate cross-checks
+    in aggregate.  Returns ``(DataFrame, info)`` where the frame is the
+    manifest's columns plus ``position`` and info carries the slice
+    accounting (assigned shards, per-rank totals, the manifest itself).
+    """
+    if world_size < 1:
+        raise ValueError(f"world_size must be >= 1, got {world_size}")
+    if not (0 <= rank < world_size):
+        raise ValueError(
+            f"rank must be in [0, {world_size}), got {rank}"
+        )
+    if skip_seqs < 0:
+        raise ValueError(f"skip_seqs must be >= 0, got {skip_seqs}")
+    df, manifest = read_packed_dataset(spark, path, validate=validate)
+    per_rank: list[list[dict]] = [[] for _ in range(world_size)]
+    for s in manifest["shards"]:
+        per_rank[int(s["shard"]) % world_size].append(s)
+    starved = [r for r, ss in enumerate(per_rank) if not ss]
+    if starved:
+        raise ValueError(
+            f"world_size={world_size} starves rank(s) {starved}: the "
+            f"dataset at {path!r} has {manifest['n_shards']} non-empty "
+            "shards and none lands on them under shard % world_size — "
+            "lower world_size or re-write with more shards"
+        )
+    rank_seqs = [sum(int(s["n_seqs"]) for s in ss) for ss in per_rank]
+    assigned = sorted(int(s["shard"]) for s in per_rank[rank])
+    sliced = df.filter(F.col("shard") % world_size == rank)
+    if epoch_seed is None:
+        offsets, acc = [], 0
+        for s in sorted(per_rank[rank], key=lambda s: int(s["shard"])):
+            offsets.append((int(s["shard"]), acc))
+            acc += int(s["n_seqs"])
+        off = spark.createDataFrame(offsets, "shard long, __off long")
+        within = F.row_number().over(
+            W.partitionBy("shard").orderBy("seq_id")
+        )
+        sliced = (
+            sliced.join(F.broadcast(off), on="shard")
+            .withColumn(
+                "position", (F.col("__off") + within - 1).cast("long")
+            )
+            .drop("__off")
+        )
+    else:
+        from pathwaydataframework_spark.operators.sampling import (
+            deterministic_shuffle,
+        )
+
+        sliced = deterministic_shuffle(
+            sliced.withColumn(
+                "__slice_key",
+                F.format_string("%d:%d", "shard", "seq_id"),
+            ),
+            "__slice_key",
+            seed=int(epoch_seed),
+        ).drop("__slice_key")
+    if skip_seqs:
+        sliced = sliced.filter(F.col("position") >= skip_seqs)
+    info = {
+        "world_size": world_size,
+        "rank": rank,
+        "epoch_seed": epoch_seed,
+        "skip_seqs": skip_seqs,
+        "shards": assigned,
+        "n_seqs": rank_seqs[rank],
+        "rank_seqs": rank_seqs,
+        "manifest": manifest,
+    }
+    return sliced.select(*manifest["columns"], "position"), info
