@@ -45,6 +45,12 @@ HEADLINE = [
     "q_knn_lsh",
     "q_bm25",
     "q_connected_components",
+    # r11+: the tokenize-to-train pipeline tail (c4_filter → line dedup →
+    # BPE encode → pack → materialize) as ONE headline number, so the
+    # r8-r10 pipeline operators carry a round-over-round trend line.
+    # NOT in the r1 baseline total — BASELINE.md documents the adjustment
+    # (subtract queries["q_recipe"] for apples-to-apples vs r1).
+    "q_recipe",
 ]
 
 

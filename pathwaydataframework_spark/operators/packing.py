@@ -809,6 +809,22 @@ def write_packed_dataset(
     (any URI the parquet write accepts: hdfs://, s3a://, plain local),
     with a plain local-file fallback under Spark Connect (file:// and
     the single-slash file:/ form both strip to local paths).
+
+    Cost contract for ``mode='append'``: the stats read-back scans the
+    WHOLE dataset on every append — one count+sum aggregate over all
+    shards (column-pruned to ``n_tokens`` + the ``shard`` partition
+    value, so it reads one column of parquet, not the token arrays;
+    minutes at 100 TB, trivial below).  That is the price of a manifest
+    that can never diverge from disk.  A high-frequency-append pipeline
+    (hundreds of appends/day) that finds the rescan dominating should
+    instead fold delta stats into the PRIOR manifest (validate, write,
+    then ``prior.shards ⊎ stats(new_rows_only)``) — O(batch) per
+    append, at the price of trusting every earlier manifest was honest
+    (an out-of-band dataset mutation goes undetected until the next
+    ``read_packed_dataset(validate=True)``).  This module keeps the
+    rescan deliberately: appends here are epoch-granular, and the
+    loader's validate gate relies on manifest-equals-disk being
+    unconditional.
     """
     import json
 

@@ -1426,3 +1426,160 @@ def test_recipe_chain_four_state_parquet_resume(spark, tmp_path):
     # BOTH forms — the id set narrowed identically mid-pipeline
     packed_ids = {s[0] for v in got.values() for s in v[2]}
     assert packed_ids == {d for d in range(36) if d % 7 != 0}
+
+def test_crawl_chain_states_parquet_resume(spark, tmp_path):
+    """Durable-state RESUME for the crawl front-end (VERDICT r10 item
+    5): the recipe/tokenize chains' parquet-resume tests landed in r10;
+    the crawl-side states carry the same persistability claim.  Run a
+    3-batch crawl chain — Bloom URL dedup → MinHash band-index page
+    dedup → politeness scheduling → wave accounting — writing all FOUR
+    state frames (Bloom bitmap, band index, host fetch counters, wave
+    counts) to parquet after EVERY batch and reloading them cold
+    (explicit schema), severing in-memory lineage like a process
+    restart.  The resumed stream must match the one-shot twins: kept
+    pages = first-offered non-near-dup set, folded band index ≡
+    minhash_band_index over the surviving corpus, folded bitmap ≡
+    build_bloom_index over every crawled URL, host counters = per-host
+    totals with CONTIGUOUS cross-batch queue positions, wave-count
+    state ≡ fetch_waves over the accumulated schedule."""
+    from pathwaydataframework_spark.operators import dedup, text
+
+    M, K = 1 << 14, 5
+    LSH = dict(n=3, num_hashes=16, bands=8)
+
+    def body(j):
+        return f"page {j} body: " + " ".join(
+            f"tok{j}w{i}" for i in range(12)
+        )
+
+    batches = [
+        [("a.test", f"https://a.test/p{i}", body(i)) for i in range(3)]
+        + [("b.test", "https://b.test/p0", body(10))],
+        [
+            # URL re-offer -> the Bloom bitmap must drop it
+            ("a.test", "https://a.test/p1", body(1)),
+            # batch-0 content under a NEW url -> the band index drops it
+            ("a.test", "https://a.test/p3", body(2)),
+            ("b.test", "https://b.test/p1", body(11)),
+        ],
+        [
+            ("b.test", "https://b.test/p0", body(10)),  # URL re-offer
+            ("a.test", "https://a.test/p9", body(11)),  # content re-offer
+            ("b.test", "https://b.test/p2", body(12)),
+            ("a.test", "https://a.test/p4", body(4)),
+        ],
+    ]
+
+    def dump_reload(df, path):
+        df.write.parquet(str(path))
+        return spark.read.schema(df.schema).parquet(str(path))
+
+    delays = spark.createDataFrame(
+        [("a.test", 4)], "host string, crawl_delay long"
+    )
+    bloom = spark.createDataFrame([], "word long, bits long")
+    idx = dedup.minhash_band_index(
+        spark.createDataFrame([], "url string, text string"),
+        "url", "text", **LSH,
+    )
+    counts = text.host_fetch_counts(spark)
+    wcounts = text.wave_counts_state(spark)
+    sched_rows: list = []
+    for i, rows in enumerate(batches):
+        bdf = spark.createDataFrame(
+            rows, "host string, url string, text string"
+        )
+        # crawled = urls not seen before (these GET fetched, so they all
+        # enter the bitmap — even pages the content dedup then drops)
+        crawled = dedup.bloom_dedup(
+            bdf, None, "url", index=bloom, m_bits=M, k=K,
+            exact_confirm=False,
+        ).localCheckpoint()
+        bloom = dedup.update_bloom_index(bloom, crawled, "url", m_bits=M, k=K)
+        kept = dedup.incremental_neardup_filter(
+            crawled, idx, id_col="url", text_col="text", **LSH
+        ).localCheckpoint()
+        idx = idx.unionByName(
+            dedup.minhash_band_index(kept, "url", "text", **LSH)
+        )
+        sched, counts = text.schedule_fetches_incremental(
+            kept, counts, delays, seed=2
+        )
+        waved, wcounts = text.fetch_waves_incremental(sched, wcounts, 8.0)
+        sched_rows.extend(
+            (r["host"], r["url"], r["fetch_seq"], r["fetch_offset_s"])
+            for r in waved.collect()
+        )
+        # the durable round-trip: all four states to parquet, then a
+        # cold explicit-schema reload — the "restart" between batches
+        d = tmp_path / f"crawl_state{i}"
+        bloom = dump_reload(bloom, d / "bloom")
+        idx = dump_reload(idx, d / "band_index")
+        counts = dump_reload(counts, d / "host_counts")
+        wcounts = dump_reload(wcounts, d / "wave_counts")
+
+    per_host: dict = {}
+    for h, u, s, o in sched_rows:
+        per_host.setdefault(h, []).append((u, s, o))
+    # survivors: first-offered urls whose content wasn't already indexed
+    assert {u for u, _, _ in per_host["a.test"]} == {
+        f"https://a.test/p{i}" for i in (0, 1, 2, 4)
+    }
+    assert {u for u, _, _ in per_host["b.test"]} == {
+        f"https://b.test/p{i}" for i in (0, 1, 2)
+    }
+    # queue positions contiguous ACROSS the restarts, offsets = seq*delay
+    assert sorted(s for _, s, _ in per_host["a.test"]) == list(range(4))
+    assert sorted(s for _, s, _ in per_host["b.test"]) == list(range(3))
+    assert all(o == s * 4.0 for _, s, o in per_host["a.test"])
+    assert all(o == s * 1.0 for _, s, o in per_host["b.test"])
+    # host counters: the one-shot per-host totals
+    assert {r["host"]: r["n_scheduled"] for r in counts.collect()} == {
+        "a.test": 4,
+        "b.test": 3,
+    }
+    # wave-count state == one-shot fetch_waves over the ACCUMULATED
+    # schedule (the straddling-wave contract, now across restarts)
+    acc = spark.createDataFrame(
+        [(h, u, s, o) for h, u, s, o in sched_rows],
+        "host string, url string, fetch_seq long, fetch_offset_s double",
+    )
+    expect_waves = {
+        (r["host"], r["wave"]): r["wave_size"]
+        for r in text.fetch_waves(acc, 8.0)
+        .select("host", "wave", "wave_size")
+        .distinct()
+        .collect()
+    }
+    got_waves = {(r["host"], r["wave"]): r["n"] for r in wcounts.collect()}
+    assert got_waves == expect_waves
+    # folded band index == the one-shot index over the surviving corpus
+    surv = [
+        ("https://a.test/p0", body(0)),
+        ("https://a.test/p1", body(1)),
+        ("https://a.test/p2", body(2)),
+        ("https://a.test/p4", body(4)),
+        ("https://b.test/p0", body(10)),
+        ("https://b.test/p1", body(11)),
+        ("https://b.test/p2", body(12)),
+    ]
+    one_shot_idx = dedup.minhash_band_index(
+        spark.createDataFrame(surv, "url string, text string"),
+        "url", "text", **LSH,
+    )
+
+    def idx_key(r):
+        return (r["doc_id"], r["band_idx"], r["band_hash"], r["sig"])
+
+    assert sorted(map(idx_key, idx.collect())) == sorted(
+        map(idx_key, one_shot_idx.collect())
+    )
+    # folded Bloom bitmap == one-shot bitmap over every CRAWLED url
+    crawled_urls = sorted({u for b in batches for _, u, _ in b})
+    one_shot_bloom = dedup.build_bloom_index(
+        spark.createDataFrame([(u,) for u in crawled_urls], "url string"),
+        "url", m_bits=M, k=K,
+    )
+    assert {(r["word"], r["bits"]) for r in bloom.collect()} == {
+        (r["word"], r["bits"]) for r in one_shot_bloom.collect()
+    }
