@@ -4,9 +4,10 @@ codec libraries.
 Two video formats go all the way to pixels in this container: the AVI
 is a RIFF chunk tree whose ``movi`` LIST carries one frame per
 ``##dc``/``##db`` chunk, and the payloads are either complete JPEGs
-(Motion-JPEG — operators/jpeg.py decodes those) or raw uncompressed
-DIB pixel arrays (BI_RGB — each wraps into a standalone BMP the
-operators/bmp.py kernel decodes).  ``mjpeg_frames`` / ``dib_frames``
+(Motion-JPEG — operators/jpeg.py decodes those) or DIB pixel data —
+raw uncompressed arrays (BI_RGB) or run-length streams
+(BI_RLE8/BI_RLE4) — each wrapping into a standalone BMP the
+operators/bmp.py kernel decodes.  ``mjpeg_frames`` / ``dib_frames``
 walk the tree (including ``rec `` sub-LISTs, word-aligned chunk sizes)
 and return standalone image blobs; ``multimodal.frame_sample`` uses
 them to emit real frames.  Inter-frame codecs (H.264 etc. inside
@@ -14,8 +15,8 @@ MP4/AVI) remain the documented boundary (DEVIATIONS.md #5) — both
 demuxers simply find no decodable frames there and the caller falls
 back.
 
-``encode_mjpeg`` / ``encode_dib`` emit minimal valid single-stream
-AVIs (hdrl with avih/strh/strf + movi) for planting deterministic
+``encode_mjpeg`` / ``encode_dib`` / ``encode_rle8`` emit minimal
+valid single-stream AVIs (hdrl with avih/strh/strf + movi) for planting deterministic
 fixtures.
 
 The reference framework has no in-process media path at all — it hands
@@ -136,19 +137,28 @@ def video_format(data: bytes) -> dict | None:
 
 
 def _wrap_dibs(strf: bytes, frames: list[bytes]) -> list[bytes]:
-    """Raw DIB payloads + their stream's strf → standalone BMP blobs.
-    Empty unless the strf declares a decodable uncompressed layout
-    (BI_RGB, sane dimensions, a bit depth the bmp.py kernel accepts) —
-    hostile w<=0/h==0 headers would make the expected frame size
-    non-positive and let every foreign chunk masquerade as a frame."""
+    """DIB payloads + their stream's strf → standalone BMP blobs.
+    Empty unless the strf declares a layout the bmp.py kernel decodes:
+    BI_RGB (raw pixel arrays at a supported depth) or BI_RLE8/BI_RLE4
+    (run-length streams at the depth the spec ties to each) — hostile
+    w<=0/h==0 headers would make the expected frame size non-positive
+    and let every foreign chunk masquerade as a frame.  For BI_RGB the
+    frame-size floor is exact row arithmetic; for RLE the payload is
+    variable-length, so the floor is the 2-byte end-of-bitmap minimum
+    and the bmp.py RLE bounds checks are the decode-time backstop."""
     (compression,) = struct.unpack_from("<I", strf, 16)
-    if compression != 0:  # not BI_RGB
-        return []
     w, h = struct.unpack_from("<ii", strf, 4)
     (bpp,) = struct.unpack_from("<H", strf, 14)
-    if w <= 0 or h == 0 or bpp not in (1, 4, 8, 16, 24, 32):
+    if compression == 0:
+        if w <= 0 or h == 0 or bpp not in (1, 4, 8, 16, 24, 32):
+            return []
+        need = (w * bpp + 31) // 32 * 4 * abs(h)
+    elif compression in (1, 2):  # BI_RLE8 / BI_RLE4 (spec: bottom-up only)
+        if w <= 0 or h <= 0 or bpp != (8 if compression == 1 else 4):
+            return []
+        need = 2  # at least the end-of-bitmap escape
+    else:
         return []
-    need = (w * bpp + 31) // 32 * 4 * abs(h)
     pix_off = 14 + len(strf)
     out = []
     for f in frames:
@@ -163,11 +173,12 @@ def _wrap_dibs(strf: bytes, frames: list[bytes]) -> list[bytes]:
 
 def dib_frames(data: bytes) -> list[bytes]:
     """AVI bytes → list of standalone BMP blobs, one per frame — for
-    streams whose video format is uncompressed DIB (BI_RGB): each
-    ``##db``/``##dc`` payload is the raw pixel array described by the
-    stream's strf BITMAPINFOHEADER, so prefixing a BITMAPFILEHEADER +
-    that strf (palette included, for ≤8-bit streams) yields a BMP the
-    operators/bmp.py kernel decodes.  Empty for compressed streams
+    streams whose video format is a DIB the bmp.py kernel decodes:
+    uncompressed BI_RGB (each ``##db``/``##dc`` payload is the raw
+    pixel array described by the stream's strf BITMAPINFOHEADER) or
+    run-length BI_RLE8/BI_RLE4 (each payload is the RLE pixel stream);
+    prefixing a BITMAPFILEHEADER + that strf (palette included, for
+    ≤8-bit streams) yields a standalone BMP.  Empty for other codecs
     (MJPG → :func:`mjpeg_frames`; inter-frame codecs → the documented
     boundary).  ValueError on non-AVI/malformed input."""
     headers: list[tuple[bytes, bytes]] = []
@@ -179,7 +190,8 @@ def dib_frames(data: bytes) -> list[bytes]:
 def image_frames(data: bytes) -> list[bytes]:
     """AVI bytes → standalone image blobs, one per frame, in ONE RIFF
     walk — the dispatch ``frame_sample`` uses: a stream whose strf
-    declares BI_RGB wraps its DIB payloads as BMPs; anything else
+    declares BI_RGB or BI_RLE8/BI_RLE4 wraps its DIB payloads as
+    BMPs; anything else
     (declared MJPG, or headerless movi-only capture files with no strf
     at all) keeps the complete-JPEG payloads.  Checking the declared
     compression FIRST prevents a raw BGR frame that happens to start
@@ -191,7 +203,7 @@ def image_frames(data: bytes) -> list[bytes]:
     strf = _first_vids_strf(headers)
     if strf is not None:
         (compression,) = struct.unpack_from("<I", strf, 16)
-        if compression == 0:
+        if compression in (0, 1, 2):  # BI_RGB / BI_RLE8 / BI_RLE4
             return _wrap_dibs(strf, frames)
     return [f for f in frames if f[:2] == b"\xff\xd8"]
 
@@ -288,4 +300,58 @@ def encode_dib(frames: list, *, fps: int = 25) -> bytes:
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
     movi = _list(b"movi", b"".join(_chunk(b"00db", p) for p in payloads))
+    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def encode_rle8(frames: list, palette, *, fps: int = 25) -> bytes:
+    """(h, w) uint8 palette-index arrays + ``[(r, g, b), ...]`` palette
+    → minimal single-stream BI_RLE8 AVI: ``00dc`` chunks carry the RLE
+    pixel streams :func:`~pathwaydataframework_spark.operators.bmp.
+    rle8_compress` emits, and the strf is the BITMAPINFOHEADER
+    (biCompression=1) with the BGRX palette in its tail — exactly where
+    :func:`dib_frames`' standalone-BMP wrap expects it.  All frames
+    must share one shape.  Deterministic fixture writer, like
+    :func:`encode_dib`."""
+    import numpy as np
+
+    from pathwaydataframework_spark.operators import bmp
+
+    if not frames:
+        raise ValueError("AVI encode: no frames")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if any(a.ndim != 2 for a in arrs):
+        raise ValueError("AVI RLE8 encode expects (h, w) uint8 index frames")
+    if len({a.shape for a in arrs}) != 1:
+        raise ValueError("AVI RLE8 encode: all frames must share one shape")
+    pal = list(palette)
+    if not 0 < len(pal) <= 256:
+        raise ValueError("AVI RLE8 encode: palette must hold 1-256 colors")
+    if any(int(a.max(initial=0)) >= len(pal) for a in arrs):
+        raise ValueError("AVI RLE8 encode: palette index out of range")
+    h, w = arrs[0].shape
+    payloads = [bmp.rle8_compress(a) for a in arrs]
+    usec_per_frame = 1_000_000 // max(fps, 1)
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, max_bytes * fps, 0, 0,
+        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"RLE8"
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads),
+                      max_bytes, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    pal_bytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
+    strf = struct.pack(  # BITMAPINFOHEADER, biCompression=1 (BI_RLE8)
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, max_bytes, 2835, 2835,
+        len(pal), len(pal),
+    ) + pal_bytes
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00dc", p) for p in payloads))
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)

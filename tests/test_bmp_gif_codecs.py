@@ -77,14 +77,127 @@ def test_bmp_16bit_555_scales_channels():
     assert (bmp.decode(data)[0, 0] == [255, 0, 16 * 255 // 31]).all()
 
 
-def test_bmp_rejects_rle_and_garbage():
+def test_bmp_rejects_embedded_streams_and_garbage():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     data = bytearray(bmp.encode(img))
-    struct.pack_into("<I", data, 30, 1)  # biCompression = BI_RLE8
+    struct.pack_into("<I", data, 30, 4)  # biCompression = BI_JPEG (embedded)
     with pytest.raises(ValueError, match="compression"):
+        bmp.decode(bytes(data))
+    # RLE declared on a header whose bit depth the spec forbids
+    struct.pack_into("<I", data, 30, 1)  # BI_RLE8 on a 24-bit header
+    with pytest.raises(ValueError, match="BI_RLE8 requires"):
         bmp.decode(bytes(data))
     with pytest.raises(ValueError, match="signature|truncated"):
         bmp.decode(b"not a bmp")
+
+
+def _rle_bmp(w, h, bits, compression, pal, stream, clr_used=None):
+    """Hand-assemble a standalone RLE BMP around a raw pixel stream."""
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    pix_off = 14 + 40 + len(pal_bytes)
+    n_colors = len(pal) if clr_used is None else clr_used
+    return (
+        struct.pack("<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bits, compression, len(stream),
+            0, 0, n_colors, 0,
+        )
+        + pal_bytes
+        + stream
+    )
+
+
+def test_bmp_rle8_forward_math_golden():
+    """Hand-written BI_RLE8 stream exercising every construct the public
+    spec defines — encoded run, absolute mode (odd count ⇒ pad byte),
+    end-of-line (rest of row ⇒ index 0), delta (dx right, dy UP in
+    bottom-up space; skipped pixels ⇒ index 0), end-of-bitmap — against
+    a pixel grid derived BY HAND from the spec."""
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (7, 8, 9)]
+    stream = (
+        b"\x03\x01"                  # line0: run 3 × idx1        x0-2
+        + b"\x00\x03\x02\x00\x02\x00"  # abs 3: 2,0,2 (+pad)      x3-5
+        + b"\x00\x00"                # end of line → line1
+        + b"\x02\x03"                # line1: run 2 × idx3        x0-1
+        + b"\x00\x02\x02\x01"        # delta dx=2 dy=1 → x4, line2
+        + b"\x02\x02"                # line2: run 2 × idx2        x4-5
+        + b"\x00\x00"                # end of line → line3
+        + b"\x04\x03"                # line3: run 4 × idx3        x0-3
+        + b"\x00\x01"                # end of bitmap (x4-5 stay 0)
+    )
+    got = bmp.decode(_rle_bmp(6, 4, 8, 1, pal, stream))
+    lines = np.array(  # bottom-up line order, as the stream writes them
+        [
+            [1, 1, 1, 2, 0, 2],
+            [3, 3, 0, 0, 0, 0],
+            [0, 0, 0, 0, 2, 2],
+            [3, 3, 3, 3, 0, 0],
+        ],
+        dtype=np.int64,
+    )
+    expect = np.array(pal, dtype=np.uint8)[lines[::-1]]  # flip to top-down
+    assert (got == expect).all()
+
+
+def test_bmp_rle4_forward_math_golden():
+    """BI_RLE4: encoded runs alternate the byte's high/low nibbles;
+    absolute mode packs two pixels per byte padded to a 2-byte
+    boundary."""
+    pal = [(9, 9, 9), (50, 60, 70), (200, 210, 220)]
+    stream = (
+        b"\x04\x12"          # line0: 1,2,1,2                     x0-3
+        + b"\x00\x03\x01\x20"  # abs 3 nibbles: 0,1,2 (2 bytes, even)
+        + b"\x00\x00"        # end of line → line1
+        + b"\x07\x21"        # line1: 2,1,2,1,2,1,2               x0-6
+        + b"\x00\x01"        # end of bitmap
+    )
+    got = bmp.decode(_rle_bmp(7, 2, 4, 2, pal, stream))
+    lines = np.array(
+        [[1, 2, 1, 2, 0, 1, 2], [2, 1, 2, 1, 2, 1, 2]], dtype=np.int64
+    )
+    expect = np.array(pal, dtype=np.uint8)[lines[::-1]]
+    assert (got == expect).all()
+
+
+def test_bmp_rle_hostile_streams_rejected():
+    """Hostile RLE input raises instead of writing out of bounds: a run
+    past the row, a truncated stream (no end-of-bitmap), a delta
+    leaving the bitmap, and top-down RLE (forbidden by the spec)."""
+    pal = [(0, 0, 0), (255, 255, 255)]
+    with pytest.raises(ValueError, match="exceeds bitmap bounds"):
+        bmp.decode(_rle_bmp(6, 2, 8, 1, pal, b"\x07\x01\x00\x01"))
+    with pytest.raises(ValueError, match="truncated RLE"):
+        bmp.decode(_rle_bmp(6, 2, 8, 1, pal, b"\x02\x01"))
+    with pytest.raises(ValueError, match="delta exceeds"):
+        bmp.decode(_rle_bmp(6, 2, 8, 1, pal, b"\x00\x02\xff\xff\x00\x01"))
+    blob = bytearray(_rle_bmp(6, 2, 8, 1, pal, b"\x00\x01"))
+    struct.pack_into("<i", blob, 22, -2)  # biHeight < 0: top-down
+    with pytest.raises(ValueError, match="top-down"):
+        bmp.decode(bytes(blob))
+    # an RLE4 declared on an 8-bit header is rejected before any decode
+    with pytest.raises(ValueError, match="BI_RLE4 requires"):
+        bmp.decode(_rle_bmp(6, 2, 8, 2, pal, b"\x00\x01"))
+
+
+def test_bmp_rle8_encode_roundtrip():
+    """encode_rle8 → decode is lossless for any palette image, and the
+    compressor's output replays through the golden-path decoder (pure
+    encoded runs, EOL per row, EOB last)."""
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 5, size=(13, 11)).astype(np.uint8)
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 50, 60)]
+    blob = bmp.encode_rle8(idx, pal)
+    assert (bmp.decode(blob) == np.array(pal, dtype=np.uint8)[
+        idx.astype(int)
+    ]).all()
+    # a long constant row compresses to runs of <=255
+    wide = np.full((1, 700), 3, dtype=np.uint8)
+    stream = bmp.rle8_compress(wide)
+    assert stream == b"\xff\x03\xff\x03\xbe\x03\x00\x01"
+    assert (
+        bmp.decode(bmp.encode_rle8(wide, pal))
+        == np.array(pal, dtype=np.uint8)[wide.astype(int)]
+    ).all()
 
 
 # -- GIF ----------------------------------------------------------------------
