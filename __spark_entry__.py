@@ -3248,6 +3248,57 @@ def q_pack_slices(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_slices_epoch(spark: SparkSession, sf: str) -> DataFrame:
+    """The loader's EPOCH-SHUFFLE path under the oracle gate: the same
+    packed dataset as q_pack_slices, read as world_size=2 rank slices
+    with ``epoch_seed=7`` — positions come from deterministic_shuffle
+    over the ``shard:seq_id`` key (md5(key:seed) ascending, the exact
+    q_shuffle contract, computed via the 256-monotone-prefix-shard
+    layout, never a global sort) — and rank 0 resuming mid-epoch at
+    ``skip_seqs=3``, so the SQL replay independently states that the
+    skipped rows are precisely the first three of the SHUFFLED order
+    with absolute positions kept.  Together with q_pack_slices this
+    puts both order contracts (writer order, epoch permutation) and
+    both resume forms under the driver's hash gate."""
+    import shutil
+    import tempfile
+
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    docs = load_table(spark, sf, "documents").df
+    trunc = _first_words(docs, 8)
+    enc = bpe.bpe_encode(
+        trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
+    )
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
+    seqs = packing.materialize_sequences(
+        enc, layout, max_tokens=32, pad_id=-1
+    ).localCheckpoint()
+    tmp = tempfile.mkdtemp(prefix="pw_pack_slices_epoch_")
+    try:
+        packing.write_packed_dataset(seqs, tmp, max_tokens=32)
+        parts = []
+        for r in range(2):
+            sl, _info = packing.read_packed_slices(
+                spark, tmp, 2, r, epoch_seed=7,
+                skip_seqs=3 if r == 0 else 0,
+            )
+            parts.append(sl.withColumn("rank", F.lit(r).cast("long")))
+        union = parts[0].unionByName(parts[1]).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return union.select(
+        "rank",
+        "position",
+        "shard",
+        "seq_id",
+        F.array_join("token_ids", ",").alias("tokens"),
+        "n_tokens",
+        _spans_str().alias("spans"),
+        "oversized",
+    )
+
+
 def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     """The full-corpus-recipe CAPSTONE (VERDICT r9 item 3): the pipeline
     a data team actually runs, composed in ONE driver row — plant page
@@ -3711,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_windowby_predicate": q_windowby_predicate,
         # --- NEW r11: no driver row yet ---
         "q_pack_slices": q_pack_slices,
+        "q_pack_slices_epoch": q_pack_slices_epoch,
         # --- latest driver row r9 (stalest remaining): fill the budget ---
         "q_lang_id": q_lang_id,
         "q_token_splitter": q_token_splitter,
@@ -3726,9 +3778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": q_fuzzy_match,
         "q_pagerank": q_pagerank,
         "q_json_props": q_json_props,
-        "q_bellman_ford": q_bellman_ford,
         # --- latest driver row r9: behind the ~50 cap this round;
         # rotates forward in r12. ---
+        "q_bellman_ford": q_bellman_ford,
         "q_rerank": q_rerank,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
@@ -6178,6 +6230,28 @@ def oracle_sql() -> dict[str, str]:
                        shard, seq_id, tokens, n_tokens, spans, oversized
                 FROM out
             ) WHERE rank <> 1 OR position >= 2
+        """,
+        "q_pack_slices_epoch": f"""
+            -- the q_train_sequences replay sliced by rank = shard % 2,
+            -- re-permuted per rank by the md5 epoch shuffle (the exact
+            -- q_shuffle order contract over the shard:seq_id key at
+            -- seed 7), rank 0 resuming mid-epoch at skip_seqs=3 with
+            -- absolute positions kept
+            WITH RECURSIVE {_train_fold_cte()},
+            out AS ({_TRAIN_SEQ_SELECT}
+            )
+            SELECT * FROM (
+                SELECT shard % 2 AS rank,
+                       row_number() OVER (
+                           PARTITION BY shard % 2
+                           ORDER BY md5(shard::VARCHAR || ':'
+                                        || seq_id::VARCHAR || ':7'),
+                                    shard::VARCHAR || ':'
+                                        || seq_id::VARCHAR
+                       ) - 1 AS position,
+                       shard, seq_id, tokens, n_tokens, spans, oversized
+                FROM out
+            ) WHERE rank <> 0 OR position >= 3
         """,
         "q_train_cut": f"""
             -- real-token concatenate-and-cut replay: the longest-match

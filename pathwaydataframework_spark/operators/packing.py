@@ -548,35 +548,43 @@ def packing_efficiency(
     cap = F.lit(int(max_tokens))
     over = F.col("n_tokens") > cap
     pad = F.when(over, F.lit(0)).otherwise(cap - F.col("n_tokens"))
-    return (
-        sequences.groupBy(*keys)
-        .agg(
+    return _with_waste_fracs(
+        sequences.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("n_seqs"),
             F.sum("n_tokens").cast("long").alias("real_tokens"),
             F.sum(pad).cast("long").alias("padded_slots"),
             F.sum(over.cast("long")).cast("long").alias("oversized_seqs"),
-        )
-        .withColumn(
-            "waste_frac",
-            F.round(
-                F.col("padded_slots")
-                / (F.col("padded_slots") + F.col("real_tokens")),
-                6,
+        ),
+        max_tokens,
+    )
+
+
+def _with_waste_fracs(stats: DataFrame, max_tokens: int) -> DataFrame:
+    """Attach ``waste_frac`` / ``capped_waste_frac`` to a
+    (n_seqs, real_tokens, padded_slots, oversized_seqs) stats frame —
+    shared by :func:`packing_efficiency` and
+    :func:`write_packed_dataset`'s manifest fold so the two paths'
+    arithmetic (including the ROUNDING) can never drift."""
+    cap = F.lit(int(max_tokens))
+    return stats.withColumn(
+        "waste_frac",
+        F.round(
+            F.col("padded_slots")
+            / (F.col("padded_slots") + F.col("real_tokens")),
+            6,
+        ),
+    ).withColumn(
+        "capped_waste_frac",
+        F.round(
+            F.col("padded_slots")
+            / (
+                F.nullif(
+                    F.col("n_seqs") - F.col("oversized_seqs"), F.lit(0)
+                )
+                * cap
             ),
-        )
-        .withColumn(
-            "capped_waste_frac",
-            F.round(
-                F.col("padded_slots")
-                / (
-                    F.nullif(
-                        F.col("n_seqs") - F.col("oversized_seqs"), F.lit(0)
-                    )
-                    * cap
-                ),
-                6,
-            ),
-        )
+            6,
+        ),
     )
 
 
@@ -771,6 +779,7 @@ def write_packed_dataset(
     *,
     max_tokens: int | None = None,
     mode: str = "overwrite",
+    stats: str = "rescan",
 ) -> dict:
     """The terminal step of the tokenize-to-train pipeline: persist a
     packed sequence frame as the parquet layout a trainer's loader
@@ -810,26 +819,43 @@ def write_packed_dataset(
     with a plain local-file fallback under Spark Connect (file:// and
     the single-slash file:/ form both strip to local paths).
 
-    Cost contract for ``mode='append'``: the stats read-back scans the
-    WHOLE dataset on every append — one count+sum aggregate over all
-    shards (column-pruned to ``n_tokens`` + the ``shard`` partition
-    value, so it reads one column of parquet, not the token arrays;
-    minutes at 100 TB, trivial below).  That is the price of a manifest
-    that can never diverge from disk.  A high-frequency-append pipeline
-    (hundreds of appends/day) that finds the rescan dominating should
-    instead fold delta stats into the PRIOR manifest (validate, write,
-    then ``prior.shards ⊎ stats(new_rows_only)``) — O(batch) per
-    append, at the price of trusting every earlier manifest was honest
-    (an out-of-band dataset mutation goes undetected until the next
-    ``read_packed_dataset(validate=True)``).  This module keeps the
-    rescan deliberately: appends here are epoch-granular, and the
+    Cost contract for ``mode='append'``: with the default
+    ``stats='rescan'`` the stats read-back scans the WHOLE dataset on
+    every append — one count+sum aggregate over all shards
+    (column-pruned to ``n_tokens`` + the ``shard`` partition value, so
+    it reads one column of parquet, not the token arrays; minutes at
+    100 TB, trivial below).  That is the price of a manifest that can
+    never diverge from disk, and the default stays rescan because the
     loader's validate gate relies on manifest-equals-disk being
-    unconditional.
+    unconditional.  A high-frequency-append pipeline (hundreds of
+    appends/day) that finds the rescan dominating passes
+    ``stats='fold'``: the prior manifest is validated as usual, only
+    the BATCH input is aggregated (O(batch)), and its per-shard stats
+    fold into the prior manifest's (``prior.shards ⊎ stats(batch)``,
+    waste fractions recomputed from the merged sums through the SAME
+    expressions as the rescan).  The trade, stated plainly: the fold
+    TRUSTS every earlier manifest — an out-of-band dataset mutation
+    goes undetected until the next
+    ``read_packed_dataset(validate=True)`` — and its stats pass
+    re-executes the input expression once (localCheckpoint upstream if
+    that lineage is expensive).  ``stats='fold'`` therefore requires
+    ``mode='append'`` onto an existing manifest; everywhere else the
+    rescan already reads exactly what was just written.
     """
     import json
 
+    if stats not in ("rescan", "fold"):
+        raise ValueError(
+            f"stats must be 'rescan' or 'fold', got {stats!r}"
+        )
+    if stats == "fold" and mode != "append":
+        raise ValueError(
+            "stats='fold' only applies to mode='append' — other modes' "
+            "rescan already reads exactly what this call wrote"
+        )
     spark = sequences.sparkSession
     read_manifest, write_manifest = _manifest_io(spark, path)
+    prior = None
     if mode in ("append", "ignore"):
         prior = read_manifest()
         if prior is not None:
@@ -871,25 +897,82 @@ def write_packed_dataset(
                     f"{prior.get('max_tokens')}, this call passed "
                     f"{max_tokens}"
                 )
+    if stats == "fold" and prior is None:
+        raise ValueError(
+            "stats='fold' needs an existing _manifest.json at "
+            f"{path!r} to fold into; write the first batch with the "
+            "default stats='rescan'"
+        )
     out = (
         sequences.repartition("shard")
         .sortWithinPartitions("shard", "seq_id")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
-    # explicit schema: an EMPTY write leaves only _SUCCESS behind, where
-    # schema inference fails — a legitimately empty dataset must still
-    # yield its n_seqs=0 manifest, not crash the terminal step
-    written = spark.read.schema(sequences.schema).parquet(path)
-    if max_tokens is not None:
-        stats = packing_efficiency(written, max_tokens)
-    else:
-        stats = written.groupBy("shard").agg(
-            F.count(F.lit(1)).alias("n_seqs"),
-            F.sum("n_tokens").cast("long").alias("real_tokens"),
+    if stats == "fold":
+        # O(batch): aggregate THIS call's input and fold into the prior
+        # manifest's per-shard sums; waste fractions recomputed from the
+        # merged sums through the same expressions as the rescan path
+        sum_keys = ["n_seqs", "real_tokens"] + (
+            ["padded_slots", "oversized_seqs"]
+            if max_tokens is not None
+            else []
         )
-    shards = sorted(
-        (r.asDict() for r in stats.collect()), key=lambda r: r["shard"]
-    )
+        if max_tokens is not None:
+            delta_df = packing_efficiency(sequences, max_tokens)
+        else:
+            delta_df = sequences.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("n_tokens").cast("long").alias("real_tokens"),
+            )
+        merged: dict[int, dict] = {
+            int(r["shard"]): {k: int(r[k]) for k in sum_keys}
+            for r in prior["shards"]
+        }
+        for r in delta_df.collect():
+            m = merged.setdefault(
+                int(r["shard"]), {k: 0 for k in sum_keys}
+            )
+            for k in sum_keys:
+                m[k] += int(r[k])
+        if max_tokens is not None:
+            mdf = spark.createDataFrame(
+                [
+                    (s, m["n_seqs"], m["real_tokens"], m["padded_slots"],
+                     m["oversized_seqs"])
+                    for s, m in merged.items()
+                ],
+                "shard long, n_seqs long, real_tokens long, "
+                "padded_slots long, oversized_seqs long",
+            )
+            shards = sorted(
+                (
+                    r.asDict()
+                    for r in _with_waste_fracs(mdf, max_tokens).collect()
+                ),
+                key=lambda r: r["shard"],
+            )
+        else:
+            shards = sorted(
+                ({"shard": s, **m} for s, m in merged.items()),
+                key=lambda r: r["shard"],
+            )
+    else:
+        # explicit schema: an EMPTY write leaves only _SUCCESS behind,
+        # where schema inference fails — a legitimately empty dataset
+        # must still yield its n_seqs=0 manifest, not crash the
+        # terminal step
+        written = spark.read.schema(sequences.schema).parquet(path)
+        if max_tokens is not None:
+            stats_df = packing_efficiency(written, max_tokens)
+        else:
+            stats_df = written.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum("n_tokens").cast("long").alias("real_tokens"),
+            )
+        shards = sorted(
+            (r.asDict() for r in stats_df.collect()),
+            key=lambda r: r["shard"],
+        )
     # columns/max_tokens state the CALLER's dataset contract (the schema
     # the read-back is performed under, in stable input order — the
     # explicit-schema read reorders nothing and never infers); the stats

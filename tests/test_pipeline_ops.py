@@ -2060,3 +2060,63 @@ def test_read_packed_slices_validation(spark, packed_ds):
     # world_size=1 degenerates to the whole dataset in writer order
     whole, info = packing.read_packed_slices(spark, path, 1, 0)
     assert whole.count() == len(want) == info["n_seqs"]
+
+def test_write_packed_dataset_stats_fold_matches_rescan(spark, tmp_path):
+    """stats='fold' (the O(batch) append-manifest update) produces
+    manifests IDENTICAL to the default whole-dataset rescan when the
+    prior manifests are honest — including the waste fractions, which
+    are recomputed from the merged sums through the same expressions —
+    and the folded manifest still satisfies the loader's validate
+    gate.  Misuse raises: fold outside append, fold with no prior
+    manifest, an unknown stats value."""
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    v = {"a": 0, "b": 1, "ab": 2}
+    df = spark.createDataFrame(
+        [(d, "ab a b" if d % 2 else "a b") for d in range(40)],
+        "doc_id long, text string",
+    )
+    enc = bpe.bpe_encode(df, v, append_eos_id=9)
+    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 8, shards=4)
+    seqs = packing.materialize_sequences(
+        enc, layout, max_tokens=8, pad_id=-1
+    ).localCheckpoint()
+    half0 = seqs.filter(F.col("seq_id") % 2 == 0)
+    half1 = seqs.filter(F.col("seq_id") % 2 == 1)
+    pr, pf = str(tmp_path / "rescan"), str(tmp_path / "fold")
+    assert packing.write_packed_dataset(
+        half0, pr, max_tokens=8
+    ) == packing.write_packed_dataset(half0, pf, max_tokens=8)
+    m_rescan = packing.write_packed_dataset(
+        half1, pr, max_tokens=8, mode="append"
+    )
+    m_fold = packing.write_packed_dataset(
+        half1, pf, max_tokens=8, mode="append", stats="fold"
+    )
+    assert m_fold == m_rescan
+    # the folded manifest still matches what is actually on disk
+    _, m = packing.read_packed_dataset(spark, pf, validate=True)
+    assert m == m_fold
+    # the no-cap flavor folds plain counts the same way
+    nr, nf = str(tmp_path / "nocap_r"), str(tmp_path / "nocap_f")
+    packing.write_packed_dataset(half0, nr)
+    packing.write_packed_dataset(half0, nf)
+    assert packing.write_packed_dataset(
+        half1, nr, mode="append"
+    ) == packing.write_packed_dataset(
+        half1, nf, mode="append", stats="fold"
+    )
+    # misuse fails fast
+    with pytest.raises(ValueError, match="only applies to mode='append'"):
+        packing.write_packed_dataset(
+            half0, str(tmp_path / "x"), max_tokens=8, stats="fold"
+        )
+    with pytest.raises(ValueError, match="existing _manifest"):
+        packing.write_packed_dataset(
+            half0, str(tmp_path / "y"), max_tokens=8, mode="append",
+            stats="fold",
+        )
+    with pytest.raises(ValueError, match="stats must be"):
+        packing.write_packed_dataset(
+            half0, str(tmp_path / "z"), max_tokens=8, stats="bogus"
+        )
