@@ -2120,3 +2120,19 @@ def test_write_packed_dataset_stats_fold_matches_rescan(spark, tmp_path):
         packing.write_packed_dataset(
             half0, str(tmp_path / "z"), max_tokens=8, stats="bogus"
         )
+
+def test_read_packed_slices_prunes_shard_partitions(spark, packed_ds):
+    """The scale property the rank rule exists for: the slice filter is
+    a predicate on the shard PARTITION column, so the parquet scan's
+    PartitionFilters carry `shard % world == rank` — each rank lists
+    and reads only its own shard directories, never the other ranks'
+    files.  Guarded here so a refactor that moves the filter above a
+    projection (breaking pushdown) fails loudly."""
+    path, _ = packed_ds
+    sl, _info = packing.read_packed_slices(spark, path, 2, 1)
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m, "no PartitionFilters in the scan node"
+    assert re.search(r"shard#\d+L? % 2\) = 1", m.group(1)), m.group(1)
