@@ -157,6 +157,12 @@ def _wrap_dibs(strf: bytes, frames: list[bytes]) -> list[bytes]:
         if w <= 0 or h <= 0 or bpp != (8 if compression == 1 else 4):
             return []
         need = 2  # at least the end-of-bitmap escape
+    elif compression == 3:  # BI_BITFIELDS: masks ride in the strf tail,
+        # landing at byte 54 of the wrapped BMP — exactly where the
+        # bmp.py kernel reads them
+        if w <= 0 or h == 0 or bpp not in (16, 32) or len(strf) < 52:
+            return []
+        need = (w * bpp + 31) // 32 * 4 * abs(h)
     else:
         return []
     pix_off = 14 + len(strf)
@@ -190,8 +196,8 @@ def dib_frames(data: bytes) -> list[bytes]:
 def image_frames(data: bytes) -> list[bytes]:
     """AVI bytes → standalone image blobs, one per frame, in ONE RIFF
     walk — the dispatch ``frame_sample`` uses: a stream whose strf
-    declares BI_RGB or BI_RLE8/BI_RLE4 wraps its DIB payloads as
-    BMPs; anything else
+    declares BI_RGB, BI_RLE8/BI_RLE4 or BI_BITFIELDS wraps its DIB
+    payloads as BMPs; anything else
     (declared MJPG, or headerless movi-only capture files with no strf
     at all) keeps the complete-JPEG payloads.  Checking the declared
     compression FIRST prevents a raw BGR frame that happens to start
@@ -203,7 +209,7 @@ def image_frames(data: bytes) -> list[bytes]:
     strf = _first_vids_strf(headers)
     if strf is not None:
         (compression,) = struct.unpack_from("<I", strf, 16)
-        if compression in (0, 1, 2):  # BI_RGB / BI_RLE8 / BI_RLE4
+        if compression in (0, 1, 2, 3):  # BI_RGB / RLE8 / RLE4 / BITFIELDS
             return _wrap_dibs(strf, frames)
     return [f for f in frames if f[:2] == b"\xff\xd8"]
 

@@ -295,3 +295,57 @@ def test_avi_rle8_hostile_headers_and_short_chunks():
     body = data[12 : 8 + int.from_bytes(data[4:8], "little")]
     patched_tree = avi._chunk(b"RIFF", b"AVI " + body + movi_extra)
     assert len(avi.dib_frames(patched_tree)) == 2
+
+def test_avi_bitfields_dib_stream_wraps_and_decodes():
+    """A BI_BITFIELDS DIB stream (compression=3, 16-bit R5G6B5 with the
+    channel masks in the strf tail) wraps into standalone BMPs whose
+    masks land at byte 54 — exactly where the bmp.py kernel reads them —
+    and decodes to the mask-scaled RGB the kernel's _from_masks math
+    defines."""
+    import struct as s
+
+    from pathwaydataframework_spark.operators import bmp
+
+    w, h = 3, 2
+    # R5G6B5 pixels, chosen so each 5/6-bit channel scales exactly:
+    # 0xF800 = pure red, 0x07E0 = pure green, 0x001F = pure blue
+    lines = [  # bottom-up storage order
+        [0xF800, 0x07E0, 0x001F],
+        [0x0000, 0xFFFF, 0xF81F],
+    ]
+    row_bytes = (w * 16 + 31) // 32 * 4  # 8: 6 px bytes + 2 pad
+    payload = b"".join(
+        b"".join(s.pack("<H", p) for p in row) + b"\x00" * (row_bytes - w * 2)
+        for row in lines
+    )
+    strf = s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 16, 3, len(payload), 0, 0, 0, 0
+    ) + s.pack("<III", 0xF800, 0x07E0, 0x001F)
+    strh = b"vids" + b"\x00" * 52
+    hdrl = avi._list(
+        b"hdrl",
+        avi._chunk(b"avih", b"\x00" * 56)
+        + avi._list(b"strl", avi._chunk(b"strh", strh)
+                    + avi._chunk(b"strf", strf)),
+    )
+    movi = avi._list(b"movi", avi._chunk(b"00db", payload))
+    data = avi._chunk(b"RIFF", b"AVI " + hdrl + movi)
+    assert avi.video_format(data)["compression"] == 3
+    (blob,) = avi.dib_frames(data)
+    assert avi.image_frames(data) == [blob]
+    got = bmp.decode(blob)
+    # top row = line 1 (bottom-up flip)
+    expect = np.array(
+        [
+            [[0, 0, 0], [255, 255, 255], [255, 0, 255]],
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        ],
+        dtype=np.uint8,
+    )
+    assert (got == expect).all()
+    # a masks-less BITFIELDS strf (40 bytes, nothing at the tail) or an
+    # unsupported depth yields no frames instead of a broken wrap
+    bad = bytearray(data)
+    off = bad.index(b"strf") + 8
+    s.pack_into("<H", bad, off + 14, 24)  # bpp 24 under BITFIELDS
+    assert avi.dib_frames(bytes(bad)) == []
