@@ -2136,3 +2136,30 @@ def test_read_packed_slices_prunes_shard_partitions(spark, packed_ds):
     m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
     assert m, "no PartitionFilters in the scan node"
     assert re.search(r"shard#\d+L? % 2\) = 1", m.group(1)), m.group(1)
+
+def test_read_packed_slices_never_touches_foreign_shards(spark, tmp_path):
+    """Execution-time proof of the pruning contract: after the slice
+    plan exists, DELETE every shard directory the rank does not own —
+    the slice still executes (it never opens foreign files), while the
+    un-sliced read fails on the missing files.  At 1000 ranks this is
+    the difference between each rank reading 1/1000th of the object
+    store and every rank reading all of it."""
+    import glob
+    import shutil as sh
+
+    seqs = spark.range(8000).select(
+        (F.col("id") % 8).alias("shard"),
+        (F.col("id") / 8).cast("long").alias("seq_id"),
+        F.array(F.col("id")).alias("token_ids"),
+        F.lit(1).cast("long").alias("n_tokens"),
+    )
+    path = str(tmp_path / "prune_proof")
+    packing.write_packed_dataset(seqs, path)
+    sl, _ = packing.read_packed_slices(spark, path, 4, 1, validate=False)
+    full, _ = packing.read_packed_dataset(spark, path, validate=False)
+    for d in glob.glob(path + "/shard=*"):
+        if int(d.rsplit("=", 1)[1]) % 4 != 1:
+            sh.rmtree(d)
+    assert sl.count() == 2000  # shards 1 and 5 = 1/4 of the rows
+    with pytest.raises(Exception):
+        full.count()  # the full read DOES need the deleted directories
