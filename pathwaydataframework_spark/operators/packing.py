@@ -1079,6 +1079,7 @@ def read_packed_slices(
     *,
     epoch_seed: int | None = None,
     skip_seqs: int = 0,
+    equalize: bool = False,
     validate: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The trainer-facing contract over :func:`read_packed_dataset`:
@@ -1101,8 +1102,17 @@ def read_packed_slices(
     straight from the manifest's per-shard ``n_seqs``) so the caller
     can check balance — with equal-size packed sequences, step counts
     per epoch differ across ranks by at most
-    ``max(rank_seqs) - min(rank_seqs)``; a loader that must equalize
-    drops each rank's tail beyond ``min(rank_seqs)``.
+    ``max(rank_seqs) - min(rank_seqs)``.  ``equalize=True`` applies the
+    standard distributed-sampler remedy: every rank keeps only its
+    first ``min(rank_seqs)`` positions (in the epoch order, i.e. AFTER
+    the shuffle when ``epoch_seed`` is set), so all ranks take exactly
+    the same number of steps and a fixed-step training loop's collective
+    ops can never desynchronize; the dropped tail is at most
+    ``max - min`` sequences on the largest rank, and a different
+    ``epoch_seed`` rotates which sequences sit in the dropped tail.
+    The cutoff is manifest arithmetic (min over ``rank_seqs``) — no
+    extra scan — and ``skip_seqs`` composes on top (resume inside the
+    equalized epoch).
 
     Order contract: with ``epoch_seed=None``, ``position`` numbers the
     slice in ascending ``(shard, seq_id)`` — the writer's in-file order,
@@ -1182,6 +1192,10 @@ def read_packed_slices(
             "__slice_key",
             seed=int(epoch_seed),
         ).drop("__slice_key")
+    n_kept = rank_seqs[rank]
+    if equalize:
+        n_kept = min(rank_seqs)
+        sliced = sliced.filter(F.col("position") < n_kept)
     if skip_seqs:
         sliced = sliced.filter(F.col("position") >= skip_seqs)
     info = {
@@ -1189,8 +1203,9 @@ def read_packed_slices(
         "rank": rank,
         "epoch_seed": epoch_seed,
         "skip_seqs": skip_seqs,
+        "equalize": equalize,
         "shards": assigned,
-        "n_seqs": rank_seqs[rank],
+        "n_seqs": n_kept,
         "rank_seqs": rank_seqs,
         "manifest": manifest,
     }

@@ -2163,3 +2163,32 @@ def test_read_packed_slices_never_touches_foreign_shards(spark, tmp_path):
     assert sl.count() == 2000  # shards 1 and 5 = 1/4 of the rows
     with pytest.raises(Exception):
         full.count()  # the full read DOES need the deleted directories
+
+def test_read_packed_slices_equalize(spark, packed_ds):
+    """equalize=True clips every rank to min(rank_seqs) positions — the
+    standard distributed-sampler remedy so fixed-step collective ops
+    never desynchronize; composes with skip_seqs, and the cutoff is
+    manifest arithmetic (info reflects the equalized count)."""
+    path, _ = packed_ds
+    rows, infos = {}, {}
+    for r in range(2):
+        df, info = packing.read_packed_slices(
+            spark, path, 2, r, equalize=True
+        )
+        rows[r], infos[r] = df.collect(), info
+    m = min(infos[0]["rank_seqs"])
+    for r in range(2):
+        assert infos[r]["n_seqs"] == m == len(rows[r])
+        assert sorted(x["position"] for x in rows[r]) == list(range(m))
+    # resume composes inside the equalized epoch
+    part, _ = packing.read_packed_slices(
+        spark, path, 2, 0, equalize=True, skip_seqs=2
+    )
+    assert sorted(r["position"] for r in part.collect()) == list(
+        range(2, m)
+    )
+    # under an epoch shuffle the equalized slice is still m rows
+    shuf, _ = packing.read_packed_slices(
+        spark, path, 2, 0, epoch_seed=5, equalize=True
+    )
+    assert shuf.count() == m
