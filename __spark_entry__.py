@@ -3208,6 +3208,22 @@ def q_pack_slices(spark: SparkSession, sf: str) -> DataFrame:
     q_shuffle's already-verified contract).  Reference loader surface
     is io.fs read (/root/reference/python/pathway/io/fs/__init__.py);
     rank sharding is the Spark-native distributed-trainer analogue."""
+    return _pack_slices_union(spark, sf, world=3, skip_by_rank={1: 2})
+
+
+def _pack_slices_union(
+    spark: SparkSession,
+    sf: str,
+    *,
+    world: int,
+    skip_by_rank: dict[int, int],
+    epoch_seed: int | None = None,
+) -> DataFrame:
+    """Shared body of q_pack_slices / q_pack_slices_epoch: write the
+    q_train_sequences pipeline as a packed dataset, read every rank's
+    slice back through read_packed_slices, and return the tagged union
+    — ONE copy of the fixture pipeline so the two driver queries can
+    never desynchronize from the shared _TRAIN_SEQ_SELECT oracle."""
     import shutil
     import tempfile
 
@@ -3225,15 +3241,15 @@ def q_pack_slices(spark: SparkSession, sf: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="pw_pack_slices_")
     try:
         packing.write_packed_dataset(seqs, tmp, max_tokens=32)
-        parts = []
-        for r in range(3):
+        union = None
+        for r in range(world):
             sl, _info = packing.read_packed_slices(
-                spark, tmp, 3, r, skip_seqs=2 if r == 1 else 0
+                spark, tmp, world, r, epoch_seed=epoch_seed,
+                skip_seqs=skip_by_rank.get(r, 0),
             )
-            parts.append(sl.withColumn("rank", F.lit(r).cast("long")))
-        union = (
-            parts[0].unionByName(parts[1]).unionByName(parts[2])
-        ).localCheckpoint()
+            sl = sl.withColumn("rank", F.lit(r).cast("long"))
+            union = sl if union is None else union.unionByName(sl)
+        union = union.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return union.select(
@@ -3260,42 +3276,8 @@ def q_pack_slices_epoch(spark: SparkSession, sf: str) -> DataFrame:
     with absolute positions kept.  Together with q_pack_slices this
     puts both order contracts (writer order, epoch permutation) and
     both resume forms under the driver's hash gate."""
-    import shutil
-    import tempfile
-
-    from pathwaydataframework_spark.operators import bpe, packing
-
-    docs = load_table(spark, sf, "documents").df
-    trunc = _first_words(docs, 8)
-    enc = bpe.bpe_encode(
-        trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
-    )
-    layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
-    seqs = packing.materialize_sequences(
-        enc, layout, max_tokens=32, pad_id=-1
-    ).localCheckpoint()
-    tmp = tempfile.mkdtemp(prefix="pw_pack_slices_epoch_")
-    try:
-        packing.write_packed_dataset(seqs, tmp, max_tokens=32)
-        parts = []
-        for r in range(2):
-            sl, _info = packing.read_packed_slices(
-                spark, tmp, 2, r, epoch_seed=7,
-                skip_seqs=3 if r == 0 else 0,
-            )
-            parts.append(sl.withColumn("rank", F.lit(r).cast("long")))
-        union = parts[0].unionByName(parts[1]).localCheckpoint()
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return union.select(
-        "rank",
-        "position",
-        "shard",
-        "seq_id",
-        F.array_join("token_ids", ",").alias("tokens"),
-        "n_tokens",
-        _spans_str().alias("spans"),
-        "oversized",
+    return _pack_slices_union(
+        spark, sf, world=2, skip_by_rank={0: 3}, epoch_seed=7
     )
 
 

@@ -225,39 +225,58 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", list_type + payload)
 
 
-def encode_mjpeg(
-    frames: list[bytes], *, width: int, height: int, fps: int = 25
+def _encode_avi(
+    payloads: list[bytes],
+    *,
+    fourcc: bytes,
+    strf: bytes,
+    w: int,
+    h: int,
+    fps: int,
+    chunk_id: bytes,
 ) -> bytes:
-    """JPEG frame payloads → minimal single-stream MJPEG AVI."""
-    if not frames:
-        raise ValueError("AVI encode: no frames")
+    """Shared container assembly for the fixture encoders: one vids
+    stream (hdrl with avih/strh/strf) + a movi LIST of per-frame
+    chunks.  avih flags stay 0: no idx1 chunk is written, so
+    AVIF_HASINDEX (0x10) must be off or strict players would reject the
+    advertised-but-missing index; demuxers (ours included) stream the
+    movi list directly."""
     usec_per_frame = 1_000_000 // max(fps, 1)
-    max_bytes = max(len(f) for f in frames)
+    max_bytes = max(len(p) for p in payloads)
     avih = struct.pack(
         "<14I",
-        # flags 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10) must
-        # be off or strict players would reject the advertised-but-missing
-        # index; demuxers (ours included) stream the movi list directly
         usec_per_frame, max_bytes * fps, 0, 0,
-        len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"MJPG"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
-                      max_bytes, 0, 0, 0)
-        + struct.pack("<4H", 0, 0, width, height)
-    )
-    strf = struct.pack(  # BITMAPINFOHEADER with MJPG fourcc
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
-        width * height * 3, 0, 0, 0, 0,
+        b"vids" + fourcc
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(payloads), max_bytes, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
     )
     hdrl = _list(
         b"hdrl",
         _chunk(b"avih", avih)
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi = _list(b"movi", b"".join(_chunk(b"00dc", f) for f in frames))
+    movi = _list(b"movi", b"".join(_chunk(chunk_id, p) for p in payloads))
     return _chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def encode_mjpeg(
+    frames: list[bytes], *, width: int, height: int, fps: int = 25
+) -> bytes:
+    """JPEG frame payloads → minimal single-stream MJPEG AVI."""
+    if not frames:
+        raise ValueError("AVI encode: no frames")
+    strf = struct.pack(  # BITMAPINFOHEADER with MJPG fourcc
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    return _encode_avi(
+        frames, fourcc=b"MJPG", strf=strf, w=width, h=height, fps=fps,
+        chunk_id=b"00dc",
+    )
 
 
 def encode_dib(frames: list, *, fps: int = 25) -> bytes:
@@ -284,29 +303,13 @@ def encode_dib(frames: list, *, fps: int = 25) -> bytes:
         return rows.tobytes()
 
     payloads = [dib(a) for a in arrs]
-    usec_per_frame = 1_000_000 // max(fps, 1)
-    max_bytes = max(len(p) for p in payloads)
-    avih = struct.pack(
-        "<14I",
-        usec_per_frame, max_bytes * fps, 0, 0,
-        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
-    )
-    strh = (
-        b"vids" + b"DIB "
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads),
-                      max_bytes, 0, 0, 0)
-        + struct.pack("<4H", 0, 0, w, h)
-    )
     strf = struct.pack(  # BITMAPINFOHEADER, biCompression=0 (BI_RGB)
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0,
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    return _encode_avi(
+        payloads, fourcc=b"DIB ", strf=strf, w=w, h=h, fps=fps,
+        chunk_id=b"00db",
     )
-    movi = _list(b"movi", b"".join(_chunk(b"00db", p) for p in payloads))
-    return _chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 def encode_rle8(frames: list, palette, *, fps: int = 25) -> bytes:
@@ -336,28 +339,12 @@ def encode_rle8(frames: list, palette, *, fps: int = 25) -> bytes:
         raise ValueError("AVI RLE8 encode: palette index out of range")
     h, w = arrs[0].shape
     payloads = [bmp.rle8_compress(a) for a in arrs]
-    usec_per_frame = 1_000_000 // max(fps, 1)
-    max_bytes = max(len(p) for p in payloads)
-    avih = struct.pack(
-        "<14I",
-        usec_per_frame, max_bytes * fps, 0, 0,
-        len(payloads), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
-    )
-    strh = (
-        b"vids" + b"RLE8"
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(payloads),
-                      max_bytes, 0, 0, 0)
-        + struct.pack("<4H", 0, 0, w, h)
-    )
     pal_bytes = b"".join(bytes((b, g, r, 0)) for r, g, b in pal)
     strf = struct.pack(  # BITMAPINFOHEADER, biCompression=1 (BI_RLE8)
-        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, max_bytes, 2835, 2835,
-        len(pal), len(pal),
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, max(len(p) for p in payloads),
+        2835, 2835, len(pal), len(pal),
     ) + pal_bytes
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    return _encode_avi(
+        payloads, fourcc=b"RLE8", strf=strf, w=w, h=h, fps=fps,
+        chunk_id=b"00dc",
     )
-    movi = _list(b"movi", b"".join(_chunk(b"00dc", p) for p in payloads))
-    return _chunk(b"RIFF", b"AVI " + hdrl + movi)

@@ -837,8 +837,14 @@ def write_packed_dataset(
     TRUSTS every earlier manifest — an out-of-band dataset mutation
     goes undetected until the next
     ``read_packed_dataset(validate=True)`` — and its stats pass
-    re-executes the input expression once (localCheckpoint upstream if
-    that lineage is expensive).  ``stats='fold'`` therefore requires
+    RE-EXECUTES the input expression after the write, which is a
+    CORRECTNESS requirement, not just a cost: a non-deterministic
+    input (an unseeded ``sample``, a ``limit`` over a shuffle) would
+    write one row set and fold the stats of another, producing a
+    manifest that silently diverges from disk until the loader's
+    validate gate rejects the dataset.  ``localCheckpoint`` such
+    lineage before calling (the rescan path is immune — it reads the
+    written files back).  ``stats='fold'`` therefore requires
     ``mode='append'`` onto an existing manifest; everywhere else the
     rescan already reads exactly what was just written.
     """
@@ -1133,13 +1139,20 @@ def read_packed_slices(
     exactly the tail the interrupted run never consumed.  Each rank
     passes ITS OWN consumed count — ranks advance independently.
 
-    ``validate`` is :func:`read_packed_dataset`'s on-disk-totals gate
-    (one count+sum scan); the position arithmetic additionally trusts
-    the manifest's per-shard ``n_seqs``, which that gate cross-checks
-    in aggregate.  Returns ``(DataFrame, info)`` where the frame is the
-    manifest's columns plus ``position`` and info carries the slice
-    accounting (assigned shards, per-rank totals, the manifest itself).
+    ``validate`` checks on-disk totals against the manifest LIKE
+    :func:`read_packed_dataset`'s gate, but scoped to THIS RANK's
+    slice: the count+sum scan runs over the rank's shard directories
+    only (the same pruning as the data read — a 1000-rank job start
+    costs each rank 1/1000th of a scan, not 1000 whole-dataset scans)
+    and compares against the manifest's per-shard sums for the
+    assigned shards.  The starved-rank check needs only the manifest,
+    so it runs BEFORE any scan.  Returns ``(DataFrame, info)`` where
+    the frame is the manifest's columns plus ``position`` and info
+    carries the slice accounting (assigned shards, per-rank totals,
+    the manifest itself).
     """
+    import json
+
     if world_size < 1:
         raise ValueError(f"world_size must be >= 1, got {world_size}")
     if not (0 <= rank < world_size):
@@ -1148,7 +1161,14 @@ def read_packed_slices(
         )
     if skip_seqs < 0:
         raise ValueError(f"skip_seqs must be >= 0, got {skip_seqs}")
-    df, manifest = read_packed_dataset(spark, path, validate=validate)
+    read_manifest, _ = _manifest_io(spark, path)
+    raw = read_manifest()
+    if raw is None:
+        raise FileNotFoundError(
+            f"no _manifest.json at {path!r} — not a packed dataset "
+            "(write it with write_packed_dataset)"
+        )
+    manifest = json.loads(raw)
     per_rank: list[list[dict]] = [[] for _ in range(world_size)]
     for s in manifest["shards"]:
         per_rank[int(s["shard"]) % world_size].append(s)
@@ -1162,7 +1182,24 @@ def read_packed_slices(
         )
     rank_seqs = [sum(int(s["n_seqs"]) for s in ss) for ss in per_rank]
     assigned = sorted(int(s["shard"]) for s in per_rank[rank])
+    df, _ = read_packed_dataset(spark, path, validate=False)
     sliced = df.filter(F.col("shard") % world_size == rank)
+    if validate:
+        want_n = rank_seqs[rank]
+        want_tok = sum(int(s["real_tokens"]) for s in per_rank[rank])
+        row = sliced.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok"),
+        ).first()
+        if int(row["n"]) != want_n or int(row["tok"]) != want_tok:
+            raise ValueError(
+                f"rank {rank}'s slice of the packed dataset at "
+                f"{path!r} does not match its manifest: on disk "
+                f"n_seqs={int(row['n'])} real_tokens={int(row['tok'])},"
+                f" manifest claims n_seqs={want_n} "
+                f"real_tokens={want_tok} for shards {assigned} — the "
+                "dataset was modified outside write_packed_dataset"
+            )
     if epoch_seed is None:
         offsets, acc = [], 0
         for s in sorted(per_rank[rank], key=lambda s: int(s["shard"])):

@@ -2192,3 +2192,39 @@ def test_read_packed_slices_equalize(spark, packed_ds):
         spark, path, 2, 0, epoch_seed=5, equalize=True
     )
     assert shuf.count() == m
+
+def test_read_packed_slices_validation_is_rank_scoped(spark, tmp_path):
+    """The validate gate scans only the rank's OWN shard directories
+    (the same pruning as the data read — a 1000-rank job start must not
+    pay 1000 whole-dataset scans): corrupting one rank's shard fails
+    THAT rank's validation with a rank-scoped message, while the other
+    rank still validates green; the starved-rank check needs only the
+    manifest, so it fires even with every data file gone."""
+    import glob
+    import os
+
+    seqs = spark.range(4000).select(
+        (F.col("id") % 4).alias("shard"),
+        (F.col("id") / 4).cast("long").alias("seq_id"),
+        F.array(F.col("id")).alias("token_ids"),
+        F.lit(1).cast("long").alias("n_tokens"),
+    )
+    path = str(tmp_path / "rank_scoped")
+    packing.write_packed_dataset(seqs, path)
+    # corrupt a shard rank 1 owns (shard=1): drop one parquet file
+    (victim,) = glob.glob(path + "/shard=1")
+    part = glob.glob(victim + "/*.parquet")[0]
+    os.remove(part)
+    with pytest.raises(ValueError, match="rank 1's slice"):
+        packing.read_packed_slices(spark, path, 2, 1)[0]
+    # rank 0 (shards 0 and 2) is untouched and validates green
+    df, info = packing.read_packed_slices(spark, path, 2, 0)
+    assert df.count() == info["n_seqs"] == 2000
+    # the starved check is manifest arithmetic — no scan, so it fires
+    # even after all data files are gone
+    for d in glob.glob(path + "/shard=*"):
+        import shutil as sh
+
+        sh.rmtree(d)
+    with pytest.raises(ValueError, match="starves rank"):
+        packing.read_packed_slices(spark, path, 5, 0)
