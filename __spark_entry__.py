@@ -3218,6 +3218,7 @@ def _pack_slices_union(
     world: int,
     skip_by_rank: dict[int, int],
     epoch_seed: int | None = None,
+    equalize: bool = False,
 ) -> DataFrame:
     """Shared body of q_pack_slices / q_pack_slices_epoch: write the
     q_train_sequences pipeline as a packed dataset, read every rank's
@@ -3245,7 +3246,7 @@ def _pack_slices_union(
         for r in range(world):
             sl, _info = packing.read_packed_slices(
                 spark, tmp, world, r, epoch_seed=epoch_seed,
-                skip_seqs=skip_by_rank.get(r, 0),
+                skip_seqs=skip_by_rank.get(r, 0), equalize=equalize,
             )
             sl = sl.withColumn("rank", F.lit(r).cast("long"))
             union = sl if union is None else union.unionByName(sl)
@@ -3261,6 +3262,23 @@ def _pack_slices_union(
         "n_tokens",
         _spans_str().alias("spans"),
         "oversized",
+    )
+
+
+def q_pack_equalize(spark: SparkSession, sf: str) -> DataFrame:
+    """The loader's EQUALIZE mode under the oracle gate: the same
+    packed dataset read as world_size=2 rank slices with
+    ``equalize=True`` — every rank keeps only its first
+    ``min(rank_seqs)`` writer-order positions, the distributed-sampler
+    remedy that makes all ranks take the same step count so fixed-step
+    collective ops can never desynchronize.  The SQL replay states the
+    cutoff independently: the scalar min over per-rank counts, applied
+    as ``position < m`` — so both the per-rank numbering AND the
+    cross-rank minimum arithmetic must match.  The engine computes the
+    cutoff from manifest arithmetic alone (no extra scan —
+    packing.read_packed_slices docstring)."""
+    return _pack_slices_union(
+        spark, sf, world=2, skip_by_rank={}, equalize=True
     )
 
 
@@ -3745,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r11: no driver row yet ---
         "q_pack_slices": q_pack_slices,
         "q_pack_slices_epoch": q_pack_slices_epoch,
+        "q_pack_equalize": q_pack_equalize,
         # --- latest driver row r9 (stalest remaining): fill the budget ---
         "q_lang_id": q_lang_id,
         "q_token_splitter": q_token_splitter,
@@ -3759,9 +3778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate": q_interpolate,
         "q_fuzzy_match": q_fuzzy_match,
         "q_pagerank": q_pagerank,
-        "q_json_props": q_json_props,
         # --- latest driver row r9: behind the ~50 cap this round;
         # rotates forward in r12. ---
+        "q_json_props": q_json_props,
         "q_bellman_ford": q_bellman_ford,
         "q_rerank": q_rerank,
         "q_winnow": q_winnow,
@@ -6212,6 +6231,31 @@ def oracle_sql() -> dict[str, str]:
                        shard, seq_id, tokens, n_tokens, spans, oversized
                 FROM out
             ) WHERE rank <> 1 OR position >= 2
+        """,
+        "q_pack_equalize": f"""
+            -- the q_train_sequences replay sliced by rank = shard % 2
+            -- in writer order, then CLIPPED to the cross-rank minimum
+            -- count (the distributed-sampler equalize contract): the
+            -- engine derives the cutoff from manifest arithmetic, the
+            -- replay re-derives it as min over per-rank counts
+            WITH RECURSIVE {_train_fold_cte()},
+            out AS ({_TRAIN_SEQ_SELECT}
+            ),
+            sliced AS (
+                SELECT shard % 2 AS rank,
+                       row_number() OVER (PARTITION BY shard % 2
+                                          ORDER BY shard, seq_id) - 1
+                           AS position,
+                       shard, seq_id, tokens, n_tokens, spans, oversized
+                FROM out
+            ),
+            cut AS (
+                SELECT min(c) AS m
+                FROM (SELECT count(*) AS c FROM sliced GROUP BY rank)
+            )
+            SELECT rank, position, shard, seq_id, tokens, n_tokens,
+                   spans, oversized
+            FROM sliced, cut WHERE position < m
         """,
         "q_pack_slices_epoch": f"""
             -- the q_train_sequences replay sliced by rank = shard % 2,
