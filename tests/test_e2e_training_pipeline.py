@@ -76,6 +76,44 @@ def test_full_pipeline_documents_to_shards(spark, sf_dir):
     assert shards.count() == counted.count()
     assert shards.select("shard").distinct().count() >= 1
 
+    # 8. terminal export + the trainer's rank slices (r11): no-straddle
+    #    pack → materialize → parquet+manifest → per-rank read-back;
+    #    the two ranks' slices are disjoint, complete, and each numbers
+    #    its consumption order 0..n-1 — the whole chain documents →
+    #    trainer loader end to end
+    import shutil
+    import tempfile
+
+    layout = packing.pack_no_straddle(
+        counted, "doc_id", "n_tokens", 512, shards=4
+    )
+    seqs = packing.materialize_sequences(
+        ids, layout, max_tokens=512, pad_id=0
+    ).localCheckpoint()
+    want = {
+        (r["shard"], r["seq_id"])
+        for r in seqs.select("shard", "seq_id").collect()
+    }
+    tmp = tempfile.mkdtemp(prefix="pw_e2e_pack_")
+    try:
+        manifest = packing.write_packed_dataset(seqs, tmp, max_tokens=512)
+        assert manifest["n_seqs"] == len(want)
+        got: set = set()
+        total = 0
+        for r in range(2):
+            sl, info = packing.read_packed_slices(spark, tmp, 2, r)
+            rows = sl.select("shard", "seq_id", "position").collect()
+            assert sorted(x["position"] for x in rows) == list(
+                range(len(rows))
+            )
+            assert len(rows) == info["n_seqs"]
+            got |= {(x["shard"], x["seq_id"]) for x in rows}
+            total += len(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert total == len(want)  # disjoint (no overlap lost in the union)
+    assert got == want  # complete
+
 
 def test_crawl_front_end_pipeline(spark, sf_dir):
     """The crawl front-end, composed: planted page HTML → link
