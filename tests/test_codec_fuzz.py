@@ -39,6 +39,20 @@ def _corpus():
         ),
         "avi_dib": (avi.encode_dib([img, img]), avi.dib_frames),
         "avi_dispatch": (avi.encode_dib([img]), avi.image_frames),
+        "bmp_rle8": (
+            bmp.encode_rle8(
+                (img[..., 0] // 32).astype(np.uint8),
+                [(i * 36, 255 - i * 36, i) for i in range(8)],
+            ),
+            bmp.decode,
+        ),
+        "avi_rle8": (
+            avi.encode_rle8(
+                [(img[..., 0] // 32).astype(np.uint8)] * 2,
+                [(i * 36, 255 - i * 36, i) for i in range(8)],
+            ),
+            avi.dib_frames,
+        ),
         "wav_pcm": (wavcodec.encode_pcm16(pcm), wavcodec.decode),
         "wav_ulaw": (wavcodec.encode(pcm, tag=7), wavcodec.decode),
     }
@@ -114,3 +128,69 @@ def test_deeply_nested_avi_does_not_recurse():
     data = avi._chunk(b"RIFF", b"AVI " + inner)
     (frame,) = avi.mjpeg_frames(data)
     assert frame == b"\xff\xd8payload"
+
+def test_rle_random_streams_never_escape_valueerror():
+    """Arbitrary bytes as an RLE pixel stream (the part an attacker
+    controls in a wrapped AVI frame) must decode or raise ValueError —
+    never IndexError/OverflowError/numpy bounds errors; and whenever a
+    random stream DOES decode, every emitted index must stay inside the
+    palette (the guard runs before the table lookup)."""
+    import struct as s
+
+    pal_n = 4
+    pal_bytes = b"".join(bytes([i, i, i, 0]) for i in range(pal_n))
+    pix_off = 14 + 40 + len(pal_bytes)
+
+    def wrap(stream, compression, bits, w=8, h=6):
+        return (
+            s.pack("<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off)
+            + s.pack("<IiiHHIIiiII", 40, w, h, 1, bits, compression,
+                     len(stream), 0, 0, pal_n, 0)
+            + pal_bytes
+            + stream
+        )
+
+    rng = np.random.default_rng(7)
+    decoded = rejected = 0
+    for trial in range(400):
+        if trial % 2 == 0:
+            # pure random bytes: overwhelmingly rejected
+            n = int(rng.integers(0, 40))
+            stream = bytearray(rng.integers(0, 256, n, dtype=np.uint8))
+        else:
+            # structured-random: valid-ish opcode soup (small runs,
+            # EOLs, absolute runs, deltas) closed by EOB...
+            stream = bytearray()
+            for _ in range(int(rng.integers(0, 10))):
+                op = int(rng.integers(0, 4))
+                if op == 0:
+                    stream += bytes(
+                        (int(rng.integers(1, 5)), int(rng.integers(0, 4)))
+                    )
+                elif op == 1:
+                    stream += b"\x00\x00"  # end of line
+                elif op == 2:  # absolute run of 3 (+ pad)
+                    stream += bytes(
+                        (0, 3) + tuple(rng.integers(0, 4, 3)) + (0,)
+                    )
+                else:  # small delta
+                    stream += bytes(
+                        (0, 2, int(rng.integers(0, 3)),
+                         int(rng.integers(0, 2)))
+                    )
+            stream += b"\x00\x01"
+            if trial % 4 == 3 and len(stream) > 2:
+                # ...half of those get one corrupted byte
+                stream[int(rng.integers(0, len(stream)))] = int(
+                    rng.integers(0, 256)
+                )
+        for compression, bits in ((1, 8), (2, 4)):
+            try:
+                out = bmp.decode(wrap(bytes(stream), compression, bits))
+            except ValueError:
+                rejected += 1
+                continue
+            decoded += 1
+            assert out.shape == (6, 8, 3)
+    # the property must have exercised BOTH the accept and reject paths
+    assert decoded > 0 and rejected > 0
