@@ -547,3 +547,26 @@ def test_recipe_and_epoch_pack_hazard_census(spark, sf_dir):
     # the epoch frame is consumed twice (layout + token join), so the
     # 256-row offset prefix-sum appears once per consumer and never more
     assert plans["q_epoch_pack"].count("SinglePartition") <= 2
+
+
+def test_pack_slices_hazard_census(spark, sf_dir):
+    """The r11 loader rows must not smuggle in a scale killer: the three
+    q_pack_slices* driver queries' executed-plan census — zero
+    CartesianProduct, zero row-at-a-time Python (BatchEvalPython), and
+    the shard partition filter present in every rank's scan.  The only
+    Python crossings are the fixture pipeline's two costed Arrow
+    kernels (BPE encode + pack fold) — the LOADER itself adds none.
+    q_pack_slices_epoch additionally carries deterministic_shuffle's
+    documented 256-row offset prefix sums (bounded by construction),
+    one per rank.  (The scan-level PartitionFilters pin lives in
+    test_read_packed_slices_prunes_shard_partitions — the driver rows'
+    final plans sit behind the scratch-dir localCheckpoint, which
+    replaces the scan nodes.)"""
+    for name in ("q_pack_slices", "q_pack_slices_epoch", "q_pack_equalize"):
+        df = entry.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        # the fixture pipeline's Arrow kernels ran before the
+        # checkpoint; the LOADER's own plan adds no Python crossing
+        assert plan.count("FlatMapGroupsInPandas") == 0, name
