@@ -986,6 +986,12 @@ def write_packed_dataset(
     # validated against the prior manifest above, so the contract is
     # stable across the dataset's whole write history.
     manifest = {
+        "format_version": 1,
+        # provenance an auditor needs: 'rescan' = these totals were
+        # read back from disk by THIS write; 'fold' = they fold the
+        # prior manifest's totals forward (trusted, not re-verified —
+        # the next read_packed_dataset(validate=True) re-checks disk)
+        "stats_source": stats,
         "columns": sequences.columns,
         # the full schema (types included) so read_packed_dataset can
         # reconstruct it without inference — an empty dataset leaves

@@ -2093,19 +2093,24 @@ def test_write_packed_dataset_stats_fold_matches_rescan(spark, tmp_path):
     m_fold = packing.write_packed_dataset(
         half1, pf, max_tokens=8, mode="append", stats="fold"
     )
+    # provenance: the manifest records HOW its totals were produced
+    assert m_rescan.pop("stats_source") == "rescan"
+    assert m_fold.pop("stats_source") == "fold"
     assert m_fold == m_rescan
     # the folded manifest still matches what is actually on disk
     _, m = packing.read_packed_dataset(spark, pf, validate=True)
-    assert m == m_fold
+    assert m == {**m_fold, "stats_source": "fold"}
     # the no-cap flavor folds plain counts the same way
     nr, nf = str(tmp_path / "nocap_r"), str(tmp_path / "nocap_f")
     packing.write_packed_dataset(half0, nr)
     packing.write_packed_dataset(half0, nf)
-    assert packing.write_packed_dataset(
-        half1, nr, mode="append"
-    ) == packing.write_packed_dataset(
+    nm_rescan = packing.write_packed_dataset(half1, nr, mode="append")
+    nm_fold = packing.write_packed_dataset(
         half1, nf, mode="append", stats="fold"
     )
+    assert nm_rescan.pop("stats_source") == "rescan"
+    assert nm_fold.pop("stats_source") == "fold"
+    assert nm_rescan == nm_fold
     # misuse fails fast
     with pytest.raises(ValueError, match="only applies to mode='append'"):
         packing.write_packed_dataset(
