@@ -3722,34 +3722,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r11 front (≈50-row driver budget): the 34 queries whose
-        # latest driver row is r8 (r10 checked positions 1-50; these sat
-        # at 51-84), then the NEW r11 query (the rank-sharded trainer
-        # loader), then r9-stale fill to the budget (VERDICT r10 item 1).
+        # --- r12 front (≈50-row driver budget): the 35 queries whose
+        # latest driver row is r9 (VERDICT r11 item 1; set recomputed from
+        # CORRECTNESS_r01-r11 — q_winnow is r9-stale, q_bigram_logprob is
+        # not), then the NEW r12 queries, then r10-stale fill to the budget.
+        "q_assign_shards": q_assign_shards,
+        "q_audio_dedup": q_audio_dedup,
+        "q_bellman_ford": q_bellman_ford,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_bpe_incremental": q_bpe_incremental,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_bpe_tokenize": q_bpe_tokenize,
+        "q_crawl_delay": q_crawl_delay,
+        "q_domain_quota": q_domain_quota,
+        "q_dsir": q_dsir,
+        "q_extract_links": q_extract_links,
+        "q_fetch_schedule": q_fetch_schedule,
+        "q_fetch_waves": q_fetch_waves,
+        "q_frontier": q_frontier,
+        "q_image_dedup": q_image_dedup,
+        "q_json_props": q_json_props,
+        "q_leakage_split": q_leakage_split,
+        "q_louvain_levels": q_louvain_levels,
+        "q_media_meta": q_media_meta,
+        "q_pack_cut": q_pack_cut,
+        "q_pack_efficiency": q_pack_efficiency,
+        "q_pack_incremental": q_pack_incremental,
+        "q_pack_materialize": q_pack_materialize,
+        "q_quality_classifier": q_quality_classifier,
+        "q_rerank": q_rerank,
+        "q_robots": q_robots,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_token_budget": q_token_budget,
+        "q_train_masks": q_train_masks,
+        "q_train_sequences": q_train_sequences,
+        "q_train_stream": q_train_stream,
+        "q_url_dedup": q_url_dedup,
+        "q_url_normalize": q_url_normalize,
+        "q_warc_ingest": q_warc_ingest,
+        "q_winnow": q_winnow,
+        # --- NEW r12: no driver row yet ---
+        # R12_NEW_SLOT
+        # --- latest driver row r10 (next-stalest): fill the budget ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q_argmax_supplier": q_argmax_supplier,
+        "q_asof_now": q_asof_now,
+        "q_asof_right": q_asof_right,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_boilerplate": q_boilerplate,
+        "q_bpe_merges": q_bpe_merges,
+        "q_c4_filter": q_c4_filter,
+        "q_corpus_dedup": q_corpus_dedup,
+        "q_custom_reducer": q_custom_reducer,
+        "q_decontam": q_decontam,
+        # --- latest driver row r10: behind the ~50 cap this round;
+        # rotates forward in r13. ---
+        "q_doc_retrieve": q_doc_retrieve,
+        "q_domain_filter": q_domain_filter,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_epoch_pack": q_epoch_pack,
+        "q_error_channel": q_error_channel,
+        "q_frame_sample": q_frame_sample,
+        "q_gopher_quality": q_gopher_quality,
+        "q_gopher_repetition": q_gopher_repetition,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_incremental_neardup": q_incremental_neardup,
+        "q_interval_outer": q_interval_outer,
+        "q_kmeans": q_kmeans,
+        "q_line_dedup": q_line_dedup,
+        "q_louvain": q_louvain,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_mix_datasets": q_mix_datasets,
+        "q_orders_dates": q_orders_dates,
+        "q_pack_export": q_pack_export,
+        "q_pack_sequences": q_pack_sequences,
+        "q_part_strings": q_part_strings,
+        "q_pii_scrub": q_pii_scrub,
+        "q_quality_sample": q_quality_sample,
+        "q_recipe": q_recipe,
+        "q_recipe_stream": q_recipe_stream,
+        "q_repetition": q_repetition,
+        "q_semdedup": q_semdedup,
+        "q_session_predicate": q_session_predicate,
+        "q_shuffle": q_shuffle,
+        "q_span_dedup": q_span_dedup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_temperature_sample": q_temperature_sample,
+        "q_train_cut": q_train_cut,
+        "q_train_split": q_train_split,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_vocab": q_vocab,
+        "q_wave_counts": q_wave_counts,
+        # --- latest driver row r11 (freshest — very back) ---
         "q_asof_join": q_asof_join,
         "q_asof_nearest": q_asof_nearest,
+        "q_bm25": q_bm25,
         "q_chained_join": q_chained_join,
         "q_concat_reindex": q_concat_reindex,
         "q_concat_split": q_concat_split,
+        "q_connected_components": q_connected_components,
         "q_dedup_exact": q_dedup_exact,
         "q_deduplicate_latest": q_deduplicate_latest,
         "q_diff_values": q_diff_values,
+        "q_embedding_pairs": q_embedding_pairs,
         "q_flatten_tokens": q_flatten_tokens,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_interpolate": q_interpolate,
         "q_intersect": q_intersect,
         "q_interval_join": q_interval_join,
         "q_intervals_over": q_intervals_over,
         "q_ix_lookup": q_ix_lookup,
         "q_join_instance": q_join_instance,
+        "q_knn_bruteforce": q_knn_bruteforce,
+        "q_knn_ivf": q_knn_ivf,
+        "q_knn_lsh": q_knn_lsh,
+        "q_lang_id": q_lang_id,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_pack_equalize": q_pack_equalize,
         "q_pack_no_straddle": q_pack_no_straddle,
+        "q_pack_slices": q_pack_slices,
+        "q_pack_slices_epoch": q_pack_slices_epoch,
+        "q_pagerank": q_pagerank,
         "q_percentile": q_percentile,
         "q_prev_next": q_prev_next,
         "q_reducer_matrix": q_reducer_matrix,
         "q_robots_wildcards": q_robots_wildcards,
         "q_set_difference": q_set_difference,
+        "q_simhash": q_simhash,
         "q_sorted_names": q_sorted_names,
         "q_sql_passthrough": q_sql_passthrough,
         "q_text_stats": q_text_stats,
         "q_token_budget_bpe": q_token_budget_bpe,
+        "q_token_splitter": q_token_splitter,
         "q_tokenize": q_tokenize,
         "q_topk_orders": q_topk_orders,
         "q_update_cells": q_update_cells,
@@ -3760,112 +3867,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_sliding": q_window_sliding,
         "q_window_tumbling": q_window_tumbling,
         "q_windowby_predicate": q_windowby_predicate,
-        # --- NEW r11: no driver row yet ---
-        "q_pack_slices": q_pack_slices,
-        "q_pack_slices_epoch": q_pack_slices_epoch,
-        "q_pack_equalize": q_pack_equalize,
-        # --- latest driver row r9 (stalest remaining): fill the budget ---
-        "q_lang_id": q_lang_id,
-        "q_token_splitter": q_token_splitter,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash": q_simhash,
-        "q_knn_bruteforce": q_knn_bruteforce,
-        "q_knn_ivf": q_knn_ivf,
-        "q_knn_lsh": q_knn_lsh,
-        "q_embedding_pairs": q_embedding_pairs,
-        "q_bm25": q_bm25,
-        "q_connected_components": q_connected_components,
-        "q_interpolate": q_interpolate,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_pagerank": q_pagerank,
-        # --- latest driver row r9: behind the ~50 cap this round;
-        # rotates forward in r12. ---
-        "q_json_props": q_json_props,
-        "q_bellman_ford": q_bellman_ford,
-        "q_rerank": q_rerank,
-        "q_winnow": q_winnow,
-        "q_media_meta": q_media_meta,
-        "q_louvain_levels": q_louvain_levels,
-        "q_train_sequences": q_train_sequences,
-        "q_fetch_waves": q_fetch_waves,
-        "q_train_masks": q_train_masks,
-        "q_pack_efficiency": q_pack_efficiency,
-        "q_pack_incremental": q_pack_incremental,
-        "q_bpe_incremental": q_bpe_incremental,
-        "q_train_stream": q_train_stream,
-        "q_pack_materialize": q_pack_materialize,
-        "q_pack_cut": q_pack_cut,
-        "q_bpe_roundtrip": q_bpe_roundtrip,
-        "q_crawl_delay": q_crawl_delay,
-        "q_fetch_schedule": q_fetch_schedule,
-        "q_warc_ingest": q_warc_ingest,
-        "q_url_normalize": q_url_normalize,
-        "q_domain_quota": q_domain_quota,
-        "q_url_dedup": q_url_dedup,
-        "q_bloom_dedup": q_bloom_dedup,
-        "q_token_budget": q_token_budget,
-        "q_extract_links": q_extract_links,
-        "q_robots": q_robots,
-        "q_frontier": q_frontier,
-        "q_bpe_tokenize": q_bpe_tokenize,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_assign_shards": q_assign_shards,
-        "q_leakage_split": q_leakage_split,
-        "q_audio_dedup": q_audio_dedup,
-        "q_image_dedup": q_image_dedup,
-        "q_quality_classifier": q_quality_classifier,
-        "q_dsir": q_dsir,
-        # --- latest driver row r10 (freshest — very back) ---
-        "q_temperature_sample": q_temperature_sample,
-        "q_line_dedup": q_line_dedup,
-        "q_semdedup": q_semdedup,
-        "q_corpus_dedup": q_corpus_dedup,
-        "q_doc_retrieve": q_doc_retrieve,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_error_channel": q_error_channel,
-        "q_custom_reducer": q_custom_reducer,
-        "q_incremental_neardup": q_incremental_neardup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_train_split": q_train_split,
-        "q_shuffle": q_shuffle,
-        "q_mix_datasets": q_mix_datasets,
-        "q_pack_sequences": q_pack_sequences,
-        "q_vocab": q_vocab,
-        "q_pii_scrub": q_pii_scrub,
-        "q_boilerplate": q_boilerplate,
-        "q_kmeans": q_kmeans,
-        "q_embedding_outliers": q_embedding_outliers,
-        "q_decontam": q_decontam,
-        "q_span_dedup": q_span_dedup,
-        "q_c4_filter": q_c4_filter,
-        "q_gopher_quality": q_gopher_quality,
-        "q_repetition": q_repetition,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_domain_filter": q_domain_filter,
-        "q_gopher_repetition": q_gopher_repetition,
-        "q_quality_sample": q_quality_sample,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unique_any": q_unique_any,
-        "q_asof_now": q_asof_now,
-        "q_session_predicate": q_session_predicate,
-        "q_pack_export": q_pack_export,
-        "q_recipe": q_recipe,
-        "q_epoch_pack": q_epoch_pack,
-        "q_recipe_stream": q_recipe_stream,
-        "q_wave_counts": q_wave_counts,
-        "q_train_cut": q_train_cut,
-        "q_frame_sample": q_frame_sample,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q_part_strings": q_part_strings,
-        "q_orders_dates": q_orders_dates,
-        "q_argmax_supplier": q_argmax_supplier,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_louvain": q_louvain,
-        "q_interval_outer": q_interval_outer,
-        "q_asof_right": q_asof_right,
-        "q_bpe_merges": q_bpe_merges,
     }
 
 
