@@ -837,16 +837,20 @@ def write_packed_dataset(
     TRUSTS every earlier manifest — an out-of-band dataset mutation
     goes undetected until the next
     ``read_packed_dataset(validate=True)`` — and its stats pass
-    RE-EXECUTES the input expression after the write, which is a
-    CORRECTNESS requirement, not just a cost: a non-deterministic
-    input (an unseeded ``sample``, a ``limit`` over a shuffle) would
-    write one row set and fold the stats of another, producing a
-    manifest that silently diverges from disk until the loader's
-    validate gate rejects the dataset.  ``localCheckpoint`` such
-    lineage before calling (the rescan path is immune — it reads the
-    written files back).  ``stats='fold'`` therefore requires
-    ``mode='append'`` onto an existing manifest; everywhere else the
-    rescan already reads exactly what was just written.
+    READS the batch a second time, after the write.  The written rows
+    and the folded stats must come from the same materialization — a
+    non-deterministic input (an unseeded ``sample``, a ``limit`` over
+    a shuffle) re-executed would write one row set and fold the stats
+    of another, a manifest silently diverging from disk — so the fold
+    path ``localCheckpoint``\\ s the batch before writing: the write
+    materializes it once and the stats aggregate re-reads the pinned
+    blocks instead of re-executing the lineage.  That pin is O(batch)
+    executor-local storage — the high-frequency-append regime fold is
+    scoped to has small batches by construction — and the rescan path
+    needs none of this (it reads the written files back).
+    ``stats='fold'`` therefore requires ``mode='append'`` onto an
+    existing manifest; everywhere else the rescan already reads
+    exactly what was just written.
     """
     import json
 
@@ -909,6 +913,15 @@ def write_packed_dataset(
             f"{path!r} to fold into; write the first batch with the "
             "default stats='rescan'"
         )
+    if stats == "fold":
+        # pin THIS batch so the write below and the O(batch) stats
+        # aggregate read the SAME materialization — non-deterministic
+        # lineage re-executed would fold stats for rows that were
+        # never written (docstring: the fold correctness requirement)
+        try:
+            sequences = sequences.localCheckpoint(eager=False)
+        except Exception:  # pragma: no cover — Connect without support
+            pass
     out = (
         sequences.repartition("shard")
         .sortWithinPartitions("shard", "seq_id")
@@ -1155,7 +1168,18 @@ def read_packed_slices(
     so it runs BEFORE any scan.  Returns ``(DataFrame, info)`` where
     the frame is the manifest's columns plus ``position`` and info
     carries the slice accounting (assigned shards, per-rank totals,
-    the manifest itself).
+    the manifest itself).  Info's step-count contract: ``n_seqs`` is
+    the rank's WHOLE-EPOCH slice size (after ``equalize``, independent
+    of ``skip_seqs`` — the number a trainer programs its per-epoch
+    step count from, identical whether the epoch starts fresh or
+    resumes), and ``n_remaining`` is what this call actually returns,
+    ``max(0, n_seqs - skip_seqs)`` — a resuming trainer schedules its
+    remaining steps from it without counting the frame.
+
+    Because the loader ADDS ``position`` (and uses ``__slice_key`` /
+    ``__off`` internally), a dataset whose own columns include any of
+    those names is rejected up front — silently overwriting the
+    caller's column would corrupt the returned data.
     """
     import json
 
@@ -1175,6 +1199,17 @@ def read_packed_slices(
             "(write it with write_packed_dataset)"
         )
     manifest = json.loads(raw)
+    reserved = {"position", "__slice_key", "__off"} & set(
+        manifest["columns"]
+    )
+    if reserved:
+        raise ValueError(
+            f"the packed dataset at {path!r} has column(s) "
+            f"{sorted(reserved)} that collide with read_packed_slices' "
+            "reserved names ('position' is the loader's output, "
+            "'__slice_key'/'__off' its internals) — rename them or use "
+            "read_packed_dataset, which adds no columns"
+        )
     per_rank: list[list[dict]] = [[] for _ in range(world_size)]
     for s in manifest["shards"]:
         per_rank[int(s["shard"]) % world_size].append(s)
@@ -1248,7 +1283,11 @@ def read_packed_slices(
         "skip_seqs": skip_seqs,
         "equalize": equalize,
         "shards": assigned,
+        # n_seqs = the rank's whole-EPOCH slice size (post-equalize,
+        # skip_seqs-independent); n_remaining = the rows this call
+        # actually returns — resume accounting a trainer schedules from
         "n_seqs": n_kept,
+        "n_remaining": max(0, n_kept - skip_seqs),
         "rank_seqs": rank_seqs,
         "manifest": manifest,
     }

@@ -2028,13 +2028,18 @@ def test_read_packed_slices_epoch_and_resume(spark, packed_ds):
     assert p7a != p8  # ...different epoch order
     assert sorted(p7a.values()) == list(range(len(p7a)))  # a permutation
     # resume: the tail beyond skip_seqs, absolute positions preserved
-    skipped, _ = packing.read_packed_slices(
+    skipped, sk_info = packing.read_packed_slices(
         spark, path, 2, 0, epoch_seed=7, skip_seqs=3
     )
     tail = {
         (r["shard"], r["seq_id"]): r["position"] for r in skipped.collect()
     }
     assert tail == {k: p for k, p in p7a.items() if p >= 3}
+    # info's step-count contract (VERDICT r11 item 5): n_seqs stays the
+    # WHOLE-epoch slice size under resume; n_remaining is what this
+    # call returned — a resuming trainer schedules from info alone
+    assert sk_info["n_seqs"] == len(p7a)
+    assert sk_info["n_remaining"] == len(p7a) - 3 == len(tail)
     # resume without a shuffle rides the (shard, seq_id) order the same way
     full, _ = packing.read_packed_slices(spark, path, 2, 1)
     part, _ = packing.read_packed_slices(spark, path, 2, 1, skip_seqs=2)
@@ -2197,6 +2202,104 @@ def test_read_packed_slices_equalize(spark, packed_ds):
         spark, path, 2, 0, epoch_seed=5, equalize=True
     )
     assert shuf.count() == m
+
+def test_read_packed_slices_equalize_tail_rotates(spark, tmp_path):
+    """The docstring's rotation claim, pinned (VERDICT r11 item 3): a
+    different epoch_seed rotates WHICH sequences sit in equalize's
+    dropped tail — two seeds keep different sets, and over a handful of
+    epochs the union of kept sets covers the whole rank slice (every
+    sequence still gets trained; nothing is starved forever).  md5 is
+    deterministic, so the seed range here is a fixed property of the
+    fixture, not a flaky sample."""
+    # 3 shards / world 2 ⇒ rank 0 owns shards {0,2} (60 seqs), rank 1
+    # owns {1} (30) — a 2× skew so equalize drops a REAL 30-seq tail
+    seqs = spark.range(90).select(
+        (F.col("id") % 3).alias("shard"),
+        (F.col("id") / 3).cast("long").alias("seq_id"),
+        F.array(F.col("id")).alias("token_ids"),
+        F.lit(1).cast("long").alias("n_tokens"),
+    )
+    path = str(tmp_path / "skewed")
+    packing.write_packed_dataset(seqs, path)
+    all_keys = {(s, q) for s in (0, 2) for q in range(30)}
+    kept = {}
+    for seed in range(12):
+        df, info = packing.read_packed_slices(
+            spark, path, 2, 0, epoch_seed=seed, equalize=True,
+            validate=False,
+        )
+        kept[seed] = {(r["shard"], r["seq_id"]) for r in df.collect()}
+        assert len(kept[seed]) == info["n_seqs"] == 30
+    # the tail ROTATES: different seeds keep different sets
+    assert any(kept[0] != kept[s] for s in range(1, 12))
+    # ...and over 12 epochs every sequence of the rank slice is kept at
+    # least once — seed 0's dropped tail is fully covered by later seeds
+    assert set().union(*kept.values()) == all_keys
+    tail0 = all_keys - kept[0]
+    assert len(tail0) == 30
+    assert tail0 <= set().union(*(kept[s] for s in range(1, 12)))
+
+
+def test_read_packed_slices_rejects_reserved_columns(spark, tmp_path):
+    """A dataset whose OWN schema contains 'position' (or the loader's
+    internal names) is rejected up front — read_packed_slices adds a
+    'position' column and must never silently overwrite the caller's
+    data (ADVICE r11) — while read_packed_dataset, which adds nothing,
+    still reads it fine."""
+    seqs = spark.range(20).select(
+        (F.col("id") % 2).alias("shard"),
+        F.col("id").alias("seq_id"),
+        F.lit(1).cast("long").alias("n_tokens"),
+        (F.col("id") * 10).alias("position"),
+    )
+    path = str(tmp_path / "reserved")
+    packing.write_packed_dataset(seqs, path)
+    with pytest.raises(ValueError, match="reserved"):
+        packing.read_packed_slices(spark, path, 2, 0)
+    df, _ = packing.read_packed_dataset(spark, path)
+    assert df.count() == 20
+    assert [r["position"] for r in df.orderBy("seq_id").collect()] == [
+        i * 10 for i in range(20)
+    ]
+
+
+def test_write_packed_dataset_fold_materializes_input_once(spark, tmp_path):
+    """stats='fold' reads the batch twice (write + O(batch) stats
+    aggregate) but must compute its LINEAGE exactly once — otherwise a
+    non-deterministic input would write one row set and fold the stats
+    of another (ADVICE r11).  Pinned with an accumulator-counting UDF
+    feeding n_tokens (a column the stats aggregate consumes, so column
+    pruning cannot elide the second evaluation): the count equals the
+    batch size, not 2×."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def _counted(x):
+        acc.add(1)
+        return x
+
+    counted = F.udf(_counted, "long")
+    base = spark.range(16).select(
+        (F.col("id") % 4).alias("shard"),
+        F.col("id").alias("seq_id"),
+        F.array(F.col("id")).alias("token_ids"),
+        F.lit(1).cast("long").alias("n_tokens"),
+    )
+    path = str(tmp_path / "fold_once")
+    packing.write_packed_dataset(base, path)
+    batch = spark.range(100, 116).select(
+        (F.col("id") % 4).alias("shard"),
+        F.col("id").alias("seq_id"),
+        F.array(F.col("id")).alias("token_ids"),
+        counted(F.lit(1).cast("long")).alias("n_tokens"),
+    )
+    m = packing.write_packed_dataset(
+        batch, path, mode="append", stats="fold"
+    )
+    assert acc.value == 16  # one evaluation per row, not one per read
+    assert m["n_seqs"] == 32 and m["stats_source"] == "fold"
+    # and the folded manifest matches what actually landed on disk
+    packing.read_packed_dataset(spark, path, validate=True)
+
 
 def test_read_packed_slices_validation_is_rank_scoped(spark, tmp_path):
     """The validate gate scans only the rank's OWN shard directories
