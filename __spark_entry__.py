@@ -3216,15 +3216,21 @@ def _pack_slices_union(
     sf: str,
     *,
     world: int,
-    skip_by_rank: dict[int, int],
+    skip_by_rank: dict,
     epoch_seed: int | None = None,
     equalize: bool = False,
+    epochs: tuple[int, ...] | None = None,
 ) -> DataFrame:
-    """Shared body of q_pack_slices / q_pack_slices_epoch: write the
-    q_train_sequences pipeline as a packed dataset, read every rank's
-    slice back through read_packed_slices, and return the tagged union
-    — ONE copy of the fixture pipeline so the two driver queries can
-    never desynchronize from the shared _TRAIN_SEQ_SELECT oracle."""
+    """Shared body of q_pack_slices / q_pack_slices_epoch /
+    q_train_epochs: write the q_train_sequences pipeline as a packed
+    dataset, read every rank's slice back through read_packed_slices,
+    and return the tagged union — ONE copy of the fixture pipeline so
+    the driver queries can never desynchronize from the shared
+    _TRAIN_SEQ_SELECT oracle.  With ``epochs`` set, the loop runs once
+    per epoch (epoch_seed = the epoch number), the union gains an
+    ``epoch`` tag column, and ``skip_by_rank`` is keyed by
+    ``(epoch, rank)`` instead of ``rank`` — the multi-epoch training
+    loop."""
     import shutil
     import tempfile
 
@@ -3240,20 +3246,31 @@ def _pack_slices_union(
         enc, layout, max_tokens=32, pad_id=-1
     ).localCheckpoint()
     tmp = tempfile.mkdtemp(prefix="pw_pack_slices_")
+    passes = [(None, epoch_seed)] if epochs is None else [
+        (e, e) for e in epochs
+    ]
     try:
         packing.write_packed_dataset(seqs, tmp, max_tokens=32)
         union = None
-        for r in range(world):
-            sl, _info = packing.read_packed_slices(
-                spark, tmp, world, r, epoch_seed=epoch_seed,
-                skip_seqs=skip_by_rank.get(r, 0), equalize=equalize,
-            )
-            sl = sl.withColumn("rank", F.lit(r).cast("long"))
-            union = sl if union is None else union.unionByName(sl)
+        for tag, seed in passes:
+            for r in range(world):
+                skip_key = r if epochs is None else (tag, r)
+                sl, _info = packing.read_packed_slices(
+                    spark, tmp, world, r, epoch_seed=seed,
+                    skip_seqs=skip_by_rank.get(skip_key, 0),
+                    equalize=equalize,
+                )
+                if epochs is not None:
+                    sl = sl.withColumn(
+                        "epoch", F.lit(tag).cast("long")
+                    )
+                sl = sl.withColumn("rank", F.lit(r).cast("long"))
+                union = sl if union is None else union.unionByName(sl)
         union = union.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return union.select(
+        *(["epoch"] if epochs is not None else []),
         "rank",
         "position",
         "shard",
@@ -3296,6 +3313,35 @@ def q_pack_slices_epoch(spark: SparkSession, sf: str) -> DataFrame:
     both resume forms under the driver's hash gate."""
     return _pack_slices_union(
         spark, sf, world=2, skip_by_rank={0: 3}, epoch_seed=7
+    )
+
+
+def q_train_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """The MULTI-EPOCH trainer capstone (VERDICT r11 item 4): the full
+    loop a fixed-step data-parallel job runs — one packed dataset, two
+    ranks, two EPOCHS, each epoch read through
+    ``read_packed_slices(epoch_seed=e, equalize=True)``, with rank 0
+    resuming mid-epoch inside epoch 1 at ``skip_seqs=3`` — returned as
+    one union tagged ``(epoch, rank)``.  The SQL replay states every
+    piece of the composition independently: the per-epoch md5
+    permutation (``md5(shard:seq_id:epoch)`` ascending per rank — the
+    q_shuffle contract, so epochs 0 and 1 MUST come out as different
+    layouts of the same slice), the equalize cutoff as the cross-rank
+    minimum count (seed-independent — the engine derives it from
+    manifest arithmetic once, both epochs inherit it), and the resume
+    filter as "the first three positions of EPOCH 1's shuffled order"
+    (absolute positions kept).  A loader that leaked one epoch's
+    permutation into the other, re-derived the cutoff per seed, or
+    applied the resume skip in the wrong epoch's order hash-mismatches
+    here.  The cross-epoch invariants a trainer relies on (layouts
+    differ, each epoch's non-equalized row multiset identical, the
+    equalized tail rotates with the seed) are pinned in
+    tests/test_pipeline_ops.py.  Reference loader surface is io.fs
+    read (/root/reference/python/pathway/io/fs/__init__.py); the epoch
+    loop is the Spark-native distributed-trainer analogue."""
+    return _pack_slices_union(
+        spark, sf, world=2, skip_by_rank={(1, 0): 3}, equalize=True,
+        epochs=(0, 1),
     )
 
 
@@ -3762,7 +3808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_ingest": q_warc_ingest,
         "q_winnow": q_winnow,
         # --- NEW r12: no driver row yet ---
-        # R12_NEW_SLOT
+        "q_train_epochs": q_train_epochs,
         # --- latest driver row r10 (next-stalest): fill the budget ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -6279,6 +6325,41 @@ def oracle_sql() -> dict[str, str]:
                        shard, seq_id, tokens, n_tokens, spans, oversized
                 FROM out
             ) WHERE rank <> 0 OR position >= 3
+        """,
+        "q_train_epochs": f"""
+            -- the multi-epoch loop replay: rank = shard % 2, each
+            -- epoch e in (0,1) re-permuted by md5(shard:seq_id:e)
+            -- (the q_shuffle order contract, seed = epoch), clipped to
+            -- the SEED-INDEPENDENT cross-rank minimum count (the
+            -- equalize contract — derived once from writer counts, both
+            -- epochs inherit it), rank 0 resuming inside epoch 1 at
+            -- skip_seqs=3 in EPOCH 1's shuffled order with absolute
+            -- positions kept
+            WITH RECURSIVE {_train_fold_cte()},
+            out AS ({_TRAIN_SEQ_SELECT}
+            ),
+            sliced AS (
+                SELECT e.epoch::BIGINT AS epoch, shard % 2 AS rank,
+                       row_number() OVER (
+                           PARTITION BY e.epoch, shard % 2
+                           ORDER BY md5(shard::VARCHAR || ':'
+                                        || seq_id::VARCHAR || ':'
+                                        || e.epoch::VARCHAR),
+                                    shard::VARCHAR || ':'
+                                        || seq_id::VARCHAR
+                       ) - 1 AS position,
+                       shard, seq_id, tokens, n_tokens, spans, oversized
+                FROM out CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+            ),
+            cut AS (
+                SELECT min(c) AS m
+                FROM (SELECT count(*) AS c FROM out GROUP BY shard % 2)
+            )
+            SELECT epoch, rank, position, shard, seq_id, tokens,
+                   n_tokens, spans, oversized
+            FROM sliced, cut
+            WHERE position < m
+              AND (epoch <> 1 OR rank <> 0 OR position >= 3)
         """,
         "q_train_cut": f"""
             -- real-token concatenate-and-cut replay: the longest-match

@@ -2240,6 +2240,47 @@ def test_read_packed_slices_equalize_tail_rotates(spark, tmp_path):
     assert tail0 <= set().union(*(kept[s] for s in range(1, 12)))
 
 
+def test_read_packed_slices_multi_epoch_loop(spark, packed_ds):
+    """The multi-epoch claims the docstring makes, pinned (VERDICT r11
+    item 4): per-epoch permutations DIFFER while each epoch's row set
+    and token MULTISET are identical (nothing dropped or duplicated by
+    re-seeding), and mid-epoch resume inside epoch 1 composes — the
+    skipped rows are the first N of EPOCH 1's order, not epoch 0's."""
+    path, _ = packed_ds
+
+    def epoch(seed, **kw):
+        df, _ = packing.read_packed_slices(
+            spark, path, 2, 0, epoch_seed=seed, **kw
+        )
+        return {
+            (r["shard"], r["seq_id"]): (r["position"], tuple(r["token_ids"]))
+            for r in df.collect()
+        }
+
+    e0, e1 = epoch(0), epoch(1)
+    # same slice, same payloads...
+    assert set(e0) == set(e1)
+    assert {k: v[1] for k, v in e0.items()} == {
+        k: v[1] for k, v in e1.items()
+    }
+    # ...identical token MULTISET per epoch (re-seeding permutes, never
+    # drops/duplicates)
+    ms0 = sorted(t for _, toks in e0.values() for t in toks)
+    ms1 = sorted(t for _, toks in e1.values() for t in toks)
+    assert ms0 == ms1
+    # ...but DIFFERENT layouts, each a full permutation
+    assert {k: v[0] for k, v in e0.items()} != {
+        k: v[0] for k, v in e1.items()
+    }
+    for e in (e0, e1):
+        assert sorted(p for p, _ in e.values()) == list(range(len(e)))
+    # mid-epoch resume composes inside epoch 1: exactly epoch 1's tail
+    resumed = epoch(1, skip_seqs=4)
+    assert resumed == {k: v for k, v in e1.items() if v[0] >= 4}
+    # and it is NOT epoch 0's tail (the orders genuinely differ)
+    assert set(resumed) != {k for k, v in e0.items() if v[0] >= 4}
+
+
 def test_read_packed_slices_rejects_reserved_columns(spark, tmp_path):
     """A dataset whose OWN schema contains 'position' (or the loader's
     internal names) is rejected up front — read_packed_slices adds a

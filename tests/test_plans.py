@@ -562,7 +562,12 @@ def test_pack_slices_hazard_census(spark, sf_dir):
     test_read_packed_slices_prunes_shard_partitions — the driver rows'
     final plans sit behind the scratch-dir localCheckpoint, which
     replaces the scan nodes.)"""
-    for name in ("q_pack_slices", "q_pack_slices_epoch", "q_pack_equalize"):
+    for name in (
+        "q_pack_slices",
+        "q_pack_slices_epoch",
+        "q_pack_equalize",
+        "q_train_epochs",  # r12: the multi-epoch loop inherits the census
+    ):
         df = entry.queries()[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
