@@ -86,15 +86,60 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
         print(f"# warmup pass: {time.perf_counter() - t0:.1f}s (untimed)", file=sys.stderr)
 
+    # Environment calibration: a fixed pure-Python spin.  The host this
+    # runs on swings 30-70% across hours (measured by benching the SAME
+    # commit twice in one afternoon — SCALE.md r9), so cross-round totals
+    # are only comparable after normalizing by this machine-speed
+    # constant.  Reported, never used to adjust timings.
+    def _spin() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i
+        return time.perf_counter() - t0
+
+    # Previous round's per-query readings, for the self-adjudication
+    # below (r11: q01 read 2.8× baseline purely from a host phase the
+    # once-at-startup calibration could not see, and proving that took a
+    # manual judge rerun).  Only comparable at the same SF.
+    prev_queries: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if benches:
+        try:
+            with open(os.path.join(here, benches[-1])) as fh:
+                prev_bench = json.load(fh)
+            if str(prev_bench.get("sf")) == sf_dir.rstrip("/").rsplit(
+                "sf", 1
+            )[-1]:
+                prev_queries = prev_bench.get("queries") or {}
+        except Exception as exc:  # noqa: BLE001 — adjudication is best-effort
+            print(f"# prev-bench load failed: {exc}", file=sys.stderr)
+
     # Per-query time = best of REPS runs (default 2).  Single-run numbers
     # at sf0.1/local[32] carry ±2-6 s of GC/JIT coincidence that lands on
     # RANDOM queries run-to-run (measured: the same query swings 0.4 s ↔
     # 2.6 s between bench invocations with no code change); the minimum is
     # the steady-state cost of the PLAN, which is what sustained 100 TB
     # operation sees.  Both raw runs are printed to stderr for audit.
+    #
+    # Self-adjudication (VERDICT r11 item 2): after each query, ONE spin
+    # records the host speed AT THAT MOMENT (calib_spin_per_query).  If
+    # the best-of reading exceeds 2× the previous round's value for the
+    # same query at the same SF, the query is automatically re-run once
+    # after a fresh re-spin and BOTH readings land in the JSON
+    # ("adjudications") — so a transient host phase adjudicates itself
+    # in the bench record instead of costing a judge rerun.  The recheck
+    # is just one more rep under the existing best-of policy, so the
+    # recorded timing is min(all runs).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    calib_spin_per_query: dict[str, float] = {}
+    adjudications: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs[name]
         runs = []
@@ -105,11 +150,32 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
         medians[name] = sorted(runs)[len(runs) // 2]
+        spin_ms = round(_spin() * 1000, 1)
+        calib_spin_per_query[name] = spin_ms
         print(
             f"# {name}: {timings[name]:.3f}s (median {medians[name]:.3f}s; "
-            f"{n} rows; runs={runs})",
+            f"{n} rows; runs={runs}; spin {spin_ms}ms)",
             file=sys.stderr,
         )
+        prev_val = prev_queries.get(name)
+        if prev_val and timings[name] > 2 * prev_val:
+            respin_ms = round(_spin() * 1000, 1)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            recheck = round(time.perf_counter() - t0, 3)
+            adjudications[name] = {
+                "prev_round": prev_val,
+                "reading": timings[name],
+                "recheck": recheck,
+                "spin_ms_at_reading": spin_ms,
+                "spin_ms_at_recheck": respin_ms,
+            }
+            print(
+                f"# {name}: >2x prev ({prev_val:.3f}s) — recheck "
+                f"{recheck:.3f}s after re-spin {respin_ms}ms",
+                file=sys.stderr,
+            )
+            timings[name] = min(timings[name], recheck)
         # Variance guard: release Python-side DataFrame refs FIRST (their
         # localCheckpoint RDD blocks stay pinned in the block manager until
         # the py4j objects are collected), then nudge the JVM so garbage
@@ -125,18 +191,8 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — a GC hint must never fail the bench
             pass
 
-    # Environment calibration: a fixed pure-Python spin, timed best-of-3.
-    # The host this runs on swings 30-70% across hours (measured by
-    # benching the SAME commit twice in one afternoon — SCALE.md r9), so
-    # cross-round totals are only comparable after normalizing by this
-    # machine-speed constant.  Reported, never used to adjust timings.
-    def _spin() -> float:
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(5_000_000):
-            x += i
-        return time.perf_counter() - t0
-
+    # Whole-bench calibration constant (best-of-3, end of run) — kept
+    # for cross-round comparability with BENCH_r01-r11.
     calib_spin_ms = round(min(_spin() for _ in range(3)) * 1000, 1)
 
     total = round(sum(timings.values()), 3)
@@ -149,6 +205,9 @@ def main() -> None:
                 "queries": timings,
                 "medians": medians,
                 "calib_spin_ms": calib_spin_ms,
+                "calib_spin_per_query": calib_spin_per_query,
+                "adjudications": adjudications,
+                "prev_bench": benches[-1] if benches else None,
                 "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             }
         )
