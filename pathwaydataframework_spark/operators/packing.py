@@ -1127,7 +1127,13 @@ def read_packed_slices(
     straight from the manifest's per-shard ``n_seqs``) so the caller
     can check balance — with equal-size packed sequences, step counts
     per epoch differ across ranks by at most
-    ``max(rank_seqs) - min(rank_seqs)``.  ``equalize=True`` applies the
+    ``max(rank_seqs) - min(rank_seqs)``.  That spread is bounded by a
+    structural term ``(ceil(S/W) - floor(S/W))/S`` of the dataset
+    (ZERO when world_size divides the shard count — write with
+    ``shards`` a multiple of the world sizes you serve, or simply
+    ``shards >> world_size``) plus multinomial hash noise
+    ``O(sqrt(W*ln W / n))`` that vanishes with scale — measured and
+    derived in SCALE.md (r12).  ``equalize=True`` applies the
     standard distributed-sampler remedy: every rank keeps only its
     first ``min(rank_seqs)`` positions (in the epoch order, i.e. AFTER
     the shuffle when ``epoch_seed`` is set), so all ranks take exactly
