@@ -1796,6 +1796,73 @@ def q_audio_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _audio_spectral_fixtures() -> list[tuple[int, str]]:
+    """Deterministic PCM16 WAV blobs (hex), 1024 samples each, chosen so
+    the SPECTRAL fingerprint separates what the energy ENVELOPE cannot:
+    0 = base sawtooth, 1 = base with one temporal window zeroed (local
+    edit), 2 = base at double gain (spectral bits are gain-invariant:
+    every band energy scales by exactly 4), 3 = Nyquist-rate square
+    (all energy in the TOP octave, k=1 — every tilt comparison false),
+    4 = square flipping every 16 samples (all energy in the BOTTOM
+    octave, k=5 — the e5>e4 tilt bit fires in every window).  3 and 4
+    have IDENTICAL flat loudness (|s|=1500 everywhere), so the
+    envelope fingerprint cannot tell them apart; the spectral one puts
+    them 8 bits apart.  5 = not audio."""
+    import binascii
+    import struct
+
+    n = 1024
+
+    def wav(samples):
+        payload = struct.pack(f"<{len(samples)}h", *samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(payload))
+        )
+        return binascii.hexlify(hdr + payload).decode()
+
+    base = [((i * 37) % 4096) - 2048 for i in range(n)]
+    edit = [0 if (j * 8) // n == 2 else v for j, v in enumerate(base)]
+    loud = [v * 2 for v in base]
+    hifreq = [1500 if i % 2 == 0 else -1500 for i in range(n)]
+    lowfreq = [1500 if (i // 16) % 2 == 0 else -1500 for i in range(n)]
+    return [
+        (0, wav(base)),
+        (1, wav(edit)),
+        (2, wav(loud)),
+        (3, wav(hifreq)),
+        (4, wav(lowfreq)),
+        (5, "6e6f7420617564696f"),
+    ]
+
+
+def q_audio_spectral(spark: SparkSession, sf: str) -> DataFrame:
+    """Spectral audio near-dup pairs (multimodal.audio_spectral_pairs):
+    exact-integer Haar-band energies per temporal window over real
+    PCM16 WAV decode — the frequency-domain extension of q_audio_dedup's
+    envelope fingerprint (two equally-loud signals with opposite
+    spectral tilt, fixtures 3 and 4, are far apart here and
+    indistinguishable there) — then the shared pigeonhole Hamming
+    blocking (no all-pairs).  The oracle re-derives every sample, Haar
+    detail coefficient, band-window energy, and tilt bit from the same
+    blobs with hex-string integer arithmetic.  Reference media handling
+    is service-UDF parsers
+    (/root/reference/python/pathway/xpacks/llm/parsers.py:53-746); the
+    in-engine integer codec + fingerprint path is the Spark-native
+    self-contained analogue."""
+    from pathwaydataframework_spark.operators import multimodal
+
+    src = spark.createDataFrame(
+        _audio_spectral_fixtures(), "id long, hex string"
+    ).select("id", F.unhex("hex").alias("data"))
+    return multimodal.audio_spectral_pairs(
+        src, id_col="id", binary_col="data", max_hamming=3, windows=8,
+        bands=5,
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image dedup (multimodal.perceptual_dedup_pairs):
     integer-arithmetic dHash over real P6 PPM decode, pigeonhole Hamming
@@ -3809,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         # --- NEW r12: no driver row yet ---
         "q_train_epochs": q_train_epochs,
+        "q_audio_spectral": q_audio_spectral,
         # --- latest driver row r10 (next-stalest): fill the budget ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -4429,6 +4497,82 @@ def _audio_dedup_oracle_sql(max_hamming: int = 3, frames: int = 33) -> str:
     """
 
 
+def _audio_spectral_oracle_sql(
+    max_hamming: int = 3, windows: int = 8, bands: int = 5
+) -> str:
+    """q_audio_spectral oracle: PCM16 samples re-read from hex (LE
+    signed), Haar detail per (band k, block j//2^k) = signed sum with
+    sign (1 - 2*((j//2^(k-1)) % 2)), block's window = (blk*2^k*W)//n,
+    per-(window, band) integer energy sums zero-filled over the full
+    grid, tilt bit f*(bands-1)+(k-1) set when band k+1 outweighs band
+    k, then exact all-pairs Hamming — blocking recall is
+    pigeonhole-complete, so the banded Spark result must equal this."""
+    values = ", ".join(
+        f"({i}, '{h}')" for i, h in _audio_spectral_fixtures()
+    )
+    n = 1024
+    bits = windows * (bands - 1)
+    nbytes = bits // 8
+    byte = lambda p: f"TRY_CAST('0x' || substr(h, ({p} - 1) * 2 + 1, 2) AS BIGINT)"  # noqa: E731
+    return f"""
+        WITH raw(id, hx) AS (VALUES {values}),
+        blobs AS (
+            SELECT id, hex(unhex(hx)) AS h FROM raw
+            WHERE octet_length(unhex(hx)) = {44 + 2 * n}
+              AND substr(hex(unhex(hx)), 1, 8) = hex('RIFF'::BLOB)
+              AND substr(hex(unhex(hx)), 17, 8) = hex('WAVE'::BLOB)
+        ),
+        samples AS MATERIALIZED (
+            SELECT b.id, r.j,
+                   CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+            FROM (
+                SELECT id, h FROM blobs
+            ) b, range(0, {n}) r(j),
+            LATERAL (SELECT {byte("45 + r.j * 2")} + {byte("46 + r.j * 2")} * 256 AS v)
+        ),
+        bands(k) AS (SELECT unnest(range(1, {bands + 1}))),
+        coeff AS MATERIALIZED (
+            SELECT s.id, b.k, s.j // (1 << b.k) AS blk,
+                   sum(s.s * (1 - 2 * ((s.j // (1 << (b.k - 1))) % 2)))::BIGINT AS c
+            FROM samples s, bands b
+            GROUP BY 1, 2, 3
+        ),
+        energies AS MATERIALIZED (
+            SELECT id, k, ((blk * (1 << k)) * {windows}) // {n} AS f,
+                   sum(c * c)::BIGINT AS e
+            FROM coeff GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT b.id, f.f, k.k
+            FROM (SELECT DISTINCT id FROM blobs) b,
+                 range(0, {windows}) f(f), bands k
+        ),
+        efull AS MATERIALIZED (
+            SELECT g.id, g.f, g.k, coalesce(e.e, 0) AS e
+            FROM grid g LEFT JOIN energies e
+              ON e.id = g.id AND e.f = g.f AND e.k = g.k
+        ),
+        fpbytes AS (
+            SELECT a.id, (a.f * {bands - 1} + a.k - 1) // 8 AS r,
+                   sum(CASE WHEN b2.e > a.e
+                            THEN (1 << ((a.f * {bands - 1} + a.k - 1) % 8))::BIGINT
+                            ELSE 0 END)::BIGINT AS byte
+            FROM efull a JOIN efull b2
+              ON b2.id = a.id AND b2.f = a.f AND b2.k = a.k + 1
+            WHERE a.k < {bands} GROUP BY 1, 2
+        ),
+        hash AS (
+            SELECT id, list(byte ORDER BY r) AS fp FROM fpbytes GROUP BY id
+        )
+        SELECT id_a, id_b, ham AS hamming FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   list_sum(list_transform(range({nbytes}),
+                       i -> bit_count(xor(a.fp[i + 1], b.fp[i + 1]))))::BIGINT AS ham
+            FROM hash a JOIN hash b ON a.id < b.id
+        ) WHERE ham <= {max_hamming}
+    """
+
+
 def _image_dedup_oracle_sql(max_hamming: int = 4) -> str:
     """q_image_dedup oracle: dHash re-derived per blob with hex-string
     byte arithmetic (luminance 299R+587G+114B, floor-map sampled 9x8
@@ -5030,6 +5174,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_leakage_split": _leakage_split_oracle_sql(),
         "q_audio_dedup": _audio_dedup_oracle_sql(),
+        "q_audio_spectral": _audio_spectral_oracle_sql(),
         "q_image_dedup": _image_dedup_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(iterations=4, lr=2.0),
         "q_dsir": _dsir_oracle_sql(),

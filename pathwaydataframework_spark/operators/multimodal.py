@@ -847,6 +847,122 @@ def audio_dedup_pairs(
     )
 
 
+def audio_spectral_fingerprint(
+    data: bytes, *, windows: int = 8, bands: int = 5
+) -> list[int] | None:
+    """Haar-band SPECTRAL fingerprint for WAV — the frequency-domain
+    extension of :func:`audio_fingerprint` (which sees only the energy
+    ENVELOPE and cannot separate two signals with the same loudness
+    curve but different timbre).  FFT-free and exact-integer, so a SQL
+    oracle replays every bit:
+
+    - Split the sample stream into ``windows`` temporal windows.
+    - For dyadic band ``k`` in 1..``bands``, partition samples into
+      blocks of ``2^k`` on ABSOLUTE index; each block's Haar detail
+      coefficient is ``sum(first half) - sum(second half)`` — an
+      integer band-pass at ~``rate/2^k`` (k=1 = highest octave).
+    - Each block contributes its squared coefficient to the window its
+      FIRST sample falls in: ``f = (blk * 2^k * windows) // n`` — the
+      same floor map as the envelope fingerprint, so blocks never need
+      splitting and the oracle recomputes the assignment with one
+      integer expression.
+    - Within each window, set bit ``f*(bands-1) + (k-1)`` when band
+      ``k+1`` (the next LOWER octave) carries strictly more energy
+      than band ``k`` — the spectral tilt, per window.
+
+    Like the envelope: exact int64 arithmetic end-to-end (details
+    |c| <= 2^15 * 2^(k-1), energies fit int64 for any stream below
+    ~2^27 samples at the deepest default band), invariant under
+    integer gain doubling (energies scale by 4 uniformly — every
+    comparison survives), local edits touch only their window's bits.
+    Returns ``windows*(bands-1)/8`` row-bytes; None for non-WAV /
+    float-WAV / stereo blobs or streams shorter than ``windows``
+    samples.  ``windows*(bands-1)`` must be a multiple of 8.
+    """
+    import numpy as np
+
+    from pathwaydataframework_spark.operators import wavcodec as _wav
+
+    bits = windows * (bands - 1)
+    if bits <= 0 or bits % 8:
+        raise ValueError(
+            "windows * (bands - 1) must be a positive multiple of 8"
+        )
+    try:
+        samples, _sr, scale = _wav.decode(bytes(data))
+    except ValueError:
+        return None
+    if scale is None or samples.shape[1] != 1:
+        return None  # same honest boundaries as audio_fingerprint
+    x = samples[:, 0].astype(np.int64)
+    n = x.size
+    if n < windows:
+        return None
+    j = np.arange(n)
+    energy = np.zeros((windows, bands + 1), dtype=np.int64)
+    for k in range(1, bands + 1):
+        blk = j >> k
+        sign = 1 - 2 * ((j >> (k - 1)) & 1)
+        coeff = np.zeros(int(blk[-1]) + 1, dtype=np.int64)
+        np.add.at(coeff, blk, sign * x)
+        f = (np.arange(coeff.size, dtype=np.int64) << k) * windows // n
+        e_k = np.zeros(windows, dtype=np.int64)
+        np.add.at(e_k, f, coeff * coeff)
+        energy[:, k] = e_k
+    fp_bits = [
+        bool(energy[f, k + 1] > energy[f, k])
+        for f in range(windows)
+        for k in range(1, bands)
+    ]
+    return [
+        int(sum(1 << c for c in range(8) if fp_bits[r * 8 + c]))
+        for r in range(bits // 8)
+    ]
+
+
+def audio_spectral_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    binary_col: str = "data",
+    max_hamming: int = 3,
+    windows: int = 8,
+    bands: int = 5,
+) -> DataFrame:
+    """Near-duplicate audio pairs by Haar-band spectral fingerprint
+    Hamming distance — one Arrow-batched decode crossing, then the
+    shared pigeonhole blocking (:func:`hamming_dedup_pairs`): no
+    all-pairs anywhere, the same scale shape as the envelope path."""
+    bits = windows * (bands - 1)
+    if bits <= 0 or bits % 8:
+        raise ValueError(
+            "windows * (bands - 1) must be a positive multiple of 8"
+        )
+    id_type = dict(df.dtypes)[id_col]
+    n_bytes = bits // 8
+
+    def _mapper(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fps = [
+                audio_spectral_fingerprint(
+                    bytes(x), windows=windows, bands=bands
+                )
+                if x is not None
+                else None
+                for x in pdf[binary_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "sfp": fps})
+
+    hashed = df.select(id_col, binary_col).mapInPandas(
+        _mapper, f"{id_col} {id_type}, sfp array<int>"
+    )
+    return hamming_dedup_pairs(
+        hashed, id_col=id_col, hash_col="sfp", max_hamming=max_hamming, n_bytes=n_bytes
+    )
+
+
 def fingerprint_index(
     df: DataFrame,
     *,

@@ -315,6 +315,131 @@ def test_audio_fingerprint_gain_invariant_and_local_edit(spark):
         audio_fingerprint(wav(base), frames=12)  # frames-1 not a byte multiple
 
 
+def test_audio_spectral_fingerprint_properties(spark):
+    """The Haar-band spectral fingerprint (r12): octave localization
+    (a square of period 2^k puts ALL its energy in band k — opposite
+    tilts separate signals the envelope calls identical), integer gain
+    invariance, edit locality, the None boundaries, and an independent
+    pure-Python re-derivation (no numpy) over an ODD length so the
+    partial trailing blocks are pinned against the vectorized path."""
+    from pathwaydataframework_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_spectral_fingerprint,
+    )
+    import struct
+
+    def wav(samples):
+        payload = struct.pack(f"<{len(samples)}h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    n = 1024
+    base = [((i * 37) % 4096) - 2048 for i in range(n)]
+    fp0 = audio_spectral_fingerprint(wav(base))
+    # integer gain doubling scales every band energy by exactly 4
+    assert fp0 == audio_spectral_fingerprint(wav([v * 2 for v in base]))
+    # opposite spectral tilt at IDENTICAL loudness: the envelope is
+    # blind (ham 0), the spectral fingerprint separates by 8 bits
+    hi = [1500 if i % 2 == 0 else -1500 for i in range(n)]
+    lo = [1500 if (i // 16) % 2 == 0 else -1500 for i in range(n)]
+    assert audio_fingerprint(wav(hi)) == audio_fingerprint(wav(lo))
+    sp_hi = audio_spectral_fingerprint(wav(hi))
+    sp_lo = audio_spectral_fingerprint(wav(lo))
+    assert sp_hi == [0, 0, 0, 0]  # all energy in band 1: no tilt bit
+    assert sum(bin(a ^ b).count("1") for a, b in zip(sp_hi, sp_lo)) == 8
+    # zeroing one temporal window touches only that window's bits
+    edit = [0 if (j * 8) // n == 2 else v for j, v in enumerate(base)]
+    fpe = audio_spectral_fingerprint(wav(edit))
+    diff_bits = [
+        r * 8 + c
+        for r, (a, b) in enumerate(zip(fp0, fpe))
+        for c in range(8)
+        if (a ^ b) >> c & 1
+    ]
+    assert diff_bits and all(8 <= i < 12 for i in diff_bits)  # window 2
+    # boundaries: non-WAV, too-short, float/stereo-free guards, params
+    assert audio_spectral_fingerprint(b"not audio") is None
+    assert audio_spectral_fingerprint(wav(base[:4])) is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_spectral_fingerprint(wav(base), windows=3, bands=4)
+    # independent scalar re-derivation, odd length (partial blocks)
+    m = 1001
+    sig = [((i * 53) % 3000) - 1500 for i in range(m)]
+    windows, bands = 8, 5
+    energy = [[0] * (bands + 1) for _ in range(windows)]
+    for k in range(1, bands + 1):
+        nblk = (m - 1) // (1 << k) + 1
+        for b in range(nblk):
+            c = sum(
+                sig[j] * (1 - 2 * ((j >> (k - 1)) & 1))
+                for j in range(b << k, min((b + 1) << k, m))
+            )
+            energy[(b << k) * windows // m][k] += c * c
+    bits = [
+        energy[f][k + 1] > energy[f][k]
+        for f in range(windows)
+        for k in range(1, bands)
+    ]
+    want = [
+        sum(1 << c for c in range(8) if bits[r * 8 + c])
+        for r in range(len(bits) // 8)
+    ]
+    assert audio_spectral_fingerprint(wav(sig)) == want
+
+
+def test_audio_spectral_pairs_blocked_equals_bruteforce(spark):
+    """audio_spectral_pairs' pigeonhole blocking is recall-complete at
+    max_hamming: the banded join equals brute-force Hamming over the
+    fingerprints, with None (non-audio) rows dropped."""
+    from pathwaydataframework_spark.operators import multimodal
+    import struct
+
+    def wav(samples):
+        payload = struct.pack(f"<{len(samples)}h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    n = 1024
+    base = [((i * 37) % 4096) - 2048 for i in range(n)]
+    blobs = {
+        0: wav(base),
+        1: wav([0 if (j * 8) // n == 2 else v for j, v in enumerate(base)]),
+        2: wav([v * 2 for v in base]),
+        3: wav([1500 if i % 2 == 0 else -1500 for i in range(n)]),
+        4: b"junk",
+    }
+    df = spark.createDataFrame(
+        sorted(blobs.items()), "id long, data binary"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_spectral_pairs(
+            df, id_col="id", binary_col="data", max_hamming=3
+        ).collect()
+    }
+    fps = {
+        i: multimodal.audio_spectral_fingerprint(b) for i, b in blobs.items()
+    }
+    want = {}
+    ids = [i for i, f in sorted(fps.items()) if f is not None]
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            h = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and (0, 2) in got  # gain twin survives at ham 0
+    assert got[(0, 2)] == 0
+
+
 def test_incremental_hamming_matches_persisted_index(spark, tmp_path):
     """The incremental media-dedup path: fingerprint the corpus ONCE into
     a parquet index, then match an incoming batch against it — only the
