@@ -112,6 +112,11 @@ def main() -> None:
         try:
             with open(os.path.join(here, benches[-1])) as fh:
                 prev_bench = json.load(fh)
+            # the driver's BENCH_r*.json wraps this script's stdout
+            # line under "parsed" (alongside rc/cpus/tail); a raw
+            # saved stdout line has "queries" at the top level
+            if isinstance(prev_bench.get("parsed"), dict):
+                prev_bench = prev_bench["parsed"]
             if str(prev_bench.get("sf")) == sf_dir.rstrip("/").rsplit(
                 "sf", 1
             )[-1]:
