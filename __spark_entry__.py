@@ -1863,6 +1863,25 @@ def q_audio_spectral(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw Haar band-energy FEATURES (multimodal.audio_spectral_energies):
+    the (id, window, band, energy) long-format table a curation model
+    consumes — every exact-integer cell of the spectral grid under the
+    oracle, not just the tilt bits q_audio_spectral compresses them to.
+    Zero-filled over the full grid (a silent window is a feature, not a
+    missing row); non-audio blobs contribute nothing.  Same fixture
+    blobs as q_audio_spectral, so the two rows differentially check the
+    fingerprint's bit derivation AGAINST its own energy matrix."""
+    from pathwaydataframework_spark.operators import multimodal
+
+    src = spark.createDataFrame(
+        _audio_spectral_fixtures(), "id long, hex string"
+    ).select("id", F.unhex("hex").alias("data"))
+    return multimodal.audio_spectral_energies(
+        src, id_col="id", binary_col="data", windows=8, bands=5
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image dedup (multimodal.perceptual_dedup_pairs):
     integer-arithmetic dHash over real P6 PPM decode, pigeonhole Hamming
@@ -3877,6 +3896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r12: no driver row yet ---
         "q_train_epochs": q_train_epochs,
         "q_audio_spectral": q_audio_spectral,
+        "q_audio_features": q_audio_features,
         # --- latest driver row r10 (next-stalest): fill the budget ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -3890,9 +3910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_filter": q_c4_filter,
         "q_corpus_dedup": q_corpus_dedup,
         "q_custom_reducer": q_custom_reducer,
-        "q_decontam": q_decontam,
         # --- latest driver row r10: behind the ~50 cap this round;
         # rotates forward in r13. ---
+        "q_decontam": q_decontam,
         "q_doc_retrieve": q_doc_retrieve,
         "q_domain_filter": q_domain_filter,
         "q_embedding_outliers": q_embedding_outliers,
@@ -4497,25 +4517,19 @@ def _audio_dedup_oracle_sql(max_hamming: int = 3, frames: int = 33) -> str:
     """
 
 
-def _audio_spectral_oracle_sql(
-    max_hamming: int = 3, windows: int = 8, bands: int = 5
-) -> str:
-    """q_audio_spectral oracle: PCM16 samples re-read from hex (LE
-    signed), Haar detail per (band k, block j//2^k) = signed sum with
-    sign (1 - 2*((j//2^(k-1)) % 2)), block's window = (blk*2^k*W)//n,
-    per-(window, band) integer energy sums zero-filled over the full
-    grid, tilt bit f*(bands-1)+(k-1) set when band k+1 outweighs band
-    k, then exact all-pairs Hamming — blocking recall is
-    pigeonhole-complete, so the banded Spark result must equal this."""
+def _audio_spectral_cte(windows: int = 8, bands: int = 5) -> str:
+    """Shared CTE prefix of the q_audio_spectral / q_audio_features
+    oracles: fixture blobs → PCM16 samples (hex re-read, LE signed) →
+    Haar detail per (band k, block j//2^k) with sign
+    (1 - 2*((j//2^(k-1)) % 2)) → per-(window, band) integer energy
+    sums, zero-filled over the full grid (``efull``)."""
     values = ", ".join(
         f"({i}, '{h}')" for i, h in _audio_spectral_fixtures()
     )
     n = 1024
-    bits = windows * (bands - 1)
-    nbytes = bits // 8
     byte = lambda p: f"TRY_CAST('0x' || substr(h, ({p} - 1) * 2 + 1, 2) AS BIGINT)"  # noqa: E731
     return f"""
-        WITH raw(id, hx) AS (VALUES {values}),
+        raw(id, hx) AS (VALUES {values}),
         blobs AS (
             SELECT id, hex(unhex(hx)) AS h FROM raw
             WHERE octet_length(unhex(hx)) = {44 + 2 * n}
@@ -4551,7 +4565,21 @@ def _audio_spectral_oracle_sql(
             SELECT g.id, g.f, g.k, coalesce(e.e, 0) AS e
             FROM grid g LEFT JOIN energies e
               ON e.id = g.id AND e.f = g.f AND e.k = g.k
-        ),
+        )"""
+
+
+def _audio_spectral_oracle_sql(
+    max_hamming: int = 3, windows: int = 8, bands: int = 5
+) -> str:
+    """q_audio_spectral oracle: the shared Haar energy grid
+    (:func:`_audio_spectral_cte`), tilt bit f*(bands-1)+(k-1) set when
+    band k+1 outweighs band k, then exact all-pairs Hamming — blocking
+    recall is pigeonhole-complete, so the banded Spark result must
+    equal this."""
+    bits = windows * (bands - 1)
+    nbytes = bits // 8
+    return f"""
+        WITH {_audio_spectral_cte(windows, bands)},
         fpbytes AS (
             SELECT a.id, (a.f * {bands - 1} + a.k - 1) // 8 AS r,
                    sum(CASE WHEN b2.e > a.e
@@ -5175,6 +5203,12 @@ def oracle_sql() -> dict[str, str]:
         "q_leakage_split": _leakage_split_oracle_sql(),
         "q_audio_dedup": _audio_dedup_oracle_sql(),
         "q_audio_spectral": _audio_spectral_oracle_sql(),
+        "q_audio_features": f"""
+            -- every cell of the Haar energy grid, zero-filled:
+            -- the features q_audio_spectral's bits compress
+            WITH {_audio_spectral_cte()}
+            SELECT id, f AS window, k AS band, e AS energy FROM efull
+        """,
         "q_image_dedup": _image_dedup_oracle_sql(),
         "q_quality_classifier": _logreg_oracle_sql(iterations=4, lr=2.0),
         "q_dsir": _dsir_oracle_sql(),

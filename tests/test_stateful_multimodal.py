@@ -440,6 +440,47 @@ def test_audio_spectral_pairs_blocked_equals_bruteforce(spark):
     assert got[(0, 2)] == 0
 
 
+def test_audio_spectral_energies_long_format(spark):
+    """audio_spectral_energies emits the FULL zero-filled
+    (id, window, band) grid for every decodable blob, drops
+    non-audio rows, and each cell equals the kernel the fingerprint
+    compresses — so features and bits can never disagree."""
+    from pathwaydataframework_spark.operators import multimodal
+    import struct
+
+    def wav(samples):
+        payload = struct.pack(f"<{len(samples)}h", *samples)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    n = 1024
+    base = [((i * 37) % 4096) - 2048 for i in range(n)]
+    lo = [1500 if (i // 16) % 2 == 0 else -1500 for i in range(n)]
+    df = spark.createDataFrame(
+        [(0, wav(base)), (1, wav(lo)), (2, b"junk")], "id long, data binary"
+    )
+    rows = multimodal.audio_spectral_energies(
+        df, id_col="id", binary_col="data", windows=8, bands=5
+    ).collect()
+    got = {(r["id"], r["window"], r["band"]): r["energy"] for r in rows}
+    assert len(rows) == 2 * 8 * 5  # full grid per audio blob; junk dropped
+    for i, blob in ((0, wav(base)), (1, wav(lo))):
+        e = multimodal._haar_band_energies(blob, windows=8, bands=5)
+        for f in range(8):
+            for k in range(1, 6):
+                assert got[(i, f, k)] == int(e[f, k])
+    # the 16-period square: all energy in band 5, zero elsewhere
+    assert all(got[(1, f, k)] == 0 for f in range(8) for k in range(1, 5))
+    assert all(got[(1, f, 5)] > 0 for f in range(8))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.audio_spectral_energies(df, id_col="id", windows=0)
+
+
 def test_incremental_hamming_matches_persisted_index(spark, tmp_path):
     """The incremental media-dedup path: fingerprint the corpus ONCE into
     a parquet index, then match an incoming batch against it — only the
