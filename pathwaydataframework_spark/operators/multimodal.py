@@ -59,6 +59,8 @@ def attach_media_meta(
 
     - WAV (``RIFF....WAVE``): duration from byte-rate and payload length
       (canonical 16-byte PCM fmt chunk: byte_rate at offset 29).
+    - FLAC (``fLaC`` + STREAMINFO): duration from the fixed-offset
+      20-bit sample rate / 36-bit total-samples fields (r12).
     - PNG: big-endian IHDR width/height at offsets 17/21.
     - BMP: little-endian SIGNED int32 width/height at offsets 19/23
       (top-down BMPs store a negative biHeight; reported as |height|).
@@ -98,6 +100,23 @@ def attach_media_meta(
     is_avi = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
         F.substring(d, 9, 4) == F.lit(b"AVI ")
     ) & (F.substring(d, 25, 4) == F.lit(b"avih"))
+    # FLAC: magic + the mandatory STREAMINFO first metadata block
+    # (header byte 5 = last-flag<<7 | type, type 0) — sample rate is a
+    # 20-bit field at bytes 19-21, total samples 36 bits at 22-26, all
+    # FIXED offsets, so duration comes from codegen'd expressions like
+    # WAV's (flac.py decodes the actual frames)
+    is_flac = (F.substring(d, 1, 4) == F.lit(b"fLaC")) & (
+        _uint(d, 5, 1, little_endian=False) % 128 == 0
+    )
+    flac_rate = (
+        _uint(d, 19, 1, little_endian=False) * 4096
+        + _uint(d, 20, 1, little_endian=False) * 16
+        + F.floor(_uint(d, 21, 1, little_endian=False) / 16)
+    )
+    flac_total = (
+        (_uint(d, 22, 1, little_endian=False) % 16) * F.lit(1 << 32)
+        + _uint(d, 23, 4, little_endian=False)
+    )
     byte_rate = _uint(d, 29, 4, little_endian=True)
 
     def _signed32(u: Column) -> Column:
@@ -107,7 +126,7 @@ def attach_media_meta(
 
     null_i = F.lit(None).cast("int")
     media_type = (
-        F.when(is_wav, F.lit("audio"))
+        F.when(is_wav | is_flac, F.lit("audio"))
         .when(is_mp4 | is_avi, F.lit("video"))
         .when(is_png | is_bmp | is_gif | is_jpg, F.lit("image"))
         .otherwise(F.lit("unknown"))
@@ -128,6 +147,7 @@ def attach_media_meta(
     )
     duration_ms = (
         F.when(is_wav & (byte_rate > 0), ((F.length(d) - 44) * 1000 / byte_rate))
+        .when(is_flac & (flac_rate > 0), flac_total * 1000 / flac_rate)
         .when(
             is_avi,
             (_uint(d, 33, 4, little_endian=True)  # µs per frame
@@ -762,8 +782,24 @@ def hamming_dedup_pairs(
     )
 
 
+def _decode_audio(data: bytes):
+    """Codec dispatch for the exact-integer audio kernels: FLAC by
+    magic (``flac.decode`` — lossless integers, the same contract),
+    everything else through ``wavcodec.decode``.  Both return
+    (samples (n, channels), rate, scale) with exact int32 samples for
+    integer formats, so the fingerprint/feature arithmetic downstream
+    is codec-agnostic (pinned: a FLAC encode of the same samples
+    fingerprints identically to the WAV)."""
+    from pathwaydataframework_spark.operators import flac as _flac
+    from pathwaydataframework_spark.operators import wavcodec as _wav
+
+    if _flac.is_flac(bytes(data)):
+        return _flac.decode(bytes(data))
+    return _wav.decode(bytes(data))
+
+
 def audio_fingerprint(data: bytes, *, frames: int = 33) -> list[int] | None:
-    """Energy-envelope fingerprint for WAV — the audio near-dup
+    """Energy-envelope fingerprint for WAV/FLAC — the audio near-dup
     analogue of dHash: split the sample stream into ``frames`` equal
     windows (floor boundaries), per-window energy = Σ sample² as EXACT
     integer arithmetic on the decoded integer samples, set bit f when
@@ -772,22 +808,22 @@ def audio_fingerprint(data: bytes, *, frames: int = 33) -> list[int] | None:
     Covers every integer format wavcodec decodes (PCM 8/16/24/32,
     G.711 µ-law/A-law, IMA ADPCM — their expansions are exact integers,
     so the arithmetic stays exact end-to-end; the q_audio_dedup oracle
-    replays PCM16 fixtures from hex).  Robust to uniform gain only in
+    replays PCM16 fixtures from hex) plus FLAC (r12, flac.py — lossless
+    integers through the same dispatch, so a WAV and its FLAC encode
+    fingerprint IDENTICALLY).  Robust to uniform gain only in
     the strict sense of sign-preserving monotone scalings (integer
     doubling preserves every comparison); resistant to small local
     edits (each touches <= 2 comparisons).  Returns (frames-1)/8
-    row-bytes; None for non-WAV/float-WAV blobs or streams with fewer
+    row-bytes; None for non-audio/float-WAV blobs or streams with fewer
     samples than frames.  (frames-1) must be a multiple of 8.
     """
     import numpy as np
-
-    from pathwaydataframework_spark.operators import wavcodec as _wav
 
     bits = frames - 1
     if bits <= 0 or bits % 8:
         raise ValueError("frames - 1 must be a positive multiple of 8")
     try:
-        samples, _sr, scale = _wav.decode(bytes(data))
+        samples, _sr, scale = _decode_audio(bytes(data))
     except ValueError:
         return None
     if scale is None:  # float streams: no exact-integer energy contract
@@ -879,10 +915,6 @@ def audio_spectral_fingerprint(
     float-WAV / stereo blobs or streams shorter than ``windows``
     samples.  ``windows*(bands-1)`` must be a multiple of 8.
     """
-    import numpy as np
-
-    from pathwaydataframework_spark.operators import wavcodec as _wav
-
     bits = windows * (bands - 1)
     if bits <= 0 or bits % 8:
         raise ValueError(
@@ -906,14 +938,12 @@ def _haar_band_energies(data: bytes, *, windows: int, bands: int):
     """Shared kernel of :func:`audio_spectral_fingerprint` and
     :func:`audio_spectral_energies`: the (windows, bands+1) int64
     energy matrix (column 0 unused — bands are 1-indexed), or None at
-    the decode boundaries (non-WAV, float, stereo, shorter than
-    ``windows`` samples)."""
+    the decode boundaries (non-audio, float, stereo, shorter than
+    ``windows`` samples).  Decodes WAV or FLAC (:func:`_decode_audio`)."""
     import numpy as np
 
-    from pathwaydataframework_spark.operators import wavcodec as _wav
-
     try:
-        samples, _sr, scale = _wav.decode(bytes(data))
+        samples, _sr, scale = _decode_audio(bytes(data))
     except ValueError:
         return None
     if scale is None or samples.shape[1] != 1:
