@@ -1237,6 +1237,20 @@ def _media_fixtures() -> list[tuple[int, str]]:
         ]
         return _avi.encode_mjpeg(frames, width=w, height=h, fps=fps)
 
+    def flac_blob(n=4000, rate=8000):
+        # REAL encoded FLAC (r12: operators/flac.py); type + duration
+        # come from the fixed-offset STREAMINFO fields — n/rate chosen
+        # so n*1000/rate is exact (no truncate-vs-round ambiguity
+        # between engines)
+        import numpy as np
+
+        from pathwaydataframework_spark.operators import flac as _flac
+
+        x = np.array(
+            [((i * 37) % 4096) - 2048 for i in range(n)], dtype=np.int32
+        )
+        return _flac.encode(x, sample_rate=rate)
+
     blobs = [
         wav(),                                # 50 ms @ 16 kB/s
         wav(rate=16000, payload=3200),        # 100 ms @ 32 kB/s
@@ -1247,6 +1261,7 @@ def _media_fixtures() -> list[tuple[int, str]]:
         mp4(),                                # 640x360, 5500 ms
         mjpeg_avi(),                          # 24x18, 2 frames @ 10 fps
         b"plain text bytes",
+        flac_blob(),                          # r12: 4000 samples @ 8 kHz = 500 ms
     ]
     return [(i, b.hex()) for i, b in enumerate(blobs)]
 
@@ -1254,10 +1269,13 @@ def _media_fixtures() -> list[tuple[int, str]]:
 def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal container sniffing (operators/multimodal.py
     attach_media_meta — addendum §2.10): WAV/PNG/BMP/GIF header fields
-    as pure binary column expressions, plus — r6 — ``deep=True``
-    variable-offset metadata: MP4/ISO-BMFF duration + 16.16 track
-    dimensions via the general ``mp4_meta`` box walk and JPEG
-    dimensions via the SOF marker walk (one Arrow-batched pandas UDF).
+    as pure binary column expressions — r12 adds FLAC (type + duration
+    from the fixed-offset STREAMINFO 20-bit rate / 36-bit total-samples
+    fields, blob emitted by the in-repo flac.py encoder) — plus, r6,
+    ``deep=True`` variable-offset metadata: MP4/ISO-BMFF duration +
+    16.16 track dimensions via the general ``mp4_meta`` box walk and
+    JPEG dimensions via the SOF marker walk (one Arrow-batched pandas
+    UDF).
     The DuckDB oracle re-derives every field from the same blobs with
     independent hex-string byte arithmetic — the MP4 fields from the
     planted fixture's documented fixed layout, the JPEG SOF via
@@ -1585,12 +1603,18 @@ def _media_meta_oracle_sql() -> str:
                    substr(h, 1, 8) = hex('RIFF'::BLOB)
                        AND substr(h, 17, 8) = hex('AVI '::BLOB)
                        AND substr(h, 49, 8) = hex('avih'::BLOB) AS is_avi,
+                   substr(h, 1, 8) = hex('fLaC'::BLOB)
+                       AND {b(5)} % 128 = 0 AS is_flac,
+                   ({b(19)} * 4096 + {b(20)} * 16 + {b(21)} // 16)
+                       AS flac_rate,
+                   (({b(22)} % 16) * 4294967296 + {be32(23)})
+                       AS flac_total,
                    strpos(h, 'FFC0') AS sofp,
                    {le32(29)} AS byte_rate
             FROM blobs
         )
         SELECT id,
-               CASE WHEN is_wav THEN 'audio'
+               CASE WHEN is_wav OR is_flac THEN 'audio'
                     WHEN is_mp4 OR is_avi THEN 'video'
                     WHEN is_png OR is_bmp OR is_gif OR is_jpg THEN 'image'
                     ELSE 'unknown' END AS media_type,
@@ -1612,6 +1636,8 @@ def _media_meta_oracle_sql() -> str:
                          END AS INTEGER) AS height,
                CAST(CASE WHEN is_wav AND byte_rate > 0
                          THEN (n - 44) * 1000 / byte_rate
+                         WHEN is_flac AND flac_rate > 0
+                         THEN flac_total * 1000 / flac_rate
                          WHEN is_avi THEN ({le32(33)} * {le32(49)}) / 1000
                          WHEN is_mp4 THEN FLOOR({be32(57)} * 1000 / {be32(53)})
                          END AS INTEGER)
