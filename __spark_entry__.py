@@ -3457,6 +3457,37 @@ def q_train_epochs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-homogeneous micro-batching for the UNPACKED (SFT-style)
+    training path (packing.bucket_by_length): bucket documents by byte
+    length under boundaries (64, 256, 1024) — lengths above the last
+    boundary land in the open bucket with a NULL pad target — order
+    each bucket by the md5(doc_id:5) epoch shuffle (the q_shuffle
+    order contract, PER BUCKET, via the 256-monotone-prefix layout —
+    never a global sort), and number batch_id/slot off that order with
+    ragged tails dropped (the fixed-shape contract compiled kernels
+    want).  The SQL replay independently re-derives the bucket
+    expression, the per-bucket md5 permutation, the ragged cutoff
+    (count // batch * batch) and the pad target — so homogeneity,
+    epoch determinism, and the fixed-shape contract all sit under the
+    driver's hash gate.  Reference has no batching surface (its engine
+    streams rows); this is the Spark-native trainer-prep analogue
+    alongside read_packed_slices."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    src = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    out = packing.bucket_by_length(
+        src, "doc_id", "n_bytes", boundaries=(64, 256, 1024),
+        batch_size=8, seed=5, drop_ragged=True,
+    )
+    return out.select(
+        "doc_id", "n_bytes", "bucket", "batch_id", "slot", "cap"
+    )
+
+
 def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     """The full-corpus-recipe CAPSTONE (VERDICT r9 item 3): the pipeline
     a data team actually runs, composed in ONE driver row — plant page
@@ -3923,6 +3954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_train_epochs": q_train_epochs,
         "q_audio_spectral": q_audio_spectral,
         "q_audio_features": q_audio_features,
+        "q_length_buckets": q_length_buckets,
         # --- latest driver row r10 (next-stalest): fill the budget ---
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
@@ -3935,9 +3967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_c4_filter": q_c4_filter,
         "q_corpus_dedup": q_corpus_dedup,
-        "q_custom_reducer": q_custom_reducer,
         # --- latest driver row r10: behind the ~50 cap this round;
         # rotates forward in r13. ---
+        "q_custom_reducer": q_custom_reducer,
         "q_decontam": q_decontam,
         "q_doc_retrieve": q_doc_retrieve,
         "q_domain_filter": q_domain_filter,
@@ -6530,6 +6562,37 @@ def oracle_sql() -> dict[str, str]:
                        shard, seq_id, tokens, n_tokens, spans, oversized
                 FROM out
             ) WHERE rank <> 0 OR position >= 3
+        """,
+        "q_length_buckets": """
+            -- the SFT batching replay: bucket = count of boundaries
+            -- exceeded, per-bucket md5(doc_id:5) order (tie-break id),
+            -- fixed-shape cutoff count//8*8, pad target = the bucket's
+            -- boundary (NULL for the open bucket)
+            WITH src AS (
+                SELECT doc_id, strlen(text)::BIGINT AS n_bytes
+                FROM documents WHERE text IS NOT NULL
+            ),
+            b AS (
+                SELECT doc_id, n_bytes,
+                       ((n_bytes > 64)::INT + (n_bytes > 256)::INT
+                        + (n_bytes > 1024)::INT)::BIGINT AS bucket
+                FROM src
+            ),
+            o AS (
+                SELECT *, row_number() OVER (
+                              PARTITION BY bucket
+                              ORDER BY md5(doc_id::VARCHAR || ':5'),
+                                       doc_id
+                          ) - 1 AS ord,
+                          count(*) OVER (PARTITION BY bucket) AS n
+                FROM b
+            )
+            SELECT doc_id, n_bytes, bucket,
+                   (ord // 8)::BIGINT AS batch_id,
+                   (ord % 8)::BIGINT AS slot,
+                   (CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 256
+                                WHEN 2 THEN 1024 END)::BIGINT AS cap
+            FROM o WHERE ord < (n // 8) * 8
         """,
         "q_train_epochs": f"""
             -- the multi-epoch loop replay: rank = shard % 2, each

@@ -1298,3 +1298,92 @@ def read_packed_slices(
         "manifest": manifest,
     }
     return sliced.select(*manifest["columns"], "position"), info
+
+
+def bucket_by_length(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    *,
+    boundaries,
+    batch_size: int,
+    seed: int = 0,
+    drop_ragged: bool = False,
+) -> DataFrame:
+    """Length-homogeneous micro-batches for the UNPACKED training path
+    (SFT / instruction tuning, where examples are not concatenated and
+    every batch pads to its longest row): assign each row a ``bucket``
+    (the index of the first boundary its length fits under; lengths
+    above the last boundary land in an open-ended final bucket), order
+    each bucket by the md5 epoch shuffle (``md5(id:seed)`` ascending,
+    id tie-break — the q_shuffle contract, a different ``seed`` per
+    epoch), and number ``batch_id``/``slot`` off that order.  ``cap``
+    is the bucket's boundary — the pad target, so per-batch padding
+    waste is bounded by the bucket width instead of the corpus-max
+    length (NULL for the open bucket; the caller decides truncate vs
+    pad-to-max there).  ``drop_ragged=True`` drops each bucket's final
+    partial batch — the fixed-shape contract compiled kernels want.
+
+    Scale shape: bucketing is a pure column expression; the in-bucket
+    order rides :func:`~pathwaydataframework_spark.operators.sampling.
+    deterministic_shuffle`'s 256-monotone-md5-prefix layout PER BUCKET
+    (never a global sort); ``drop_ragged`` adds one buckets-sized
+    aggregate broadcast back.  Rows with a NULL length are excluded
+    (they cannot be assigned a pad target), like the sampling module's
+    NULL-key contract.  Raises if the frame already carries one of the
+    four output columns — silently overwriting caller data is the
+    reserved-name hazard read_packed_slices guards against.
+    """
+    from functools import reduce
+    from operator import add
+
+    from pathwaydataframework_spark.operators.sampling import (
+        _sharded_running_total,
+    )
+
+    bnds = [int(b) for b in boundaries]
+    if not bnds or bnds != sorted(bnds) or len(set(bnds)) != len(bnds):
+        raise ValueError(
+            f"boundaries must be non-empty and strictly increasing, got "
+            f"{list(boundaries)!r}"
+        )
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    reserved = {"bucket", "batch_id", "slot", "cap"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input already has column(s) {sorted(reserved)} — "
+            "bucket_by_length adds bucket/batch_id/slot/cap and must "
+            "not overwrite caller data"
+        )
+    ln = F.col(length_col)
+    base = df.filter(ln.isNotNull()).withColumn(
+        "bucket",
+        reduce(add, [(ln > F.lit(b)).cast("int") for b in bnds]).cast(
+            "long"
+        ),
+    )
+    ordered = _sharded_running_total(
+        base, id_col, seed=seed, weight=F.lit(1), grp=("bucket",)
+    ).withColumn("__ord", F.col("__total") - 1).drop("__total")
+    if drop_ragged:
+        sizes = ordered.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+        ordered = (
+            ordered.join(F.broadcast(sizes), on="bucket")
+            .filter(
+                F.col("__ord")
+                < F.floor(F.col("__n") / batch_size) * batch_size
+            )
+            .drop("__n")
+        )
+    cap = F.lit(None).cast("long")
+    for i in reversed(range(len(bnds))):
+        cap = F.when(F.col("bucket") == i, F.lit(bnds[i]).cast("long")).otherwise(cap)
+    return (
+        ordered.withColumn(
+            "batch_id", F.floor(F.col("__ord") / batch_size).cast("long")
+        )
+        .withColumn("slot", (F.col("__ord") % batch_size).cast("long"))
+        .withColumn("cap", cap)
+        .drop("__ord")
+    )
