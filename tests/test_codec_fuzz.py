@@ -194,3 +194,60 @@ def test_rle_random_streams_never_escape_valueerror():
             assert out.shape == (6, 8, 3)
     # the property must have exercised BOTH the accept and reject paths
     assert decoded > 0 and rejected > 0
+
+
+def test_flac_structured_random_roundtrip():
+    """r12 FLAC property (the structured-random RLE pattern): seeded-RNG
+    signals across lengths, channel counts, block sizes and every
+    encoder knob roundtrip bit-exactly; a quarter of trials then get a
+    random byte corrupted and must decode-or-ValueError, never crash.
+    Exercises partial trailing blocks, CONSTANT runs, both Rice
+    methods, partitions, escapes, wasted bits and all stereo modes
+    under arbitrary data rather than the fixed fixtures."""
+    import numpy as np
+
+    from pathwaydataframework_spark.operators import flac
+
+    rng = np.random.default_rng(1207)
+    decoded = rejected = 0
+    stereo_modes = [None, "mid_side", "left_side", "right_side"]
+    for trial in range(40):
+        n = int(rng.integers(0, 3000))
+        ch = int(rng.integers(1, 3))
+        x = rng.integers(-32768, 32768, (n, ch), dtype=np.int64).astype(
+            np.int32
+        )
+        if trial % 5 == 0 and n:
+            x[: n // 2] = int(rng.integers(-5, 5))  # constant runs
+        if trial % 7 == 0:
+            x = (x // 8) * 8  # shared low zero bits
+        kw = dict(
+            block_size=int(rng.choice([64, 256, 1024])),
+            force=[None, "verbatim", "lpc"][int(rng.integers(0, 3))],
+            rice2=bool(rng.integers(0, 2)),
+            partition_order=0,
+            auto_wasted=bool(rng.integers(0, 2)),
+        )
+        if rng.integers(0, 2) and kw["block_size"] >= 256:
+            kw["partition_order"] = int(rng.integers(0, 3))
+        if rng.integers(0, 4) == 0:
+            kw["escape_bits"] = 17
+        if ch == 2:
+            kw["stereo"] = stereo_modes[int(rng.integers(0, 4))]
+        try:
+            enc = flac.encode(x, **kw)
+        except ValueError:
+            continue  # partition order vs short final block: fail-fast
+        y, _, _ = flac.decode(enc)
+        assert np.array_equal(y, x), (trial, kw)
+        decoded += 1
+        if trial % 4 == 0 and len(enc) > 50:
+            mut = bytearray(enc)
+            mut[int(rng.integers(0, len(mut)))] ^= int(
+                rng.integers(1, 256)
+            )
+            try:
+                flac.decode(bytes(mut))
+            except ValueError:
+                rejected += 1
+    assert decoded > 25 and rejected > 0
