@@ -1251,6 +1251,19 @@ def _media_fixtures() -> list[tuple[int, str]]:
         )
         return _flac.encode(x, sample_rate=rate)
 
+    def mp3(payload=1264, kbps_index=9):
+        # ID3v2.3 tag (synchsafe size 5, empty padding) + one MPEG-1
+        # Layer III frame header (bitrate index → 128 kbps) + filler.
+        # Frame DATA stays undecoded (the lossy-codec boundary,
+        # DEVIATIONS.md #5); duration is the CBR estimate
+        # payload*8/kbps, with payload chosen so it divides exactly
+        # (no truncate-vs-round ambiguity between engines).
+        return (
+            b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 5]) + bytes(5)
+            + bytes([0xFF, 0xFB, (kbps_index << 4) | 0, 0x00])
+            + bytes(payload - 4)
+        )
+
     blobs = [
         wav(),                                # 50 ms @ 16 kB/s
         wav(rate=16000, payload=3200),        # 100 ms @ 32 kB/s
@@ -1262,6 +1275,7 @@ def _media_fixtures() -> list[tuple[int, str]]:
         mjpeg_avi(),                          # 24x18, 2 frames @ 10 fps
         b"plain text bytes",
         flac_blob(),                          # r12: 4000 samples @ 8 kHz = 500 ms
+        mp3(),                                # r12: 1264 B @ 128 kbps = 79 ms
     ]
     return [(i, b.hex()) for i, b in enumerate(blobs)]
 
@@ -1609,12 +1623,34 @@ def _media_meta_oracle_sql() -> str:
                        AS flac_rate,
                    (({b(22)} % 16) * 4294967296 + {be32(23)})
                        AS flac_total,
+                   substr(h, 1, 6) = hex('ID3'::BLOB) AS is_id3,
+                   m.id3sz, m.mp3_ok, m.mp3_kbps,
                    strpos(h, 'FFC0') AS sofp,
                    {le32(29)} AS byte_rate
-            FROM blobs
+            FROM blobs,
+            LATERAL (
+                SELECT id3sz,
+                       fh1 = 255 AND fh2 // 2 = 125 AS mp3_ok,
+                       CASE fh3 // 16
+                            WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                            WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                            WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                            WHEN 10 THEN 160 WHEN 11 THEN 192
+                            WHEN 12 THEN 224 WHEN 13 THEN 256
+                            WHEN 14 THEN 320 END AS mp3_kbps
+                FROM (
+                    SELECT ({b(7)} * 2097152 + {b(8)} * 16384
+                            + {b(9)} * 128 + {b(10)}) AS id3sz
+                ) s,
+                LATERAL (
+                    SELECT TRY_CAST('0x' || substr(h, (10 + s.id3sz) * 2 + 1, 2) AS BIGINT) AS fh1,
+                           TRY_CAST('0x' || substr(h, (11 + s.id3sz) * 2 + 1, 2) AS BIGINT) AS fh2,
+                           TRY_CAST('0x' || substr(h, (12 + s.id3sz) * 2 + 1, 2) AS BIGINT) AS fh3
+                ) f
+            ) m
         )
         SELECT id,
-               CASE WHEN is_wav OR is_flac THEN 'audio'
+               CASE WHEN is_wav OR is_flac OR is_id3 THEN 'audio'
                     WHEN is_mp4 OR is_avi THEN 'video'
                     WHEN is_png OR is_bmp OR is_gif OR is_jpg THEN 'image'
                     ELSE 'unknown' END AS media_type,
@@ -1638,6 +1674,8 @@ def _media_meta_oracle_sql() -> str:
                          THEN (n - 44) * 1000 / byte_rate
                          WHEN is_flac AND flac_rate > 0
                          THEN flac_total * 1000 / flac_rate
+                         WHEN is_id3 AND mp3_ok AND mp3_kbps IS NOT NULL
+                         THEN (n - 10 - id3sz) * 8 / mp3_kbps
                          WHEN is_avi THEN ({le32(33)} * {le32(49)}) / 1000
                          WHEN is_mp4 THEN FLOOR({be32(57)} * 1000 / {be32(53)})
                          END AS INTEGER)

@@ -61,6 +61,11 @@ def attach_media_meta(
       (canonical 16-byte PCM fmt chunk: byte_rate at offset 29).
     - FLAC (``fLaC`` + STREAMINFO): duration from the fixed-offset
       20-bit sample rate / 36-bit total-samples fields (r12).
+    - MP3 (``ID3`` tag): type from the magic; duration as the CBR
+      estimate payload*8/bitrate, with the first MPEG frame header
+      located THROUGH the synchsafe tag size (a computed-offset
+      substr — still no Python) and validated as MPEG-1 Layer III
+      with a defined bitrate before any number is emitted (r12).
     - PNG: big-endian IHDR width/height at offsets 17/21.
     - BMP: little-endian SIGNED int32 width/height at offsets 19/23
       (top-down BMPs store a negative biHeight; reported as |height|).
@@ -100,6 +105,44 @@ def attach_media_meta(
     is_avi = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
         F.substring(d, 9, 4) == F.lit(b"AVI ")
     ) & (F.substring(d, 25, 4) == F.lit(b"avih"))
+    # MP3 (r12): an ID3v2 tag marks the family; the tag SIZE is a
+    # fixed-offset synchsafe u28 (bytes 7-10), so the first MPEG frame
+    # header sits at the COMPUTED offset 11+size — still a pure column
+    # expression via substr-with-column-pos.  Duration is the standard
+    # CBR estimate payload_bytes*8/bitrate, emitted only when the frame
+    # validates as MPEG-1 Layer III with a defined bitrate (frame DATA
+    # stays undecoded — the lossy-codec boundary, DEVIATIONS.md #5,
+    # same stance as MP4).
+    def _uint_at(pos_col: Column) -> Column:
+        return F.conv(
+            F.hex(F.substr(d, pos_col, F.lit(1))), 16, 10
+        ).cast("long")
+
+    is_id3 = F.substring(d, 1, 3) == F.lit(b"ID3")
+    id3_size = (
+        _uint(d, 7, 1, little_endian=False) * F.lit(1 << 21)
+        + _uint(d, 8, 1, little_endian=False) * F.lit(1 << 14)
+        + _uint(d, 9, 1, little_endian=False) * F.lit(1 << 7)
+        + _uint(d, 10, 1, little_endian=False)
+    )
+    mp3_h1 = _uint_at(id3_size + 11)
+    mp3_h2 = _uint_at(id3_size + 12)
+    mp3_h3 = _uint_at(id3_size + 13)
+    mp3_frame_ok = (
+        (mp3_h1 == 255)
+        # sync high bits + version MPEG-1 (bits 4-3 = 11) + Layer III
+        # (bits 2-1 = 01) → h2 & 0xFE == 0xFA
+        & (F.floor(mp3_h2 / 2) == F.lit(0x7D))
+    )
+    mp3_kbps = F.lit(None).cast("long")
+    for idx, kbps in enumerate(
+        (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+         256, 320, None)
+    ):
+        if kbps is not None:
+            mp3_kbps = F.when(
+                F.floor(mp3_h3 / 16) == idx, F.lit(kbps).cast("long")
+            ).otherwise(mp3_kbps)
     # FLAC: magic + the mandatory STREAMINFO first metadata block
     # (header byte 5 = last-flag<<7 | type, type 0) — sample rate is a
     # 20-bit field at bytes 19-21, total samples 36 bits at 22-26, all
@@ -126,7 +169,7 @@ def attach_media_meta(
 
     null_i = F.lit(None).cast("int")
     media_type = (
-        F.when(is_wav | is_flac, F.lit("audio"))
+        F.when(is_wav | is_flac | is_id3, F.lit("audio"))
         .when(is_mp4 | is_avi, F.lit("video"))
         .when(is_png | is_bmp | is_gif | is_jpg, F.lit("image"))
         .otherwise(F.lit("unknown"))
@@ -148,6 +191,11 @@ def attach_media_meta(
     duration_ms = (
         F.when(is_wav & (byte_rate > 0), ((F.length(d) - 44) * 1000 / byte_rate))
         .when(is_flac & (flac_rate > 0), flac_total * 1000 / flac_rate)
+        .when(
+            is_id3 & mp3_frame_ok & mp3_kbps.isNotNull(),
+            # CBR estimate: payload bits / bitrate (bits per ms = kbps)
+            (F.length(d) - 10 - id3_size) * 8 / mp3_kbps,
+        )
         .when(
             is_avi,
             (_uint(d, 33, 4, little_endian=True)  # µs per frame

@@ -440,6 +440,45 @@ def test_audio_spectral_pairs_blocked_equals_bruteforce(spark):
     assert got[(0, 2)] == 0
 
 
+def test_mp3_media_meta_sniff(spark):
+    """attach_media_meta's MP3 branch (r12): 'ID3' magic → audio; the
+    first MPEG frame header is located THROUGH the synchsafe tag size
+    (computed-offset substr, no Python) and duration is the CBR
+    estimate only when it validates as MPEG-1 Layer III with a defined
+    bitrate — a non-MPEG1 frame or a free/bad bitrate index yields
+    type without a number."""
+    from pathwaydataframework_spark.operators import multimodal
+
+    def mp3(tag_pad, hdr, payload):
+        import struct as _s
+
+        sz = tag_pad
+        synchsafe = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        return (
+            b"ID3" + bytes([3, 0, 0]) + synchsafe + bytes(tag_pad)
+            + bytes(hdr) + bytes(payload - len(hdr))
+        )
+
+    blobs = [
+        (0, mp3(5, [0xFF, 0xFB, 0x90, 0x00], 1264)),    # 128 kbps → 79 ms
+        (1, mp3(200, [0xFF, 0xFB, 0xE0, 0x00], 640)),   # 320 kbps, big tag → 16 ms
+        (2, mp3(5, [0xFF, 0xE2, 0x90, 0x00], 100)),     # MPEG-2: no duration
+        (3, mp3(5, [0xFF, 0xFB, 0x00, 0x00], 100)),     # free bitrate: no duration
+    ]
+    df = spark.createDataFrame(blobs, "id long, data binary")
+    rows = {
+        r["id"]: r["media_meta"].asDict()
+        for r in multimodal.attach_media_meta(df).collect()
+    }
+    assert all(m["media_type"] == "audio" for m in rows.values())
+    assert rows[0]["duration_ms"] == 79    # 1264 B * 8 / 128 kbps
+    assert rows[1]["duration_ms"] == 16    # 640 B * 8 / 320 kbps
+    assert rows[2]["duration_ms"] is None
+    assert rows[3]["duration_ms"] is None
+
+
 def test_audio_spectral_energies_long_format(spark):
     """audio_spectral_energies emits the FULL zero-filled
     (id, window, band) grid for every decodable blob, drops
