@@ -51,6 +51,12 @@ HEADLINE = [
     # NOT in the r1 baseline total — BASELINE.md documents the adjustment
     # (subtract queries["q_recipe"] for apples-to-apples vs r1).
     "q_recipe",
+    # r13: the trainer-facing LOADER surface (write_packed_dataset →
+    # read_packed_slices over 2 epochs × 2 ranks with equalize + resume)
+    # — the flagship r10-r12 API finally carries a bench trend line
+    # (VERDICT r12 item 5).  Also NOT in the r1 baseline total —
+    # subtract queries["q_train_epochs"] too for apples-to-apples vs r1.
+    "q_train_epochs",
 ]
 
 
@@ -104,9 +110,37 @@ def main() -> None:
     # manual judge rerun).  Only comparable at the same SF.
     prev_queries: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _round_of(fname: str) -> int:
+        try:
+            return int(fname[len("BENCH_r"):-len(".json")])
+        except ValueError:
+            return -1
+
+    # Numeric round sort (lexicographic breaks at r100), and never
+    # adjudicate against the CURRENT round's own output: after the
+    # driver records BENCH_r{N}.json, a same-tree rerun would otherwise
+    # pick itself as "previous round" (ADVICE r12).  The judged round is
+    # read from VERDICT.md's header ("# VERDICT — round N"); any bench
+    # file from a LATER round is this round's own output and is skipped.
+    judged_round = None
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as fh:
+            import re as _re
+
+            m = _re.search(r"round\s+(\d+)", fh.readline())
+            if m:
+                judged_round = int(m.group(1))
+    except OSError:
+        pass
     benches = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        (
+            f for f in os.listdir(here)
+            if f.startswith("BENCH_r") and f.endswith(".json")
+            and _round_of(f) >= 0
+            and (judged_round is None or _round_of(f) <= judged_round)
+        ),
+        key=_round_of,
     )
     if benches:
         try:
@@ -131,15 +165,19 @@ def main() -> None:
     # the steady-state cost of the PLAN, which is what sustained 100 TB
     # operation sees.  Both raw runs are printed to stderr for audit.
     #
-    # Self-adjudication (VERDICT r11 item 2): after each query, ONE spin
-    # records the host speed AT THAT MOMENT (calib_spin_per_query).  If
-    # the best-of reading exceeds 2× the previous round's value for the
-    # same query at the same SF, the query is automatically re-run once
-    # after a fresh re-spin and BOTH readings land in the JSON
-    # ("adjudications") — so a transient host phase adjudicates itself
-    # in the bench record instead of costing a judge rerun.  The recheck
-    # is just one more rep under the existing best-of policy, so the
-    # recorded timing is min(all runs).
+    # Self-adjudication (VERDICT r11 item 2, restructured per VERDICT
+    # r12 item 2): after each query, ONE spin records the host speed AT
+    # THAT MOMENT (calib_spin_per_query).  Queries whose best-of reading
+    # exceeds 2× the previous round's value at the same SF are COLLECTED
+    # during the pass and re-run ONCE EACH in a second loop at the END
+    # of the bench — r12 proved an inline recheck lands seconds into the
+    # same multi-minute host phase and "confirms" it (q_bm25 recorded
+    # 5.0 s mid-phase; the same tree read 2.398 s idle).  Each recheck
+    # records spin_ratio = spin_ms_at_recheck / calib_spin_ms; a ratio
+    # > 1.2 means the host was STILL in a phase at recheck time and the
+    # reading is marked "unadjudicated" (BASELINE.md's rule) rather than
+    # treated as confirmation.  The recheck is one more rep under the
+    # best-of policy, so the recorded timing is min(all runs).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -164,23 +202,18 @@ def main() -> None:
         )
         prev_val = prev_queries.get(name)
         if prev_val and timings[name] > 2 * prev_val:
-            respin_ms = round(_spin() * 1000, 1)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            recheck = round(time.perf_counter() - t0, 3)
+            # flag only — the recheck runs in the end-of-bench second
+            # pass, outside whatever host phase produced this reading
             adjudications[name] = {
                 "prev_round": prev_val,
                 "reading": timings[name],
-                "recheck": recheck,
                 "spin_ms_at_reading": spin_ms,
-                "spin_ms_at_recheck": respin_ms,
             }
             print(
-                f"# {name}: >2x prev ({prev_val:.3f}s) — recheck "
-                f"{recheck:.3f}s after re-spin {respin_ms}ms",
+                f"# {name}: >2x prev ({prev_val:.3f}s) — deferred to "
+                "end-of-run recheck",
                 file=sys.stderr,
             )
-            timings[name] = min(timings[name], recheck)
         # Variance guard: release Python-side DataFrame refs FIRST (their
         # localCheckpoint RDD blocks stay pinned in the block manager until
         # the py4j objects are collected), then nudge the JVM so garbage
@@ -199,6 +232,40 @@ def main() -> None:
     # Whole-bench calibration constant (best-of-3, end of run) — kept
     # for cross-round comparability with BENCH_r01-r11.
     calib_spin_ms = round(min(_spin() for _ in range(3)) * 1000, 1)
+
+    # Second pass: re-run each flagged query ONCE, each after a fresh
+    # spin, now that the main pass (and with it, most plausibly, the
+    # host phase that produced the flag) is over.  spin_ratio > 1.2 →
+    # the host is STILL slow → the recheck proves nothing either way
+    # and is marked unadjudicated (BASELINE.md).
+    for name, adj in adjudications.items():
+        respin_ms = round(_spin() * 1000, 1)
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        recheck = round(time.perf_counter() - t0, 3)
+        ratio = round(respin_ms / calib_spin_ms, 3) if calib_spin_ms else None
+        adj.update(
+            {
+                "recheck": recheck,
+                "spin_ms_at_recheck": respin_ms,
+                "spin_ratio": ratio,
+                "verdict": (
+                    "unadjudicated_spin_high"
+                    if ratio is not None and ratio > 1.2
+                    else (
+                        "confirmed_slow"
+                        if recheck > 2 * adj["prev_round"]
+                        else "host_phase"
+                    )
+                ),
+            }
+        )
+        print(
+            f"# recheck {name}: {recheck:.3f}s (spin {respin_ms}ms, "
+            f"ratio {ratio}) — {adj['verdict']}",
+            file=sys.stderr,
+        )
+        timings[name] = min(timings[name], recheck)
 
     total = round(sum(timings.values()), 3)
     print(

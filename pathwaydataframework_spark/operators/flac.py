@@ -373,6 +373,20 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _check_fits(v: int, n: int, what: str) -> None:
+    """Fail fast when a signed value cannot be represented in ``n``-bit
+    two's complement — ``_BitWriter.write`` masks to the low bits, so an
+    out-of-range escaped residual / verbatim / warmup sample would
+    silently corrupt the stream and surface as a confusing roundtrip
+    mismatch instead of an error (ADVICE r12; matches the existing
+    'rice overflow' guard)."""
+    if not -(1 << (n - 1)) <= v < (1 << (n - 1)):
+        raise ValueError(
+            f"fixture encoder: {what} {v} does not fit {n}-bit "
+            "two's complement"
+        )
+
+
 def _best_fixed_order(x: list[int], max_order: int = 2) -> int:
     best, best_cost = 0, None
     for order in range(max_order + 1):
@@ -427,6 +441,7 @@ def _write_residual(
             w.write(escape, pbits)
             w.write(escape_bits, 5)
             for r in part:
+                _check_fits(r, escape_bits, "escaped residual")
                 w.write(r, escape_bits)
             continue
         param = _rice_param(part)
@@ -479,12 +494,14 @@ def _write_subframe(
         w.write(0, 1)
     if force == "verbatim":
         for v in ch:
+            _check_fits(v, eff, "verbatim sample")
             w.write(v, eff)
     elif force == "lpc":
         # order-1 LPC with coefficient 1, shift 0 — numerically the
         # fixed order-1 predictor, but through the decoder's LPC path
         if bs < 1:
             raise ValueError("fixture encoder: LPC needs a warmup sample")
+        _check_fits(ch[0], eff, "LPC warmup sample")
         w.write(ch[0], eff)
         w.write(2 - 1, 4)  # precision 2
         w.write(0, 5)  # shift 0
@@ -495,10 +512,12 @@ def _write_subframe(
             escape_bits=escape_bits,
         )
     elif len(set(ch)) == 1 and force is None:
+        _check_fits(ch[0], eff, "constant sample")
         w.write(ch[0], eff)
     else:
         order = _best_fixed_order(ch) if bs > 2 else 0
         for v in ch[:order]:
+            _check_fits(v, eff, "warmup sample")
             w.write(v, eff)
         _write_residual(
             w, _residual_fixed(ch, order), order, bs,

@@ -887,6 +887,11 @@ def audio_fingerprint(data: bytes, *, frames: int = 33) -> list[int] | None:
     # window of sample j = (j*frames)//n — the floor-map inverse, chosen so
     # a SQL oracle recomputes the assignment with one integer expression
     win = (np.arange(x.size) * frames) // x.size
+    # same exactness guard as _haar_band_energies (ADVICE r12): 24/32-bit
+    # samples square past int64 — go arbitrary-precision there so the
+    # window comparisons stay exact
+    if x.size and int(np.abs(x).max()) >= (1 << 16):
+        x = x.astype(object)
     energy = [int((x[win == f] ** 2).sum()) for f in range(frames)]
     fp_bits = [energy[f + 1] > energy[f] for f in range(bits)]
     return [
@@ -954,9 +959,11 @@ def audio_spectral_fingerprint(
       ``k+1`` (the next LOWER octave) carries strictly more energy
       than band ``k`` — the spectral tilt, per window.
 
-    Like the envelope: exact int64 arithmetic end-to-end (details
-    |c| <= 2^15 * 2^(k-1), energies fit int64 for any stream below
-    ~2^27 samples at the deepest default band), invariant under
+    Like the envelope: exact integer arithmetic end-to-end — int64 fast
+    path for <= 16-bit magnitudes (details |c| <= 2^15 * 2^(k-1),
+    energies fit int64 for any stream below ~2^27 samples at the
+    deepest default band), arbitrary-precision for deeper (PCM24/32,
+    high-bps FLAC) samples whose squares would wrap — invariant under
     integer gain doubling (energies scale by 4 uniformly — every
     comparison survives), local edits touch only their window's bits.
     Returns ``windows*(bands-1)/8`` row-bytes; None for non-WAV /
@@ -1000,16 +1007,30 @@ def _haar_band_energies(data: bytes, *, windows: int, bands: int):
     n = x.size
     if n < windows:
         return None
+    # Exactness guard (ADVICE r12): the int64 fast path is proven only
+    # for <= 16-bit magnitudes (|c| <= 2^15 * 2^(k-1), squares ~2^38 —
+    # headroom to ~2^27 samples at the default deepest band).  PCM24/32
+    # and high-bps FLAC can push a single detail coefficient to ~2^35,
+    # whose SQUARE wraps int64 — so deep streams take the arbitrary-
+    # precision object path instead of silently presenting wrapped
+    # values as exact-integer features.  Comparisons (the fingerprint)
+    # stay exact either way.
+    deep = bool(np.abs(x).max() >= (1 << 16)) if n else False
     j = np.arange(n)
-    energy = np.zeros((windows, bands + 1), dtype=np.int64)
+    energy = np.zeros((windows, bands + 1), dtype=object if deep else np.int64)
     for k in range(1, bands + 1):
         blk = j >> k
         sign = 1 - 2 * ((j >> (k - 1)) & 1)
         coeff = np.zeros(int(blk[-1]) + 1, dtype=np.int64)
         np.add.at(coeff, blk, sign * x)
         f = (np.arange(coeff.size, dtype=np.int64) << k) * windows // n
-        e_k = np.zeros(windows, dtype=np.int64)
-        np.add.at(e_k, f, coeff * coeff)
+        if deep:
+            e_k = np.zeros(windows, dtype=object)
+            sq = coeff.astype(object) ** 2
+        else:
+            e_k = np.zeros(windows, dtype=np.int64)
+            sq = coeff * coeff
+        np.add.at(e_k, f, sq)
         energy[:, k] = e_k
     return energy
 
@@ -1029,7 +1050,9 @@ def audio_spectral_energies(
     the text quality-signal operators.  Long format so the schema is
     independent of ``windows``/``bands`` and a SQL oracle states every
     cell; rows only for decodable mono integer WAV blobs (the
-    fingerprint's None boundary drops the rest).  One Arrow-batched
+    fingerprint's None boundary drops the rest, as do deep 24/32-bit
+    streams whose exact energies exceed the schema's int64 range — the
+    fingerprint path still covers those).  One Arrow-batched
     decode crossing; output is (windows x bands) rows per blob —
     thousands of times smaller than the audio itself."""
     if windows <= 0 or bands <= 0:
@@ -1048,6 +1071,13 @@ def audio_spectral_energies(
                     bytes(x), windows=windows, bands=bands
                 )
                 if energy is None:
+                    continue
+                if int(energy[:, 1:].max()) > (1 << 63) - 1:
+                    # deep (24/32-bit) streams whose exact energies
+                    # exceed the schema's int64 range: skip the blob
+                    # (the None boundary) rather than emit wrapped
+                    # values — the fingerprint path still covers them
+                    # (its comparisons are arbitrary-precision)
                     continue
                 for f in range(windows):
                     for k in range(1, bands + 1):

@@ -1349,12 +1349,22 @@ def bucket_by_length(
         )
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    reserved = {"bucket", "batch_id", "slot", "cap"} & set(df.columns)
+    # The guard covers the four OUTPUT columns and the internal working
+    # columns this function and _sharded_running_total consume/overwrite
+    # (__ord here; __h/__shard/__w/__n/__off/__total in the layout
+    # engine; drop_ragged reuses __n) — an input carrying any of them
+    # would be silently clobbered mid-plan, the exact hazard the output
+    # check exists for (ADVICE r12).
+    reserved = (
+        {"bucket", "batch_id", "slot", "cap"}
+        | {"__ord", "__h", "__shard", "__w", "__n", "__off", "__total"}
+    ) & set(df.columns)
     if reserved:
         raise ValueError(
             f"input already has column(s) {sorted(reserved)} — "
-            "bucket_by_length adds bucket/batch_id/slot/cap and must "
-            "not overwrite caller data"
+            "bucket_by_length adds bucket/batch_id/slot/cap and uses "
+            "__ord/__h/__shard/__w/__n/__off/__total internally; it "
+            "must not overwrite caller data"
         )
     ln = F.col(length_col)
     base = df.filter(ln.isNotNull()).withColumn(

@@ -155,3 +155,27 @@ def test_flac_media_meta_sniff(spark):
     assert rows[0]["media_type"] == "audio"
     assert rows[0]["duration_ms"] == 2000  # 16000 samples at 8 kHz
     assert rows[1]["media_type"] == "unknown"
+
+
+def test_flac_encoder_fails_fast_on_bit_width_overflow():
+    """The fixture encoder raises instead of silently masking a value
+    that does not fit its bit width (escaped residuals, verbatim and
+    warmup samples) — a masked write would corrupt the stream and
+    surface as a confusing roundtrip mismatch (ADVICE r12)."""
+    # escaped residual wider than escape_bits
+    w = flac._BitWriter()
+    with pytest.raises(ValueError, match="does not fit"):
+        flac._write_residual(w, [300], 0, 1, escape_bits=4)
+    # in-range escape still writes
+    flac._write_residual(flac._BitWriter(), [7, -8], 0, 2, escape_bits=4)
+    # verbatim sample wider than the effective bps
+    with pytest.raises(ValueError, match="does not fit"):
+        flac._write_subframe(flac._BitWriter(), [70000], 16, force="verbatim")
+    # warmup sample (fixed path) wider than the effective bps
+    with pytest.raises(ValueError, match="does not fit"):
+        flac._write_subframe(
+            flac._BitWriter(), [40000, 1, 2, 3], 16
+        )
+    # constant subframe out of range
+    with pytest.raises(ValueError, match="does not fit"):
+        flac._write_subframe(flac._BitWriter(), [40000] * 8, 16)

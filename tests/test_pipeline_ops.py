@@ -2446,3 +2446,20 @@ def test_read_packed_slices_validation_is_rank_scoped(spark, tmp_path):
         sh.rmtree(d)
     with pytest.raises(ValueError, match="starves rank"):
         packing.read_packed_slices(spark, path, 5, 0)
+
+
+def test_bucket_by_length_rejects_internal_working_columns(spark):
+    """ADVICE r12: the reserved-name guard also covers the INTERNAL
+    working columns (__ord, and _sharded_running_total's
+    __h/__shard/__w/__n/__off/__total) — an input carrying one of them
+    would be silently clobbered mid-plan, the exact hazard the output
+    guard exists for."""
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id long, n long"
+    )
+    for col in ("__ord", "__h", "__shard", "__w", "__n", "__off", "__total"):
+        with pytest.raises(ValueError, match="must not overwrite"):
+            packing.bucket_by_length(
+                base.withColumn(col, F.lit(1)), "doc_id", "n",
+                boundaries=(64,), batch_size=2,
+            )

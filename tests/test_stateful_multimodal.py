@@ -575,3 +575,72 @@ def test_incremental_hamming_matches_persisted_index(spark, tmp_path):
     h_p = multimodal.image_dhash(_mk_ppm(pert))
     h_b = multimodal.image_dhash(_mk_ppm(base))
     assert got[(10, 0)] == sum(bin(a ^ b).count("1") for a, b in zip(h_p, h_b))
+
+
+def test_audio_deep_bitdepth_exact_no_int64_wrap(spark):
+    """ADVICE r12: 24/32-bit samples square past int64 — the Haar and
+    envelope kernels must switch to arbitrary-precision instead of
+    silently presenting wrapped values as exact-integer features.
+    A PCM32 alternating-sign stream at amplitude 2^30 makes every k=1
+    detail coefficient ±2^31 (square 2^62; four blocks per window sum
+    past 2^63), so the old int64 path provably wrapped.  Pinned against
+    a no-numpy pure-Python re-derivation; the long-schema feature table
+    skips the blob (documented boundary) while the fingerprint covers
+    it."""
+    import struct
+
+    from pathwaydataframework_spark.operators.multimodal import (
+        _haar_band_energies,
+        audio_fingerprint,
+        audio_spectral_energies,
+        audio_spectral_fingerprint,
+    )
+
+    n, windows, bands = 64, 8, 5
+    amp = 1 << 30
+    x = [amp if i % 2 == 0 else -amp for i in range(n)]
+    payload = struct.pack(f"<{n}i", *x)
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+
+    # pure-Python exact reference (no numpy anywhere)
+    ref = [[0] * (bands + 1) for _ in range(windows)]
+    for k in range(1, bands + 1):
+        nblk = (n + (1 << k) - 1) >> k
+        for b in range(nblk):
+            c = 0
+            for j in range(b << k, min((b + 1) << k, n)):
+                sign = 1 if ((j >> (k - 1)) & 1) == 0 else -1
+                c += sign * x[j]
+            f = ((b << k) * windows) // n
+            ref[f][k] += c * c
+    got = _haar_band_energies(blob, windows=windows, bands=bands)
+    assert got is not None
+    for f in range(windows):
+        for k in range(1, bands + 1):
+            assert int(got[f, k]) == ref[f][k]
+    # the guard is exercised: at least one exact energy exceeds int64
+    assert max(max(r[1:]) for r in ref) > (1 << 63) - 1
+
+    # fingerprint paths stay exact and well-defined on the deep stream
+    fp = audio_spectral_fingerprint(blob, windows=windows, bands=bands)
+    ref_bits = [
+        ref[f][k + 1] > ref[f][k]
+        for f in range(windows)
+        for k in range(1, bands)
+    ]
+    ref_fp = [
+        sum(1 << c for c in range(8) if ref_bits[r * 8 + c])
+        for r in range(windows * (bands - 1) // 8)
+    ]
+    assert fp == ref_fp
+    assert audio_fingerprint(blob, frames=33) is not None
+
+    # the long-schema feature table skips the out-of-range blob
+    df = spark.createDataFrame([(1, blob)], "media_id long, data binary")
+    assert (
+        audio_spectral_energies(df, windows=windows, bands=bands).count() == 0
+    )
