@@ -1251,18 +1251,32 @@ def _media_fixtures() -> list[tuple[int, str]]:
         )
         return _flac.encode(x, sample_rate=rate)
 
-    def mp3(payload=1264, kbps_index=9):
-        # ID3v2.3 tag (synchsafe size 5, empty padding) + one MPEG-1
-        # Layer III frame header (bitrate index → 128 kbps) + filler.
-        # Frame DATA stays undecoded (the lossy-codec boundary,
-        # DEVIATIONS.md #5); duration is the CBR estimate
-        # payload*8/kbps, with payload chosen so it divides exactly
-        # (no truncate-vs-round ambiguity between engines).
-        return (
-            b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 5]) + bytes(5)
-            + bytes([0xFF, 0xFB, (kbps_index << 4) | 0, 0x00])
+    def mp3(payload=1264, kbps_index=9, *, id3=True, rate_index=0,
+            mode=0, xing_frames=None):
+        # MPEG-1 Layer III stream: optional ID3v2.3 tag (synchsafe
+        # size 5, empty padding) + one frame header + filler; r13 adds
+        # bare (tagless) streams and a Xing VBR header planted at the
+        # standard 4+side-info offset (32 bytes for non-mono modes)
+        # with the FRAMES flag + big-endian frame count.  Frame DATA
+        # stays undecoded (the lossy-codec boundary, DEVIATIONS.md
+        # #5); durations divide exactly (no truncate-vs-round
+        # ambiguity between engines): CBR payload*8/kbps, VBR
+        # frames*1152*1000/rate.
+        frame = bytearray(
+            bytes([0xFF, 0xFB, (kbps_index << 4) | (rate_index << 2),
+                   mode << 6])
             + bytes(payload - 4)
         )
+        if xing_frames is not None:
+            off = 4 + (17 if mode == 3 else 32)
+            frame[off:off + 4] = b"Xing"
+            frame[off + 4:off + 8] = (1).to_bytes(4, "big")  # FRAMES flag
+            frame[off + 8:off + 12] = int(xing_frames).to_bytes(4, "big")
+        pre = (
+            b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 5]) + bytes(5)
+            if id3 else b""
+        )
+        return pre + bytes(frame)
 
     blobs = [
         wav(),                                # 50 ms @ 16 kB/s
@@ -1276,6 +1290,10 @@ def _media_fixtures() -> list[tuple[int, str]]:
         b"plain text bytes",
         flac_blob(),                          # r12: 4000 samples @ 8 kHz = 500 ms
         mp3(),                                # r12: 1264 B @ 128 kbps = 79 ms
+        mp3(payload=1600, id3=False),         # r13: bare-sync CBR = 100 ms
+        # r13: Xing VBR @ 32 kHz, 250 frames = 9000 ms exact — the CBR
+        # estimate (1200 B @ 128 kbps = 75 ms) would be 120x off
+        mp3(payload=1200, rate_index=2, xing_frames=250),
     ]
     return [(i, b.hex()) for i, b in enumerate(blobs)]
 
@@ -1285,7 +1303,10 @@ def q_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     attach_media_meta — addendum §2.10): WAV/PNG/BMP/GIF header fields
     as pure binary column expressions — r12 adds FLAC (type + duration
     from the fixed-offset STREAMINFO 20-bit rate / 36-bit total-samples
-    fields, blob emitted by the in-repo flac.py encoder) — plus, r6,
+    fields, blob emitted by the in-repo flac.py encoder), r13 adds
+    bare-sync MP3 (validated MPEG-1 Layer III header at offset 0, no
+    ID3 tag) and EXACT VBR duration from the Xing/Info frame count at
+    its computed 4+side-info offset — plus, r6,
     ``deep=True`` variable-offset metadata: MP4/ISO-BMFF duration +
     16.16 track dimensions via the general ``mp4_meta`` box walk and
     JPEG dimensions via the SOF marker walk (one Arrow-batched pandas
@@ -1624,12 +1645,17 @@ def _media_meta_oracle_sql() -> str:
                    (({b(22)} % 16) * 4294967296 + {be32(23)})
                        AS flac_total,
                    substr(h, 1, 6) = hex('ID3'::BLOB) AS is_id3,
-                   m.id3sz, m.mp3_ok, m.mp3_kbps,
+                   m.fstart, m.mp3_ok, m.mp3_kbps, m.mp3_rate,
+                   m.xing_ok, m.xing_frames_flag, m.xing_frames,
                    strpos(h, 'FFC0') AS sofp,
                    {le32(29)} AS byte_rate
             FROM blobs,
+            -- MP3 frame walk (r13): fstart = 0-based offset of the
+            -- first MPEG header byte (past the synchsafe ID3 tag, or 0
+            -- for bare streams); the Xing/Info VBR header sits 4 +
+            -- side-info bytes into the frame (17 mono / 32 otherwise)
             LATERAL (
-                SELECT id3sz,
+                SELECT s.fstart,
                        fh1 = 255 AND fh2 // 2 = 125 AS mp3_ok,
                        CASE fh3 // 16
                             WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
@@ -1637,20 +1663,40 @@ def _media_meta_oracle_sql() -> str:
                             WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
                             WHEN 10 THEN 160 WHEN 11 THEN 192
                             WHEN 12 THEN 224 WHEN 13 THEN 256
-                            WHEN 14 THEN 320 END AS mp3_kbps
+                            WHEN 14 THEN 320 END AS mp3_kbps,
+                       CASE (fh3 // 4) % 4
+                            WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                            WHEN 2 THEN 32000 END AS mp3_rate,
+                       substr(h, (s.fstart + 4 + sd.side) * 2 + 1, 8)
+                           IN (hex('Xing'::BLOB), hex('Info'::BLOB))
+                           AS xing_ok,
+                       TRY_CAST('0x' || substr(h,
+                           (s.fstart + 11 + sd.side) * 2 + 1, 2)
+                           AS BIGINT) % 2 = 1 AS xing_frames_flag,
+                       TRY_CAST('0x' || substr(h,
+                           (s.fstart + 12 + sd.side) * 2 + 1, 8)
+                           AS BIGINT) AS xing_frames
                 FROM (
-                    SELECT ({b(7)} * 2097152 + {b(8)} * 16384
-                            + {b(9)} * 128 + {b(10)}) AS id3sz
+                    SELECT CASE WHEN substr(h, 1, 6) = hex('ID3'::BLOB)
+                                THEN 10 + ({b(7)} * 2097152
+                                           + {b(8)} * 16384
+                                           + {b(9)} * 128 + {b(10)})
+                                ELSE 0 END AS fstart
                 ) s,
                 LATERAL (
-                    SELECT TRY_CAST('0x' || substr(h, (10 + s.id3sz) * 2 + 1, 2) AS BIGINT) AS fh1,
-                           TRY_CAST('0x' || substr(h, (11 + s.id3sz) * 2 + 1, 2) AS BIGINT) AS fh2,
-                           TRY_CAST('0x' || substr(h, (12 + s.id3sz) * 2 + 1, 2) AS BIGINT) AS fh3
-                ) f
+                    SELECT TRY_CAST('0x' || substr(h, s.fstart * 2 + 1, 2) AS BIGINT) AS fh1,
+                           TRY_CAST('0x' || substr(h, (s.fstart + 1) * 2 + 1, 2) AS BIGINT) AS fh2,
+                           TRY_CAST('0x' || substr(h, (s.fstart + 2) * 2 + 1, 2) AS BIGINT) AS fh3,
+                           TRY_CAST('0x' || substr(h, (s.fstart + 3) * 2 + 1, 2) AS BIGINT) AS fh4
+                ) f,
+                LATERAL (
+                    SELECT CASE WHEN fh4 // 64 = 3 THEN 17 ELSE 32 END AS side
+                ) sd
             ) m
         )
         SELECT id,
-               CASE WHEN is_wav OR is_flac OR is_id3 THEN 'audio'
+               CASE WHEN is_wav OR is_flac OR is_id3
+                         OR coalesce(mp3_ok, FALSE) THEN 'audio'
                     WHEN is_mp4 OR is_avi THEN 'video'
                     WHEN is_png OR is_bmp OR is_gif OR is_jpg THEN 'image'
                     ELSE 'unknown' END AS media_type,
@@ -1674,8 +1720,14 @@ def _media_meta_oracle_sql() -> str:
                          THEN (n - 44) * 1000 / byte_rate
                          WHEN is_flac AND flac_rate > 0
                          THEN flac_total * 1000 / flac_rate
-                         WHEN is_id3 AND mp3_ok AND mp3_kbps IS NOT NULL
-                         THEN (n - 10 - id3sz) * 8 / mp3_kbps
+                         WHEN coalesce(mp3_ok, FALSE)
+                              AND coalesce(xing_ok, FALSE)
+                              AND coalesce(xing_frames_flag, FALSE)
+                              AND mp3_rate IS NOT NULL
+                         THEN xing_frames * 1152 * 1000 / mp3_rate
+                         WHEN coalesce(mp3_ok, FALSE)
+                              AND mp3_kbps IS NOT NULL
+                         THEN (n - fstart) * 8 / mp3_kbps
                          WHEN is_avi THEN ({le32(33)} * {le32(49)}) / 1000
                          WHEN is_mp4 THEN FLOOR({be32(57)} * 1000 / {be32(53)})
                          END AS INTEGER)

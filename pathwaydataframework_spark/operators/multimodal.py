@@ -61,11 +61,14 @@ def attach_media_meta(
       (canonical 16-byte PCM fmt chunk: byte_rate at offset 29).
     - FLAC (``fLaC`` + STREAMINFO): duration from the fixed-offset
       20-bit sample rate / 36-bit total-samples fields (r12).
-    - MP3 (``ID3`` tag): type from the magic; duration as the CBR
-      estimate payload*8/bitrate, with the first MPEG frame header
-      located THROUGH the synchsafe tag size (a computed-offset
-      substr — still no Python) and validated as MPEG-1 Layer III
-      with a defined bitrate before any number is emitted (r12).
+    - MP3 (``ID3`` tag, or — r13 — a BARE stream whose first bytes
+      validate as an MPEG-1 Layer III header): the first frame header
+      is located THROUGH the synchsafe tag size (a computed-offset
+      substr — still no Python) and validated before any number is
+      emitted.  Duration: exact ``frames*1152/rate`` when a Xing/Info
+      VBR header sits at the computed 4+side-info offset with the
+      FRAMES flag set (r13 — the CBR estimate is 2x+ off on VBR
+      files); otherwise the CBR estimate payload*8/bitrate (r12).
     - PNG: big-endian IHDR width/height at offsets 17/21.
     - BMP: little-endian SIGNED int32 width/height at offsets 19/23
       (top-down BMPs store a negative biHeight; reported as |height|).
@@ -105,14 +108,19 @@ def attach_media_meta(
     is_avi = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
         F.substring(d, 9, 4) == F.lit(b"AVI ")
     ) & (F.substring(d, 25, 4) == F.lit(b"avih"))
-    # MP3 (r12): an ID3v2 tag marks the family; the tag SIZE is a
-    # fixed-offset synchsafe u28 (bytes 7-10), so the first MPEG frame
-    # header sits at the COMPUTED offset 11+size — still a pure column
-    # expression via substr-with-column-pos.  Duration is the standard
-    # CBR estimate payload_bytes*8/bitrate, emitted only when the frame
-    # validates as MPEG-1 Layer III with a defined bitrate (frame DATA
-    # stays undecoded — the lossy-codec boundary, DEVIATIONS.md #5,
-    # same stance as MP4).
+    # MP3 (r12, extended r13): an ID3v2 tag marks the family — the tag
+    # SIZE is a fixed-offset synchsafe u28 (bytes 7-10), so the first
+    # MPEG frame header sits at the COMPUTED offset 11+size — and, r13,
+    # a BARE stream (no tag — old rips, stream dumps) is recognized by
+    # the same MPEG-1 Layer III header validation at offset 0.  All
+    # still pure column expressions via substr-with-column-pos.
+    # Duration: a Xing/Info header (the LAME/VBR convention — 4 +
+    # side-info bytes into the first frame, side info 17 bytes for mono
+    # / 32 otherwise) with the FRAMES flag set gives the EXACT
+    # frames*1152/rate; otherwise the standard CBR estimate
+    # payload_bytes*8/bitrate, emitted only when the frame validates
+    # with a defined bitrate (frame DATA stays undecoded — the
+    # lossy-codec boundary, DEVIATIONS.md #5, same stance as MP4).
     def _uint_at(pos_col: Column) -> Column:
         return F.conv(
             F.hex(F.substr(d, pos_col, F.lit(1))), 16, 10
@@ -125,15 +133,21 @@ def attach_media_meta(
         + _uint(d, 9, 1, little_endian=False) * F.lit(1 << 7)
         + _uint(d, 10, 1, little_endian=False)
     )
-    mp3_h1 = _uint_at(id3_size + 11)
-    mp3_h2 = _uint_at(id3_size + 12)
-    mp3_h3 = _uint_at(id3_size + 13)
+    # 1-based position of the first MPEG header byte: past the tag for
+    # ID3 files, byte 1 for bare streams
+    mp3_pos = F.when(is_id3, id3_size + 11).otherwise(F.lit(1).cast("long"))
+    mp3_h1 = _uint_at(mp3_pos)
+    mp3_h2 = _uint_at(mp3_pos + 1)
+    mp3_h3 = _uint_at(mp3_pos + 2)
+    mp3_h4 = _uint_at(mp3_pos + 3)
     mp3_frame_ok = (
         (mp3_h1 == 255)
         # sync high bits + version MPEG-1 (bits 4-3 = 11) + Layer III
         # (bits 2-1 = 01) → h2 & 0xFE == 0xFA
         & (F.floor(mp3_h2 / 2) == F.lit(0x7D))
     )
+    is_mp3_bare = (~is_id3) & mp3_frame_ok
+    is_mp3 = is_id3 | is_mp3_bare
     mp3_kbps = F.lit(None).cast("long")
     for idx, kbps in enumerate(
         (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
@@ -143,6 +157,31 @@ def attach_media_meta(
             mp3_kbps = F.when(
                 F.floor(mp3_h3 / 16) == idx, F.lit(kbps).cast("long")
             ).otherwise(mp3_kbps)
+    # MPEG-1 sample rate (header bits 3-2 of byte 3): 44.1/48/32 kHz
+    mp3_rate = (
+        F.when(F.floor(mp3_h3 / 4) % 4 == 0, F.lit(44100))
+        .when(F.floor(mp3_h3 / 4) % 4 == 1, F.lit(48000))
+        .when(F.floor(mp3_h3 / 4) % 4 == 2, F.lit(32000))
+        .cast("long")
+    )
+    # Xing/Info VBR header: 4 header + side-info bytes into the frame
+    # (MPEG-1: 17 bytes mono — channel mode bits 7-6 of byte 4 == 11 —
+    # else 32); FRAMES flag = bit 0 of the big-endian u32 after the
+    # magic; frame count = the next big-endian u32.  1152
+    # samples/frame (MPEG-1 Layer III), so duration is EXACT —
+    # the CBR estimate can be 2x+ off on VBR files.
+    xing_pos = mp3_pos + 4 + F.when(
+        F.floor(mp3_h4 / 64) == 3, F.lit(17)
+    ).otherwise(F.lit(32))
+    xing_magic = F.substr(d, xing_pos, F.lit(4))
+    has_xing = (xing_magic == F.lit(b"Xing")) | (xing_magic == F.lit(b"Info"))
+    xing_frames_flag = _uint_at(xing_pos + 7) % 2 == 1
+    xing_frames = (
+        _uint_at(xing_pos + 8) * F.lit(1 << 24)
+        + _uint_at(xing_pos + 9) * F.lit(1 << 16)
+        + _uint_at(xing_pos + 10) * F.lit(1 << 8)
+        + _uint_at(xing_pos + 11)
+    )
     # FLAC: magic + the mandatory STREAMINFO first metadata block
     # (header byte 5 = last-flag<<7 | type, type 0) — sample rate is a
     # 20-bit field at bytes 19-21, total samples 36 bits at 22-26, all
@@ -169,7 +208,7 @@ def attach_media_meta(
 
     null_i = F.lit(None).cast("int")
     media_type = (
-        F.when(is_wav | is_flac | is_id3, F.lit("audio"))
+        F.when(is_wav | is_flac | is_mp3, F.lit("audio"))
         .when(is_mp4 | is_avi, F.lit("video"))
         .when(is_png | is_bmp | is_gif | is_jpg, F.lit("image"))
         .otherwise(F.lit("unknown"))
@@ -192,9 +231,16 @@ def attach_media_meta(
         F.when(is_wav & (byte_rate > 0), ((F.length(d) - 44) * 1000 / byte_rate))
         .when(is_flac & (flac_rate > 0), flac_total * 1000 / flac_rate)
         .when(
-            is_id3 & mp3_frame_ok & mp3_kbps.isNotNull(),
-            # CBR estimate: payload bits / bitrate (bits per ms = kbps)
-            (F.length(d) - 10 - id3_size) * 8 / mp3_kbps,
+            is_mp3 & mp3_frame_ok & has_xing & xing_frames_flag
+            & mp3_rate.isNotNull(),
+            # Xing/Info frame count → exact: frames * 1152 / rate (ms)
+            xing_frames * 1152 * 1000 / mp3_rate,
+        )
+        .when(
+            is_mp3 & mp3_frame_ok & mp3_kbps.isNotNull(),
+            # CBR estimate: payload bits / bitrate (bits per ms = kbps);
+            # mp3_pos - 1 bytes of tag precede the audio stream
+            (F.length(d) - (mp3_pos - 1)) * 8 / mp3_kbps,
         )
         .when(
             is_avi,

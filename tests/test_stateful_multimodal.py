@@ -441,42 +441,73 @@ def test_audio_spectral_pairs_blocked_equals_bruteforce(spark):
 
 
 def test_mp3_media_meta_sniff(spark):
-    """attach_media_meta's MP3 branch (r12): 'ID3' magic → audio; the
-    first MPEG frame header is located THROUGH the synchsafe tag size
-    (computed-offset substr, no Python) and duration is the CBR
-    estimate only when it validates as MPEG-1 Layer III with a defined
-    bitrate — a non-MPEG1 frame or a free/bad bitrate index yields
-    type without a number."""
+    """attach_media_meta's MP3 branch (r12, extended r13): 'ID3' magic
+    OR a bare validated MPEG-1 Layer III header at offset 0 → audio;
+    the first MPEG frame header is located THROUGH the synchsafe tag
+    size (computed-offset substr, no Python); duration is the EXACT
+    Xing/Info frames*1152/rate when the VBR header sits at the
+    computed 4+side-info offset with the FRAMES flag set (the CBR
+    estimate is 2x+ off on VBR files), else the CBR estimate, and
+    only when the frame validates with a defined bitrate — a
+    non-MPEG1 frame or a free/bad bitrate index yields type without a
+    number; a bare non-MPEG1 sync stays 'unknown'."""
     from pathwaydataframework_spark.operators import multimodal
 
-    def mp3(tag_pad, hdr, payload):
-        import struct as _s
-
-        sz = tag_pad
+    def mp3(tag_pad, hdr, payload, *, xing=None, xing_flags=1):
+        sz = tag_pad or 0
         synchsafe = bytes(
             [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
         )
-        return (
+        frame = bytearray(bytes(hdr) + bytes(payload - len(hdr)))
+        if xing is not None:
+            side = 17 if (hdr[3] >> 6) == 3 else 32
+            off = 4 + side
+            frame[off:off + 4] = b"Xing"
+            frame[off + 4:off + 8] = xing_flags.to_bytes(4, "big")
+            frame[off + 8:off + 12] = xing.to_bytes(4, "big")
+        pre = (
             b"ID3" + bytes([3, 0, 0]) + synchsafe + bytes(tag_pad)
-            + bytes(hdr) + bytes(payload - len(hdr))
+            if tag_pad is not None else b""
         )
+        return pre + bytes(frame)
 
     blobs = [
         (0, mp3(5, [0xFF, 0xFB, 0x90, 0x00], 1264)),    # 128 kbps → 79 ms
         (1, mp3(200, [0xFF, 0xFB, 0xE0, 0x00], 640)),   # 320 kbps, big tag → 16 ms
         (2, mp3(5, [0xFF, 0xE2, 0x90, 0x00], 100)),     # MPEG-2: no duration
         (3, mp3(5, [0xFF, 0xFB, 0x00, 0x00], 100)),     # free bitrate: no duration
+        # r13: bare-sync CBR (no ID3 tag): whole file is payload
+        (4, mp3(None, [0xFF, 0xFB, 0x90, 0x00], 1600)),  # → 100 ms
+        # r13: Xing VBR, stereo (side 32), 32 kHz, 250 frames → 9000 ms
+        (5, mp3(5, [0xFF, 0xFB, 0x98, 0x00], 1200, xing=250)),
+        # r13: Xing VBR, MONO (side 17), 32 kHz, 125 frames → 4500 ms
+        (6, mp3(5, [0xFF, 0xFB, 0x98, 0xC0], 1200, xing=125)),
+        # r13: Xing present but FRAMES flag unset → CBR fallback
+        (7, mp3(5, [0xFF, 0xFB, 0x90, 0x00], 1264, xing=250, xing_flags=2)),
+        # r13: bare Xing (no tag) — both r13 paths compose
+        (8, mp3(None, [0xFF, 0xFB, 0x98, 0x00], 1200, xing=100)),
+        # r13: bare sync that is NOT MPEG-1 Layer III: stays unknown
+        (9, mp3(None, [0xFF, 0xE2, 0x90, 0x00], 100)),
     ]
     df = spark.createDataFrame(blobs, "id long, data binary")
     rows = {
         r["id"]: r["media_meta"].asDict()
         for r in multimodal.attach_media_meta(df).collect()
     }
-    assert all(m["media_type"] == "audio" for m in rows.values())
+    assert all(
+        m["media_type"] == "audio" for i, m in rows.items() if i != 9
+    )
+    assert rows[9]["media_type"] == "unknown"
     assert rows[0]["duration_ms"] == 79    # 1264 B * 8 / 128 kbps
     assert rows[1]["duration_ms"] == 16    # 640 B * 8 / 320 kbps
     assert rows[2]["duration_ms"] is None
     assert rows[3]["duration_ms"] is None
+    assert rows[4]["duration_ms"] == 100   # 1600 B * 8 / 128 kbps
+    assert rows[5]["duration_ms"] == 9000  # 250 * 1152 / 32000 s
+    assert rows[6]["duration_ms"] == 4500  # 125 * 1152 / 32000 s
+    assert rows[7]["duration_ms"] == 79    # flag unset → CBR estimate
+    assert rows[8]["duration_ms"] == 3600  # 100 * 1152 / 32000 s
+    assert rows[9]["duration_ms"] is None
 
 
 def test_audio_spectral_energies_long_format(spark):
