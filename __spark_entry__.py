@@ -3578,6 +3578,60 @@ def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sft_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """The SFT PADDED-BATCH capstone (VERDICT r12 item 3):
+    packing.materialize_padded_batches composes bucket_by_length into
+    the fixed-shape tensors an instruction-tuning trainer feeds a
+    compiled kernel — documents tokenized to deterministic ids
+    (ascii(first char)*100 + length per whitespace word, replayable in
+    both engines), bucketed under (16, 32, 64) with batch_size 4 and
+    the md5(doc_id:7) epoch order, then each row padded to its batch's
+    ONE pad target (the bucket boundary; the batch max in the open
+    bucket) with pad_id -1, an attention mask (1 real / 0 pad) and a
+    loss mask zero over the prompt third (prompt_len = n//3 + 1) and
+    padding.  The SQL replay independently re-derives the bucket
+    expression, the per-bucket permutation, the ragged cutoff, the
+    open-bucket window max, and every padded id and mask BIT as
+    strings — so shape homogeneity AND tensor content sit under the
+    driver's hash gate.  This closes the unpacked-training story the
+    way q_train_epochs closes the packed one (reference has no
+    batching surface — its engine streams rows; same stance as
+    read_packed_slices)."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    src = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.transform(
+            words, lambda w: (F.ascii(w) * 100 + F.length(w)).cast("long")
+        ).alias("toks"),
+    ).withColumn(
+        "plen", (F.floor(F.size("toks") / 3) + 1).cast("long")
+    )
+    out = packing.materialize_padded_batches(
+        src, "doc_id", "toks", boundaries=(16, 32, 64), batch_size=4,
+        seed=7, pad_id=-1, prompt_len_col="plen",
+    )
+    return out.select(
+        "doc_id",
+        "bucket",
+        "batch_id",
+        "slot",
+        "pad_len",
+        F.array_join("input_ids", ",").alias("input_ids"),
+        F.concat_ws("", F.col("attention_mask").cast("array<string>")).alias(
+            "attn"
+        ),
+        F.concat_ws("", F.col("loss_mask").cast("array<string>")).alias(
+            "loss"
+        ),
+    )
+
+
 def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     """The full-corpus-recipe CAPSTONE (VERDICT r9 item 3): the pipeline
     a data team actually runs, composed in ONE driver row — plant page
@@ -4040,6 +4094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_normalize": q_url_normalize,
         "q_warc_ingest": q_warc_ingest,
         "q_winnow": q_winnow,
+        # --- NEW r13 (final rotation happens at end of round) ---
+        "q_sft_batches": q_sft_batches,
         # --- NEW r12: no driver row yet ---
         "q_train_epochs": q_train_epochs,
         "q_audio_spectral": q_audio_spectral,
@@ -6683,6 +6739,63 @@ def oracle_sql() -> dict[str, str]:
                    (CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 256
                                 WHEN 2 THEN 1024 END)::BIGINT AS cap
             FROM o WHERE ord < (n // 8) * 8
+        """,
+        "q_sft_batches": """
+            -- the SFT padded-batch replay: deterministic word-id
+            -- tokens, the bucket expression, the per-bucket
+            -- md5(doc_id:7) permutation, the ragged cutoff, ONE pad
+            -- target per batch (boundary; open bucket = batch max via
+            -- a window), then every padded id and mask bit as strings
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               regexp_split_to_array(trim(text), '\\s+'),
+                               w -> length(w) > 0),
+                           w -> (ascii(w) * 100 + strlen(w))::BIGINT) AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            b AS (
+                SELECT doc_id, t, len(t)::BIGINT AS n,
+                       least(len(t) // 3 + 1, len(t))::BIGINT AS p,
+                       ((len(t) > 16)::INT + (len(t) > 32)::INT
+                        + (len(t) > 64)::INT)::BIGINT AS bucket
+                FROM toks
+            ),
+            o AS (
+                SELECT *, row_number() OVER (
+                              PARTITION BY bucket
+                              ORDER BY md5(doc_id::VARCHAR || ':7'),
+                                       doc_id
+                          ) - 1 AS ord,
+                          count(*) OVER (PARTITION BY bucket) AS cnt
+                FROM b
+            ),
+            kept AS (
+                SELECT doc_id, t, n, p, bucket,
+                       (ord // 4)::BIGINT AS batch_id,
+                       (ord % 4)::BIGINT AS slot,
+                       (CASE bucket WHEN 0 THEN 16 WHEN 1 THEN 32
+                                    WHEN 2 THEN 64 END)::BIGINT AS cap
+                FROM o WHERE ord < (cnt // 4) * 4
+            ),
+            padded AS (
+                SELECT *, coalesce(cap, max(n) OVER (
+                              PARTITION BY bucket, batch_id
+                          ))::BIGINT AS pad_len
+                FROM kept
+            )
+            SELECT doc_id, bucket, batch_id, slot, pad_len,
+                   array_to_string(
+                       list_concat(
+                           t, [(-1)::BIGINT
+                               for i in range((pad_len - n)::INT)]), ',')
+                       AS input_ids,
+                   repeat('1', n::INT) || repeat('0', (pad_len - n)::INT)
+                       AS attn,
+                   repeat('0', p::INT) || repeat('1', (n - p)::INT)
+                       || repeat('0', (pad_len - n)::INT) AS loss
+            FROM padded
         """,
         "q_train_epochs": f"""
             -- the multi-epoch loop replay: rank = shard % 2, each

