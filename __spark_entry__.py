@@ -3632,6 +3632,43 @@ def q_sft_batches(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sft_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING SFT batching twin (VERDICT r12 stretch):
+    packing.bucket_by_length_incremental over two id-ordered
+    micro-batches threading the (bucket, n_so_far) counter state —
+    the batch-replay pattern of q_pack_incremental.  The numbering
+    contract under test: bucket assignment is stateless; within each
+    bucket, batch 2's rows take ordinals starting exactly at batch 1's
+    count (sealed batches never renumber — appends only fill the open
+    tail), so the union equals a one-shot numbering in the COMPOSITE
+    order (arrival half, then md5(doc_id:5) within the half, id
+    tie-break) — which the oracle states with one window.  The
+    deliberate deviation from q_length_buckets' global md5 order (a
+    global shuffle would interleave arrivals into sealed batches) is
+    the operator's documented streaming contract; the parquet-resume
+    proof lives in
+    test_bucket_by_length_incremental_seal_and_parquet_resume."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    src = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    b1, b2 = _id_halves(src)
+    o1, st = packing.bucket_by_length_incremental(
+        b1, packing.bucket_state(spark), "doc_id", "n_bytes",
+        boundaries=(64, 256, 1024), batch_size=8, seed=5,
+    )
+    o1 = o1.localCheckpoint()
+    o2, _ = packing.bucket_by_length_incremental(
+        b2, st.localCheckpoint(), "doc_id", "n_bytes",
+        boundaries=(64, 256, 1024), batch_size=8, seed=5,
+    )
+    return o1.unionByName(o2).select(
+        "doc_id", "n_bytes", "bucket", "batch_id", "slot", "cap"
+    )
+
+
 def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     """The full-corpus-recipe CAPSTONE (VERDICT r9 item 3): the pipeline
     a data team actually runs, composed in ONE driver row — plant page
@@ -4096,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         # --- NEW r13 (final rotation happens at end of round) ---
         "q_sft_batches": q_sft_batches,
+        "q_sft_incremental": q_sft_incremental,
         # --- NEW r12: no driver row yet ---
         "q_train_epochs": q_train_epochs,
         "q_audio_spectral": q_audio_spectral,
@@ -6739,6 +6777,41 @@ def oracle_sql() -> dict[str, str]:
                    (CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 256
                                 WHEN 2 THEN 1024 END)::BIGINT AS cap
             FROM o WHERE ord < (n // 8) * 8
+        """,
+        "q_sft_incremental": """
+            -- the streaming SFT batching replay: the COMPOSITE order
+            -- (arrival half by the max(doc_id)//2 cut, then
+            -- md5(doc_id:5) within the half, id tie-break) numbers
+            -- each bucket once — equal to threading the counter state
+            -- across the two micro-batches, because sealed batches
+            -- never renumber and appends only fill the open tail
+            WITH src AS (
+                SELECT doc_id, strlen(text)::BIGINT AS n_bytes
+                FROM documents WHERE text IS NOT NULL
+            ),
+            mx AS (SELECT max(doc_id) // 2 AS cut FROM src),
+            b AS (
+                SELECT doc_id, n_bytes,
+                       ((n_bytes > 64)::INT + (n_bytes > 256)::INT
+                        + (n_bytes > 1024)::INT)::BIGINT AS bucket,
+                       (doc_id > cut)::INT AS half
+                FROM src, mx
+            ),
+            o AS (
+                SELECT *, row_number() OVER (
+                              PARTITION BY bucket
+                              ORDER BY half,
+                                       md5(doc_id::VARCHAR || ':5'),
+                                       doc_id
+                          ) - 1 AS ord
+                FROM b
+            )
+            SELECT doc_id, n_bytes, bucket,
+                   (ord // 8)::BIGINT AS batch_id,
+                   (ord % 8)::BIGINT AS slot,
+                   (CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 256
+                                WHEN 2 THEN 1024 END)::BIGINT AS cap
+            FROM o
         """,
         "q_sft_batches": """
             -- the SFT padded-batch replay: deterministic word-id

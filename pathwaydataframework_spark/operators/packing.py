@@ -1399,6 +1399,114 @@ def bucket_by_length(
     )
 
 
+def bucket_state(spark) -> DataFrame:
+    """Empty persisted-state frame for
+    :func:`bucket_by_length_incremental`: (bucket, n_so_far) — how many
+    rows each bucket has already numbered; the same
+    small-summarizing-frame streaming-state pattern as pack_state, the
+    BPE word table and the Bloom bitmap (parquet-round-trippable, one
+    row per bucket)."""
+    return spark.createDataFrame([], "bucket long, n_so_far long")
+
+
+def bucket_by_length_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    length_col: str,
+    *,
+    boundaries,
+    batch_size: int,
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of :func:`bucket_by_length` against a persisted
+    per-bucket counter state: returns ``(bucketed batch, updated
+    state)``.
+
+    **The streaming numbering contract** (defined here — VERDICT r12
+    item 8): bucket assignment is stateless (the same pure column
+    expression), and within each bucket rows are numbered by ARRIVAL —
+    a new row's ordinal is the bucket's persisted ``n_so_far`` plus its
+    md5(id:seed) rank (id tie-break) WITHIN the arriving micro-batch.
+    Consequences a trainer relies on:
+
+    - **Batches seal once full and never renumber**: ordinals only
+      grow, so an emitted row's (bucket, batch_id, slot) is final the
+      moment it is emitted — appends can only FILL the one open
+      (partial) batch per bucket and start new ones, never move a row.
+    - **One-shot equivalence holds in the composite order** (arrival
+      batch, then md5-within-batch): replaying the same id-ordered
+      micro-batches through the chain equals a single numbering of the
+      concatenated stream under that order — the oracle replay — and a
+      parquet round-trip of the state between batches changes nothing.
+      It deliberately does NOT equal the one-shot GLOBAL md5 shuffle
+      (which would interleave new rows into sealed batches — exactly
+      the renumbering the contract forbids); bounded-corpus epoch
+      training wants :func:`bucket_by_length`, unbounded ingest wants
+      this.
+
+    No ``drop_ragged`` here: the open tail is emitted with its final
+    numbering (it cannot renumber — only fill), and the consumer
+    decides per step whether to wait for the seal; filter
+    ``slot``-complete batches downstream if fixed shapes are required.
+    Inside ``foreachBatch``, persist or ``localCheckpoint`` the
+    returned state for the next batch (the update is derived from the
+    emitted frame — one buckets-sized aggregate)."""
+    bnds = [int(b) for b in boundaries]
+    if not bnds or bnds != sorted(bnds) or len(set(bnds)) != len(bnds):
+        raise ValueError(
+            f"boundaries must be non-empty and strictly increasing, got "
+            f"{list(boundaries)!r}"
+        )
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    clash = {"__state_bucket", "__prior"} & set(batch.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — "
+            "bucket_by_length_incremental uses them internally and must "
+            "not overwrite caller data"
+        )
+    bucketed = bucket_by_length(
+        batch, id_col, length_col, boundaries=bnds,
+        batch_size=batch_size, seed=seed, drop_ragged=False,
+    )
+    # re-derive the in-bucket ordinal, offset it by the persisted
+    # counter (buckets-sized broadcast), and renumber batch/slot
+    prior = state.select(
+        F.col("bucket").alias("__state_bucket"),
+        F.col("n_so_far").alias("__prior"),
+    )
+    shifted = (
+        bucketed.withColumn(
+            "__ord",
+            F.col("batch_id") * batch_size + F.col("slot"),
+        )
+        .join(
+            F.broadcast(prior),
+            F.col("bucket") == F.col("__state_bucket"),
+            "left",
+        )
+        .withColumn(
+            "__ord", F.col("__ord") + F.coalesce(F.col("__prior"), F.lit(0))
+        )
+        .withColumn(
+            "batch_id", F.floor(F.col("__ord") / batch_size).cast("long")
+        )
+        .withColumn("slot", (F.col("__ord") % batch_size).cast("long"))
+        .drop("__state_bucket", "__prior", "__ord")
+    )
+    delta = shifted.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_so_far")
+    )
+    new_state = (
+        state.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.sum("n_so_far").alias("n_so_far"))
+    )
+    return shifted, new_state
+
+
 def materialize_padded_batches(
     df: DataFrame,
     id_col: str,

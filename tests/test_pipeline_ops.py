@@ -2536,3 +2536,69 @@ def test_materialize_padded_batches_contract(spark):
             df.withColumn("pad_len", F.lit(1)), "doc_id", "toks",
             boundaries=bnds, batch_size=bs,
         )
+
+
+def test_bucket_by_length_incremental_seal_and_parquet_resume(spark, tmp_path):
+    """bucket_by_length_incremental (r13): the streaming numbering
+    contract — per bucket, a micro-batch's rows are numbered
+    n_so_far + md5-rank-within-batch, so sealed batches never renumber
+    and appends only FILL the one open batch; the 3-batch chain equals
+    the composite-order (arrival, then md5-within-batch) one-shot
+    replay; and a parquet round-trip of the (bucket, n_so_far) state
+    between batches changes nothing (the crawl/recipe-chain resume
+    pattern)."""
+    import hashlib
+
+    bnds, bs, seed = (16, 64), 4, 3
+    rows = [(i, (i * 13) % 100 + 1) for i in range(90)]
+    arrivals = [rows[:30], rows[30:55], rows[55:]]
+
+    def bucket_of(n):
+        return (n > 16) + (n > 64)
+
+    # composite-order one-shot replay, pure Python
+    expected = {}
+    counts = {}
+    for chunk in arrivals:
+        per = {}
+        for i, n in chunk:
+            per.setdefault(bucket_of(n), []).append((i, n))
+        for b, items in per.items():
+            items.sort(
+                key=lambda t: (
+                    hashlib.md5(f"{t[0]}:{seed}".encode()).hexdigest(), t[0]
+                )
+            )
+            for r, (i, n) in enumerate(items):
+                ord_ = counts.get(b, 0) + r
+                expected[i] = (b, ord_ // bs, ord_ % bs)
+            counts[b] = counts.get(b, 0) + len(items)
+
+    st = packing.bucket_state(spark)
+    got = {}
+    batch1_snapshot = None
+    for k, chunk in enumerate(arrivals):
+        df = spark.createDataFrame(chunk, "doc_id long, n long")
+        out, st = packing.bucket_by_length_incremental(
+            df, st, "doc_id", "n", boundaries=bnds, batch_size=bs,
+            seed=seed,
+        )
+        out = out.localCheckpoint()
+        for r in out.collect():
+            got[r["doc_id"]] = (r["bucket"], r["batch_id"], r["slot"])
+        if k == 0:
+            batch1_snapshot = dict(got)
+        # parquet round-trip the state between every pair of batches
+        p = str(tmp_path / f"state_{k}")
+        st.write.mode("overwrite").parquet(p)
+        st = spark.read.parquet(p)
+    assert got == expected
+    # seal stability: batch-1 rows kept their exact coordinates
+    assert all(got[i] == v for i, v in batch1_snapshot.items())
+    # append-only fill: each later batch's per-bucket ordinals start
+    # exactly where the previous left off (no gaps, no renumbering)
+    for b, total in counts.items():
+        ords = sorted(
+            bid * bs + s for (bb, bid, s) in got.values() if bb == b
+        )
+        assert ords == list(range(total))
