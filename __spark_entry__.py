@@ -4092,67 +4092,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r12 front (≈50-row driver budget): the 35 queries whose
-        # latest driver row is r9 (VERDICT r11 item 1; set recomputed from
-        # CORRECTNESS_r01-r11 — q_winnow is r9-stale, q_bigram_logprob is
-        # not), then the NEW r12 queries, then r10-stale fill to the budget.
-        "q_assign_shards": q_assign_shards,
-        "q_audio_dedup": q_audio_dedup,
-        "q_bellman_ford": q_bellman_ford,
-        "q_bloom_dedup": q_bloom_dedup,
-        "q_bpe_incremental": q_bpe_incremental,
-        "q_bpe_roundtrip": q_bpe_roundtrip,
-        "q_bpe_tokenize": q_bpe_tokenize,
-        "q_crawl_delay": q_crawl_delay,
-        "q_domain_quota": q_domain_quota,
-        "q_dsir": q_dsir,
-        "q_extract_links": q_extract_links,
-        "q_fetch_schedule": q_fetch_schedule,
-        "q_fetch_waves": q_fetch_waves,
-        "q_frontier": q_frontier,
-        "q_image_dedup": q_image_dedup,
-        "q_json_props": q_json_props,
-        "q_leakage_split": q_leakage_split,
-        "q_louvain_levels": q_louvain_levels,
-        "q_media_meta": q_media_meta,
-        "q_pack_cut": q_pack_cut,
-        "q_pack_efficiency": q_pack_efficiency,
-        "q_pack_incremental": q_pack_incremental,
-        "q_pack_materialize": q_pack_materialize,
-        "q_quality_classifier": q_quality_classifier,
-        "q_rerank": q_rerank,
-        "q_robots": q_robots,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_token_budget": q_token_budget,
-        "q_train_masks": q_train_masks,
-        "q_train_sequences": q_train_sequences,
-        "q_train_stream": q_train_stream,
-        "q_url_dedup": q_url_dedup,
-        "q_url_normalize": q_url_normalize,
-        "q_warc_ingest": q_warc_ingest,
-        "q_winnow": q_winnow,
-        # --- NEW r13 (final rotation happens at end of round) ---
-        "q_sft_batches": q_sft_batches,
-        "q_sft_incremental": q_sft_incremental,
-        # --- NEW r12: no driver row yet ---
-        "q_train_epochs": q_train_epochs,
-        "q_audio_spectral": q_audio_spectral,
-        "q_audio_features": q_audio_features,
-        "q_length_buckets": q_length_buckets,
-        # --- latest driver row r10 (next-stalest): fill the budget ---
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q_argmax_supplier": q_argmax_supplier,
-        "q_asof_now": q_asof_now,
-        "q_asof_right": q_asof_right,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_boilerplate": q_boilerplate,
-        "q_bpe_merges": q_bpe_merges,
-        "q_c4_filter": q_c4_filter,
-        "q_corpus_dedup": q_corpus_dedup,
-        # --- latest driver row r10: behind the ~50 cap this round;
-        # rotates forward in r13. ---
+        # --- r13 front (≈50-row driver budget; VERDICT r12 item 1):
+        # the 39 queries whose latest driver row is r10, then the NEW
+        # r13 queries plus q_media_meta (its oracle gained the r13
+        # bare-sync/Xing MP3 fixtures, so its r12 row is stale), then
+        # r11-stale fill to the budget.
         "q_custom_reducer": q_custom_reducer,
         "q_decontam": q_decontam,
         "q_doc_retrieve": q_doc_retrieve,
@@ -4192,7 +4136,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unique_any": q_unique_any,
         "q_vocab": q_vocab,
         "q_wave_counts": q_wave_counts,
-        # --- latest driver row r11 (freshest — very back) ---
+        # --- NEW r13: no driver row yet (q_media_meta: r13 oracle) ---
+        "q_sft_batches": q_sft_batches,
+        "q_sft_incremental": q_sft_incremental,
+        "q_media_meta": q_media_meta,
+        # --- latest driver row r11 (next-stalest): fill the budget ---
         "q_asof_join": q_asof_join,
         "q_asof_nearest": q_asof_nearest,
         "q_bm25": q_bm25,
@@ -4201,6 +4149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_concat_split": q_concat_split,
         "q_connected_components": q_connected_components,
         "q_dedup_exact": q_dedup_exact,
+        # --- latest driver row r11: behind the ~50 cap this round;
+        # rotates forward in r14. ---
         "q_deduplicate_latest": q_deduplicate_latest,
         "q_diff_values": q_diff_values,
         "q_embedding_pairs": q_embedding_pairs,
@@ -4243,6 +4193,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_sliding": q_window_sliding,
         "q_window_tumbling": q_window_tumbling,
         "q_windowby_predicate": q_windowby_predicate,
+        # --- latest driver row r12 (freshest — very back) ---
+        "q_assign_shards": q_assign_shards,
+        "q_audio_dedup": q_audio_dedup,
+        "q_bellman_ford": q_bellman_ford,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_bpe_incremental": q_bpe_incremental,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_bpe_tokenize": q_bpe_tokenize,
+        "q_crawl_delay": q_crawl_delay,
+        "q_domain_quota": q_domain_quota,
+        "q_dsir": q_dsir,
+        "q_extract_links": q_extract_links,
+        "q_fetch_schedule": q_fetch_schedule,
+        "q_fetch_waves": q_fetch_waves,
+        "q_frontier": q_frontier,
+        "q_image_dedup": q_image_dedup,
+        "q_json_props": q_json_props,
+        "q_leakage_split": q_leakage_split,
+        "q_louvain_levels": q_louvain_levels,
+        "q_pack_cut": q_pack_cut,
+        "q_pack_efficiency": q_pack_efficiency,
+        "q_pack_incremental": q_pack_incremental,
+        "q_pack_materialize": q_pack_materialize,
+        "q_quality_classifier": q_quality_classifier,
+        "q_rerank": q_rerank,
+        "q_robots": q_robots,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_token_budget": q_token_budget,
+        "q_train_masks": q_train_masks,
+        "q_train_sequences": q_train_sequences,
+        "q_train_stream": q_train_stream,
+        "q_url_dedup": q_url_dedup,
+        "q_url_normalize": q_url_normalize,
+        "q_warc_ingest": q_warc_ingest,
+        "q_winnow": q_winnow,
+        "q_train_epochs": q_train_epochs,
+        "q_audio_spectral": q_audio_spectral,
+        "q_audio_features": q_audio_features,
+        "q_length_buckets": q_length_buckets,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q_argmax_supplier": q_argmax_supplier,
+        "q_asof_now": q_asof_now,
+        "q_asof_right": q_asof_right,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_boilerplate": q_boilerplate,
+        "q_bpe_merges": q_bpe_merges,
+        "q_c4_filter": q_c4_filter,
+        "q_corpus_dedup": q_corpus_dedup,
     }
 
 
