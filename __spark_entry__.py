@@ -1129,8 +1129,9 @@ def _media_fixtures() -> list[tuple[int, str]]:
     top-down BMP (negative biHeight), a GIF, a baseline JPEG (real
     in-repo codec; dims read by the deep SOF walk), a minimal ISO-BMFF
     MP4 (ftyp + moov{mvhd, trak{tkhd, mdia/minf/stbl/stsd}} — fixed
-    deterministic layout, see the oracle's offset comments), and an
-    unknown blob."""
+    deterministic layout, see the oracle's offset comments), an
+    unknown blob, a real FLAC encode (r12), and three MP3 streams
+    (r12 ID3+CBR; r13 bare-sync CBR and ID3+Xing VBR)."""
     import struct
 
     def wav(rate=8000, ch=1, bits=16, payload=800):
@@ -3669,6 +3670,63 @@ def q_sft_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sft_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING padded-batch twin
+    (packing.materialize_padded_batches_incremental): q_sft_batches'
+    tokenization fed as two id-ordered micro-batches through the
+    counter state, BOUNDED buckets only (rows past the last boundary
+    drop up front — the open bucket's batch-max pad target is
+    append-unstable by definition, so the streaming form refuses it),
+    pad_len always the bucket cap so every emitted tensor is final on
+    emit (pinned bit-identical under appends in
+    test_materialize_padded_batches_incremental_stable_tensors).  The
+    oracle states the composite (arrival half, md5-within-half) order
+    AND every padded id and mask bit — the q_sft_incremental numbering
+    replay composed with the q_sft_batches tensor replay."""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    src = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.transform(
+            words, lambda w: (F.ascii(w) * 100 + F.length(w)).cast("long")
+        ).alias("toks"),
+    ).withColumn(
+        "plen", (F.floor(F.size("toks") / 3) + 1).cast("long")
+    )
+    b1, b2 = _id_halves(src)
+    o1, st = packing.materialize_padded_batches_incremental(
+        b1, packing.bucket_state(spark), "doc_id", "toks",
+        boundaries=(16, 32, 64), batch_size=4, seed=7, pad_id=-1,
+        prompt_len_col="plen",
+    )
+    o1 = o1.localCheckpoint()
+    o2, _ = packing.materialize_padded_batches_incremental(
+        b2, st.localCheckpoint(), "doc_id", "toks",
+        boundaries=(16, 32, 64), batch_size=4, seed=7, pad_id=-1,
+        prompt_len_col="plen",
+    )
+    out = o1.unionByName(o2)
+    return out.select(
+        "doc_id",
+        "bucket",
+        "batch_id",
+        "slot",
+        "pad_len",
+        F.array_join("input_ids", ",").alias("input_ids"),
+        F.concat_ws("", F.col("attention_mask").cast("array<string>")).alias(
+            "attn"
+        ),
+        F.concat_ws("", F.col("loss_mask").cast("array<string>")).alias(
+            "loss"
+        ),
+    )
+
+
 def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     """The full-corpus-recipe CAPSTONE (VERDICT r9 item 3): the pipeline
     a data team actually runs, composed in ONE driver row — plant page
@@ -4139,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r13: no driver row yet (q_media_meta: r13 oracle) ---
         "q_sft_batches": q_sft_batches,
         "q_sft_incremental": q_sft_incremental,
+        "q_sft_stream": q_sft_stream,
         "q_media_meta": q_media_meta,
         # --- latest driver row r11 (next-stalest): fill the budget ---
         "q_asof_join": q_asof_join,
@@ -4148,9 +4207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_concat_reindex": q_concat_reindex,
         "q_concat_split": q_concat_split,
         "q_connected_components": q_connected_components,
-        "q_dedup_exact": q_dedup_exact,
         # --- latest driver row r11: behind the ~50 cap this round;
         # rotates forward in r14. ---
+        "q_dedup_exact": q_dedup_exact,
         "q_deduplicate_latest": q_deduplicate_latest,
         "q_diff_values": q_diff_values,
         "q_embedding_pairs": q_embedding_pairs,
@@ -6777,6 +6836,59 @@ def oracle_sql() -> dict[str, str]:
                    (CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 256
                                 WHEN 2 THEN 1024 END)::BIGINT AS cap
             FROM o WHERE ord < (n // 8) * 8
+        """,
+        "q_sft_stream": """
+            -- the streaming padded-batch replay: composite (arrival
+            -- half, md5(doc_id:7) within half) numbering over BOUNDED
+            -- buckets (n > 64 drops up front), pad always the cap,
+            -- every padded id and mask bit stated as strings
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               regexp_split_to_array(trim(text), '\\s+'),
+                               w -> length(w) > 0),
+                           w -> (ascii(w) * 100 + strlen(w))::BIGINT) AS t
+                FROM documents WHERE text IS NOT NULL
+            ),
+            mx AS (SELECT max(doc_id) // 2 AS cut FROM toks),
+            b AS (
+                SELECT doc_id, t, len(t)::BIGINT AS n,
+                       least(len(t) // 3 + 1, len(t))::BIGINT AS p,
+                       ((len(t) > 16)::INT + (len(t) > 32)::INT)::BIGINT
+                           AS bucket,
+                       (doc_id > cut)::INT AS half
+                FROM toks, mx
+                WHERE len(t) <= 64
+            ),
+            o AS (
+                SELECT *, row_number() OVER (
+                              PARTITION BY bucket
+                              ORDER BY half,
+                                       md5(doc_id::VARCHAR || ':7'),
+                                       doc_id
+                          ) - 1 AS ord
+                FROM b
+            ),
+            numbered AS (
+                SELECT doc_id, t, n, p, bucket,
+                       (ord // 4)::BIGINT AS batch_id,
+                       (ord % 4)::BIGINT AS slot,
+                       (CASE bucket WHEN 0 THEN 16 WHEN 1 THEN 32
+                                    WHEN 2 THEN 64 END)::BIGINT AS pad_len
+                FROM o
+            )
+            SELECT doc_id, bucket, batch_id, slot, pad_len,
+                   array_to_string(
+                       list_concat(
+                           t, [(-1)::BIGINT
+                               for i in range((pad_len - n)::INT)]), ',')
+                       AS input_ids,
+                   repeat('1', n::INT) || repeat('0', (pad_len - n)::INT)
+                       AS attn,
+                   repeat('0', p::INT) || repeat('1', (n - p)::INT)
+                       || repeat('0', (pad_len - n)::INT) AS loss
+            FROM numbered
         """,
         "q_sft_incremental": """
             -- the streaming SFT batching replay: the COMPOSITE order

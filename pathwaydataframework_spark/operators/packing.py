@@ -1604,10 +1604,28 @@ def materialize_padded_batches(
         )
     else:
         pad_len = F.col("cap")
-    pad = F.lit(pad_id).cast(elem_type)
     out = bucketed.withColumn("pad_len", pad_len.cast("long"))
+    out = _apply_padding(out, tokens_col, n, elem_type, pad_id, prompt_len_col)
+    return out.drop("__n_tok")
+
+
+def _apply_padding(
+    df: DataFrame,
+    tokens_col: str,
+    n,
+    elem_type: str,
+    pad_id: int,
+    prompt_len_col: str | None,
+) -> DataFrame:
+    """Shared padding stage of :func:`materialize_padded_batches` and
+    :func:`materialize_padded_batches_incremental`: given a frame with
+    a ``pad_len`` column and the token-count column expression ``n``,
+    emit input_ids / attention_mask / loss_mask — pure column
+    expressions (concat/array_repeat), zero Python."""
+    toks = F.col(tokens_col)
+    pad = F.lit(pad_id).cast(elem_type)
     fill = F.col("pad_len") - n
-    out = out.withColumn(
+    df = df.withColumn(
         "input_ids", F.concat(toks, F.array_repeat(pad, fill.cast("int")))
     ).withColumn(
         "attention_mask",
@@ -1618,7 +1636,7 @@ def materialize_padded_batches(
     )
     if prompt_len_col is not None:
         p = F.least(F.greatest(F.col(prompt_len_col).cast("long"), F.lit(0)), n)
-        out = out.withColumn(
+        df = df.withColumn(
             "loss_mask",
             F.concat(
                 F.array_repeat(F.lit(0), p.cast("int")),
@@ -1626,4 +1644,66 @@ def materialize_padded_batches(
                 F.array_repeat(F.lit(0), fill.cast("int")),
             ),
         )
-    return out.drop("__n_tok")
+    return df
+
+
+def materialize_padded_batches_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    boundaries,
+    batch_size: int,
+    seed: int = 0,
+    pad_id: int = -1,
+    prompt_len_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of :func:`materialize_padded_batches` against
+    the :func:`bucket_by_length_incremental` counter state: returns
+    ``(padded batch, updated state)``.
+
+    BOUNDED buckets only — rows longer than the last boundary are
+    dropped up front (stateless, so no numbering gaps): the open
+    bucket's batch-max pad target is append-UNSTABLE by definition (a
+    longer row arriving into the open batch would retroactively change
+    tensors already emitted), while ``pad_len = cap`` makes every
+    emitted row's tensor final the moment it is emitted — the same
+    seal-once property the numbering contract gives batch ids.  The
+    padding stage is the one-shot function's shared column-expression
+    kernel; the whole incremental step is bucket_by_length over the
+    BATCH plus one buckets-sized aggregate, no window anywhere."""
+    out_cols = {"pad_len", "input_ids", "attention_mask", "loss_mask",
+                "__n_tok"}
+    clash = out_cols & set(batch.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — "
+            "materialize_padded_batches_incremental adds pad_len/"
+            "input_ids/attention_mask/loss_mask (and uses __n_tok "
+            "internally); it must not overwrite caller data"
+        )
+    elem = dict(batch.dtypes).get(tokens_col)
+    if elem is None or not elem.startswith("array"):
+        raise ValueError(
+            f"tokens_col {tokens_col!r} must be an array column, got {elem!r}"
+        )
+    elem_type = elem[len("array<"):-1]
+    bnds = [int(b) for b in boundaries]
+    if not bnds:
+        raise ValueError("boundaries must be non-empty")
+    toks = F.col(tokens_col)
+    base = batch.withColumn(
+        "__n_tok",
+        F.when(toks.isNotNull(), F.size(toks)).cast("long"),
+    ).filter(F.col("__n_tok") <= bnds[-1])
+    bucketed, new_state = bucket_by_length_incremental(
+        base, state, id_col, "__n_tok",
+        boundaries=bnds, batch_size=batch_size, seed=seed,
+    )
+    out = bucketed.withColumn("pad_len", F.col("cap"))
+    out = _apply_padding(
+        out, tokens_col, F.col("__n_tok"), elem_type, pad_id,
+        prompt_len_col,
+    )
+    return out.drop("__n_tok"), new_state

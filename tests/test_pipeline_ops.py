@@ -2602,3 +2602,73 @@ def test_bucket_by_length_incremental_seal_and_parquet_resume(spark, tmp_path):
             bid * bs + s for (bb, bid, s) in got.values() if bb == b
         )
         assert ords == list(range(total))
+
+
+def test_materialize_padded_batches_incremental_stable_tensors(spark):
+    """materialize_padded_batches_incremental (r13): bounded-bucket
+    streaming padding — over-boundary rows drop up front, pad_len is
+    always the bucket cap (so every emitted tensor is FINAL: re-running
+    the chain with more appended batches reproduces earlier batches'
+    rows bit-identically), masks follow the SFT conventions, and the
+    numbering equals bucket_by_length_incremental of the same arrival
+    sequence."""
+    rows = [
+        (i, list(range(i, i + (i * 11) % 24 + 1)), ((i * 11) % 24) // 2)
+        for i in range(50)
+    ]
+    arrivals = [rows[:20], rows[20:35], rows[35:]]
+    toks = {r[0]: r[1] for r in rows}
+    plen = {r[0]: r[2] for r in rows}
+    bnds, bs = (6, 16), 4
+
+    def run(chunks):
+        st = packing.bucket_state(spark)
+        acc = {}
+        for chunk in chunks:
+            df = spark.createDataFrame(
+                chunk, "doc_id long, toks array<bigint>, plen long"
+            )
+            out, st = packing.materialize_padded_batches_incremental(
+                df, st, "doc_id", "toks", boundaries=bnds, batch_size=bs,
+                seed=9, pad_id=-7, prompt_len_col="plen",
+            )
+            out = out.localCheckpoint()
+            st = st.localCheckpoint()
+            for r in out.collect():
+                acc[r["doc_id"]] = (
+                    r["bucket"], r["batch_id"], r["slot"], r["pad_len"],
+                    list(r["input_ids"]), list(r["attention_mask"]),
+                    list(r["loss_mask"]),
+                )
+        return acc
+
+    full = run(arrivals)
+    prefix = run(arrivals[:1])
+    # seal-once tensors: batch 1's rows identical with or without appends
+    assert all(full[i] == v for i, v in prefix.items())
+    for i, (b, bid, slot, pad, ids, attn, loss) in full.items():
+        n = len(toks[i])
+        assert n <= bnds[-1]  # over-boundary rows never emitted
+        assert pad == bnds[b]  # always the cap — no batch-max anywhere
+        assert ids == toks[i] + [-7] * (pad - n)
+        assert attn == [1] * n + [0] * (pad - n)
+        p = min(plen[i], n)
+        assert loss == [0] * p + [1] * (n - p) + [0] * (pad - n)
+    dropped = [i for i, t in toks.items() if len(t) > bnds[-1]]
+    assert dropped and all(i not in full for i in dropped)
+    # numbering == the bucketing chain over the same (filtered) arrivals
+    st = packing.bucket_state(spark)
+    want = {}
+    for chunk in arrivals:
+        df = spark.createDataFrame(
+            [(i, len(t)) for i, t, _ in chunk if len(t) <= bnds[-1]],
+            "doc_id long, n long",
+        )
+        out, st = packing.bucket_by_length_incremental(
+            df, st, "doc_id", "n", boundaries=bnds, batch_size=bs, seed=9
+        )
+        out = out.localCheckpoint()
+        st = st.localCheckpoint()
+        for r in out.collect():
+            want[r["doc_id"]] = (r["bucket"], r["batch_id"], r["slot"])
+    assert {i: v[:3] for i, v in full.items()} == want
