@@ -3670,6 +3670,36 @@ def q_sft_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sft_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """The multi-epoch loop for the UNPACKED path — the q_train_epochs
+    symmetry for SFT: q_length_buckets' batching run for epochs {0, 1}
+    with ``seed = epoch`` and unioned under an epoch tag.  The oracle
+    re-derives BOTH per-epoch permutations independently (one window
+    partitioned by (epoch, bucket) over md5(doc_id:epoch)), so the
+    cross-epoch contract a trainer relies on sits under the hash gate:
+    bucket membership (and therefore the ragged cutoff and every pad
+    target) is seed-INDEPENDENT — only the order within each bucket
+    re-permutes between epochs.  (The rotation property itself —
+    different seeds actually move rows — is pinned in
+    test_bucket_by_length_contract.)"""
+    from pathwaydataframework_spark.operators import packing
+
+    docs = load_table(spark, sf, "documents").df
+    src = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    union = None
+    for epoch in (0, 1):
+        out = packing.bucket_by_length(
+            src, "doc_id", "n_bytes", boundaries=(64, 256, 1024),
+            batch_size=8, seed=epoch, drop_ragged=True,
+        ).withColumn("epoch", F.lit(epoch).cast("long"))
+        union = out if union is None else union.unionByName(out)
+    return union.select(
+        "epoch", "doc_id", "n_bytes", "bucket", "batch_id", "slot", "cap"
+    )
+
+
 def q_sft_stream(spark: SparkSession, sf: str) -> DataFrame:
     """The STREAMING padded-batch twin
     (packing.materialize_padded_batches_incremental): q_sft_batches'
@@ -4198,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sft_batches": q_sft_batches,
         "q_sft_incremental": q_sft_incremental,
         "q_sft_stream": q_sft_stream,
+        "q_sft_epochs": q_sft_epochs,
         "q_media_meta": q_media_meta,
         # --- latest driver row r11 (next-stalest): fill the budget ---
         "q_asof_join": q_asof_join,
@@ -4206,9 +4237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chained_join": q_chained_join,
         "q_concat_reindex": q_concat_reindex,
         "q_concat_split": q_concat_split,
-        "q_connected_components": q_connected_components,
         # --- latest driver row r11: behind the ~50 cap this round;
         # rotates forward in r14. ---
+        "q_connected_components": q_connected_components,
         "q_dedup_exact": q_dedup_exact,
         "q_deduplicate_latest": q_deduplicate_latest,
         "q_diff_values": q_diff_values,
@@ -6836,6 +6867,42 @@ def oracle_sql() -> dict[str, str]:
                    (CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 256
                                 WHEN 2 THEN 1024 END)::BIGINT AS cap
             FROM o WHERE ord < (n // 8) * 8
+        """,
+        "q_sft_epochs": """
+            -- the unpacked multi-epoch replay: each epoch e re-permutes
+            -- every bucket by md5(doc_id:e) (seed = epoch); bucket
+            -- membership, the ragged cutoff and the pad target are
+            -- seed-independent, so they are stated once and joined to
+            -- both epochs
+            WITH src AS (
+                SELECT doc_id, strlen(text)::BIGINT AS n_bytes
+                FROM documents WHERE text IS NOT NULL
+            ),
+            b AS (
+                SELECT doc_id, n_bytes,
+                       ((n_bytes > 64)::INT + (n_bytes > 256)::INT
+                        + (n_bytes > 1024)::INT)::BIGINT AS bucket
+                FROM src
+            ),
+            o AS (
+                SELECT e.epoch::BIGINT AS epoch, b.*,
+                       row_number() OVER (
+                           PARTITION BY e.epoch, bucket
+                           ORDER BY md5(doc_id::VARCHAR || ':'
+                                        || e.epoch::VARCHAR),
+                                    doc_id
+                       ) - 1 AS ord,
+                       count(*) OVER (
+                           PARTITION BY e.epoch, bucket
+                       ) AS cnt
+                FROM b CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+            )
+            SELECT epoch, doc_id, n_bytes, bucket,
+                   (ord // 8)::BIGINT AS batch_id,
+                   (ord % 8)::BIGINT AS slot,
+                   (CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 256
+                                WHEN 2 THEN 1024 END)::BIGINT AS cap
+            FROM o WHERE ord < (cnt // 8) * 8
         """,
         "q_sft_stream": """
             -- the streaming padded-batch replay: composite (arrival
