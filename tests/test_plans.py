@@ -569,6 +569,9 @@ def test_pack_slices_hazard_census(spark, sf_dir):
         "q_train_epochs",  # r12: the multi-epoch loop inherits the census
         "q_length_buckets",  # r12: SFT batching — broadcast-only joins
         "q_sft_batches",  # r13: padded batches — pure column exprs after
+        "q_sft_epochs",  # r13: multi-epoch unpacked loop
+        "q_sft_incremental",  # r13: counter-state chain, broadcast joins
+        "q_sft_stream",  # r13: streaming padded twin, window-free
     ):
         df = entry.queries()[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
