@@ -3601,18 +3601,7 @@ def q_sft_batches(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import packing
 
     docs = load_table(spark, sf, "documents").df
-    words = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
-    src = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.transform(
-            words, lambda w: (F.ascii(w) * 100 + F.length(w)).cast("long")
-        ).alias("toks"),
-    ).withColumn(
-        "plen", (F.floor(F.size("toks") / 3) + 1).cast("long")
-    )
+    src = _sft_tokenized(docs)
     out = packing.materialize_padded_batches(
         src, "doc_id", "toks", boundaries=(16, 32, 64), batch_size=4,
         seed=7, pad_id=-1, prompt_len_col="plen",
@@ -3670,6 +3659,27 @@ def q_sft_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _sft_tokenized(docs: DataFrame) -> DataFrame:
+    """The q_sft_batches / q_sft_stream shared tokenization (ONE
+    definition so the twins can never desynchronize from their oracles
+    — the _recipe_planted pattern): per doc, deterministic word ids
+    ascii(first char)*100 + CHARACTER length per whitespace word
+    (replayable in DuckDB as ascii(w)*100 + length(w)), and the SFT
+    prompt length n//3 + 1."""
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.transform(
+            words, lambda w: (F.ascii(w) * 100 + F.length(w)).cast("long")
+        ).alias("toks"),
+    ).withColumn(
+        "plen", (F.floor(F.size("toks") / 3) + 1).cast("long")
+    )
+
+
 def q_sft_epochs(spark: SparkSession, sf: str) -> DataFrame:
     """The multi-epoch loop for the UNPACKED path — the q_train_epochs
     symmetry for SFT: q_length_buckets' batching run for epochs {0, 1}
@@ -3716,18 +3726,7 @@ def q_sft_stream(spark: SparkSession, sf: str) -> DataFrame:
     from pathwaydataframework_spark.operators import packing
 
     docs = load_table(spark, sf, "documents").df
-    words = F.filter(
-        F.split(F.trim(F.col("text")), r"\s+"),
-        lambda w: F.length(w) > 0,
-    )
-    src = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id",
-        F.transform(
-            words, lambda w: (F.ascii(w) * 100 + F.length(w)).cast("long")
-        ).alias("toks"),
-    ).withColumn(
-        "plen", (F.floor(F.size("toks") / 3) + 1).cast("long")
-    )
+    src = _sft_tokenized(docs)
     b1, b2 = _id_halves(src)
     o1, st = packing.materialize_padded_batches_incremental(
         b1, packing.bucket_state(spark), "doc_id", "toks",
@@ -6915,7 +6914,7 @@ def oracle_sql() -> dict[str, str]:
                            list_filter(
                                regexp_split_to_array(trim(text), '\\s+'),
                                w -> length(w) > 0),
-                           w -> (ascii(w) * 100 + strlen(w))::BIGINT) AS t
+                           w -> (ascii(w) * 100 + length(w))::BIGINT) AS t
                 FROM documents WHERE text IS NOT NULL
             ),
             mx AS (SELECT max(doc_id) // 2 AS cut FROM toks),
@@ -7004,7 +7003,7 @@ def oracle_sql() -> dict[str, str]:
                            list_filter(
                                regexp_split_to_array(trim(text), '\\s+'),
                                w -> length(w) > 0),
-                           w -> (ascii(w) * 100 + strlen(w))::BIGINT) AS t
+                           w -> (ascii(w) * 100 + length(w))::BIGINT) AS t
                 FROM documents WHERE text IS NOT NULL
             ),
             b AS (

@@ -128,11 +128,22 @@ def main() -> None:
         with open(os.path.join(here, "VERDICT.md")) as fh:
             import re as _re
 
-            m = _re.search(r"round\s+(\d+)", fh.readline())
-            if m:
-                judged_round = int(m.group(1))
+            # scan the head of the file, not just line 1 — a blank
+            # line or reflowed title must not silently disable the
+            # self-compare guard
+            for line in fh.readlines()[:10]:
+                m = _re.search(r"round\s+(\d+)", line, _re.IGNORECASE)
+                if m:
+                    judged_round = int(m.group(1))
+                    break
     except OSError:
         pass
+    if judged_round is None:
+        print(
+            "# VERDICT.md round not parseable — prev-bench pick may "
+            "include the current round's own output",
+            file=sys.stderr,
+        )
     benches = sorted(
         (
             f for f in os.listdir(here)

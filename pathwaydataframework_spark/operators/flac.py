@@ -380,7 +380,10 @@ def _check_fits(v: int, n: int, what: str) -> None:
     silently corrupt the stream and surface as a confusing roundtrip
     mismatch instead of an error (ADVICE r12; matches the existing
     'rice overflow' guard)."""
-    if not -(1 << (n - 1)) <= v < (1 << (n - 1)):
+    # n == 0 is legal FLAC (a 0-bit raw partition encodes all-zero
+    # residuals): only the value 0 "fits" a zero-width field
+    fits = (v == 0) if n <= 0 else (-(1 << (n - 1)) <= v < (1 << (n - 1)))
+    if not fits:
         raise ValueError(
             f"fixture encoder: {what} {v} does not fit {n}-bit "
             "two's complement"

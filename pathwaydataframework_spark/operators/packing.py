@@ -1562,25 +1562,9 @@ def materialize_padded_batches(
         raise ValueError(
             f"open_bucket must be 'batch_max' or 'drop', got {open_bucket!r}"
         )
-    out_cols = {"pad_len", "input_ids", "attention_mask", "loss_mask",
-                "__n_tok"}
-    clash = out_cols & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"input already has column(s) {sorted(clash)} — "
-            "materialize_padded_batches adds pad_len/input_ids/"
-            "attention_mask/loss_mask (and uses __n_tok internally); it "
-            "must not overwrite caller data"
-        )
-    elem = None
-    for name, dtype in df.dtypes:
-        if name == tokens_col:
-            elem = dtype
-    if elem is None or not elem.startswith("array"):
-        raise ValueError(
-            f"tokens_col {tokens_col!r} must be an array column, got {elem!r}"
-        )
-    elem_type = elem[len("array<"):-1]
+    elem_type = _validate_padding_input(
+        df, tokens_col, "materialize_padded_batches"
+    )
     toks = F.col(tokens_col)
     base = df.withColumn(
         "__n_tok",
@@ -1607,6 +1591,28 @@ def materialize_padded_batches(
     out = bucketed.withColumn("pad_len", pad_len.cast("long"))
     out = _apply_padding(out, tokens_col, n, elem_type, pad_id, prompt_len_col)
     return out.drop("__n_tok")
+
+
+def _validate_padding_input(df: DataFrame, tokens_col: str, fn: str) -> str:
+    """Shared up-front checks of the two padded-batch entry points
+    (ONE clash set, so the guards can never drift apart): the output /
+    internal columns must not already exist, and ``tokens_col`` must be
+    an array column.  Returns the array's element type name."""
+    out_cols = {"pad_len", "input_ids", "attention_mask", "loss_mask",
+                "__n_tok"}
+    clash = out_cols & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — {fn} adds "
+            "pad_len/input_ids/attention_mask/loss_mask (and uses "
+            "__n_tok internally); it must not overwrite caller data"
+        )
+    elem = dict(df.dtypes).get(tokens_col)
+    if elem is None or not elem.startswith("array"):
+        raise ValueError(
+            f"tokens_col {tokens_col!r} must be an array column, got {elem!r}"
+        )
+    return elem[len("array<"):-1]
 
 
 def _apply_padding(
@@ -1673,22 +1679,9 @@ def materialize_padded_batches_incremental(
     padding stage is the one-shot function's shared column-expression
     kernel; the whole incremental step is bucket_by_length over the
     BATCH plus one buckets-sized aggregate, no window anywhere."""
-    out_cols = {"pad_len", "input_ids", "attention_mask", "loss_mask",
-                "__n_tok"}
-    clash = out_cols & set(batch.columns)
-    if clash:
-        raise ValueError(
-            f"input already has column(s) {sorted(clash)} — "
-            "materialize_padded_batches_incremental adds pad_len/"
-            "input_ids/attention_mask/loss_mask (and uses __n_tok "
-            "internally); it must not overwrite caller data"
-        )
-    elem = dict(batch.dtypes).get(tokens_col)
-    if elem is None or not elem.startswith("array"):
-        raise ValueError(
-            f"tokens_col {tokens_col!r} must be an array column, got {elem!r}"
-        )
-    elem_type = elem[len("array<"):-1]
+    elem_type = _validate_padding_input(
+        batch, tokens_col, "materialize_padded_batches_incremental"
+    )
     bnds = [int(b) for b in boundaries]
     if not bnds:
         raise ValueError("boundaries must be non-empty")

@@ -2519,8 +2519,10 @@ def test_materialize_padded_batches_contract(spark):
     ).collect()
     assert {r["bucket"] for r in drop} <= {0, 1}
     for b in {r["bucket"] for r in drop}:
-        ids = sorted(r["batch_id"] for r in drop if r["bucket"] == b)
-        assert ids[0] == 0 and ids == sorted(set(ids)) * 1 or True
+        ids = [r["batch_id"] for r in drop if r["bucket"] == b]
+        # dense batch ids from 0 — dropping the open bucket BEFORE
+        # numbering leaves no gaps
+        assert sorted(set(ids)) == list(range(max(ids) + 1))
     assert "loss_mask" not in drop[0].asDict()  # only with prompt_len_col
     with pytest.raises(ValueError, match="open_bucket"):
         packing.materialize_padded_batches(
