@@ -1641,7 +1641,16 @@ def _apply_padding(
         ),
     )
     if prompt_len_col is not None:
-        p = F.least(F.greatest(F.col(prompt_len_col).cast("long"), F.lit(0)), n)
+        # clamp to [0, n]; a NULL prompt length means "no prompt"
+        # (loss over every real token) — explicit, not an accident of
+        # greatest() skipping NULLs
+        p = F.least(
+            F.greatest(
+                F.coalesce(F.col(prompt_len_col).cast("long"), F.lit(0)),
+                F.lit(0),
+            ),
+            n,
+        )
         df = df.withColumn(
             "loss_mask",
             F.concat(
