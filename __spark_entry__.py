@@ -1130,8 +1130,10 @@ def _media_fixtures() -> list[tuple[int, str]]:
     in-repo codec; dims read by the deep SOF walk), a minimal ISO-BMFF
     MP4 (ftyp + moov{mvhd, trak{tkhd, mdia/minf/stbl/stsd}} — fixed
     deterministic layout, see the oracle's offset comments), an
-    unknown blob, a real FLAC encode (r12), and three MP3 streams
-    (r12 ID3+CBR; r13 bare-sync CBR and ID3+Xing VBR)."""
+    unknown blob, a real FLAC encode (r12), and seven MP3 streams
+    (r12 ID3+CBR; r13 bare-sync CBR and ID3+Xing VBR; r14 MPEG-2
+    bare CBR, MPEG-2 Xing mono, MPEG-2.5 bare Xing, and MPEG-1
+    Xing behind a CRC-protected frame)."""
     import struct
 
     def wav(rate=8000, ch=1, bits=16, payload=800):
@@ -1253,23 +1255,32 @@ def _media_fixtures() -> list[tuple[int, str]]:
         return _flac.encode(x, sample_rate=rate)
 
     def mp3(payload=1264, kbps_index=9, *, id3=True, rate_index=0,
-            mode=0, xing_frames=None):
-        # MPEG-1 Layer III stream: optional ID3v2.3 tag (synchsafe
+            mode=0, xing_frames=None, version=3, crc=False):
+        # MPEG Layer III stream: optional ID3v2.3 tag (synchsafe
         # size 5, empty padding) + one frame header + filler; r13 adds
         # bare (tagless) streams and a Xing VBR header planted at the
-        # standard 4+side-info offset (32 bytes for non-mono modes)
-        # with the FRAMES flag + big-endian frame count.  Frame DATA
-        # stays undecoded (the lossy-codec boundary, DEVIATIONS.md
-        # #5); durations divide exactly (no truncate-vs-round
-        # ambiguity between engines): CBR payload*8/kbps, VBR
-        # frames*1152*1000/rate.
+        # standard 4 + CRC + side-info offset with the FRAMES flag +
+        # big-endian frame count; r14 adds MPEG-2 (version bits 10)
+        # and MPEG-2.5 (00) with their halved/quartered sample rates,
+        # 576 samples/frame, the MPEG-2 bitrate column, 9/17-byte side
+        # info — and CRC-protected frames (protection bit 0: 2 CRC
+        # bytes precede the side info; ADVICE r13).  Frame DATA stays
+        # undecoded (the lossy-codec boundary, DEVIATIONS.md #5);
+        # durations divide exactly (no truncate-vs-round ambiguity
+        # between engines): CBR payload*8/kbps, VBR
+        # frames*spf*1000/rate.
+        h2 = 0xE0 | (version << 3) | (1 << 1) | (0 if crc else 1)
         frame = bytearray(
-            bytes([0xFF, 0xFB, (kbps_index << 4) | (rate_index << 2),
+            bytes([0xFF, h2, (kbps_index << 4) | (rate_index << 2),
                    mode << 6])
             + bytes(payload - 4)
         )
         if xing_frames is not None:
-            off = 4 + (17 if mode == 3 else 32)
+            side = (
+                (17 if mode == 3 else 32) if version == 3
+                else (9 if mode == 3 else 17)
+            )
+            off = 4 + (2 if crc else 0) + side
             frame[off:off + 4] = b"Xing"
             frame[off + 4:off + 8] = (1).to_bytes(4, "big")  # FRAMES flag
             frame[off + 8:off + 12] = int(xing_frames).to_bytes(4, "big")
@@ -1295,6 +1306,20 @@ def _media_fixtures() -> list[tuple[int, str]]:
         # r13: Xing VBR @ 32 kHz, 250 frames = 9000 ms exact — the CBR
         # estimate (1200 B @ 128 kbps = 75 ms) would be 120x off
         mp3(payload=1200, rate_index=2, xing_frames=250),
+        # r14: bare MPEG-2 CBR — idx 9 is 80 kbps in the MPEG-2
+        # bitrate column (not 128) → 1600 B * 8 / 80 = 160 ms
+        mp3(payload=1600, id3=False, version=2),
+        # r14: MPEG-2 Xing VBR @ 24 kHz, 576 samples/frame, MONO
+        # (side info 9) → 125 * 576 / 24000 = 3000 ms exact
+        mp3(payload=1200, rate_index=1, mode=3, xing_frames=125,
+            version=2),
+        # r14: bare MPEG-2.5 Xing VBR @ 12 kHz stereo (side info 17)
+        # → 100 * 576 / 12000 = 4800 ms exact
+        mp3(payload=1200, rate_index=1, xing_frames=100, version=0,
+            id3=False),
+        # r14 (ADVICE r13): MPEG-1 VBR with CRC — the Xing header
+        # sits 2 bytes later (4+2+32); 250 frames @ 32 kHz = 9000 ms
+        mp3(payload=1200, rate_index=2, xing_frames=250, crc=True),
     ]
     return [(i, b.hex()) for i, b in enumerate(blobs)]
 
@@ -1647,27 +1672,50 @@ def _media_meta_oracle_sql() -> str:
                        AS flac_total,
                    substr(h, 1, 6) = hex('ID3'::BLOB) AS is_id3,
                    m.fstart, m.mp3_ok, m.mp3_kbps, m.mp3_rate,
-                   m.xing_ok, m.xing_frames_flag, m.xing_frames,
+                   m.mp3_spf, m.xing_ok, m.xing_frames_flag,
+                   m.xing_frames,
                    strpos(h, 'FFC0') AS sofp,
                    {le32(29)} AS byte_rate
             FROM blobs,
-            -- MP3 frame walk (r13): fstart = 0-based offset of the
-            -- first MPEG header byte (past the synchsafe ID3 tag, or 0
-            -- for bare streams); the Xing/Info VBR header sits 4 +
-            -- side-info bytes into the frame (17 mono / 32 otherwise)
+            -- MP3 frame walk (r13, widened r14): fstart = 0-based
+            -- offset of the first MPEG header byte (past the
+            -- synchsafe ID3 tag, or 0 for bare streams); version bits
+            -- (fh2//8)%4: 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5, 1=reserved
+            -- (rejected); the Xing/Info VBR header sits 4 + CRC (2
+            -- bytes when the protection bit fh2%2 is 0) + side-info
+            -- bytes into the frame (MPEG-1: 17 mono / 32 otherwise;
+            -- MPEG-2/2.5: 9 / 17)
             LATERAL (
                 SELECT s.fstart,
-                       fh1 = 255 AND fh2 // 2 = 125 AS mp3_ok,
-                       CASE fh3 // 16
-                            WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
-                            WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
-                            WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
-                            WHEN 10 THEN 160 WHEN 11 THEN 192
-                            WHEN 12 THEN 224 WHEN 13 THEN 256
-                            WHEN 14 THEN 320 END AS mp3_kbps,
+                       fh1 = 255 AND fh2 // 32 = 7
+                           AND (fh2 // 2) % 4 = 1
+                           AND v.ver != 1 AS mp3_ok,
+                       CASE WHEN v.ver = 3 THEN
+                            CASE fh3 // 16
+                                 WHEN 1 THEN 32 WHEN 2 THEN 40
+                                 WHEN 3 THEN 48 WHEN 4 THEN 56
+                                 WHEN 5 THEN 64 WHEN 6 THEN 80
+                                 WHEN 7 THEN 96 WHEN 8 THEN 112
+                                 WHEN 9 THEN 128 WHEN 10 THEN 160
+                                 WHEN 11 THEN 192 WHEN 12 THEN 224
+                                 WHEN 13 THEN 256 WHEN 14 THEN 320 END
+                       ELSE
+                            CASE fh3 // 16
+                                 WHEN 1 THEN 8 WHEN 2 THEN 16
+                                 WHEN 3 THEN 24 WHEN 4 THEN 32
+                                 WHEN 5 THEN 40 WHEN 6 THEN 48
+                                 WHEN 7 THEN 56 WHEN 8 THEN 64
+                                 WHEN 9 THEN 80 WHEN 10 THEN 96
+                                 WHEN 11 THEN 112 WHEN 12 THEN 128
+                                 WHEN 13 THEN 144 WHEN 14 THEN 160 END
+                       END AS mp3_kbps,
                        CASE (fh3 // 4) % 4
                             WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                            WHEN 2 THEN 32000 END AS mp3_rate,
+                            WHEN 2 THEN 32000 END
+                           // (CASE v.ver WHEN 3 THEN 1 WHEN 2 THEN 2
+                               ELSE 4 END) AS mp3_rate,
+                       CASE WHEN v.ver = 3 THEN 1152 ELSE 576 END
+                           AS mp3_spf,
                        substr(h, (s.fstart + 4 + sd.side) * 2 + 1, 8)
                            IN (hex('Xing'::BLOB), hex('Info'::BLOB))
                            AS xing_ok,
@@ -1691,7 +1739,16 @@ def _media_meta_oracle_sql() -> str:
                            TRY_CAST('0x' || substr(h, (s.fstart + 3) * 2 + 1, 2) AS BIGINT) AS fh4
                 ) f,
                 LATERAL (
-                    SELECT CASE WHEN fh4 // 64 = 3 THEN 17 ELSE 32 END AS side
+                    SELECT (fh2 // 8) % 4 AS ver
+                ) v,
+                LATERAL (
+                    SELECT (CASE WHEN v.ver = 3 THEN
+                                 CASE WHEN fh4 // 64 = 3 THEN 17 ELSE 32 END
+                            ELSE
+                                 CASE WHEN fh4 // 64 = 3 THEN 9 ELSE 17 END
+                            END)
+                           + (CASE WHEN fh2 % 2 = 0 THEN 2 ELSE 0 END)
+                           AS side
                 ) sd
             ) m
         )
@@ -1725,7 +1782,7 @@ def _media_meta_oracle_sql() -> str:
                               AND coalesce(xing_ok, FALSE)
                               AND coalesce(xing_frames_flag, FALSE)
                               AND mp3_rate IS NOT NULL
-                         THEN xing_frames * 1152 * 1000 / mp3_rate
+                         THEN xing_frames * mp3_spf * 1000 / mp3_rate
                          WHEN coalesce(mp3_ok, FALSE)
                               AND mp3_kbps IS NOT NULL
                          THEN (n - fstart) * 8 / mp3_kbps

@@ -108,19 +108,24 @@ def attach_media_meta(
     is_avi = (F.substring(d, 1, 4) == F.lit(b"RIFF")) & (
         F.substring(d, 9, 4) == F.lit(b"AVI ")
     ) & (F.substring(d, 25, 4) == F.lit(b"avih"))
-    # MP3 (r12, extended r13): an ID3v2 tag marks the family — the tag
-    # SIZE is a fixed-offset synchsafe u28 (bytes 7-10), so the first
+    # MP3 (r12, extended r13/r14): an ID3v2 tag marks the family — the
+    # tag SIZE is a fixed-offset synchsafe u28 (bytes 7-10), so the first
     # MPEG frame header sits at the COMPUTED offset 11+size — and, r13,
     # a BARE stream (no tag — old rips, stream dumps) is recognized by
-    # the same MPEG-1 Layer III header validation at offset 0.  All
-    # still pure column expressions via substr-with-column-pos.
-    # Duration: a Xing/Info header (the LAME/VBR convention — 4 +
-    # side-info bytes into the first frame, side info 17 bytes for mono
-    # / 32 otherwise) with the FRAMES flag set gives the EXACT
-    # frames*1152/rate; otherwise the standard CBR estimate
-    # payload_bytes*8/bitrate, emitted only when the frame validates
-    # with a defined bitrate (frame DATA stays undecoded — the
-    # lossy-codec boundary, DEVIATIONS.md #5, same stance as MP4).
+    # the same Layer III header validation at offset 0.  r14 widens the
+    # accepted versions from MPEG-1-only to MPEG-2 (version bits 10:
+    # 22.05/24/16 kHz) and MPEG-2.5 (bits 00: 11.025/12/8 kHz) with
+    # their own bitrate column and 576 samples/frame; version bits 01
+    # (reserved) stay rejected.  All still pure column expressions via
+    # substr-with-column-pos.
+    # Duration: a Xing/Info header (the LAME/VBR convention — 4 header
+    # bytes + 2 CRC bytes when the protection bit is 0 + side-info
+    # bytes into the first frame; side info 17 mono / 32 otherwise for
+    # MPEG-1, 9 / 17 for MPEG-2/2.5) with the FRAMES flag set gives the
+    # EXACT frames*samples_per_frame/rate; otherwise the standard CBR
+    # estimate payload_bytes*8/bitrate, emitted only when the frame
+    # validates with a defined bitrate (frame DATA stays undecoded —
+    # the lossy-codec boundary, DEVIATIONS.md #5, same stance as MP4).
     def _uint_at(pos_col: Column) -> Column:
         return F.conv(
             F.hex(F.substr(d, pos_col, F.lit(1))), 16, 10
@@ -140,39 +145,65 @@ def attach_media_meta(
     mp3_h2 = _uint_at(mp3_pos + 1)
     mp3_h3 = _uint_at(mp3_pos + 2)
     mp3_h4 = _uint_at(mp3_pos + 3)
+    # version bits 4-3 of byte 2: 11=MPEG-1, 10=MPEG-2, 00=MPEG-2.5,
+    # 01=reserved (rejected)
+    mp3_ver = F.floor(mp3_h2 / 8) % 4
     mp3_frame_ok = (
         (mp3_h1 == 255)
-        # sync high bits + version MPEG-1 (bits 4-3 = 11) + Layer III
-        # (bits 2-1 = 01) → h2 & 0xFE == 0xFA
-        & (F.floor(mp3_h2 / 2) == F.lit(0x7D))
+        # 11-bit sync: top 3 bits of byte 2 all set
+        & (F.floor(mp3_h2 / 32) == 7)
+        # Layer III (bits 2-1 = 01)
+        & (F.floor(mp3_h2 / 2) % 4 == 1)
+        & (mp3_ver != 1)
     )
     is_mp3_bare = (~is_id3) & mp3_frame_ok
     is_mp3 = is_id3 | is_mp3_bare
+    # Layer III bitrate columns: MPEG-1 vs MPEG-2/2.5 (indices 0 and
+    # 15 are free/bad in both — no duration estimate)
     mp3_kbps = F.lit(None).cast("long")
-    for idx, kbps in enumerate(
-        (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-         256, 320, None)
-    ):
-        if kbps is not None:
-            mp3_kbps = F.when(
-                F.floor(mp3_h3 / 16) == idx, F.lit(kbps).cast("long")
-            ).otherwise(mp3_kbps)
-    # MPEG-1 sample rate (header bits 3-2 of byte 3): 44.1/48/32 kHz
-    mp3_rate = (
+    _V1 = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+           256, 320, None)
+    _V2 = (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+           160, None)
+    for idx in range(1, 15):
+        mp3_kbps = F.when(
+            F.floor(mp3_h3 / 16) == idx,
+            F.when(mp3_ver == 3, F.lit(_V1[idx]))
+            .otherwise(F.lit(_V2[idx]))
+            .cast("long"),
+        ).otherwise(mp3_kbps)
+    # Sample rate (header bits 3-2 of byte 3): MPEG-1 44.1/48/32 kHz;
+    # MPEG-2 halves and MPEG-2.5 quarters the same column (all exact
+    # integer divisions: 22050/24000/16000 and 11025/12000/8000)
+    mp3_base_rate = (
         F.when(F.floor(mp3_h3 / 4) % 4 == 0, F.lit(44100))
         .when(F.floor(mp3_h3 / 4) % 4 == 1, F.lit(48000))
         .when(F.floor(mp3_h3 / 4) % 4 == 2, F.lit(32000))
         .cast("long")
     )
-    # Xing/Info VBR header: 4 header + side-info bytes into the frame
-    # (MPEG-1: 17 bytes mono — channel mode bits 7-6 of byte 4 == 11 —
-    # else 32); FRAMES flag = bit 0 of the big-endian u32 after the
-    # magic; frame count = the next big-endian u32.  1152
-    # samples/frame (MPEG-1 Layer III), so duration is EXACT —
-    # the CBR estimate can be 2x+ off on VBR files.
-    xing_pos = mp3_pos + 4 + F.when(
-        F.floor(mp3_h4 / 64) == 3, F.lit(17)
-    ).otherwise(F.lit(32))
+    mp3_rate = (
+        F.when(mp3_ver == 3, mp3_base_rate)
+        .when(mp3_ver == 2, mp3_base_rate / 2)
+        .otherwise(mp3_base_rate / 4)
+        .cast("long")
+    )
+    # samples per frame, Layer III: 1152 MPEG-1, 576 MPEG-2/2.5
+    mp3_spf = F.when(mp3_ver == 3, F.lit(1152)).otherwise(F.lit(576))
+    # Xing/Info VBR header: 4 header bytes + (2 CRC bytes when the
+    # protection bit — bit 0 of byte 2 — is 0, i.e. CRC-protected) +
+    # side-info bytes into the frame.  Side info: MPEG-1 17 bytes mono
+    # (channel mode bits 7-6 of byte 4 == 11) else 32; MPEG-2/2.5
+    # 9 mono else 17.  FRAMES flag = bit 0 of the big-endian u32 after
+    # the magic; frame count = the next big-endian u32.  Duration is
+    # then EXACT frames*spf/rate — the CBR estimate can be 2x+ off on
+    # VBR files.
+    mp3_mono = F.floor(mp3_h4 / 64) == 3
+    mp3_side = F.when(
+        mp3_ver == 3,
+        F.when(mp3_mono, F.lit(17)).otherwise(F.lit(32)),
+    ).otherwise(F.when(mp3_mono, F.lit(9)).otherwise(F.lit(17)))
+    mp3_crc = F.when(mp3_h2 % 2 == 0, F.lit(2)).otherwise(F.lit(0))
+    xing_pos = mp3_pos + 4 + mp3_crc + mp3_side
     xing_magic = F.substr(d, xing_pos, F.lit(4))
     has_xing = (xing_magic == F.lit(b"Xing")) | (xing_magic == F.lit(b"Info"))
     xing_frames_flag = _uint_at(xing_pos + 7) % 2 == 1
@@ -233,8 +264,8 @@ def attach_media_meta(
         .when(
             is_mp3 & mp3_frame_ok & has_xing & xing_frames_flag
             & mp3_rate.isNotNull(),
-            # Xing/Info frame count → exact: frames * 1152 / rate (ms)
-            xing_frames * 1152 * 1000 / mp3_rate,
+            # Xing/Info frame count → exact: frames * spf / rate (ms)
+            xing_frames * mp3_spf * 1000 / mp3_rate,
         )
         .when(
             is_mp3 & mp3_frame_ok & mp3_kbps.isNotNull(),

@@ -1612,7 +1612,16 @@ def _validate_padding_input(df: DataFrame, tokens_col: str, fn: str) -> str:
         raise ValueError(
             f"tokens_col {tokens_col!r} must be an array column, got {elem!r}"
         )
-    return elem[len("array<"):-1]
+    inner = elem[len("array<"):-1]
+    # ADVICE r13: a nested element type (array<array<bigint>>,
+    # array<struct<...>>) would otherwise surface later as an opaque
+    # cast error when pad_id is cast to it — reject it here by name
+    if inner.startswith(("array", "struct", "map")):
+        raise ValueError(
+            f"tokens_col {tokens_col!r} must have a scalar numeric "
+            f"element type (int/bigint/float/...), got element {inner!r}"
+        )
+    return inner
 
 
 def _apply_padding(

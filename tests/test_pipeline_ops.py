@@ -2533,6 +2533,13 @@ def test_materialize_padded_batches_contract(spark):
         packing.materialize_padded_batches(
             df, "doc_id", "plen", boundaries=bnds, batch_size=bs
         )
+    # ADVICE r13: nested element types get the function's OWN error
+    # (naming the supported scalars), not an opaque plan-time cast
+    with pytest.raises(ValueError, match="scalar numeric"):
+        packing.materialize_padded_batches(
+            df.withColumn("nested", F.array(F.col("toks"))),
+            "doc_id", "nested", boundaries=bnds, batch_size=bs,
+        )
     with pytest.raises(ValueError, match="must not overwrite"):
         packing.materialize_padded_batches(
             df.withColumn("pad_len", F.lit(1)), "doc_id", "toks",

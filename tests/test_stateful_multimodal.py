@@ -441,16 +441,20 @@ def test_audio_spectral_pairs_blocked_equals_bruteforce(spark):
 
 
 def test_mp3_media_meta_sniff(spark):
-    """attach_media_meta's MP3 branch (r12, extended r13): 'ID3' magic
-    OR a bare validated MPEG-1 Layer III header at offset 0 → audio;
+    """attach_media_meta's MP3 branch (r12, extended r13/r14): 'ID3'
+    magic OR a bare validated Layer III header at offset 0 → audio;
     the first MPEG frame header is located THROUGH the synchsafe tag
     size (computed-offset substr, no Python); duration is the EXACT
-    Xing/Info frames*1152/rate when the VBR header sits at the
-    computed 4+side-info offset with the FRAMES flag set (the CBR
-    estimate is 2x+ off on VBR files), else the CBR estimate, and
-    only when the frame validates with a defined bitrate — a
-    non-MPEG1 frame or a free/bad bitrate index yields type without a
-    number; a bare non-MPEG1 sync stays 'unknown'."""
+    Xing/Info frames*spf/rate when the VBR header sits at the computed
+    4 + CRC + side-info offset with the FRAMES flag set (the CBR
+    estimate is 2x+ off on VBR files), else the CBR estimate, and only
+    when the frame validates with a defined bitrate — a free/bad
+    bitrate index yields type without a number.  r14: MPEG-2
+    (22.05/24/16 kHz, 576 samples/frame, its own bitrate column) and
+    MPEG-2.5 (11.025/12/8 kHz) are accepted with their 9/17-byte side
+    info; reserved version bits (01) and non-Layer-III frames stay
+    'unknown' on bare streams; CRC-protected frames (protection bit 0)
+    shift the Xing header by the 2 CRC bytes (ADVICE r13)."""
     from pathwaydataframework_spark.operators import multimodal
 
     def mp3(tag_pad, hdr, payload, *, xing=None, xing_flags=1):
@@ -460,8 +464,11 @@ def test_mp3_media_meta_sniff(spark):
         )
         frame = bytearray(bytes(hdr) + bytes(payload - len(hdr)))
         if xing is not None:
-            side = 17 if (hdr[3] >> 6) == 3 else 32
-            off = 4 + side
+            mono = (hdr[3] >> 6) == 3
+            v1 = ((hdr[1] >> 3) & 3) == 3
+            side = (17 if mono else 32) if v1 else (9 if mono else 17)
+            crc = 2 if (hdr[1] & 1) == 0 else 0
+            off = 4 + crc + side
             frame[off:off + 4] = b"Xing"
             frame[off + 4:off + 8] = xing_flags.to_bytes(4, "big")
             frame[off + 8:off + 12] = xing.to_bytes(4, "big")
@@ -474,7 +481,9 @@ def test_mp3_media_meta_sniff(spark):
     blobs = [
         (0, mp3(5, [0xFF, 0xFB, 0x90, 0x00], 1264)),    # 128 kbps → 79 ms
         (1, mp3(200, [0xFF, 0xFB, 0xE0, 0x00], 640)),   # 320 kbps, big tag → 16 ms
-        (2, mp3(5, [0xFF, 0xE2, 0x90, 0x00], 100)),     # MPEG-2: no duration
+        # r14: MPEG-2.5 Layer III w/ CRC (was 'no duration' pre-r14):
+        # idx 9 → 80 kbps in the MPEG-2 column → 100 B * 8 / 80 = 10 ms
+        (2, mp3(5, [0xFF, 0xE2, 0x90, 0x00], 100)),
         (3, mp3(5, [0xFF, 0xFB, 0x00, 0x00], 100)),     # free bitrate: no duration
         # r13: bare-sync CBR (no ID3 tag): whole file is payload
         (4, mp3(None, [0xFF, 0xFB, 0x90, 0x00], 1600)),  # → 100 ms
@@ -486,28 +495,52 @@ def test_mp3_media_meta_sniff(spark):
         (7, mp3(5, [0xFF, 0xFB, 0x90, 0x00], 1264, xing=250, xing_flags=2)),
         # r13: bare Xing (no tag) — both r13 paths compose
         (8, mp3(None, [0xFF, 0xFB, 0x98, 0x00], 1200, xing=100)),
-        # r13: bare sync that is NOT MPEG-1 Layer III: stays unknown
+        # r14: bare MPEG-2.5 CBR now sniffs as audio (was unknown)
         (9, mp3(None, [0xFF, 0xE2, 0x90, 0x00], 100)),
+        # r14: reserved version bits (01) stay unknown on bare streams
+        (10, mp3(None, [0xFF, 0xEB, 0x90, 0x00], 100)),
+        # r14: Layer II stays unknown on bare streams (Layer III only)
+        (11, mp3(None, [0xFF, 0xFD, 0x90, 0x00], 100)),
+        # r14: bare MPEG-2 CBR: 80 kbps @ 22.05 kHz → 1600*8/80 = 160 ms
+        (12, mp3(None, [0xFF, 0xF3, 0x90, 0x00], 1600)),
+        # r14: MPEG-2 Xing MONO (side 9) @ 24 kHz, 125 frames
+        # → 125 * 576 / 24000 = 3000 ms
+        (13, mp3(5, [0xFF, 0xF3, 0x94, 0xC0], 1200, xing=125)),
+        # r14: bare MPEG-2.5 Xing stereo (side 17) @ 12 kHz, 100 frames
+        # → 100 * 576 / 12000 = 4800 ms
+        (14, mp3(None, [0xFF, 0xE3, 0x94, 0x00], 1200, xing=100)),
+        # r14 (ADVICE r13): MPEG-1 VBR with CRC (protection bit 0) —
+        # Xing sits at 4+2+32; 250 frames @ 32 kHz → 9000 ms (the CBR
+        # fallback would read 75 ms — 120x off)
+        (15, mp3(5, [0xFF, 0xFA, 0x98, 0x00], 1200, xing=250)),
     ]
     df = spark.createDataFrame(blobs, "id long, data binary")
     rows = {
         r["id"]: r["media_meta"].asDict()
         for r in multimodal.attach_media_meta(df).collect()
     }
+    unknown_ids = {10, 11}
     assert all(
-        m["media_type"] == "audio" for i, m in rows.items() if i != 9
+        m["media_type"] == "audio"
+        for i, m in rows.items() if i not in unknown_ids
     )
-    assert rows[9]["media_type"] == "unknown"
+    assert all(rows[i]["media_type"] == "unknown" for i in unknown_ids)
     assert rows[0]["duration_ms"] == 79    # 1264 B * 8 / 128 kbps
     assert rows[1]["duration_ms"] == 16    # 640 B * 8 / 320 kbps
-    assert rows[2]["duration_ms"] is None
+    assert rows[2]["duration_ms"] == 10    # MPEG-2.5 CBR: 100 B * 8 / 80
     assert rows[3]["duration_ms"] is None
     assert rows[4]["duration_ms"] == 100   # 1600 B * 8 / 128 kbps
     assert rows[5]["duration_ms"] == 9000  # 250 * 1152 / 32000 s
     assert rows[6]["duration_ms"] == 4500  # 125 * 1152 / 32000 s
     assert rows[7]["duration_ms"] == 79    # flag unset → CBR estimate
     assert rows[8]["duration_ms"] == 3600  # 100 * 1152 / 32000 s
-    assert rows[9]["duration_ms"] is None
+    assert rows[9]["duration_ms"] == 10    # bare MPEG-2.5 CBR
+    assert rows[10]["duration_ms"] is None
+    assert rows[11]["duration_ms"] is None
+    assert rows[12]["duration_ms"] == 160   # MPEG-2 CBR
+    assert rows[13]["duration_ms"] == 3000  # MPEG-2 Xing mono
+    assert rows[14]["duration_ms"] == 4800  # MPEG-2.5 Xing stereo
+    assert rows[15]["duration_ms"] == 9000  # CRC-shifted Xing
 
 
 def test_audio_spectral_energies_long_format(spark):
