@@ -1300,6 +1300,95 @@ def read_packed_slices(
     return sliced.select(*manifest["columns"], "position"), info
 
 
+def suggest_boundaries(
+    df: DataFrame,
+    length_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Quantile-driven bucket boundaries for :func:`bucket_by_length`
+    (VERDICT r13 item 3 — the last manual knob in the SFT path):
+    equal-frequency ``percentile_disc``-style boundaries computed from
+    the EXACT length distribution.  Returns a buckets-sized frame
+    ``(quantile, boundary)`` where ``boundary`` for quantile ``k`` of
+    ``n_buckets`` is the smallest length whose cumulative row count
+    reaches ``k/n_buckets`` of the total — the standard SQL
+    ``percentile_disc(k/n)`` (first value with ``cume_dist >= p``),
+    evaluated with EXACT integer arithmetic (``cum * n >= k * total``,
+    no float quantile fractions), so both engines agree bit-for-bit on
+    ties.  Quantile ``n_buckets`` is the exact max, so the suggested
+    boundaries always cover the distribution (no open bucket — the
+    compiled-kernel-friendly configuration).
+
+    Why equal-frequency minimizes expected pad waste: per row the pad
+    waste is bounded by ``cap - length`` (its bucket's width above it),
+    and with a fixed bucket COUNT, wide sparse buckets concentrate many
+    rows under a far-away cap.  Splitting at the observed quantiles
+    puts the boundaries where the mass is — on skewed (long-tailed)
+    length distributions this beats equal-width splits by construction
+    (pinned in test_suggest_boundaries_reduces_pad_waste).
+
+    Scale shape: one shuffle reduces the corpus to a DISTINCT-LENGTHS
+    frame (bounded by the max sequence length, not the corpus); the
+    cumulative window runs over that bounded frame (single partition —
+    fine at any corpus size because its row count is the number of
+    distinct lengths); the quantile probe is a broadcast non-equi join
+    of the ``n_buckets``-sized rank frame against it.  Nothing scans
+    the corpus twice and nothing is corpus-sized past the first
+    aggregate.  NULL lengths are excluded, matching
+    :func:`bucket_by_length`'s NULL-key contract.
+
+    No ``batch_size`` parameter: the minimized quantity is the cap
+    bound ``cap - length`` that bucket_by_length documents; the
+    per-batch-max refinement depends on the stochastic epoch-shuffle
+    batch composition and does not move the argmin materially."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ln = F.col(length_col).cast("long")
+    counts = (
+        df.filter(ln.isNotNull())
+        .select(ln.alias("__len"))
+        .groupBy("__len")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = W.orderBy("__len")
+    cum = counts.select(
+        "__len",
+        F.sum("__cnt")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("__cum"),
+        F.sum("__cnt")
+        .over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("__total"),
+    )
+    ks = (
+        df.sparkSession.range(1, n_buckets + 1)
+        .select(F.col("id").alias("quantile"))
+    )
+    return (
+        cum.join(
+            F.broadcast(ks),
+            F.col("__cum") * F.lit(n_buckets)
+            >= F.col("quantile") * F.col("__total"),
+        )
+        .groupBy("quantile")
+        .agg(F.min("__len").alias("boundary"))
+    )
+
+
+def suggest_boundaries_values(
+    df: DataFrame,
+    length_col: str,
+    n_buckets: int,
+) -> list[int]:
+    """:func:`suggest_boundaries` collected to the strictly-increasing
+    ``boundaries`` list :func:`bucket_by_length` takes (a buckets-sized
+    collect — bounded).  Duplicate quantile values (heavy point masses
+    in a skewed distribution) collapse to one boundary, so the result
+    may be shorter than ``n_buckets``."""
+    rows = suggest_boundaries(df, length_col, n_buckets).collect()
+    return sorted({int(r["boundary"]) for r in rows})
+
+
 def bucket_by_length(
     df: DataFrame,
     id_col: str,
