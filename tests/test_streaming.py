@@ -1583,3 +1583,145 @@ def test_crawl_chain_states_parquet_resume(spark, tmp_path):
     assert {(r["word"], r["bits"]) for r in bloom.collect()} == {
         (r["word"], r["bits"]) for r in one_shot_bloom.collect()
     }
+
+
+def test_streaming_sft_padded_kill_and_resume(spark, tmp_path):
+    """The SFT incremental chain as a REAL Structured Streaming query
+    with a mid-stream kill and resume (VERDICT r13 item 5): files feed
+    a readStream (maxFilesPerTrigger=1) whose foreachBatch runs
+    materialize_padded_batches_incremental against the
+    bucket_by_length_incremental counter state, persisted to parquet
+    per micro-batch next to the stream's checkpointLocation.  The
+    query is stopped after the first two files, two more files arrive,
+    and a NEW query with the SAME checkpointLocation resumes — Spark's
+    offset log must skip the already-processed files, the counter
+    state must come back from parquet, and the rows emitted BEFORE the
+    kill must be bit-identical afterwards (seal-once: resumed batches
+    fill forward, never renumber, and every emitted tensor is final on
+    emit).  The full streamed output equals the in-session batch
+    replay of the same arrival order — the composite
+    (arrival, md5-within-batch) contract q_sft_incremental pins."""
+    import glob
+    import os
+    import shutil
+
+    from pathwaydataframework_spark.operators import packing
+
+    BNDS, BS, SEED = (8, 16, 40), 4, 3
+
+    def toks(d):
+        n = (d * 37) % 48 + 1  # lengths 1..48 — some exceed 40: dropped
+        return [d * 100 + j for j in range(n)]
+
+    def plen(d):
+        return ((d * 37) % 48 + 1) // 3
+
+    batches = [
+        list(range(0, 25)),
+        list(range(25, 50)),
+        list(range(50, 75)),
+        list(range(75, 100)),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, toks array<long>, plen long"
+
+    def add_file(i):
+        rows = [(d, toks(d), plen(d)) for d in batches[i]]
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = [
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        ]
+        shutil.move(str(stage / part), str(src / f"b{i}.parquet"))
+
+    state_root = tmp_path / "state"
+    out_root = tmp_path / "out"
+    chk = str(tmp_path / "chk")
+    out_cols = [
+        "doc_id", "bucket", "batch_id", "slot", "pad_len",
+        "input_ids", "attention_mask", "loss_mask",
+    ]
+    seen_epochs: list[int] = []
+
+    def handle(bdf, epoch_id):
+        versions = sorted(glob.glob(str(state_root / "v*")))
+        if versions:
+            st = spark.read.schema("bucket long, n_so_far long").parquet(
+                versions[-1]
+            )
+        else:
+            st = packing.bucket_state(spark)
+        out, new_state = packing.materialize_padded_batches_incremental(
+            bdf, st, "doc_id", "toks",
+            boundaries=BNDS, batch_size=BS, seed=SEED, pad_id=-1,
+            prompt_len_col="plen",
+        )
+        # pin the lazily-derived pair before writing (the documented
+        # caller contract): emitted frame and counter update must come
+        # from ONE evaluation
+        out = out.localCheckpoint()
+        new_state = new_state.localCheckpoint()
+        out.select(*out_cols).write.mode("append").parquet(str(out_root))
+        new_state.write.parquet(str(state_root / f"v{int(epoch_id):04d}"))
+        seen_epochs.append(int(epoch_id))
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def key(r):
+        return (
+            r["doc_id"], r["bucket"], r["batch_id"], r["slot"],
+            r["pad_len"], tuple(r["input_ids"]),
+            tuple(r["attention_mask"]), tuple(r["loss_mask"]),
+        )
+
+    add_file(0)
+    add_file(1)
+    run_stream()  # two micro-batches, then terminates (availableNow)
+    prefix = sorted(
+        key(r) for r in spark.read.parquet(str(out_root)).collect()
+    )
+    assert len(seen_epochs) == 2
+
+    add_file(2)
+    add_file(3)
+    run_stream()  # the RESUME: same checkpoint, new query
+    # offset log honored: only the two new files became micro-batches
+    assert len(seen_epochs) == 4
+    final = [
+        key(r) for r in spark.read.parquet(str(out_root)).collect()
+    ]
+    # every pre-kill row is bit-identical post-resume (tensors final on
+    # emit, sealed numbering never rewritten), and nothing re-emitted
+    assert sorted(k for k in final if k[0] < 50) == prefix
+    assert len(final) == len({k[0] for k in final})  # one row per doc
+
+    # full-stream equality vs the in-session batch replay of the same
+    # arrival order (the q_sft_incremental contract)
+    st = packing.bucket_state(spark)
+    expected: list = []
+    for ids in batches:
+        bdf = spark.createDataFrame(
+            [(d, toks(d), plen(d)) for d in ids], schema
+        )
+        em, st = packing.materialize_padded_batches_incremental(
+            bdf, st, "doc_id", "toks",
+            boundaries=BNDS, batch_size=BS, seed=SEED, pad_id=-1,
+            prompt_len_col="plen",
+        )
+        em = em.localCheckpoint()
+        st = st.localCheckpoint()
+        expected.extend(key(r) for r in em.select(*out_cols).collect())
+    assert sorted(final) == sorted(expected)
