@@ -114,6 +114,59 @@ def test_full_pipeline_documents_to_shards(spark, sf_dir):
     assert total == len(want)  # disjoint (no overlap lost in the union)
     assert got == want  # complete
 
+    # 9. the UNPACKED (SFT) branch off the same chain (r14, VERDICT r13
+    #    item 6): the tokenized train docs, a planted instruction
+    #    prefix (first third of each doc's tokens = the "prompt"),
+    #    quantile-suggested boundaries, then bucket → padded tensors —
+    #    so the SFT path is exercised END-TO-END from raw documents
+    #    exactly like the packed path above
+    sft_src = ids.select(
+        "doc_id",
+        "token_ids",
+        F.size("token_ids").cast("long").alias("n_tok"),
+        (F.size("token_ids") / 3).cast("long").alias("plen"),
+    )
+    bnds = packing.suggest_boundaries_values(sft_src, "n_tok", 4)
+    assert bnds == sorted(bnds) and len(bnds) >= 1
+    batches = packing.materialize_padded_batches(
+        sft_src, "doc_id", "token_ids", boundaries=bnds, batch_size=4,
+        seed=0, pad_id=0, prompt_len_col="plen", drop_ragged=False,
+    ).localCheckpoint()
+    # suggested boundaries cover the max → no open bucket, every doc
+    # keeps a non-NULL pad target and no row is dropped
+    assert batches.filter(F.col("cap").isNull()).count() == 0
+    assert batches.count() == sft_src.count()
+    # tensor contract on the REAL chain output: fixed shape per batch,
+    # attention = real tokens, loss = completion tokens only,
+    # input_ids round-trips the tokenizer's ids
+    bad = batches.filter(
+        (F.size("input_ids") != F.col("pad_len"))
+        | (F.size("attention_mask") != F.col("pad_len"))
+        | (F.size("loss_mask") != F.col("pad_len"))
+        | (
+            F.aggregate(
+                "attention_mask", F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            != F.col("n_tok")
+        )
+        | (
+            F.aggregate(
+                "loss_mask", F.lit(0).cast("long"), lambda a, x: a + x
+            )
+            != F.col("n_tok") - F.col("plen")
+        )
+        | (F.slice("input_ids", 1, F.size("token_ids")) != F.col("token_ids"))
+    )
+    assert bad.count() == 0
+    # one pad target per (bucket, batch_id)
+    multi = (
+        batches.groupBy("bucket", "batch_id")
+        .agg(F.countDistinct("pad_len").alias("n_pads"))
+        .filter(F.col("n_pads") != 1)
+    )
+    assert multi.count() == 0
+
 
 def test_crawl_front_end_pipeline(spark, sf_dir):
     """The crawl front-end, composed: planted page HTML → link
