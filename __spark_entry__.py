@@ -754,6 +754,33 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_eval_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Serving-side continuous-batching prefill schedule
+    (packing.chunked_prefill_schedule — VERDICT r13 item 8): documents
+    as inference requests (whitespace token counts), laid into
+    64-token steps over 4 md5 shards with vLLM-style chunked prefill —
+    one row per (request, step) chunk, every non-final step carrying
+    EXACTLY the budget (pad-free), requests straddling steps as
+    chunks.  The SQL replay independently re-derives the sharded
+    prefix sum (the q_pack_sequences arithmetic), the per-request step
+    range via generate_series, and the chunk offset/length min/max
+    arithmetic — so admission order, token accounting and the pad-free
+    step shape all sit under the driver's hash gate.  Decode-phase
+    scheduling is feedback-dependent and out of scope (DEVIATIONS.md
+    #5 spirit); this is the deterministic batch-shape half.  Reference
+    has no serving surface; Spark-native addendum alongside the SFT
+    batching family."""
+    from pathwaydataframework_spark.operators import packing, text as text_ops
+
+    docs = load_table(spark, sf, "documents").df
+    with_counts = docs.select(
+        "doc_id", text_ops.token_count(F.col("text")).alias("n_tok")
+    )
+    return packing.chunked_prefill_schedule(
+        with_counts, "doc_id", "n_tok", token_budget=64, shards=4
+    )
+
+
 def q_pack_no_straddle(spark: SparkSession, sf: str) -> DataFrame:
     """boundary-respecting sequence packing (packing.pack_no_straddle):
     greedy in-order fill per shard where an overflowing doc closes the
@@ -4405,6 +4432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_features": q_audio_features,
         "q_length_buckets": q_length_buckets,
         "q_bucket_boundaries": q_bucket_boundaries,
+        "q_eval_schedule": q_eval_schedule,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
@@ -6700,6 +6728,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, (start_offset // 512)::BIGINT AS seq_id,
                    start_offset::BIGINT AS start_offset, n_tok
             FROM offs
+        """,
+        "q_eval_schedule": f"""
+            -- chunked-prefill replay: the q_pack_sequences sharded
+            -- prefix sum, then one row per covered 64-token step via
+            -- generate_series, chunk bounds by min/max arithmetic;
+            -- zero-token requests keep one zero-length chunk
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN len(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END::BIGINT AS n_tok,
+                       {_bucket_sql("doc_id", 0)} % 4 AS shard
+                FROM documents
+            ), offs AS (
+                SELECT doc_id, shard, n_tok,
+                       coalesce(sum(n_tok) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0)::BIGINT AS start_offset
+                FROM toks
+            ), chunks AS (
+                SELECT doc_id, shard, n_tok, start_offset,
+                       unnest(generate_series(
+                           start_offset // 64,
+                           greatest(start_offset // 64,
+                                    (start_offset + n_tok - 1) // 64)
+                       ))::BIGINT AS step_id
+                FROM offs
+            )
+            SELECT doc_id, shard, start_offset, n_tok, step_id,
+                   greatest(0, step_id * 64 - start_offset)::BIGINT
+                       AS chunk_off,
+                   (least(start_offset + n_tok, (step_id + 1) * 64)
+                    - greatest(start_offset, step_id * 64))::BIGINT
+                       AS chunk_len
+            FROM chunks
         """,
         "q_pack_no_straddle": f"""
             -- replay the greedy no-straddle fold: per shard, step the

@@ -1807,3 +1807,78 @@ def materialize_padded_batches_incremental(
         prompt_len_col,
     )
     return out.drop("__n_tok"), new_state
+
+
+def chunked_prefill_schedule(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    *,
+    token_budget: int,
+    shards: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Serving-side continuous-batching prefill schedule (VERDICT r13
+    item 8 — the eval/inference analogue of the trainer batching
+    surface): lay the request stream out into fixed-token-budget STEPS
+    the way a vLLM-style scheduler with chunked prefill does — every
+    step processes EXACTLY ``token_budget`` prompt tokens (the pad-free
+    property; only each shard's final open step is smaller), and a
+    request whose prompt does not fit in the current step's remaining
+    budget is CHUNKED across steps rather than padded around or made
+    to wait.  Deterministic, declarative, and exactly SQL-replayable —
+    the "batch shape" half of continuous batching (per-step admission
+    order and token accounting), not a runtime simulator: decode-phase
+    token generation is feedback-dependent and out of scope the same
+    way inter-frame video decode is (DEVIATIONS.md #5).
+
+    Returns one row per (request, step) CHUNK::
+
+        id, shard, start_offset, <length_col>, step_id,
+        chunk_off (offset of the chunk within the request),
+        chunk_len (tokens of this request processed in this step)
+
+    Layout semantics: requests are concatenated in deterministic id
+    order per md5 shard (:func:`pack_by_offset`'s sharded prefix sum —
+    no global sort, no single-partition window) and the stream is cut
+    every ``token_budget`` tokens; ``step_id`` is the cut index, so
+    within a (shard, step), ``sum(chunk_len) = token_budget`` for every
+    step but the shard's last.  Zero-length requests keep one
+    zero-length chunk (admission is recorded; nothing is silently
+    dropped).  The chunk explode is a ``sequence()`` column expression
+    sized ``ceil(len/budget)+1`` — output tracks input tokens, and
+    everything after the prefix sum is whole-stage codegen."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    clash = {"step_id", "chunk_off", "chunk_len", "shard", "seq_id",
+             "start_offset"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — "
+            "chunked_prefill_schedule adds step_id/chunk_off/chunk_len "
+            "(and pack_by_offset's shard/seq_id/start_offset); it must "
+            "not overwrite caller data"
+        )
+    p = pack_by_offset(
+        df, id_col, length_col, max_tokens=token_budget, shards=shards,
+        seed=seed,
+    )
+    B = F.lit(int(token_budget)).cast("long")
+    start = F.col("start_offset")
+    ln = F.col(length_col).cast("long")
+    first = F.floor(start / B).cast("long")
+    last = F.greatest(first, F.floor((start + ln - 1) / B).cast("long"))
+    step = F.col("step_id")
+    return (
+        p.withColumn("step_id", F.explode(F.sequence(first, last)))
+        .withColumn(
+            "chunk_off",
+            F.greatest(F.lit(0).cast("long"), step * B - start),
+        )
+        .withColumn(
+            "chunk_len",
+            F.least(start + ln, (step + 1) * B)
+            - F.greatest(start, step * B),
+        )
+        .drop("seq_id")
+    )

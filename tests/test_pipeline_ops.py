@@ -2740,3 +2740,65 @@ def test_materialize_padded_batches_incremental_stable_tensors(spark):
         for r in out.collect():
             want[r["doc_id"]] = (r["bucket"], r["batch_id"], r["slot"])
     assert {i: v[:3] for i, v in full.items()} == want
+
+
+def test_chunked_prefill_schedule_contract(spark):
+    """chunked_prefill_schedule (r14, VERDICT r13 item 8): the
+    continuous-batching batch shape — per request, chunks are
+    contiguous (chunk_off is the running sum, steps consecutive) and
+    sum to the request length; per (shard, step), every non-final step
+    carries EXACTLY the token budget (pad-free) and no step exceeds
+    it; zero-length requests are admitted with one zero-length chunk;
+    oversize requests span at least ceil(len/budget) steps; misuse
+    fails fast."""
+    import collections
+
+    rows = [(i, (i * 7) % 50) for i in range(40)] + [(100, 0), (101, 130)]
+    df = spark.createDataFrame(rows, "req_id long, n_tok long")
+    B = 32
+    out = packing.chunked_prefill_schedule(
+        df, "req_id", "n_tok", token_budget=B, shards=4, seed=0
+    ).localCheckpoint()
+    rs = out.collect()
+    lens = dict(rows)
+    per_req: dict = collections.defaultdict(list)
+    for r in rs:
+        per_req[r["req_id"]].append(r)
+    assert set(per_req) == set(lens)  # every request admitted
+    for rid, chunks in per_req.items():
+        chunks.sort(key=lambda r: r["step_id"])
+        assert sum(c["chunk_len"] for c in chunks) == lens[rid]
+        off = 0
+        for c in chunks:
+            assert c["chunk_off"] == off
+            off += c["chunk_len"]
+        steps = [c["step_id"] for c in chunks]
+        assert steps == list(range(steps[0], steps[0] + len(steps)))
+    assert len(per_req[100]) == 1 and per_req[100][0]["chunk_len"] == 0
+    assert len(per_req[101]) >= (130 + B - 1) // B
+    tot: dict = collections.defaultdict(int)
+    mx: dict = {}
+    for r in rs:
+        tot[(r["shard"], r["step_id"])] += r["chunk_len"]
+        mx[r["shard"]] = max(mx.get(r["shard"], -1), r["step_id"])
+    for (sh, st), t in tot.items():
+        if st < mx[sh]:
+            assert t == B  # pad-free: full budget on every closed step
+        else:
+            assert 0 <= t <= B
+    # determinism
+    again = sorted(
+        tuple(r) for r in packing.chunked_prefill_schedule(
+            df, "req_id", "n_tok", token_budget=B, shards=4, seed=0
+        ).collect()
+    )
+    assert again == sorted(tuple(r) for r in rs)
+    with pytest.raises(ValueError, match="token_budget"):
+        packing.chunked_prefill_schedule(
+            df, "req_id", "n_tok", token_budget=0
+        )
+    with pytest.raises(ValueError, match="must not overwrite"):
+        packing.chunked_prefill_schedule(
+            df.withColumn("step_id", F.lit(1)), "req_id", "n_tok",
+            token_budget=B,
+        )
