@@ -4289,65 +4289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r13 front (≈50-row driver budget; VERDICT r12 item 1):
-        # the 39 queries whose latest driver row is r10, then the NEW
-        # r13 queries plus q_media_meta (its oracle gained the r13
-        # bare-sync/Xing MP3 fixtures, so its r12 row is stale), then
-        # r11-stale fill to the budget.
-        "q_custom_reducer": q_custom_reducer,
-        "q_decontam": q_decontam,
-        "q_doc_retrieve": q_doc_retrieve,
-        "q_domain_filter": q_domain_filter,
-        "q_embedding_outliers": q_embedding_outliers,
-        "q_epoch_pack": q_epoch_pack,
-        "q_error_channel": q_error_channel,
-        "q_frame_sample": q_frame_sample,
-        "q_gopher_quality": q_gopher_quality,
-        "q_gopher_repetition": q_gopher_repetition,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_incremental_neardup": q_incremental_neardup,
-        "q_interval_outer": q_interval_outer,
-        "q_kmeans": q_kmeans,
-        "q_line_dedup": q_line_dedup,
-        "q_louvain": q_louvain,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_mix_datasets": q_mix_datasets,
-        "q_orders_dates": q_orders_dates,
-        "q_pack_export": q_pack_export,
-        "q_pack_sequences": q_pack_sequences,
-        "q_part_strings": q_part_strings,
-        "q_pii_scrub": q_pii_scrub,
-        "q_quality_sample": q_quality_sample,
-        "q_recipe": q_recipe,
-        "q_recipe_stream": q_recipe_stream,
-        "q_repetition": q_repetition,
-        "q_semdedup": q_semdedup,
-        "q_session_predicate": q_session_predicate,
-        "q_shuffle": q_shuffle,
-        "q_span_dedup": q_span_dedup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_temperature_sample": q_temperature_sample,
-        "q_train_cut": q_train_cut,
-        "q_train_split": q_train_split,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unique_any": q_unique_any,
-        "q_vocab": q_vocab,
-        "q_wave_counts": q_wave_counts,
-        # --- NEW r13: no driver row yet (q_media_meta: r13 oracle) ---
-        "q_sft_batches": q_sft_batches,
-        "q_sft_incremental": q_sft_incremental,
-        "q_sft_stream": q_sft_stream,
-        "q_sft_epochs": q_sft_epochs,
-        "q_media_meta": q_media_meta,
-        # --- latest driver row r11 (next-stalest): fill the budget ---
-        "q_asof_join": q_asof_join,
-        "q_asof_nearest": q_asof_nearest,
-        "q_bm25": q_bm25,
-        "q_chained_join": q_chained_join,
-        "q_concat_reindex": q_concat_reindex,
-        "q_concat_split": q_concat_split,
-        # --- latest driver row r11: behind the ~50 cap this round;
-        # rotates forward in r14. ---
+        # --- r14 front (50-row driver budget; VERDICT r13 item 1):
+        # the 44 queries whose latest driver row is r11, then the NEW
+        # r14 queries (q_bucket_boundaries, q_eval_schedule) plus
+        # q_media_meta (its oracle gained the r14 MPEG-2/2.5 + CRC-Xing
+        # fixtures, so its r13 row is stale), then r12-stale fill to
+        # the exact 50 budget.
         "q_connected_components": q_connected_components,
         "q_dedup_exact": q_dedup_exact,
         "q_deduplicate_latest": q_deduplicate_latest,
@@ -4392,10 +4339,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_sliding": q_window_sliding,
         "q_window_tumbling": q_window_tumbling,
         "q_windowby_predicate": q_windowby_predicate,
-        # --- latest driver row r12 (freshest — very back) ---
+        # --- NEW r14 + re-oracled ---
+        "q_bucket_boundaries": q_bucket_boundaries,
+        "q_eval_schedule": q_eval_schedule,
+        "q_media_meta": q_media_meta,
+        # --- r12-stale fill to the 50 budget ---
         "q_assign_shards": q_assign_shards,
         "q_audio_dedup": q_audio_dedup,
         "q_bellman_ford": q_bellman_ford,
+        # --- latest driver row r12: behind the cap this round;
+        # rotates forward in r15. ---
         "q_bloom_dedup": q_bloom_dedup,
         "q_bpe_incremental": q_bpe_incremental,
         "q_bpe_roundtrip": q_bpe_roundtrip,
@@ -4431,8 +4384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_spectral": q_audio_spectral,
         "q_audio_features": q_audio_features,
         "q_length_buckets": q_length_buckets,
-        "q_bucket_boundaries": q_bucket_boundaries,
-        "q_eval_schedule": q_eval_schedule,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_shipping_priority": q03_shipping_priority,
         "q05_region_revenue": q05_region_revenue,
@@ -4444,6 +4395,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": q_bpe_merges,
         "q_c4_filter": q_c4_filter,
         "q_corpus_dedup": q_corpus_dedup,
+        # --- latest driver row r13 (freshest — very back) ---
+        "q_custom_reducer": q_custom_reducer,
+        "q_decontam": q_decontam,
+        "q_doc_retrieve": q_doc_retrieve,
+        "q_domain_filter": q_domain_filter,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_epoch_pack": q_epoch_pack,
+        "q_error_channel": q_error_channel,
+        "q_frame_sample": q_frame_sample,
+        "q_gopher_quality": q_gopher_quality,
+        "q_gopher_repetition": q_gopher_repetition,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_incremental_neardup": q_incremental_neardup,
+        "q_interval_outer": q_interval_outer,
+        "q_kmeans": q_kmeans,
+        "q_line_dedup": q_line_dedup,
+        "q_louvain": q_louvain,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_mix_datasets": q_mix_datasets,
+        "q_orders_dates": q_orders_dates,
+        "q_pack_export": q_pack_export,
+        "q_pack_sequences": q_pack_sequences,
+        "q_part_strings": q_part_strings,
+        "q_pii_scrub": q_pii_scrub,
+        "q_quality_sample": q_quality_sample,
+        "q_recipe": q_recipe,
+        "q_recipe_stream": q_recipe_stream,
+        "q_repetition": q_repetition,
+        "q_semdedup": q_semdedup,
+        "q_session_predicate": q_session_predicate,
+        "q_shuffle": q_shuffle,
+        "q_span_dedup": q_span_dedup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_temperature_sample": q_temperature_sample,
+        "q_train_cut": q_train_cut,
+        "q_train_split": q_train_split,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_vocab": q_vocab,
+        "q_wave_counts": q_wave_counts,
+        "q_sft_batches": q_sft_batches,
+        "q_sft_incremental": q_sft_incremental,
+        "q_sft_stream": q_sft_stream,
+        "q_sft_epochs": q_sft_epochs,
+        "q_asof_join": q_asof_join,
+        "q_asof_nearest": q_asof_nearest,
+        "q_bm25": q_bm25,
+        "q_chained_join": q_chained_join,
+        "q_concat_reindex": q_concat_reindex,
+        "q_concat_split": q_concat_split,
     }
 
 
