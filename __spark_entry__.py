@@ -3143,7 +3143,11 @@ def q_train_sequences(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").df
     trunc = _first_words(docs, 8)
     vocab = _bpe_fixture_vocab()
-    enc = bpe.bpe_encode(trunc, vocab, mode="longest", append_eos_id=55)
+    # r14: lazy pin — enc feeds both the pack fold and the materialize
+    # join; unpinned, the tokenize chain runs twice in one job (§1.2)
+    enc = bpe.bpe_encode(
+        trunc, vocab, mode="longest", append_eos_id=55
+    ).localCheckpoint(eager=False)
     layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
     seqs = packing.materialize_sequences(
         enc, layout, max_tokens=32, pad_id=-1
@@ -3181,7 +3185,11 @@ def q_train_cut(spark: SparkSession, sf: str) -> DataFrame:
     )
     trunc = _first_words(planted, 8)
     vocab = _bpe_fixture_vocab()
-    enc = bpe.bpe_encode(trunc, vocab, mode="longest", append_eos_id=55)
+    # r14: lazy pin — enc feeds both the by-offset layout and the
+    # by-offset writer; unpinned, the tokenize chain runs twice (§1.2)
+    enc = bpe.bpe_encode(
+        trunc, vocab, mode="longest", append_eos_id=55
+    ).localCheckpoint(eager=False)
     layout = packing.pack_by_offset(enc, "doc_id", "n_tokens", 48, shards=8)
     seqs = packing.materialize_sequences_by_offset(enc, layout, 48)
     return seqs.select(
@@ -3415,9 +3423,12 @@ def q_pack_export(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").df
     trunc = _first_words(docs, 8)
+    # r14: lazy pin — enc feeds both the pack fold and the materialize
+    # join (§1.2); seqs' own eager checkpoint below stays, because seqs
+    # really is consumed twice (the even-seq write + the odd-seq append)
     enc = bpe.bpe_encode(
         trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
-    )
+    ).localCheckpoint(eager=False)
     layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
     seqs = packing.materialize_sequences(
         enc, layout, max_tokens=32, pad_id=-1
@@ -3525,13 +3536,20 @@ def _pack_slices_union(
 
     docs = load_table(spark, sf, "documents").df
     trunc = _first_words(docs, 8)
+    # r14: pin the ENCODED frame, not the materialized sequences — enc
+    # is the frame consumed twice (the pack fold reads its counts, the
+    # materialize join reads its ids), so this is the one checkpoint
+    # that halves the tokenize work; seqs itself is consumed exactly
+    # once (the parquet write; manifest stats re-read the WRITTEN
+    # files), so the old seqs.localCheckpoint was a whole extra
+    # materialization pass that deduplicated nothing (guide §1.2/§5)
     enc = bpe.bpe_encode(
         trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
-    )
+    ).localCheckpoint(eager=False)
     layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 32, shards=16)
     seqs = packing.materialize_sequences(
         enc, layout, max_tokens=32, pad_id=-1
-    ).localCheckpoint()
+    )
     tmp = tempfile.mkdtemp(prefix="pw_pack_slices_")
     passes = [(None, epoch_seed)] if epochs is None else [
         (e, e) for e in epochs
@@ -3539,13 +3557,20 @@ def _pack_slices_union(
     try:
         packing.write_packed_dataset(seqs, tmp, max_tokens=32)
         union = None
-        for tag, seed in passes:
+        for pass_i, (tag, seed) in enumerate(passes):
             for r in range(world):
                 skip_key = r if epochs is None else (tag, r)
+                # validate each RANK's slice once — the manifest gate is
+                # rank-scoped and epoch-independent (epoch_seed only
+                # re-permutes positions), so re-validating the same rank
+                # for every epoch re-ran an identical count+sum scan per
+                # epoch for no new information (guide §1.2).  The
+                # returned frame is identical either way: validate only
+                # raises on a disk/manifest mismatch.
                 sl, _info = packing.read_packed_slices(
                     spark, tmp, world, r, epoch_seed=seed,
                     skip_seqs=skip_by_rank.get(skip_key, 0),
-                    equalize=equalize,
+                    equalize=equalize, validate=(pass_i == 0),
                 )
                 if epochs is not None:
                     sl = sl.withColumn(
@@ -3901,9 +3926,14 @@ def q_recipe(spark: SparkSession, sf: str) -> DataFrame:
     deduped = dedup.dedup_lines_global(kept, "doc_id", "text")
     corpus = deduped.select("doc_id", F.col("clean_text").alias("text"))
     trunc = _first_words(corpus, 12)
+    # r14: pin the encoded frame (lazily — it materializes inside the
+    # first job that needs it, no dedicated checkpoint job): enc feeds
+    # BOTH the pack fold and the materialize join, and without the pin
+    # the whole c4_filter → line-dedup → tokenize chain above runs twice
+    # in the same job (guide §1.2: don't compute things twice)
     enc = bpe.bpe_encode(
         trunc, _bpe_fixture_vocab(), mode="longest", append_eos_id=55
-    )
+    ).localCheckpoint(eager=False)
     layout = packing.pack_no_straddle(enc, "doc_id", "n_tokens", 64, shards=16)
     seqs = packing.materialize_sequences(enc, layout, max_tokens=64, pad_id=-1)
     return _train_seq_select(seqs)
@@ -4023,7 +4053,13 @@ def q_epoch_pack(spark: SparkSession, sf: str) -> DataFrame:
             "token_ids"
         ),
     )
-    shuffled = sampling.deterministic_shuffle(base, "doc_id", seed=2)
+    # r14: lazy pin — the epoch frame feeds both the layout fold and the
+    # materialize join; unpinned, deterministic_shuffle's whole position
+    # machinery (counts agg + offset prefix sum + rank window) ran once
+    # per consumer (the census' "appears once per consumer" note) (§1.2)
+    shuffled = sampling.deterministic_shuffle(
+        base, "doc_id", seed=2
+    ).localCheckpoint(eager=False)
     layout = packing.pack_no_straddle(
         shuffled, "position", "n_tok", 16, shards=8
     )

@@ -1053,6 +1053,17 @@ def read_packed_dataset(
             "(write it with write_packed_dataset)"
         )
     manifest = json.loads(raw)
+    return _read_packed_with_manifest(spark, path, manifest, validate=validate)
+
+
+def _read_packed_with_manifest(
+    spark, path: str, manifest: dict, *, validate: bool
+) -> tuple[DataFrame, dict]:
+    """:func:`read_packed_dataset` body after the manifest load — split
+    out so :func:`read_packed_slices`, which has already read and parsed
+    the manifest for its own shard arithmetic, doesn't fetch
+    ``_manifest.json`` a second time (r14: one object-store GET per rank
+    at job start, not two)."""
     schema_json = manifest.get("schema")
     if schema_json is not None:
         from pyspark.sql.types import StructType
@@ -1229,7 +1240,7 @@ def read_packed_slices(
         )
     rank_seqs = [sum(int(s["n_seqs"]) for s in ss) for ss in per_rank]
     assigned = sorted(int(s["shard"]) for s in per_rank[rank])
-    df, _ = read_packed_dataset(spark, path, validate=False)
+    df, _ = _read_packed_with_manifest(spark, path, manifest, validate=False)
     sliced = df.filter(F.col("shard") % world_size == rank)
     if validate:
         want_n = rank_seqs[rank]
