@@ -267,13 +267,15 @@ def bpe_encode(
     encode_udf = _make_encode_udf(
         df.sparkSession, vocab, mode, merges, unk_id, max_word_len
     )
-    base, occ = _pretokenize(df, id_col, text_col, lowercase, space_marker)
-    encoded = occ.select("word").distinct().select(
+    _, occ = _pretokenize(df, id_col, text_col, lowercase, space_marker)
+    # the empty word (an empty/NULL doc's single marker row) never enters
+    # the distinct-form kernel or the word table
+    encoded = occ.filter(F.length("word") > 0).select("word").distinct().select(
         "word", encode_udf(F.col("word")).alias("__ids")
     )
     if broadcast_words:
         encoded = F.broadcast(encoded)
-    return _assemble_docs(base, occ, encoded, eos_id=append_eos_id)
+    return _assemble_docs(occ, encoded, eos_id=append_eos_id)
 
 
 def _check_mode(
@@ -355,7 +357,16 @@ def _pretokenize(
     space_marker: str | None = None,
 ):
     """JVM-side whitespace pre-tokenization: (base doc frame with word
-    arrays, exploded (doc_id, pos, word) occurrences)."""
+    arrays, exploded (doc_id, pos, word) occurrences).
+
+    ``occ`` keeps EVERY document's rows: ``posexplode_outer`` emits one
+    (NULL, NULL) row for a NULL/empty word array (NULL text, or the
+    space-marker path's empty-token filter emptying it), and
+    ``split('') == ['']`` keeps the plain path's empty doc as one
+    empty-word row — both dropped at assembly, where they have no ids.
+    That lets :func:`_assemble_docs` rebuild documents from occurrences
+    alone — r14: no join back to the id list, which was a second full
+    scan of the input plus a corpus-wide shuffle."""
     text = F.trim(F.col(text_col))
     if lowercase:
         text = F.lower(text)
@@ -366,14 +377,13 @@ def _pretokenize(
         F.col(id_col).alias("doc_id"),
         words_arr.alias("__words"),
     )
-    occ = base.select("doc_id", F.posexplode("__words").alias("pos", "word")).filter(
-        F.length("word") > 0
+    occ = base.select(
+        "doc_id", F.posexplode_outer("__words").alias("pos", "word")
     )
     return base, occ
 
 
 def _assemble_docs(
-    base: DataFrame,
     occ: DataFrame,
     encoded: DataFrame,
     *,
@@ -381,21 +391,32 @@ def _assemble_docs(
 ) -> DataFrame:
     """Fan the encoded word table back out over occurrences and rebuild
     ordered per-doc id arrays (doc-keyed groupBy; empty docs survive with
-    an empty array, or ``[eos_id]`` when a boundary token is appended)."""
-    mapped = occ.join(encoded, on="word").select("doc_id", "pos", "__ids")
+    an empty array, or ``[eos_id]`` when a boundary token is appended).
+
+    r14: assembly is occurrence-only.  ``occ`` carries one row per doc
+    even for empty/NULL text (:func:`_pretokenize`'s contract), the word
+    join is LEFT (the empty word is never in the encoded table — its
+    NULL ids drop inside the aggregation), and the old join back to the
+    document id list — a second full input scan plus a corpus-wide
+    shuffle purely to resurrect empty docs — is gone."""
+    mapped = occ.join(encoded, on="word", how="left").select(
+        "doc_id", "pos", "__ids"
+    )
     assembled = mapped.groupBy("doc_id").agg(
         F.flatten(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "__ids"))),
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("pos", "__ids"))),
+                    lambda s: s["__ids"].isNotNull(),
+                ),
                 lambda s: s["__ids"],
             )
         ).alias("token_ids")
     )
-    ids = base.select("doc_id")
     filled = F.coalesce(F.col("token_ids"), F.array().cast("array<long>"))
     if eos_id is not None:
         filled = F.concat(filled, F.array(F.lit(int(eos_id)).cast("long")))
-    return ids.join(assembled, on="doc_id", how="left").select(
+    return assembled.select(
         "doc_id",
         filled.alias("token_ids"),
         F.size(filled).cast("long").alias("n_tokens"),
@@ -440,29 +461,39 @@ def bpe_decode(
             [(i, t) for t, i in vocab.items()], "__tid long, __tok string"
         )
     )
+    # r14: posexplode_outer keeps one (NULL, NULL) row for an empty/NULL
+    # id array, so assembly needs no join back to the id list (a second
+    # input scan + doc-keyed shuffle purely to resurrect empty docs);
+    # the marker row's NULL token drops inside the aggregation, real
+    # unknown ids still decode to unk_token
     occ = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.col(ids_col)).alias("pos", "__tid"),
+        F.posexplode_outer(F.col(ids_col)).alias("pos", "__tid"),
     )
     joined = occ.join(vtab, on="__tid", how="left").select(
-        "doc_id", "pos", F.coalesce("__tok", F.lit(unk_token)).alias("__tok")
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos").isNotNull(),
+            F.coalesce("__tok", F.lit(unk_token)),
+        ).alias("__tok"),
     )
     assembled = joined.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "__tok"))),
+                F.filter(
+                    F.sort_array(F.collect_list(F.struct("pos", "__tok"))),
+                    lambda s: s["__tok"].isNotNull(),
+                ),
                 lambda s: s["__tok"],
             ),
             "",
         ).alias("text")
     )
-    ids = df.select(F.col(id_col).alias("doc_id"))
     text = F.coalesce("text", F.lit(""))
     if space_marker:
         text = F.replace(text, F.lit(space_marker), F.lit(" "))
-    return ids.join(assembled, on="doc_id", how="left").select(
-        "doc_id", text.alias("text")
-    )
+    return assembled.select("doc_id", text.alias("text"))
 
 
 # -- incremental / streaming encode ------------------------------------------
@@ -524,9 +555,10 @@ def bpe_encode_incremental(
     encode_udf = _make_encode_udf(
         batch.sparkSession, vocab, mode, merges, unk_id, max_word_len
     )
-    base, occ = _pretokenize(batch, id_col, text_col, lowercase, space_marker)
+    _, occ = _pretokenize(batch, id_col, text_col, lowercase, space_marker)
     new_forms = (
-        occ.select("word")
+        occ.filter(F.length("word") > 0)
+        .select("word")
         .distinct()
         .join(word_table.select("word"), on="word", how="left_anti")
         .select("word", encode_udf(F.col("word")).alias("__ids"))
@@ -539,4 +571,4 @@ def bpe_encode_incremental(
     updated = word_table.unionByName(new_forms)
     if checkpoint:
         updated = updated.localCheckpoint()
-    return _assemble_docs(base, occ, updated, eos_id=append_eos_id), updated
+    return _assemble_docs(occ, updated, eos_id=append_eos_id), updated

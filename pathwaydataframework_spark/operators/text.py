@@ -577,26 +577,35 @@ def tokenize_to_ids(
         F.col(id_col).alias("doc_id"),
         tokens(F.lower(F.trim(F.col(text_col)))).alias("__toks"),
     )
-    occ = base.select("doc_id", F.posexplode("__toks").alias("pos", "term")).filter(
-        F.length("term") > 0
+    # r14: posexplode_outer keeps one row per doc even for empty/NULL
+    # token arrays, so assembly needs no join back to the id list (that
+    # join was a second scan of the input plus a doc-keyed shuffle just
+    # to resurrect empty docs).  Empty-marker rows (term '' or NULL) map
+    # to a NULL tid — NOT unk_id, which is reserved for real unknown
+    # terms — and drop inside the aggregation.
+    occ = base.select(
+        "doc_id", F.posexplode_outer("__toks").alias("pos", "term")
     )
     v = vocab.select(F.col("term"), F.col("rank").alias("__tid"))
     mapped = occ.join(F.broadcast(v), on="term", how="left").select(
         "doc_id",
         "pos",
-        F.coalesce(F.col("__tid"), F.lit(unk_id)).cast("long").alias("tid"),
+        F.when(
+            F.length("term") > 0,
+            F.coalesce(F.col("__tid"), F.lit(unk_id)),
+        ).cast("long").alias("tid"),
     )
     assembled = mapped.groupBy("doc_id").agg(
         F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+            F.filter(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].isNotNull(),
+            ),
             lambda s: s["tid"],
         ).alias("token_ids")
     )
-    # docs with no tokens never reach the groupBy — restore with empty
-    # arrays via an id-only left join (no text shuffle)
-    ids = base.select("doc_id")
     filled = F.coalesce(F.col("token_ids"), F.array().cast("array<long>"))
-    return ids.join(assembled, on="doc_id", how="left").select(
+    return assembled.select(
         "doc_id",
         filled.alias("token_ids"),
         F.size(filled).cast("long").alias("n_tokens"),
