@@ -950,13 +950,20 @@ def _line_dedup_core(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    n_lines = F.size(F.split(F.col("_t"), pat))
+    # r14: project the doc side to (_id, line count) BEFORE the join —
+    # the full text was only ever read for size(split(...)), and carrying
+    # it through the _id exchange shuffled the whole corpus body a second
+    # time just to count its lines (guide §2.3: project before the
+    # exchange)
+    base_counts = base.select(
+        "_id", F.size(F.split(F.col("_t"), pat)).alias("_n_lines")
+    )
     return (
-        base.join(reassembled, on="_id", how="left")
+        base_counts.join(reassembled, on="_id", how="left")
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
             .cast("long")
             .alias("n_removed_lines"),
         )
