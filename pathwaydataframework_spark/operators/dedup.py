@@ -233,21 +233,50 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
-    """Per-doc MinHash signature: k independent min-hashes as k JVM ``min``
-    aggregates over xxhash64(shingle, seed) on the exploded shingle stream.
+    """Per-doc MinHash signature: k min-hashes over xxhash64(shingle, seed),
+    computed PER ROW as one running-min ``aggregate`` over the shingle
+    array — zero exchanges, zero explode (r14; guide §2.4: remove shuffles
+    outright).
 
-    Scale note: partial (map-side) aggregation collapses every doc's
-    shingles before the exchange — a doc's shingles are generated in one
-    partition — so the shuffle carries exactly one signature row per doc.
-    (A per-row ``transform``/``array_min`` formulation avoids the shuffle
-    entirely but defeats both codegen and common-subexpression elimination
-    once the signature feeds banding — measured slower.)"""
-    sh = shingle_docs(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    The r5 explode → k min-aggs formulation shuffled one signature row per
+    doc (cheap but still a corpus-wide exchange + a 10-100× row explode
+    feeding the partial aggs); the naive per-row alternative measured
+    slower back then because banding re-evaluated the shingle expression
+    per hash.  This form dodges both: ONE traversal of the shingle array
+    folds a k-wide running-min accumulator (``least`` + per-seed
+    ``xxhash64``), so the shingle array is built once per row, the k
+    hashes are computed exactly as often as the explode path computed
+    them, and the whole signature + banding stays inside one
+    whole-stage-codegen projection.  Hash VALUES are identical to the
+    explode form (seeds cast to int, matching the old integer literals),
+    so persisted band indexes from earlier versions keep matching.
+    Documents with no shingles (fewer than ``n`` words, empty or NULL
+    text) are dropped, exactly like the exploded stream dropped them.
+    """
+    sh = _word_shingles(F.col(text_col), n)
+    base = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), sh.alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    long_max = (1 << 63) - 1
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        F.col("__sh"),
+        F.array_repeat(F.lit(long_max).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            seeds,
+            lambda a, i: F.least(a, F.xxhash64(s, i.cast("int"))),
+        ),
+    )
+    return base.select("doc_id", sig.alias("__sig")).select(
+        "doc_id",
+        *[
+            F.element_at("__sig", k + 1).alias(f"h{k}")
+            for k in range(num_hashes)
+        ],
+    )
 
 
 def minhash_band_index(

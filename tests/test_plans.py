@@ -154,9 +154,11 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the signature pipeline now materializes behind a localCheckpoint (r4
-    # collapse engine), so the map-side partial min is pinned on the band
-    # index's own plan instead of the final query's truncated lineage
+    # r14: the signature pipeline is a per-row running-min aggregate —
+    # the band index must build with NO aggregation exchange at all (the
+    # r5 explode → min-agg form shuffled one signature row per doc; the
+    # only exchange allowed here is _ensure_parallelism's round-robin
+    # fan-out of a single-file local scan)
     from pathwaydataframework_spark.data import load_df
     from pathwaydataframework_spark.operators import dedup as _dedup
 
@@ -164,7 +166,10 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     idx_plan = formatted_plan(
         _dedup.minhash_band_index(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
     )
-    assert "partial_min" in idx_plan, "map-side partial min expected for signatures"
+    assert "partial_min" not in idx_plan, "signatures must not aggregate"
+    assert "hashpartitioning" not in idx_plan, (
+        "signature/banding must be exchange-free (per-row aggregate)"
+    )
 
 
 def test_knn_lsh_no_cartesian_and_narrow_dedup(spark, sf_dir):
