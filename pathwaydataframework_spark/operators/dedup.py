@@ -604,27 +604,53 @@ def simhash_signatures(
 ) -> DataFrame:
     """Per-doc SimHash: sign of per-bit sums of token hashes.
 
-    One token explode + one hash-agg with ``bits`` conditional sums — stays
-    in whole-stage codegen."""
-    toks = _ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    sums = toks.groupBy("doc_id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        # shiftleft keeps bit 63 in long range (two's complement); summing
-        # distinct powers of two equals the bitwise OR, with no ANSI overflow
-        sig = sig + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return sums.select("doc_id", sig.alias("simhash"))
+    Computed PER ROW (r14; guide §2.4): one running ``aggregate`` over
+    the token array folds a ``bits``-wide +1/−1 accumulator, then the
+    sign bits pack into a long — zero exchanges, zero explode, one
+    whole-stage-codegen projection.  The old explode → ``bits``
+    conditional sums → doc-keyed exchange produced identical values
+    (per-bit integer sums are order-independent), so signatures are
+    bit-for-bit unchanged; NULL text drops exactly like the exploded
+    stream dropped it."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(F.col("__toks").isNotNull())
+    )
+    # one literal mask per bit (bit 63 is the long sign bit — its mask is
+    # the two's-complement min long, exactly what shiftleft(1L, 63) was)
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    # hash each token ONCE (the fold's per-bit lambda reads the element
+    # hash, never recomputes xxhash64 per bit lane)
+    hashes = F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # summing distinct powers of two equals the bitwise OR, with no ANSI
+    # overflow (the sign-bit mask is negative, matching the old shiftleft)
+    sig = F.aggregate(
+        F.zip_with(
+            sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + w,
+    )
+    return base.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
