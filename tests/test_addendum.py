@@ -231,3 +231,105 @@ def test_minhash_collapse_exactness_with_identical_docs(spark):
     assert intra <= pairs                      # all identical pairs present
     assert (0, 50) in pairs                    # near-dup found across groups
     assert not any(51 in p for p in pairs)     # unrelated doc untouched
+
+
+def test_minhash_rowform_signatures_equal_agg_form(docs):
+    """r14 pin: the per-row running-min signature fold (zero exchanges)
+    must equal the r5 explode -> k min-agg formulation BIT FOR BIT —
+    same doc set (shingle-less docs dropped), same hash values (int-cast
+    seeds == the old integer literals) — so persisted band indexes
+    written by either version keep matching."""
+    n, k = 3, 16
+    sh = dedup.shingle_docs(docs, "doc_id", "text", n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    old = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(k))
+        for r in sh.groupBy("doc_id").agg(*aggs).collect()
+    }
+    new = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(k))
+        for r in dedup.minhash_signatures(
+            docs, "doc_id", "text", n=n, num_hashes=k
+        ).collect()
+    }
+    assert old == new
+
+
+def test_simhash_rowform_signatures_equal_agg_form(spark, docs):
+    """r14 pin: the per-row SimHash fold must equal the explode ->
+    conditional-sums formulation bit for bit, including the sign-bit
+    (bit 63) mask and NULL-text drop semantics."""
+    bits = 64
+    with_null = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(999_999_001, None), (999_999_002, ""), (999_999_003, "  ")],
+            "doc_id long, text string",
+        )
+    )
+    toks = dedup._ensure_parallelism(with_null).select(
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    old = {
+        r["doc_id"]: r["s"]
+        for r in sums.select("doc_id", sig.alias("s")).collect()
+    }
+    new = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(
+            with_null, "doc_id", "text", bits=bits
+        ).collect()
+    }
+    assert old == new
+
+
+def test_bpe_assembly_empty_and_null_docs_survive(spark):
+    """r14 pin: the occurrence-only assembly (no join back to the id
+    list) must keep empty, whitespace-only and NULL-text docs — with
+    and without EOS — and the word table must never contain the empty
+    word."""
+    from pathwaydataframework_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, None), (4, "   "), (5, "zz")],
+        "doc_id long, text string",
+    )
+    vocab = {"a": 0, "b": 1, "ab": 2}
+    out = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe.bpe_encode(df, vocab, mode="longest").collect()
+    }
+    assert out == {
+        1: ([2, 2], 2),
+        2: ([], 0),
+        3: ([], 0),
+        4: ([], 0),
+        5: ([-1, -1], 2),  # unknown chars -> unk_id each, never dropped
+    }
+    out_eos = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe.bpe_encode(df, vocab, mode="longest", append_eos_id=9).collect()
+    }
+    assert out_eos[2] == [9] and out_eos[3] == [9] and out_eos[4] == [9]
+    # incremental path: word table stays free of the empty word
+    tbl = bpe.bpe_word_table(spark)
+    _, updated = bpe.bpe_encode_incremental(df, tbl, vocab)
+    words = [r["word"] for r in updated.collect()]
+    assert "" not in words and None not in words
