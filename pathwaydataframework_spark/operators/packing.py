@@ -297,8 +297,16 @@ def materialize_sequences(
     zero-length piece has no tokens to place in any cut).  Downstream
     consumers of spans (e.g. :func:`training_masks`) handle len=0.
     """
+    # r14: cluster by shard ALONE before the re-assembly — hash(shard)
+    # satisfies the (shard, seq_id) grouping (same-key rows co-locate),
+    # and write_packed_dataset's repartition("shard") then finds the
+    # data already laid out and elides its own exchange: ONE exchange
+    # from re-assembly through the partitioned write instead of two
+    # (guide §2.4: two operations keyed the same way share an exchange).
+    # Parallelism = shards, the packing contract's unit of order anyway
+    # (the per-shard write was already one task per shard).
     joined = layout.join(token_frame.select(id_col, ids_col), on=id_col)
-    assembled = joined.groupBy("shard", "seq_id").agg(
+    assembled = joined.repartition("shard").groupBy("shard", "seq_id").agg(
         F.sort_array(
             F.collect_list(F.struct("start_offset", id_col, ids_col))
         ).alias("__docs")
@@ -673,8 +681,11 @@ def materialize_sequences_by_offset(
             ).alias("__piece"),
         )
     )
+    # r14: same exchange-sharing layout as materialize_sequences —
+    # hash(shard) satisfies the (shard, seq_id) grouping and lets the
+    # terminal write's repartition("shard") elide its exchange
     return (
-        pieces.groupBy("shard", "seq_id")
+        pieces.repartition("shard").groupBy("shard", "seq_id")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("__off", id_col, "__piece"))
