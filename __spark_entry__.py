@@ -3521,14 +3521,23 @@ def _pack_slices_union(
 ) -> DataFrame:
     """Shared body of q_pack_slices / q_pack_slices_epoch /
     q_train_epochs: write the q_train_sequences pipeline as a packed
-    dataset, read every rank's slice back through read_packed_slices,
-    and return the tagged union — ONE copy of the fixture pipeline so
-    the driver queries can never desynchronize from the shared
-    _TRAIN_SEQ_SELECT oracle.  With ``epochs`` set, the loop runs once
-    per epoch (epoch_seed = the epoch number), the union gains an
-    ``epoch`` tag column, and ``skip_by_rank`` is keyed by
-    ``(epoch, rank)`` instead of ``rank`` — the multi-epoch training
-    loop."""
+    dataset, read every (epoch ×) rank slice back through the batched
+    loader (packing.read_packed_epochs — row-identical to unioning
+    read_packed_slices per rank, pinned in tests/test_pipeline_ops.py), and
+    return the tagged union — ONE copy of the fixture pipeline so the
+    driver queries can never desynchronize from the shared
+    _TRAIN_SEQ_SELECT oracle.  With ``epochs`` set, each epoch's
+    permutation seed is the epoch number, the union gains an ``epoch``
+    tag column, and ``skip_by_rank`` is keyed by ``(epoch, rank)``
+    instead of ``rank`` — the multi-epoch training loop.
+
+    r15: the per-(epoch, rank) read_packed_slices loop ran the position
+    machinery once per slice — 17 AQE jobs for the 2×2 union at r14 —
+    and validated each rank with its own count+sum scan.
+    read_packed_epochs computes every slice's positions in ONE plan
+    over ONE scan and validates all ranks in ONE aggregate (guide
+    §1.2/§2.4); outputs proven row-identical, and the per-rank API
+    itself is unchanged for trainer callers."""
     import shutil
     import tempfile
 
@@ -3551,33 +3560,12 @@ def _pack_slices_union(
         enc, layout, max_tokens=32, pad_id=-1
     )
     tmp = tempfile.mkdtemp(prefix="pw_pack_slices_")
-    passes = [(None, epoch_seed)] if epochs is None else [
-        (e, e) for e in epochs
-    ]
     try:
         packing.write_packed_dataset(seqs, tmp, max_tokens=32)
-        union = None
-        for pass_i, (tag, seed) in enumerate(passes):
-            for r in range(world):
-                skip_key = r if epochs is None else (tag, r)
-                # validate each RANK's slice once — the manifest gate is
-                # rank-scoped and epoch-independent (epoch_seed only
-                # re-permutes positions), so re-validating the same rank
-                # for every epoch re-ran an identical count+sum scan per
-                # epoch for no new information (guide §1.2).  The
-                # returned frame is identical either way: validate only
-                # raises on a disk/manifest mismatch.
-                sl, _info = packing.read_packed_slices(
-                    spark, tmp, world, r, epoch_seed=seed,
-                    skip_seqs=skip_by_rank.get(skip_key, 0),
-                    equalize=equalize, validate=(pass_i == 0),
-                )
-                if epochs is not None:
-                    sl = sl.withColumn(
-                        "epoch", F.lit(tag).cast("long")
-                    )
-                sl = sl.withColumn("rank", F.lit(r).cast("long"))
-                union = sl if union is None else union.unionByName(sl)
+        union, _info = packing.read_packed_epochs(
+            spark, tmp, world, epochs=epochs, epoch_seed=epoch_seed,
+            skip_seqs=skip_by_rank, equalize=equalize,
+        )
         union = union.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -33,6 +33,8 @@ is exactly SQL-oracle-checkable.
 
 from __future__ import annotations
 
+from typing import Mapping, Sequence
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window as W
 
@@ -1118,6 +1120,51 @@ def _read_packed_with_manifest(
     return df, manifest
 
 
+def _slice_manifest(
+    spark, path: str, world_size: int
+) -> tuple[dict, list[list[dict]], list[int]]:
+    """Manifest load + the slice-contract gates shared by
+    :func:`read_packed_slices` and :func:`read_packed_epochs`:
+    missing-manifest, reserved-column and starved-rank checks, plus the
+    per-rank shard assignment (``shard % world_size``) and per-rank
+    sequence totals — all driver-side arithmetic over the already-parsed
+    manifest, no scan."""
+    import json
+
+    read_manifest, _ = _manifest_io(spark, path)
+    raw = read_manifest()
+    if raw is None:
+        raise FileNotFoundError(
+            f"no _manifest.json at {path!r} — not a packed dataset "
+            "(write it with write_packed_dataset)"
+        )
+    manifest = json.loads(raw)
+    reserved = {"position", "__slice_key", "__off"} & set(
+        manifest["columns"]
+    )
+    if reserved:
+        raise ValueError(
+            f"the packed dataset at {path!r} has column(s) "
+            f"{sorted(reserved)} that collide with read_packed_slices' "
+            "reserved names ('position' is the loader's output, "
+            "'__slice_key'/'__off' its internals) — rename them or use "
+            "read_packed_dataset, which adds no columns"
+        )
+    per_rank: list[list[dict]] = [[] for _ in range(world_size)]
+    for s in manifest["shards"]:
+        per_rank[int(s["shard"]) % world_size].append(s)
+    starved = [r for r, ss in enumerate(per_rank) if not ss]
+    if starved:
+        raise ValueError(
+            f"world_size={world_size} starves rank(s) {starved}: the "
+            f"dataset at {path!r} has {manifest['n_shards']} non-empty "
+            "shards and none lands on them under shard % world_size — "
+            "lower world_size or re-write with more shards"
+        )
+    rank_seqs = [sum(int(s["n_seqs"]) for s in ss) for ss in per_rank]
+    return manifest, per_rank, rank_seqs
+
+
 def read_packed_slices(
     spark,
     path: str,
@@ -1209,8 +1256,6 @@ def read_packed_slices(
     those names is rejected up front — silently overwriting the
     caller's column would corrupt the returned data.
     """
-    import json
-
     if world_size < 1:
         raise ValueError(f"world_size must be >= 1, got {world_size}")
     if not (0 <= rank < world_size):
@@ -1219,37 +1264,7 @@ def read_packed_slices(
         )
     if skip_seqs < 0:
         raise ValueError(f"skip_seqs must be >= 0, got {skip_seqs}")
-    read_manifest, _ = _manifest_io(spark, path)
-    raw = read_manifest()
-    if raw is None:
-        raise FileNotFoundError(
-            f"no _manifest.json at {path!r} — not a packed dataset "
-            "(write it with write_packed_dataset)"
-        )
-    manifest = json.loads(raw)
-    reserved = {"position", "__slice_key", "__off"} & set(
-        manifest["columns"]
-    )
-    if reserved:
-        raise ValueError(
-            f"the packed dataset at {path!r} has column(s) "
-            f"{sorted(reserved)} that collide with read_packed_slices' "
-            "reserved names ('position' is the loader's output, "
-            "'__slice_key'/'__off' its internals) — rename them or use "
-            "read_packed_dataset, which adds no columns"
-        )
-    per_rank: list[list[dict]] = [[] for _ in range(world_size)]
-    for s in manifest["shards"]:
-        per_rank[int(s["shard"]) % world_size].append(s)
-    starved = [r for r, ss in enumerate(per_rank) if not ss]
-    if starved:
-        raise ValueError(
-            f"world_size={world_size} starves rank(s) {starved}: the "
-            f"dataset at {path!r} has {manifest['n_shards']} non-empty "
-            "shards and none lands on them under shard % world_size — "
-            "lower world_size or re-write with more shards"
-        )
-    rank_seqs = [sum(int(s["n_seqs"]) for s in ss) for ss in per_rank]
+    manifest, per_rank, rank_seqs = _slice_manifest(spark, path, world_size)
     assigned = sorted(int(s["shard"]) for s in per_rank[rank])
     df, _ = _read_packed_with_manifest(spark, path, manifest, validate=False)
     sliced = df.filter(F.col("shard") % world_size == rank)
@@ -1320,6 +1335,205 @@ def read_packed_slices(
         "manifest": manifest,
     }
     return sliced.select(*manifest["columns"], "position"), info
+
+
+def read_packed_epochs(
+    spark,
+    path: str,
+    world_size: int,
+    *,
+    epochs: Sequence[int] | None = None,
+    epoch_seed: int | None = None,
+    skip_seqs: Mapping | None = None,
+    equalize: bool = False,
+    validate: bool = True,
+) -> tuple[DataFrame, dict]:
+    """EVERY rank's slice (and, with ``epochs``, every epoch's) in ONE
+    plan — row-identical to unioning :func:`read_packed_slices` over
+    ``rank in range(world_size)`` (× ``epoch in epochs``), with ``rank``
+    (and ``epoch``) tag columns appended.
+
+    :func:`read_packed_slices` is the per-process API: each training
+    rank calls it for its own slice, and its plan prunes the scan to
+    that rank's shard directories.  A SINGLE-process consumer of the
+    whole loader output (an audit job, a replay check, a bench) that
+    loops it over ranks × epochs pays the per-call position machinery
+    every time: each seeded call is its own 256-shard-offset aggregate +
+    broadcast + window (one AQE job chain per call — measured 17 jobs
+    for 2 epochs × 2 ranks at r14), and each call re-scans the dataset.
+    This loader computes all of it in one plan over one scan: ``rank``
+    is derived (``shard % world_size``), ``epochs`` become one
+    ``explode`` per row, the per-epoch md5 permutation runs as ONE
+    grouped running-total (grouped by (epoch, rank), so offsets and
+    in-shard ranks stay slice-scoped), and ``validate`` checks every
+    rank's on-disk totals in ONE count+sum aggregate instead of one
+    scan per rank.
+
+    Position/equalize/skip semantics are exactly
+    :func:`read_packed_slices`'s, slice by slice (pinned bit-identical
+    in tests/test_pipeline_ops.py): with ``epochs`` given, each epoch's
+    permutation seed IS the epoch number and ``skip_seqs`` is keyed by
+    ``(epoch, rank)``; with ``epochs=None``, ``epoch_seed`` applies to
+    the single pass and ``skip_seqs`` is keyed by ``rank``.  Keys that
+    name no (epoch, rank) of this call are ignored — same as a loop
+    that only passes each call its own entry; negative skip values
+    raise like the per-rank API.
+
+    Returns ``(DataFrame, info)``: the frame is the manifest's columns
+    plus ``position`` (+ ``epoch``) + ``rank`` (both long); info
+    carries the batched accounting (``rank_seqs``, per-rank ``n_seqs``
+    after equalize, ``shards_by_rank``, the manifest).
+    """
+    if world_size < 1:
+        raise ValueError(f"world_size must be >= 1, got {world_size}")
+    if epochs is not None and epoch_seed is not None:
+        raise ValueError(
+            "pass epochs (each epoch seeds its own permutation) or "
+            "epoch_seed (one pass), not both"
+        )
+    skip_seqs = dict(skip_seqs or {})
+    for k, v in skip_seqs.items():
+        if v < 0:
+            raise ValueError(f"skip_seqs must be >= 0, got {v} for {k!r}")
+    manifest, per_rank, rank_seqs = _slice_manifest(spark, path, world_size)
+    tags = {"rank"} | ({"epoch"} if epochs is not None else set())
+    clash = tags & set(manifest["columns"])
+    if clash:
+        raise ValueError(
+            f"the packed dataset at {path!r} has column(s) "
+            f"{sorted(clash)} that collide with read_packed_epochs' "
+            "tag columns — rename them or loop read_packed_slices "
+            "and tag under your own names"
+        )
+    df, _ = _read_packed_with_manifest(spark, path, manifest, validate=False)
+    df = df.withColumn(
+        "rank", (F.col("shard") % world_size).cast("long")
+    )
+    if validate:
+        want = {
+            r: (rank_seqs[r], sum(int(s["real_tokens"]) for s in per_rank[r]))
+            for r in range(world_size)
+        }
+        got = {
+            int(row["rank"]): (int(row["n"]), int(row["tok"]))
+            for row in df.groupBy("rank").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tok"),
+            ).collect()
+        }
+        for r in range(world_size):
+            if got.get(r, (0, 0)) != want[r]:
+                n, tok = got.get(r, (0, 0))
+                assigned = sorted(int(s["shard"]) for s in per_rank[r])
+                raise ValueError(
+                    f"rank {r}'s slice of the packed dataset at "
+                    f"{path!r} does not match its manifest: on disk "
+                    f"n_seqs={n} real_tokens={tok},"
+                    f" manifest claims n_seqs={want[r][0]} "
+                    f"real_tokens={want[r][1]} for shards {assigned} — "
+                    "the dataset was modified outside "
+                    "write_packed_dataset"
+                )
+    if epochs is None and epoch_seed is None:
+        # writer order: per-rank shard offsets are manifest arithmetic
+        # (each shard belongs to exactly one rank, so ONE shard-keyed
+        # offsets frame serves every rank), one broadcast join + one
+        # per-shard row_number window over the single scan
+        offsets = []
+        for ss in per_rank:
+            acc = 0
+            for s in sorted(ss, key=lambda s: int(s["shard"])):
+                offsets.append((int(s["shard"]), acc))
+                acc += int(s["n_seqs"])
+        off = spark.createDataFrame(offsets, "shard long, __off long")
+        within = F.row_number().over(
+            W.partitionBy("shard").orderBy("seq_id")
+        )
+        df = (
+            df.join(F.broadcast(off), on="shard")
+            .withColumn(
+                "position", (F.col("__off") + within - 1).cast("long")
+            )
+            .drop("__off")
+        )
+    else:
+        from pathwaydataframework_spark.operators.sampling import (
+            _sharded_running_total,
+        )
+
+        keyed = df.withColumn(
+            "__slice_key", F.format_string("%d:%d", "shard", "seq_id")
+        )
+        if epochs is not None:
+            keyed = keyed.withColumn(
+                "epoch",
+                F.explode(
+                    F.array(*[F.lit(int(e)).cast("long") for e in epochs])
+                ),
+            )
+            # md5(shard:seq_id:epoch) == read_packed_slices'
+            # md5(__slice_key:seed) with seed = the epoch number
+            totals = _sharded_running_total(
+                keyed, "__slice_key", seed=0, weight=F.lit(1),
+                grp=["epoch", "rank"], seed_col=F.col("epoch"),
+            )
+        else:
+            totals = _sharded_running_total(
+                keyed, "__slice_key", seed=int(epoch_seed),
+                weight=F.lit(1), grp=["rank"],
+            )
+        df = totals.withColumn(
+            "position", (F.col("__total") - 1).cast("long")
+        ).drop("__total", "__slice_key")
+    n_kept = list(rank_seqs)
+    if equalize:
+        m = min(rank_seqs)
+        n_kept = [m] * world_size
+        df = df.filter(F.col("position") < m)
+    if skip_seqs:
+        from functools import reduce
+        from operator import or_
+
+        conds = []
+        for key, n in skip_seqs.items():
+            if n == 0:
+                continue
+            if epochs is not None:
+                e, r = key
+                conds.append(
+                    (F.col("epoch") == int(e))
+                    & (F.col("rank") == int(r))
+                    & (F.col("position") < int(n))
+                )
+            else:
+                conds.append(
+                    (F.col("rank") == int(key))
+                    & (F.col("position") < int(n))
+                )
+        if conds:
+            df = df.filter(~reduce(or_, conds))
+    info = {
+        "world_size": world_size,
+        "epochs": list(epochs) if epochs is not None else None,
+        "epoch_seed": epoch_seed,
+        "skip_seqs": skip_seqs,
+        "equalize": equalize,
+        "shards_by_rank": [
+            sorted(int(s["shard"]) for s in ss) for ss in per_rank
+        ],
+        "n_seqs": n_kept,
+        "rank_seqs": rank_seqs,
+        "manifest": manifest,
+    }
+    return (
+        df.select(
+            *manifest["columns"],
+            "position",
+            *(["epoch"] if epochs is not None else []),
+            "rank",
+        ),
+        info,
+    )
 
 
 def suggest_boundaries(

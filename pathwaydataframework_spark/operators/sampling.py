@@ -162,6 +162,7 @@ def _sharded_running_total(
     seed: int,
     weight: Column,
     grp: Sequence[str] = (),
+    seed_col: Column | None = None,
 ) -> DataFrame:
     """Inclusive running total of ``weight`` in ``md5(key:seed)`` order
     (tie-break on the key), per ``grp`` group, added as ``__total`` —
@@ -181,6 +182,15 @@ def _sharded_running_total(
 
     Rows with a NULL key are excluded (cannot be deterministically
     ordered), like every sampling predicate in this module.
+
+    ``seed_col`` (a Column) overrides ``seed`` with a PER-ROW seed —
+    the hash becomes ``md5(key:seed_col)``, byte-identical to the
+    per-call form when ``seed_col`` holds the integer a separate call
+    would have passed as ``seed``.  This is what lets a multi-epoch
+    loader compute every epoch's permutation in one plan
+    (:func:`~pathwaydataframework_spark.operators.packing.read_packed_epochs`)
+    instead of one plan per (epoch, rank): put the epoch number in
+    ``grp`` so offsets and running sums stay epoch-scoped.
     """
     from functools import reduce
     from operator import and_
@@ -188,7 +198,12 @@ def _sharded_running_total(
     from pyspark.sql import Window as W
 
     grp = list(grp)
-    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
+    if seed_col is not None:
+        h = F.md5(
+            F.concat(F.col(key).cast("string"), F.lit(":"), seed_col.cast("string"))
+        )
+    else:
+        h = F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{seed}")))
     hashed = (
         df.filter(F.col(key).isNotNull())
         .withColumn("__h", h)

@@ -1,8 +1,9 @@
-"""Capture .explain('formatted') for named queries into plans/r14/.
+"""Capture .explain('formatted') for named queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
 
-Writes plans/r14/<query>_<suffix>.txt for each named query (default: the
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (round
+defaults to r15) for each named query (default: the
 bench HEADLINE set).  Plans are captured at the bench SF (sf0.1) with the
 bench session config, so Exchange counts / join strategies match what the
 bench times.  q_knn_lsh is captured in its bench (tight) configuration,
@@ -30,7 +31,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     qs["q_knn_lsh"] = entry.q_knn_lsh_tight
-    out_dir = os.path.join(HERE, "plans", "r14")
+    out_dir = os.path.join(
+        HERE, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

@@ -10,7 +10,8 @@ so the spread is not all host phase.  This script establishes the band:
 - M phase-timed reps of the same composition (the library calls
   _pack_slices_union makes), attributing each rep's time to
   prep (encode/pack/materialize + localCheckpoint), dataset write,
-  loader construction (4x read_packed_slices incl. manifest collects),
+  loader construction (r15: ONE read_packed_epochs call — batched
+  positions + one all-ranks validate; was 4x read_packed_slices),
   union localCheckpoint, and the final count.
 
 Usage:  python3 scripts/train_epochs_spotcheck.py [reps [phase_reps]]
@@ -54,8 +55,6 @@ def phase_timed(spark, sf: str) -> dict:
     import shutil
     import tempfile
 
-    import pyspark.sql.functions as F
-
     from pathwaydataframework_spark.data import load_table
     from pathwaydataframework_spark.operators import bpe, packing
 
@@ -77,17 +76,14 @@ def phase_timed(spark, sf: str) -> dict:
         packing.write_packed_dataset(seqs, tmp, max_tokens=32)
         out["write_s"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        union = None
-        for e in (0, 1):
-            for r in range(2):
-                sl, _info = packing.read_packed_slices(
-                    spark, tmp, 2, r, epoch_seed=e,
-                    skip_seqs=3 if (e, r) == (1, 0) else 0,
-                    equalize=True,
-                )
-                sl = sl.withColumn("epoch", F.lit(e).cast("long"))
-                sl = sl.withColumn("rank", F.lit(r).cast("long"))
-                union = sl if union is None else union.unionByName(sl)
+        # r15: the batched loader replaces the per-(epoch, rank)
+        # read_packed_slices loop — loaders_s now covers ONE
+        # read_packed_epochs construction (manifest GET + the one
+        # all-ranks validate aggregate)
+        union, _info = packing.read_packed_epochs(
+            spark, tmp, 2, epochs=(0, 1),
+            skip_seqs={(1, 0): 3}, equalize=True,
+        )
         out["loaders_s"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         union = union.localCheckpoint()

@@ -2350,6 +2350,117 @@ def test_read_packed_slices_multi_epoch_loop(spark, packed_ds):
     assert set(resumed) != {k for k, v in e0.items() if v[0] >= 4}
 
 
+def test_read_packed_epochs_matches_per_rank_union(spark, packed_ds):
+    """The r15 batched loader is ROW-IDENTICAL to unioning
+    read_packed_slices per rank (× per epoch) — the bit-identity oracle
+    for the one-plan rewrite of the q_pack_slices/q_train_epochs union
+    (OPTIMIZATION_r15): writer order, seeded single pass, and the
+    multi-epoch equalize+resume composition all pinned, including the
+    position values and tag columns."""
+    path, _ = packed_ds
+
+    def union_rows(world, *, epochs=None, epoch_seed=None, skip=None,
+                   equalize=False):
+        skip = skip or {}
+        passes = [(None, epoch_seed)] if epochs is None else [
+            (e, e) for e in epochs
+        ]
+        rows = []
+        for tag, seed in passes:
+            for r in range(world):
+                key = r if epochs is None else (tag, r)
+                df, _ = packing.read_packed_slices(
+                    spark, path, world, r, epoch_seed=seed,
+                    skip_seqs=skip.get(key, 0), equalize=equalize,
+                )
+                for row in df.collect():
+                    d = row.asDict()
+                    d["token_ids"] = tuple(d["token_ids"])
+                    d["doc_spans"] = tuple(map(tuple, d["doc_spans"]))
+                    if epochs is not None:
+                        d["epoch"] = tag
+                    d["rank"] = r
+                    rows.append(tuple(sorted(d.items())))
+        return sorted(rows)
+
+    def batched_rows(world, **kw):
+        df, info = packing.read_packed_epochs(spark, path, world, **kw)
+        rows = []
+        for row in df.collect():
+            d = row.asDict()
+            d["token_ids"] = tuple(d["token_ids"])
+            d["doc_spans"] = tuple(map(tuple, d["doc_spans"]))
+            rows.append(tuple(sorted(d.items())))
+        return sorted(rows)
+
+    # writer order + skip on one rank
+    assert batched_rows(2, skip_seqs={1: 2}) == union_rows(
+        2, skip={1: 2}
+    )
+    # one seeded pass
+    assert batched_rows(2, epoch_seed=7) == union_rows(2, epoch_seed=7)
+    # the q_train_epochs composition: epochs × equalize × mid-epoch resume
+    assert batched_rows(
+        2, epochs=(0, 1), skip_seqs={(1, 0): 3}, equalize=True
+    ) == union_rows(2, epochs=(0, 1), skip={(1, 0): 3}, equalize=True)
+    # tag columns are appended typed long, after position
+    df, info = packing.read_packed_epochs(spark, path, 2, epochs=(0, 1))
+    assert df.columns[-3:] == ["position", "epoch", "rank"]
+    assert dict(df.dtypes)["epoch"] == "bigint"
+    assert dict(df.dtypes)["rank"] == "bigint"
+    assert info["rank_seqs"] == packing.read_packed_slices(
+        spark, path, 2, 0
+    )[1]["rank_seqs"]
+    # epochs and epoch_seed are mutually exclusive (each epoch IS a seed)
+    with pytest.raises(ValueError, match="not both"):
+        packing.read_packed_epochs(spark, path, 2, epochs=(0,), epoch_seed=1)
+    with pytest.raises(ValueError, match="skip_seqs"):
+        packing.read_packed_epochs(spark, path, 2, skip_seqs={0: -1})
+
+
+def test_read_packed_epochs_validation_and_tag_collisions(spark, tmp_path):
+    """The batched loader keeps the per-rank gates: validate compares
+    EVERY rank's on-disk totals against the manifest in one aggregate
+    (and names the first mismatching rank); a dataset whose own columns
+    include 'rank'/'epoch' is rejected up front."""
+    import glob
+    import os
+
+    seqs = spark.range(12).select(
+        (F.col("id") % 2).alias("shard"),
+        F.col("id").alias("seq_id"),
+        F.lit(1).cast("long").alias("n_tokens"),
+    )
+    path = str(tmp_path / "epochs_val")
+    packing.write_packed_dataset(seqs, path)
+    df, _ = packing.read_packed_epochs(spark, path, 2)
+    assert df.count() == 12
+    # corrupt one shard → validate must name that rank
+    victim = glob.glob(os.path.join(path, "shard=1", "*.parquet"))[0]
+    os.unlink(victim)
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.unlink(crc)
+    with pytest.raises(ValueError, match="rank 1's slice"):
+        packing.read_packed_epochs(spark, path, 2)
+    # validate=False trusts the dataset, like the per-rank API
+    df, _ = packing.read_packed_epochs(spark, path, 2, validate=False)
+    assert df.filter(F.col("rank") == 0).count() == 6
+    # tag-name collision rejected before any scan
+    clash = spark.range(4).select(
+        (F.col("id") % 2).alias("shard"),
+        F.col("id").alias("seq_id"),
+        F.lit(1).cast("long").alias("n_tokens"),
+        F.lit(0).alias("rank"),
+    )
+    cpath = str(tmp_path / "epochs_clash")
+    packing.write_packed_dataset(clash, cpath)
+    with pytest.raises(ValueError, match="tag columns"):
+        packing.read_packed_epochs(spark, cpath, 2)
+
+
 def test_read_packed_slices_rejects_reserved_columns(spark, tmp_path):
     """A dataset whose OWN schema contains 'position' (or the loader's
     internal names) is rejected up front — read_packed_slices adds a
