@@ -4313,17 +4313,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 of 71).  Queries without a driver-green CORRECTNESS row yet are
     # listed FIRST so every registered query earns a driver row across rounds.
     return {
-        # --- r14 front (50-row driver budget; VERDICT r13 item 1):
-        # the 44 queries whose latest driver row is r11, then the NEW
-        # r14 queries (q_bucket_boundaries, q_eval_schedule) plus
-        # q_media_meta (its oracle gained the r14 MPEG-2/2.5 + CRC-Xing
-        # fixtures, so its r13 row is stale), then r12-stale fill to
-        # the exact 50 budget.
+        # --- r15 front (50-row driver budget; VERDICT r14 item 8):
+        # the 46 queries whose latest driver row is r12 — this pulls
+        # the r14-optimized q_bpe_*, q_train_* and q_pack_* families
+        # back under the driver's oracle — then 4 r13-stale queries
+        # whose code paths the r15 optimizations touch (minhash
+        # collapse engine, bm25 stats attach incl. its DocumentStore
+        # and hybrid-RRF consumers) to the exact 50 budget.
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_region_revenue": q05_region_revenue,
+        "q_argmax_supplier": q_argmax_supplier,
+        "q_asof_now": q_asof_now,
+        "q_asof_right": q_asof_right,
+        "q_audio_features": q_audio_features,
+        "q_audio_spectral": q_audio_spectral,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_boilerplate": q_boilerplate,
+        "q_bpe_incremental": q_bpe_incremental,
+        "q_bpe_merges": q_bpe_merges,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_bpe_tokenize": q_bpe_tokenize,
+        "q_c4_filter": q_c4_filter,
+        "q_corpus_dedup": q_corpus_dedup,
+        "q_crawl_delay": q_crawl_delay,
+        "q_domain_quota": q_domain_quota,
+        "q_dsir": q_dsir,
+        "q_extract_links": q_extract_links,
+        "q_fetch_schedule": q_fetch_schedule,
+        "q_fetch_waves": q_fetch_waves,
+        "q_frontier": q_frontier,
+        "q_image_dedup": q_image_dedup,
+        "q_json_props": q_json_props,
+        "q_leakage_split": q_leakage_split,
+        "q_length_buckets": q_length_buckets,
+        "q_louvain_levels": q_louvain_levels,
+        "q_pack_cut": q_pack_cut,
+        "q_pack_efficiency": q_pack_efficiency,
+        "q_pack_incremental": q_pack_incremental,
+        "q_pack_materialize": q_pack_materialize,
+        "q_quality_classifier": q_quality_classifier,
+        "q_rerank": q_rerank,
+        "q_robots": q_robots,
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_token_budget": q_token_budget,
+        "q_train_epochs": q_train_epochs,
+        "q_train_masks": q_train_masks,
+        "q_train_sequences": q_train_sequences,
+        "q_train_stream": q_train_stream,
+        "q_url_dedup": q_url_dedup,
+        "q_url_normalize": q_url_normalize,
+        "q_warc_ingest": q_warc_ingest,
+        "q_winnow": q_winnow,
+        # --- r13-stale fill: r15-touched code paths ---
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_bm25": q_bm25,
+        "q_doc_retrieve": q_doc_retrieve,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        # --- latest driver row r13: behind the cap this round;
+        # rotates forward in r16. ---
+        "q_asof_join": q_asof_join,
+        "q_asof_nearest": q_asof_nearest,
+        "q_chained_join": q_chained_join,
+        "q_concat_reindex": q_concat_reindex,
+        "q_concat_split": q_concat_split,
+        "q_custom_reducer": q_custom_reducer,
+        "q_decontam": q_decontam,
+        "q_domain_filter": q_domain_filter,
+        "q_embedding_outliers": q_embedding_outliers,
+        "q_epoch_pack": q_epoch_pack,
+        "q_error_channel": q_error_channel,
+        "q_frame_sample": q_frame_sample,
+        "q_gopher_quality": q_gopher_quality,
+        "q_gopher_repetition": q_gopher_repetition,
+        "q_incremental_neardup": q_incremental_neardup,
+        "q_interval_outer": q_interval_outer,
+        "q_kmeans": q_kmeans,
+        "q_line_dedup": q_line_dedup,
+        "q_louvain": q_louvain,
+        "q_mix_datasets": q_mix_datasets,
+        "q_orders_dates": q_orders_dates,
+        "q_pack_export": q_pack_export,
+        "q_pack_sequences": q_pack_sequences,
+        "q_part_strings": q_part_strings,
+        "q_pii_scrub": q_pii_scrub,
+        "q_quality_sample": q_quality_sample,
+        "q_recipe": q_recipe,
+        "q_recipe_stream": q_recipe_stream,
+        "q_repetition": q_repetition,
+        "q_semdedup": q_semdedup,
+        "q_session_predicate": q_session_predicate,
+        "q_sft_batches": q_sft_batches,
+        "q_sft_epochs": q_sft_epochs,
+        "q_sft_incremental": q_sft_incremental,
+        "q_sft_stream": q_sft_stream,
+        "q_shuffle": q_shuffle,
+        "q_span_dedup": q_span_dedup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_temperature_sample": q_temperature_sample,
+        "q_train_cut": q_train_cut,
+        "q_train_split": q_train_split,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_unique_any": q_unique_any,
+        "q_vocab": q_vocab,
+        "q_wave_counts": q_wave_counts,
+        # --- latest driver row r14 (freshest — very back) ---
+        "q_assign_shards": q_assign_shards,
+        "q_audio_dedup": q_audio_dedup,
+        "q_bellman_ford": q_bellman_ford,
+        "q_bucket_boundaries": q_bucket_boundaries,
         "q_connected_components": q_connected_components,
         "q_dedup_exact": q_dedup_exact,
         "q_deduplicate_latest": q_deduplicate_latest,
         "q_diff_values": q_diff_values,
         "q_embedding_pairs": q_embedding_pairs,
+        "q_eval_schedule": q_eval_schedule,
         "q_flatten_tokens": q_flatten_tokens,
         "q_fuzzy_match": q_fuzzy_match,
         "q_interpolate": q_interpolate,
@@ -4336,6 +4441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf": q_knn_ivf,
         "q_knn_lsh": q_knn_lsh,
         "q_lang_id": q_lang_id,
+        "q_media_meta": q_media_meta,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_pack_equalize": q_pack_equalize,
         "q_pack_no_straddle": q_pack_no_straddle,
@@ -4363,112 +4469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_sliding": q_window_sliding,
         "q_window_tumbling": q_window_tumbling,
         "q_windowby_predicate": q_windowby_predicate,
-        # --- NEW r14 + re-oracled ---
-        "q_bucket_boundaries": q_bucket_boundaries,
-        "q_eval_schedule": q_eval_schedule,
-        "q_media_meta": q_media_meta,
-        # --- r12-stale fill to the 50 budget ---
-        "q_assign_shards": q_assign_shards,
-        "q_audio_dedup": q_audio_dedup,
-        "q_bellman_ford": q_bellman_ford,
-        # --- latest driver row r12: behind the cap this round;
-        # rotates forward in r15. ---
-        "q_bloom_dedup": q_bloom_dedup,
-        "q_bpe_incremental": q_bpe_incremental,
-        "q_bpe_roundtrip": q_bpe_roundtrip,
-        "q_bpe_tokenize": q_bpe_tokenize,
-        "q_crawl_delay": q_crawl_delay,
-        "q_domain_quota": q_domain_quota,
-        "q_dsir": q_dsir,
-        "q_extract_links": q_extract_links,
-        "q_fetch_schedule": q_fetch_schedule,
-        "q_fetch_waves": q_fetch_waves,
-        "q_frontier": q_frontier,
-        "q_image_dedup": q_image_dedup,
-        "q_json_props": q_json_props,
-        "q_leakage_split": q_leakage_split,
-        "q_louvain_levels": q_louvain_levels,
-        "q_pack_cut": q_pack_cut,
-        "q_pack_efficiency": q_pack_efficiency,
-        "q_pack_incremental": q_pack_incremental,
-        "q_pack_materialize": q_pack_materialize,
-        "q_quality_classifier": q_quality_classifier,
-        "q_rerank": q_rerank,
-        "q_robots": q_robots,
-        "q_sliding_chunks": q_sliding_chunks,
-        "q_token_budget": q_token_budget,
-        "q_train_masks": q_train_masks,
-        "q_train_sequences": q_train_sequences,
-        "q_train_stream": q_train_stream,
-        "q_url_dedup": q_url_dedup,
-        "q_url_normalize": q_url_normalize,
-        "q_warc_ingest": q_warc_ingest,
-        "q_winnow": q_winnow,
-        "q_train_epochs": q_train_epochs,
-        "q_audio_spectral": q_audio_spectral,
-        "q_audio_features": q_audio_features,
-        "q_length_buckets": q_length_buckets,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_shipping_priority": q03_shipping_priority,
-        "q05_region_revenue": q05_region_revenue,
-        "q_argmax_supplier": q_argmax_supplier,
-        "q_asof_now": q_asof_now,
-        "q_asof_right": q_asof_right,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_boilerplate": q_boilerplate,
-        "q_bpe_merges": q_bpe_merges,
-        "q_c4_filter": q_c4_filter,
-        "q_corpus_dedup": q_corpus_dedup,
-        # --- latest driver row r13 (freshest — very back) ---
-        "q_custom_reducer": q_custom_reducer,
-        "q_decontam": q_decontam,
-        "q_doc_retrieve": q_doc_retrieve,
-        "q_domain_filter": q_domain_filter,
-        "q_embedding_outliers": q_embedding_outliers,
-        "q_epoch_pack": q_epoch_pack,
-        "q_error_channel": q_error_channel,
-        "q_frame_sample": q_frame_sample,
-        "q_gopher_quality": q_gopher_quality,
-        "q_gopher_repetition": q_gopher_repetition,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_incremental_neardup": q_incremental_neardup,
-        "q_interval_outer": q_interval_outer,
-        "q_kmeans": q_kmeans,
-        "q_line_dedup": q_line_dedup,
-        "q_louvain": q_louvain,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_mix_datasets": q_mix_datasets,
-        "q_orders_dates": q_orders_dates,
-        "q_pack_export": q_pack_export,
-        "q_pack_sequences": q_pack_sequences,
-        "q_part_strings": q_part_strings,
-        "q_pii_scrub": q_pii_scrub,
-        "q_quality_sample": q_quality_sample,
-        "q_recipe": q_recipe,
-        "q_recipe_stream": q_recipe_stream,
-        "q_repetition": q_repetition,
-        "q_semdedup": q_semdedup,
-        "q_session_predicate": q_session_predicate,
-        "q_shuffle": q_shuffle,
-        "q_span_dedup": q_span_dedup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_temperature_sample": q_temperature_sample,
-        "q_train_cut": q_train_cut,
-        "q_train_split": q_train_split,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_unique_any": q_unique_any,
-        "q_vocab": q_vocab,
-        "q_wave_counts": q_wave_counts,
-        "q_sft_batches": q_sft_batches,
-        "q_sft_incremental": q_sft_incremental,
-        "q_sft_stream": q_sft_stream,
-        "q_sft_epochs": q_sft_epochs,
-        "q_asof_join": q_asof_join,
-        "q_asof_nearest": q_asof_nearest,
-        "q_bm25": q_bm25,
-        "q_chained_join": q_chained_join,
-        "q_concat_reindex": q_concat_reindex,
-        "q_concat_split": q_concat_split,
     }
 
 

@@ -398,7 +398,13 @@ def _assemble_docs(
     join is LEFT (the empty word is never in the encoded table — its
     NULL ids drop inside the aggregation), and the old join back to the
     document id list — a second full input scan plus a corpus-wide
-    shuffle purely to resurrect empty docs — is gone."""
+    shuffle purely to resurrect empty docs — is gone.
+
+    ``id_col`` must be unique: the groupBy-terminal form emits one row
+    per DISTINCT id, so duplicate input ids now collapse (and interleave
+    their occurrences) where the pre-r14 ids-join fanned the assembled
+    array back out once per duplicate row — pinned in
+    tests/test_addendum.py."""
     mapped = occ.join(encoded, on="word", how="left").select(
         "doc_id", "pos", "__ids"
     )

@@ -570,6 +570,11 @@ def tokenize_to_ids(
     the doc id re-assembles the ordered array via sort_array over
     (pos, id) structs — the only exchange is doc-keyed, so per-task state
     is one document's tokens.
+
+    ``id_col`` must be unique: the groupBy-terminal assembly emits one
+    row per DISTINCT id, so duplicate input ids collapse (pre-r14 the
+    ids-join emitted one output row per duplicate) — pinned in
+    tests/test_addendum.py.
     """
     from pathwaydataframework_spark.operators.dedup import _ensure_parallelism
 

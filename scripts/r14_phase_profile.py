@@ -44,14 +44,10 @@ def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def jobs_between(fn):
-    t = sc.statusTracker()
-    before = len(t.getJobIdsForGroup() or [])  # not reliable; use jobIds
-    ids0 = set(t.getJobIdsForGroup(None) or [])
-    fn()
-    ids1 = set(t.getJobIdsForGroup(None) or [])
-    return len(ids1 - ids0)
-
+# (an earlier jobs_between() helper was deleted — ADVICE r14: it was
+# never called and getJobIdsForGroup(None) returns ALL default-group job
+# ids, so its counts would have been wrong; job censuses are taken with
+# an explicit setJobGroup instead, as in train_epochs_spotcheck.py)
 
 # ---- warmup (codegen) at sf0.001
 docs_w = load_table(spark, "/root/testdata/sf0.001", "documents").df

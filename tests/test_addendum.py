@@ -333,3 +333,30 @@ def test_bpe_assembly_empty_and_null_docs_survive(spark):
     _, updated = bpe.bpe_encode_incremental(df, tbl, vocab)
     words = [r["word"] for r in updated.collect()]
     assert "" not in words and None not in words
+
+
+def test_assembly_duplicate_ids_collapse_to_one_row(spark):
+    """r15 pin (VERDICT r14 item 9): the occurrence-only assembly is
+    groupBy-terminal, so a DUPLICATED doc id yields ONE output row with
+    the duplicates' occurrences interleaved in position order — the
+    pre-r14 ids-join form emitted one row per duplicate input row.
+    Unreachable under the documented id-is-a-key contract (every caller
+    feeds unique ids); this pins the chosen behavior at the undocumented
+    boundary so a future rewrite changes it knowingly."""
+    from pathwaydataframework_spark.operators import bpe
+    from pathwaydataframework_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (1, "a b"), (2, "b")], "doc_id long, text string"
+    )
+    vocab = {"a": 0, "b": 1, "ab": 2}
+    enc = bpe.bpe_encode(df, vocab, mode="longest").collect()
+    assert sorted(r["doc_id"] for r in enc) == [1, 2]
+    by_id = {r["doc_id"]: sorted(r["token_ids"]) for r in enc}
+    # doc 1's two rows interleave at equal positions: multiset of both
+    assert by_id[1] == [0, 1, 2] and by_id[2] == [1]
+    vtab = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("ab", 2)], "term string, rank long"
+    )
+    tok = text_ops.tokenize_to_ids(df, vtab).collect()
+    assert sorted(r["doc_id"] for r in tok) == [1, 2]

@@ -167,8 +167,24 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
         _dedup.minhash_band_index(docs, "doc_id", "text", n=3, num_hashes=16, bands=4)
     )
     assert "partial_min" not in idx_plan, "signatures must not aggregate"
-    assert "hashpartitioning" not in idx_plan, (
-        "signature/banding must be exchange-free (per-row aggregate)"
+    # ADVICE r14: scope the exchange pin to what the invariant actually
+    # says — every Exchange in the band-index plan is _ensure_parallelism's
+    # round-robin fan-out; the signature fold itself adds no hash or
+    # single-partition exchange (a whole-plan "no hashpartitioning
+    # anywhere" match would also veto unrelated future exchanges)
+    import re as _re
+
+    lines = idx_plan.splitlines()
+    ex_args = [
+        lines[i + j]
+        for i, ln in enumerate(lines)
+        if _re.match(r"\(\d+\) Exchange", ln)
+        for j in (1, 2, 3)
+        if i + j < len(lines) and lines[i + j].startswith("Arguments:")
+    ]
+    assert all("RoundRobinPartitioning" in a for a in ex_args), (
+        f"signature/banding must add no hash/single-partition exchange "
+        f"(per-row aggregate): {ex_args}"
     )
 
 
@@ -552,6 +568,48 @@ def test_recipe_and_epoch_pack_hazard_census(spark, sf_dir):
     # the epoch frame is consumed twice (layout + token join), so the
     # 256-row offset prefix-sum appears once per consumer and never more
     assert plans["q_epoch_pack"].count("SinglePartition") <= 2
+
+
+def test_materialize_write_shares_one_shard_exchange(spark):
+    """VERDICT r14 item 5: materialize_sequences clusters by shard
+    BEFORE its (shard, seq_id) re-assembly groupBy — hash(shard)
+    satisfies the grouping's clustered distribution, so the aggregation
+    elides its own exchange, and write_packed_dataset's
+    repartition("shard") then reuses the layout: exactly ONE
+    hashpartitioning(shard) Exchange from re-assembly through the
+    partitioned write (guide §2.4; plan artifacts at
+    plans/r15/sub_materialize_write_{before,after}.txt).  The probe is
+    the exact pre-write frame write_packed_dataset builds; enc/layout
+    are eager-checkpointed so the pack fold's own upstream shard
+    exchange is outside the probed sub-plan.  The r13 shape (groupBy
+    straight after the join) fails both asserts: its aggregation keys
+    an ENSURE_REQUIREMENTS exchange on (shard, seq_id) and the write
+    adds a second, shard-only one."""
+    import re
+
+    from pathwaydataframework_spark.operators import bpe, packing
+
+    v = {"a": 0, "b": 1, "ab": 2}
+    df = spark.createDataFrame(
+        [(d, "ab a b" if d % 2 else "a b") for d in range(40)],
+        "doc_id long, text string",
+    )
+    enc = bpe.bpe_encode(df, v, append_eos_id=9).localCheckpoint(eager=True)
+    layout = packing.pack_no_straddle(
+        enc, "doc_id", "n_tokens", 8, shards=4
+    ).localCheckpoint(eager=True)
+    seqs = packing.materialize_sequences(enc, layout, max_tokens=8, pad_id=-1)
+    probe = seqs.repartition("shard").sortWithinPartitions("shard", "seq_id")
+    plan = formatted_plan(probe)
+    assert not re.search(r"hashpartitioning\(shard#\d+L?, seq_id#", plan), (
+        "the re-assembly groupBy must not key its own (shard, seq_id) "
+        "exchange:\n" + plan
+    )
+    shard_only = re.findall(r"hashpartitioning\(shard#\d+L?, \d+\)", plan)
+    assert len(shard_only) == 1, (
+        f"expected exactly one shard-keyed exchange shared by re-assembly "
+        f"and the write, got {shard_only}:\n" + plan
+    )
 
 
 def test_pack_slices_hazard_census(spark, sf_dir):
