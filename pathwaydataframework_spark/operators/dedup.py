@@ -464,22 +464,28 @@ def collapse_pairs_by_signature(
     materializing it.)
 
     Args:
-        sigs: one row per doc: (id_col, sig_col); sig_col any groupable type
-            (long hash, byte array, ...).  Identical sig ⇒ identical band
-            keys, so expansion introduces no false candidates and drops none.
-        rep_pair_fn: callable(reps) → DataFrame(rep_a, rep_b, *extras) where
-            ``reps`` is an (id_col)-frame of representative ids; extras
-            (e.g. a signature-level distance) are valid for every expanded
-            pair because members share the representative's signature.
+        sigs: one row per doc: (id_col, sig_col, *carry); sig_col any
+            groupable type (long hash, byte array, ...).  Identical sig ⇒
+            identical band keys, so expansion introduces no false
+            candidates and drops none.  Extra ``carry`` columns (e.g. the
+            pre-explode band hashes) ride through to ``reps`` — r15: a
+            caller whose banding needs per-doc payload can read it off
+            ``reps`` directly instead of joining back to its own frame.
+        rep_pair_fn: callable(reps) → DataFrame(rep_a, rep_b, *extras)
+            where ``reps`` is one row per representative: id_col plus
+            every carry column of ``sigs``; extras (e.g. a
+            signature-level distance) are valid for every expanded pair
+            because members share the representative's signature.
         intra_extras: extra column values for same-signature pairs (e.g.
             hamming → 0); cast to the rep-pair schema automatically.
     """
     groups = sigs.groupBy(sig_col).agg(F.min(id_col).alias("__rep"))
-    # ONE materialization of the compact (sig, id, rep) membership: it feeds
-    # four consumers (rep extraction, both expansion sides, intra pairs) and
-    # would otherwise re-run the caller's signature pipeline per consumer
+    # ONE materialization of the (sig, id, rep, *carry) membership: it
+    # feeds four consumers (rep extraction, both expansion sides, intra
+    # pairs) and would otherwise re-run the caller's signature pipeline
+    # per consumer
     members = sigs.join(groups, on=sig_col).localCheckpoint(eager=True)
-    reps = members.filter(F.col(id_col) == F.col("__rep")).select(id_col)
+    reps = members.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
     rep_pairs = rep_pair_fn(reps)
     extras = [c for c in rep_pairs.columns if c not in ("rep_a", "rep_b")]
     ma = members.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("__da"))
@@ -527,23 +533,24 @@ def minhash_lsh_pairs(
     (id_a, id_b).
     """
     # materialize the COMPACT band frame ONCE (1 row/doc: band hashes +
-    # full-signature hash): it feeds the signature collapse AND the
-    # representative self-join — without the checkpoint each consumer
-    # re-runs the shingle explode + num_hashes min-aggs (measured 3×+
-    # slower at sf0.1; a LAZY checkpoint was measured slower still — the
-    # dedicated materialization job beats lazily materializing inside the
-    # membership job).  Checkpointing pre-explode (r5) writes `bands`×
-    # fewer rows than the exploded band index, and the explode below runs
-    # only over the post-collapse representatives.
+    # full-signature hash): the membership build below consumes it twice
+    # (groups aggregation + probe side), and without the pin each branch
+    # re-runs the whole corpus scan + shingle fold — at 100 TB that is an
+    # extra full corpus pass (measured at r15: dropping this checkpoint
+    # is a wash at sf0.1 only because fixed overheads hide the second
+    # scan; the checkpoint write is 1 row/doc).  r15: the full compact
+    # frame goes INTO the collapse — its membership checkpoint carries
+    # the band hashes as carry columns, the reps frame comes back with
+    # them attached, and the old left-semi join back to compact for the
+    # representatives' band hashes is gone (one join fewer; interleaved
+    # same-session A/B at sf0.1, 8 pairs: best 2.025 → 1.902 s, median
+    # 2.248 → 2.109 s, 6/8 pairs improved, output row-identical).
     compact = _minhash_compact_bands(
         df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands
     ).localCheckpoint(eager=True)
-    sigs = compact.select("doc_id", F.col("sig").alias("__sig"))
 
     def _rep_band_pairs(reps: DataFrame) -> DataFrame:
-        rb = _explode_band_rows(
-            compact.join(reps, on="doc_id", how="left_semi"), bands
-        )
+        rb = _explode_band_rows(reps, bands)
         a = rb.alias("a")
         b = rb.alias("b")
         return (
@@ -557,7 +564,7 @@ def minhash_lsh_pairs(
             .distinct()
         )
 
-    cand = collapse_pairs_by_signature(sigs, "doc_id", "__sig", _rep_band_pairs)
+    cand = collapse_pairs_by_signature(compact, "doc_id", "sig", _rep_band_pairs)
     if not verify:
         return cand
     return _verify_jaccard_pairs(cand, df, id_col, text_col, n=n, threshold=threshold)

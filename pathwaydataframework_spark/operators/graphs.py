@@ -167,22 +167,35 @@ def connected_components(
     >>> sorted(tuple(r) for r in connected_components(e).collect())
     [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
     """
-    # materialize the input once BEFORE the two-direction union — edges is
-    # referenced twice, and when it is an LSH near-dup pair pipeline the
-    # un-checkpointed union recomputes that whole pipeline both times
-    edges_c = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
-    )
+    # r15: both edge directions come from ONE explode per input row —
+    # the old shape checkpointed the input first (edges referenced twice
+    # by a union of forward + reversed reads; when edges is an LSH
+    # near-dup pipeline the un-checkpointed union would recompute it
+    # both times) and then checkpointed the union too.  The explode
+    # reads each input row once, so the upstream pipeline runs exactly
+    # once inside e's single checkpoint job: one materialization and one
+    # Spark job fewer per call (guide §1.2), identical row set.
     e = (
-        edges_c.union(edges_c.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # initial labels feed only round 1 (join + union side): a LAZY pin
+    # materializes them once inside that round's job instead of paying a
+    # dedicated checkpoint job up front
     labels = (
         e.select(F.col("a").alias("v"))
         .distinct()
         .withColumn("comp", F.col("v"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # convergence potential: labels only ever decrease, so the label sum is
     # a monotone potential — unchanged sum ⟺ fixpoint.  It is measured by an

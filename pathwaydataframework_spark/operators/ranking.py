@@ -81,29 +81,36 @@ def bm25_scores(
         # term filter, so the materialization is near-free
         .localCheckpoint(eager=True)
     )
-    # N and avgdl folded into the job as ONE corpus-scan 1-row agg that
-    # rides the (tiny, per-term) idf broadcast frame — no driver collects,
-    # and one fewer corpus scan than the separate count()/avg() jobs.  The
-    # nested-loop join with the 1-row frame touches only the df-per-term
-    # rows, never the corpus.  coalesce covers the empty corpus (e.g. a
-    # filtered DocumentStore subset): no rows can score, but the plan below
-    # must still build — any finite avgdl works.
+    # N and avgdl folded into the job as ONE corpus-scan 1-row agg — no
+    # driver collects, and one fewer corpus scan than the separate
+    # count()/avg() jobs.  r15: attached as a SCALAR SUBQUERY column
+    # (struct-packed so the subquery is referenced exactly once) instead
+    # of a crossJoin with the broadcast 1-row frame — same single corpus
+    # scan, but the per-term idf build loses its BroadcastNestedLoopJoin
+    # node (VERDICT r14 item 6; plans/r15/q_bm25_{before,after}.txt).
+    # coalesce covers the empty corpus (e.g. a filtered DocumentStore
+    # subset): no rows can score, but the plan below must still build —
+    # any finite avgdl works.
     stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.coalesce(F.avg(F.size("__toks")), F.lit(1.0)).alias("__avgdl"),
-    )
+        F.struct(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.coalesce(F.avg(F.size("__toks")), F.lit(1.0)).alias("__avgdl"),
+        ).alias("__stats")
+    ).scalar()
     # df per query term from the filtered postings — identical to the
     # full-index df for those terms, without the full-index groupBy
     idf = (
         tf_q.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(stats))
+        .withColumn("__stats", stats)
         .select(
             "term",
             F.log(
-                1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                1.0
+                + (F.col("__stats.__n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
             ).alias("idf"),
-            "__avgdl",
+            F.col("__stats.__avgdl").alias("__avgdl"),
         )
     )
     scored = (

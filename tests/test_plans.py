@@ -207,12 +207,12 @@ def test_bm25_no_cartesian(spark, sf_dir):
     df = entry.q_bm25(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
-    # exactly ONE BroadcastNestedLoopJoin node is expected: the folded
-    # 1-row N/avgdl stats frame riding the per-term idf build (r4) — any
-    # second one would be a real nested-loop pairing regression.  (Each
-    # node prints twice in explain("formatted"): tree line "...Join Cross
-    # BuildRight" + detail header — count the tree form only.)
-    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+    # r15 (VERDICT r14 item 6): the 1-row N/avgdl stats attach is now a
+    # scalar subquery column on the per-term idf build — NO nested-loop
+    # join node anywhere in the plan, and exactly one subquery instance
+    # (struct-packed, referenced once) holding the corpus-stats scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Subquery" in plan, "the stats scan must ride a scalar subquery"
 
 
 def test_splitter_and_embedder_add_no_exchange(spark, sf_dir):
@@ -537,12 +537,13 @@ def test_dsir_construction_folds_totals(spark, sf_dir):
 
 
 def test_bm25_construction_folds_stats(spark, sf_dir):
-    # N/avgdl ride the idf broadcast as a 1-row agg (one corpus scan inside
-    # the job) — construction may only run reads + the tf_q checkpoint
+    # N/avgdl ride the per-term idf build as a scalar-subquery 1-row agg
+    # (one corpus scan, executed with the query, never at construction) —
+    # construction may only run reads + the tf_q checkpoint
     df, jobs = _construction_jobs(spark, entry.q_bm25, sf_dir, "pds_plan_bm25")
-    assert "BroadcastNestedLoopJoin" in formatted_plan(df)
+    assert "Subquery" in formatted_plan(df)
     # reads/inputFiles probes for docs+queries + the tf_q checkpoint = 6;
-    # the removed count()/collect() pair would push this to 8
+    # a reintroduced count()/collect() pair would push this to 8
     assert len(jobs) <= 6, f"construction ran {len(jobs)} jobs: {jobs}"
 
 
