@@ -391,6 +391,14 @@ def incremental_neardup_pairs(
     )
     if corpus_docs is None:
         return cand
+    # Deliberately NOT pre-filtered to the matched id set (r15 A/B): a
+    # semi-join on ids derived from ``cand`` re-executes the candidate
+    # band join — and with it a corpus-index-scale exchange — once per
+    # side, to save map-side shingle projections.  Measured slower at
+    # sf0.1 (interleaved ×5: median 1.035 → 1.282 s); a checkpoint of
+    # ``cand`` would fix the re-execution but adds a blocking
+    # materialization to an incremental API.  See the same opt-out note
+    # on :func:`_verify_jaccard_pairs`.
     ga = _ensure_parallelism(new_docs).select(
         F.col(id_col).alias("new_id"),
         _word_shingles(F.col(text_col), n).alias("g_a"),
@@ -583,7 +591,16 @@ def _verify_jaccard_pairs(
 
     Joins each side's distinct-shingle set and computes Jaccard via
     array_intersect — O(candidates), not O(co-shingled pairs) like the
-    full exact join.  Shared by the MinHash and SimHash blocking paths."""
+    full exact join.  Shared by the MinHash and SimHash blocking paths.
+
+    Deliberately NOT pre-filtered to the candidate id set (r15 A/B): a
+    semi-join on ids derived from ``cand`` re-executes the candidate
+    subtree (a corpus-scale band self-join) once per reference — two
+    extra SHUFFLED corpus-sized passes to save two map-side shingle
+    projections.  Measured slower at sf0.1 (interleaved ×6: median
+    2.289 → 2.565 s) and the trade only worsens where shuffle is the
+    bottleneck; the incremental path measured the same way — see the
+    matching opt-out note on :func:`incremental_neardup_pairs`."""
     shingle_sets = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), _word_shingles(F.col(text_col), n).alias("g")
     )

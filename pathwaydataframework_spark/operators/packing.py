@@ -292,6 +292,16 @@ def materialize_sequences(
     ``max_tokens``, so no group outgrows an executor.  ``doc_spans``
     rides the SAME collect_list — no second aggregation.
 
+    Sizing requirement (ADVICE r14): the re-assembly is clustered by
+    ``shard`` alone (so the downstream :func:`write_packed_dataset`
+    repartition elides — one exchange end to end), which caps re-assembly
+    parallelism at the number of distinct shards for EVERY consumer,
+    writing or not.  Size the layout's ``shards`` at or above the
+    cores/ranks you want busy (the packing contract already wants
+    ``shards >> world_size``); with ``shards`` far below the core count
+    the re-assembly underuses the cluster — measured a net win at bench
+    scale even at shards=16 on 32 cores, but it is a real ceiling.
+
     Zero-token documents (empty ``token_ids``) KEEP their slot: they
     contribute a zero-length span (len=0) at their offset, so the
     boundary map still records them — the opposite contract from
