@@ -693,8 +693,10 @@ def simhash_near_dups(
     block_bits = bits // nblocks
 
     def _rep_block_pairs(reps: DataFrame) -> DataFrame:
-        rsig = sig.join(reps, on="doc_id", how="left_semi")
-        blocks = rsig.select(
+        # r15: reps arrives with the simhash carry column attached
+        # (collapse_pairs_by_signature), so the old left-semi join back
+        # to the signature frame is gone
+        blocks = reps.select(
             "doc_id",
             "simhash",
             F.explode(

@@ -874,9 +874,10 @@ def hamming_dedup_pairs(
     h = hashed.filter(F.col(hash_col).isNotNull()).localCheckpoint(eager=True)
 
     def _rep_group_pairs(reps: DataFrame) -> DataFrame:
-        rh = h.join(reps, on=id_col, how="left_semi")
+        # r15: reps arrives with the fingerprint carry column attached
+        # (collapse_pairs_by_signature) — no left-semi join back to h
         banded = fingerprint_index(
-            rh, id_col=id_col, hash_col=hash_col,
+            reps, id_col=id_col, hash_col=hash_col,
             max_hamming=max_hamming, n_bytes=n_bytes,
         )
         a = banded.select(

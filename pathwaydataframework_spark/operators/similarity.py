@@ -276,8 +276,11 @@ def embedding_cosine_dedup_pairs(
     sig = lsh_signatures(df, id_col=id_col, vec_col=vec_col, dim=dim, bits=bits, seed=seed)
 
     def _rep_band_pairs(reps: DataFrame) -> DataFrame:
-        rsig = sig.join(reps, on="vec_id", how="left_semi")
-        banded = _banded(rsig, bits=bits, bands=bands)
+        # r15: reps arrives with lsh_sig attached (collapse carry
+        # columns) — banding runs straight off the representatives; the
+        # old left-semi join back to ``sig`` re-ran the whole
+        # (un-checkpointed) signature projection a second time
+        banded = _banded(reps, bits=bits, bands=bands)
         return (
             banded.alias("a")
             .join(
